@@ -1,0 +1,203 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational analytics core (SURVEY §2.4) — the generalization of the
+  * reference's MATCH + property-filter surface to full scan/filter/join/
+  * aggregate/window plans. These are also the bench headliners, so each
+  * plan is written for scale: minimal projections (column pruning reaches
+  * the parquet scan), filters applied before joins (pushdown), dimension
+  * tables broadcast, facts shuffled on the join key only once.
+  */
+object Relational {
+
+  /** Pricing summary (TPC-H Q1 shape). One scan, one shuffle (groupBy). */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    li.filter(col("l_shipdate") <= lit("1998-09-01"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+  }
+
+  val q1AggSql: String =
+    """SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+       FROM lineitem
+       WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+       GROUP BY l_returnflag, l_linestatus"""
+
+  /** Shipping-priority (TPC-H Q3 shape): filtered 3-way join + agg + top-k.
+    * customer is small relative to the facts → broadcast; lineitem and
+    * orders each shuffle once on l_orderkey/o_orderkey.
+    */
+  def q3Shipping(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") < lit("1999-03-15"))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") > lit("1999-03-15"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q3ShippingSql: String =
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+       FROM lineitem
+       JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       WHERE c_mktsegment = 'BUILDING'
+         AND o_orderdate < TIMESTAMP '1999-03-15'
+         AND l_shipdate > TIMESTAMP '1999-03-15'
+       GROUP BY l_orderkey, o_orderdate, o_orderpriority
+       ORDER BY revenue DESC, o_orderdate, l_orderkey
+       LIMIT 10"""
+
+  /** Local-supplier volume (TPC-H Q5 shape): 6-way star join. All four
+    * dimension legs (region→nation→customer / supplier) broadcast; the
+    * only shuffles are lineitem⋈orders on the order key and the final
+    * groupBy on n_name.
+    */
+  def q5MultiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val region = Tables.load(spark, dir, "region").filter(col("r_name") === "ASIA")
+    val nation = Tables.load(spark, dir, "nation")
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val cust = Tables.load(spark, dir, "customer")
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_nationkey"), col("n_name"))
+    val supp = Tables.load(spark, dir, "supplier").select("s_suppkey", "s_nationkey")
+    val ord = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1998-01-01"))
+      .select("o_orderkey", "o_custkey")
+    val li = Tables.load(spark, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp),
+        col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+  }
+
+  val q5MultiJoinSql: String =
+    """SELECT n_name,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+       FROM lineitem
+       JOIN orders   ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+       JOIN nation   ON c_nationkey = n_nationkey
+       JOIN region   ON n_regionkey = r_regionkey
+       WHERE r_name = 'ASIA'
+         AND o_orderdate >= TIMESTAMP '1996-01-01'
+         AND o_orderdate < TIMESTAMP '1998-01-01'
+       GROUP BY n_name"""
+
+  /** Window rank: each customer's 3 largest orders. row_number with a
+    * full tiebreak (price desc, key) keeps the result deterministic.
+    */
+  def qWindowRank(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.load(spark, dir, "orders")
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    ord.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"), col("rn"))
+  }
+
+  val qWindowRankSql: String =
+    """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice, rn
+       FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             FROM orders)
+       WHERE rn <= 3"""
+
+  /** Top-k per group: 5 priciest parts per brand. */
+  def qTopkPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.load(spark, dir, "part")
+      .select("p_brand", "p_partkey", "p_name", "p_retailprice")
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    part.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("p_brand"), col("p_partkey"), col("p_name"),
+        round(col("p_retailprice"), 2).as("p_retailprice"), col("rn"))
+  }
+
+  val qTopkPerGroupSql: String =
+    """SELECT p_brand, p_partkey, p_name, round(p_retailprice, 2) AS p_retailprice, rn
+       FROM (SELECT p_brand, p_partkey, p_name, p_retailprice,
+               row_number() OVER (PARTITION BY p_brand
+                 ORDER BY p_retailprice DESC, p_partkey) AS rn
+             FROM part)
+       WHERE rn <= 5"""
+
+  /** As-of join: for every purchase event, the most recent prior click by
+    * the same user. Implemented the scalable way — union the two sides,
+    * one sort within each user partition, carry the last click forward —
+    * a single shuffle on user_id, no pairwise join blowup. The oracle
+    * verifies the semantics with a plain (quadratic) SQL formulation.
+    */
+  def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("value").as("click_value"), lit(null).cast("long").as("purchase_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        lit(null).cast("double").as("click_value"), col("event_id").as("purchase_id"))
+    // Within a user, order by (ts, event_id); clicks sort before any
+    // simultaneous purchase because event ids are generation-ordered.
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("asof_click", last(col("click_value"), ignoreNulls = true).over(w))
+      .filter(col("purchase_id").isNotNull)
+      .select(col("purchase_id"), col("user_id"),
+        round(col("asof_click"), 4).as("asof_click"))
+  }
+
+  val qAsofJoinSql: String =
+    """SELECT p.event_id AS purchase_id, p.user_id,
+       round((SELECT c.value FROM events c
+              WHERE c.event_type = 'click' AND c.user_id = p.user_id
+                AND (c.ts < p.ts OR (c.ts = p.ts AND c.event_id < p.event_id))
+              ORDER BY c.ts DESC, c.event_id DESC LIMIT 1), 4) AS asof_click
+       FROM events p
+       WHERE p.event_type = 'purchase'"""
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("q1_agg", q1Agg, q1AggSql),
+    QueryDef.sql("q3_shipping", q3Shipping, q3ShippingSql),
+    QueryDef.sql("q5_multijoin", q5MultiJoin, q5MultiJoinSql),
+    QueryDef.sql("q_window_rank", qWindowRank, qWindowRankSql),
+    QueryDef.sql("q_topk_per_group", qTopkPerGroup, qTopkPerGroupSql),
+    QueryDef.sql("q_asof_join", qAsofJoin, qAsofJoinSql))
+}

@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's correctness gate.
+
+Usage: python3 tools/check.py <verify_out_dir> <sf_dir>
+
+Reads each <name>/ parquet result written by graft.Verify, runs the
+corresponding oracle SQL from oracle_sql.json in DuckDB against the same
+parquet tables, and compares: row count, column names, and a hash of the
+sorted values (columns sorted by name, rows sorted, floats rounded).
+"""
+import sys, json, glob, hashlib
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                v = f"{v:.6f}"
+                if v == "-0.000000":
+                    v = "0.000000"
+            vals.append(repr(v))
+        out.append("|".join(vals))
+    out.sort()
+    return hashlib.sha256("\n".join(out).encode()).hexdigest()[:16]
+
+
+def main(outdir, sfdir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    oracles = json.load(open(f"{outdir}/oracle_sql.json"))
+    ok = fail = 0
+    for name, sql in sorted(oracles.items()):
+        try:
+            files = glob.glob(f"{outdir}/{name}/*.parquet")
+            got = con.sql(
+                f"SELECT * FROM read_parquet({files!r})")
+            gcols, grows = got.columns, got.fetchall()
+            exp = con.sql(sql)
+            ecols, erows = exp.columns, exp.fetchall()
+            if sorted(gcols) != sorted(ecols):
+                print(f"FAIL {name}: cols spark={sorted(gcols)} oracle={sorted(ecols)}")
+                fail += 1
+            elif len(grows) != len(erows):
+                print(f"FAIL {name}: rows spark={len(grows)} oracle={len(erows)}")
+                fail += 1
+            elif canon(grows, gcols) != canon(erows, ecols):
+                print(f"FAIL {name}: value hash mismatch ({len(grows)} rows)")
+                # show first differing canonical line
+                a = sorted("|".join(map(repr, r)) for r in grows)
+                b = sorted("|".join(map(repr, r)) for r in erows)
+                for x, y in zip(a, b):
+                    if x != y:
+                        print(f"  spark : {x[:160]}\n  oracle: {y[:160]}")
+                        break
+                fail += 1
+            else:
+                print(f"ok   {name} ({len(grows)} rows)")
+                ok += 1
+        except Exception as e:
+            print(f"ERR  {name}: {e}")
+            fail += 1
+    print(f"\n{ok} ok, {fail} fail")
+    sys.exit(1 if fail else 0)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])
