@@ -1,0 +1,260 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.graph.{Algorithms, PropertyGraph, TpchGraph}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Graph pattern matching + analytics (SURVEY §2.3) — the re-expression
+  * of the reference's MATCH surface (/root/reference/server/server.go:724
+  * executeMatch; parser/parser.go:674 parseMatch) over the TpchGraph
+  * property-graph view, plus the traversal/analytics algorithms the
+  * Spark representation unlocks.
+  *
+  * Scale notes: every match compiles to joins on pruned projections, so
+  * dimension legs broadcast under AQE; traversals run on the gid-encoded
+  * edge table which shuffles once per hop on the frontier key only.
+  */
+object GraphOps {
+
+  private def g(spark: SparkSession, dir: String) = TpchGraph(spark, dir)
+
+  /** MATCH (c:customer {segment, acctbal-pred}) RETURN ... — reference
+    * equality-only WHERE generalized to arbitrary predicates.
+    */
+  def gMatchNode(spark: SparkSession, dir: String): DataFrame =
+    g(spark, dir).matchNodes("customer",
+        col("c_mktsegment") === "BUILDING" && col("c_acctbal") > 5000.0,
+        Seq("_id", "c_name", "c_acctbal"))
+      .select(col("_id").as("c_custkey"), col("c_name"),
+        round(col("c_acctbal"), 2).as("c_acctbal"))
+
+  val gMatchNodeSql: String =
+    """SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal
+       FROM customer
+       WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 5000.0"""
+
+  /** MATCH (c:customer)-[:PLACED]->(o:orders) with predicates on both
+    * endpoints.
+    */
+  def gMatch1Hop(spark: SparkSession, dir: String): DataFrame = {
+    val gr = g(spark, dir)
+    val custs = gr.matchNodes("customer",
+      col("c_mktsegment") === "AUTOMOBILE", Seq("_id"))
+    val placed = gr.edges("PLACED").df
+    val orders = gr.nodes("orders").df.filter(col("o_totalprice") > 200000.0)
+    custs.join(placed, custs("_id") === placed("_src"))
+      .join(orders, placed("_dst") === orders("_id"))
+      .select(custs("_id").as("c_custkey"), orders("_id").as("o_orderkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"))
+  }
+
+  val gMatch1HopSql: String =
+    """SELECT c_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice
+       FROM customer JOIN orders ON o_custkey = c_custkey
+       WHERE c_mktsegment = 'AUTOMOBILE' AND o_totalprice > 200000.0"""
+
+  /** MATCH (c:customer)-[:IN_NATION]->(n)-[:IN_REGION]->(r {name:'EUROPE'})
+    * — chained joins; both dimension legs broadcast.
+    */
+  def gMatch2Hop(spark: SparkSession, dir: String): DataFrame = {
+    val gr = g(spark, dir)
+    val inNation = gr.edges("IN_NATION").df
+    val inRegion = gr.edges("IN_REGION").df
+    val nation = gr.nodes("nation").df
+    val region = gr.nodes("region").df.filter(col("r_name") === "EUROPE")
+    gr.nodes("customer").df.select(col("_id").as("c_custkey"))
+      .join(inNation, col("c_custkey") === inNation("_src"))
+      .join(broadcast(nation), inNation("_dst") === nation("_id"))
+      .join(broadcast(inRegion), nation("_id") === inRegion("_src"))
+      .join(broadcast(region), inRegion("_dst") === region("_id"))
+      .select(col("c_custkey"), col("n_name"), col("r_name"))
+  }
+
+  val gMatch2HopSql: String =
+    """SELECT c_custkey, n_name, r_name
+       FROM customer
+       JOIN nation ON c_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       WHERE r_name = 'EUROPE'"""
+
+  /** MATCH with edge-property predicates:
+    * (o:orders)-[:CONTAINS {quantity >= 45}]->(p:part).
+    */
+  def gMatchEdgeProps(spark: SparkSession, dir: String): DataFrame = {
+    val gr = g(spark, dir)
+    val contains = gr.edges("CONTAINS").df.filter(col("l_quantity") >= 45.0)
+    contains.select(col("_src").as("o_orderkey"), col("_dst").as("p_partkey"),
+      round(col("l_quantity"), 2).as("quantity"),
+      round(col("l_extendedprice"), 2).as("extendedprice"))
+  }
+
+  val gMatchEdgePropsSql: String =
+    """SELECT l_orderkey AS o_orderkey, l_partkey AS p_partkey,
+       round(l_quantity, 2) AS quantity, round(l_extendedprice, 2) AS extendedprice
+       FROM lineitem WHERE l_quantity >= 45.0"""
+
+  /** Distinct out-neighborhood of a seed key set across two edge labels,
+    * decoded to (label, key). One shuffle (the distinct).
+    */
+  def gNeighbors(spark: SparkSession, dir: String): DataFrame = {
+    val gr = g(spark, dir)
+    val seeds = gr.nodes("customer").df.filter(col("_id") <= 100)
+      .select(gr.gid("customer", col("_id")).as("gid"))
+    val edges = gr.gidEdges(Seq("PLACED", "IN_NATION"))
+    val out = seeds.join(edges, seeds("gid") === edges("gsrc"))
+      .select(col("gdst")).distinct()
+    gr.decode(out, "gdst").select(col("label"), col("key"))
+  }
+
+  val gNeighborsSql: String =
+    s"""WITH nbr AS (
+         SELECT DISTINCT 5*4294967296 + o_orderkey AS gid FROM orders WHERE o_custkey <= 100
+         UNION
+         SELECT DISTINCT 1*4294967296 + c_nationkey FROM customer WHERE c_custkey <= 100)
+       SELECT ${TpchGraph.gidSqlLabel} AS label, gid % 4294967296 AS key FROM nbr"""
+
+  /** Out-degree per customer over PLACED, zero-degree nodes included —
+    * the reference's adjacency-length view of every stored node.
+    */
+  def gDegree(spark: SparkSession, dir: String): DataFrame =
+    g(spark, dir).degrees("customer", "PLACED", out = true)
+      .select(col("_id").as("c_custkey"), col("degree"))
+
+  val gDegreeSql: String =
+    """SELECT c_custkey, count(o_orderkey) AS degree
+       FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+       GROUP BY c_custkey"""
+
+  /** Degree histogram: how many customers placed k orders (agg-of-agg). */
+  def gDegreeHist(spark: SparkSession, dir: String): DataFrame =
+    gDegree(spark, dir)
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+
+  val gDegreeHistSql: String =
+    """SELECT degree, count(*) AS n_nodes FROM (
+         SELECT c_custkey, count(o_orderkey) AS degree
+         FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+         GROUP BY c_custkey)
+       GROUP BY degree"""
+
+  /** Bounded BFS hop distance from seed customers over the full
+    * heterogeneous edge set; oracle is a recursive CTE replaying the same
+    * gid arithmetic.
+    */
+  def gBfs(spark: SparkSession, dir: String): DataFrame = {
+    val gr = g(spark, dir)
+    val seeds = gr.nodes("customer").df.filter(col("_id") <= 5)
+      .select(gr.gid("customer", col("_id")).as("gid"))
+    val edges = gr.gidEdges(TpchGraph.edgeLabels)
+    val reached = Algorithms.bfs(edges, seeds, maxHops = 3)
+    gr.decode(reached, "gid")
+      .select(col("label"), col("key"), col("hop").cast("long").as("hop"))
+  }
+
+  val gBfsSql: String =
+    s"""WITH RECURSIVE e AS (${TpchGraph.gidSqlEdges}),
+       walk(gid, hop) AS (
+         SELECT 2*4294967296 + c_custkey, 0 FROM customer WHERE c_custkey <= 5
+         UNION
+         SELECT e.gdst, w.hop + 1 FROM walk w JOIN e ON e.gsrc = w.gid WHERE w.hop < 3),
+       dist AS (SELECT gid, min(hop) AS hop FROM walk GROUP BY gid)
+       SELECT ${TpchGraph.gidSqlLabel} AS label, gid % 4294967296 AS key,
+              CAST(hop AS BIGINT) AS hop
+       FROM dist"""
+
+  /** Connected components over the co-purchase graph (parts sharing an
+    * order). Iterative min-label propagation; returned as component-size
+    * profile. Rows-only (no tractable SQL fixpoint oracle) — exactness is
+    * covered by GraphAlgSpec on planted graphs.
+    */
+  def gCc(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    val (nodes, edges) = copurchaseGraph(spark2, dir)
+    Algorithms.connectedComponents(nodes, edges)
+      .groupBy(col("comp")).agg(count(lit(1)).as("size"))
+      .groupBy(col("size")).agg(count(lit(1)).as("n_components"))
+      .orderBy(col("size"))
+  }
+
+  /** PageRank over the directed heterogeneous graph, 10 iterations.
+    * Rows-only; exactness on planted graphs in GraphAlgSpec. Top-100 by
+    * rank with full tiebreak for determinism.
+    */
+  def gPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val gr = g(spark, dir)
+    val nodes = gr.gidNodes(TpchGraph.nodeLabels)
+    val edges = gr.gidEdges(TpchGraph.edgeLabels)
+    val pr = Algorithms.pageRank(nodes, edges, iters = 10)
+    gr.decode(pr.orderBy(col("pr").desc, col("gid")).limit(100), "gid")
+      .select(col("label"), col("key"), round(col("pr"), 8).as("pr"))
+  }
+
+  /** Triangle count over the co-purchase graph. */
+  def gTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val (_, edges) = copurchaseGraph(spark, dir)
+    Algorithms.triangleCount(edges)
+  }
+
+  val gTrianglesSql: String =
+    """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       e AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+             FROM op a JOIN op b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+       SELECT count(*) AS triangles
+       FROM e e1 JOIN e e2 ON e1.b = e2.a
+                 JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b"""
+
+  /** WAL replay → state reconstruction (reference server/commitlog.go:
+    * replay-on-boot): treating events as an ordered command log keyed by
+    * user_id, the reconstructed state is last-writer-wins per key.
+    */
+  def gWalReplay(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    ev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_event_type"),
+        round(col("value"), 4).as("last_value"))
+  }
+
+  val gWalReplaySql: String =
+    """SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+       round(value, 4) AS last_value
+       FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+       WHERE rn = 1"""
+
+  /** Undirected co-purchase graph: part—part edges when two parts appear
+    * in the same order (canonicalized a<b, deduped). Bounded per-order
+    * fanout (k parts → k²/2 pairs with k ≈ 4) keeps this linear-ish in
+    * lineitem size at any SF.
+    */
+  private def copurchaseGraph(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val op = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val a = op.select(col("l_orderkey").as("o"), col("l_partkey").as("pa"))
+    val b = op.select(col("l_orderkey").as("o2"), col("l_partkey").as("pb"))
+    val edges = a.join(b, col("o") === col("o2") && col("pa") < col("pb"))
+      .select(col("pa").as("gsrc"), col("pb").as("gdst")).distinct()
+    val nodes = op.select(col("l_partkey").as("gid")).distinct()
+    (nodes, edges)
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("g_match_node", gMatchNode, gMatchNodeSql),
+    QueryDef.sql("g_match_1hop", gMatch1Hop, gMatch1HopSql),
+    QueryDef.sql("g_match_2hop", gMatch2Hop, gMatch2HopSql),
+    QueryDef.sql("g_match_edge_props", gMatchEdgeProps, gMatchEdgePropsSql),
+    QueryDef.sql("g_neighbors", gNeighbors, gNeighborsSql),
+    QueryDef.sql("g_degree", gDegree, gDegreeSql),
+    QueryDef.sql("g_degree_hist", gDegreeHist, gDegreeHistSql),
+    QueryDef.sql("g_bfs", gBfs, gBfsSql),
+    QueryDef.rowsOnly("g_cc", gCc),
+    QueryDef.rowsOnly("g_pagerank", gPagerank),
+    QueryDef.sql("g_triangles", gTriangles, gTrianglesSql),
+    QueryDef.sql("g_wal_replay", gWalReplay, gWalReplaySql))
+}

@@ -3,7 +3,5 @@ package graft.queries
 import graft.QueryDef
 
 // Placeholder registries — filled in module by module (SURVEY §7).
-object GraphOps { def defs: Seq[QueryDef] = Seq.empty }
-object Dml { def defs: Seq[QueryDef] = Seq.empty }
 object Pipeline { def defs: Seq[QueryDef] = Seq.empty }
 object Streaming { def defs: Seq[QueryDef] = Seq.empty }

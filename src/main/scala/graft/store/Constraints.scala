@@ -1,0 +1,49 @@
+package graft.store
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Constraint enforcement as distributed violation finders (reference:
+  * /root/reference/catalog/types.go PRIMARY KEY / UNIQUE / NOT NULL /
+  * enum checks applied per-row at insert, server.go:560-590).
+  *
+  * In a batch engine the idiomatic posture is validate-the-set: each
+  * check is a full-scan aggregation or anti-join that shuffles once on
+  * the checked key and returns the violating rows (empty = constraint
+  * holds). Callers gate a write on `violations.isEmpty`.
+  */
+object Constraints {
+
+  /** PK / UNIQUE: key tuples appearing more than once. */
+  def uniqueViolations(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"))
+      .filter(col("n_rows") > 1)
+
+  /** NOT NULL: rows with a null in any required column. */
+  def notNullViolations(df: DataFrame, required: Seq[String]): DataFrame =
+    df.filter(required.map(c => col(c).isNull).reduce(_ || _))
+
+  /** Enum domain: rows whose column value is outside the allowed set. */
+  def enumViolations(df: DataFrame, column: String, allowed: Seq[String]): DataFrame =
+    df.filter(!col(column).isin(allowed: _*))
+
+  /** Referential integrity: edges whose src/dst key has no node row
+    * (reference validates endpoints on insert, server.go:612). Left-anti
+    * joins; node key sets broadcast when small.
+    */
+  def danglingEdges(edges: DataFrame, srcCol: String, srcNodes: DataFrame, srcKey: String,
+      dstCol: String, dstNodes: DataFrame, dstKey: String): DataFrame = {
+    val noSrc = edges.join(srcNodes.select(col(srcKey).as(srcCol)), Seq(srcCol), "left_anti")
+    val noDst = edges.join(dstNodes.select(col(dstKey).as(dstCol)), Seq(dstCol), "left_anti")
+    noSrc.unionByName(noDst).distinct()
+  }
+
+  /** Cardinality ONE (reference catalog edge cardinality,
+    * catalog/types.go:58): endpoint keys with more than one edge.
+    */
+  def cardinalityViolations(edges: DataFrame, endpointCol: String): DataFrame =
+    edges.groupBy(col(endpointCol))
+      .agg(count(lit(1)).as("n_edges"))
+      .filter(col("n_edges") > 1)
+}

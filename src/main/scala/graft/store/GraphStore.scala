@@ -1,0 +1,68 @@
+package graft.store
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mutation surface of the engine, re-expressed as pure DataFrame
+  * transforms (reference: /root/reference/server/server.go:530-720 — the
+  * INSERT/UPDATE/DELETE executors over in-memory maps).
+  *
+  * In a log-structured Spark deployment each of these produces the next
+  * version of a label's table; persisting is a parquet overwrite/append
+  * of only the affected label. Nothing here collects to the driver, so
+  * every mutation scales as a scan + (at most) one shuffle.
+  */
+object GraphStore {
+
+  /** INSERT NODE — append a batch. Defaults for absent columns are
+    * applied (reference applies field defaults at insert,
+    * server.go:560), and the batch must carry the base schema's columns
+    * after that.
+    */
+  def insertNodes(base: DataFrame, batch: DataFrame,
+      defaults: Map[String, Column] = Map.empty): DataFrame = {
+    val withDefaults = defaults.foldLeft(batch) { case (df, (name, v)) =>
+      if (df.columns.contains(name)) df else df.withColumn(name, v)
+    }
+    base.unionByName(withDefaults.select(base.columns.map(col).toSeq: _*))
+  }
+
+  /** UPDATE ... WHERE — update-as-projection: every SET column becomes
+    * `when(cond, newValue).otherwise(old)`. One scan, zero shuffles.
+    */
+  def updateWhere(base: DataFrame, cond: Column, sets: Map[String, Column]): DataFrame =
+    sets.foldLeft(base) { case (df, (name, v)) =>
+      df.withColumn(name, when(cond, v).otherwise(col(name)))
+    }
+
+  /** DELETE ... WHERE — delete-as-filter (keep the anti-predicate; null
+    * predicate rows are kept, matching SQL DELETE semantics).
+    */
+  def deleteWhere(base: DataFrame, cond: Column): DataFrame =
+    base.filter(!coalesce(cond, lit(false)))
+
+  /** Upsert by key: batch rows replace same-key base rows, new keys
+    * append. Anti-join + union — one shuffle on the key.
+    */
+  def upsertByKey(base: DataFrame, batch: DataFrame, keyCol: String): DataFrame = {
+    val replaced = base.join(batch.select(keyCol), Seq(keyCol), "left_anti")
+    replaced.unionByName(batch.select(base.columns.map(col).toSeq: _*))
+  }
+
+  /** INSERT EDGE with endpoint resolution by property (reference
+    * server.go:600 resolves `from:{name:"ada"}` to a node id by property
+    * match): resolve each endpoint spec against its node table, emitting
+    * (src key, dst key, props...). Ambiguous matches produce one edge per
+    * match, mirroring the reference's first-match semantics only when the
+    * property is unique — constraint checks catch the rest.
+    */
+  def resolveEdges(batch: DataFrame, srcNodes: DataFrame, srcProp: String, srcKey: String,
+      dstNodes: DataFrame, dstProp: String, dstKey: String): DataFrame = {
+    val s = srcNodes.select(col(srcProp).as("__sprop"), col(srcKey).as("_src"))
+    val d = dstNodes.select(col(dstProp).as("__dprop"), col(dstKey).as("_dst"))
+    batch
+      .join(s, batch(s"src_$srcProp") === col("__sprop"))
+      .join(d, batch(s"dst_$dstProp") === col("__dprop"))
+      .drop("__sprop", "__dprop", s"src_$srcProp", s"dst_$dstProp")
+  }
+}

@@ -1,0 +1,75 @@
+package graft.graph
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Planted-graph exactness for the iterative algorithms (SURVEY §2.3
+  * rows 26-30) — the oracle-infeasible half of the graph surface.
+  */
+class GraphAlgSpec extends SparkSpec {
+  import scala.jdk.CollectionConverters._
+
+  private def edgeDf(pairs: (Long, Long)*) = {
+    import spark.implicits._
+    pairs.toDF("gsrc", "gdst")
+  }
+  private def nodeDf(ids: Long*) = {
+    import spark.implicits._
+    ids.toDF("gid")
+  }
+
+  test("bfs computes min hop distance, bounded") {
+    // 1→2→3→4→5 chain plus shortcut 1→4
+    val edges = edgeDf(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L, 1L -> 4L)
+    val res = Algorithms.bfs(edges, nodeDf(1L), maxHops = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(res === Map(1L -> 0, 2L -> 1, 4L -> 1, 3L -> 2, 5L -> 2))
+  }
+
+  test("bfs respects maxHops") {
+    val edges = edgeDf(1L -> 2L, 2L -> 3L)
+    val res = Algorithms.bfs(edges, nodeDf(1L), maxHops = 1)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(res === Map(1L -> 0, 2L -> 1))
+  }
+
+  test("connected components finds two components and an isolate") {
+    // component {1,2,3}, component {10,11}, isolate {20}
+    val edges = edgeDf(1L -> 2L, 2L -> 3L, 10L -> 11L)
+    val nodes = nodeDf(1L, 2L, 3L, 10L, 11L, 20L)
+    val comp = Algorithms.connectedComponents(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp(1L) === 1L && comp(2L) === 1L && comp(3L) === 1L)
+    assert(comp(10L) === 10L && comp(11L) === 10L)
+    assert(comp(20L) === 20L)
+  }
+
+  test("pagerank sums to 1 and ranks the star center highest") {
+    // star: 1,2,3,4 all point at 5
+    val edges = edgeDf(1L -> 5L, 2L -> 5L, 3L -> 5L, 4L -> 5L)
+    val nodes = nodeDf(1L, 2L, 3L, 4L, 5L)
+    val pr = Algorithms.pageRank(nodes, edges, iters = 15)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(pr.values.sum - 1.0) < 1e-6)
+    assert(pr(5L) > pr(1L) * 2)
+    // leaves are symmetric
+    assert(math.abs(pr(1L) - pr(4L)) < 1e-12)
+  }
+
+  test("triangle count on K4 is 4 regardless of orientation/duplicates") {
+    val edges = edgeDf(
+      1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 3L, 2L -> 4L, 3L -> 4L,
+      2L -> 1L, 3L -> 1L) // reversed dups must not double-count
+    val n = Algorithms.triangleCount(edges).collect()(0).getLong(0)
+    assert(n === 4L)
+  }
+
+  test("label propagation converges on two cliques joined by one edge") {
+    // cliques {1,2,3} and {11,12,13} with a bridge 3-11
+    val cliq = Seq(1L -> 2L, 1L -> 3L, 2L -> 3L, 11L -> 12L, 11L -> 13L, 12L -> 13L, 3L -> 11L)
+    val labels = Algorithms.labelPropagation(nodeDf(1L, 2L, 3L, 11L, 12L, 13L), edgeDf(cliq: _*), iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels(1L) === labels(2L))
+    assert(labels(12L) === labels(13L))
+  }
+}
