@@ -1,0 +1,96 @@
+package graft.pipeline
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column (SURVEY
+  * §2.7 rows 48-49).
+  *
+  *  - brute: broadcast the (small) query set against the corpus — exact,
+  *    one corpus scan, no corpus shuffle; the per-query top-k window runs
+  *    on the corpus partitioning.
+  *  - LSH: random-hyperplane signs bucket the corpus; queries probe only
+  *    their own bucket, bounding pairwise work by the bucket size. The
+  *    scale path: corpus bucketing is one narrow map, the join shuffles
+  *    on the bucket key.
+  */
+object Ann {
+
+  /** Exact top-k by cosine: queries × corpus with the query side
+    * broadcast, rank per query with a deterministic tiebreak.
+    */
+  def bruteKnn(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("cv"))
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", VectorFunctions.cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** Deterministic random hyperplanes (seeded, generated driver-side —
+    * tiny) as literal array columns.
+    */
+  private def planes(dim: Int, numPlanes: Int, seed: Long): Seq[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Multi-table sign-bit LSH keys: `numTables` independent tables of
+    * `bitsPerTable` hyperplane sign bits each. A row lands in one bucket
+    * per table — `(table, bucket)` struct array, exploded by the caller.
+    * Pure column arithmetic (aggregate over zip_with), fully codegen'd.
+    *
+    * Tuning: collision prob per table for angle θ is (1-θ/π)^bits; more
+    * tables buy recall linearly in shuffle volume, more bits shrink
+    * buckets exponentially. At corpus size n aim bits ≈ log2(n / wanted
+    * bucket size).
+    */
+  def lshKeys(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      bitsPerTable: Int, numTables: Int, seed: Long): DataFrame = {
+    val ps = planes(dim, bitsPerTable * numTables, seed)
+    val v = col(vecCol).cast("array<double>")
+    val tables = (0 until numTables).map { t =>
+      val bucket = (0 until bitsPerTable).map { b =>
+        val planeCol = array(ps(t * bitsPerTable + b).map(lit): _*)
+        when(VectorFunctions.dot(planeCol, v) >= 0, lit(1L << b)).otherwise(0L)
+      }.reduce(_ + _)
+      struct(lit(t).as("table"), bucket.as("bucket"))
+    }
+    df.select(col(idCol).as("id"), v.as("v"),
+      explode(array(tables: _*)).as("tb"))
+      .select(col("id"), col("v"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+  }
+
+  /** Bucketed ANN: per-query top-k among corpus rows sharing a bucket in
+    * any table. Recall < 1 by construction; AnnSpec measures it against
+    * [[bruteKnn]]. The join shuffles on (table, bucket) only — pairwise
+    * work is bounded by bucket size × tables, never n².
+    */
+  def lshKnn(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, k: Int, bitsPerTable: Int = 4, numTables: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val qb = lshKeys(queries, idCol, vecCol, dim, bitsPerTable, numTables, seed)
+      .select(col("id").as("query_id"), col("v").as("qv"), col("table"), col("bucket"))
+    val cb = lshKeys(corpus, idCol, vecCol, dim, bitsPerTable, numTables, seed)
+      .select(col("id").as("neighbor_id"), col("v").as("cv"),
+        col("table").as("ctable"), col("bucket").as("cbucket"))
+    qb.join(cb,
+        col("table") === col("ctable") && col("bucket") === col("cbucket") &&
+          col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("qv"), col("neighbor_id"), col("cv"))
+      .distinct() // same pair can collide in several tables
+      .withColumn("cosine", VectorFunctions.cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+}

@@ -1,0 +1,182 @@
+package graft.pipeline
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication family for training-data pipelines (SURVEY §2.7 rows
+  * 43-47). All variants are shuffle-bounded:
+  *
+  *  - exact:     one hash-groupBy on a 256-bit content digest
+  *  - MinHash:   O(n·shingles) map + one groupBy (signatures) + one
+  *               band-bucket self-join → candidates, never O(n²)
+  *  - SimHash:   same shape with 16-bit chunk buckets
+  *  - Jaccard:   exact verification restricted to candidate pairs
+  *  - embedding: cosine over bucketed/bounded pair sets
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup by content digest: keep the smallest id per distinct
+    * (normalized) text; n_copies reports the multiplicity. Grouping on
+    * sha2 rather than the raw text keeps shuffle rows narrow — at 100 TB
+    * the digest is 32 bytes while documents are KBs.
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(sha2(col(textCol), 256).as("digest"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  // -------------------------------------------------------------- shingles
+
+  /** Word n-gram shingle set per document (distinct, lowercased).
+    * Documents shorter than n words contribute their whole text as one
+    * shingle. Pure higher-order functions — no UDF, no explode until the
+    * caller asks.
+    */
+  def shingleArray(textCol: Column, n: Int): Column = {
+    val tokens = split(lower(trim(textCol)), "\\s+")
+    val grams = transform(
+      sequence(lit(0), size(tokens) - n),
+      i => concat_ws(" ", slice(tokens, i + 1, lit(n))))
+    array_distinct(when(size(tokens) >= n, grams).otherwise(array(concat_ws(" ", tokens))))
+  }
+
+  /** (id, shingle) exploded pairs. */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("id"), explode(shingleArray(col(textCol), n)).as("sh"))
+
+  // --------------------------------------------------------------- MinHash
+
+  /** MinHash signatures: numHashes independent permutations approximated
+    * by seeded xxhash64; one explode + one groupBy per corpus (the agg is
+    * map-side combined, so the shuffle carries only doc_id → 64 longs).
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 64): DataFrame = {
+    val sh = shingles(df, idCol, textCol, shingleN)
+    val aggs = (0 until numHashes).map(i => min(xxhash64(lit(i), col("sh"))).as(s"mh$i"))
+    sh.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: hash each band of rowsPerBand signature slots, explode
+    * to (band, bucket) keys, self-join on the bucket. Two docs emerge as
+    * a candidate pair iff they collide in ≥1 band — the classic
+    * S-curve; with 16 bands × 4 rows the 0.5-Jaccard collision
+    * probability is ≈ 0.67. Shuffles on the bucket key only.
+    */
+  def lshCandidates(sigs: DataFrame, numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val bandCols = (0 until bands).map { b =>
+      val slots = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(slots: _*).as("bucket"))
+    }
+    val buckets = sigs.select(col("id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    val left = buckets
+    val right = buckets.select(col("id").as("id2"), col("band").as("band2"), col("bucket").as("bucket2"))
+    left.join(right,
+        col("band") === col("band2") && col("bucket") === col("bucket2") && col("id") < col("id2"))
+      .select(col("id").as("id_a"), col("id2").as("id_b"))
+      .distinct()
+  }
+
+  /** End-to-end MinHash-LSH near-dup candidates. */
+  def minhashDupes(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16): DataFrame =
+    lshCandidates(minhashSignatures(df, idCol, textCol, shingleN, numHashes), numHashes, bands)
+
+  // --------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash per document: each distinct shingle votes ±1 on every
+    * bit of its hash; the sign vector packs into one long. One explode +
+    * one groupBy (64 map-side-combined sums).
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String, shingleN: Int = 2): DataFrame = {
+    val sh = shingles(df, idCol, textCol, shingleN)
+      .withColumn("h", xxhash64(col("sh")))
+    val votes = (0 until 64).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i"))
+    val packed = (0 until 64)
+      .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L))
+      .reduce(_ + _)
+    sh.groupBy(col("id")).agg(votes.head, votes.tail: _*)
+      .select(col("id"), packed.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: bucket by each of the four 16-bit chunks
+    * (pigeonhole: hamming ≤ 3 ⇒ some chunk equal), verify with
+    * `bit_count(xor) <= maxHamming` inside the bucket join.
+    */
+  def simhashDupes(sims: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val chunks = (0 until 4).map(c =>
+      struct(lit(c).as("chunk"),
+        shiftright(col("simhash"), c * 16).bitwiseAND(0xffffL).as("bucket")))
+    val buckets = sims.select(col("id"), col("simhash"), explode(array(chunks: _*)).as("bk"))
+      .select(col("id"), col("simhash"), col("bk.chunk").as("chunk"), col("bk.bucket").as("bucket"))
+    val right = buckets.select(col("id").as("id2"), col("simhash").as("simhash2"),
+      col("chunk").as("chunk2"), col("bucket").as("bucket2"))
+    buckets.join(right,
+        col("chunk") === col("chunk2") && col("bucket") === col("bucket2") && col("id") < col("id2"))
+      .filter(bit_count(col("simhash").bitwiseXOR(col("simhash2"))) <= maxHamming)
+      .select(col("id").as("id_a"), col("id2").as("id_b"),
+        bit_count(col("simhash").bitwiseXOR(col("simhash2"))).as("hamming"))
+      .distinct()
+  }
+
+  // --------------------------------------------------------------- Jaccard
+
+  /** Exact word-n-gram Jaccard, evaluated only on the given candidate
+    * pairs (the LSH output) — the verify step of the
+    * candidate-then-verify dedup pipeline. Intersection via shingle
+    * join, union by inclusion-exclusion; shuffles on shingle and pair
+    * keys only.
+    */
+  def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
+      pairs: DataFrame, shingleN: Int = 3): DataFrame = {
+    val sh = shingles(df, idCol, textCol, shingleN)
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val shA = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val shB = sh.select(col("id").as("__idb"), col("sh").as("sh_b"))
+    val inter = pairs
+      .join(shA, "id_a")
+      .join(shB, col("id_b") === col("__idb") && col("sh_a") === col("sh_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    pairs
+      .join(inter, Seq("id_a", "id_b"), "left")
+      .join(sizes.withColumnRenamed("sz", "sz_a").withColumnRenamed("id", "id_a"), "id_a")
+      .join(sizes.withColumnRenamed("sz", "sz_b").withColumnRenamed("id", "id_b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (coalesce(col("inter"), lit(0L)).cast("double") /
+          (col("sz_a") + col("sz_b") - coalesce(col("inter"), lit(0L)))).as("jaccard"))
+  }
+
+  // ------------------------------------------------------------- embedding
+
+  /** Embedding-cosine near-dup pairs over a bounded pair set. `pairs`
+    * carries (id_a, id_b); embeddings are looked up by join (broadcast
+    * when small). Cosine computed in double precision to match any
+    * SQL oracle.
+    */
+  def embedCosinePairs(emb: DataFrame, idCol: String, vecCol: String,
+      pairs: DataFrame, threshold: Double): DataFrame = {
+    val e = emb.select(col(idCol).as("__eid"), col(vecCol).cast("array<double>").as("__v"))
+    pairs
+      .join(e.select(col("__eid").as("id_a"), col("__v").as("va")), "id_a")
+      .join(e.select(col("__eid").as("id_b"), col("__v").as("vb")), "id_b")
+      .withColumn("cosine", VectorFunctions.cosine(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  /** All-pairs variant (id_a < id_b) — quadratic; callers at scale feed
+    * LSH-bucketed pairs into [[embedCosinePairs]] instead.
+    */
+  def embedCosineAllPairs(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val ids = emb.select(col(idCol).as("id_a"))
+    val ids2 = emb.select(col(idCol).as("id_b"))
+    embedCosinePairs(emb, idCol, vecCol,
+      ids.crossJoin(ids2).filter(col("id_a") < col("id_b")), threshold)
+  }
+}

@@ -1,0 +1,179 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.functions.FnvHash64
+import graft.pipeline.{Ann, Dedup, Multimodal, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline operators (SURVEY §2.7) over the
+  * `documents` and `embeddings` tables.
+  */
+object Pipeline {
+
+  // ------------------------------------------------------------ dedup
+
+  def pDedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(Tables.load(spark, dir, "documents"), "doc_id", "text")
+      .select(col("keep_id"), col("n_copies"))
+
+  val pDedupExactSql: String =
+    """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+       FROM documents GROUP BY text"""
+
+  /** MinHash-LSH candidate pairs (rows-only: the banding arithmetic has
+    * no tractable SQL mirror; exactness on planted dups in DedupSpec).
+    */
+  def pDedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashDupes(Tables.load(spark, dir, "documents"), "doc_id", "text")
+      .orderBy(col("id_a"), col("id_b"))
+
+  def pDedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val sims = Dedup.simhash(Tables.load(spark, dir, "documents"), "doc_id", "text")
+    Dedup.simhashDupes(sims, maxHamming = 3).orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Exact n-gram Jaccard verification over the MinHash candidates. */
+  def pDedupNgram(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val cands = Dedup.minhashDupes(docs, "doc_id", "text")
+    Dedup.ngramJaccard(docs, "doc_id", "text", cands)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  def pDedupEmbed(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embedCosineAllPairs(Tables.load(spark, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.4)
+      .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"),
+        round(col("cosine"), 4).as("cosine"))
+
+  val pDedupEmbedSql: String =
+    """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+              round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])) >= 0.4"""
+
+  // -------------------------------------------------------------- ANN
+
+  def pKnnBrute(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    Ann.bruteKnn(emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 4).as("cosine"), col("rank").cast("long").as("rank"))
+  }
+
+  val pKnnBruteSql: String =
+    """SELECT query_id, neighbor_id, round(cosine, 4) AS cosine, CAST(rank AS BIGINT) AS rank
+       FROM (
+         SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                       CAST(e.embedding AS DOUBLE[])) AS cosine,
+                row_number() OVER (
+                  PARTITION BY q.vec_id
+                  ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                  CAST(e.embedding AS DOUBLE[])) DESC,
+                           e.vec_id) AS rank
+         FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
+         WHERE q.vec_id < 10)
+       WHERE rank <= 5"""
+
+  /** LSH-bucketed ANN (rows-only; recall vs brute measured in AnnSpec). */
+  def pKnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    Ann.lshKnn(emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding",
+        dim = 64, k = 5)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 4).as("cosine"), col("rank").cast("long").as("rank"))
+  }
+
+  // ----------------------------------------------------- text analysis
+
+  def pLangId(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_guess"))
+
+  private def sqlLangScore(lang: String): String =
+    TextAnalysis.markers(lang)
+      .map(w => s"len(regexp_extract_all(text, '\\b$w\\b'))")
+      .mkString(" + ")
+
+  val pLangIdSql: String = {
+    val scores = Seq("en", "es", "de", "fr").map(l => s"(${sqlLangScore(l)}) AS s_$l").mkString(", ")
+    s"""SELECT doc_id,
+        CASE WHEN s_en = best AND best > 0 THEN 'en'
+             WHEN s_es = best AND best > 0 THEN 'es'
+             WHEN s_de = best AND best > 0 THEN 'de'
+             WHEN s_fr = best AND best > 0 THEN 'fr'
+             ELSE 'und' END AS lang_guess
+        FROM (SELECT doc_id, s_en, s_es, s_de, s_fr,
+                     greatest(s_en, s_es, s_de, s_fr) AS best
+              FROM (SELECT doc_id, $scores FROM documents))"""
+  }
+
+  def pQualityScore(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), round(TextAnalysis.qualityScore(col("text")), 4).as("quality"))
+
+  val pQualityScoreSql: String = {
+    val ws = "len(regexp_split_to_array(trim(text), '\\s+'))"
+    val punct = s"(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / greatest(length(text), 1))"
+    val stop = s"(CAST(${sqlLangScore("en")} AS DOUBLE) / greatest($ws, 1))"
+    s"""SELECT doc_id,
+        round(least(CAST($ws AS DOUBLE) / 100.0, 1.0) * 0.4 +
+              (1.0 - least($punct * 10.0, 1.0)) * 0.3 +
+              least($stop * 4.0, 1.0) * 0.3, 4) AS quality
+        FROM documents"""
+  }
+
+  def pTokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.wsTokens(col("text")).cast("long").as("ws_tokens"),
+        TextAnalysis.bpeTokens(col("text")).cast("long").as("bpe_tokens"))
+
+  val pTokenCountSql: String =
+    """SELECT doc_id,
+              CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+              CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
+       FROM documents"""
+
+  /** Content fingerprint via the codegen'd FNV-1a expression (rows-only;
+    * value exactness against a reference implementation in TextSpec).
+    */
+  def pFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), FnvHash64(col("text")).as("fingerprint"))
+
+  // -------------------------------------------------------- multimodal
+
+  def pMediaMeta(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Multimodal.withPayload(Tables.load(spark, dir, "documents"), "text")
+    Multimodal.extractMeta(spark, docs, "doc_id").toDF()
+  }
+
+  val pMediaMetaSql: String =
+    """SELECT doc_id AS media_id,
+              CAST(octet_length(encode(text)) AS BIGINT) AS byte_size,
+              sha256(text) AS sha,
+              CAST(1 + octet_length(encode(text)) % 1024 AS BIGINT) AS width,
+              CAST(1 + (octet_length(encode(text)) * 7) % 768 AS BIGINT) AS height,
+              'fake/raw' AS format
+       FROM documents"""
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("p_dedup_exact", pDedupExact, pDedupExactSql),
+    QueryDef.rowsOnly("p_dedup_minhash", pDedupMinhash),
+    QueryDef.rowsOnly("p_dedup_simhash", pDedupSimhash),
+    QueryDef.rowsOnly("p_dedup_ngram", pDedupNgram),
+    QueryDef.sql("p_dedup_embed", pDedupEmbed, pDedupEmbedSql),
+    QueryDef.sql("p_knn_brute", pKnnBrute, pKnnBruteSql),
+    QueryDef.rowsOnly("p_knn_lsh", pKnnLsh),
+    QueryDef.sql("p_lang_id", pLangId, pLangIdSql),
+    QueryDef.sql("p_quality_score", pQualityScore, pQualityScoreSql),
+    QueryDef.sql("p_token_count", pTokenCount, pTokenCountSql),
+    QueryDef.rowsOnly("p_fingerprint", pFingerprint),
+    QueryDef.sql("p_media_meta", pMediaMeta, pMediaMetaSql))
+}

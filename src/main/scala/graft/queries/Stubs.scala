@@ -3,5 +3,4 @@ package graft.queries
 import graft.QueryDef
 
 // Placeholder registries — filled in module by module (SURVEY §7).
-object Pipeline { def defs: Seq[QueryDef] = Seq.empty }
 object Streaming { def defs: Seq[QueryDef] = Seq.empty }
