@@ -1,0 +1,185 @@
+package graft.catalog
+
+import graft.lang.Ast
+import org.apache.spark.sql.types._
+
+/** Typed, versioned catalog (reference: /root/reference/catalog/types.go
+  * — same model re-expressed immutably: every DDL application returns a
+  * new catalog with version+1, so snapshots are trivially consistent).
+  */
+final case class GraphCatalog(
+    version: Long,
+    nodes: Map[String, NodeTypeDef],
+    edges: Map[String, EdgeTypeDef])
+
+object GraphCatalog {
+  val empty: GraphCatalog = GraphCatalog(0L, Map.empty, Map.empty)
+}
+
+final case class NodeTypeDef(
+    name: String,
+    fields: Seq[FieldSpec],
+    pk: Seq[String],
+    /** Spark-first analogue of per-field indexes (reference
+      * catalog/types.go:66 IndexSpec): a physical layout hint the writer
+      * applies — partition columns + bucket/sort spec.
+      */
+    layout: LayoutSpec = LayoutSpec()) {
+  def field(n: String): Option[FieldSpec] = fields.find(_.name == n)
+}
+
+final case class EdgeTypeDef(
+    name: String,
+    from: EndpointDef,
+    to: EndpointDef,
+    props: Seq[FieldSpec],
+    layout: LayoutSpec = LayoutSpec()) {
+  def prop(n: String): Option[FieldSpec] = props.find(_.name == n)
+}
+
+final case class EndpointDef(label: String, many: Boolean)
+
+/** Physical layout spec per label: how the parquet table is partitioned
+  * / bucketed / sorted. Replaces the reference's in-memory hash indexes
+  * with the distributed equivalents that actually matter at 100 TB
+  * (partition pruning, shuffle-free co-located joins, rowgroup skipping).
+  */
+final case class LayoutSpec(
+    partitionBy: Seq[String] = Nil,
+    bucketBy: Option[(Int, Seq[String])] = None,
+    sortBy: Seq[String] = Nil)
+
+final case class FieldSpec(
+    name: String,
+    tpe: Ast.TypeSpec,
+    unique: Boolean = false,
+    notNull: Boolean = false,
+    defaultRaw: Option[String] = None)
+
+object Types {
+
+  /** grapho TypeSpec → Spark DataType (SURVEY §2.1 row 6). `time` maps
+    * to a string column ("HH:mm:ss"): Spark has no time-of-day type.
+    * `uuid`/`json` are strings with semantic validation left to
+    * constraints; `blob` is binary.
+    */
+  def toSpark(t: Ast.TypeSpec): DataType = t match {
+    case Ast.TypeSpec(_, Some(elem), _) => ArrayType(toSpark(elem))
+    case Ast.TypeSpec(base, None, _) => base match {
+      case Ast.Base.Str | Ast.Base.Text | Ast.Base.Uuid | Ast.Base.Json |
+           Ast.Base.Time => StringType
+      case Ast.Base.Int => LongType
+      case Ast.Base.Float => DoubleType
+      case Ast.Base.Bool => BooleanType
+      case Ast.Base.Date => DateType
+      case Ast.Base.DateTime => TimestampType
+      case Ast.Base.Blob => BinaryType
+    }
+  }
+
+  def toSchema(fields: Seq[FieldSpec]): StructType =
+    StructType(fields.map(f => StructField(f.name, toSpark(f.tpe), nullable = !f.notNull)))
+}
+
+final case class DdlError(msg: String) extends RuntimeException(msg)
+
+/** DDL applier: Ast DDL statements → next catalog version (reference:
+  * /root/reference/catalog/ddl.go Apply*). Validation mirrors the
+  * reference: duplicate labels/fields rejected, unknown labels/fields
+  * rejected, PK fields must exist, edge endpoints must name known node
+  * types.
+  */
+object Ddl {
+
+  def apply(cat: GraphCatalog, stmt: Ast.Stmt): GraphCatalog = stmt match {
+    case s: Ast.CreateNode => createNode(cat, s)
+    case s: Ast.CreateEdge => createEdge(cat, s)
+    case s: Ast.AlterNode => alterNode(cat, s)
+    case s: Ast.AlterEdge => alterEdge(cat, s)
+    case s: Ast.DropNode => dropNode(cat, s.name)
+    case s: Ast.DropEdge => dropEdge(cat, s.name)
+    case other => throw DdlError(s"not a DDL statement: $other")
+  }
+
+  private def bump(cat: GraphCatalog): GraphCatalog = cat.copy(version = cat.version + 1)
+
+  private def toFieldSpec(fd: Ast.FieldDef): FieldSpec =
+    FieldSpec(fd.name, fd.tpe, unique = fd.unique, notNull = fd.notNull || fd.primaryKey,
+      defaultRaw = fd.default.map(_.text))
+
+  def createNode(cat: GraphCatalog, s: Ast.CreateNode): GraphCatalog = {
+    if (cat.nodes.contains(s.name)) throw DdlError(s"node type exists: ${s.name}")
+    val dup = s.fields.groupBy(_.name).collectFirst { case (n, fs) if fs.size > 1 => n }
+    dup.foreach(n => throw DdlError(s"duplicate field: $n"))
+    val pk = s.fields.filter(_.primaryKey).map(_.name)
+    val nt = NodeTypeDef(s.name, s.fields.map(toFieldSpec), pk)
+    bump(cat.copy(nodes = cat.nodes + (s.name -> nt)))
+  }
+
+  def createEdge(cat: GraphCatalog, s: Ast.CreateEdge): GraphCatalog = {
+    if (cat.edges.contains(s.name)) throw DdlError(s"edge type exists: ${s.name}")
+    Seq(s.from.label, s.to.label).foreach { l =>
+      if (!cat.nodes.contains(l)) throw DdlError(s"unknown node type in endpoint: $l")
+    }
+    val et = EdgeTypeDef(s.name,
+      EndpointDef(s.from.label, s.from.card == Ast.Cardinality.Many),
+      EndpointDef(s.to.label, s.to.card == Ast.Cardinality.Many),
+      s.props.map(toFieldSpec))
+    bump(cat.copy(edges = cat.edges + (s.name -> et)))
+  }
+
+  def alterNode(cat: GraphCatalog, s: Ast.AlterNode): GraphCatalog = {
+    val nt = cat.nodes.getOrElse(s.name, throw DdlError(s"unknown node type: ${s.name}"))
+    val updated = s.action match {
+      case Ast.AlterNodeAction.AddField(fd) =>
+        if (nt.field(fd.name).isDefined) throw DdlError(s"field exists: ${fd.name}")
+        nt.copy(fields = nt.fields :+ toFieldSpec(fd))
+      case Ast.AlterNodeAction.DropField(n) =>
+        if (nt.field(n).isEmpty) throw DdlError(s"unknown field: $n")
+        if (nt.pk.contains(n)) throw DdlError(s"cannot drop primary key field: $n")
+        nt.copy(fields = nt.fields.filterNot(_.name == n))
+      case Ast.AlterNodeAction.ModifyField(fd) =>
+        if (nt.field(fd.name).isEmpty) throw DdlError(s"unknown field: ${fd.name}")
+        nt.copy(fields = nt.fields.map(f => if (f.name == fd.name) toFieldSpec(fd) else f))
+      case Ast.AlterNodeAction.SetPrimaryKey(fs) =>
+        fs.foreach(n => if (nt.field(n).isEmpty) throw DdlError(s"unknown pk field: $n"))
+        nt.copy(pk = fs)
+    }
+    bump(cat.copy(nodes = cat.nodes + (s.name -> updated)))
+  }
+
+  def alterEdge(cat: GraphCatalog, s: Ast.AlterEdge): GraphCatalog = {
+    val et = cat.edges.getOrElse(s.name, throw DdlError(s"unknown edge type: ${s.name}"))
+    val updated = s.action match {
+      case Ast.AlterEdgeAction.AddProp(fd) =>
+        if (et.prop(fd.name).isDefined) throw DdlError(s"prop exists: ${fd.name}")
+        et.copy(props = et.props :+ toFieldSpec(fd))
+      case Ast.AlterEdgeAction.DropProp(n) =>
+        if (et.prop(n).isEmpty) throw DdlError(s"unknown prop: $n")
+        et.copy(props = et.props.filterNot(_.name == n))
+      case Ast.AlterEdgeAction.ModifyProp(fd) =>
+        if (et.prop(fd.name).isEmpty) throw DdlError(s"unknown prop: ${fd.name}")
+        et.copy(props = et.props.map(f => if (f.name == fd.name) toFieldSpec(fd) else f))
+      case Ast.AlterEdgeAction.SetEndpoints(from, to) =>
+        Seq(from.label, to.label).foreach { l =>
+          if (!cat.nodes.contains(l)) throw DdlError(s"unknown node type in endpoint: $l")
+        }
+        et.copy(
+          from = EndpointDef(from.label, from.card == Ast.Cardinality.Many),
+          to = EndpointDef(to.label, to.card == Ast.Cardinality.Many))
+    }
+    bump(cat.copy(edges = cat.edges + (s.name -> updated)))
+  }
+
+  def dropNode(cat: GraphCatalog, name: String): GraphCatalog = {
+    if (!cat.nodes.contains(name)) throw DdlError(s"unknown node type: $name")
+    val used = cat.edges.values.find(e => e.from.label == name || e.to.label == name)
+    used.foreach(e => throw DdlError(s"node type $name used by edge ${e.name}"))
+    bump(cat.copy(nodes = cat.nodes - name))
+  }
+
+  def dropEdge(cat: GraphCatalog, name: String): GraphCatalog = {
+    if (!cat.edges.contains(name)) throw DdlError(s"unknown edge type: $name")
+    bump(cat.copy(edges = cat.edges - name))
+  }
+}

@@ -1,0 +1,288 @@
+package graft.lang
+
+import scala.collection.mutable
+import graft.catalog.{Ddl, GraphCatalog, Types}
+import graft.store.GraphStore
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+final case class ExecError(msg: String) extends RuntimeException(msg)
+
+/** Statement interpreter: grapho scripts → catalog mutations + Catalyst
+  * plans over DataFrame-backed node/edge sets (reference:
+  * /root/reference/server/server.go:219 executeStatement + commitlog.go
+  * replay-on-boot).
+  *
+  * Differences from the reference, deliberate:
+  *  - values are coerced to the catalog's types at insert (the reference
+  *    stores number literals as raw strings, server.go:570);
+  *  - UPDATE/DELETE/MATCH compile to Catalyst plans (projection /
+  *    filter) over the label's DataFrame instead of driver-side map
+  *    loops, so a replayed state can be arbitrarily large;
+  *  - INSERTs buffer driver-side and materialize lazily in one batch
+  *    per label (scripts are driver-sized by nature; bulk data belongs
+  *    to the DataFrame API, not statements).
+  *
+  * Statement WAL semantics: `replay(script)` reconstructs state by
+  * re-executing the ordered log, exactly like the reference server's
+  * boot path.
+  */
+final class Interpreter(spark: SparkSession) {
+
+  private var cat: GraphCatalog = GraphCatalog.empty
+  def catalog: GraphCatalog = cat
+
+  private final class LabelState(var schema: StructType) {
+    var df: Option[DataFrame] = None
+    val pending = mutable.ArrayBuffer.empty[Row]
+
+    def materialize(): DataFrame = {
+      val base = df.getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], schema))
+      if (pending.isEmpty) base
+      else {
+        val batch = spark.createDataFrame(
+          spark.sparkContext.parallelize(pending.toSeq), schema)
+        val merged = base.unionByName(batch)
+        pending.clear()
+        df = Some(merged)
+        merged
+      }
+    }
+
+    /** Replace state with a transformed DF; checkpoint to keep the plan
+      * from growing linearly with script length.
+      */
+    def mutate(f: DataFrame => DataFrame): Unit =
+      df = Some(f(materialize()).localCheckpoint())
+  }
+
+  private val nodeState = mutable.Map.empty[String, LabelState]
+  private val edgeState = mutable.Map.empty[String, LabelState]
+  private var nextId = 1L
+
+  // ------------------------------------------------------------ schema
+
+  private def nodeSchema(label: String): StructType = {
+    val nt = cat.nodes(label)
+    StructType(StructField("_id", LongType, nullable = false) +:
+      Types.toSchema(nt.fields).fields.toSeq)
+  }
+
+  private def edgeSchema(label: String): StructType = {
+    val et = cat.edges(label)
+    StructType(
+      StructField("_id", LongType, nullable = false) +:
+      StructField("_src", LongType, nullable = false) +:
+      StructField("_dst", LongType, nullable = false) +:
+      Types.toSchema(et.props).fields.toSeq)
+  }
+
+  // ------------------------------------------------------------ values
+
+  /** Literal → typed value per the catalog field type. */
+  private def coerce(lit: Ast.Literal, tpe: Ast.TypeSpec): Any = lit.kind match {
+    case Ast.LitKind.Null => null
+    case Ast.LitKind.Bool => lit.text == "true"
+    case Ast.LitKind.Num => Types.toSpark(tpe) match {
+      case LongType => lit.text.toDouble.toLong
+      case DoubleType => lit.text.toDouble
+      case _ => throw ExecError(s"number literal for non-numeric field type")
+    }
+    case Ast.LitKind.Str => Types.toSpark(tpe) match {
+      case StringType => lit.text
+      case DateType => java.sql.Date.valueOf(lit.text)
+      case TimestampType => java.sql.Timestamp.valueOf(lit.text.replace("T", " "))
+      case BinaryType => lit.text.getBytes("UTF-8")
+      case _ => throw ExecError(s"string literal for incompatible field type")
+    }
+  }
+
+  private def fieldType(label: String, name: String, isNode: Boolean): Ast.TypeSpec = {
+    val spec =
+      if (isNode) cat.nodes(label).field(name)
+      else cat.edges(label).prop(name)
+    spec.getOrElse(throw ExecError(s"unknown field '$name' on $label")).tpe
+  }
+
+  private def whereCond(label: String, props: Seq[Ast.Property], isNode: Boolean): Column =
+    props.foldLeft(lit(true)) { (acc, p) =>
+      acc && (col(p.name) <=> lit(coerce(p.value, fieldType(label, p.name, isNode))))
+    }
+
+  // ----------------------------------------------------------- execute
+
+  /** Execute one statement; MATCH returns its result DataFrame. */
+  def execute(stmt: Ast.Stmt): Option[DataFrame] = stmt match {
+
+    case ddl @ (_: Ast.CreateNode | _: Ast.CreateEdge | _: Ast.AlterNode |
+                _: Ast.AlterEdge | _: Ast.DropNode | _: Ast.DropEdge) =>
+      applyDdl(ddl); None
+
+    case Ast.InsertNode(label, props) =>
+      val nt = cat.nodes.getOrElse(label, throw ExecError(s"unknown node type: $label"))
+      val st = nodeState.getOrElseUpdate(label, new LabelState(nodeSchema(label)))
+      val byName = props.map(p => p.name -> p).toMap
+      props.foreach(p => fieldType(label, p.name, isNode = true)) // unknown-field check
+      val values = nt.fields.map { f =>
+        byName.get(f.name).map(p => coerce(p.value, f.tpe))
+          .orElse(f.defaultRaw.map(d => coerce(inferLiteral(d), f.tpe)))
+          .getOrElse {
+            if (f.notNull) throw ExecError(s"required field '${f.name}' is missing")
+            null
+          }
+      }
+      st.pending += Row.fromSeq(nextIdValue() +: values)
+      None
+
+    case Ast.InsertEdge(label, fromRef, toRef, props) =>
+      val et = cat.edges.getOrElse(label, throw ExecError(s"unknown edge type: $label"))
+      if (fromRef.nodeType != et.from.label)
+        throw ExecError(s"FROM node type '${fromRef.nodeType}' does not match edge FROM '${et.from.label}'")
+      if (toRef.nodeType != et.to.label)
+        throw ExecError(s"TO node type '${toRef.nodeType}' does not match edge TO '${et.to.label}'")
+      val src = findNodeId(fromRef)
+      val dst = findNodeId(toRef)
+      val st = edgeState.getOrElseUpdate(label, new LabelState(edgeSchema(label)))
+      val byName = props.map(p => p.name -> p).toMap
+      props.foreach(p => fieldType(label, p.name, isNode = false))
+      val values = et.props.map { f =>
+        byName.get(f.name).map(p => coerce(p.value, f.tpe))
+          .orElse(f.defaultRaw.map(d => coerce(inferLiteral(d), f.tpe)))
+          .getOrElse(null)
+      }
+      st.pending += Row.fromSeq(Seq(nextIdValue(), src, dst) ++ values)
+      None
+
+    case Ast.UpdateNode(label, set, where) =>
+      val st = stateOf(label, isNode = true)
+      val sets = set.map(p =>
+        p.name -> lit(coerce(p.value, fieldType(label, p.name, isNode = true)))).toMap
+      st.mutate(GraphStore.updateWhere(_, whereCond(label, where, isNode = true), sets))
+      None
+
+    case Ast.UpdateEdge(label, set, where) =>
+      val st = stateOf(label, isNode = false)
+      val sets = set.map(p =>
+        p.name -> lit(coerce(p.value, fieldType(label, p.name, isNode = false)))).toMap
+      st.mutate(GraphStore.updateWhere(_, whereCond(label, where, isNode = false), sets))
+      None
+
+    case Ast.DeleteNode(label, where) =>
+      stateOf(label, isNode = true)
+        .mutate(GraphStore.deleteWhere(_, whereCond(label, where, isNode = true)))
+      None
+
+    case Ast.DeleteEdge(label, where) =>
+      stateOf(label, isNode = false)
+        .mutate(GraphStore.deleteWhere(_, whereCond(label, where, isNode = false)))
+      None
+
+    case Ast.Match(pattern, where, ret) =>
+      // The reference matches node elements independently (server.go:724);
+      // a single-element pattern is the supported query shape.
+      val label = pattern.headOption.getOrElse(throw ExecError("empty MATCH pattern")).tpe
+      if (!cat.nodes.contains(label)) throw ExecError(s"unknown node type: $label")
+      val df = nodes(label).filter(whereCond(label, where, isNode = true))
+      Some(if (ret.nonEmpty) df.select(ret.map(col): _*) else df)
+  }
+
+  /** Parse + execute a script; returns the last MATCH result, if any. */
+  def executeScript(script: String): Option[DataFrame] =
+    Parser.parse(script).foldLeft(Option.empty[DataFrame]) { (acc, s) =>
+      execute(s).orElse(acc)
+    }
+
+  /** WAL replay: reconstruct state from an ordered statement log. */
+  def replay(script: String): Unit = { executeScript(script); () }
+
+  /** Current node set for a label (empty DF if nothing inserted). */
+  def nodes(label: String): DataFrame = {
+    if (!cat.nodes.contains(label)) throw ExecError(s"unknown node type: $label")
+    nodeState.getOrElseUpdate(label, new LabelState(nodeSchema(label))).materialize()
+  }
+
+  /** Current edge set for a label. */
+  def edges(label: String): DataFrame = {
+    if (!cat.edges.contains(label)) throw ExecError(s"unknown edge type: $label")
+    edgeState.getOrElseUpdate(label, new LabelState(edgeSchema(label))).materialize()
+  }
+
+  // ----------------------------------------------------------- helpers
+
+  private def nextIdValue(): Long = { val v = nextId; nextId += 1; v }
+
+  private def stateOf(label: String, isNode: Boolean): LabelState =
+    if (isNode) {
+      if (!cat.nodes.contains(label)) throw ExecError(s"unknown node type: $label")
+      nodeState.getOrElseUpdate(label, new LabelState(nodeSchema(label)))
+    } else {
+      if (!cat.edges.contains(label)) throw ExecError(s"unknown edge type: $label")
+      edgeState.getOrElseUpdate(label, new LabelState(edgeSchema(label)))
+    }
+
+  /** Endpoint resolution (reference server.go:745 findNodeID): by id, or
+    * smallest-id row matching the property equalities (deterministic
+    * where the reference takes map-iteration order).
+    */
+  private def findNodeId(ref: Ast.NodeRef): Long = {
+    val df = nodes(ref.nodeType)
+    val matched = ref.id match {
+      case Some(idLit) => df.filter(col("_id") === lit(idLit.text.toDouble.toLong))
+      case None => df.filter(whereCond(ref.nodeType, ref.properties, isNode = true))
+    }
+    val rows = matched.select(min(col("_id"))).collect()
+    if (rows.isEmpty || rows(0).isNullAt(0))
+      throw ExecError(s"no matching ${ref.nodeType} node found")
+    rows(0).getLong(0)
+  }
+
+  private def inferLiteral(raw: String): Ast.Literal =
+    if (raw == "null") Ast.Literal(Ast.LitKind.Null, raw)
+    else if (raw == "true" || raw == "false") Ast.Literal(Ast.LitKind.Bool, raw)
+    else if (raw.nonEmpty && raw.forall(c => c.isDigit || c == '.' || c == '-'))
+      Ast.Literal(Ast.LitKind.Num, raw)
+    else Ast.Literal(Ast.LitKind.Str, raw)
+
+  private def applyDdl(stmt: Ast.Stmt): Unit = {
+    cat = Ddl(cat, stmt)
+    // migrate stored DataFrames on schema change (SURVEY §2.1 row 3)
+    stmt match {
+      case Ast.AlterNode(name, action) =>
+        nodeState.get(name).foreach(st => migrate(st, action, nodeSchema(name)))
+      case Ast.AlterEdge(name, action) =>
+        edgeState.get(name).foreach { st =>
+          val migrated = action match {
+            case Ast.AlterEdgeAction.AddProp(fd) =>
+              Some((df: DataFrame) => df.withColumn(fd.name,
+                lit(null).cast(Types.toSpark(fd.tpe))))
+            case Ast.AlterEdgeAction.DropProp(n) =>
+              Some((df: DataFrame) => df.drop(n))
+            case Ast.AlterEdgeAction.ModifyProp(fd) =>
+              Some((df: DataFrame) => df.withColumn(fd.name,
+                col(fd.name).cast(Types.toSpark(fd.tpe))))
+            case _ => None
+          }
+          migrated.foreach(st.mutate)
+          st.schema = edgeSchema(name)
+        }
+      case Ast.DropNode(name) => nodeState.remove(name)
+      case Ast.DropEdge(name) => edgeState.remove(name)
+      case _ => ()
+    }
+  }
+
+  private def migrate(st: LabelState, action: Ast.AlterNodeAction, newSchema: StructType): Unit = {
+    val f: Option[DataFrame => DataFrame] = action match {
+      case Ast.AlterNodeAction.AddField(fd) =>
+        Some(_.withColumn(fd.name, lit(null).cast(Types.toSpark(fd.tpe))))
+      case Ast.AlterNodeAction.DropField(n) => Some(_.drop(n))
+      case Ast.AlterNodeAction.ModifyField(fd) =>
+        Some(df => df.withColumn(fd.name, col(fd.name).cast(Types.toSpark(fd.tpe))))
+      case Ast.AlterNodeAction.SetPrimaryKey(_) => None
+    }
+    f.foreach(st.mutate)
+    st.schema = newSchema
+  }
+}

@@ -1,0 +1,76 @@
+package graft.catalog
+
+import graft.lang.{Ast, Parser}
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CatalogSpec extends AnyFunSuite {
+
+  private def applyScript(script: String, from: GraphCatalog = GraphCatalog.empty) =
+    Parser.parse(script).foldLeft(from)(Ddl.apply)
+
+  test("create node/edge builds typed defs and bumps version") {
+    val cat = applyScript(
+      """CREATE NODE Person (id: int PRIMARY KEY, name: string NOT NULL, bal: float DEFAULT 0);
+        |CREATE NODE City (name: string);
+        |CREATE EDGE LivesIn (FROM Person MANY, TO City ONE, PROPS (since: date));""".stripMargin)
+    assert(cat.version === 3)
+    val p = cat.nodes("Person")
+    assert(p.pk === Seq("id"))
+    assert(p.field("id").get.notNull) // pk implies not null
+    assert(p.field("bal").get.defaultRaw === Some("0"))
+    val e = cat.edges("LivesIn")
+    assert(e.from === EndpointDef("Person", many = true))
+    assert(e.to === EndpointDef("City", many = false))
+    assert(e.prop("since").get.tpe.base === Ast.Base.Date)
+  }
+
+  test("type mapping covers the full reference type system") {
+    val cat = applyScript(
+      """CREATE NODE T (a: string, b: text, c: int, d: float, e: bool, f: uuid,
+        |  g: date, h: time, i: datetime, j: json, k: blob,
+        |  l: array<int>, m: enum<'x','y'>);""".stripMargin)
+    val schema = Types.toSchema(cat.nodes("T").fields)
+    val m = schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(m("a") === StringType && m("b") === StringType)
+    assert(m("c") === LongType && m("d") === DoubleType && m("e") === BooleanType)
+    assert(m("f") === StringType && m("g") === DateType && m("h") === StringType)
+    assert(m("i") === TimestampType && m("j") === StringType && m("k") === BinaryType)
+    assert(m("l") === ArrayType(LongType))
+    assert(m("m") === StringType)
+  }
+
+  test("alter node add/drop/modify/set-pk and edge set-endpoints") {
+    val cat = applyScript(
+      """CREATE NODE P (id: int PRIMARY KEY, name: string);
+        |CREATE NODE Q (id: int);
+        |CREATE EDGE E (FROM P ONE, TO P ONE);
+        |ALTER NODE P ADD email: string UNIQUE;
+        |ALTER NODE P MODIFY name: text NOT NULL;
+        |ALTER NODE P SET PRIMARY KEY (id, email);
+        |ALTER EDGE E ADD w: float;
+        |ALTER EDGE E SET FROM Q MANY TO P MANY;
+        |ALTER EDGE E DROP w;
+        |ALTER NODE P DROP name;""".stripMargin)
+    val p = cat.nodes("P")
+    assert(p.field("email").get.unique)
+    assert(p.field("name").isEmpty)
+    assert(p.pk === Seq("id", "email"))
+    val e = cat.edges("E")
+    assert(e.from.label === "Q" && e.from.many)
+    assert(e.props.isEmpty)
+    assert(cat.version === 10)
+  }
+
+  test("validation: duplicates, unknown labels, pk protection, drop-in-use") {
+    val base = applyScript("CREATE NODE P (id: int PRIMARY KEY); CREATE NODE Q (id: int);")
+    assertThrows[DdlError](applyScript("CREATE NODE P (x: int);", base))
+    assertThrows[DdlError](applyScript("CREATE NODE R (x: int, x: float);", base))
+    assertThrows[DdlError](applyScript("CREATE EDGE E (FROM P ONE, TO Nope ONE);", base))
+    assertThrows[DdlError](applyScript("ALTER NODE P DROP id;", base)) // pk field
+    assertThrows[DdlError](applyScript("ALTER NODE Nope ADD x: int;", base))
+    val withEdge = applyScript("CREATE EDGE E (FROM P ONE, TO Q ONE);", base)
+    assertThrows[DdlError](applyScript("DROP NODE P;", withEdge)) // in use
+    assert(applyScript("DROP EDGE E; DROP NODE P;", withEdge).nodes.keySet === Set("Q"))
+  }
+}

@@ -1,0 +1,43 @@
+package graft.catalog
+
+import java.nio.file.Files
+import graft.lang.Parser
+import org.scalatest.funsuite.AnyFunSuite
+
+class CatalogStoreSpec extends AnyFunSuite {
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft-cat").toString
+
+  test("snapshot round-trips the full catalog shape") {
+    val cat = Parser.parse(
+      """CREATE NODE P (id: int PRIMARY KEY, tags: array<string>,
+        |  status: enum<'a','b'> DEFAULT 'a', note: text);
+        |CREATE NODE Q (id: int);
+        |CREATE EDGE E (FROM P MANY, TO Q ONE, PROPS (w: float NOT NULL));""".stripMargin)
+      .foldLeft(GraphCatalog.empty)(Ddl.apply)
+    val dir = tmpDir()
+    val store = new CatalogStore(dir)
+    store.snapshot(cat)
+    val loaded = store.load()
+    assert(loaded === cat)
+  }
+
+  test("load replays DDL-log entries newer than the snapshot") {
+    val dir = tmpDir()
+    val store = new CatalogStore(dir)
+    val v1 = Parser.parse("CREATE NODE P (id: int PRIMARY KEY);")
+      .foldLeft(GraphCatalog.empty)(Ddl.apply)
+    store.snapshot(v1)
+    store.logDdl(1, "CREATE NODE P (id: int PRIMARY KEY);") // ≤ snapshot: skipped
+    store.logDdl(2, "CREATE NODE Q (name: string);")
+    store.logDdl(3, "ALTER NODE Q ADD age: int;")
+    val loaded = store.load()
+    assert(loaded.version === 3)
+    assert(loaded.nodes("Q").field("age").isDefined)
+  }
+
+  test("empty store loads the empty catalog") {
+    assert(new CatalogStore(tmpDir()).load() === GraphCatalog.empty)
+  }
+}

@@ -1,0 +1,122 @@
+package graft.lang
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class InterpreterSpec extends SparkSpec {
+
+  private def fresh() = new Interpreter(spark)
+
+  test("README script end-to-end: DDL, inserts, match") {
+    val it = fresh()
+    val res = it.executeScript(
+      """CREATE NODE Person (name: string, age: int);
+        |CREATE NODE Place (name: string);
+        |CREATE EDGE Knows (FROM Person ONE, TO Person MANY);
+        |CREATE EDGE LivesIn (FROM Person ONE, TO Place ONE);
+        |INSERT NODE Person (name: 'John', age: 30);
+        |INSERT NODE Person (name: 'Jane', age: 25);
+        |INSERT NODE Place (name: 'New York');
+        |MATCH Person WHERE name: 'John';""".stripMargin)
+    val rows = res.get.collect()
+    assert(rows.length === 1)
+    assert(rows(0).getAs[String]("name") === "John")
+    assert(rows(0).getAs[Long]("age") === 30L)
+    assert(it.catalog.version === 4)
+    assert(it.nodes("Person").count() === 2)
+  }
+
+  test("typed coercion: int/float/bool/date/datetime/null + defaults") {
+    val it = fresh()
+    it.executeScript(
+      """CREATE NODE T (i: int, f: float, b: bool, d: date, ts: datetime,
+        |  s: string DEFAULT 'dflt', n: string);
+        |INSERT NODE T (i: 7, f: 1.5, b: true, d: '2024-06-01', ts: '2024-06-01T12:30:00', n: null);""".stripMargin)
+    val r = it.nodes("T").collect()(0)
+    assert(r.getAs[Long]("i") === 7L)
+    assert(r.getAs[Double]("f") === 1.5)
+    assert(r.getAs[Boolean]("b") === true)
+    assert(r.getAs[java.sql.Date]("d").toString === "2024-06-01")
+    assert(r.getAs[String]("s") === "dflt") // default applied
+    assert(r.isNullAt(r.fieldIndex("n")))
+  }
+
+  test("required-field enforcement and unknown fields rejected") {
+    val it = fresh()
+    it.executeScript("CREATE NODE P (name: string NOT NULL, age: int);")
+    assertThrows[ExecError](it.executeScript("INSERT NODE P (age: 5);"))
+    assertThrows[ExecError](it.executeScript("INSERT NODE P (name: 'x', nope: 1);"))
+    assertThrows[ExecError](it.executeScript("INSERT NODE Nope (a: 1);"))
+  }
+
+  test("insert edge resolves endpoints by id and by property") {
+    val it = fresh()
+    it.executeScript(
+      """CREATE NODE Person (name: string);
+        |CREATE EDGE Knows (FROM Person ONE, TO Person MANY, PROPS (since: date));
+        |INSERT NODE Person (name: 'John');
+        |INSERT NODE Person (name: 'Jane');
+        |INSERT EDGE Knows FROM Person (name: 'John') TO Person (name: 'Jane') (since: '2020-05-05');
+        |INSERT EDGE Knows FROM Person (2) TO Person (name: 'John');""".stripMargin)
+    val edges = it.edges("Knows").orderBy(col("_id")).collect()
+    assert(edges.length === 2)
+    assert(edges(0).getAs[Long]("_src") === 1L && edges(0).getAs[Long]("_dst") === 2L)
+    assert(edges(0).getAs[java.sql.Date]("since").toString === "2020-05-05")
+    assert(edges(1).getAs[Long]("_src") === 2L && edges(1).getAs[Long]("_dst") === 1L)
+    // endpoint type validation
+    it.executeScript("CREATE NODE Place (name: string); INSERT NODE Place (name: 'NY');")
+    assertThrows[ExecError](it.executeScript(
+      "INSERT EDGE Knows FROM Place (name: 'NY') TO Person (name: 'John');"))
+    // unresolvable endpoint
+    assertThrows[ExecError](it.executeScript(
+      "INSERT EDGE Knows FROM Person (name: 'Nobody') TO Person (name: 'John');"))
+  }
+
+  test("update and delete apply where-equality semantics") {
+    val it = fresh()
+    it.executeScript(
+      """CREATE NODE P (name: string, age: int);
+        |INSERT NODE P (name: 'a', age: 1);
+        |INSERT NODE P (name: 'b', age: 2);
+        |INSERT NODE P (name: 'c', age: 2);
+        |UPDATE NODE P SET age: 99 WHERE age: 2;
+        |DELETE NODE P WHERE name: 'a';""".stripMargin)
+    val rows = it.nodes("P").orderBy("name").collect()
+    assert(rows.map(_.getAs[String]("name")).toSeq === Seq("b", "c"))
+    assert(rows.forall(_.getAs[Long]("age") === 99L))
+  }
+
+  test("alter migrates stored data; replay reconstructs state") {
+    val it = fresh()
+    it.replay(
+      """CREATE NODE P (name: string);
+        |INSERT NODE P (name: 'x');
+        |ALTER NODE P ADD age: int;
+        |INSERT NODE P (name: 'y', age: 5);
+        |ALTER NODE P MODIFY age: float;""".stripMargin)
+    val rows = it.nodes("P").orderBy("_id").collect()
+    assert(rows(0).isNullAt(rows(0).fieldIndex("age")))
+    assert(rows(1).getAs[Double]("age") === 5.0)
+    // same script replayed into a new interpreter gives the same state
+    val it2 = fresh()
+    it2.replay(
+      """CREATE NODE P (name: string);
+        |INSERT NODE P (name: 'x');
+        |ALTER NODE P ADD age: int;
+        |INSERT NODE P (name: 'y', age: 5);
+        |ALTER NODE P MODIFY age: float;""".stripMargin)
+    assert(it2.nodes("P").orderBy("_id").collect().toSeq ===
+      it.nodes("P").orderBy("_id").collect().toSeq)
+  }
+
+  test("match with return projection and drop") {
+    val it = fresh()
+    it.executeScript(
+      """CREATE NODE P (name: string, age: int);
+        |INSERT NODE P (name: 'a', age: 1);""".stripMargin)
+    val res = it.executeScript("MATCH P WHERE age: 1 RETURN name;").get
+    assert(res.columns.toSeq === Seq("name"))
+    it.executeScript("DROP NODE P;")
+    assertThrows[ExecError](it.nodes("P"))
+  }
+}

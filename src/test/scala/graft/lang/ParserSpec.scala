@@ -1,0 +1,128 @@
+package graft.lang
+
+import org.scalatest.funsuite.AnyFunSuite
+import Ast._
+
+class ParserSpec extends AnyFunSuite {
+
+  /** The reference README "Playing around" script, verbatim. */
+  val readmeScript: String =
+    """CREATE NODE Person (name: string, age: int);
+      |CREATE NODE Place (name: string);
+      |CREATE EDGE Knows (FROM Person ONE, TO Person MANY);
+      |CREATE EDGE LivesIn (FROM Person ONE, TO Place ONE);
+      |
+      |INSERT NODE Person (name: "John", age: 30);
+      |INSERT NODE Person (name: "Jane", age: 25);
+      |INSERT NODE Place (name: "New York");
+      |INSERT NODE Place (name: "Los Angeles");
+      |
+      |MATCH Person WHERE name: "John";
+      |""".stripMargin
+
+  test("parses the reference README script") {
+    val stmts = Parser.parse(readmeScript)
+    assert(stmts.length === 9)
+    assert(stmts(0) === CreateNode("Person", Seq(
+      FieldDef("name", TypeSpec(Base.Str)), FieldDef("age", TypeSpec(Base.Int)))))
+    assert(stmts(2) === CreateEdge("Knows",
+      Endpoint("Person", Cardinality.One), Endpoint("Person", Cardinality.Many), Nil))
+    assert(stmts(4) === InsertNode("Person", Seq(
+      Property("name", Literal(LitKind.Str, "John")),
+      Property("age", Literal(LitKind.Num, "30")))))
+    assert(stmts(8) === Match(Seq(MatchElement("Person", None)),
+      Seq(Property("name", Literal(LitKind.Str, "John"))), Nil))
+  }
+
+  test("parses full field options, enum/array types, edge props") {
+    val Seq(cn) = Parser.parse(
+      """CREATE NODE Doc (
+        |  id: int PRIMARY KEY,
+        |  title: string UNIQUE NOT NULL DEFAULT 'untitled',
+        |  tags: array<string>,
+        |  status: enum<'draft', 'final'>,
+        |  meta: json, body: text, created: datetime, day: date,
+        |  t: time, u: uuid, raw: blob, score: float, ok: bool
+        |);""".stripMargin)
+    val cnStmt = cn.asInstanceOf[CreateNode]
+    val byName = cnStmt.fields.map(f => f.name -> f).toMap
+    assert(byName("id").primaryKey)
+    assert(byName("title").unique && byName("title").notNull &&
+      byName("title").default === Some(Literal(LitKind.Str, "untitled")))
+    assert(byName("tags").tpe.elem === Some(TypeSpec(Base.Str)))
+    assert(byName("status").tpe.enumVals === Seq("draft", "final"))
+    assert(byName("created").tpe.base === Base.DateTime)
+
+    val Seq(ce) = Parser.parse(
+      "CREATE EDGE Rated (FROM Person MANY, TO Doc MANY, PROPS (stars: int NOT NULL, note: string));")
+    val e = ce.asInstanceOf[CreateEdge]
+    assert(e.props.map(_.name) === Seq("stars", "note"))
+    assert(e.props.head.notNull)
+  }
+
+  test("parses ALTER statements") {
+    val stmts = Parser.parse(
+      """ALTER NODE Person ADD email: string UNIQUE;
+        |ALTER NODE Person DROP age;
+        |ALTER NODE Person MODIFY name: text;
+        |ALTER NODE Person SET PRIMARY KEY (name, email);
+        |ALTER EDGE Knows ADD since: date;
+        |ALTER EDGE Knows DROP since;
+        |ALTER EDGE Knows SET FROM Person MANY TO Person MANY;
+        |DROP NODE Place;
+        |DROP EDGE Knows;""".stripMargin)
+    assert(stmts(0) === AlterNode("Person",
+      AlterNodeAction.AddField(FieldDef("email", TypeSpec(Base.Str), unique = true))))
+    assert(stmts(1) === AlterNode("Person", AlterNodeAction.DropField("age")))
+    assert(stmts(3) === AlterNode("Person",
+      AlterNodeAction.SetPrimaryKey(Seq("name", "email"))))
+    assert(stmts(6) === AlterEdge("Knows", AlterEdgeAction.SetEndpoints(
+      Endpoint("Person", Cardinality.Many), Endpoint("Person", Cardinality.Many))))
+    assert(stmts(8) === DropEdge("Knows"))
+  }
+
+  test("parses DML: insert edge refs, update, delete") {
+    val stmts = Parser.parse(
+      """INSERT EDGE Knows FROM Person ('John') TO Person (name: 'Jane') (since: '2020-01-01');
+        |INSERT EDGE Knows FROM Person (42) TO Person (43);
+        |UPDATE NODE Person SET age: 31 WHERE name: 'John';
+        |UPDATE EDGE Knows SET weight: 0.5;
+        |DELETE NODE Person WHERE name: 'Jane';
+        |DELETE EDGE Knows WHERE since: null;""".stripMargin)
+    val ie = stmts(0).asInstanceOf[InsertEdge]
+    assert(ie.from === NodeRef("Person", Some(Literal(LitKind.Str, "John")), Nil))
+    assert(ie.to === NodeRef("Person", None,
+      Seq(Property("name", Literal(LitKind.Str, "Jane")))))
+    val ie2 = stmts(1).asInstanceOf[InsertEdge]
+    assert(ie2.from.id === Some(Literal(LitKind.Num, "42")))
+    val up = stmts(2).asInstanceOf[UpdateNode]
+    assert(up.set === Seq(Property("age", Literal(LitKind.Num, "31"))))
+    assert(up.where === Seq(Property("name", Literal(LitKind.Str, "John"))))
+    assert(stmts(5).asInstanceOf[DeleteEdge].where.head.value.kind === LitKind.Null)
+  }
+
+  test("comments, quoted identifiers, escaped quotes, match return") {
+    val stmts = Parser.parse(
+      """-- a comment
+        |/* block
+        |   comment */
+        |CREATE NODE `Weird Name` (x: int);
+        |INSERT NODE `Weird Name` (x: 1);
+        |MATCH `Weird Name` w WHERE x: 1 RETURN x;
+        |INSERT NODE `Weird Name` (x: 2); -- trailing
+        |""".stripMargin)
+    assert(stmts(0).asInstanceOf[CreateNode].name === "Weird Name")
+    val m = stmts(2).asInstanceOf[Match]
+    assert(m.pattern === Seq(MatchElement("Weird Name", Some("w"))))
+    assert(m.ret === Seq("x"))
+    assert(Parser.parse("INSERT NODE P (s: 'it''s');")
+      .head.asInstanceOf[InsertNode].properties.head.value.text === "it's")
+  }
+
+  test("rejects malformed statements") {
+    assertThrows[ParseError](Parser.parse("CREATE TABLE x (a: int);"))
+    assertThrows[ParseError](Parser.parse("CREATE NODE P (a: int"))
+    assertThrows[ParseError](Parser.parse("INSERT NODE P (a 1);"))
+    assertThrows[LexError](Parser.parse("INSERT NODE P (a: 'unterminated);"))
+  }
+}

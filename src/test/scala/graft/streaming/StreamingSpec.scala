@@ -1,0 +1,56 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+final case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+/** Structured-Streaming equivalence: the same Streams transforms run
+  * under readStream (MemoryStream source, memory sink) and must produce
+  * the batch answer once the stream is drained.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(minute: Int): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  private val events = Seq(
+    Ev(1, ts(0), 1, "click", 1.0),
+    Ev(2, ts(5), 1, "click", 2.0),
+    Ev(3, ts(20), 2, "view", 3.0),
+    Ev(4, ts(59), 1, "click", 4.0),
+    // next hour
+    Ev(5, java.sql.Timestamp.valueOf("2024-01-01 11:10:00"), 2, "view", 5.0))
+
+  test("tumbling agg over a stream matches the batch plan") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Ev]
+    source.addData(events: _*)
+    val agg = Streams.tumblingAgg(source.toDF(), withWatermark = true)
+    val q = agg.writeStream
+      .format("memory").queryName("tumbling_out").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("tumbling_out")
+      .orderBy("window_start", "event_type")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val batch = Streams.tumblingAgg(events.toDF())
+      .orderBy("window_start", "event_type")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(streamed.toSeq === batch.toSeq)
+    assert(batch.map(_._3).sum === 5L)
+  }
+
+  test("sessionize splits on the idle gap") {
+    import spark.implicits._
+    val sessions = Streams.sessionize(events.toDF(), gapSeconds = 1800)
+      .orderBy("user_id", "session_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(4)))
+    // user 1: events at 10:00/10:05 then 10:59 (54min gap) → 2 sessions
+    // user 2: 10:20 then 11:10 (50min gap) → 2 sessions
+    assert(sessions.toSeq === Seq((1L, 2L), (1L, 1L), (2L, 1L), (2L, 1L)))
+  }
+}
