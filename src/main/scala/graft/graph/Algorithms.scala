@@ -20,15 +20,15 @@ object Algorithms {
     * one shuffle: frontier ⋈ edges, minus visited.
     */
   def bfs(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
-    val spark = edges.sparkSession
-    import spark.implicits._
+    // loop-invariant: materialize once, not re-derived from source per hop
+    val e = edges.select(col("gsrc"), col("gdst")).localCheckpoint()
     var visited = seeds.select(col("gid"), lit(0).as("hop")).localCheckpoint()
     var frontier = visited.select("gid")
     var hop = 0
     while (hop < maxHops && !frontier.isEmpty) {
       hop += 1
-      val next = frontier.join(edges, frontier("gid") === edges("gsrc"))
-        .select(edges("gdst").as("gid")).distinct()
+      val next = frontier.join(e, frontier("gid") === e("gsrc"))
+        .select(e("gdst").as("gid")).distinct()
         .join(visited.select(col("gid").as("v")), col("gid") === col("v"), "left_anti")
         .localCheckpoint()
       visited = visited.unionByName(next.withColumn("hop", lit(hop))).localCheckpoint()
@@ -74,34 +74,51 @@ object Algorithms {
     */
   def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int,
       damping: Double = 0.85): DataFrame = {
-    val n = nodes.count().toDouble
-    val deg = edges.groupBy(col("gsrc").as("dgid")).agg(count(lit(1)).as("outdeg"))
+    // Loop invariants materialize once: edge list, and the rank base with
+    // the static out-degree attached (null ⇒ dangling). Carrying outdeg
+    // inside the rank vector removes a pr×deg join from every iteration —
+    // the dangling-mass term becomes a scan-agg over pr alone.
+    val e = edges.select(col("gsrc"), col("gdst")).localCheckpoint()
+    val deg = e.groupBy(col("gsrc").as("dgid")).agg(count(lit(1)).as("outdeg"))
+    val base = nodes.select(col("gid"))
+      .join(deg, col("gid") === col("dgid"), "left")
+      .select(col("gid"), col("outdeg"))
       .localCheckpoint()
-    var pr = nodes.select(col("gid"), lit(1.0 / n).as("pr")).localCheckpoint()
-    for (_ <- 1 to iters) {
-      val withDeg = pr.join(deg, pr("gid") === col("dgid"), "left")
-      val danglingMass = withDeg.filter(col("outdeg").isNull)
+    val n = base.count().toDouble
+    var pr = base.withColumn("pr", lit(1.0 / n))
+    for (i <- 1 to iters) {
+      val danglingMass = pr.filter(col("outdeg").isNull)
         .agg(coalesce(sum(col("pr")), lit(0.0)).as("dm"))
-      val contribs = edges
-        .join(pr, edges("gsrc") === pr("gid"))
-        .join(deg, col("dgid") === edges("gsrc"))
-        .groupBy(edges("gdst").as("cgid"))
+      val contribs = e
+        .join(pr.filter(col("outdeg").isNotNull), e("gsrc") === col("gid"))
+        .groupBy(e("gdst").as("cgid"))
         .agg(sum(col("pr") / col("outdeg")).as("contrib"))
-      pr = nodes.select(col("gid"))
+      pr = base
         .join(contribs, col("gid") === col("cgid"), "left")
         .crossJoin(broadcast(danglingMass))
-        .select(col("gid"),
+        .select(col("gid"), col("outdeg"),
           (lit((1.0 - damping) / n) +
             lit(damping) * (coalesce(col("contrib"), lit(0.0)) + col("dm") / lit(n))).as("pr"))
-        .localCheckpoint()
+      // checkpoint every round: pr feeds three branches of the next
+      // iteration's plan, and exchange reuse does not cover the broadcast
+      // subquery — lazy chaining recomputes the subtree exponentially
+      pr = pr.localCheckpoint()
     }
-    pr
+    pr.select(col("gid"), col("pr"))
   }
 
   /** Global triangle count over an undirected simple graph given as
     * (gsrc, gdst) pairs (any orientation, multiplicity allowed — they
-    * are canonicalized to a<b and deduped here). Standard ordered
-    * 3-way self-join; each join shuffles on one key.
+    * are canonicalized to a<b and deduped here).
+    *
+    * Degree-ordered node-iterator: orient every edge from its
+    * lower-(degree, id) endpoint to the higher one, build wedges from
+    * each node's out-neighbors, and close them against the canonical
+    * edge set. Orienting by degree bounds every out-degree by O(√m), so
+    * wedge volume is O(m^1.5) even on skewed graphs — id-ordered
+    * self-joins blow up quadratically on high-degree hubs. The
+    * (potentially expensive) upstream edge derivation is checkpointed
+    * once instead of recomputed per join leg.
     */
   def triangleCount(edges: DataFrame): DataFrame = {
     val canon = edges.select(
@@ -109,11 +126,26 @@ object Algorithms {
       greatest(col("gsrc"), col("gdst")).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-    val e1 = canon
-    val e2 = canon.select(col("a").as("b2"), col("b").as("c"))
-    val e3 = canon.select(col("a").as("a3"), col("b").as("c3"))
-    e1.join(e2, col("b") === col("b2"))
-      .join(e3, col("a") === col("a3") && col("c") === col("c3"))
+      .localCheckpoint()
+    val deg = canon.select(col("a").as("v")).unionAll(canon.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val withDeg = canon
+      .join(deg.select(col("v").as("va"), col("d").as("da")), col("a") === col("va"))
+      .join(deg.select(col("v").as("vb"), col("d").as("db")), col("b") === col("vb"))
+    // orient low-rank → high-rank, rank = (degree, id)
+    val oriented = withDeg.select(
+        when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("u"), col("b").as("w")))
+          .otherwise(struct(col("b").as("u"), col("a").as("w"))).as("e"))
+      .select(col("e.u").as("u"), col("e.w").as("w"))
+      .localCheckpoint()
+    // wedges at apex u: unordered out-neighbor pairs, canonical id order,
+    // closed by the canonical edge set — each triangle counted exactly
+    // once (its unique lowest-rank vertex is the apex).
+    val w2 = oriented.select(col("u").as("u2"), col("w").as("w2"))
+    oriented.join(w2, col("u") === col("u2") && col("w") < col("w2"))
+      .select(col("w").as("ca"), col("w2").as("cb"))
+      .join(canon, col("ca") === col("a") && col("cb") === col("b"), "left_semi")
       .agg(count(lit(1)).as("triangles"))
   }
 

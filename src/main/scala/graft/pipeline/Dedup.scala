@@ -170,13 +170,19 @@ object Dedup {
   }
 
   /** All-pairs variant (id_a < id_b) — quadratic; callers at scale feed
-    * LSH-bucketed pairs into [[embedCosinePairs]] instead.
+    * LSH-bucketed pairs into [[embedCosinePairs]] instead. Vectors ride
+    * inline through a broadcast nested-loop self-join (one side
+    * broadcast, zero shuffle) rather than being re-attached to an id
+    * cross-product by two post-hoc shuffle joins.
     */
   def embedCosineAllPairs(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
-    val ids = emb.select(col(idCol).as("id_a"))
-    val ids2 = emb.select(col(idCol).as("id_b"))
-    embedCosinePairs(emb, idCol, vecCol,
-      ids.crossJoin(ids2).filter(col("id_a") < col("id_b")), threshold)
+    val e = emb.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+    val a = e.select(col(idCol).as("id_a"), col("__v").as("va"))
+    val b = e.select(col(idCol).as("id_b"), col("__v").as("vb"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .withColumn("cosine", VectorFunctions.cosine(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
   }
 }
