@@ -14,6 +14,18 @@ import org.apache.spark.sql.functions._
   */
 object Algorithms {
 
+  /** Checkpointed loop state is a `LogicalRDD` — Catalyst has no stats
+    * for it, so every join against it plans sort-merge. The driver DOES
+    * know the exact row count (loops track it anyway for convergence),
+    * so hint broadcast when the state side is provably small and let the
+    * join fall back to shuffle strategies past the bound. 5M rows of
+    * (long, long/double) ≈ 120 MB build side — safe on any executor
+    * sized for 100 TB work.
+    */
+  private val BroadcastRowBound = 5000000L
+  private def hintSmall(df: DataFrame, rows: Long): DataFrame =
+    if (rows <= BroadcastRowBound) broadcast(df) else df
+
   /** Hop distance from a seed set by frontier BFS over a directed edge
     * list (pass an undirected graph as edges ∪ reversed edges). Returns
     * (gid, hop) with the minimum hop per reached node. Each iteration is
@@ -23,14 +35,20 @@ object Algorithms {
     // loop-invariant: materialize once, not re-derived from source per hop
     val e = edges.select(col("gsrc"), col("gdst")).localCheckpoint()
     var visited = seeds.select(col("gid"), lit(0).as("hop")).localCheckpoint()
+    var visitedRows = visited.count()
     var frontier = visited.select("gid")
+    var frontierRows = visitedRows
     var hop = 0
-    while (hop < maxHops && !frontier.isEmpty) {
+    while (hop < maxHops && frontierRows > 0) {
       hop += 1
-      val next = frontier.join(e, frontier("gid") === e("gsrc"))
+      val next = hintSmall(frontier, frontierRows)
+        .join(e, frontier("gid") === e("gsrc"))
         .select(e("gdst").as("gid")).distinct()
-        .join(visited.select(col("gid").as("v")), col("gid") === col("v"), "left_anti")
+        .join(hintSmall(visited.select(col("gid").as("v")), visitedRows),
+          col("gid") === col("v"), "left_anti")
         .localCheckpoint()
+      frontierRows = next.count()
+      visitedRows += frontierRows
       visited = visited.unionByName(next.withColumn("hop", lit(hop))).localCheckpoint()
       frontier = next
     }
@@ -47,19 +65,20 @@ object Algorithms {
       .unionByName(edges.select(col("gdst").as("a"), col("gsrc").as("b")))
       .distinct().localCheckpoint()
     var comp = nodes.select(col("gid"), col("gid").as("comp")).localCheckpoint()
+    val nRows = comp.count()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       iter += 1
       // min over each node's own comp and its neighbors' comps
       val neighborMin = undirected
-        .join(comp, col("b") === col("gid"))
+        .join(hintSmall(comp, nRows), col("b") === col("gid"))
         .groupBy(col("a")).agg(min(col("comp")).as("ncomp"))
-      val next = comp.join(neighborMin, comp("gid") === col("a"), "left")
+      val next = comp.join(hintSmall(neighborMin, nRows), comp("gid") === col("a"), "left")
         .select(comp("gid"),
           least(comp("comp"), coalesce(col("ncomp"), comp("comp"))).as("comp"))
         .localCheckpoint()
-      converged = next.join(comp.withColumnRenamed("comp", "old"), "gid")
+      converged = next.join(hintSmall(comp.withColumnRenamed("comp", "old"), nRows), "gid")
         .filter(col("comp") =!= col("old")).isEmpty
       comp = next
     }
@@ -87,22 +106,28 @@ object Algorithms {
     val n = base.count().toDouble
     var pr = base.withColumn("pr", lit(1.0 / n))
     for (i <- 1 to iters) {
-      val danglingMass = pr.filter(col("outdeg").isNull)
-        .agg(coalesce(sum(col("pr")), lit(0.0)).as("dm"))
+      val t0 = System.nanoTime()
+      // dangling mass: scalar scan-agg of the (checkpointed) rank vector,
+      // read on the driver — cheaper than a broadcast cross join, which
+      // costs a broadcast exchange + AQE subquery per round
+      val dm = pr.filter(col("outdeg").isNull)
+        .agg(coalesce(sum(col("pr")), lit(0.0))).first().getDouble(0)
+      val t1 = System.nanoTime()
       val contribs = e
-        .join(pr.filter(col("outdeg").isNotNull), e("gsrc") === col("gid"))
+        .join(hintSmall(pr.filter(col("outdeg").isNotNull), n.toLong), e("gsrc") === col("gid"))
         .groupBy(e("gdst").as("cgid"))
         .agg(sum(col("pr") / col("outdeg")).as("contrib"))
       pr = base
-        .join(contribs, col("gid") === col("cgid"), "left")
-        .crossJoin(broadcast(danglingMass))
+        .join(hintSmall(contribs, n.toLong), col("gid") === col("cgid"), "left")
         .select(col("gid"), col("outdeg"),
           (lit((1.0 - damping) / n) +
-            lit(damping) * (coalesce(col("contrib"), lit(0.0)) + col("dm") / lit(n))).as("pr"))
+            lit(damping) * (coalesce(col("contrib"), lit(0.0)) + lit(dm) / lit(n))).as("pr"))
       // checkpoint every round: pr feeds three branches of the next
-      // iteration's plan, and exchange reuse does not cover the broadcast
-      // subquery — lazy chaining recomputes the subtree exponentially
+      // iteration's plan — lazy chaining recomputes the subtree
+      // exponentially
       pr = pr.localCheckpoint()
+      if (sys.env.contains("GRAFT_DEBUG_TIMING"))
+        System.err.println(f"[pr] iter $i dm=${(t1 - t0) / 1e9}%.2fs step=${(System.nanoTime() - t1) / 1e9}%.2fs")
     }
     pr.select(col("gid"), col("pr"))
   }
@@ -119,6 +144,14 @@ object Algorithms {
     * self-joins blow up quadratically on high-degree hubs. The
     * (potentially expensive) upstream edge derivation is checkpointed
     * once instead of recomputed per join leg.
+    *
+    * Counting is edge-iterator over adjacency arrays rather than a wedge
+    * self-join: for each oriented edge (u,w) the triangle count is
+    * |N⁺(u) ∩ N⁺(w)|, computed by `array_intersect` on collected
+    * out-neighbor arrays. Total CPU is still the wedge volume, but no
+    * wedge row ever hits the wire — the only shuffles are the adjacency
+    * groupBy and two m-row joins (AQE broadcasts the adjacency side when
+    * it fits; each array is ≤ O(√m) entries by the orientation bound).
     */
   def triangleCount(edges: DataFrame): DataFrame = {
     val canon = edges.select(
@@ -129,24 +162,24 @@ object Algorithms {
       .localCheckpoint()
     val deg = canon.select(col("a").as("v")).unionAll(canon.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
-    val withDeg = canon
+    // orient low-rank → high-rank, rank = (degree, id)
+    val oriented = canon
       .join(deg.select(col("v").as("va"), col("d").as("da")), col("a") === col("va"))
       .join(deg.select(col("v").as("vb"), col("d").as("db")), col("b") === col("vb"))
-    // orient low-rank → high-rank, rank = (degree, id)
-    val oriented = withDeg.select(
+      .select(
         when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
           struct(col("a").as("u"), col("b").as("w")))
           .otherwise(struct(col("b").as("u"), col("a").as("w"))).as("e"))
       .select(col("e.u").as("u"), col("e.w").as("w"))
       .localCheckpoint()
-    // wedges at apex u: unordered out-neighbor pairs, canonical id order,
-    // closed by the canonical edge set — each triangle counted exactly
-    // once (its unique lowest-rank vertex is the apex).
-    val w2 = oriented.select(col("u").as("u2"), col("w").as("w2"))
-    oriented.join(w2, col("u") === col("u2") && col("w") < col("w2"))
-      .select(col("w").as("ca"), col("w2").as("cb"))
-      .join(canon, col("ca") === col("a") && col("cb") === col("b"), "left_semi")
-      .agg(count(lit(1)).as("triangles"))
+    val adj = oriented.groupBy(col("u")).agg(collect_list(col("w")).as("nbrs"))
+    // inner joins: an endpoint absent from adj has no out-neighbors and
+    // contributes 0 triangles on that edge anyway
+    oriented
+      .join(adj.select(col("u").as("au"), col("nbrs").as("nu")), col("u") === col("au"))
+      .join(adj.select(col("u").as("aw"), col("nbrs").as("nw")), col("w") === col("aw"))
+      .select(size(array_intersect(col("nu"), col("nw"))).cast("long").as("t"))
+      .agg(coalesce(sum(col("t")), lit(0L)).as("triangles"))
   }
 
   /** Community detection by synchronous label propagation with a
@@ -158,8 +191,9 @@ object Algorithms {
       .unionByName(edges.select(col("gdst").as("a"), col("gsrc").as("b")))
       .localCheckpoint()
     var labels = nodes.select(col("gid"), col("gid").as("community")).localCheckpoint()
+    val nRows = labels.count()
     for (_ <- 1 to iters) {
-      val counted = undirected.join(labels, col("b") === col("gid"))
+      val counted = undirected.join(hintSmall(labels, nRows), col("b") === col("gid"))
         .groupBy(col("a"), col("community")).agg(count(lit(1)).as("votes"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("a"))
