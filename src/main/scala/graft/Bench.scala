@@ -13,12 +13,40 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (sys.env.contains("GRAFT_DEBUG_STAGES"))
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = sc.stageInfo
+          val wall = for { s <- si.submissionTime; c <- si.completionTime } yield c - s
+          System.err.println(s"[stage] ${si.stageId} tasks=${si.numTasks} " +
+            s"wall=${wall.getOrElse(-1L)}ms cpu=${si.taskMetrics.executorRunTime}ms " +
+            si.name.linesIterator.next().take(80))
+        }
+      })
     // optional comma-separated name filter for local iteration
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+    // untimed JIT/codegen warmup at the smallest SF (JMH-style): first
+    // execution otherwise pays session init + whole-stage-codegen compile,
+    // which is startup cost, not query throughput
+    val warmDir = sys.env.get("SPARK_GRAFT_WARM_DIR")
+      .orElse(Some("/root/testdata/sf0.001"))
+      .filter(d => d != sfDir && new java.io.File(d).exists())
+    // drop checkpointed loop state left behind by a finished query so
+    // block-manager memory doesn't accumulate across the 40+ query run
+    def dropPersisted(): Unit =
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    warmDir.foreach { wd =>
+      selected.foreach { case (_, fn) =>
+        try { fn(spark, wd).count() } catch { case _: Throwable => () }
+        dropPersisted()
+      }
+    }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      dropPersisted()
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -26,6 +26,18 @@ object Algorithms {
   private def hintSmall(df: DataFrame, rows: Long): DataFrame =
     if (rows <= BroadcastRowBound) broadcast(df) else df
 
+  /** Cap the partition count of loop-invariant state at cluster width.
+    * Upstream unions of fanned-out scans can arrive with hundreds of
+    * partitions; every loop iteration then schedules that many tasks per
+    * stage, and fixed per-task cost dwarfs the per-row work. coalesce
+    * (not repartition): merging needs no shuffle, and wide inputs at
+    * scale keep their partitioning untouched.
+    */
+  private def capParts(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions > p) df.coalesce(p) else df
+  }
+
   /** Hop distance from a seed set by frontier BFS over a directed edge
     * list (pass an undirected graph as edges ∪ reversed edges). Returns
     * (gid, hop) with the minimum hop per reached node. Each iteration is
@@ -33,7 +45,7 @@ object Algorithms {
     */
   def bfs(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
     // loop-invariant: materialize once, not re-derived from source per hop
-    val e = edges.select(col("gsrc"), col("gdst")).localCheckpoint()
+    val e = capParts(edges.select(col("gsrc"), col("gdst"))).localCheckpoint()
     var visited = seeds.select(col("gid"), lit(0).as("hop")).localCheckpoint()
     var visitedRows = visited.count()
     var frontier = visited.select("gid")
@@ -41,16 +53,20 @@ object Algorithms {
     var hop = 0
     while (hop < maxHops && frontierRows > 0) {
       hop += 1
+      // one checkpoint + one action per hop: `next` is the only new
+      // state; `visited` stays a shallow union of ≤ maxHops checkpointed
+      // frontiers, so it needs no materialization of its own
       val next = hintSmall(frontier, frontierRows)
         .join(e, frontier("gid") === e("gsrc"))
         .select(e("gdst").as("gid")).distinct()
         .join(hintSmall(visited.select(col("gid").as("v")), visitedRows),
           col("gid") === col("v"), "left_anti")
+        .withColumn("hop", lit(hop))
         .localCheckpoint()
       frontierRows = next.count()
       visitedRows += frontierRows
-      visited = visited.unionByName(next.withColumn("hop", lit(hop))).localCheckpoint()
-      frontier = next
+      visited = visited.unionByName(next)
+      frontier = next.select("gid")
     }
     visited
   }
@@ -97,7 +113,7 @@ object Algorithms {
     // the static out-degree attached (null ⇒ dangling). Carrying outdeg
     // inside the rank vector removes a pr×deg join from every iteration —
     // the dangling-mass term becomes a scan-agg over pr alone.
-    val e = edges.select(col("gsrc"), col("gdst")).localCheckpoint()
+    val e = capParts(edges.select(col("gsrc"), col("gdst"))).localCheckpoint()
     val deg = e.groupBy(col("gsrc").as("dgid")).agg(count(lit(1)).as("outdeg"))
     val base = nodes.select(col("gid"))
       .join(deg, col("gid") === col("dgid"), "left")

@@ -51,11 +51,15 @@ object Dedup {
   /** MinHash signatures: numHashes independent permutations approximated
     * by seeded xxhash64; one explode + one groupBy per corpus (the agg is
     * map-side combined, so the shuffle carries only doc_id → 64 longs).
+    * Each shingle string is hashed ONCE to a long; the permutations
+    * re-hash that 8-byte value, not the string — 64× less byte-hashing
+    * per shingle with the same collision behavior.
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 64): DataFrame = {
     val sh = shingles(df, idCol, textCol, shingleN)
-    val aggs = (0 until numHashes).map(i => min(xxhash64(lit(i), col("sh"))).as(s"mh$i"))
+      .select(col("id"), xxhash64(col("sh")).as("h"))
+    val aggs = (0 until numHashes).map(i => min(xxhash64(lit(i), col("h"))).as(s"mh$i"))
     sh.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -71,8 +75,13 @@ object Dedup {
       val slots = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), xxhash64(slots: _*).as("bucket"))
     }
+    // materialize once: the self-join legs are separate subtrees to
+    // Catalyst (AQE does not reuse the exchange across the rename), so an
+    // unmaterialized bucket table computes the whole signature pipeline
+    // twice — verified via explain("formatted")
     val buckets = sigs.select(col("id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+      .localCheckpoint()
     val left = buckets
     val right = buckets.select(col("id").as("id2"), col("band").as("band2"), col("bucket").as("bucket2"))
     left.join(right,
@@ -112,8 +121,10 @@ object Dedup {
     val chunks = (0 until 4).map(c =>
       struct(lit(c).as("chunk"),
         shiftright(col("simhash"), c * 16).bitwiseAND(0xffffL).as("bucket")))
+    // materialize once — same non-reused self-join legs as lshCandidates
     val buckets = sims.select(col("id"), col("simhash"), explode(array(chunks: _*)).as("bk"))
       .select(col("id"), col("simhash"), col("bk.chunk").as("chunk"), col("bk.bucket").as("bucket"))
+      .localCheckpoint()
     val right = buckets.select(col("id").as("id2"), col("simhash").as("simhash2"),
       col("chunk").as("chunk2"), col("bucket").as("bucket2"))
     buckets.join(right,
@@ -134,15 +145,19 @@ object Dedup {
     */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
       pairs: DataFrame, shingleN: Int = 3): DataFrame = {
-    val sh = shingles(df, idCol, textCol, shingleN)
+    // sh feeds three legs (A-side, B-side, sizes) and pairs feeds two —
+    // materialize each once; Catalyst treats the legs as independent
+    // subtrees and would re-derive them per use
+    val sh = shingles(df, idCol, textCol, shingleN).localCheckpoint()
+    val cachedPairs = pairs.localCheckpoint()
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val shA = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
     val shB = sh.select(col("id").as("__idb"), col("sh").as("sh_b"))
-    val inter = pairs
+    val inter = cachedPairs
       .join(shA, "id_a")
       .join(shB, col("id_b") === col("__idb") && col("sh_a") === col("sh_b"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
-    pairs
+    cachedPairs
       .join(inter, Seq("id_a", "id_b"), "left")
       .join(sizes.withColumnRenamed("sz", "sz_a").withColumnRenamed("id", "id_a"), "id_a")
       .join(sizes.withColumnRenamed("sz", "sz_b").withColumnRenamed("id", "id_b"), "id_b")

@@ -175,7 +175,6 @@ object GraphOps {
     Algorithms.connectedComponents(nodes, edges)
       .groupBy(col("comp")).agg(count(lit(1)).as("size"))
       .groupBy(col("size")).agg(count(lit(1)).as("n_components"))
-      .orderBy(col("size"))
   }
 
   /** PageRank over the directed heterogeneous graph, 10 iterations.

@@ -26,11 +26,10 @@ object Pipeline {
     */
   def pDedupMinhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashDupes(Tables.load(spark, dir, "documents"), "doc_id", "text")
-      .orderBy(col("id_a"), col("id_b"))
 
   def pDedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val sims = Dedup.simhash(Tables.load(spark, dir, "documents"), "doc_id", "text")
-    Dedup.simhashDupes(sims, maxHamming = 3).orderBy(col("id_a"), col("id_b"))
+    Dedup.simhashDupes(sims, maxHamming = 3)
   }
 
   /** Exact n-gram Jaccard verification over the MinHash candidates. */
@@ -39,7 +38,6 @@ object Pipeline {
     val cands = Dedup.minhashDupes(docs, "doc_id", "text")
     Dedup.ngramJaccard(docs, "doc_id", "text", cands)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
-      .orderBy(col("id_a"), col("id_b"))
   }
 
   def pDedupEmbed(spark: SparkSession, dir: String): DataFrame =
