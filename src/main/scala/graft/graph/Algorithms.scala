@@ -90,13 +90,17 @@ object Algorithms {
       val neighborMin = undirected
         .join(hintSmall(comp, nRows), col("b") === col("gid"))
         .groupBy(col("a")).agg(min(col("comp")).as("ncomp"))
+      // carry the changed flag inside the checkpointed state: the
+      // convergence probe is then a scan of cached rows, not a re-join
+      // of two checkpointed frames
       val next = comp.join(hintSmall(neighborMin, nRows), comp("gid") === col("a"), "left")
         .select(comp("gid"),
-          least(comp("comp"), coalesce(col("ncomp"), comp("comp"))).as("comp"))
+          least(comp("comp"), coalesce(col("ncomp"), comp("comp"))).as("comp"),
+          (least(comp("comp"), coalesce(col("ncomp"), comp("comp"))) =!= comp("comp"))
+            .as("changed"))
         .localCheckpoint()
-      converged = next.join(hintSmall(comp.withColumnRenamed("comp", "old"), nRows), "gid")
-        .filter(col("comp") =!= col("old")).isEmpty
-      comp = next
+      converged = next.filter(col("changed")).isEmpty
+      comp = next.select(col("gid"), col("comp"))
     }
     comp
   }
