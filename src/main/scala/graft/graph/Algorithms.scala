@@ -38,20 +38,35 @@ object Algorithms {
     if (df.rdd.getNumPartitions > p) df.coalesce(p) else df
   }
 
+  /** Run `body` with AQE off. Inside the iterative loops every join
+    * strategy is already pinned by the exact-count hints and shuffle
+    * width is fixed, so AQE only adds a materialize-and-replan barrier
+    * per exchange per round — measurable pure overhead on plans this
+    * small. Session-scoped flag: safe because a loop owns its session
+    * for the duration of the call (graft ops are driver-sequential).
+    */
+  private def withoutAqe[T](df: DataFrame)(body: => T): T = {
+    val conf = df.sparkSession.conf
+    val prev = conf.get("spark.sql.adaptive.enabled", "true")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try body finally conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   /** Hop distance from a seed set by frontier BFS over a directed edge
     * list (pass an undirected graph as edges ∪ reversed edges). Returns
     * (gid, hop) with the minimum hop per reached node. Each iteration is
     * one shuffle: frontier ⋈ edges, minus visited.
     */
   def bfs(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
-    // loop-invariant: materialize once, not re-derived from source per hop
+    // loop-invariant: materialize once (with AQE — edge derivations can
+    // be arbitrary join trees), not re-derived from source per hop
     val e = capParts(edges.select(col("gsrc"), col("gdst"))).localCheckpoint()
     var visited = seeds.select(col("gid"), lit(0).as("hop")).localCheckpoint()
     var visitedRows = visited.count()
     var frontier = visited.select("gid")
     var frontierRows = visitedRows
     var hop = 0
-    while (hop < maxHops && frontierRows > 0) {
+    withoutAqe(edges) { while (hop < maxHops && frontierRows > 0) {
       hop += 1
       // one checkpoint + one action per hop: `next` is the only new
       // state; `visited` stays a shallow union of ≤ maxHops checkpointed
@@ -67,7 +82,7 @@ object Algorithms {
       visitedRows += frontierRows
       visited = visited.unionByName(next)
       frontier = next.select("gid")
-    }
+    } }
     visited
   }
 
@@ -84,7 +99,7 @@ object Algorithms {
     val nRows = comp.count()
     var converged = false
     var iter = 0
-    while (!converged && iter < maxIter) {
+    withoutAqe(edges) { while (!converged && iter < maxIter) {
       iter += 1
       // min over each node's own comp and its neighbors' comps
       val neighborMin = undirected
@@ -101,7 +116,7 @@ object Algorithms {
         .localCheckpoint()
       converged = next.filter(col("changed")).isEmpty
       comp = next.select(col("gid"), col("comp"))
-    }
+    } }
     comp
   }
 
@@ -125,7 +140,7 @@ object Algorithms {
       .localCheckpoint()
     val n = base.count().toDouble
     var pr = base.withColumn("pr", lit(1.0 / n))
-    for (i <- 1 to iters) {
+    withoutAqe(edges) { for (i <- 1 to iters) {
       val t0 = System.nanoTime()
       // dangling mass: scalar scan-agg of the (checkpointed) rank vector,
       // read on the driver — cheaper than a broadcast cross join, which
@@ -148,7 +163,7 @@ object Algorithms {
       pr = pr.localCheckpoint()
       if (sys.env.contains("GRAFT_DEBUG_TIMING"))
         System.err.println(f"[pr] iter $i dm=${(t1 - t0) / 1e9}%.2fs step=${(System.nanoTime() - t1) / 1e9}%.2fs")
-    }
+    } }
     pr.select(col("gid"), col("pr"))
   }
 
@@ -212,7 +227,7 @@ object Algorithms {
       .localCheckpoint()
     var labels = nodes.select(col("gid"), col("gid").as("community")).localCheckpoint()
     val nRows = labels.count()
-    for (_ <- 1 to iters) {
+    withoutAqe(edges) { for (_ <- 1 to iters) {
       val counted = undirected.join(hintSmall(labels, nRows), col("b") === col("gid"))
         .groupBy(col("a"), col("community")).agg(count(lit(1)).as("votes"))
       val w = org.apache.spark.sql.expressions.Window
@@ -224,7 +239,7 @@ object Algorithms {
       labels = labels.join(best, labels("gid") === col("a"), "left")
         .select(labels("gid"), coalesce(col("newc"), col("community")).as("community"))
         .localCheckpoint()
-    }
+    } }
     labels
   }
 }

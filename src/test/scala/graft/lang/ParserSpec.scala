@@ -119,6 +119,22 @@ class ParserSpec extends AnyFunSuite {
       .head.asInstanceOf[InsertNode].properties.head.value.text === "it's")
   }
 
+  test("trailing commas, empty field lists, no-WHERE match (reference parser_test.go parity)") {
+    // reference TestTrailingCommasAndEmptyFields
+    val stmts = Parser.parse(
+      """CREATE NODE A();
+        |CREATE NODE B(
+        |  x: int,
+        |);""".stripMargin)
+    assert(stmts(0).asInstanceOf[CreateNode].fields.isEmpty)
+    assert(stmts(1).asInstanceOf[CreateNode].fields.map(_.name) === Seq("x"))
+    // reference TestMatchParsing "basic match"
+    val Seq(m) = Parser.parse("MATCH User RETURN name;")
+    assert(m === Match(Seq(MatchElement("User", None)), Nil, Seq("name")))
+    val Seq(m2) = Parser.parse("MATCH User WHERE age: 25 RETURN name, email;")
+    assert(m2.asInstanceOf[Match].ret === Seq("name", "email"))
+  }
+
   test("rejects malformed statements") {
     assertThrows[ParseError](Parser.parse("CREATE TABLE x (a: int);"))
     assertThrows[ParseError](Parser.parse("CREATE NODE P (a: int"))
