@@ -68,6 +68,63 @@ object Ann {
       .select(col("id"), col("v"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
   }
 
+  /** IVF (inverted-file) coarse quantization: nCentroids vectors drawn
+    * as a deterministic seeded sample of the corpus (hash-ordered — a
+    * production path would refine them with a few distributed Lloyd
+    * iterations; the partition/probe plumbing is identical). Assignment
+    * is arg-max cosine against the broadcast centroid literals via
+    * struct ordering (`array_max` on struct(score, cid)), fully
+    * codegen'd. Returns (id, v, cid).
+    */
+  def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Int, Array[Double])], nProbe: Int): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val scored = centroids.map { case (cid, cv) =>
+      struct(VectorFunctions.cosine(array(cv.map(lit): _*), v).as("score"),
+        lit(cid).as("cid"))
+    }
+    // top-nProbe centroids by score: struct ordering sorts by score first
+    val probes = slice(reverse(array_sort(array(scored: _*))), 1, nProbe)
+    df.select(col(idCol).as("id"), v.as("v"),
+      explode(probes).as("p"))
+      .select(col("id"), col("v"), col("p.cid").as("cid"))
+  }
+
+  /** Deterministic centroid sample: the nCentroids corpus vectors with
+    * the smallest seeded id-hash — collected to the driver (bounded:
+    * nCentroids × dim doubles, the IVF codebook is driver-side by
+    * design, exactly like a broadcast dictionary).
+    */
+  def sampleCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int, seed: Long): Seq[(Int, Array[Double])] =
+    corpus.select(col(vecCol).cast("array<double>").as("v"),
+        xxhash64(col(idCol), lit(seed)).as("h"))
+      .orderBy(col("h")).limit(nCentroids)
+      .collect().zipWithIndex
+      .map { case (r, i) => i -> r.getSeq[Double](0).toArray }.toSeq
+
+  /** IVF-bucketed ANN: corpus rows index into their single nearest
+    * centroid's list; queries probe the nProbe nearest lists. The join
+    * shuffles on the centroid id only; pairwise work is bounded by
+    * nProbe × list size. Recall < 1 by construction — AnnSpec measures
+    * it against [[bruteKnn]].
+    */
+  def ivfKnn(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, nCentroids: Int = 32, nProbe: Int = 4, seed: Long = 42L): DataFrame = {
+    val cents = sampleCentroids(corpus, idCol, vecCol, nCentroids, seed)
+    val cb = ivfAssign(corpus, idCol, vecCol, cents, nProbe = 1)
+      .select(col("id").as("neighbor_id"), col("v").as("cv"), col("cid").as("ccid"))
+    val qb = ivfAssign(queries, idCol, vecCol, cents, nProbe = nProbe)
+      .select(col("id").as("query_id"), col("v").as("qv"), col("cid"))
+    qb.join(cb, col("cid") === col("ccid") && col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", VectorFunctions.cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
   /** Bucketed ANN: per-query top-k among corpus rows sharing a bucket in
     * any table. Recall < 1 by construction; AnnSpec measures it against
     * [[bruteKnn]]. The join shuffles on (table, bucket) only — pairwise

@@ -87,6 +87,14 @@ object Pipeline {
         round(col("cosine"), 4).as("cosine"), col("rank").cast("long").as("rank"))
   }
 
+  /** IVF-bucketed ANN (rows-only; recall vs brute measured in AnnSpec). */
+  def pKnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    Ann.ivfKnn(emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 4).as("cosine"), col("rank").cast("long").as("rank"))
+  }
+
   // ----------------------------------------------------- text analysis
 
   def pLangId(spark: SparkSession, dir: String): DataFrame =
@@ -169,6 +177,7 @@ object Pipeline {
     QueryDef.sql("p_dedup_embed", pDedupEmbed, pDedupEmbedSql),
     QueryDef.sql("p_knn_brute", pKnnBrute, pKnnBruteSql),
     QueryDef.rowsOnly("p_knn_lsh", pKnnLsh),
+    QueryDef.rowsOnly("p_knn_ivf", pKnnIvf),
     QueryDef.sql("p_lang_id", pLangId, pLangIdSql),
     QueryDef.sql("p_quality_score", pQualityScore, pQualityScoreSql),
     QueryDef.sql("p_token_count", pTokenCount, pTokenCountSql),

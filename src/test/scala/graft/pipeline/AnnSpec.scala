@@ -34,4 +34,17 @@ class AnnSpec extends SparkSpec {
     // every returned neighbor must at least be a real corpus id
     assert(lsh.forall { case (q, n) => q != n })
   }
+
+  test("ivf knn achieves >=40% recall@5 vs brute on the test corpus") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val brute = Ann.bruteKnn(queries, emb, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Ann.ivfKnn(queries, emb, "vec_id", "embedding", k = 5,
+        nCentroids = 16, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    info(s"recall@5 = $recall")
+    assert(recall >= 0.4)
+    assert(ivf.forall { case (q, n) => q != n })
+  }
 }
