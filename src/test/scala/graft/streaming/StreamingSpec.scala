@@ -44,6 +44,37 @@ class StreamingSpec extends SparkSpec {
     assert(batch.map(_._3).sum === 5L)
   }
 
+  test("stateful streaming sessionize closes sessions past the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Ev]
+    val sessions = Streams.sessionizeStream(spark, source.toDF(), gapSeconds = 1800,
+      watermark = "10 minutes")
+    val q = sessions.writeStream
+      .format("memory").queryName("sessions_out").outputMode("append").start()
+    try {
+      source.addData(events: _*)
+      q.processAllAvailable()
+      // push the watermark far past every session's end + gap
+      source.addData(Ev(99, java.sql.Timestamp.valueOf("2024-01-02 12:00:00"), 9, "click", 0.0))
+      q.processAllAvailable()
+      source.addData(Ev(100, java.sql.Timestamp.valueOf("2024-01-03 12:00:00"), 9, "click", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sessions_out")
+      .filter(col("user_id") < 9)
+      .orderBy("user_id", "session_start")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+    // mirror the batch answer: user 1 → (10:00-10:05, 2 ev), (10:59, 1 ev);
+    // user 2 → (10:20, 1 ev), (11:10, 1 ev)
+    assert(got.toSeq === Seq(
+      (1L, ts(0), ts(5), 2L),
+      (1L, ts(59), ts(59), 1L),
+      (2L, ts(20), ts(20), 1L),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 11:10:00"),
+        java.sql.Timestamp.valueOf("2024-01-01 11:10:00"), 1L)))
+  }
+
   test("sessionize splits on the idle gap") {
     import spark.implicits._
     val sessions = Streams.sessionize(events.toDF(), gapSeconds = 1800)
