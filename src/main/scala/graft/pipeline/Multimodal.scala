@@ -66,4 +66,47 @@ object Multimodal {
         }
       }
   }
+
+  /** Resize: STUB — a real deployment decodes, scales to (targetW,
+    * targetH) and re-encodes; the fake derives a deterministic payload
+    * of exactly the "resized" byte budget so batch shape and schema
+    * plumbing are testable. Same partition-mapped, payload-in →
+    * payload-out contract a codec UDF would have.
+    */
+  def resize(spark: SparkSession, df: DataFrame, idCol: String,
+      targetW: Int, targetH: Int): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val budget = targetW * targetH / 256 + 8 // fake "encoded" size
+        it.map { case (id, bytes) =>
+          val out = new Array[Byte](budget)
+          var i = 0
+          while (i < budget) { out(i) = if (bytes.isEmpty) 0 else bytes(i % bytes.length); i += 1 }
+          (id, out)
+        }
+      }
+  }
+
+  /** Frame sampling: STUB — treats the payload as a "video" of
+    * byte_size/frameBytes fixed-size frames and emits every `stride`-th
+    * one as (media_id, frame_idx, frame_payload). The real article
+    * would demux containers; the fan-out shape (one row in, k rows
+    * out, payload never collected) is what matters at 100 TB.
+    */
+  def sampleFrames(spark: SparkSession, df: DataFrame, idCol: String,
+      frameBytes: Int = 64, stride: Int = 2): Dataset[(Long, Long, Array[Byte])] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val nFrames = bytes.length / frameBytes
+          (0 until nFrames by stride).iterator.map { f =>
+            (id, f.toLong, java.util.Arrays.copyOfRange(bytes, f * frameBytes, (f + 1) * frameBytes))
+          }
+        }
+      }
+  }
 }

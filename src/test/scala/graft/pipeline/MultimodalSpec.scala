@@ -20,4 +20,26 @@ class MultimodalSpec extends SparkSpec {
     assert(metas(2L).byte_size === 0L)
     assert(metas.values.forall(_.format == "fake/raw"))
   }
+
+  test("resize emits the target byte budget per row, deterministically") {
+    import spark.implicits._
+    val df = Multimodal.withPayload(
+      Seq((1L, "hello world"), (2L, "")).toDF("doc_id", "text"), "text")
+    val out = Multimodal.resize(spark, df, "doc_id", 128, 64)
+      .collect().map { case (id, b) => id -> b }.toMap
+    val budget = 128 * 64 / 256 + 8
+    assert(out(1L).length === budget && out(2L).length === budget)
+    assert(out(1L)(0) === 'h'.toByte && out(1L)(11) === 'h'.toByte) // wraps
+    assert(out(2L).forall(_ == 0))
+  }
+
+  test("sampleFrames fans one payload out to every stride-th frame") {
+    import spark.implicits._
+    val payload = ("x" * 300) // 4 full 64-byte frames, sample 0 and 2
+    val df = Multimodal.withPayload(Seq((7L, payload)).toDF("doc_id", "text"), "text")
+    val frames = Multimodal.sampleFrames(spark, df, "doc_id", frameBytes = 64, stride = 2)
+      .collect().sortBy(_._2)
+    assert(frames.map(f => (f._1, f._2)).toSeq === Seq((7L, 0L), (7L, 2L)))
+    assert(frames.forall(_._3.length === 64))
+  }
 }
