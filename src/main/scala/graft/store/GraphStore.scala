@@ -65,4 +65,35 @@ object GraphStore {
       .join(d, batch(s"dst_$dstProp") === col("__dprop"))
       .drop("__sprop", "__dprop", s"src_$srcProp", s"dst_$dstProp")
   }
+
+  /** Persist a label's table applying its catalog [[graft.catalog.LayoutSpec]]
+    * — the Spark-first replacement for the reference's in-memory field
+    * indexes (catalog/types.go:50):
+    *
+    *  - `partitionBy` → hive-style directory partitioning (partition
+    *    pruning replaces point-index lookups on low-cardinality keys);
+    *  - `bucketBy(n, cols)` → files hash-clustered by
+    *    `repartition(n, cols)` (path-based stores can't carry bucketing
+    *    metadata the way a metastore table would, but same-key rows
+    *    co-locate per file, so same-layout joins shuffle only the thin
+    *    side);
+    *  - `sortBy` → `sortWithinPartitions` before the write, giving
+    *    parquet rowgroup min/max stats their range-index effect.
+    */
+  def writeTable(df: DataFrame, path: String,
+      layout: graft.catalog.LayoutSpec = graft.catalog.LayoutSpec()): Unit = {
+    val clustered = layout.bucketBy match {
+      case Some((n, cols)) => df.repartition(n, cols.map(col): _*)
+      case None => df
+    }
+    val sorted =
+      if (layout.sortBy.nonEmpty)
+        clustered.sortWithinPartitions(layout.sortBy.map(col): _*)
+      else clustered
+    val writer = sorted.write.mode("overwrite")
+    val partitioned =
+      if (layout.partitionBy.nonEmpty) writer.partitionBy(layout.partitionBy: _*)
+      else writer
+    partitioned.parquet(path)
+  }
 }
