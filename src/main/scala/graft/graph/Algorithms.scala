@@ -140,27 +140,36 @@ object Algorithms {
       .localCheckpoint()
     val n = base.count().toDouble
     var pr = base.withColumn("pr", lit(1.0 / n))
+    // the dangling-mass scalar for round i+1 is observed DURING round
+    // i's checkpoint job (Dataset.observe piggybacks an agg on the same
+    // pass) — no separate scan job per iteration; only round 1 pays an
+    // explicit scan-agg of the initial vector
+    var nextDm: Option[() => Double] = None
     withoutAqe(edges) { for (i <- 1 to iters) {
       val t0 = System.nanoTime()
-      // dangling mass: scalar scan-agg of the (checkpointed) rank vector,
-      // read on the driver — cheaper than a broadcast cross join, which
-      // costs a broadcast exchange + AQE subquery per round
-      val dm = pr.filter(col("outdeg").isNull)
-        .agg(coalesce(sum(col("pr")), lit(0.0))).first().getDouble(0)
+      val dm = nextDm.map(_.apply()).getOrElse {
+        pr.filter(col("outdeg").isNull)
+          .agg(coalesce(sum(col("pr")), lit(0.0))).first().getDouble(0)
+      }
       val t1 = System.nanoTime()
       val contribs = e
         .join(hintSmall(pr.filter(col("outdeg").isNotNull), n.toLong), e("gsrc") === col("gid"))
         .groupBy(e("gdst").as("cgid"))
         .agg(sum(col("pr") / col("outdeg")).as("contrib"))
-      pr = base
+      val metricName = s"graft_pr_dm_$i"
+      val observed = base
         .join(hintSmall(contribs, n.toLong), col("gid") === col("cgid"), "left")
         .select(col("gid"), col("outdeg"),
           (lit((1.0 - damping) / n) +
             lit(damping) * (coalesce(col("contrib"), lit(0.0)) + lit(dm) / lit(n))).as("pr"))
+        .observe(metricName,
+          sum(when(col("outdeg").isNull, col("pr")).otherwise(lit(0.0))).as("dm"))
       // checkpoint every round: pr feeds three branches of the next
       // iteration's plan — lazy chaining recomputes the subtree
       // exponentially
-      pr = pr.localCheckpoint()
+      pr = observed.localCheckpoint()
+      nextDm = Some(() =>
+        observed.queryExecution.observedMetrics(metricName).getDouble(0))
       if (sys.env.contains("GRAFT_DEBUG_TIMING"))
         System.err.println(f"[pr] iter $i dm=${(t1 - t0) / 1e9}%.2fs step=${(System.nanoTime() - t1) / 1e9}%.2fs")
     } }
