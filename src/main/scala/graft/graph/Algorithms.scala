@@ -239,13 +239,14 @@ object Algorithms {
     withoutAqe(edges) { for (_ <- 1 to iters) {
       val counted = undirected.join(hintSmall(labels, nRows), col("b") === col("gid"))
         .groupBy(col("a"), col("community")).agg(count(lit(1)).as("votes"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("a"))
-        .orderBy(col("votes").desc, col("community"))
-      val best = counted.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("a"), col("community").as("newc"))
-      labels = labels.join(best, labels("gid") === col("a"), "left")
+      // majority vote with smallest-label tie-break as a struct max —
+      // map-side-combinable aggregation, no per-group sort (a window
+      // row_number would re-shuffle AND sort the counted table per round)
+      val best = counted
+        .groupBy(col("a"))
+        .agg(max(struct(col("votes"), (-col("community")).as("negc"))).as("m"))
+        .select(col("a"), (-col("m.negc")).as("newc"))
+      labels = labels.join(hintSmall(best, nRows), labels("gid") === col("a"), "left")
         .select(labels("gid"), coalesce(col("newc"), col("community")).as("community"))
         .localCheckpoint()
     } }

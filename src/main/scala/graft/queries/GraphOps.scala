@@ -190,6 +190,18 @@ object GraphOps {
       .select(col("label"), col("key"), round(col("pr"), 8).as("pr"))
   }
 
+  /** Label propagation over the co-purchase graph, 5 synchronous rounds
+    * with deterministic tie-breaks; reported as community-size profile.
+    * Rows-only (no SQL fixpoint oracle); exactness on planted cliques in
+    * GraphAlgSpec.
+    */
+  def gLabelProp(spark: SparkSession, dir: String): DataFrame = {
+    val (nodes, edges) = copurchaseGraph(spark, dir)
+    Algorithms.labelPropagation(nodes, edges, iters = 5)
+      .groupBy(col("community")).agg(count(lit(1)).as("size"))
+      .groupBy(col("size")).agg(count(lit(1)).as("n_communities"))
+  }
+
   /** Triangle count over the co-purchase graph. */
   def gTriangles(spark: SparkSession, dir: String): DataFrame = {
     val (_, edges) = copurchaseGraph(spark, dir)
@@ -254,6 +266,7 @@ object GraphOps {
     QueryDef.sql("g_bfs", gBfs, gBfsSql),
     QueryDef.rowsOnly("g_cc", gCc),
     QueryDef.rowsOnly("g_pagerank", gPagerank),
+    QueryDef.rowsOnly("g_label_prop", gLabelProp),
     QueryDef.sql("g_triangles", gTriangles, gTrianglesSql),
     QueryDef.sql("g_wal_replay", gWalReplay, gWalReplaySql))
 }
