@@ -36,17 +36,52 @@ abstract class VectorBinaryExpression extends BinaryExpression {
 
   /** Java statements computing the result into `resultVar` from ArrayData
     * vars `a` and `b` of equal logical dimension (extra elements on the
-    * longer side are ignored).
+    * longer side are ignored). Must follow a null-element guard (emitted
+    * by doGenCode) — inside the loop body elements are non-null.
     */
   protected def loopCode(ctx: CodegenContext, a: String, b: String, resultVar: String): String
 
   protected def loopEval(x: ArrayData, y: ArrayData): Double
 
-  override def nullSafeEval(a: Any, b: Any): Any =
-    loopEval(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  /** A null ELEMENT nulls the whole result — matching the zip_with /
+    * aggregate higher-order formulation these expressions replaced
+    * (`x * y` with a null operand is null, and the running sum absorbs
+    * it), and DuckDB's list functions. Reading the null slot as 0.0
+    * would silently corrupt similarity scores instead.
+    */
+  private def anyNullElement(x: ArrayData, y: ArrayData): Boolean = {
+    val n = math.min(x.numElements(), y.numElements())
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return true
+      i += 1
+    }
+    false
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (anyNullElement(x, y)) null else loopEval(x, y)
+  }
+
+  override def nullable: Boolean = true
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => loopCode(ctx, a, b, ev.value))
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("ni")
+      val n = ctx.freshName("nn")
+      // ev.isNull is declared (and reset to false) by the nullSafeCodeGen
+      // wrapper — only assignment here
+      s"""
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |}
+         |if (!${ev.isNull}) {
+         |  ${loopCode(ctx, a, b, ev.value)}
+         |}
+       """.stripMargin
+    })
 }
 
 /** dot(a, b) = Σ aᵢ·bᵢ */

@@ -29,14 +29,14 @@ object Algorithms {
   /** Cap the partition count of loop-invariant state at cluster width.
     * Upstream unions of fanned-out scans can arrive with hundreds of
     * partitions; every loop iteration then schedules that many tasks per
-    * stage, and fixed per-task cost dwarfs the per-row work. coalesce
-    * (not repartition): merging needs no shuffle, and wide inputs at
-    * scale keep their partitioning untouched.
+    * stage, and fixed per-task cost dwarfs the per-row work.
+    * Unconditional `coalesce` — it only ever merges (a plan already at
+    * or below the target is untouched), needs no shuffle, and avoids
+    * probing `df.rdd.getNumPartitions`, which under AQE executes the
+    * whole upstream plan just to learn the count.
     */
-  private def capParts(df: DataFrame): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions > p) df.coalesce(p) else df
-  }
+  private def capParts(df: DataFrame): DataFrame =
+    df.coalesce(df.sparkSession.sparkContext.defaultParallelism)
 
   /** Run `body` with AQE off. Inside the iterative loops every join
     * strategy is already pinned by the exact-count hints and shuffle

@@ -83,8 +83,12 @@ object Ann {
       struct(VectorFunctions.cosine(array(cv.map(lit): _*), v).as("score"),
         lit(cid).as("cid"))
     }
-    // top-nProbe centroids by score: struct ordering sorts by score first
-    val probes = slice(reverse(array_sort(array(scored: _*))), 1, nProbe)
+    // top-nProbe centroids by score: struct ordering compares score
+    // first. nProbe=1 (the corpus-assignment hot path, run on every
+    // corpus row) is a single O(C) array_max, not an O(C log C) sort.
+    val probes =
+      if (nProbe == 1) array(array_max(array(scored: _*)))
+      else slice(reverse(array_sort(array(scored: _*))), 1, nProbe)
     df.select(col(idCol).as("id"), v.as("v"),
       explode(probes).as("p"))
       .select(col("id"), col("v"), col("p.cid").as("cid"))

@@ -185,19 +185,27 @@ object Dedup {
   }
 
   /** All-pairs variant (id_a < id_b) — quadratic; callers at scale feed
-    * LSH-bucketed pairs into [[embedCosinePairs]] instead. Vectors ride
-    * inline through a broadcast nested-loop self-join (one side
-    * broadcast, zero shuffle) rather than being re-attached to an id
-    * cross-product by two post-hoc shuffle joins.
+    * LSH-bucketed pairs into [[embedCosinePairs]] instead. When one copy
+    * of the table is provably broadcastable (row count checked), vectors
+    * ride inline through a broadcast nested-loop self-join — zero
+    * shuffle; past that bound it falls back to the id-cross-product +
+    * shuffle-join formulation, which is slow but never OOMs a driver.
     */
   def embedCosineAllPairs(emb: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, broadcastRowBound: Long = 2000000L): DataFrame = {
     val e = emb.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
-    val a = e.select(col(idCol).as("id_a"), col("__v").as("va"))
-    val b = e.select(col(idCol).as("id_b"), col("__v").as("vb"))
-    a.join(broadcast(b), col("id_a") < col("id_b"))
-      .withColumn("cosine", VectorFunctions.cosine(col("va"), col("vb")))
-      .filter(col("cosine") >= threshold)
-      .select(col("id_a"), col("id_b"), col("cosine"))
+    if (e.count() <= broadcastRowBound) {
+      val a = e.select(col(idCol).as("id_a"), col("__v").as("va"))
+      val b = e.select(col(idCol).as("id_b"), col("__v").as("vb"))
+      a.join(broadcast(b), col("id_a") < col("id_b"))
+        .withColumn("cosine", VectorFunctions.cosine(col("va"), col("vb")))
+        .filter(col("cosine") >= threshold)
+        .select(col("id_a"), col("id_b"), col("cosine"))
+    } else {
+      val ids = emb.select(col(idCol).as("id_a"))
+      val ids2 = emb.select(col(idCol).as("id_b"))
+      embedCosinePairs(emb, idCol, vecCol,
+        ids.crossJoin(ids2).filter(col("id_a") < col("id_b")), threshold)
+    }
   }
 }

@@ -170,8 +170,7 @@ object GraphOps {
     * covered by GraphAlgSpec on planted graphs.
     */
   def gCc(spark: SparkSession, dir: String): DataFrame = {
-    val spark2 = spark
-    val (nodes, edges) = copurchaseGraph(spark2, dir)
+    val (nodes, edges) = copurchaseGraph(spark, dir)
     Algorithms.connectedComponents(nodes, edges)
       .groupBy(col("comp")).agg(count(lit(1)).as("size"))
       .groupBy(col("size")).agg(count(lit(1)).as("n_components"))

@@ -86,9 +86,14 @@ object GraphStore {
       case Some((n, cols)) => df.repartition(n, cols.map(col): _*)
       case None => df
     }
+    // prefix the sort with the partition columns: the parquet write path
+    // requires ordering by them and would inject its own (non-stable)
+    // sort above ours, destroying the sortBy clustering; pre-satisfying
+    // the requirement keeps both orders
     val sorted =
       if (layout.sortBy.nonEmpty)
-        clustered.sortWithinPartitions(layout.sortBy.map(col): _*)
+        clustered.sortWithinPartitions(
+          (layout.partitionBy ++ layout.sortBy).map(col): _*)
       else clustered
     val writer = sorted.write.mode("overwrite")
     val partitioned =

@@ -7,7 +7,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 
 /** Row shapes for the stateful streaming sessionizer. */
 final case class SessionInput(user_id: Long, ts: java.sql.Timestamp, event_id: Long)
-final case class SessionState(startMs: Long, endMs: Long, n: Long)
+final case class SessionBuffer(timesMs: Seq[Long])
 final case class SessionOutput(user_id: Long, session_start: java.sql.Timestamp,
     session_end: java.sql.Timestamp, n_events: Long)
 
@@ -52,13 +52,18 @@ object Streams {
   }
 
   /** Gap-based sessionization, streaming formulation: per-user custom
-    * state via `flatMapGroupsWithState` with an event-time timeout. A
-    * session closes (and is emitted, Append mode) when the watermark
-    * passes its last event + gap; state size is one (start, end, count)
-    * triple per open session per user — bounded regardless of stream
-    * length. Late events inside the micro-batch are handled by sorting
-    * the group iterator; events older than the watermark are dropped by
-    * the engine before they reach the function.
+    * state via `flatMapGroupsWithState` with an event-time timeout.
+    *
+    * Events buffer in state and NOTHING is emitted until the event-time
+    * timeout fires: sessions are only finalized once the watermark has
+    * passed `max(ts) + gap`, at which point no event that could extend,
+    * bridge, or precede them can still arrive (anything later the
+    * engine admits has `ts ≥ watermark > max(ts) + gap`, i.e. a new
+    * session by definition). Emitting eagerly inside a batch would be
+    * wrong in Append mode: a within-watermark out-of-order event in a
+    * later batch can bridge two apparent sessions or extend a "closed"
+    * one backwards. State per user is the event-time buffer inside the
+    * watermark horizon — bounded by the watermark, not stream length.
     */
   def sessionizeStream(spark: SparkSession, events: DataFrame,
       gapSeconds: Long = 1800L, watermark: String = "1 hour"): Dataset[SessionOutput] = {
@@ -66,35 +71,32 @@ object Streams {
     val gapMs = gapSeconds * 1000L
 
     def update(userId: Long, it: Iterator[SessionInput],
-        state: GroupState[SessionState]): Iterator[SessionOutput] = {
-      def emit(s: SessionState): SessionOutput =
-        SessionOutput(userId, new java.sql.Timestamp(s.startMs),
-          new java.sql.Timestamp(s.endMs), s.n)
+        state: GroupState[SessionBuffer]): Iterator[SessionOutput] = {
       if (state.hasTimedOut) {
-        val out = state.getOption.map(emit).iterator
+        // watermark > max(ts) + gap: every buffered event is final —
+        // sort, split on the gap, emit all sessions
+        val ts = state.getOption.map(_.timesMs).getOrElse(Nil).sorted
         state.remove()
-        out
+        val out = Seq.newBuilder[SessionOutput]
+        var start = -1L
+        var end = -1L
+        var n = 0L
+        ts.foreach { t =>
+          if (n == 0L || t - end > gapMs) {
+            if (n > 0L) out += SessionOutput(userId,
+              new java.sql.Timestamp(start), new java.sql.Timestamp(end), n)
+            start = t; end = t; n = 1L
+          } else { end = t; n += 1L }
+        }
+        if (n > 0L) out += SessionOutput(userId,
+          new java.sql.Timestamp(start), new java.sql.Timestamp(end), n)
+        out.result().iterator
       } else {
-        val sorted = it.map(e => e.ts.getTime).toArray.sorted
-        var cur = state.getOption
-        val closed = Seq.newBuilder[SessionOutput]
-        sorted.foreach { t =>
-          cur match {
-            case Some(s) if t - s.endMs <= gapMs =>
-              cur = Some(SessionState(s.startMs, math.max(s.endMs, t), s.n + 1))
-            case Some(s) =>
-              closed += emit(s)
-              cur = Some(SessionState(t, t, 1))
-            case None =>
-              cur = Some(SessionState(t, t, 1))
-          }
-        }
-        cur.foreach { s =>
-          state.update(s)
-          // close when the event-time watermark passes last-seen + gap
-          state.setTimeoutTimestamp(s.endMs + gapMs)
-        }
-        closed.result().iterator
+        val merged = state.getOption.map(_.timesMs).getOrElse(Nil) ++
+          it.map(_.ts.getTime)
+        state.update(SessionBuffer(merged))
+        state.setTimeoutTimestamp(merged.max + gapMs)
+        Iterator.empty
       }
     }
 

@@ -54,6 +54,24 @@ class VectorExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("null ELEMENTS null the result, matching the HOF formulation") {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("a",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType, true)),
+      org.apache.spark.sql.types.StructField("b",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType, true))))
+    val rows = java.util.Arrays.asList(
+      org.apache.spark.sql.Row(Seq[java.lang.Double](1.0, null, 2.0), Seq[java.lang.Double](1.0, 1.0, 1.0)),
+      org.apache.spark.sql.Row(Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](3.0, 4.0)))
+    val df2 = spark.createDataFrame(rows, schema)
+    val got = df2.select(
+      VectorFunctions.dot(col("a"), col("b")).as("d"),
+      VectorFunctions.cosine(col("a"), col("b")).as("c"),
+      referenceDot(col("a"), col("b")).as("rd")).collect()
+    assert(got(0).isNullAt(0) && got(0).isNullAt(1) && got(0).isNullAt(2))
+    assert(got(1).getDouble(0) === 11.0 && got(1).getDouble(2) === 11.0)
+  }
+
   test("edge cases: empty arrays, zero vectors, nulls") {
     import spark.implicits._
     val edge = Seq(

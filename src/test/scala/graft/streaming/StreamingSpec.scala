@@ -75,6 +75,31 @@ class StreamingSpec extends SparkSpec {
         java.sql.Timestamp.valueOf("2024-01-01 11:10:00"), 1L)))
   }
 
+  test("streaming sessionize handles within-watermark out-of-order bridging events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Ev]
+    val sessions = Streams.sessionizeStream(spark, source.toDF(), gapSeconds = 1800,
+      watermark = "2 hours")
+    val q = sessions.writeStream
+      .format("memory").queryName("bridge_out").outputMode("append").start()
+    try {
+      // 10:00 and 10:40 look like two sessions (40min > 30min gap) ...
+      source.addData(Ev(1, ts(0), 5, "click", 0.0), Ev(2, ts(40), 5, "click", 0.0))
+      q.processAllAvailable()
+      // ... until an out-of-order (but within-watermark) 10:20 bridges them
+      source.addData(Ev(3, ts(20), 5, "click", 0.0))
+      q.processAllAvailable()
+      source.addData(Ev(99, java.sql.Timestamp.valueOf("2024-01-03 00:00:00"), 9, "x", 0.0))
+      q.processAllAvailable()
+      source.addData(Ev(100, java.sql.Timestamp.valueOf("2024-01-04 00:00:00"), 9, "x", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("bridge_out").filter(col("user_id") === 5)
+      .collect().map(r => (r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+    assert(got.toSeq === Seq((ts(0), ts(40), 3L)))
+  }
+
   test("sessionize splits on the idle gap") {
     import spark.implicits._
     val sessions = Streams.sessionize(events.toDF(), gapSeconds = 1800)
