@@ -55,6 +55,25 @@ final class PropertyGraph(
     src.join(e.df.filter(edgePred), src(keyCol) === e.df("_src"))
   }
 
+  /** MATCH a chain pattern: start nodes (filtered by `startPred`) then
+    * one hop per edge label, each hop optionally edge-filtered. Returns
+    * one row per matched path with columns `k0, k1, ..., kN` (the node
+    * key at every position). Compiles to a chain of equi-joins —
+    * dimension-sized hops broadcast under AQE, exactly what the
+    * reference's nested adjacency walk becomes on Spark.
+    */
+  def matchPath(startLabel: String, startPred: Column,
+      hops: Seq[(String, Column)]): DataFrame = {
+    val start = nodes(startLabel).df.filter(startPred)
+      .select(col("_id").as("k0"))
+    hops.zipWithIndex.foldLeft(start) { case (acc, ((edgeLabel, edgePred), i)) =>
+      val e = edges(edgeLabel)
+      val hop = e.df.filter(edgePred)
+        .select(col("_src").as(s"__s$i"), col("_dst").as(s"k${i + 1}"))
+      acc.join(hop, acc(s"k$i") === hop(s"__s$i")).drop(s"__s$i")
+    }
+  }
+
   /** Out/in degree per node of `label` over one edge set, including
     * zero-degree nodes (left join, as the reference counts adjacency of
     * every stored node).

@@ -60,16 +60,16 @@ object GraphOps {
     */
   def gMatch2Hop(spark: SparkSession, dir: String): DataFrame = {
     val gr = g(spark, dir)
-    val inNation = gr.edges("IN_NATION").df
-    val inRegion = gr.edges("IN_REGION").df
-    val nation = gr.nodes("nation").df
+    // path keys: k0=custkey, k1=nationkey, k2=regionkey
+    val paths = gr.matchPath("customer", lit(true),
+      Seq("IN_NATION" -> lit(true), "IN_REGION" -> lit(true)))
+    val nation = gr.nodes("nation").df.select(col("_id").as("nk"), col("n_name"))
     val region = gr.nodes("region").df.filter(col("r_name") === "EUROPE")
-    gr.nodes("customer").df.select(col("_id").as("c_custkey"))
-      .join(inNation, col("c_custkey") === inNation("_src"))
-      .join(broadcast(nation), inNation("_dst") === nation("_id"))
-      .join(broadcast(inRegion), nation("_id") === inRegion("_src"))
-      .join(broadcast(region), inRegion("_dst") === region("_id"))
-      .select(col("c_custkey"), col("n_name"), col("r_name"))
+      .select(col("_id").as("rk"), col("r_name"))
+    paths
+      .join(broadcast(nation), col("k1") === col("nk"))
+      .join(broadcast(region), col("k2") === col("rk"))
+      .select(col("k0").as("c_custkey"), col("n_name"), col("r_name"))
   }
 
   val gMatch2HopSql: String =
