@@ -84,7 +84,10 @@ final class Interpreter(spark: SparkSession) {
   /** Literal → typed value per the catalog field type. */
   private def coerce(lit: Ast.Literal, tpe: Ast.TypeSpec): Any = lit.kind match {
     case Ast.LitKind.Null => null
-    case Ast.LitKind.Bool => lit.text == "true"
+    case Ast.LitKind.Bool => Types.toSpark(tpe) match {
+      case BooleanType => lit.text == "true"
+      case _ => throw ExecError(s"boolean literal for non-boolean field type")
+    }
     case Ast.LitKind.Num => Types.toSpark(tpe) match {
       case LongType => lit.text.toDouble.toLong
       case DoubleType => lit.text.toDouble
@@ -126,12 +129,17 @@ final class Interpreter(spark: SparkSession) {
       val byName = props.map(p => p.name -> p).toMap
       props.foreach(p => fieldType(label, p.name, isNode = true)) // unknown-field check
       val values = nt.fields.map { f =>
-        byName.get(f.name).map(p => coerce(p.value, f.tpe))
+        val v = byName.get(f.name).map(p => coerce(p.value, f.tpe))
           .orElse(f.defaultRaw.map(d => coerce(inferLiteral(d), f.tpe)))
           .getOrElse {
             if (f.notNull) throw ExecError(s"required field '${f.name}' is missing")
             null
           }
+        // explicit `field: null` (or DEFAULT null) must not slip past
+        // NOT NULL — the schema declares the column non-nullable
+        if (v == null && f.notNull)
+          throw ExecError(s"required field '${f.name}' is null")
+        v
       }
       st.pending += Row.fromSeq(nextIdValue() +: values)
       None
@@ -229,7 +237,14 @@ final class Interpreter(spark: SparkSession) {
   private def findNodeId(ref: Ast.NodeRef): Long = {
     val df = nodes(ref.nodeType)
     val matched = ref.id match {
-      case Some(idLit) => df.filter(col("_id") === lit(idLit.text.toDouble.toLong))
+      case Some(idLit) =>
+        // graft node ids are longs; a non-numeric id ref is a statement
+        // error, not a NumberFormatException from the bowels
+        val id = try idLit.text.toDouble.toLong catch {
+          case _: NumberFormatException =>
+            throw ExecError(s"node id must be numeric, got '${idLit.text}'")
+        }
+        df.filter(col("_id") === lit(id))
       case None => df.filter(whereCond(ref.nodeType, ref.properties, isNode = true))
     }
     val rows = matched.select(min(col("_id"))).collect()

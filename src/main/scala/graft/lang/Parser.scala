@@ -25,12 +25,17 @@ final class Parser(tokens: Vector[Token]) {
   private def expect(k: Tok.Tok): Token =
     if (tok.kind == k) next() else err(s"expected $k, found '${tok.lit}'")
 
-  /** Reserved words that cannot be bare identifiers in field positions. */
+  /** Reserved words that cannot be bare identifiers (the reference's
+    * lexer keyword table, keywords.go, makes type names keywords
+    * everywhere). Backtick-quoting is the escape hatch.
+    */
   private val typeKeywords = Set("STRING", "TEXT", "INT", "FLOAT", "BOOL", "UUID",
     "DATE", "TIME", "DATETIME", "JSON", "BLOB", "ARRAY", "ENUM")
 
   private def expectIdent(): String = {
     if (tok.kind != Tok.IDENT) err(s"expected identifier, found '${tok.lit}'")
+    if (!tok.quoted && typeKeywords.contains(tok.kw))
+      err(s"'${tok.lit}' is a reserved type name; quote it with backticks to use as an identifier")
     next().lit
   }
 

@@ -70,6 +70,9 @@ object Dedup {
     * probability is ≈ 0.67. Shuffles on the bucket key only.
     */
   def lshCandidates(sigs: DataFrame, numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    require(numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes) — a remainder would " +
+        "silently drop signature slots and change the collision S-curve")
     val rowsPerBand = numHashes / bands
     val bandCols = (0 until bands).map { b =>
       val slots = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
@@ -193,8 +196,13 @@ object Dedup {
     */
   def embedCosineAllPairs(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double, broadcastRowBound: Long = 2000000L): DataFrame = {
-    val e = emb.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
-    if (e.count() <= broadcastRowBound) {
+    if (emb.count() <= broadcastRowBound) {
+      // small table: materialize the projection once — both self-join
+      // legs read it (storing a table this size on executors is free;
+      // the fallback path deliberately does NOT checkpoint, since past
+      // the bound that would spool the whole table to block storage)
+      val e = emb.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+        .localCheckpoint()
       val a = e.select(col(idCol).as("id_a"), col("__v").as("va"))
       val b = e.select(col(idCol).as("id_b"), col("__v").as("vb"))
       a.join(broadcast(b), col("id_a") < col("id_b"))

@@ -40,7 +40,10 @@ object Streams {
     */
   def sessionize(events: DataFrame, gapSeconds: Long = 1800L): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val epoch = col("ts").cast("long")
+    // fractional-second epoch: cast to long truncates sub-second parts,
+    // which can flip a gap comparison within 1s of the threshold vs the
+    // oracle's fractional epoch(ts)
+    val epoch = col("ts").cast("double")
     val prev = lag(epoch, 1).over(w)
     val isNew = when(prev.isNull || epoch - prev > gapSeconds, 1).otherwise(0)
     events

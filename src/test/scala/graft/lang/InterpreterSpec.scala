@@ -47,6 +47,16 @@ class InterpreterSpec extends SparkSpec {
     assertThrows[ExecError](it.executeScript("INSERT NODE P (age: 5);"))
     assertThrows[ExecError](it.executeScript("INSERT NODE P (name: 'x', nope: 1);"))
     assertThrows[ExecError](it.executeScript("INSERT NODE Nope (a: 1);"))
+    // explicit null must not slip past NOT NULL
+    assertThrows[ExecError](it.executeScript("INSERT NODE P (name: null);"))
+    // literal/type mismatches are statement errors, not deferred crashes
+    assertThrows[ExecError](it.executeScript("INSERT NODE P (name: 'x', age: true);"))
+    // non-numeric id ref in an edge endpoint is a clean statement error
+    it.executeScript(
+      """CREATE EDGE E (FROM P ONE, TO P ONE);
+        |INSERT NODE P (name: 'a');""".stripMargin)
+    assertThrows[ExecError](
+      it.executeScript("INSERT EDGE E FROM P ('nope') TO P (1);"))
   }
 
   test("insert edge resolves endpoints by id and by property") {

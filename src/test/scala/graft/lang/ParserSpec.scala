@@ -141,4 +141,10 @@ class ParserSpec extends AnyFunSuite {
     assertThrows[ParseError](Parser.parse("INSERT NODE P (a 1);"))
     assertThrows[LexError](Parser.parse("INSERT NODE P (a: 'unterminated);"))
   }
+
+  test("type names are reserved identifiers unless backtick-quoted") {
+    assertThrows[ParseError](Parser.parse("CREATE NODE P (int: string);"))
+    val Seq(cn) = Parser.parse("CREATE NODE P (`int`: string);")
+    assert(cn.asInstanceOf[CreateNode].fields.head.name === "int")
+  }
 }
