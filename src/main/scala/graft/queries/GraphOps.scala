@@ -242,15 +242,22 @@ object GraphOps {
     * in the same order (canonicalized a<b, deduped). Bounded per-order
     * fanout (k parts → k²/2 pairs with k ≈ 4) keeps this linear-ish in
     * lineitem size at any SF.
+    *
+    * Derivation is groupBy + per-order pair explosion over the collected
+    * part array — two shuffles (order groupBy, final dedup) instead of
+    * the distinct + self-join + distinct formulation's four, and the
+    * intra-order pair blowup happens in a map stage, never on the wire.
     */
   private def copurchaseGraph(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val op = Tables.load(spark, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val a = op.select(col("l_orderkey").as("o"), col("l_partkey").as("pa"))
-    val b = op.select(col("l_orderkey").as("o2"), col("l_partkey").as("pb"))
-    val edges = a.join(b, col("o") === col("o2") && col("pa") < col("pb"))
-      .select(col("pa").as("gsrc"), col("pb").as("gdst")).distinct()
-    val nodes = op.select(col("l_partkey").as("gid")).distinct()
+    val li = Tables.load(spark, dir, "lineitem")
+    val perOrder = li.groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
+    val edges = perOrder.select(explode(flatten(transform(col("ps"),
+        (x, i) => transform(slice(col("ps"), i + 2, size(col("ps"))),
+          y => struct(x.as("gsrc"), y.as("gdst")))))).as("e"))
+      .select(col("e.gsrc").as("gsrc"), col("e.gdst").as("gdst"))
+      .distinct()
+    val nodes = li.select(col("l_partkey").as("gid")).distinct()
     (nodes, edges)
   }
 
