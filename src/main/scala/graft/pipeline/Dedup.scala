@@ -46,6 +46,16 @@ object Dedup {
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(col(idCol).as("id"), explode(shingleArray(col(textCol), n)).as("sh"))
 
+  /** (id, h) — shingles hashed once to 64-bit longs. Downstream set
+    * operations (minhash permutations, Jaccard intersections) work on
+    * the hash: rows shuffle as 16 bytes instead of strings, and a
+    * 64-bit collision (~1e-9 per pair) is far below any dedup
+    * threshold's noise floor. Compute once, checkpoint, feed BOTH the
+    * signature and the verify stage.
+    */
+  def hashedShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    shingles(df, idCol, textCol, n).select(col("id"), xxhash64(col("sh")).as("h"))
+
   // --------------------------------------------------------------- MinHash
 
   /** MinHash signatures: numHashes independent permutations approximated
@@ -56,9 +66,13 @@ object Dedup {
     * per shingle with the same collision behavior.
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, numHashes: Int = 64): DataFrame = {
-    val sh = shingles(df, idCol, textCol, shingleN)
-      .select(col("id"), xxhash64(col("sh")).as("h"))
+      shingleN: Int = 3, numHashes: Int = 64): DataFrame =
+    signaturesFromHashed(hashedShingles(df, idCol, textCol, shingleN), numHashes)
+
+  /** Signatures from a precomputed (id, h) shingle-hash table — lets a
+    * candidate-then-verify pipeline shingle the corpus exactly once.
+    */
+  def signaturesFromHashed(sh: DataFrame, numHashes: Int = 64): DataFrame = {
     val aggs = (0 until numHashes).map(i => min(xxhash64(lit(i), col("h"))).as(s"mh$i"))
     sh.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
   }
@@ -147,18 +161,24 @@ object Dedup {
     * keys only.
     */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
-      pairs: DataFrame, shingleN: Int = 3): DataFrame = {
-    // sh feeds three legs (A-side, B-side, sizes) and pairs feeds two —
-    // materialize each once; Catalyst treats the legs as independent
-    // subtrees and would re-derive them per use
-    val sh = shingles(df, idCol, textCol, shingleN).localCheckpoint()
+      pairs: DataFrame, shingleN: Int = 3): DataFrame =
+    ngramJaccardFromHashed(
+      hashedShingles(df, idCol, textCol, shingleN).localCheckpoint(), pairs)
+
+  /** Exact Jaccard from a precomputed (id, h) shingle-hash table (the
+    * same table the signature stage used — shingle the corpus once).
+    * Callers should pass it checkpointed: it feeds three legs (A-side,
+    * B-side, sizes) and Catalyst treats the legs as independent
+    * subtrees, re-deriving an unmaterialized input per use.
+    */
+  def ngramJaccardFromHashed(sh: DataFrame, pairs: DataFrame): DataFrame = {
     val cachedPairs = pairs.localCheckpoint()
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    val shA = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
-    val shB = sh.select(col("id").as("__idb"), col("sh").as("sh_b"))
+    val shA = sh.select(col("id").as("id_a"), col("h").as("h_a"))
+    val shB = sh.select(col("id").as("__idb"), col("h").as("h_b"))
     val inter = cachedPairs
       .join(shA, "id_a")
-      .join(shB, col("id_b") === col("__idb") && col("sh_a") === col("sh_b"))
+      .join(shB, col("id_b") === col("__idb") && col("h_a") === col("h_b"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
     cachedPairs
       .join(inter, Seq("id_a", "id_b"), "left")

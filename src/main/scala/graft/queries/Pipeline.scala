@@ -32,11 +32,14 @@ object Pipeline {
     Dedup.simhashDupes(sims, maxHamming = 3)
   }
 
-  /** Exact n-gram Jaccard verification over the MinHash candidates. */
+  /** Exact n-gram Jaccard verification over the MinHash candidates —
+    * the candidate-then-verify pipeline sharing ONE shingling pass.
+    */
   def pDedupNgram(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
-    val cands = Dedup.minhashDupes(docs, "doc_id", "text")
-    Dedup.ngramJaccard(docs, "doc_id", "text", cands)
+    val sh = Dedup.hashedShingles(docs, "doc_id", "text", n = 3).localCheckpoint()
+    val cands = Dedup.lshCandidates(Dedup.signaturesFromHashed(sh))
+    Dedup.ngramJaccardFromHashed(sh, cands)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
