@@ -58,7 +58,7 @@ object Ann {
     val v = col(vecCol).cast("array<double>")
     val tables = (0 until numTables).map { t =>
       val bucket = (0 until bitsPerTable).map { b =>
-        val planeCol = array(ps(t * bitsPerTable + b).map(lit): _*)
+        val planeCol = array(ps(t * bitsPerTable + b).toIndexedSeq.map(lit): _*)
         when(VectorFunctions.dot(planeCol, v) >= 0, lit(1L << b)).otherwise(0L)
       }.reduce(_ + _)
       struct(lit(t).as("table"), bucket.as("bucket"))
@@ -80,7 +80,7 @@ object Ann {
       centroids: Seq[(Int, Array[Double])], nProbe: Int): DataFrame = {
     val v = col(vecCol).cast("array<double>")
     val scored = centroids.map { case (cid, cv) =>
-      struct(VectorFunctions.cosine(array(cv.map(lit): _*), v).as("score"),
+      struct(VectorFunctions.cosine(array(cv.toIndexedSeq.map(lit): _*), v).as("score"),
         lit(cid).as("cid"))
     }
     // top-nProbe centroids by score: struct ordering compares score
