@@ -1,0 +1,114 @@
+package graft.graph
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** Randomized cross-checks of the distributed graph algorithms against
+  * exhaustive driver-side reference implementations. These operators are
+  * rows-only in the driver's oracle gate (no tractable SQL fixpoint), so
+  * seeded random graphs are the strongest correctness evidence: planted
+  * examples catch the happy path, random multigraphs with self-loops,
+  * duplicates, and isolates catch the rest.
+  */
+class RandomizedAlgSpec extends SparkSpec {
+
+  private def randomGraph(seed: Int): (Seq[Long], Seq[(Long, Long)]) = {
+    val rnd = new Random(seed)
+    val n = 4 + rnd.nextInt(9) // 4..12 nodes
+    val nodes = (0L until n.toLong).toSeq
+    val m = rnd.nextInt(3 * n)
+    val edges = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+    (nodes, edges)
+  }
+
+  private def toDf(nodes: Seq[Long], edges: Seq[(Long, Long)]) = {
+    import spark.implicits._
+    (nodes.toDF("gid"),
+      if (edges.isEmpty) Seq((0L, 0L)).toDF("gsrc", "gdst").limit(0)
+      else edges.toDF("gsrc", "gdst"))
+  }
+
+  test("triangle count matches brute-force enumeration on random multigraphs") {
+    (1 to 8).foreach { seed =>
+      val (nodes, edges) = randomGraph(seed)
+      val (_, edf) = toDf(nodes, edges)
+      val got = Algorithms.triangleCount(edf).first().getLong(0)
+      val simple = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .filter { case (a, b) => a != b }.toSet
+      val vs = simple.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+      val expected = (for {
+        i <- vs.indices; j <- (i + 1) until vs.size; k <- (j + 1) until vs.size
+        a = vs(i); b = vs(j); c = vs(k)
+        if simple((a, b)) && simple((a, c)) && simple((b, c))
+      } yield 1).size.toLong
+      assert(got === expected, s"seed=$seed edges=$simple")
+    }
+  }
+
+  test("connected components match union-find on random multigraphs") {
+    (11 to 18).foreach { seed =>
+      val (nodes, edges) = randomGraph(seed)
+      val (ndf, edf) = toDf(nodes, edges)
+      val got = Algorithms.connectedComponents(ndf, edf)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // driver union-find with min-label canonicalization
+      val parent = scala.collection.mutable.Map(nodes.map(v => v -> v): _*)
+      def find(v: Long): Long = if (parent(v) == v) v else { val r = find(parent(v)); parent(v) = r; r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = nodes.map(v => v -> find(v)).toMap
+      assert(got === expected, s"seed=$seed edges=$edges")
+    }
+  }
+
+  test("bfs hop distances match driver BFS on random digraphs") {
+    (21 to 26).foreach { seed =>
+      val (nodes, edges) = randomGraph(seed)
+      val (_, edf) = toDf(nodes, edges)
+      val seeds = nodes.take(2)
+      import spark.implicits._
+      val got = Algorithms.bfs(edf, seeds.toDF("gid"), maxHops = 4)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      // driver BFS
+      val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      var dist = seeds.map(_ -> 0).toMap
+      var frontier = seeds.toSet
+      var hop = 0
+      while (hop < 4 && frontier.nonEmpty) {
+        hop += 1
+        val next = frontier.flatMap(v => adj.getOrElse(v, Nil)).diff(dist.keySet)
+        dist ++= next.map(_ -> hop)
+        frontier = next
+      }
+      assert(got === dist, s"seed=$seed edges=$edges")
+    }
+  }
+
+  test("pagerank matches driver power iteration on random digraphs") {
+    (31 to 35).foreach { seed =>
+      val (nodes, edges) = randomGraph(seed)
+      val (ndf, edf) = toDf(nodes, edges)
+      val got = Algorithms.pageRank(ndf, edf, iters = 6)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      // driver power iteration, identical semantics
+      val n = nodes.size.toDouble
+      val d = 0.85
+      val out = edges.groupBy(_._1).view.mapValues(_.size).toMap
+      val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      var pr = nodes.map(_ -> 1.0 / n).toMap
+      (1 to 6).foreach { _ =>
+        val dm = nodes.filterNot(out.contains).map(pr).sum
+        val contrib = scala.collection.mutable.Map.empty[Long, Double].withDefaultValue(0.0)
+        adj.foreach { case (u, ts) => ts.foreach(t => contrib(t) += pr(u) / out(u)) }
+        pr = nodes.map(v => v -> ((1 - d) / n + d * (contrib(v) + dm / n))).toMap
+      }
+      nodes.foreach { v =>
+        assert(math.abs(got(v) - pr(v)) < 1e-9, s"seed=$seed node=$v edges=$edges")
+      }
+      assert(math.abs(got.values.sum - 1.0) < 1e-9)
+    }
+  }
+}
