@@ -1,0 +1,61 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** Randomized cross-check of the exact-Jaccard verify stage against a
+  * driver-side set computation — the dedup candidates are rows-only in
+  * the driver gate, so random corpora are the evidence that the
+  * shingle/hash/join pipeline computes the textbook quantity.
+  */
+class RandomizedDedupSpec extends SparkSpec {
+
+  private val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo",
+    "foxtrot", "golf", "hotel")
+
+  private def randomDoc(rnd: Random): String =
+    Seq.fill(3 + rnd.nextInt(15))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+
+  private def shingleSet(text: String, n: Int): Set[String] = {
+    val toks = text.toLowerCase.trim.split("\\s+").toSeq
+    if (toks.size < n) Set(toks.mkString(" "))
+    else toks.sliding(n).map(_.mkString(" ")).toSet
+  }
+
+  test("ngram jaccard matches driver set computation on random corpora") {
+    import spark.implicits._
+    (1 to 4).foreach { seed =>
+      val rnd = new Random(seed)
+      val docs = (0L until 8L).map(i => (i, randomDoc(rnd)))
+      val df = docs.toDF("doc_id", "text")
+      val pairs = (for {
+        a <- docs.indices; b <- (a + 1) until docs.size
+      } yield (a.toLong, b.toLong)).toDF("id_a", "id_b")
+      val got = Dedup.ngramJaccard(df, "doc_id", "text", pairs, shingleN = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      docs.indices.foreach { a =>
+        ((a + 1) until docs.size).foreach { b =>
+          val sa = shingleSet(docs(a)._2, 2)
+          val sb = shingleSet(docs(b)._2, 2)
+          val expected = sa.intersect(sb).size.toDouble / sa.union(sb).size
+          assert(math.abs(got((a.toLong, b.toLong)) - expected) < 1e-12,
+            s"seed=$seed pair=($a,$b)")
+        }
+      }
+    }
+  }
+
+  test("exact dedup groups match driver grouping on random corpora with planted dupes") {
+    import spark.implicits._
+    val rnd = new Random(99)
+    val base = (0L until 6L).map(i => (i, randomDoc(rnd)))
+    val docs = base ++ Seq((6L, base(0)._2), (7L, base(2)._2), (8L, base(0)._2))
+    val got = Dedup.exact(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val expected = docs.groupBy(_._2).map { case (_, g) =>
+      g.map(_._1).min -> g.size.toLong
+    }
+    assert(got === expected)
+  }
+}
