@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join (SURVEY §2.4 row 37) as a reusable operator.
+  *
+  * For every left ("probe") row, attach the most recent right
+  * ("reference") row with the same key whose timestamp is at or before
+  * the probe's. Implemented the scalable way: union both sides, one
+  * sort within each key partition, carry the latest reference payload
+  * forward with `last(ignoreNulls)` — a single shuffle on the key, no
+  * per-row range-join blowup, and no broadcast requirement on either
+  * side. This is the formulation that survives a 100 TB probe stream
+  * against a 100 TB reference table (both sides shuffle once on the
+  * key; a hot key is AQE's skew-join case).
+  *
+  * Ordering within equal timestamps: reference rows sort BEFORE probe
+  * rows (side marker 0 vs 1), so an exactly-simultaneous reference
+  * value is visible to the probe — inclusive as-of, matching DuckDB's
+  * `ASOF JOIN ... ON ref.ts <= probe.ts`.
+  */
+object AsOf {
+
+  /** @param left        probe side
+    * @param right       reference side
+    * @param keyCol      equality key present on both sides
+    * @param tsCol       event-time column present on both sides
+    * @param payloadCols reference columns to carry onto the probe rows
+    * @return left's columns + one `asof_<payload>` column per payload
+    *         (null when no reference row precedes the probe)
+    */
+  def backward(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
+      payloadCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val probe = left.select(
+      leftCols.map(col) ++ Seq(lit(1).as("__side")) ++
+        payloadCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__p_$c")): _*)
+    // project the reference side onto the probe's exact column list
+    val ref = right.select(probe.columns.toSeq.map {
+      case c if c == keyCol || c == tsCol => col(c)
+      case "__side" => lit(0).as("__side")
+      case c if c.startsWith("__p_") => col(c.stripPrefix("__p_")).as(c)
+      case c => lit(null).cast(probe.schema(c).dataType).as(c)
+    }: _*)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payloadCols.foldLeft(probe.unionByName(ref)) { (df, c) =>
+      df.withColumn(s"asof_$c", last(col(s"__p_$c"), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__side") === 1)
+      .select(leftCols.map(col) ++ payloadCols.map(c => col(s"asof_$c")): _*)
+  }
+}

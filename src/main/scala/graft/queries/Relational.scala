@@ -193,8 +193,30 @@ object Relational {
        FROM events p
        WHERE p.event_type = 'purchase'"""
 
+  /** The reusable [[graft.operators.AsOf]] operator on the same
+    * enrichment task, oracle'd by DuckDB's native ASOF JOIN.
+    */
+  def qAsofOperator(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value"))
+    graft.operators.AsOf.backward(purchases, clicks, "user_id", "ts", Seq("value"))
+      .select(col("purchase_id"), col("user_id"),
+        round(col("asof_value"), 4).as("asof_value"))
+  }
+
+  val qAsofOperatorSql: String =
+    """SELECT p.event_id AS purchase_id, p.user_id,
+              round(c.value, 4) AS asof_value
+       FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+       ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+         ON p.user_id = c.user_id AND c.ts <= p.ts"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q1_agg", q1Agg, q1AggSql),
+    QueryDef.sql("q_asof_operator", qAsofOperator, qAsofOperatorSql),
     QueryDef.sql("q3_shipping", q3Shipping, q3ShippingSql),
     QueryDef.sql("q5_multijoin", q5MultiJoin, q5MultiJoinSql),
     QueryDef.sql("q_window_rank", qWindowRank, qWindowRankSql),
