@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Range (interval) join as a bucketized equi-join.
+  *
+  * Spark plans a pure range predicate (`p.ts BETWEEN i.start AND i.end`
+  * with no equality key) as BroadcastNestedLoopJoin — a cross-product
+  * scan that dies at scale. The standard fix: quantize time into
+  * buckets of `bucketWidth` seconds, explode each interval to the
+  * buckets it covers, map each point to its single bucket, equi-join on
+  * (bucket ++ extra keys), and apply the exact range predicate after.
+  * Shuffle volume is O(points + intervals × avg-buckets-per-interval),
+  * and each point lands in exactly one bucket so no dedup pass is
+  * needed. Pick bucketWidth ≈ the typical interval length: shorter
+  * wastes interval replicas, longer inflates bucket population.
+  *
+  * `extraKeys` (equality columns present on both sides) fold into the
+  * join key — with them this is a per-key range join (e.g. attribution
+  * windows per user); without them it is the keyless case Spark cannot
+  * otherwise execute at scale.
+  */
+object RangeJoin {
+
+  /** Join points (`tsCol`, epoch-seconds castable) to intervals
+    * (`[startCol, endCol]`, inclusive both ends). Returns point columns
+    * + interval columns (interval side prefixed where names collide is
+    * the caller's concern — pre-alias).
+    */
+  def pointInInterval(points: DataFrame, tsCol: String,
+      intervals: DataFrame, startCol: String, endCol: String,
+      bucketWidthSeconds: Long, extraKeys: Seq[String] = Nil): DataFrame = {
+    val w = lit(bucketWidthSeconds)
+    val p = points.withColumn("__bucket",
+      floor(col(tsCol).cast("double") / w))
+    val i = intervals.withColumn("__bucket",
+      explode(sequence(
+        floor(col(startCol).cast("double") / w),
+        floor(col(endCol).cast("double") / w))))
+    val joinCond = (Seq(p("__bucket") === i("__bucket")) ++
+      extraKeys.map(k => p(k) === i(k)))
+      .reduce(_ && _)
+    val joined = p.join(i, joinCond)
+      .filter(p(tsCol) >= i(startCol) && p(tsCol) <= i(endCol))
+      .drop("__bucket")
+    // keep the point side's copy of each shared equality key
+    extraKeys.foldLeft(joined)((df, k) => df.drop(i(k)))
+  }
+}

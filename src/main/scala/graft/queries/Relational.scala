@@ -214,9 +214,33 @@ object Relational {
        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
          ON p.user_id = c.user_id AND c.ts <= p.ts"""
 
+  /** Attribution-window range join via [[graft.operators.RangeJoin]]:
+    * every click within the 30 minutes before a same-user purchase.
+    */
+  def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        expr("ts - INTERVAL 30 MINUTE").as("w_start"), col("ts").as("w_end"))
+    graft.operators.RangeJoin.pointInInterval(
+        clicks, "ts", purchases, "w_start", "w_end",
+        bucketWidthSeconds = 1800L, extraKeys = Seq("user_id"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"))
+  }
+
+  val qRangeJoinSql: String =
+    """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+       FROM events c JOIN events p
+         ON c.user_id = p.user_id
+        AND c.event_type = 'click' AND p.event_type = 'purchase'
+        AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q1_agg", q1Agg, q1AggSql),
     QueryDef.sql("q_asof_operator", qAsofOperator, qAsofOperatorSql),
+    QueryDef.sql("q_range_join", qRangeJoin, qRangeJoinSql),
     QueryDef.sql("q3_shipping", q3Shipping, q3ShippingSql),
     QueryDef.sql("q5_multijoin", q5MultiJoin, q5MultiJoinSql),
     QueryDef.sql("q_window_rank", qWindowRank, qWindowRankSql),
