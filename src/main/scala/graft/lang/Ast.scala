@@ -93,4 +93,91 @@ object Ast {
   final case class MatchElement(tpe: String, alias: Option[String])
   final case class Match(pattern: Seq[MatchElement], where: Seq[Property],
       ret: Seq[String]) extends Stmt
+
+  // ------------------------------------------------------------ renderer
+
+  /** Statement → canonical source text. Round-trips through the parser
+    * (`Parser.parse(render(s)).head == s`, asserted in ParserSpec) —
+    * the contract the commit log relies on: a logged statement replays
+    * to the same AST.
+    */
+  def render(s: Stmt): String = s match {
+    case CreateNode(n, fs) => s"CREATE NODE ${id(n)} (${fs.map(field).mkString(", ")});"
+    case CreateEdge(n, f, t, ps) =>
+      val props = if (ps.isEmpty) "" else s", PROPS (${ps.map(field).mkString(", ")})"
+      s"CREATE EDGE ${id(n)} (FROM ${endpoint(f)}, TO ${endpoint(t)}$props);"
+    case AlterNode(n, a) => a match {
+      case AlterNodeAction.AddField(f) => s"ALTER NODE ${id(n)} ADD ${field(f)};"
+      case AlterNodeAction.DropField(f) => s"ALTER NODE ${id(n)} DROP ${id(f)};"
+      case AlterNodeAction.ModifyField(f) => s"ALTER NODE ${id(n)} MODIFY ${field(f)};"
+      case AlterNodeAction.SetPrimaryKey(fs) =>
+        s"ALTER NODE ${id(n)} SET PRIMARY KEY (${fs.map(id).mkString(", ")});"
+    }
+    case AlterEdge(n, a) => a match {
+      case AlterEdgeAction.AddProp(p) => s"ALTER EDGE ${id(n)} ADD ${field(p)};"
+      case AlterEdgeAction.DropProp(p) => s"ALTER EDGE ${id(n)} DROP ${id(p)};"
+      case AlterEdgeAction.ModifyProp(p) => s"ALTER EDGE ${id(n)} MODIFY ${field(p)};"
+      case AlterEdgeAction.SetEndpoints(f, t) =>
+        s"ALTER EDGE ${id(n)} SET FROM ${endpoint(f)} TO ${endpoint(t)};"
+    }
+    case DropNode(n) => s"DROP NODE ${id(n)};"
+    case DropEdge(n) => s"DROP EDGE ${id(n)};"
+    case InsertNode(t, ps) => s"INSERT NODE ${id(t)} (${props(ps)});"
+    case InsertEdge(t, f, to, ps) =>
+      val p = if (ps.isEmpty) "" else s" (${props(ps)})"
+      s"INSERT EDGE ${id(t)} FROM ${nodeRef(f)} TO ${nodeRef(to)}$p;"
+    case UpdateNode(t, set, where) =>
+      s"UPDATE NODE ${id(t)} SET ${props(set)}${whereClause(where)};"
+    case UpdateEdge(t, set, where) =>
+      s"UPDATE EDGE ${id(t)} SET ${props(set)}${whereClause(where)};"
+    case DeleteNode(t, where) => s"DELETE NODE ${id(t)}${whereClause(where)};"
+    case DeleteEdge(t, where) => s"DELETE EDGE ${id(t)}${whereClause(where)};"
+    case Match(pat, where, ret) =>
+      val p = pat.map(e => (Seq(id(e.tpe)) ++ e.alias.map(id)).mkString(" ")).mkString(", ")
+      val r = if (ret.isEmpty) "" else s" RETURN ${ret.map(id).mkString(", ")}"
+      s"MATCH $p${whereClause(where)}$r;"
+  }
+
+  private def plainIdent = "[A-Za-z_][A-Za-z0-9_]*".r
+  private val reserved = Set("STRING", "TEXT", "INT", "FLOAT", "BOOL", "UUID",
+    "DATE", "TIME", "DATETIME", "JSON", "BLOB", "ARRAY", "ENUM")
+  private def id(n: String): String =
+    if (plainIdent.matches(n) && !reserved.contains(n.toUpperCase)) n else s"`$n`"
+
+  private def lit(l: Literal): String = l.kind match {
+    case LitKind.Str => "'" + l.text.replace("'", "''") + "'"
+    case _ => l.text
+  }
+
+  private def props(ps: Seq[Property]): String =
+    ps.map(p => s"${id(p.name)}: ${lit(p.value)}").mkString(", ")
+
+  private def whereClause(ps: Seq[Property]): String =
+    if (ps.isEmpty) "" else s" WHERE ${props(ps)}"
+
+  private def nodeRef(r: NodeRef): String = {
+    val inner = r.id.map(lit).getOrElse(props(r.properties))
+    s"${id(r.nodeType)} ($inner)"
+  }
+
+  private def endpoint(e: Endpoint): String =
+    s"${id(e.label)} ${if (e.card == Cardinality.Many) "MANY" else "ONE"}"
+
+  private def tpe(t: TypeSpec): String = t match {
+    case TypeSpec(_, Some(el), _) => s"array<${tpe(el)}>"
+    case TypeSpec(_, _, vs) if vs.nonEmpty =>
+      s"enum<${vs.map(v => "'" + v.replace("'", "''") + "'").mkString(", ")}>"
+    case TypeSpec(b, _, _) => b match {
+      case Base.Str => "string"
+      case other => other.toString.toLowerCase
+    }
+  }
+
+  private def field(f: FieldDef): String = {
+    val opts = (if (f.primaryKey) " PRIMARY KEY" else "") +
+      (if (f.unique) " UNIQUE" else "") +
+      (if (f.notNull) " NOT NULL" else "") +
+      f.default.map(d => s" DEFAULT ${lit(d)}").getOrElse("")
+    s"${id(f.name)}: ${tpe(f.tpe)}$opts"
+  }
 }

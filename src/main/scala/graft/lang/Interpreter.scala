@@ -205,6 +205,27 @@ final class Interpreter(spark: SparkSession) {
   /** WAL replay: reconstruct state from an ordered statement log. */
   def replay(script: String): Unit = { executeScript(script); () }
 
+  /** Boot-path state reconstruction from an on-disk commit log
+    * (reference server replay-on-boot: every logged statement re-applied
+    * in order).
+    */
+  def replayLog(log: graft.store.CommitLog): Unit =
+    log.replay(line => { executeScript(line); () })
+
+  /** Execute a script AND append its statements to the commit log —
+    * the serving-path pairing of [[replayLog]]. MATCH statements are
+    * not logged (reads don't mutate state, reference server.go appends
+    * mutating commands only).
+    */
+  def executeLogged(script: String, log: graft.store.CommitLog): Option[DataFrame] =
+    Parser.parse(script).foldLeft(Option.empty[DataFrame]) { (acc, s) =>
+      s match {
+        case _: Ast.Match => ()
+        case _ => log.append(Ast.render(s))
+      }
+      execute(s).orElse(acc)
+    }
+
   /** Current node set for a label (empty DF if nothing inserted). */
   def nodes(label: String): DataFrame = {
     if (!cat.nodes.contains(label)) throw ExecError(s"unknown node type: $label")

@@ -119,6 +119,28 @@ class InterpreterSpec extends SparkSpec {
       it.nodes("P").orderBy("_id").collect().toSeq)
   }
 
+  test("commit log: executeLogged appends mutations, replayLog reconstructs state") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-wal").toString
+    val log = graft.store.CommitLog.open(dir)
+    val it = fresh()
+    it.executeLogged(
+      """CREATE NODE Person (name: string, age: int);
+        |INSERT NODE Person (name: 'John', age: 30);
+        |INSERT NODE Person (name: 'Jane', age: 25);
+        |UPDATE NODE Person SET age: 31 WHERE name: 'John';
+        |MATCH Person WHERE name: 'John';""".stripMargin, log)
+    // MATCH is a read — not logged
+    val logged = java.nio.file.Files.readAllLines(log.path)
+    assert(logged.size === 4)
+    assert(!logged.toString.contains("MATCH"))
+    // boot path: a fresh interpreter replaying the log reaches the same state
+    val rebooted = fresh()
+    rebooted.replayLog(log)
+    val rows = rebooted.nodes("Person").collect()
+      .map(r => r.getAs[String]("name") -> r.getAs[Long]("age")).toMap
+    assert(rows === Map("John" -> 31L, "Jane" -> 25L))
+  }
+
   test("match with return projection and drop") {
     val it = fresh()
     it.executeScript(

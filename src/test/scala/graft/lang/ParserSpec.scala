@@ -135,6 +135,27 @@ class ParserSpec extends AnyFunSuite {
     assert(m2.asInstanceOf[Match].ret === Seq("name", "email"))
   }
 
+  test("render round-trips every statement shape through the parser") {
+    val scripts = Seq(
+      readmeScript,
+      """CREATE NODE Doc (id: int PRIMARY KEY, title: string UNIQUE NOT NULL DEFAULT 'x',
+        |tags: array<string>, status: enum<'a','b'>, raw: blob);""".stripMargin,
+      "CREATE EDGE R (FROM Person MANY, TO Doc MANY, PROPS (stars: int NOT NULL));",
+      "ALTER NODE Person ADD email: string UNIQUE;",
+      "ALTER NODE Person SET PRIMARY KEY (name, email);",
+      "ALTER EDGE Knows SET FROM Person MANY TO Person MANY;",
+      "DROP NODE Place; DROP EDGE Knows;",
+      "INSERT EDGE Knows FROM Person ('Jo''s') TO Person (name: 'Jane') (since: '2020-01-01');",
+      "UPDATE NODE Person SET age: 31 WHERE name: 'John';",
+      "DELETE EDGE Knows WHERE since: null;",
+      "MATCH `Weird Name` w WHERE x: 1 RETURN x, y;")
+    scripts.foreach { script =>
+      val parsed = Parser.parse(script)
+      val rendered = parsed.map(Ast.render).mkString("\n")
+      assert(Parser.parse(rendered) === parsed, s"round-trip failed for:\n$rendered")
+    }
+  }
+
   test("rejects malformed statements") {
     assertThrows[ParseError](Parser.parse("CREATE TABLE x (a: int);"))
     assertThrows[ParseError](Parser.parse("CREATE NODE P (a: int"))
