@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class OperatorsSpec extends SparkSpec {
+
+  test("salted join equals the plain join on a skewed dataset") {
+    import spark.implicits._
+    // hot key 1L carries 500 rows, the rest are singletons
+    val skewed = (Seq.fill(500)(1L) ++ (2L to 50L)).zipWithIndex
+      .map { case (k, i) => (k, i.toLong) }.toDF("k", "payload")
+    val dim = (1L to 50L).map(k => (k, s"dim$k")).toDF("k", "name")
+    val plain = skewed.join(dim, Seq("k"))
+      .select("k", "payload", "name").collect().toSet
+    val salted = SkewJoin.salted(skewed, dim, Seq("k"), saltFactor = 8)
+      .select("k", "payload", "name").collect().toSet
+    assert(salted === plain)
+    assert(plain.size === 549)
+  }
+
+  test("asof backward carries the latest preceding payload per key") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val probes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100L),
+      (1L, ts("2024-01-01 11:00:00"), 101L),
+      (2L, ts("2024-01-01 10:30:00"), 200L)).toDF("k", "ts", "probe_id")
+    val refs = Seq(
+      (1L, ts("2024-01-01 09:59:00"), 1.0),
+      (1L, ts("2024-01-01 10:30:00"), 2.0),
+      (2L, ts("2024-01-01 10:30:00"), 9.0), // equal ts → visible (inclusive)
+      (3L, ts("2024-01-01 00:00:00"), 7.0)).toDF("k", "ts", "v")
+    val got = AsOf.backward(probes, refs, "k", "ts", Seq("v"))
+      .collect().map(r => r.getLong(2) -> Option(r.get(3))).toMap
+    assert(got === Map(100L -> Some(1.0), 101L -> Some(2.0), 200L -> Some(9.0)))
+  }
+
+  test("bucketized range join equals the predicate join across bucket boundaries") {
+    import spark.implicits._
+    val points = (0L to 100L by 3L).map(t => (t, s"p$t")).toDF("ts", "pid")
+    val intervals = Seq((5L, 20L, "a"), (19L, 22L, "b"), (90L, 200L, "c"), (40L, 41L, "d"))
+      .toDF("s", "e", "iid")
+    val got = RangeJoin.pointInInterval(points, "ts", intervals, "s", "e",
+        bucketWidthSeconds = 7L)
+      .select("pid", "iid").collect().toSet
+    val expected = points.join(intervals,
+        col("ts") >= col("s") && col("ts") <= col("e"))
+      .select("pid", "iid").collect().toSet
+    assert(got === expected)
+    assert(expected.nonEmpty)
+  }
+}
