@@ -34,9 +34,9 @@ object Bench {
       .orElse(Some("/root/testdata/sf0.001"))
       .filter(d => d != sfDir && new java.io.File(d).exists())
     // drop checkpointed loop state left behind by a finished query so
-    // block-manager memory doesn't accumulate across the 40+ query run
-    def dropPersisted(): Unit =
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    // block-manager memory doesn't accumulate across the 40+ query run;
+    // pinned materialized views (PinnedRdds) survive
+    def dropPersisted(): Unit = PinnedRdds.dropUnpinned(spark)
     warmDir.foreach { wd =>
       selected.foreach { case (_, fn) =>
         try { fn(spark, wd).count() } catch { case _: Throwable => () }

@@ -23,8 +23,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // free checkpointed loop state between queries (same as Bench)
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      // free checkpointed loop state between queries (same as Bench);
+      // pinned materialized views survive
+      PinnedRdds.dropUnpinned(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
