@@ -10,26 +10,35 @@ import org.apache.spark.sql.SparkSession
   * view. The Bench/Verify harnesses unpersist loop state between
   * queries; ids registered here are skipped so the shared table
   * survives the run.
+  *
+  * Ids are scoped by applicationId: RDD ids restart at 0 in a new
+  * SparkContext, so an unscoped set would wrongly shield a later
+  * context's unrelated RDDs from cleanup.
   */
 object PinnedRdds {
-  private val ids = scala.collection.mutable.Set.empty[Int]
+  private val ids = scala.collection.mutable.Set.empty[(String, Int)]
+
+  private def app(spark: SparkSession): String = spark.sparkContext.applicationId
 
   /** Run `body` (which materializes via localCheckpoint) and pin every
     * persistent RDD it created.
     */
   def pinning[T](spark: SparkSession)(body: => T): T = synchronized {
+    val a = app(spark)
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val out = body
-    ids ++= (spark.sparkContext.getPersistentRDDs.keySet -- before)
+    ids ++= (spark.sparkContext.getPersistentRDDs.keySet -- before).map(a -> _)
     out
   }
 
-  def isPinned(id: Int): Boolean = synchronized { ids.contains(id) }
+  def isPinned(spark: SparkSession, id: Int): Boolean =
+    synchronized { ids.contains(app(spark) -> id) }
 
   /** Unpersist everything except pinned ids — the harness cleanup. */
   def dropUnpinned(spark: SparkSession): Unit = synchronized {
+    val a = app(spark)
     spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
-      if (!ids.contains(id)) rdd.unpersist(blocking = false)
+      if (!ids.contains(a -> id)) rdd.unpersist(blocking = false)
     }
   }
 }

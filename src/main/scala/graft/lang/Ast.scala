@@ -122,7 +122,9 @@ object Ast {
     }
     case DropNode(n) => s"DROP NODE ${id(n)};"
     case DropEdge(n) => s"DROP EDGE ${id(n)};"
-    case InsertNode(t, ps) => s"INSERT NODE ${id(t)} (${props(ps)});"
+    case InsertNode(t, ps) =>
+      val p = if (ps.isEmpty) "" else s" (${props(ps)})"
+      s"INSERT NODE ${id(t)}$p;"
     case InsertEdge(t, f, to, ps) =>
       val p = if (ps.isEmpty) "" else s" (${props(ps)})"
       s"INSERT EDGE ${id(t)} FROM ${nodeRef(f)} TO ${nodeRef(to)}$p;"
@@ -138,9 +140,12 @@ object Ast {
       s"MATCH $p${whereClause(where)}$r;"
   }
 
-  private def plainIdent = "[A-Za-z_][A-Za-z0-9_]*".r
+  private val plainIdent = "[A-Za-z_][A-Za-z0-9_]*".r
+  // type keywords (reserved in identifier positions) plus the literal
+  // words, which the lexer would re-tokenize as BOOLLIT/NULLLIT
   private val reserved = Set("STRING", "TEXT", "INT", "FLOAT", "BOOL", "UUID",
-    "DATE", "TIME", "DATETIME", "JSON", "BLOB", "ARRAY", "ENUM")
+    "DATE", "TIME", "DATETIME", "JSON", "BLOB", "ARRAY", "ENUM",
+    "TRUE", "FALSE", "NULL")
   private def id(n: String): String =
     if (plainIdent.matches(n) && !reserved.contains(n.toUpperCase)) n else s"`$n`"
 
@@ -155,10 +160,11 @@ object Ast {
   private def whereClause(ps: Seq[Property]): String =
     if (ps.isEmpty) "" else s" WHERE ${props(ps)}"
 
-  private def nodeRef(r: NodeRef): String = {
-    val inner = r.id.map(lit).getOrElse(props(r.properties))
-    s"${id(r.nodeType)} ($inner)"
-  }
+  private def nodeRef(r: NodeRef): String =
+    r.id.map(l => s"${id(r.nodeType)} (${lit(l)})").getOrElse {
+      if (r.properties.isEmpty) id(r.nodeType)
+      else s"${id(r.nodeType)} (${props(r.properties)})"
+    }
 
   private def endpoint(e: Endpoint): String =
     s"${id(e.label)} ${if (e.card == Cardinality.Many) "MANY" else "ONE"}"

@@ -215,15 +215,26 @@ final class Interpreter(spark: SparkSession) {
   /** Execute a script AND append its statements to the commit log —
     * the serving-path pairing of [[replayLog]]. MATCH statements are
     * not logged (reads don't mutate state, reference server.go appends
-    * mutating commands only).
+    * mutating commands only). Ordering per statement: render first
+    * (loggability check — the text WAL is line-based, so a raw newline
+    * inside a string literal is rejected BEFORE any state change), then
+    * execute, then append — a statement that fails execution never
+    * reaches the log, so replay cannot be poisoned.
     */
   def executeLogged(script: String, log: graft.store.CommitLog): Option[DataFrame] =
     Parser.parse(script).foldLeft(Option.empty[DataFrame]) { (acc, s) =>
       s match {
-        case _: Ast.Match => ()
-        case _ => log.append(Ast.render(s))
+        case _: Ast.Match => execute(s).orElse(acc)
+        case _ =>
+          val line = Ast.render(s)
+          if (line.exists(c => c == '\n' || c == '\r'))
+            throw ExecError(
+              "statement contains a raw newline in a string literal; " +
+                "the line-based commit log cannot represent it")
+          val out = execute(s)
+          log.append(line)
+          out.orElse(acc)
       }
-      execute(s).orElse(acc)
     }
 
   /** Current node set for a label (empty DF if nothing inserted). */

@@ -37,15 +37,23 @@ object AsOf {
     val probe = left.select(
       leftCols.map(col) ++ Seq(lit(1).as("__side")) ++
         payloadCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__p_$c")): _*)
+    // SQL equality semantics: a null key or null timestamp on the
+    // reference side can never match any probe (the window's
+    // partitionBy would otherwise group null keys together)
+    val matchable = right.filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
     // project the reference side onto the probe's exact column list
-    val ref = right.select(probe.columns.toSeq.map {
+    val ref = matchable.select(probe.columns.toSeq.map {
       case c if c == keyCol || c == tsCol => col(c)
       case "__side" => lit(0).as("__side")
       case c if c.startsWith("__p_") => col(c.stripPrefix("__p_")).as(c)
       case c => lit(null).cast(probe.schema(c).dataType).as(c)
     }: _*)
+    // payload columns as the final sort keys: ties among reference rows
+    // with identical (key, ts) resolve deterministically (largest
+    // payload tuple wins) instead of by partition-internal order
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(tsCol), col("__side"))
+      .orderBy(Seq(col(tsCol), col("__side")) ++
+        payloadCols.map(c => col(s"__p_$c")): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = payloadCols.foldLeft(probe.unionByName(ref)) { (df, c) =>
       df.withColumn(s"asof_$c", last(col(s"__p_$c"), ignoreNulls = true).over(w))

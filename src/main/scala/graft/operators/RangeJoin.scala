@@ -30,14 +30,22 @@ object RangeJoin {
     */
   def pointInInterval(points: DataFrame, tsCol: String,
       intervals: DataFrame, startCol: String, endCol: String,
-      bucketWidthSeconds: Long, extraKeys: Seq[String] = Nil): DataFrame = {
+      bucketWidthSeconds: Long, extraKeys: Seq[String] = Nil,
+      maxBucketsPerInterval: Long = 100000L): DataFrame = {
     val w = lit(bucketWidthSeconds)
     val p = points.withColumn("__bucket",
       floor(col(tsCol).cast("double") / w))
+    val lo = floor(col(startCol).cast("double") / w)
+    val hi = floor(col(endCol).cast("double") / w)
+    // fail fast on degenerate intervals (open-ended sentinels like
+    // 9999-12-31): one such row would otherwise materialize an
+    // arbitrarily long bucket array before explode and OOM the executor
+    val guarded = assert_true(hi - lo <= lit(maxBucketsPerInterval),
+      concat(lit(s"interval spans more than $maxBucketsPerInterval buckets of " +
+        s"$bucketWidthSeconds s — widen bucketWidthSeconds or cap the interval: "),
+        col(startCol), lit(" .. "), col(endCol)))
     val i = intervals.withColumn("__bucket",
-      explode(sequence(
-        floor(col(startCol).cast("double") / w),
-        floor(col(endCol).cast("double") / w))))
+      explode(when(guarded.isNull, sequence(lo, hi))))
     val joinCond = (Seq(p("__bucket") === i("__bucket")) ++
       extraKeys.map(k => p(k) === i(k)))
       .reduce(_ && _)

@@ -20,8 +20,10 @@ object GraphOps {
 
   private def g(spark: SparkSession, dir: String) = TpchGraph(spark, dir)
 
+  // keyed by applicationId (stable per SparkContext): identity hashes
+  // can be reused after GC and would serve frames bound to a dead context
   private val gidCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String, String, Seq[String]), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(String, String, String, Seq[String]), DataFrame]
 
   /** gid-encoded edge/node sets are derived tables shared across the
     * traversal queries (pagerank and bfs read the identical full edge
@@ -29,13 +31,13 @@ object GraphOps {
     * the co-purchase view.
     */
   private def gidEdgesCached(spark: SparkSession, dir: String, labels: Seq[String]): DataFrame =
-    gidCache.getOrElseUpdate((System.identityHashCode(spark), dir, "edges", labels),
+    gidCache.getOrElseUpdate((spark.sparkContext.applicationId, dir, "edges", labels),
       graft.PinnedRdds.pinning(spark) {
         g(spark, dir).gidEdges(labels).localCheckpoint()
       })
 
   private def gidNodesCached(spark: SparkSession, dir: String, labels: Seq[String]): DataFrame =
-    gidCache.getOrElseUpdate((System.identityHashCode(spark), dir, "nodes", labels),
+    gidCache.getOrElseUpdate((spark.sparkContext.applicationId, dir, "nodes", labels),
       graft.PinnedRdds.pinning(spark) {
         g(spark, dir).gidNodes(labels).localCheckpoint()
       })
@@ -269,13 +271,13 @@ object GraphOps {
     * intra-order pair blowup happens in a map stage, never on the wire.
     */
   private val copurchaseCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), (DataFrame, DataFrame)]
+    scala.collection.concurrent.TrieMap.empty[(String, String), (DataFrame, DataFrame)]
 
   private def copurchaseGraph(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
     // derived table shared by g_cc / g_triangles / g_label_prop:
     // materialize once per (session, dir) and pin — a materialized view,
     // not a per-query recomputation (~20 MB cached at sf0.1)
-    copurchaseCache.getOrElseUpdate((System.identityHashCode(spark), dir), {
+    copurchaseCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
       val li = Tables.load(spark, dir, "lineitem")
       val perOrder = li.groupBy(col("l_orderkey"))
         .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))

@@ -17,12 +17,21 @@ import scala.jdk.CollectionConverters._
   */
 final class CommitLog(val path: Path) {
 
-  /** Append one statement (normalized to a single line, flushed). */
+  /** Append one statement. The log is line-based, so the entry must be
+    * a single line — callers (Interpreter.executeLogged) reject
+    * statements the format cannot represent BEFORE applying them;
+    * collapsing newlines here would silently corrupt string literals.
+    * DSYNC: an entry reported appended survives a crash — the one
+    * property a commit log exists to provide.
+    */
   def append(statement: String): Unit = {
-    val line = statement.replaceAll("\\s*\\R\\s*", " ").trim
+    val line = statement.trim
+    require(!line.exists(c => c == '\n' || c == '\r'),
+      "commit log entries must be single-line statements")
     if (line.nonEmpty)
       Files.write(path, (line + "\n").getBytes(StandardCharsets.UTF_8),
-        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+        StandardOpenOption.CREATE, StandardOpenOption.APPEND,
+        StandardOpenOption.DSYNC)
   }
 
   /** Apply every non-blank logged statement in order (reference

@@ -148,7 +148,13 @@ class ParserSpec extends AnyFunSuite {
       "INSERT EDGE Knows FROM Person ('Jo''s') TO Person (name: 'Jane') (since: '2020-01-01');",
       "UPDATE NODE Person SET age: 31 WHERE name: 'John';",
       "DELETE EDGE Knows WHERE since: null;",
-      "MATCH `Weird Name` w WHERE x: 1 RETURN x, y;")
+      "MATCH `Weird Name` w WHERE x: 1 RETURN x, y;",
+      // empty property lists and bare node refs
+      "INSERT NODE P;",
+      "INSERT EDGE K FROM Person TO Person;",
+      // identifiers that collide with literal keywords must re-quote
+      "CREATE NODE X (`null`: int, `true`: bool);",
+      "INSERT NODE X (`null`: 1, `true`: false);")
     scripts.foreach { script =>
       val parsed = Parser.parse(script)
       val rendered = parsed.map(Ast.render).mkString("\n")

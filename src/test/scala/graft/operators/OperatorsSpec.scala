@@ -36,6 +36,28 @@ class OperatorsSpec extends SparkSpec {
     assert(got === Map(100L -> Some(1.0), 101L -> Some(2.0), 200L -> Some(9.0)))
   }
 
+  test("asof never matches null reference keys (SQL equality semantics)") {
+    val probes = spark.createDataFrame(java.util.Arrays.asList(
+        org.apache.spark.sql.Row(null, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L),
+        org.apache.spark.sql.Row(java.lang.Long.valueOf(5L),
+          java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 2L)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType, true),
+        org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType, true),
+        org.apache.spark.sql.types.StructField("probe_id", org.apache.spark.sql.types.LongType, false))))
+    val refs = spark.createDataFrame(java.util.Arrays.asList(
+        org.apache.spark.sql.Row(null, java.sql.Timestamp.valueOf("2024-01-01 09:00:00"),
+          java.lang.Double.valueOf(7.0))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType, true),
+        org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType, true),
+        org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.DoubleType, true))))
+    val got = AsOf.backward(probes, refs, "k", "ts", Seq("v"))
+      .collect().map(r => r.getLong(2) -> Option(r.get(3))).toMap
+    // the null-key reference row matches neither probe
+    assert(got === Map(1L -> None, 2L -> None))
+  }
+
   test("bucketized range join equals the predicate join across bucket boundaries") {
     import spark.implicits._
     val points = (0L to 100L by 3L).map(t => (t, s"p$t")).toDF("ts", "pid")
