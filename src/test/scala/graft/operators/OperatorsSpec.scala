@@ -58,6 +58,19 @@ class OperatorsSpec extends SparkSpec {
     assert(got === Map(1L -> None, 2L -> None))
   }
 
+  test("range join fails fast on an interval spanning too many buckets") {
+    import spark.implicits._
+    val points = Seq((5L, "p")).toDF("ts", "pid")
+    val sentinel = Seq((0L, 253402300800L, "open-ended")).toDF("s", "e", "iid")
+    val ex = intercept[Exception] {
+      RangeJoin.pointInInterval(points, "ts", sentinel, "s", "e",
+        bucketWidthSeconds = 1L, maxBucketsPerInterval = 1000L).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("buckets")))
+  }
+
   test("bucketized range join equals the predicate join across bucket boundaries") {
     import spark.implicits._
     val points = (0L to 100L by 3L).map(t => (t, s"p$t")).toDF("ts", "pid")
