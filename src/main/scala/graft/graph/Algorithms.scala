@@ -38,6 +38,24 @@ object Algorithms {
   private def capParts(df: DataFrame): DataFrame =
     df.coalesce(df.sparkSession.sparkContext.defaultParallelism)
 
+  /** Materialize a loop-invariant input once — UNLESS it is already a
+    * cheap view over materialized state (projections/filters on a
+    * checkpointed `LogicalRDD`, e.g. a pinned materialized view), in
+    * which case re-checkpointing would copy the whole table again for
+    * nothing.
+    */
+  private def materializeInvariant(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
+    def cheap(p: LogicalPlan): Boolean = p match {
+      case _: org.apache.spark.sql.execution.LogicalRDD => true
+      case pr: Project => cheap(pr.child)
+      case f: Filter => cheap(f.child)
+      case _ => false
+    }
+    if (cheap(df.queryExecution.optimizedPlan)) capParts(df)
+    else capParts(df).localCheckpoint()
+  }
+
   /** Run `body` with AQE off. Inside the iterative loops every join
     * strategy is already pinned by the exact-count hints and shuffle
     * width is fixed, so AQE only adds a materialize-and-replan barrier
@@ -60,7 +78,7 @@ object Algorithms {
   def bfs(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
     // loop-invariant: materialize once (with AQE — edge derivations can
     // be arbitrary join trees), not re-derived from source per hop
-    val e = capParts(edges.select(col("gsrc"), col("gdst"))).localCheckpoint()
+    val e = materializeInvariant(edges.select(col("gsrc"), col("gdst")))
     var visited = seeds.select(col("gid"), lit(0).as("hop")).localCheckpoint()
     var visitedRows = visited.count()
     var frontier = visited.select("gid")
@@ -132,7 +150,7 @@ object Algorithms {
     // the static out-degree attached (null ⇒ dangling). Carrying outdeg
     // inside the rank vector removes a pr×deg join from every iteration —
     // the dangling-mass term becomes a scan-agg over pr alone.
-    val e = capParts(edges.select(col("gsrc"), col("gdst"))).localCheckpoint()
+    val e = materializeInvariant(edges.select(col("gsrc"), col("gdst")))
     val deg = e.groupBy(col("gsrc").as("dgid")).agg(count(lit(1)).as("outdeg"))
     val base = nodes.select(col("gid"))
       .join(deg, col("gid") === col("dgid"), "left")
