@@ -141,11 +141,18 @@ object Ast {
   }
 
   private val plainIdent = "[A-Za-z_][A-Za-z0-9_]*".r
-  // type keywords (reserved in identifier positions) plus the literal
-  // words, which the lexer would re-tokenize as BOOLLIT/NULLLIT
+  // type keywords (reserved in identifier positions), the literal words
+  // (the lexer re-tokenizes them as BOOLLIT/NULLLIT), and every
+  // statement/clause keyword: an identifier spelled like any of these
+  // is backtick-quoted so the parser reads it back as a name, not a
+  // keyword — the round-trip contract the commit log relies on
   private val reserved = Set("STRING", "TEXT", "INT", "FLOAT", "BOOL", "UUID",
     "DATE", "TIME", "DATETIME", "JSON", "BLOB", "ARRAY", "ENUM",
-    "TRUE", "FALSE", "NULL")
+    "TRUE", "FALSE", "NULL",
+    "CREATE", "ALTER", "DROP", "INSERT", "UPDATE", "DELETE", "MATCH",
+    "NODE", "EDGE", "FROM", "TO", "ONE", "MANY", "PROPS",
+    "PRIMARY", "KEY", "UNIQUE", "NOT", "DEFAULT",
+    "ADD", "MODIFY", "SET", "WHERE", "RETURN")
   private def id(n: String): String =
     if (plainIdent.matches(n) && !reserved.contains(n.toUpperCase)) n else s"`$n`"
 

@@ -89,7 +89,13 @@ final class Interpreter(spark: SparkSession) {
       case _ => throw ExecError(s"boolean literal for non-boolean field type")
     }
     case Ast.LitKind.Num => Types.toSpark(tpe) match {
-      case LongType => lit.text.toDouble.toLong
+      // parse int literals as longs directly: no silent truncation of
+      // fractions, no precision loss above 2^53 from a double round-trip
+      case LongType =>
+        try lit.text.toLong catch {
+          case _: NumberFormatException =>
+            throw ExecError(s"int field requires an integer literal, got '${lit.text}'")
+        }
       case DoubleType => lit.text.toDouble
       case _ => throw ExecError(s"number literal for non-numeric field type")
     }
@@ -156,9 +162,17 @@ final class Interpreter(spark: SparkSession) {
       val byName = props.map(p => p.name -> p).toMap
       props.foreach(p => fieldType(label, p.name, isNode = false))
       val values = et.props.map { f =>
-        byName.get(f.name).map(p => coerce(p.value, f.tpe))
+        val v = byName.get(f.name).map(p => coerce(p.value, f.tpe))
           .orElse(f.defaultRaw.map(d => coerce(inferLiteral(d), f.tpe)))
-          .getOrElse(null)
+          .getOrElse {
+            if (f.notNull) throw ExecError(s"required prop '${f.name}' is missing")
+            null
+          }
+        // mirror the node path: the edge schema declares notNull props
+        // non-nullable, so a null here would corrupt createDataFrame
+        if (v == null && f.notNull)
+          throw ExecError(s"required prop '${f.name}' is null")
+        v
       }
       st.pending += Row.fromSeq(Seq(nextIdValue(), src, dst) ++ values)
       None
@@ -272,9 +286,9 @@ final class Interpreter(spark: SparkSession) {
       case Some(idLit) =>
         // graft node ids are longs; a non-numeric id ref is a statement
         // error, not a NumberFormatException from the bowels
-        val id = try idLit.text.toDouble.toLong catch {
+        val id = try idLit.text.toLong catch {
           case _: NumberFormatException =>
-            throw ExecError(s"node id must be numeric, got '${idLit.text}'")
+            throw ExecError(s"node id must be an integer, got '${idLit.text}'")
         }
         df.filter(col("_id") === lit(id))
       case None => df.filter(whereCond(ref.nodeType, ref.properties, isNode = true))

@@ -17,7 +17,9 @@ final class Parser(tokens: Vector[Token]) {
 
   private def err(msg: String): Nothing = throw ParseError(msg, tok.line, tok.col)
 
-  private def isKw(k: String): Boolean = tok.kind == Tok.IDENT && tok.kw == k
+  // a backtick-quoted identifier is never a keyword: `where` is a name
+  private def isKw(k: String): Boolean =
+    tok.kind == Tok.IDENT && !tok.quoted && tok.kw == k
   private def matchKw(k: String): Boolean = { if (isKw(k)) { next(); true } else false }
   private def expectKw(k: String): Token =
     if (isKw(k)) next() else err(s"expected $k, found '${tok.lit}'")
@@ -132,7 +134,7 @@ final class Parser(tokens: Vector[Token]) {
   }
 
   private def parseTypeSpec(): TypeSpec = {
-    if (tok.kind != Tok.IDENT) err(s"expected type, found '${tok.lit}'")
+    if (tok.kind != Tok.IDENT || tok.quoted) err(s"expected type, found '${tok.lit}'")
     val kw = next().kw
     kw match {
       case "STRING" => TypeSpec(Base.Str)
@@ -281,13 +283,17 @@ final class Parser(tokens: Vector[Token]) {
 
   private val stmtKeywords = Set("WHERE", "RETURN")
 
+  // quoted identifiers are never clause keywords here either: a node
+  // type named `where` (backtick-quoted) starts a pattern element
+  private def startsElement: Boolean =
+    tok.kind == Tok.IDENT && (tok.quoted || !stmtKeywords(tok.kw))
+
   private def parseMatch(): Stmt = {
     val pattern = Seq.newBuilder[MatchElement]
-    var more = tok.kind == Tok.IDENT && !stmtKeywords(tok.kw)
+    var more = startsElement
     while (more) {
       val tpe = next().lit
-      val alias =
-        if (tok.kind == Tok.IDENT && !stmtKeywords(tok.kw)) Some(next().lit) else None
+      val alias = if (startsElement) Some(next().lit) else None
       pattern += MatchElement(tpe, alias)
       more = matchTok(Tok.COMMA)
     }

@@ -55,10 +55,17 @@ object AsOf {
       .orderBy(Seq(col(tsCol), col("__side")) ++
         payloadCols.map(c => col(s"__p_$c")): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payloadCols.foldLeft(probe.unionByName(ref)) { (df, c) =>
-      df.withColumn(s"asof_$c", last(col(s"__p_$c"), ignoreNulls = true).over(w))
-    }
+    // carry the matched reference row as ONE struct: the whole row wins
+    // or loses atomically, so a legitimately-NULL payload field of the
+    // most recent reference row stays NULL instead of inheriting an
+    // older row's value (matches DuckDB ASOF JOIN, which attaches one
+    // row). Also: one window function instead of one per payload column.
+    val refRow = when(col("__side") === 0,
+      struct(payloadCols.map(c => col(s"__p_$c")): _*))
+    val carried = probe.unionByName(ref)
+      .withColumn("__asof", last(refRow, ignoreNulls = true).over(w))
     carried.filter(col("__side") === 1)
-      .select(leftCols.map(col) ++ payloadCols.map(c => col(s"asof_$c")): _*)
+      .select(leftCols.map(col) ++
+        payloadCols.map(c => col("__asof").getField(s"__p_$c").as(s"asof_$c")): _*)
   }
 }

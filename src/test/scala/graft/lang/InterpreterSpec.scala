@@ -82,6 +82,36 @@ class InterpreterSpec extends SparkSpec {
       "INSERT EDGE Knows FROM Person (name: 'Nobody') TO Person (name: 'John');"))
   }
 
+  test("edge props enforce NOT NULL like node fields") {
+    val it = fresh()
+    it.executeScript(
+      """CREATE NODE P (name: string);
+        |CREATE EDGE E (FROM P ONE, TO P ONE, PROPS (weight: int NOT NULL, note: string));
+        |INSERT NODE P (name: 'a');
+        |INSERT NODE P (name: 'b');""".stripMargin)
+    // missing required prop
+    assertThrows[ExecError](it.executeScript(
+      "INSERT EDGE E FROM P (name: 'a') TO P (name: 'b') (note: 'x');"))
+    // explicit null for a required prop
+    assertThrows[ExecError](it.executeScript(
+      "INSERT EDGE E FROM P (name: 'a') TO P (name: 'b') (weight: null);"))
+    // satisfied NOT NULL inserts fine; optional prop may be omitted
+    it.executeScript("INSERT EDGE E FROM P (name: 'a') TO P (name: 'b') (weight: 3);")
+    val e = it.edges("E").collect()(0)
+    assert(e.getAs[Long]("weight") === 3L)
+    assert(e.isNullAt(e.fieldIndex("note")))
+  }
+
+  test("int literals parse exactly: fractions rejected, no double round-trip") {
+    val it = fresh()
+    it.executeScript("CREATE NODE N (i: int, f: float);")
+    // fractional literal into an int field is an error, not a truncation
+    assertThrows[ExecError](it.executeScript("INSERT NODE N (i: 1.9);"))
+    // above 2^53: a double round-trip would corrupt the low bits
+    it.executeScript("INSERT NODE N (i: 9007199254740993, f: 1.5);")
+    assert(it.nodes("N").collect()(0).getAs[Long]("i") === 9007199254740993L)
+  }
+
   test("update and delete apply where-equality semantics") {
     val it = fresh()
     it.executeScript(

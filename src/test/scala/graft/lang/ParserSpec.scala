@@ -174,4 +174,24 @@ class ParserSpec extends AnyFunSuite {
     val Seq(cn) = Parser.parse("CREATE NODE P (`int`: string);")
     assert(cn.asInstanceOf[CreateNode].fields.head.name === "int")
   }
+
+  test("quoted statement keywords are identifiers, and re-quote on render") {
+    // a node type / field named like a clause keyword is usable when
+    // backtick-quoted; unquoted it still reads as the keyword
+    val Seq(cn) = Parser.parse("CREATE NODE `where` (`return`: int, `set`: string);")
+    assert(cn === CreateNode("where", Seq(
+      FieldDef("return", TypeSpec(Base.Int)), FieldDef("set", TypeSpec(Base.Str)))))
+    val Seq(m) = Parser.parse("MATCH `where` `return` WHERE `set`: 'x' RETURN `return`;")
+    assert(m === Match(Seq(MatchElement("where", Some("return"))),
+      Seq(Property("set", Literal(LitKind.Str, "x"))), Seq("return")))
+    // renderer round-trip: keyword-spelled identifiers come back quoted
+    Seq("CREATE NODE `where` (`return`: int);",
+        "INSERT EDGE `from` FROM `node` (`to`: 1) TO `node` (`to`: 2);",
+        "UPDATE NODE `update` SET `set`: 1 WHERE `where`: 2;",
+        "MATCH `match`, `where` `w` WHERE `return`: 1 RETURN `return`;").foreach { s =>
+      val parsed = Parser.parse(s)
+      assert(Parser.parse(parsed.map(Ast.render).mkString("\n")) === parsed,
+        s"keyword-identifier round-trip failed for: $s")
+    }
+  }
 }

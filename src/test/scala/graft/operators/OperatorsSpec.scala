@@ -58,6 +58,22 @@ class OperatorsSpec extends SparkSpec {
     assert(got === Map(1L -> None, 2L -> None))
   }
 
+  test("asof carries the matched row atomically: NULL fields stay NULL") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // most recent reference row has v=NULL, w=20: DuckDB ASOF JOIN
+    // attaches THAT row — v must come back NULL, not the older 1.0,
+    // and w must come from the same row (no cross-row mixing)
+    val probes = Seq((1L, ts("2024-01-01 12:00:00"), 100L)).toDF("k", "ts", "probe_id")
+    val refs = Seq(
+      (1L, ts("2024-01-01 09:00:00"), Option(1.0), Option(10L)),
+      (1L, ts("2024-01-01 10:00:00"), Option.empty[Double], Option(20L)))
+      .toDF("k", "ts", "v", "w")
+    val r = AsOf.backward(probes, refs, "k", "ts", Seq("v", "w")).collect()(0)
+    assert(Option(r.get(3)) === None)       // asof_v: NULL of the matched row
+    assert(r.getLong(4) === 20L)            // asof_w: same (latest) row
+  }
+
   test("range join fails fast on an interval spanning too many buckets") {
     import spark.implicits._
     val points = Seq((5L, "p")).toDF("ts", "pid")
