@@ -26,6 +26,20 @@ object Algorithms {
   private def hintSmall(df: DataFrame, rows: Long): DataFrame =
     if (rows <= BroadcastRowBound) broadcast(df) else df
 
+  /** Iterative-loop state strategy crossover, chosen by A/B measurement
+    * at sf0.1: below this row count, re-broadcasting the state vector
+    * every round beats co-partitioning (a ~20k-row broadcast build is
+    * ~20 ms; the co-partitioned loop's fixed exchange latency isn't);
+    * above it the per-round broadcast collect+build dominates (measured
+    * at 186k rows in pageRank) and the co-partitioned shuffle-hash loop
+    * wins — and it is also the only formulation that still works when
+    * state outgrows executor memory.
+    */
+  private def BroadcastStateBound: Long =
+    sys.props.get("graft.broadcastStateBound").map(_.toLong).getOrElse(100000L)
+  private def stateHint(df: DataFrame, small: Boolean): DataFrame =
+    if (small) broadcast(df) else df.hint("shuffle_hash")
+
   /** Cap the partition count of loop-invariant state at cluster width.
     * Upstream unions of fanned-out scans can arrive with hundreds of
     * partitions; every loop iteration then schedules that many tasks per
@@ -56,18 +70,42 @@ object Algorithms {
     else capParts(df).localCheckpoint()
   }
 
-  /** Run `body` with AQE off. Inside the iterative loops every join
-    * strategy is already pinned by the exact-count hints and shuffle
-    * width is fixed, so AQE only adds a materialize-and-replan barrier
-    * per exchange per round — measurable pure overhead on plans this
-    * small. Session-scoped flag: safe because a loop owns its session
-    * for the duration of the call (graft ops are driver-sequential).
+  /** Shuffle width for an iteration loop, derived from the known input
+    * size: roughly one partition per 50k rows, clamped to cluster width.
+    * AQE is off inside the loops (see [[withoutAqe]]), so nothing else
+    * right-sizes the per-round exchanges — and a fixpoint loop over a
+    * small frontier otherwise pays `defaultParallelism` task launches
+    * per stage per round for microseconds of per-task work. At real
+    * scale `rows/50k` exceeds any cluster width and this is simply
+    * `defaultParallelism`; the clamp only bites when state is small.
     */
-  private def withoutAqe[T](df: DataFrame)(body: => T): T = {
+  private def loopWidth(df: DataFrame, rows: Long): Int = {
+    val para = df.sparkSession.sparkContext.defaultParallelism
+    math.max(1, math.min(para.toLong, rows / 50000L + 1L).toInt)
+  }
+
+  /** Run `body` with AQE off and the loop's shuffle width pinned.
+    * Inside the iterative loops every join strategy is already pinned by
+    * the exact-count hints and shuffle width is sized from known row
+    * counts, so AQE only adds a materialize-and-replan barrier per
+    * exchange per round — measurable pure overhead on plans this small.
+    * Session-scoped flags: safe because a loop owns its session for the
+    * duration of the call (graft ops are driver-sequential).
+    */
+  private def withoutAqe[T](df: DataFrame, width: Option[Int] = None)(body: => T): T = {
     val conf = df.sparkSession.conf
     val prev = conf.get("spark.sql.adaptive.enabled", "true")
+    val prevParts = conf.get("spark.sql.shuffle.partitions", "200")
+    val prevCodegen = conf.get("spark.sql.codegen.wholeStage", "true")
     conf.set("spark.sql.adaptive.enabled", "false")
-    try body finally conf.set("spark.sql.adaptive.enabled", prev)
+    width.foreach(w => conf.set("spark.sql.shuffle.partitions", w.toString))
+    if (sys.env.contains("GRAFT_NO_CODEGEN"))
+      conf.set("spark.sql.codegen.wholeStage", "false")
+    try body finally {
+      conf.set("spark.sql.adaptive.enabled", prev)
+      conf.set("spark.sql.shuffle.partitions", prevParts)
+      conf.set("spark.sql.codegen.wholeStage", prevCodegen)
+    }
   }
 
   /** Hop distance from a seed set by frontier BFS over a directed edge
@@ -78,13 +116,15 @@ object Algorithms {
   def bfs(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
     // loop-invariant: materialize once (with AQE — edge derivations can
     // be arbitrary join trees), not re-derived from source per hop
-    val e = materializeInvariant(edges.select(col("gsrc"), col("gdst")))
+    val e0 = materializeInvariant(edges.select(col("gsrc"), col("gdst")))
+    val width = loopWidth(edges, e0.count())
+    val e = e0.coalesce(width)
     var visited = seeds.select(col("gid"), lit(0).as("hop")).localCheckpoint()
     var visitedRows = visited.count()
     var frontier = visited.select("gid")
     var frontierRows = visitedRows
     var hop = 0
-    withoutAqe(edges) { while (hop < maxHops && frontierRows > 0) {
+    withoutAqe(edges, Some(width)) { while (hop < maxHops && frontierRows > 0) {
       hop += 1
       // one checkpoint + one action per hop: `next` is the only new
       // state; `visited` stays a shallow union of ≤ maxHops checkpointed
@@ -110,23 +150,39 @@ object Algorithms {
     * nodes keep their own id. Returns (gid, comp).
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame, maxIter: Int = 50): DataFrame = {
-    val undirected = edges.select(col("gsrc").as("a"), col("gdst").as("b"))
+    val und0 = edges.select(col("gsrc").as("a"), col("gdst").as("b"))
       .unionByName(edges.select(col("gdst").as("a"), col("gsrc").as("b")))
       .distinct().localCheckpoint()
-    var comp = nodes.select(col("gid"), col("gid").as("comp")).localCheckpoint()
+    val width = loopWidth(edges, und0.count())
+    // Strategy by measured state size (see [[stateHint]]): broadcast the
+    // tiny state vector per round, or co-partition edge list + state
+    // once (checkpointed inside the AQE-off scope so the partitioning
+    // survives into the LogicalRDD) and shuffle-hash-join over
+    // already-satisfied distributions — each round's only exchange is
+    // then the neighbor-min groupBy, with no broadcast build jobs and
+    // no requirement that state fit in one executor.
+    withoutAqe(edges, Some(width)) {
+    var comp = nodes.select(col("gid"), col("gid").as("comp"))
     val nRows = comp.count()
+    val small = nRows <= BroadcastStateBound
+    val undirected =
+      if (small) und0.coalesce(width)
+      else und0.repartition(width, col("b")).localCheckpoint()
+    comp =
+      if (small) comp.localCheckpoint()
+      else comp.repartition(width, col("gid")).localCheckpoint()
     var converged = false
     var iter = 0
-    withoutAqe(edges) { while (!converged && iter < maxIter) {
+    while (!converged && iter < maxIter) {
       iter += 1
       // min over each node's own comp and its neighbors' comps
       val neighborMin = undirected
-        .join(hintSmall(comp, nRows), col("b") === col("gid"))
+        .join(stateHint(comp, small), col("b") === col("gid"))
         .groupBy(col("a")).agg(min(col("comp")).as("ncomp"))
       // carry the changed flag inside the checkpointed state: the
       // convergence probe is then a scan of cached rows, not a re-join
       // of two checkpointed frames
-      val next = comp.join(hintSmall(neighborMin, nRows), comp("gid") === col("a"), "left")
+      val next = comp.join(stateHint(neighborMin, small), comp("gid") === col("a"), "left")
         .select(comp("gid"),
           least(comp("comp"), coalesce(col("ncomp"), comp("comp"))).as("comp"),
           (least(comp("comp"), coalesce(col("ncomp"), comp("comp"))) =!= comp("comp"))
@@ -134,8 +190,9 @@ object Algorithms {
         .localCheckpoint()
       converged = next.filter(col("changed")).isEmpty
       comp = next.select(col("gid"), col("comp"))
-    } }
+    }
     comp
+    } // withoutAqe
   }
 
   /** PageRank with uniform teleport and dangling-mass redistribution,
@@ -150,11 +207,28 @@ object Algorithms {
     // the static out-degree attached (null ⇒ dangling). Carrying outdeg
     // inside the rank vector removes a pr×deg join from every iteration —
     // the dangling-mass term becomes a scan-agg over pr alone.
-    val e = materializeInvariant(edges.select(col("gsrc"), col("gdst")))
+    // Co-partitioned loop: edges hash-partitioned by gsrc and the rank
+    // vector by gid, both at the loop width, ONCE. localCheckpoint
+    // preserves the physical partitioning, and every per-iteration join
+    // is a shuffle-hash join whose inputs already satisfy the required
+    // distribution — the only exchange per round is the contribution
+    // groupBy. (Broadcasting the rank vector instead costs two
+    // build-side jobs with driver collects per round, and at real scale
+    // the rank vector outgrows broadcast anyway.)
+    val e0 = materializeInvariant(edges.select(col("gsrc"), col("gdst")))
+    val width = loopWidth(edges, e0.count())
+    withoutAqe(edges, Some(width)) {
+    // IMPORTANT: the co-partitioned invariants are checkpointed INSIDE
+    // the AQE-off scope — a Dataset checkpointed under an adaptive plan
+    // does not carry its output partitioning into the LogicalRDD, and
+    // every downstream join then re-exchanges it per iteration
+    // (verified with explain("formatted")).
+    val e = e0.repartition(width, col("gsrc")).localCheckpoint()
     val deg = e.groupBy(col("gsrc").as("dgid")).agg(count(lit(1)).as("outdeg"))
     val base = nodes.select(col("gid"))
-      .join(deg, col("gid") === col("dgid"), "left")
+      .join(deg.hint("shuffle_hash"), col("gid") === col("dgid"), "left")
       .select(col("gid"), col("outdeg"))
+      .repartition(width, col("gid"))
       .localCheckpoint()
     val n = base.count().toDouble
     var pr = base.withColumn("pr", lit(1.0 / n))
@@ -163,25 +237,32 @@ object Algorithms {
     // pass) — no separate scan job per iteration; only round 1 pays an
     // explicit scan-agg of the initial vector
     var nextDm: Option[() => Double] = None
-    withoutAqe(edges) { for (i <- 1 to iters) {
+    for (i <- 1 to iters) {
       val t0 = System.nanoTime()
       val dm = nextDm.map(_.apply()).getOrElse {
         pr.filter(col("outdeg").isNull)
           .agg(coalesce(sum(col("pr")), lit(0.0))).first().getDouble(0)
       }
       val t1 = System.nanoTime()
+      // shuffle-hash, not broadcast: a broadcast build is its own job
+      // with a driver collect — two of those per iteration cost more in
+      // orchestration latency than re-exchanging a rank vector that is
+      // tiny relative to the edge set (and at real scale the rank vector
+      // outgrows broadcast anyway, so this is also the 100 TB plan)
       val contribs = e
-        .join(hintSmall(pr.filter(col("outdeg").isNotNull), n.toLong), e("gsrc") === col("gid"))
+        .join(pr.filter(col("outdeg").isNotNull).hint("shuffle_hash"),
+          e("gsrc") === col("gid"))
         .groupBy(e("gdst").as("cgid"))
         .agg(sum(col("pr") / col("outdeg")).as("contrib"))
       val metricName = s"graft_pr_dm_$i"
       val observed = base
-        .join(hintSmall(contribs, n.toLong), col("gid") === col("cgid"), "left")
+        .join(contribs.hint("shuffle_hash"), col("gid") === col("cgid"), "left")
         .select(col("gid"), col("outdeg"),
           (lit((1.0 - damping) / n) +
             lit(damping) * (coalesce(col("contrib"), lit(0.0)) + lit(dm) / lit(n))).as("pr"))
         .observe(metricName,
           sum(when(col("outdeg").isNull, col("pr")).otherwise(lit(0.0))).as("dm"))
+      if (i == 2 && sys.env.contains("GRAFT_DEBUG_PLAN")) observed.explain("formatted")
       // checkpoint every round: pr feeds three branches of the next
       // iteration's plan — lazy chaining recomputes the subtree
       // exponentially
@@ -190,8 +271,9 @@ object Algorithms {
         observed.queryExecution.observedMetrics(metricName).getDouble(0))
       if (sys.env.contains("GRAFT_DEBUG_TIMING"))
         System.err.println(f"[pr] iter $i dm=${(t1 - t0) / 1e9}%.2fs step=${(System.nanoTime() - t1) / 1e9}%.2fs")
-    } }
+    }
     pr.select(col("gid"), col("pr"))
+    } // withoutAqe
   }
 
   /** Global triangle count over an undirected simple graph given as
@@ -249,13 +331,23 @@ object Algorithms {
     * Fixed iteration count keeps it reproducible.
     */
   def labelPropagation(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
-    val undirected = edges.select(col("gsrc").as("a"), col("gdst").as("b"))
+    val und0 = edges.select(col("gsrc").as("a"), col("gdst").as("b"))
       .unionByName(edges.select(col("gdst").as("a"), col("gsrc").as("b")))
       .localCheckpoint()
-    var labels = nodes.select(col("gid"), col("gid").as("community")).localCheckpoint()
+    val width = loopWidth(edges, und0.count())
+    // size-adaptive strategy, same shape as connectedComponents
+    withoutAqe(edges, Some(width)) {
+    var labels = nodes.select(col("gid"), col("gid").as("community"))
     val nRows = labels.count()
-    withoutAqe(edges) { for (_ <- 1 to iters) {
-      val counted = undirected.join(hintSmall(labels, nRows), col("b") === col("gid"))
+    val small = nRows <= BroadcastStateBound
+    val undirected =
+      if (small) und0.coalesce(width)
+      else und0.repartition(width, col("b")).localCheckpoint()
+    labels =
+      if (small) labels.localCheckpoint()
+      else labels.repartition(width, col("gid")).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val counted = undirected.join(stateHint(labels, small), col("b") === col("gid"))
         .groupBy(col("a"), col("community")).agg(count(lit(1)).as("votes"))
       // majority vote with smallest-label tie-break as a struct max —
       // map-side-combinable aggregation, no per-group sort (a window
@@ -264,10 +356,11 @@ object Algorithms {
         .groupBy(col("a"))
         .agg(max(struct(col("votes"), (-col("community")).as("negc"))).as("m"))
         .select(col("a"), (-col("m.negc")).as("newc"))
-      labels = labels.join(hintSmall(best, nRows), labels("gid") === col("a"), "left")
+      labels = labels.join(stateHint(best, small), labels("gid") === col("a"), "left")
         .select(labels("gid"), coalesce(col("newc"), col("community")).as("community"))
         .localCheckpoint()
-    } }
+    }
     labels
+    } // withoutAqe
   }
 }

@@ -202,11 +202,36 @@ final class Interpreter(spark: SparkSession) {
       None
 
     case Ast.Match(pattern, where, ret) =>
-      // The reference matches node elements independently (server.go:724);
-      // a single-element pattern is the supported query shape.
-      val label = pattern.headOption.getOrElse(throw ExecError("empty MATCH pattern")).tpe
-      if (!cat.nodes.contains(label)) throw ExecError(s"unknown node type: $label")
-      val df = nodes(label).filter(whereCond(label, where, isNode = true))
+      // The reference matches each pattern element independently and
+      // emits every element's result set (server.go:724 executeMatch
+      // loops over stmt.Pattern). Re-expressed relationally: one
+      // filtered scan per element, unioned by name with a `_label`
+      // discriminator. A WHERE condition naming a prop an element
+      // lacks matches nothing for that element (matchesConditions
+      // returns false on a missing key) — with a single element that
+      // is still a hard error, which catches typos.
+      if (pattern.isEmpty) throw ExecError("empty MATCH pattern")
+      pattern.foreach { el =>
+        if (!cat.nodes.contains(el.tpe)) throw ExecError(s"unknown node type: ${el.tpe}")
+      }
+      val dfs = pattern.map { el =>
+        val nt = cat.nodes(el.tpe)
+        if (where.exists(p => nt.field(p.name).isEmpty)) {
+          if (pattern.sizeIs == 1)
+            throw ExecError(s"unknown field '${where.find(p => nt.field(p.name).isEmpty).get.name}' on ${el.tpe}")
+          None // this element cannot match; others still can
+        } else Some(nodes(el.tpe).filter(whereCond(el.tpe, where, isNode = true)))
+      }
+      val df =
+        if (pattern.sizeIs == 1) dfs.head.get // single element: schema untouched
+        else {
+          val labelled = pattern.zip(dfs).collect { case (el, Some(d)) =>
+            d.withColumn("_label", lit(el.tpe))
+          }
+          if (labelled.isEmpty)
+            throw ExecError("WHERE references fields absent from every pattern element")
+          labelled.reduce(_.unionByName(_, allowMissingColumns = true))
+        }
       Some(if (ret.nonEmpty) df.select(ret.map(col): _*) else df)
   }
 

@@ -64,6 +64,27 @@ class GraphAlgSpec extends SparkSpec {
     assert(n === 4L)
   }
 
+  test("co-partitioned (large-state) path matches the broadcast path") {
+    // force the shuffle-hash loop the bench only exercises at scale:
+    // with the state bound at 0 every loop takes the co-partitioned
+    // branch; results must be identical to the broadcast branch
+    val rnd = new scala.util.Random(7)
+    val nodes = nodeDf(1L to 60L: _*)
+    val edges = edgeDf(Seq.fill(120)((rnd.nextInt(60) + 1L, rnd.nextInt(60) + 1L))
+      .filter(p => p._1 != p._2): _*)
+    def run[T](body: => T): (T, T) = {
+      val a = body
+      System.setProperty("graft.broadcastStateBound", "0")
+      try { (a, body) } finally System.clearProperty("graft.broadcastStateBound")
+    }
+    val (ccA, ccB) = run(Algorithms.connectedComponents(nodes, edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    assert(ccA === ccB)
+    val (lpA, lpB) = run(Algorithms.labelPropagation(nodes, edges, iters = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    assert(lpA === lpB)
+  }
+
   test("label propagation converges on two cliques joined by one edge") {
     // cliques {1,2,3} and {11,12,13} with a bridge 3-11
     val cliq = Seq(1L -> 2L, 1L -> 3L, 2L -> 3L, 11L -> 12L, 11L -> 13L, 12L -> 13L, 3L -> 11L)

@@ -171,6 +171,28 @@ class InterpreterSpec extends SparkSpec {
     assert(rows === Map("John" -> 31L, "Jane" -> 25L))
   }
 
+  test("multi-element match unions every element's result set") {
+    val it = fresh()
+    it.executeScript(
+      """CREATE NODE Person (name: string, age: int);
+        |CREATE NODE Place (name: string);
+        |INSERT NODE Person (name: 'x', age: 1);
+        |INSERT NODE Person (name: 'y', age: 2);
+        |INSERT NODE Place (name: 'x');""".stripMargin)
+    // both element types scanned (reference executeMatch loops the pattern)
+    val all = it.executeScript("MATCH Person, Place;").get.collect()
+    assert(all.length === 3)
+    assert(all.map(_.getAs[String]("_label")).sorted.toSeq === Seq("Person", "Person", "Place"))
+    // WHERE applies per element; Place lacks `age`, so it matches nothing
+    val aged = it.executeScript("MATCH Person, Place WHERE age: 1;").get.collect()
+    assert(aged.map(r => (r.getAs[String]("_label"), r.getAs[String]("name"))).toSeq
+      === Seq(("Person", "x")))
+    // single-element pattern keeps strict unknown-field errors
+    assertThrows[ExecError](it.executeScript("MATCH Place WHERE age: 1;"))
+    // no element has the field at all → error, not silent empty
+    assertThrows[ExecError](it.executeScript("MATCH Person, Place WHERE nope: 1;"))
+  }
+
   test("match with return projection and drop") {
     val it = fresh()
     it.executeScript(
