@@ -347,15 +347,14 @@ object Algorithms {
       if (small) labels.localCheckpoint()
       else labels.repartition(width, col("gid")).localCheckpoint()
     for (_ <- 1 to iters) {
-      val counted = undirected.join(stateHint(labels, small), col("b") === col("gid"))
-        .groupBy(col("a"), col("community")).agg(count(lit(1)).as("votes"))
-      // majority vote with smallest-label tie-break as a struct max —
-      // map-side-combinable aggregation, no per-group sort (a window
-      // row_number would re-shuffle AND sort the counted table per round)
-      val best = counted
+      // majority vote with smallest-label tie-break in ONE aggregation:
+      // mode(deterministic = true) is "most frequent, ties broken by the
+      // lowest value" — exactly these semantics — and as a typed
+      // imperative aggregate it partial-merges per-group count maps, so
+      // one exchange per round instead of the count-then-argmax pair
+      val best = undirected.join(stateHint(labels, small), col("b") === col("gid"))
         .groupBy(col("a"))
-        .agg(max(struct(col("votes"), (-col("community")).as("negc"))).as("m"))
-        .select(col("a"), (-col("m.negc")).as("newc"))
+        .agg(mode(col("community"), deterministic = true).as("newc"))
       labels = labels.join(stateHint(best, small), labels("gid") === col("a"), "left")
         .select(labels("gid"), coalesce(col("newc"), col("community")).as("community"))
         .localCheckpoint()
