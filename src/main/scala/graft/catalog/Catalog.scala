@@ -107,11 +107,34 @@ object Ddl {
     FieldSpec(fd.name, fd.tpe, unique = fd.unique, notNull = fd.notNull || fd.primaryKey,
       defaultRaw = fd.default.map(_.text))
 
+  /** Scalar per the reference's isScalarType (ddl.go:171): everything
+    * except arrays, enums, json, and blob.
+    */
+  private def isScalar(t: Ast.TypeSpec): Boolean =
+    t.elem.isEmpty && t.enumVals.isEmpty && (t.base match {
+      case Ast.Base.Json | Ast.Base.Blob => false
+      case _ => true
+    })
+
+  /** Per-field sanity mirrored from validateCreateNode / validateAlter*
+    * (ddl.go:132,345,453): a NOT NULL field cannot default to null, and
+    * a primary key must be a scalar type.
+    */
+  private def validateField(fd: Ast.FieldDef): Unit = {
+    if (fd.notNull && fd.default.exists(_.kind == Ast.LitKind.Null))
+      throw DdlError(s"field ${fd.name} is NOT NULL but defaults to null")
+    if (fd.primaryKey && !isScalar(fd.tpe))
+      throw DdlError(s"primary key ${fd.name} must be a scalar type")
+  }
+
   def createNode(cat: GraphCatalog, s: Ast.CreateNode): GraphCatalog = {
     if (cat.nodes.contains(s.name)) throw DdlError(s"node type exists: ${s.name}")
+    if (s.fields.isEmpty) throw DdlError("node must define at least one field")
     val dup = s.fields.groupBy(_.name).collectFirst { case (n, fs) if fs.size > 1 => n }
     dup.foreach(n => throw DdlError(s"duplicate field: $n"))
+    s.fields.foreach(validateField)
     val pk = s.fields.filter(_.primaryKey).map(_.name)
+    if (pk.size > 1) throw DdlError("multiple PRIMARY KEY fields (use ALTER ... SET PRIMARY KEY for a composite key)")
     val nt = NodeTypeDef(s.name, s.fields.map(toFieldSpec), pk)
     bump(cat.copy(nodes = cat.nodes + (s.name -> nt)))
   }
@@ -121,6 +144,9 @@ object Ddl {
     Seq(s.from.label, s.to.label).foreach { l =>
       if (!cat.nodes.contains(l)) throw DdlError(s"unknown node type in endpoint: $l")
     }
+    val dup = s.props.groupBy(_.name).collectFirst { case (n, fs) if fs.size > 1 => n }
+    dup.foreach(n => throw DdlError(s"duplicate edge prop: $n"))
+    s.props.foreach(validateField)
     val et = EdgeTypeDef(s.name,
       EndpointDef(s.from.label, s.from.card == Ast.Cardinality.Many),
       EndpointDef(s.to.label, s.to.card == Ast.Cardinality.Many),
@@ -133,6 +159,7 @@ object Ddl {
     val updated = s.action match {
       case Ast.AlterNodeAction.AddField(fd) =>
         if (nt.field(fd.name).isDefined) throw DdlError(s"field exists: ${fd.name}")
+        validateField(fd)
         nt.copy(fields = nt.fields :+ toFieldSpec(fd))
       case Ast.AlterNodeAction.DropField(n) =>
         if (nt.field(n).isEmpty) throw DdlError(s"unknown field: $n")
@@ -140,6 +167,7 @@ object Ddl {
         nt.copy(fields = nt.fields.filterNot(_.name == n))
       case Ast.AlterNodeAction.ModifyField(fd) =>
         if (nt.field(fd.name).isEmpty) throw DdlError(s"unknown field: ${fd.name}")
+        validateField(fd)
         nt.copy(fields = nt.fields.map(f => if (f.name == fd.name) toFieldSpec(fd) else f))
       case Ast.AlterNodeAction.SetPrimaryKey(fs) =>
         fs.foreach(n => if (nt.field(n).isEmpty) throw DdlError(s"unknown pk field: $n"))
@@ -153,12 +181,14 @@ object Ddl {
     val updated = s.action match {
       case Ast.AlterEdgeAction.AddProp(fd) =>
         if (et.prop(fd.name).isDefined) throw DdlError(s"prop exists: ${fd.name}")
+        validateField(fd)
         et.copy(props = et.props :+ toFieldSpec(fd))
       case Ast.AlterEdgeAction.DropProp(n) =>
         if (et.prop(n).isEmpty) throw DdlError(s"unknown prop: $n")
         et.copy(props = et.props.filterNot(_.name == n))
       case Ast.AlterEdgeAction.ModifyProp(fd) =>
         if (et.prop(fd.name).isEmpty) throw DdlError(s"unknown prop: ${fd.name}")
+        validateField(fd)
         et.copy(props = et.props.map(f => if (f.name == fd.name) toFieldSpec(fd) else f))
       case Ast.AlterEdgeAction.SetEndpoints(from, to) =>
         Seq(from.label, to.label).foreach { l =>

@@ -36,6 +36,7 @@ final class Parser(tokens: Vector[Token]) {
 
   private def expectIdent(): String = {
     if (tok.kind != Tok.IDENT) err(s"expected identifier, found '${tok.lit}'")
+    if (tok.quoted && tok.lit.isEmpty) err("empty quoted identifier")
     if (!tok.quoted && typeKeywords.contains(tok.kw))
       err(s"'${tok.lit}' is a reserved type name; quote it with backticks to use as an identifier")
     next().lit
@@ -276,8 +277,9 @@ final class Parser(tokens: Vector[Token]) {
       else if (matchKw("EDGE")) false
       else err("expected NODE or EDGE after DELETE")
     val tpe = expectIdent()
-    expectKw("WHERE")
-    val where = parsePropertyList()
+    // WHERE is optional, matching the reference (dml_test.go "DELETE
+    // NODE User;"): an absent clause deletes every row of the label
+    val where = if (matchKw("WHERE")) parsePropertyList() else Nil
     if (isNode) DeleteNode(tpe, where) else DeleteEdge(tpe, where)
   }
 

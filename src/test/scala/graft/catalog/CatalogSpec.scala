@@ -73,4 +73,29 @@ class CatalogSpec extends AnyFunSuite {
     assertThrows[DdlError](applyScript("DROP NODE P;", withEdge)) // in use
     assert(applyScript("DROP EDGE E; DROP NODE P;", withEdge).nodes.keySet === Set("Q"))
   }
+
+  test("validation mirrors reference ddl.go field sanity rules") {
+    val base = applyScript("CREATE NODE P (id: int PRIMARY KEY); CREATE NODE Q (id: int);")
+    // at least one field (validateCreateNode)
+    assertThrows[DdlError](applyScript("CREATE NODE R ();", base))
+    // one inline PRIMARY KEY max; composite keys go via ALTER ... SET
+    assertThrows[DdlError](
+      applyScript("CREATE NODE R (a: int PRIMARY KEY, b: int PRIMARY KEY);", base))
+    // primary key must be scalar (no array/enum/json/blob)
+    assertThrows[DdlError](applyScript("CREATE NODE R (a: array<int> PRIMARY KEY);", base))
+    assertThrows[DdlError](applyScript("CREATE NODE R (a: json PRIMARY KEY);", base))
+    // NOT NULL cannot default to null, in CREATE and in ALTER paths
+    assertThrows[DdlError](
+      applyScript("CREATE NODE R (a: int NOT NULL DEFAULT null);", base))
+    assertThrows[DdlError](applyScript("ALTER NODE P ADD b: int NOT NULL DEFAULT null;", base))
+    val withEdge = applyScript("CREATE EDGE E (FROM P ONE, TO Q ONE);", base)
+    assertThrows[DdlError](
+      applyScript("ALTER EDGE E ADD w: int NOT NULL DEFAULT null;", withEdge))
+    // duplicate edge props rejected
+    assertThrows[DdlError](applyScript(
+      "CREATE EDGE F (FROM P ONE, TO Q ONE, PROPS (x: int, x: float));", base))
+    // valid composite key path still works
+    val multi = applyScript("ALTER NODE Q ADD name: string; ALTER NODE Q SET PRIMARY KEY (id, name);", base)
+    assert(multi.nodes("Q").pk === Seq("id", "name"))
+  }
 }

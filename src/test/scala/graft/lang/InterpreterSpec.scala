@@ -124,6 +124,11 @@ class InterpreterSpec extends SparkSpec {
     val rows = it.nodes("P").orderBy("name").collect()
     assert(rows.map(_.getAs[String]("name")).toSeq === Seq("b", "c"))
     assert(rows.forall(_.getAs[Long]("age") === 99L))
+    // WHERE-less forms hit every row (reference dml_test.go)
+    it.executeScript("UPDATE NODE P SET age: 7;")
+    assert(it.nodes("P").collect().forall(_.getAs[Long]("age") === 7L))
+    it.executeScript("DELETE NODE P;")
+    assert(it.nodes("P").count() === 0)
   }
 
   test("alter migrates stored data; replay reconstructs state") {

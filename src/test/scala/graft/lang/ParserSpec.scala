@@ -148,6 +148,9 @@ class ParserSpec extends AnyFunSuite {
       "INSERT EDGE Knows FROM Person ('Jo''s') TO Person (name: 'Jane') (since: '2020-01-01');",
       "UPDATE NODE Person SET age: 31 WHERE name: 'John';",
       "DELETE EDGE Knows WHERE since: null;",
+      // reference dml_test.go: WHERE-less delete (and update) hit all rows
+      "DELETE NODE Person;",
+      "UPDATE NODE Person SET age: 0;",
       "MATCH `Weird Name` w WHERE x: 1 RETURN x, y;",
       // empty property lists and bare node refs
       "INSERT NODE P;",
