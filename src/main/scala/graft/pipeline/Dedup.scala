@@ -189,6 +189,28 @@ object Dedup {
           (col("sz_a") + col("sz_b") - coalesce(col("inter"), lit(0L)))).as("jaccard"))
   }
 
+  // -------------------------------------------------------- decontamination
+
+  /** Benchmark decontamination: flag corpus documents sharing at least
+    * one word n-gram with a held-out test set — the standard guard
+    * against evaluation leakage in training corpora. Returns
+    * (id, n_shared) with the count of distinct shared shingles.
+    *
+    * Shape at scale: the test set's distinct shingles are tiny relative
+    * to the corpus (benchmarks are MBs, corpora are TBs), so the join
+    * broadcasts; the corpus side streams through one shingling pass, and
+    * the only shuffle is the per-document count. Joins on the shingle
+    * STRING for oracle parity — the scale path swaps in
+    * [[hashedShingles]] (16-byte keys) without changing the shape.
+    */
+  def decontaminate(corpus: DataFrame, test: DataFrame, idCol: String,
+      textCol: String, n: Int = 5): DataFrame = {
+    val testShingles = shingles(test, idCol, textCol, n).select(col("sh")).distinct()
+    shingles(corpus, idCol, textCol, n)
+      .join(broadcast(testShingles), "sh")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_shared"))
+  }
+
   // ------------------------------------------------------------- embedding
 
   /** Embedding-cosine near-dup pairs over a bounded pair set. `pairs`

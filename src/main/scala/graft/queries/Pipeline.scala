@@ -57,6 +57,33 @@ object Pipeline {
        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                     CAST(b.embedding AS DOUBLE[])) >= 0.4"""
 
+  /** Benchmark decontamination: corpus docs (doc_id >= 25) sharing any
+    * 5-gram with the held-out set (doc_id < 25).
+    */
+  def pDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    Dedup.decontaminate(
+        docs.filter(col("doc_id") >= 25), docs.filter(col("doc_id") < 25),
+        "doc_id", "text", n = 5)
+      .select(col("id").as("doc_id"), col("n_shared"))
+  }
+
+  val pDecontamSql: String =
+    """WITH words AS (
+         SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+         FROM documents),
+       sh AS (
+         SELECT doc_id, unnest(CASE WHEN len(w) >= 5
+           THEN list_distinct(list_transform(range(len(w) - 4),
+                  i -> array_to_string(w[i + 1:i + 5], ' ')))
+           ELSE [array_to_string(w, ' ')] END) AS sh
+         FROM words),
+       t AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 25),
+       c AS (SELECT doc_id, sh FROM sh WHERE doc_id >= 25)
+       SELECT c.doc_id, count(*) AS n_shared
+       FROM c JOIN t USING (sh)
+       GROUP BY c.doc_id"""
+
   // -------------------------------------------------------------- ANN
 
   def pKnnBrute(spark: SparkSession, dir: String): DataFrame = {
@@ -178,6 +205,7 @@ object Pipeline {
     QueryDef.rowsOnly("p_dedup_simhash", pDedupSimhash),
     QueryDef.rowsOnly("p_dedup_ngram", pDedupNgram),
     QueryDef.sql("p_dedup_embed", pDedupEmbed, pDedupEmbedSql),
+    QueryDef.sql("p_decontam", pDecontam, pDecontamSql),
     QueryDef.sql("p_knn_brute", pKnnBrute, pKnnBruteSql),
     QueryDef.rowsOnly("p_knn_lsh", pKnnLsh),
     QueryDef.rowsOnly("p_knn_ivf", pKnnIvf),

@@ -69,4 +69,22 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(res === Set((1L, 2L)))
   }
+
+  test("decontamination flags exactly the corpus docs overlapping the test set") {
+    import spark.implicits._
+    val test = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // contains the test 3-gram "quick brown fox" → contaminated
+      (10L, "a very quick brown fox indeed ran far away"),
+      // shares words but no full 3-gram → clean
+      (11L, "brown dog jumps quick"),
+      // identical to the test doc → every shingle shared
+      (12L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val got = Dedup.decontaminate(corpus, test, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet === Set(10L, 12L))
+    assert(got(10L) === 1L) // exactly the one shared 3-gram
+    assert(got(12L) === 7L) // all 7 distinct 3-grams of a 9-word doc
+  }
 }
