@@ -145,9 +145,14 @@ object Ann {
     qb.join(cb,
         col("table") === col("ctable") && col("bucket") === col("cbucket") &&
           col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("qv"), col("neighbor_id"), col("cv"))
-      .distinct() // same pair can collide in several tables
+      // score BEFORE deduping the multi-table collisions: recomputing a
+      // cosine per duplicate collision is ~100 flops in codegen, while
+      // a distinct over rows still carrying both embedding vectors
+      // shuffles and hashes kBs per row — the dedup key here is 24 bytes
+      // (cosine is a pure function of the pair, so the triple is unique)
       .withColumn("cosine", VectorFunctions.cosine(col("qv"), col("cv")))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+      .distinct()
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("cosine").desc, col("neighbor_id"))))
