@@ -54,6 +54,20 @@ object Streams {
         count(lit(1)).as("n_events"))
   }
 
+  /** Streaming exact dedup: keep the first event per key, with state
+    * bounded by the event-time watermark — Structured Streaming's native
+    * `dropDuplicatesWithinWatermark` (late duplicates beyond the horizon
+    * are the pipeline's dedup-window tradeoff, exactly as in a batch
+    * dedup over a rolling corpus slice). In batch mode (no watermark)
+    * this degrades to a plain `dropDuplicates` on the key.
+    */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+      withWatermark: Boolean = true, watermark: String = "1 hour"): DataFrame =
+    if (withWatermark)
+      events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(keyCols)
+    else events.dropDuplicates(keyCols)
+
   /** Gap-based sessionization, streaming formulation: per-user custom
     * state via `flatMapGroupsWithState` with an event-time timeout.
     *

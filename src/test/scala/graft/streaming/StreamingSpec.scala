@@ -109,4 +109,27 @@ class StreamingSpec extends SparkSpec {
     // user 2: 10:20 then 11:10 (50min gap) → 2 sessions
     assert(sessions.toSeq === Seq((1L, 2L), (1L, 1L), (2L, 1L), (2L, 1L)))
   }
+
+  test("streaming dedup keeps one event per key within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Ev]
+    val deduped = Streams.dedupStream(source.toDF(), Seq("user_id", "event_type"))
+    val q = deduped.writeStream
+      .format("memory").queryName("dedup_out").outputMode("append").start()
+    try {
+      source.addData(events: _*) // user 1 clicks ×3, user 2 views ×2
+      q.processAllAvailable()
+      // an in-watermark duplicate arriving in a later batch is dropped too
+      source.addData(Ev(50, ts(30), 1, "click", 9.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("dedup_out")
+      .select("user_id", "event_type").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.sorted.toSeq === Seq((1L, "click"), (2L, "view")))
+    // batch degradation: plain dropDuplicates
+    val batch = Streams.dedupStream(events.toDF(), Seq("user_id", "event_type"),
+      withWatermark = false)
+    assert(batch.count() === 2L)
+  }
 }
