@@ -58,4 +58,22 @@ class RandomizedDedupSpec extends SparkSpec {
     }
     assert(got === expected)
   }
+
+  test("decontamination matches driver set-overlap on random corpora") {
+    import spark.implicits._
+    (1 to 3).foreach { seed =>
+      val rnd = new Random(100 + seed)
+      val test = (0L until 4L).map(i => (i, randomDoc(rnd)))
+      val corpus = (10L until 20L).map(i => (i, randomDoc(rnd)))
+      val got = Dedup.decontaminate(
+          corpus.toDF("doc_id", "text"), test.toDF("doc_id", "text"),
+          "doc_id", "text", n = 2)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val testShingles = test.flatMap(d => shingleSet(d._2, 2)).toSet
+      val expected = corpus
+        .map(d => d._1 -> shingleSet(d._2, 2).intersect(testShingles).size.toLong)
+        .filter(_._2 > 0).toMap
+      assert(got === expected, s"seed=$seed")
+    }
+  }
 }
