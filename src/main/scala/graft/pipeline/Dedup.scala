@@ -58,23 +58,30 @@ object Dedup {
 
   // --------------------------------------------------------------- MinHash
 
-  /** MinHash signatures: numHashes independent permutations approximated
-    * by seeded xxhash64; one explode + one groupBy per corpus (the agg is
-    * map-side combined, so the shuffle carries only doc_id → 64 longs).
-    * Each shingle string is hashed ONCE to a long; the permutations
-    * re-hash that 8-byte value, not the string — 64× less byte-hashing
-    * per shingle with the same collision behavior.
+  /** MinHash signatures as ONE narrow map stage: the fused codegen
+    * expression ([[graft.functions.MinHashSignature]]) folds the whole
+    * shingle→hash→min pipeline inside the row, so signature construction
+    * shuffles NOTHING at any corpus size (the round-1 explode + groupBy
+    * formulation shuffled every (doc, shingle) pair back to its doc).
+    * Output: (id, sig: array<long>), bit-identical to
+    * [[signaturesFromHashed]].
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 64): DataFrame =
-    signaturesFromHashed(hashedShingles(df, idCol, textCol, shingleN), numHashes)
+    df.select(col(idCol).as("id"),
+      graft.functions.HashFunctions.minhashSignature(
+        shingleArray(col(textCol), shingleN), numHashes).as("sig"))
 
   /** Signatures from a precomputed (id, h) shingle-hash table — lets a
-    * candidate-then-verify pipeline shingle the corpus exactly once.
+    * candidate-then-verify pipeline shingle the corpus exactly once
+    * (the exploded table feeds BOTH this groupBy and the Jaccard verify
+    * join, so here the shuffle pays for itself). Same (id, sig) shape
+    * and values as [[minhashSignatures]].
     */
   def signaturesFromHashed(sh: DataFrame, numHashes: Int = 64): DataFrame = {
     val aggs = (0 until numHashes).map(i => min(xxhash64(lit(i), col("h"))).as(s"mh$i"))
     sh.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+      .select(col("id"), array((0 until numHashes).map(i => col(s"mh$i")): _*).as("sig"))
   }
 
   /** LSH banding: hash each band of rowsPerBand signature slots, explode
@@ -89,7 +96,8 @@ object Dedup {
         "silently drop signature slots and change the collision S-curve")
     val rowsPerBand = numHashes / bands
     val bandCols = (0 until bands).map { b =>
-      val slots = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
+      val slots = (0 until rowsPerBand).map(r =>
+        element_at(col("sig"), b * rowsPerBand + r + 1))
       struct(lit(b).as("band"), xxhash64(slots: _*).as("bucket"))
     }
     // materialize once: the self-join legs are separate subtrees to
@@ -115,20 +123,15 @@ object Dedup {
   // --------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash per document: each distinct shingle votes ±1 on every
-    * bit of its hash; the sign vector packs into one long. One explode +
-    * one groupBy (64 map-side-combined sums).
+    * bit of its hash; the sign vector packs into one long. One narrow map
+    * via the fused codegen expression ([[graft.functions.SimHash64]]) —
+    * no explode, no groupBy, no shuffle (the round-1 formulation
+    * shuffled every (doc, shingle) pair for 64 vote sums).
     */
-  def simhash(df: DataFrame, idCol: String, textCol: String, shingleN: Int = 2): DataFrame = {
-    val sh = shingles(df, idCol, textCol, shingleN)
-      .withColumn("h", xxhash64(col("sh")))
-    val votes = (0 until 64).map(i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i"))
-    val packed = (0 until 64)
-      .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L))
-      .reduce(_ + _)
-    sh.groupBy(col("id")).agg(votes.head, votes.tail: _*)
-      .select(col("id"), packed.as("simhash"))
-  }
+  def simhash(df: DataFrame, idCol: String, textCol: String, shingleN: Int = 2): DataFrame =
+    df.select(col(idCol).as("id"),
+      graft.functions.HashFunctions.simhash64(
+        shingleArray(col(textCol), shingleN)).as("simhash"))
 
   /** SimHash near-dup pairs: bucket by each of the four 16-bit chunks
     * (pigeonhole: hamming ≤ 3 ⇒ some chunk equal), verify with

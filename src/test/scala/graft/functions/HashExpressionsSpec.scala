@@ -1,0 +1,71 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.pipeline.Dedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The fused signature expressions must be bit-identical to the
+  * explode + groupBy SQL formulations they replaced (which pin the
+  * xxhash64 seed/composition semantics), in both execution modes.
+  */
+class HashExpressionsSpec extends SparkSpec {
+
+  private val vocab = Vector("red", "green", "blue", "cyan", "teal", "plum", "gold")
+
+  private lazy val docs: DataFrame = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    (Seq.tabulate(30) { i =>
+      (i.toLong, Seq.fill(2 + rnd.nextInt(18))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    } :+ (98L -> "one") :+ (99L -> "")).toDF("doc_id", "text")
+  }
+
+  test("minhash signature expression matches the groupBy formulation bit-for-bit") {
+    val viaExpr = Dedup.minhashSignatures(docs, "doc_id", "text", shingleN = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val viaGroupBy = Dedup.signaturesFromHashed(
+        Dedup.hashedShingles(docs, "doc_id", "text", n = 2))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaExpr.keySet === viaGroupBy.keySet)
+    viaExpr.foreach { case (id, sig) => assert(sig === viaGroupBy(id), s"doc $id") }
+  }
+
+  test("simhash expression matches the vote-aggregation formulation bit-for-bit") {
+    val viaExpr = Dedup.simhash(docs, "doc_id", "text", shingleN = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the round-1 explode + 64-sum-votes formulation, inlined
+    val sh = Dedup.shingles(docs, "doc_id", "text", n = 2)
+      .withColumn("h", xxhash64(col("sh")))
+    val votes = (0 until 64).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i"))
+    val packed = (0 until 64)
+      .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L))
+      .reduce(_ + _)
+    val viaAgg = sh.groupBy(col("id")).agg(votes.head, votes.tail: _*)
+      .select(col("id"), packed.as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaExpr === viaAgg)
+  }
+
+  test("interpreted mode agrees with codegen") {
+    val conf = spark.conf
+    val prev = conf.get("spark.sql.codegen.wholeStage", "true")
+    def run(): (Map[Long, Seq[Long]], Map[Long, Long]) = (
+      Dedup.minhashSignatures(docs, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap,
+      Dedup.simhash(docs, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    val (mhC, shC) = run()
+    try {
+      conf.set("spark.sql.codegen.wholeStage", "false")
+      conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      val (mhI, shI) = run()
+      assert(mhC === mhI)
+      assert(shC === shI)
+    } finally {
+      conf.set("spark.sql.codegen.wholeStage", prev)
+      conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+}
