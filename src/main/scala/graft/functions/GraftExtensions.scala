@@ -45,5 +45,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       { case Seq(c) => FnvHash64(c)
         case args => throw new IllegalArgumentException(
           s"fnv64 requires exactly 1 argument, got ${args.length}") }))
+    ext.injectFunction((FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(shingles) - 64-bit simhash of an array<string>"),
+      { case Seq(c) => SimHash64(c)
+        case args => throw new IllegalArgumentException(
+          s"simhash64 requires exactly 1 argument, got ${args.length}") }))
+    ext.injectFunction((FunctionIdentifier("minhash_signature"),
+      info("minhash_signature",
+        "minhash_signature(shingles, k) - array<long> minhash signature of an array<string>"),
+      { case Seq(c, k) => MinHashSignature(c, foldToInt(k, "minhash_signature"))
+        case args => throw new IllegalArgumentException(
+          s"minhash_signature requires exactly 2 arguments, got ${args.length}") }))
+  }
+
+  /** The signature width must be a literal — it shapes the output schema. */
+  private def foldToInt(e: Expression, fn: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn requires a literal int signature width, got $other")
   }
 }
