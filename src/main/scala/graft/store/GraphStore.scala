@@ -81,7 +81,8 @@ object GraphStore {
     *    parquet rowgroup min/max stats their range-index effect.
     */
   def writeTable(df: DataFrame, path: String,
-      layout: graft.catalog.LayoutSpec = graft.catalog.LayoutSpec()): Unit = {
+      layout: graft.catalog.LayoutSpec = graft.catalog.LayoutSpec(),
+      format: String = "parquet"): Unit = {
     val clustered = layout.bucketBy match {
       case Some((n, cols)) => df.repartition(n, cols.map(col): _*)
       case None => df
@@ -99,6 +100,12 @@ object GraphStore {
     val partitioned =
       if (layout.partitionBy.nonEmpty) writer.partitionBy(layout.partitionBy: _*)
       else writer
-    partitioned.parquet(path)
+    format match {
+      case "parquet" => partitioned.parquet(path)
+      case "csv" => partitioned.option("header", "true").csv(path)
+      case "json" => partitioned.json(path)
+      case other => throw new IllegalArgumentException(
+        s"unsupported sink format: $other (parquet, csv, json)")
+    }
   }
 }

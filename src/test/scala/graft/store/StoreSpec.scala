@@ -31,4 +31,41 @@ class StoreSpec extends SparkSpec {
       assert(ids.sameElements(ids.sorted))
     }
   }
+
+  test("ingest reads csv/json with the catalog schema, never inference") {
+    import graft.catalog.Ddl
+    import graft.lang.Parser
+    val cat = Parser.parse(
+      "CREATE NODE P (name: string NOT NULL, age: int, score: float, ok: bool);")
+      .foldLeft(graft.catalog.GraphCatalog.empty)(Ddl.apply)
+    val nt = cat.nodes("P")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ingest").toString
+    import spark.implicits._
+    val df = Seq((1L, "a", 30L, 1.5, true), (2L, "b", 25L, 2.5, false))
+      .toDF("_id", "name", "age", "score", "ok")
+    GraphStore.writeTable(df, s"$dir/csv", format = "csv")
+    GraphStore.writeTable(df, s"$dir/json", format = "json")
+    Seq("csv" -> s"$dir/csv", "json" -> s"$dir/json").foreach { case (fmt, path) =>
+      val back = Ingest.readNodes(spark, nt, path, format = fmt)
+      // file sources force nullable=true on read (Spark semantics);
+      // names and types must match the catalog exactly
+      assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq
+        === Ingest.nodeSchema(nt).fields.map(f => (f.name, f.dataType)).toSeq, fmt)
+      val r = back.orderBy("_id").collect()
+      assert(r.map(_.getAs[Long]("age")).toSeq === Seq(30L, 25L), fmt)
+      assert(r.map(_.getAs[Double]("score")).toSeq === Seq(1.5, 2.5), fmt)
+      assert(r.map(_.getAs[Boolean]("ok")).toSeq === Seq(true, false), fmt)
+    }
+    // malformed rows surface as nulls for the constraint finders, not a
+    // mid-scan failure: age gets a non-numeric value
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/bad"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/bad/part-00000.csv"),
+      "_id,name,age,score,ok\n3,c,notanum,1.0,true\n")
+    val bad = Ingest.readNodes(spark, nt, s"$dir/bad", format = "csv")
+    val row = bad.collect()(0)
+    assert(row.isNullAt(row.fieldIndex("age")))
+    assert(graft.store.Constraints.notNullViolations(
+      bad.filter(col("name").isNull), Seq("name")).isEmpty)
+  }
 }
