@@ -1,0 +1,59 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic dataset splitting for training pipelines.
+  *
+  * Assignment is a pure function of the row's key (md5 hex prefix
+  * compared against fraction thresholds), so it is stable across runs,
+  * engines, partitionings, and cluster topologies — unlike
+  * `sample()`/`rand()`, whose output depends on partition layout and
+  * seed plumbing. A document keeps its split when the corpus is
+  * re-ingested or re-partitioned, which is what makes held-out sets
+  * trustworthy across pipeline versions. Granularity is 1/256 (two hex
+  * chars); finer fractions would extend the prefix.
+  */
+object Splits {
+
+  /** Hex threshold for a cumulative percentage, e.g. 80% → "cc". 100%
+    * yields "g", which sorts after every 2-char hex bucket — f"%02x" of
+    * 256 would be the 3-char "100", which compares LOWER than most
+    * buckets lexicographically.
+    */
+  private def hexThreshold(pct: Int): String = {
+    val v = pct * 256 / 100
+    if (v >= 256) "g" else f"$v%02x"
+  }
+
+  /** The md5-prefix bucket column for a key. */
+  def bucket(key: Column): Column = substring(md5(key.cast("string")), 1, 2)
+
+  /** Assign 'train' / 'val' / 'test' by content-hash bucket.
+    * trainPct + valPct must leave room for the test remainder.
+    */
+  def assign(df: DataFrame, keyCol: String, trainPct: Int = 80,
+      valPct: Int = 10): DataFrame = {
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"invalid split percentages: train=$trainPct val=$valPct")
+    val b = bucket(col(keyCol))
+    df.withColumn("split",
+      when(b < lit(hexThreshold(trainPct)), "train")
+        .when(b < lit(hexThreshold(trainPct + valPct)), "val")
+        .otherwise("test"))
+  }
+
+  /** The DuckDB mirror of [[assign]] — generated from the SAME threshold
+    * constants so the oracle can never drift from the implementation.
+    */
+  def assignSql(table: String, keyCol: String, trainPct: Int = 80,
+      valPct: Int = 10): String = {
+    val t = hexThreshold(trainPct)
+    val v = hexThreshold(trainPct + valPct)
+    s"""SELECT $keyCol,
+          CASE WHEN substr(md5(CAST($keyCol AS VARCHAR)), 1, 2) < '$t' THEN 'train'
+               WHEN substr(md5(CAST($keyCol AS VARCHAR)), 1, 2) < '$v' THEN 'val'
+               ELSE 'test' END AS split
+        FROM $table"""
+  }
+}

@@ -84,6 +84,14 @@ object Pipeline {
        FROM c JOIN t USING (sh)
        GROUP BY c.doc_id"""
 
+  /** Deterministic content-hash train/val/test assignment. */
+  def pSplitAssign(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Splits.assign(
+      Tables.load(spark, dir, "documents").select(col("doc_id")), "doc_id")
+
+  val pSplitAssignSql: String =
+    graft.pipeline.Splits.assignSql("documents", "doc_id")
+
   // -------------------------------------------------------------- ANN
 
   def pKnnBrute(spark: SparkSession, dir: String): DataFrame = {
@@ -206,6 +214,7 @@ object Pipeline {
     QueryDef.rowsOnly("p_dedup_ngram", pDedupNgram),
     QueryDef.sql("p_dedup_embed", pDedupEmbed, pDedupEmbedSql),
     QueryDef.sql("p_decontam", pDecontam, pDecontamSql),
+    QueryDef.sql("p_split_assign", pSplitAssign, pSplitAssignSql),
     QueryDef.sql("p_knn_brute", pKnnBrute, pKnnBruteSql),
     QueryDef.rowsOnly("p_knn_lsh", pKnnLsh),
     QueryDef.rowsOnly("p_knn_ivf", pKnnIvf),

@@ -1,0 +1,41 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SplitsSpec extends SparkSpec {
+
+  private lazy val keys = {
+    import spark.implicits._
+    (0L until 4000L).toDF("k")
+  }
+
+  test("splits are disjoint, exhaustive, and near the requested fractions") {
+    val counts = Splits.assign(keys, "k", trainPct = 80, valPct = 10)
+      .groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet === Set("train", "val", "test"))
+    assert(counts.values.sum === 4000L)
+    // md5 is uniform: 1/256-granular thresholds land near the request
+    assert(math.abs(counts("train") / 4000.0 - 0.8) < 0.03)
+    assert(math.abs(counts("val") / 4000.0 - 0.1) < 0.03)
+  }
+
+  test("assignment is a pure function of the key: stable across shuffles") {
+    val once = Splits.assign(keys, "k")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val again = Splits.assign(keys.repartition(7, col("k")), "k")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(once === again)
+  }
+
+  test("degenerate percentages: all-train and all-test") {
+    val allTrain = Splits.assign(keys, "k", trainPct = 100, valPct = 0)
+      .select("split").distinct().collect().map(_.getString(0)).toSeq
+    assert(allTrain === Seq("train"))
+    val allTest = Splits.assign(keys, "k", trainPct = 0, valPct = 0)
+      .select("split").distinct().collect().map(_.getString(0)).toSeq
+    assert(allTest === Seq("test"))
+    assertThrows[IllegalArgumentException](Splits.assign(keys, "k", 90, 20))
+  }
+}
