@@ -170,7 +170,11 @@ object Ddl {
         validateField(fd)
         nt.copy(fields = nt.fields.map(f => if (f.name == fd.name) toFieldSpec(fd) else f))
       case Ast.AlterNodeAction.SetPrimaryKey(fs) =>
-        fs.foreach(n => if (nt.field(n).isEmpty) throw DdlError(s"unknown pk field: $n"))
+        fs.foreach { n =>
+          val f = nt.field(n).getOrElse(throw DdlError(s"unknown pk field: $n"))
+          // reference ddl.go SET_PRIMARY_KEY: key fields must be scalar
+          if (!isScalar(f.tpe)) throw DdlError(s"primary key $n must be a scalar type")
+        }
         nt.copy(pk = fs)
     }
     bump(cat.copy(nodes = cat.nodes + (s.name -> updated)))

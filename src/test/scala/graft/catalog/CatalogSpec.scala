@@ -97,5 +97,8 @@ class CatalogSpec extends AnyFunSuite {
     // valid composite key path still works
     val multi = applyScript("ALTER NODE Q ADD name: string; ALTER NODE Q SET PRIMARY KEY (id, name);", base)
     assert(multi.nodes("Q").pk === Seq("id", "name"))
+    // SET PRIMARY KEY enforces scalar key fields too
+    assertThrows[DdlError](applyScript(
+      "ALTER NODE Q ADD tags: array<string>; ALTER NODE Q SET PRIMARY KEY (tags);", base))
   }
 }
