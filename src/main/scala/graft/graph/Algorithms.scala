@@ -144,6 +144,55 @@ object Algorithms {
     visited
   }
 
+  /** Hop-bounded weighted single-source shortest paths (Bellman-Ford
+    * with delta/frontier propagation): after k rounds, `dist` holds the
+    * minimum path weight over all paths of ≤ k edges from the seed set —
+    * exactly the quantity a hop-bounded recursive-CTE oracle computes.
+    * Only nodes whose distance improved last round relax their out-edges
+    * (the frontier invariant keeps this equal to full Bellman-Ford), so
+    * per-round work tracks the wavefront, not the graph. Negative
+    * weights are fine (the hop bound replaces a convergence check);
+    * one shuffle per round plus the improved-set merge.
+    *
+    * @param edges (gsrc, gdst, w) directed weighted edge list
+    * @param seeds (gid) source set, distance 0
+    * @return (gid, dist) minimum ≤-maxHops-edge path weight per reached node
+    */
+  def sssp(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    val e0 = materializeInvariant(edges.select(col("gsrc"), col("gdst"), col("w")))
+    val width = loopWidth(edges, e0.count())
+    val e = e0.coalesce(width)
+    var dist = seeds.select(col("gid"), lit(0.0).as("dist")).localCheckpoint()
+    var frontier = dist
+    var frontierRows = frontier.count()
+    var distRowBound = frontierRows // upper bound: grows by ≤ frontier per round
+    var hop = 0
+    withoutAqe(edges, Some(width)) { while (hop < maxHops && frontierRows > 0) {
+      hop += 1
+      // candidate distances through last round's improved nodes
+      val cand = hintSmall(frontier.select(col("gid").as("fgid"), col("dist").as("fdist")),
+          frontierRows)
+        .join(e, col("fgid") === e("gsrc"))
+        .groupBy(e("gdst").as("gid")).agg(min(col("fdist") + col("w")).as("nd"))
+      // keep only strict improvements over the best known distance
+      val improved = cand
+        .join(hintSmall(dist.select(col("gid").as("dgid"), col("dist")), distRowBound),
+          col("gid") === col("dgid"), "left")
+        .filter(col("dist").isNull || col("nd") < col("dist"))
+        .select(col("gid"), col("nd").as("dist"))
+        .localCheckpoint()
+      frontierRows = improved.count()
+      distRowBound += frontierRows
+      dist = dist
+        .join(hintSmall(improved.select(col("gid").as("igid")), frontierRows),
+          col("gid") === col("igid"), "left_anti")
+        .unionByName(improved)
+        .localCheckpoint()
+      frontier = improved
+    } }
+    dist
+  }
+
   /** Connected components by iterative min-label propagation: every node
     * adopts the smallest component id among itself and its neighbors
     * until fixpoint. O(diameter) rounds of one shuffle each; isolated

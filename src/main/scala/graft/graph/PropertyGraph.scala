@@ -99,6 +99,19 @@ final class PropertyGraph(
         gid(e.dstLabel, col("_dst")).as("gdst"))
     }.reduce(_ unionByName _)
 
+  /** gid-encoded edges with a per-label weight expression (evaluated
+    * against each edge label's own columns; use `lit(1.0)` for
+    * unweighted labels).
+    */
+  def gidWeightedEdges(labels: Seq[String], weight: String => Column): DataFrame =
+    labels.map { l =>
+      val e = edges(l)
+      e.df.select(
+        gid(e.srcLabel, col("_src")).as("gsrc"),
+        gid(e.dstLabel, col("_dst")).as("gdst"),
+        weight(l).cast("double").as("w"))
+    }.reduce(_ unionByName _)
+
   /** All node gids across the given labels. */
   def gidNodes(labels: Seq[String]): DataFrame =
     labels.map { l =>

@@ -88,6 +88,24 @@ object TpchGraph {
        UNION ALL SELECT 3*4294967296 + s_suppkey, 1*4294967296 + s_nationkey FROM supplier
        UNION ALL SELECT 1*4294967296 + n_nationkey, 0*4294967296 + n_regionkey FROM nation"""
 
+  /** Weighted edge mirror for shortest-path oracles: CONTAINS carries
+    * l_quantity, every other label weight 1 — kept in lockstep with
+    * [[graft.queries.GraphOps.gSssp]]'s Spark-side weight function.
+    */
+  val gidSqlWeightedEdges: String =
+    """SELECT 2*4294967296 + o_custkey AS gsrc, 5*4294967296 + o_orderkey AS gdst,
+              CAST(1.0 AS DOUBLE) AS w FROM orders
+       UNION ALL SELECT 5*4294967296 + l_orderkey, 4*4294967296 + l_partkey,
+              CAST(l_quantity AS DOUBLE) FROM lineitem
+       UNION ALL SELECT 4*4294967296 + l_partkey, 3*4294967296 + l_suppkey,
+              CAST(1.0 AS DOUBLE) FROM lineitem
+       UNION ALL SELECT 2*4294967296 + c_custkey, 1*4294967296 + c_nationkey,
+              CAST(1.0 AS DOUBLE) FROM customer
+       UNION ALL SELECT 3*4294967296 + s_suppkey, 1*4294967296 + s_nationkey,
+              CAST(1.0 AS DOUBLE) FROM supplier
+       UNION ALL SELECT 1*4294967296 + n_nationkey, 0*4294967296 + n_regionkey,
+              CAST(1.0 AS DOUBLE) FROM nation"""
+
   /** gid → label-name CASE expression for oracle output decoding. */
   val gidSqlLabel: String =
     """CASE CAST(gid // 4294967296 AS INT)

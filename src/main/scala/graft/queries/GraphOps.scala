@@ -199,6 +199,38 @@ object GraphOps {
               CAST(hop AS BIGINT) AS hop
        FROM dist"""
 
+  /** Hop-bounded weighted shortest paths from seed customers over the
+    * heterogeneous graph (CONTAINS weighted by l_quantity, every other
+    * edge weight 1). Oracle: recursive CTE enumerating ≤3-edge paths
+    * with the same weights — path sums evaluate in the same order in
+    * both engines, so min distances match bit-for-bit before rounding.
+    */
+  def gSssp(spark: SparkSession, dir: String): DataFrame = {
+    val gr = g(spark, dir)
+    val seeds = gr.nodes("customer").df.filter(col("_id") <= 3)
+      .select(gr.gid("customer", col("_id")).as("gid"))
+    val weighted = gr.gidWeightedEdges(TpchGraph.edgeLabels, {
+      case "CONTAINS" => col("l_quantity")
+      case _ => lit(1.0)
+    })
+    val reached = Algorithms.sssp(weighted, seeds, maxHops = 3)
+    gr.decode(reached, "gid")
+      .select(col("label"), col("key"), round(col("dist"), 4).as("dist"))
+  }
+
+  val gSsspSql: String =
+    s"""WITH RECURSIVE e AS (${TpchGraph.gidSqlWeightedEdges}),
+       walk(gid, d, hop) AS (
+         SELECT 2*4294967296 + c_custkey, CAST(0 AS DOUBLE), 0
+         FROM customer WHERE c_custkey <= 3
+         UNION ALL
+         SELECT e.gdst, w.d + e.w, w.hop + 1
+         FROM walk w JOIN e ON e.gsrc = w.gid WHERE w.hop < 3),
+       dist AS (SELECT gid, min(d) AS dist FROM walk GROUP BY gid)
+       SELECT ${TpchGraph.gidSqlLabel} AS label, gid % 4294967296 AS key,
+              round(dist, 4) AS dist
+       FROM dist"""
+
   /** Connected components over the co-purchase graph (parts sharing an
     * order). Iterative min-label propagation; returned as component-size
     * profile. Rows-only (no tractable SQL fixpoint oracle) — exactness is
@@ -313,6 +345,7 @@ object GraphOps {
     QueryDef.sql("g_degree", gDegree, gDegreeSql),
     QueryDef.sql("g_degree_hist", gDegreeHist, gDegreeHistSql),
     QueryDef.sql("g_bfs", gBfs, gBfsSql),
+    QueryDef.sql("g_sssp", gSssp, gSsspSql),
     QueryDef.rowsOnly("g_cc", gCc),
     QueryDef.rowsOnly("g_pagerank", gPagerank),
     QueryDef.rowsOnly("g_label_prop", gLabelProp),

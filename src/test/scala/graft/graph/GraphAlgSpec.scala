@@ -33,6 +33,20 @@ class GraphAlgSpec extends SparkSpec {
     assert(res === Map(1L -> 0, 2L -> 1))
   }
 
+  test("sssp prefers a lighter multi-hop path and respects the hop bound") {
+    import spark.implicits._
+    // 1→4 direct costs 10; 1→2→3→4 costs 3; 1→5 only via 4 edges
+    val edges = Seq(
+      (1L, 4L, 10.0), (1L, 2L, 1.0), (2L, 3L, 1.0), (3L, 4L, 1.0),
+      (4L, 5L, 1.0)).toDF("gsrc", "gdst", "w")
+    val got3 = Algorithms.sssp(edges, Seq(1L).toDF("gid"), maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got3 === Map(1L -> 0.0, 2L -> 1.0, 3L -> 2.0, 4L -> 3.0, 5L -> 11.0))
+    // one more hop: 5 now reachable through the cheap path
+    val got4 = Algorithms.sssp(edges, Seq(1L).toDF("gid"), maxHops = 4)
+    assert(got4.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap.apply(5L) === 4.0)
+  }
+
   test("connected components finds two components and an isolate") {
     // component {1,2,3}, component {10,11}, isolate {20}
     val edges = edgeDf(1L -> 2L, 2L -> 3L, 10L -> 11L)

@@ -87,6 +87,34 @@ class RandomizedAlgSpec extends SparkSpec {
     }
   }
 
+  test("sssp matches driver hop-bounded Bellman-Ford on random weighted digraphs") {
+    (31 to 38).foreach { seed =>
+      val (nodes, edges) = randomGraph(seed)
+      val rnd = new Random(seed * 7)
+      val weighted = edges.map { case (a, b) => (a, b, (1 + rnd.nextInt(9)).toDouble) }
+      import spark.implicits._
+      val edf =
+        if (weighted.isEmpty) Seq((0L, 0L, 0.0)).toDF("gsrc", "gdst", "w").limit(0)
+        else weighted.toDF("gsrc", "gdst", "w")
+      val seedsSeq = nodes.take(2)
+      val maxHops = 4
+      val got = Algorithms.sssp(edf, seedsSeq.toDF("gid"), maxHops)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      // driver Bellman-Ford: min weight over paths of <= maxHops edges
+      var dist = seedsSeq.map(_ -> 0.0).toMap
+      for (_ <- 1 to maxHops) {
+        val relaxed = weighted.flatMap { case (a, b, w) =>
+          dist.get(a).map(d => b -> (d + w))
+        }.groupBy(_._1).map { case (v, ds) => v -> ds.map(_._2).min }
+        dist = (dist.keySet ++ relaxed.keySet).map { v =>
+          v -> math.min(dist.getOrElse(v, Double.MaxValue),
+            relaxed.getOrElse(v, Double.MaxValue))
+        }.toMap
+      }
+      assert(got === dist, s"seed=$seed edges=$weighted")
+    }
+  }
+
   test("pagerank matches driver power iteration on random digraphs") {
     (31 to 35).foreach { seed =>
       val (nodes, edges) = randomGraph(seed)
