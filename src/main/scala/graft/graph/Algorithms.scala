@@ -325,6 +325,54 @@ object Algorithms {
     } // withoutAqe
   }
 
+  /** k-core: the maximal subgraph in which every node has degree ≥ k,
+    * found by iterative peeling — drop nodes with (surviving-)degree
+    * < k, shrink the edge set to surviving endpoints, repeat to
+    * fixpoint. Returns the member nodes (gid). Each round is one
+    * degree groupBy + two semi-joins against the (shrinking) survivor
+    * set; the edge set only ever shrinks, so round cost tracks the
+    * remaining subgraph. Isolated nodes peel in round one for any
+    * k ≥ 1.
+    */
+  def kCore(edges: DataFrame, k: Int, maxIter: Int = 100): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val und0 = edges.select(col("gsrc").as("a"), col("gdst").as("b"))
+      .filter(col("a") =!= col("b"))
+      .unionByName(edges.select(col("gdst").as("a"), col("gsrc").as("b"))
+        .filter(col("a") =!= col("b")))
+      .distinct().localCheckpoint()
+    val width = loopWidth(edges, und0.count())
+    withoutAqe(edges, Some(width)) {
+    var e = und0.coalesce(width)
+    var aliveRows = -1L
+    var converged = false
+    var iter = 0
+    var alive = e.select(col("a").as("gid")).distinct().localCheckpoint()
+    while (!converged && iter < maxIter) {
+      iter += 1
+      // each undirected edge appears as (a,b) AND (b,a), so the groupBy
+      // on `a` counts every node's full degree in the surviving subgraph
+      val survivors = e.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("a").as("gid"))
+        .localCheckpoint()
+      val n = survivors.count()
+      converged = n == aliveRows
+      aliveRows = n
+      alive = survivors
+      if (!converged && n > 0) {
+        e = e
+          .join(hintSmall(survivors.select(col("gid").as("sa")), n),
+            col("a") === col("sa"), "left_semi")
+          .join(hintSmall(survivors.select(col("gid").as("sb")), n),
+            col("b") === col("sb"), "left_semi")
+          .localCheckpoint()
+      } else if (n == 0) converged = true
+    }
+    alive
+    } // withoutAqe
+  }
+
   /** Global triangle count over an undirected simple graph given as
     * (gsrc, gdst) pairs (any orientation, multiplicity allowed — they
     * are canonicalized to a<b and deduped here).

@@ -268,6 +268,16 @@ object GraphOps {
       .groupBy(col("size")).agg(count(lit(1)).as("n_communities"))
   }
 
+  /** 4-core of the co-purchase graph, reported as its member count
+    * (rows-only; exactness on planted/random graphs in GraphAlgSpec /
+    * RandomizedAlgSpec).
+    */
+  def gKcore(spark: SparkSession, dir: String): DataFrame = {
+    val (_, edges) = copurchaseGraph(spark, dir)
+    Algorithms.kCore(edges, k = 4)
+      .agg(count(lit(1)).as("core_size"))
+  }
+
   /** Triangle count over the co-purchase graph. */
   def gTriangles(spark: SparkSession, dir: String): DataFrame = {
     val (_, edges) = copurchaseGraph(spark, dir)
@@ -349,6 +359,7 @@ object GraphOps {
     QueryDef.rowsOnly("g_cc", gCc),
     QueryDef.rowsOnly("g_pagerank", gPagerank),
     QueryDef.rowsOnly("g_label_prop", gLabelProp),
+    QueryDef.rowsOnly("g_kcore", gKcore),
     QueryDef.sql("g_triangles", gTriangles, gTrianglesSql),
     QueryDef.sql("g_wal_replay", gWalReplay, gWalReplaySql))
 }

@@ -33,6 +33,20 @@ class GraphAlgSpec extends SparkSpec {
     assert(res === Map(1L -> 0, 2L -> 1))
   }
 
+  test("k-core peels the tail off a clique-plus-path graph") {
+    // K4 on {1,2,3,4} plus a path 4-5-6: the 3-core is exactly the K4
+    val edges = edgeDf(
+      1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 3L, 2L -> 4L, 3L -> 4L,
+      4L -> 5L, 5L -> 6L)
+    val core3 = Algorithms.kCore(edges, k = 3).collect().map(_.getLong(0)).toSet
+    assert(core3 === Set(1L, 2L, 3L, 4L))
+    // 1-core keeps everything connected by an edge
+    val core1 = Algorithms.kCore(edges, k = 1).collect().map(_.getLong(0)).toSet
+    assert(core1 === Set(1L, 2L, 3L, 4L, 5L, 6L))
+    // beyond the densest core: empty
+    assert(Algorithms.kCore(edges, k = 4).isEmpty)
+  }
+
   test("sssp prefers a lighter multi-hop path and respects the hop bound") {
     import spark.implicits._
     // 1→4 direct costs 10; 1→2→3→4 costs 3; 1→5 only via 4 edges

@@ -115,6 +115,30 @@ class RandomizedAlgSpec extends SparkSpec {
     }
   }
 
+  test("k-core matches driver peeling on random multigraphs") {
+    (41 to 48).foreach { seed =>
+      val (nodes, edges) = randomGraph(seed)
+      val (_, edf) = toDf(nodes, edges)
+      (1 to 3).foreach { k =>
+        val got = Algorithms.kCore(edf, k)
+          .collect().map(_.getLong(0)).toSet
+        // driver peeling over the simple undirected graph
+        val simple = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+          .filter { case (a, b) => a != b }.distinct
+        var alive = simple.map(_._1).toSet
+        var changed = true
+        while (changed) {
+          val deg = simple.filter { case (a, b) => alive(a) && alive(b) }
+            .groupBy(_._1).view.mapValues(_.size).toMap
+          val next = alive.filter(v => deg.getOrElse(v, 0) >= k)
+          changed = next != alive
+          alive = next
+        }
+        assert(got === alive, s"seed=$seed k=$k edges=$edges")
+      }
+    }
+  }
+
   test("pagerank matches driver power iteration on random digraphs") {
     (31 to 35).foreach { seed =>
       val (nodes, edges) = randomGraph(seed)
