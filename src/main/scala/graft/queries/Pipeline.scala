@@ -32,13 +32,19 @@ object Pipeline {
     Dedup.simhashDupes(sims, maxHamming = 3)
   }
 
-  /** Exact n-gram Jaccard verification over the MinHash candidates —
-    * the candidate-then-verify pipeline sharing ONE shingling pass.
+  /** Exact n-gram Jaccard verification over the MinHash candidates.
+    * Signatures come from the zero-shuffle expression (re-shingling is
+    * cheap narrow CPU); the exploded shingle-hash table is materialized
+    * once purely for the verify join's two legs — shingle work happens
+    * twice, but the 64-min-agg shuffle of every (doc, shingle) pair is
+    * gone, which is the better trade at every scale (measured at sf0.1,
+    * and the shuffle grows with corpus size while the re-shingle stays
+    * narrow).
     */
   def pDedupNgram(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
     val sh = Dedup.hashedShingles(docs, "doc_id", "text", n = 3).localCheckpoint()
-    val cands = Dedup.lshCandidates(Dedup.signaturesFromHashed(sh))
+    val cands = Dedup.lshCandidates(Dedup.minhashSignatures(docs, "doc_id", "text", shingleN = 3))
     Dedup.ngramJaccardFromHashed(sh, cands)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
