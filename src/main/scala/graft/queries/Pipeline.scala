@@ -90,6 +90,28 @@ object Pipeline {
        FROM c JOIN t USING (sh)
        GROUP BY c.doc_id"""
 
+  /** Corpus n-gram document frequency (each document counts a distinct
+    * n-gram once) — the vocabulary/contamination profiling scan every
+    * corpus audit starts from. One shingling pass + one groupBy.
+    */
+  def pNgramFreq(spark: SparkSession, dir: String): DataFrame =
+    Dedup.shingles(Tables.load(spark, dir, "documents"), "doc_id", "text", n = 2)
+      .groupBy(col("sh").as("ngram")).agg(count(lit(1)).as("doc_freq"))
+      .filter(col("doc_freq") >= 25)
+
+  val pNgramFreqSql: String =
+    """WITH words AS (
+         SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+         FROM documents),
+       sh AS (
+         SELECT doc_id, unnest(CASE WHEN len(w) >= 2
+           THEN list_distinct(list_transform(range(len(w) - 1),
+                  i -> array_to_string(w[i + 1:i + 2], ' ')))
+           ELSE [array_to_string(w, ' ')] END) AS sh
+         FROM words)
+       SELECT sh AS ngram, count(*) AS doc_freq
+       FROM sh GROUP BY sh HAVING count(*) >= 25"""
+
   /** Deterministic content-hash train/val/test assignment. */
   def pSplitAssign(spark: SparkSession, dir: String): DataFrame =
     graft.pipeline.Splits.assign(
@@ -221,6 +243,7 @@ object Pipeline {
     QueryDef.sql("p_dedup_embed", pDedupEmbed, pDedupEmbedSql),
     QueryDef.sql("p_decontam", pDecontam, pDecontamSql),
     QueryDef.sql("p_split_assign", pSplitAssign, pSplitAssignSql),
+    QueryDef.sql("p_ngram_freq", pNgramFreq, pNgramFreqSql),
     QueryDef.sql("p_knn_brute", pKnnBrute, pKnnBruteSql),
     QueryDef.rowsOnly("p_knn_lsh", pKnnLsh),
     QueryDef.rowsOnly("p_knn_ivf", pKnnIvf),

@@ -42,7 +42,21 @@ object Streaming {
               count(*) AS n_events
        FROM sess GROUP BY user_id, session_idx"""
 
+  /** Batch face of the streaming dedup (SURVEY §2.5 row 39b): which
+    * (user, event_type) keys survive. The key set is deterministic even
+    * though dropDuplicates' surviving ROW is not, so this is the
+    * oracle-safe projection.
+    */
+  def sDedupKeys(spark: SparkSession, dir: String): DataFrame =
+    Streams.dedupStream(Tables.load(spark, dir, "events"),
+        Seq("user_id", "event_type"), withWatermark = false)
+      .select(col("user_id"), col("event_type"))
+
+  val sDedupKeysSql: String =
+    "SELECT DISTINCT user_id, event_type FROM events"
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("s_tumbling_agg", sTumblingAgg, sTumblingAggSql),
-    QueryDef.sql("s_sessionize", sSessionize, sSessionizeSql))
+    QueryDef.sql("s_sessionize", sSessionize, sSessionizeSql),
+    QueryDef.sql("s_dedup_keys", sDedupKeys, sDedupKeysSql))
 }
