@@ -251,19 +251,47 @@ object Algorithms {
     * apart from the per-round checkpoint.
     */
   def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int,
-      damping: Double = 0.85): DataFrame = {
-    // Loop invariants materialize once: edge list, and the rank base with
-    // the static out-degree attached (null ⇒ dangling). Carrying outdeg
-    // inside the rank vector removes a pr×deg join from every iteration —
-    // the dangling-mass term becomes a scan-agg over pr alone.
-    // Co-partitioned loop: edges hash-partitioned by gsrc and the rank
-    // vector by gid, both at the loop width, ONCE. localCheckpoint
-    // preserves the physical partitioning, and every per-iteration join
-    // is a shuffle-hash join whose inputs already satisfy the required
-    // distribution — the only exchange per round is the contribution
-    // groupBy. (Broadcasting the rank vector instead costs two
-    // build-side jobs with driver collects per round, and at real scale
-    // the rank vector outgrows broadcast anyway.)
+      damping: Double = 0.85): DataFrame =
+    pageRankLoop(nodes, edges, iters, damping, teleportOf = (base, n) =>
+      base.withColumn("tele", lit(1.0 / n)))
+
+  /** Personalized PageRank: teleport (and dangling mass) returns to the
+    * seed set instead of uniformly — the standard seeded-relevance
+    * variant. Nodes unreachable from the seeds converge to rank 0. Same
+    * co-partitioned loop; the only difference is the teleport vector
+    * carried inside the rank state.
+    */
+  def personalizedPageRank(nodes: DataFrame, edges: DataFrame, seeds: DataFrame,
+      iters: Int, damping: Double = 0.85): DataFrame =
+    pageRankLoop(nodes, edges, iters, damping, teleportOf = (base, _) => {
+      val s = seeds.select(col("gid").as("sgid")).distinct().localCheckpoint()
+      val nS = s.count().toDouble
+      require(nS > 0, "personalized pagerank requires a non-empty seed set")
+      base.join(broadcast(s), col("gid") === col("sgid"), "left")
+        .select(col("gid"), col("outdeg"),
+          when(col("sgid").isNotNull, lit(1.0 / nS)).otherwise(lit(0.0)).as("tele"))
+    })
+
+  /** The shared iteration: rank state carries (gid, outdeg, tele, pr)
+    * where `tele` is any teleport distribution summing to 1 — uniform
+    * reproduces classic PageRank, seed-concentrated gives the
+    * personalized variant. Dangling mass redistributes along `tele`.
+    *
+    * Loop invariants materialize once: edge list, and the rank base with
+    * the static out-degree attached (null ⇒ dangling). Carrying outdeg
+    * inside the rank vector removes a pr×deg join from every iteration —
+    * the dangling-mass term becomes a scan-agg over pr alone.
+    * Co-partitioned loop: edges hash-partitioned by gsrc and the rank
+    * vector by gid, both at the loop width, ONCE. localCheckpoint
+    * preserves the physical partitioning, and every per-iteration join
+    * is a shuffle-hash join whose inputs already satisfy the required
+    * distribution — the only exchange per round is the contribution
+    * groupBy. (Broadcasting the rank vector instead costs two
+    * build-side jobs with driver collects per round, and at real scale
+    * the rank vector outgrows broadcast anyway.)
+    */
+  private def pageRankLoop(nodes: DataFrame, edges: DataFrame, iters: Int,
+      damping: Double, teleportOf: (DataFrame, Double) => DataFrame): DataFrame = {
     val e0 = materializeInvariant(edges.select(col("gsrc"), col("gdst")))
     val width = loopWidth(edges, e0.count())
     withoutAqe(edges, Some(width)) {
@@ -274,13 +302,14 @@ object Algorithms {
     // (verified with explain("formatted")).
     val e = e0.repartition(width, col("gsrc")).localCheckpoint()
     val deg = e.groupBy(col("gsrc").as("dgid")).agg(count(lit(1)).as("outdeg"))
-    val base = nodes.select(col("gid"))
+    val base0 = nodes.select(col("gid"))
       .join(deg.hint("shuffle_hash"), col("gid") === col("dgid"), "left")
       .select(col("gid"), col("outdeg"))
+    val n = base0.count().toDouble
+    val base = teleportOf(base0, n)
       .repartition(width, col("gid"))
       .localCheckpoint()
-    val n = base.count().toDouble
-    var pr = base.withColumn("pr", lit(1.0 / n))
+    var pr = base.withColumn("pr", col("tele"))
     // the dangling-mass scalar for round i+1 is observed DURING round
     // i's checkpoint job (Dataset.observe piggybacks an agg on the same
     // pass) — no separate scan job per iteration; only round 1 pays an
@@ -306,9 +335,9 @@ object Algorithms {
       val metricName = s"graft_pr_dm_$i"
       val observed = base
         .join(contribs.hint("shuffle_hash"), col("gid") === col("cgid"), "left")
-        .select(col("gid"), col("outdeg"),
-          (lit((1.0 - damping) / n) +
-            lit(damping) * (coalesce(col("contrib"), lit(0.0)) + lit(dm) / lit(n))).as("pr"))
+        .select(col("gid"), col("outdeg"), col("tele"),
+          (lit(1.0 - damping) * col("tele") +
+            lit(damping) * (coalesce(col("contrib"), lit(0.0)) + lit(dm) * col("tele"))).as("pr"))
         .observe(metricName,
           sum(when(col("outdeg").isNull, col("pr")).otherwise(lit(0.0))).as("dm"))
       if (i == 2 && sys.env.contains("GRAFT_DEBUG_PLAN")) observed.explain("formatted")

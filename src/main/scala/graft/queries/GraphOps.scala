@@ -256,6 +256,21 @@ object GraphOps {
       .select(col("label"), col("key"), round(col("pr"), 8).as("pr"))
   }
 
+  /** Personalized PageRank seeded on customers ≤ 10: seed-relative
+    * relevance over the heterogeneous graph, top-100. Rows-only;
+    * exactness vs driver power iteration in RandomizedAlgSpec.
+    */
+  def gPpr(spark: SparkSession, dir: String): DataFrame = {
+    val gr = g(spark, dir)
+    val nodes = gidNodesCached(spark, dir, TpchGraph.nodeLabels)
+    val edges = gidEdgesCached(spark, dir, TpchGraph.edgeLabels)
+    val seeds = gr.nodes("customer").df.filter(col("_id") <= 10)
+      .select(gr.gid("customer", col("_id")).as("gid"))
+    val pr = Algorithms.personalizedPageRank(nodes, edges, seeds, iters = 10)
+    gr.decode(pr.orderBy(col("pr").desc, col("gid")).limit(100), "gid")
+      .select(col("label"), col("key"), round(col("pr"), 8).as("pr"))
+  }
+
   /** Label propagation over the co-purchase graph, 5 synchronous rounds
     * with deterministic tie-breaks; reported as community-size profile.
     * Rows-only (no SQL fixpoint oracle); exactness on planted cliques in
@@ -358,6 +373,7 @@ object GraphOps {
     QueryDef.sql("g_sssp", gSssp, gSsspSql),
     QueryDef.rowsOnly("g_cc", gCc),
     QueryDef.rowsOnly("g_pagerank", gPagerank),
+    QueryDef.rowsOnly("g_ppr", gPpr),
     QueryDef.rowsOnly("g_label_prop", gLabelProp),
     QueryDef.rowsOnly("g_kcore", gKcore),
     QueryDef.sql("g_triangles", gTriangles, gTrianglesSql),

@@ -163,4 +163,31 @@ class RandomizedAlgSpec extends SparkSpec {
       assert(math.abs(got.values.sum - 1.0) < 1e-9)
     }
   }
+
+  test("personalized pagerank matches driver power iteration with seeded teleport") {
+    (51 to 55).foreach { seed =>
+      val (nodes, edges) = randomGraph(seed)
+      val (ndf, edf) = toDf(nodes, edges)
+      val seedSet = nodes.take(1 + seed % 3)
+      import spark.implicits._
+      val got = Algorithms.personalizedPageRank(ndf, edf, seedSet.toDF("gid"), iters = 6)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val d = 0.85
+      val tele = nodes.map(v =>
+        v -> (if (seedSet.contains(v)) 1.0 / seedSet.size else 0.0)).toMap
+      val out = edges.groupBy(_._1).view.mapValues(_.size).toMap
+      val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      var pr = tele
+      (1 to 6).foreach { _ =>
+        val dm = nodes.filterNot(out.contains).map(pr).sum
+        val contrib = scala.collection.mutable.Map.empty[Long, Double].withDefaultValue(0.0)
+        adj.foreach { case (u, ts) => ts.foreach(t => contrib(t) += pr(u) / out(u)) }
+        pr = nodes.map(v => v -> ((1 - d) * tele(v) + d * (contrib(v) + dm * tele(v)))).toMap
+      }
+      nodes.foreach { v =>
+        assert(math.abs(got(v) - pr(v)) < 1e-9, s"seed=$seed node=$v edges=$edges")
+      }
+      assert(math.abs(got.values.sum - 1.0) < 1e-9)
+    }
+  }
 }
