@@ -20,9 +20,9 @@ class RandomizedInterpreterSpec extends SparkSpec {
       it.executeScript("CREATE NODE P (name: string, age: int);")
       var model = Vector.empty[(String, Option[Long])]
 
-      (1 to 25).foreach { _ =>
-        rnd.nextInt(4) match {
-          case 0 | 1 => // insert (age sometimes absent)
+      (1 to 30).foreach { _ =>
+        rnd.nextInt(20) match {
+          case i if i < 9 => // insert (age sometimes absent)
             val n = names(rnd.nextInt(names.size))
             if (rnd.nextBoolean()) {
               val a = rnd.nextInt(90).toLong
@@ -32,15 +32,22 @@ class RandomizedInterpreterSpec extends SparkSpec {
               it.executeScript(s"INSERT NODE P (name: '$n');")
               model :+= (n, None)
             }
-          case 2 => // update age by name
+          case i if i < 14 => // update age by name
             val n = names(rnd.nextInt(names.size))
             val a = rnd.nextInt(90).toLong
             it.executeScript(s"UPDATE NODE P SET age: $a WHERE name: '$n';")
             model = model.map { case (mn, ma) => if (mn == n) (mn, Some(a)) else (mn, ma) }
-          case _ => // delete by name
+          case i if i < 18 => // delete by name
             val n = names(rnd.nextInt(names.size))
             it.executeScript(s"DELETE NODE P WHERE name: '$n';")
             model = model.filterNot(_._1 == n)
+          case 18 => // WHERE-less update hits every row
+            val a = rnd.nextInt(90).toLong
+            it.executeScript(s"UPDATE NODE P SET age: $a;")
+            model = model.map { case (mn, _) => (mn, Some(a)) }
+          case _ => // WHERE-less delete clears the label
+            it.executeScript("DELETE NODE P;")
+            model = Vector.empty
         }
       }
 
