@@ -250,10 +250,37 @@ object Algorithms {
     * scalar is carried as a broadcast cross join so the loop stays lazy
     * apart from the per-round checkpoint.
     */
+  /** Loop invariants of the PageRank family, built once and reusable
+    * across calls (classic + personalized share them; callers serving
+    * several rank queries should prepare once and pin): the edge list
+    * hash-partitioned by gsrc, the (gid, outdeg) base hash-partitioned
+    * by gid — both checkpointed inside the AQE-off scope so the
+    * partitioning survives — plus the node count and loop width.
+    */
+  final case class RankGraph(e: DataFrame, base0: DataFrame, n: Double, width: Int)
+
+  def prepareRankGraph(nodes: DataFrame, edges: DataFrame): RankGraph = {
+    val e0 = materializeInvariant(edges.select(col("gsrc"), col("gdst")))
+    val width = loopWidth(edges, e0.count())
+    withoutAqe(edges, Some(width)) {
+      val e = e0.repartition(width, col("gsrc")).localCheckpoint()
+      val deg = e.groupBy(col("gsrc").as("dgid")).agg(count(lit(1)).as("outdeg"))
+      val base0 = nodes.select(col("gid"))
+        .join(deg.hint("shuffle_hash"), col("gid") === col("dgid"), "left")
+        .select(col("gid"), col("outdeg"))
+        .repartition(width, col("gid"))
+        .localCheckpoint()
+      RankGraph(e, base0, base0.count().toDouble, width)
+    }
+  }
+
   def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int,
       damping: Double = 0.85): DataFrame =
-    pageRankLoop(nodes, edges, iters, damping, teleportOf = (base, n) =>
-      base.withColumn("tele", lit(1.0 / n)))
+    pageRank(prepareRankGraph(nodes, edges), iters, damping)
+
+  def pageRank(g: RankGraph, iters: Int, damping: Double): DataFrame =
+    pageRankLoop(g, iters, damping, teleportOf = base =>
+      base.withColumn("tele", lit(1.0 / g.n)))
 
   /** Personalized PageRank: teleport (and dangling mass) returns to the
     * seed set instead of uniformly — the standard seeded-relevance
@@ -263,7 +290,11 @@ object Algorithms {
     */
   def personalizedPageRank(nodes: DataFrame, edges: DataFrame, seeds: DataFrame,
       iters: Int, damping: Double = 0.85): DataFrame =
-    pageRankLoop(nodes, edges, iters, damping, teleportOf = (base, _) => {
+    personalizedPageRank(prepareRankGraph(nodes, edges), seeds, iters, damping)
+
+  def personalizedPageRank(g: RankGraph, seeds: DataFrame, iters: Int,
+      damping: Double): DataFrame =
+    pageRankLoop(g, iters, damping, teleportOf = { base =>
       val s = seeds.select(col("gid").as("sgid")).distinct().localCheckpoint()
       val nS = s.count().toDouble
       require(nS > 0, "personalized pagerank requires a non-empty seed set")
@@ -290,25 +321,19 @@ object Algorithms {
     * build-side jobs with driver collects per round, and at real scale
     * the rank vector outgrows broadcast anyway.)
     */
-  private def pageRankLoop(nodes: DataFrame, edges: DataFrame, iters: Int,
-      damping: Double, teleportOf: (DataFrame, Double) => DataFrame): DataFrame = {
-    val e0 = materializeInvariant(edges.select(col("gsrc"), col("gdst")))
-    val width = loopWidth(edges, e0.count())
-    withoutAqe(edges, Some(width)) {
-    // IMPORTANT: the co-partitioned invariants are checkpointed INSIDE
-    // the AQE-off scope — a Dataset checkpointed under an adaptive plan
-    // does not carry its output partitioning into the LogicalRDD, and
-    // every downstream join then re-exchanges it per iteration
-    // (verified with explain("formatted")).
-    val e = e0.repartition(width, col("gsrc")).localCheckpoint()
-    val deg = e.groupBy(col("gsrc").as("dgid")).agg(count(lit(1)).as("outdeg"))
-    val base0 = nodes.select(col("gid"))
-      .join(deg.hint("shuffle_hash"), col("gid") === col("dgid"), "left")
-      .select(col("gid"), col("outdeg"))
-    val n = base0.count().toDouble
-    val base = teleportOf(base0, n)
-      .repartition(width, col("gid"))
-      .localCheckpoint()
+  private def pageRankLoop(g: RankGraph, iters: Int,
+      damping: Double, teleportOf: DataFrame => DataFrame): DataFrame = {
+    val n = g.n
+    val e = g.e
+    // IMPORTANT: everything here runs (and checkpoints) INSIDE the
+    // AQE-off scope — a Dataset checkpointed under an adaptive plan does
+    // not carry its output partitioning into the LogicalRDD, and every
+    // downstream join then re-exchanges it per iteration (verified with
+    // explain("formatted")). base0 is already hash(gid, width), and the
+    // teleport attachment (projection or broadcast join) preserves that,
+    // so no re-exchange happens here either.
+    withoutAqe(g.e, Some(g.width)) {
+    val base = teleportOf(g.base0).localCheckpoint()
     var pr = base.withColumn("pr", col("tele"))
     // the dangling-mass scalar for round i+1 is observed DURING round
     // i's checkpoint job (Dataset.observe piggybacks an agg on the same

@@ -42,6 +42,21 @@ object GraphOps {
         g(spark, dir).gidNodes(labels).localCheckpoint()
       })
 
+  /** The PageRank family's co-partitioned loop invariants, shared by
+    * g_pagerank and g_ppr — prepared once per (session, dir) and pinned,
+    * like the other materialized views.
+    */
+  private val rankGraphCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Algorithms.RankGraph]
+
+  private def rankGraphCached(spark: SparkSession, dir: String): Algorithms.RankGraph =
+    rankGraphCache.getOrElseUpdate((spark.sparkContext.applicationId, dir),
+      graft.PinnedRdds.pinning(spark) {
+        Algorithms.prepareRankGraph(
+          gidNodesCached(spark, dir, TpchGraph.nodeLabels),
+          gidEdgesCached(spark, dir, TpchGraph.edgeLabels))
+      })
+
   /** Build the pinned materialized views for `dir` ahead of queries —
     * what a deployment does at load time. Bench calls this in its
     * untimed warmup so view construction isn't charged to whichever
@@ -52,6 +67,7 @@ object GraphOps {
     gidEdgesCached(spark, dir, TpchGraph.edgeLabels)
     gidEdgesCached(spark, dir, Seq("PLACED", "IN_NATION"))
     gidNodesCached(spark, dir, TpchGraph.nodeLabels)
+    rankGraphCached(spark, dir)
     ()
   }
 
@@ -249,9 +265,7 @@ object GraphOps {
     */
   def gPagerank(spark: SparkSession, dir: String): DataFrame = {
     val gr = g(spark, dir)
-    val nodes = gidNodesCached(spark, dir, TpchGraph.nodeLabels)
-    val edges = gidEdgesCached(spark, dir, TpchGraph.edgeLabels)
-    val pr = Algorithms.pageRank(nodes, edges, iters = 10)
+    val pr = Algorithms.pageRank(rankGraphCached(spark, dir), iters = 10, damping = 0.85)
     gr.decode(pr.orderBy(col("pr").desc, col("gid")).limit(100), "gid")
       .select(col("label"), col("key"), round(col("pr"), 8).as("pr"))
   }
@@ -262,11 +276,10 @@ object GraphOps {
     */
   def gPpr(spark: SparkSession, dir: String): DataFrame = {
     val gr = g(spark, dir)
-    val nodes = gidNodesCached(spark, dir, TpchGraph.nodeLabels)
-    val edges = gidEdgesCached(spark, dir, TpchGraph.edgeLabels)
     val seeds = gr.nodes("customer").df.filter(col("_id") <= 10)
       .select(gr.gid("customer", col("_id")).as("gid"))
-    val pr = Algorithms.personalizedPageRank(nodes, edges, seeds, iters = 10)
+    val pr = Algorithms.personalizedPageRank(rankGraphCached(spark, dir), seeds,
+      iters = 10, damping = 0.85)
     gr.decode(pr.orderBy(col("pr").desc, col("gid")).limit(100), "gid")
       .select(col("label"), col("key"), round(col("pr"), 8).as("pr"))
   }
