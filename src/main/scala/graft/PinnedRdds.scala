@@ -25,9 +25,10 @@ object PinnedRdds {
     */
   def pinning[T](spark: SparkSession)(body: => T): T = synchronized {
     val a = app(spark)
-    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
     val out = body
-    ids ++= (spark.sparkContext.getPersistentRDDs.keySet -- before).map(a -> _)
+    ids ++= spark.sparkContext.getPersistentRDDs.keySet
+      .filterNot(before).map(a -> _)
     out
   }
 
