@@ -249,8 +249,11 @@ object GraphOps {
 
   /** Connected components over the co-purchase graph (parts sharing an
     * order). Iterative min-label propagation; returned as component-size
-    * profile. Rows-only (no tractable SQL fixpoint oracle) — exactness is
-    * covered by GraphAlgSpec on planted graphs.
+    * profile. Oracle: unrolled min-label rounds in SQL — the fixpoint is
+    * reached in 3 rounds on this graph (measured; 12 unrolled for
+    * margin), and extra rounds past the fixpoint are no-ops, so the
+    * unrolled mirror equals the Spark fixpoint. Planted/random-graph
+    * exactness stays in GraphAlgSpec/RandomizedAlgSpec.
     */
   def gCc(spark: SparkSession, dir: String): DataFrame = {
     val (nodes, edges) = copurchaseGraph(spark, dir)
@@ -259,20 +262,31 @@ object GraphOps {
       .groupBy(col("size")).agg(count(lit(1)).as("n_components"))
   }
 
+  val gCcSql: String = GraphOracleSql.ccSql(rounds = 12)
+
   /** PageRank over the directed heterogeneous graph, 10 iterations.
-    * Rows-only; exactness on planted graphs in GraphAlgSpec. Top-100 by
-    * rank with full tiebreak for determinism.
+    * Top-100 ordered by the ROUNDED rank (8 dp) with gid tiebreak: the
+    * oracle re-runs the same 10 rounds in SQL, and summation-order ULP
+    * noise between engines must not flip the cutoff ordering — rounding
+    * before ordering makes the selected set identical whenever the
+    * rounded ranks agree.
     */
   def gPagerank(spark: SparkSession, dir: String): DataFrame = {
     val gr = g(spark, dir)
     val pr = Algorithms.pageRank(rankGraphCached(spark, dir), iters = 10, damping = 0.85)
-    gr.decode(pr.orderBy(col("pr").desc, col("gid")).limit(100), "gid")
-      .select(col("label"), col("key"), round(col("pr"), 8).as("pr"))
+    gr.decode(
+      pr.select(col("gid"), round(col("pr"), 8).as("pr"))
+        .orderBy(col("pr").desc, col("gid")).limit(100), "gid")
+      .select(col("label"), col("key"), col("pr"))
   }
 
+  val gPagerankSql: String =
+    GraphOracleSql.pageRankSql(iters = 10, damping = 0.85, seedSql = None)
+
   /** Personalized PageRank seeded on customers ≤ 10: seed-relative
-    * relevance over the heterogeneous graph, top-100. Rows-only;
-    * exactness vs driver power iteration in RandomizedAlgSpec.
+    * relevance over the heterogeneous graph, top-100 (rounded-rank
+    * ordering, same rationale as [[gPagerank]]). Oracle: same unrolled
+    * rounds with the teleport vector concentrated on the seed set.
     */
   def gPpr(spark: SparkSession, dir: String): DataFrame = {
     val gr = g(spark, dir)
@@ -280,14 +294,19 @@ object GraphOps {
       .select(gr.gid("customer", col("_id")).as("gid"))
     val pr = Algorithms.personalizedPageRank(rankGraphCached(spark, dir), seeds,
       iters = 10, damping = 0.85)
-    gr.decode(pr.orderBy(col("pr").desc, col("gid")).limit(100), "gid")
-      .select(col("label"), col("key"), round(col("pr"), 8).as("pr"))
+    gr.decode(
+      pr.select(col("gid"), round(col("pr"), 8).as("pr"))
+        .orderBy(col("pr").desc, col("gid")).limit(100), "gid")
+      .select(col("label"), col("key"), col("pr"))
   }
+
+  val gPprSql: String = GraphOracleSql.pageRankSql(iters = 10, damping = 0.85,
+    seedSql = Some("SELECT 2*4294967296 + c_custkey AS gid FROM customer WHERE c_custkey <= 10"))
 
   /** Label propagation over the co-purchase graph, 5 synchronous rounds
     * with deterministic tie-breaks; reported as community-size profile.
-    * Rows-only (no SQL fixpoint oracle); exactness on planted cliques in
-    * GraphAlgSpec.
+    * Oracle: exactly 5 unrolled majority-vote rounds (count desc, lowest
+    * label tiebreak — the `mode(deterministic = true)` semantics) in SQL.
     */
   def gLabelProp(spark: SparkSession, dir: String): DataFrame = {
     val (nodes, edges) = copurchaseGraph(spark, dir)
@@ -296,15 +315,19 @@ object GraphOps {
       .groupBy(col("size")).agg(count(lit(1)).as("n_communities"))
   }
 
-  /** 4-core of the co-purchase graph, reported as its member count
-    * (rows-only; exactness on planted/random graphs in GraphAlgSpec /
-    * RandomizedAlgSpec).
+  val gLabelPropSql: String = GraphOracleSql.labelPropSql(iters = 5)
+
+  /** 4-core of the co-purchase graph, reported as its member count.
+    * Oracle: unrolled peeling rounds (fixpoint measured at 1 round on
+    * this graph; 4 unrolled — peeling past the fixpoint is a no-op).
     */
   def gKcore(spark: SparkSession, dir: String): DataFrame = {
     val (_, edges) = copurchaseGraph(spark, dir)
     Algorithms.kCore(edges, k = 4)
       .agg(count(lit(1)).as("core_size"))
   }
+
+  val gKcoreSql: String = GraphOracleSql.kcoreSql(k = 4, rounds = 4)
 
   /** Triangle count over the co-purchase graph. */
   def gTriangles(spark: SparkSession, dir: String): DataFrame = {
@@ -384,11 +407,11 @@ object GraphOps {
     QueryDef.sql("g_degree_hist", gDegreeHist, gDegreeHistSql),
     QueryDef.sql("g_bfs", gBfs, gBfsSql),
     QueryDef.sql("g_sssp", gSssp, gSsspSql),
-    QueryDef.rowsOnly("g_cc", gCc),
-    QueryDef.rowsOnly("g_pagerank", gPagerank),
-    QueryDef.rowsOnly("g_ppr", gPpr),
-    QueryDef.rowsOnly("g_label_prop", gLabelProp),
-    QueryDef.rowsOnly("g_kcore", gKcore),
+    QueryDef.sql("g_cc", gCc, gCcSql),
+    QueryDef.sql("g_pagerank", gPagerank, gPagerankSql),
+    QueryDef.sql("g_ppr", gPpr, gPprSql),
+    QueryDef.sql("g_label_prop", gLabelProp, gLabelPropSql),
+    QueryDef.sql("g_kcore", gKcore, gKcoreSql),
     QueryDef.sql("g_triangles", gTriangles, gTrianglesSql),
     QueryDef.sql("g_wal_replay", gWalReplay, gWalReplaySql))
 }

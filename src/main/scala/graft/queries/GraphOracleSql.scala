@@ -1,0 +1,138 @@
+package graft.queries
+
+import graft.graph.TpchGraph
+
+/** DuckDB oracle SQL for the iterative graph algorithms: fixed-round
+  * loops unrolled into chained CTEs, mirroring the Spark loop body
+  * round-for-round over the same gid encoding
+  * ([[graft.graph.TpchGraph.gidSqlEdges]]) / co-purchase derivation.
+  *
+  * Every per-round CTE is `MATERIALIZED`: each round is referenced by
+  * the next round twice (state + aggregate/scalar), and without the hint
+  * DuckDB inlines the chain into an exponentially re-evaluated tree
+  * (measured: 10-round PageRank 199 s inlined vs 0.2 s materialized at
+  * sf0.01).
+  *
+  * Fixpoint algorithms (cc, k-core) are unrolled with measured-fixpoint
+  * + margin rounds: both loop bodies are idempotent past their fixpoint
+  * (min-label can't decrease below the component minimum; peeling a
+  * stable core removes nothing), so any round count ≥ the fixpoint
+  * yields exactly the Spark result. Fixed-iteration algorithms
+  * (pagerank, label propagation) unroll exactly the Spark iteration
+  * count.
+  */
+object GraphOracleSql {
+
+  /** Co-purchase graph mirror of [[GraphOps.copurchaseGraph]]: distinct
+    * part pairs sharing an order (canonical a<b), undirected edge list
+    * as both directions, nodes = every part referenced by lineitem.
+    */
+  private val copurchase: String =
+    """op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       ce AS MATERIALIZED (
+         SELECT a.l_partkey AS a, b.l_partkey AS b
+         FROM op a JOIN op b
+         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         GROUP BY 1, 2),
+       und AS MATERIALIZED (SELECT a, b FROM ce UNION ALL SELECT b AS a, a AS b FROM ce),
+       pnodes AS MATERIALIZED (SELECT DISTINCT l_partkey AS gid FROM lineitem)"""
+
+  /** Unrolled PageRank over the heterogeneous gid graph — the SQL mirror
+    * of [[graft.graph.Algorithms.pageRankLoop]]: per round, the dangling
+    * mass is the previous round's rank over outdeg-null nodes, each
+    * node's new rank is (1-d)·tele + d·(in-contributions + dm·tele).
+    * `seedSql` Some(q) concentrates the teleport vector on q's gid set
+    * (personalized variant); None means uniform 1/n.
+    */
+  def pageRankSql(iters: Int, damping: Double, seedSql: Option[String]): String = {
+    val (seedCte, tele, baseJoin) = seedSql match {
+      case Some(q) => (
+        s"seeds AS MATERIALIZED ($q),",
+        "CASE WHEN s.gid IS NOT NULL THEN 1.0 / (SELECT count(*) FROM seeds) ELSE 0.0 END",
+        "LEFT JOIN seeds s ON n.gid = s.gid")
+      case None => ("", "1.0 / (SELECT count(*) FROM nodes)", "")
+    }
+    val rounds = (1 to iters).map { i =>
+      s""",
+       r$i AS MATERIALIZED (
+         SELECT b.gid, b.outdeg, b.tele,
+                (1.0 - $damping) * b.tele + $damping * (coalesce(c.contrib, 0.0) +
+                  (SELECT coalesce(sum(pr), 0.0) FROM r${i - 1} WHERE outdeg IS NULL) * b.tele) AS pr
+         FROM base b LEFT JOIN (
+           SELECT e.gdst AS cgid, sum(r.pr / r.outdeg) AS contrib
+           FROM e JOIN r${i - 1} r ON e.gsrc = r.gid
+           GROUP BY e.gdst) c ON b.gid = c.cgid)"""
+    }.mkString
+    s"""WITH nodes AS MATERIALIZED (${TpchGraph.gidSqlNodes}),
+       e AS MATERIALIZED (${TpchGraph.gidSqlEdges}),
+       $seedCte
+       deg AS (SELECT gsrc, count(*) AS outdeg FROM e GROUP BY gsrc),
+       base AS MATERIALIZED (
+         SELECT n.gid, d.outdeg, $tele AS tele
+         FROM nodes n LEFT JOIN deg d ON n.gid = d.gsrc $baseJoin),
+       r0 AS MATERIALIZED (SELECT gid, outdeg, tele, tele AS pr FROM base)$rounds
+       SELECT ${TpchGraph.gidSqlLabel} AS label, gid % 4294967296 AS key, pr
+       FROM (SELECT gid, round(pr, 8) AS pr FROM r$iters ORDER BY pr DESC, gid LIMIT 100)"""
+  }
+
+  /** Unrolled connected components (min-label propagation incl. self)
+    * over the co-purchase graph, reported as the component-size profile.
+    */
+  def ccSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s""",
+       c$i AS MATERIALIZED (
+         SELECT c.gid, least(c.comp, coalesce(m.nc, c.comp)) AS comp
+         FROM c${i - 1} c LEFT JOIN (
+           SELECT u.a, min(p.comp) AS nc
+           FROM und u JOIN c${i - 1} p ON u.b = p.gid GROUP BY u.a) m
+         ON c.gid = m.a)"""
+    }.mkString
+    s"""WITH $copurchase,
+       c0 AS MATERIALIZED (SELECT gid, gid AS comp FROM pnodes)$steps,
+       sizes AS (SELECT comp, count(*) AS size FROM c$rounds GROUP BY comp)
+       SELECT size, count(*) AS n_components FROM sizes GROUP BY size"""
+  }
+
+  /** Unrolled synchronous label propagation with the
+    * `mode(deterministic = true)` tie-break (most frequent neighbor
+    * label, ties to the lowest), reported as the community-size profile.
+    */
+  def labelPropSql(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s""",
+       l$i AS MATERIALIZED (
+         SELECT l.gid, coalesce(b.newc, l.community) AS community
+         FROM l${i - 1} l LEFT JOIN (
+           SELECT a, community AS newc FROM (
+             SELECT u.a, p.community,
+                    row_number() OVER (PARTITION BY u.a
+                      ORDER BY count(*) DESC, p.community) AS rn
+             FROM und u JOIN l${i - 1} p ON u.b = p.gid
+             GROUP BY u.a, p.community) t
+           WHERE rn = 1) b ON l.gid = b.a)"""
+    }.mkString
+    s"""WITH $copurchase,
+       l0 AS MATERIALIZED (SELECT gid, gid AS community FROM pnodes)$steps,
+       sizes AS (SELECT community, count(*) AS size FROM l$iters GROUP BY community)
+       SELECT size, count(*) AS n_communities FROM sizes GROUP BY size"""
+  }
+
+  /** Unrolled k-core peeling over the co-purchase graph: survivors of
+    * round i are nodes with degree ≥ k in the subgraph induced by round
+    * i-1's survivors. Reports the member count.
+    */
+  def kcoreSql(k: Int, rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s""",
+       s$i AS MATERIALIZED (
+         SELECT u.a AS gid FROM und u
+         JOIN s${i - 1} x ON u.a = x.gid
+         JOIN s${i - 1} y ON u.b = y.gid
+         GROUP BY u.a HAVING count(*) >= $k)"""
+    }.mkString
+    s"""WITH $copurchase,
+       s0 AS MATERIALIZED (SELECT DISTINCT a AS gid FROM und)$steps
+       SELECT count(*) AS core_size FROM s$rounds"""
+  }
+}
