@@ -84,13 +84,41 @@ object Dedup {
       .select(col("id"), array((0 until numHashes).map(i => col(s"mh$i")): _*).as("sig"))
   }
 
+  // ---------------------------------------------------------- bucket guard
+
+  /** Bound the population of candidate buckets before a bucket
+    * self-join. At 100 TB, boilerplate-heavy corpora put millions of
+    * near-identical docs into one band bucket (or simhash chunk), and
+    * the intra-bucket join explodes quadratically on a single reducer.
+    * Oversized buckets are, by construction, near-duplicate cliques —
+    * the cheap exact-dup pass ([[exact]]) already collapses their
+    * identical members, so dropping them from the PAIRWISE path loses
+    * no information a quadratic join would add; a deployment routes
+    * them to representative sampling instead. Singleton buckets are
+    * dropped too: they cannot form a pair, and pre-shrinking here keeps
+    * them out of the self-join's shuffle.
+    *
+    * One extra aggregation on the same key the self-join shuffles on —
+    * co-partitioned, so the bound costs no additional exchange of the
+    * bucket table itself.
+    */
+  private def boundBuckets(buckets: DataFrame, keys: Seq[String],
+      maxBucketSize: Long): DataFrame = {
+    val sizes = buckets.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__bn"))
+    buckets.join(sizes, keys)
+      .filter(col("__bn") >= 2 && col("__bn") <= maxBucketSize)
+      .drop("__bn")
+  }
+
   /** LSH banding: hash each band of rowsPerBand signature slots, explode
     * to (band, bucket) keys, self-join on the bucket. Two docs emerge as
     * a candidate pair iff they collide in ≥1 band — the classic
     * S-curve; with 16 bands × 4 rows the 0.5-Jaccard collision
-    * probability is ≈ 0.67. Shuffles on the bucket key only.
+    * probability is ≈ 0.67. Shuffles on the bucket key only; bucket
+    * population is capped at `maxBucketSize` (see [[boundBuckets]]).
     */
-  def lshCandidates(sigs: DataFrame, numHashes: Int = 64, bands: Int = 16): DataFrame = {
+  def lshCandidates(sigs: DataFrame, numHashes: Int = 64, bands: Int = 16,
+      maxBucketSize: Long = 100000L): DataFrame = {
     require(numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes) — a remainder would " +
         "silently drop signature slots and change the collision S-curve")
@@ -104,9 +132,11 @@ object Dedup {
     // Catalyst (AQE does not reuse the exchange across the rename), so an
     // unmaterialized bucket table computes the whole signature pipeline
     // twice — verified via explain("formatted")
-    val buckets = sigs.select(col("id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
-      .localCheckpoint()
+    val buckets = boundBuckets(
+      sigs.select(col("id"), explode(array(bandCols: _*)).as("bk"))
+        .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+        .localCheckpoint(),
+      Seq("band", "bucket"), maxBucketSize)
     val left = buckets
     val right = buckets.select(col("id").as("id2"), col("band").as("band2"), col("bucket").as("bucket2"))
     left.join(right,
@@ -117,8 +147,10 @@ object Dedup {
 
   /** End-to-end MinHash-LSH near-dup candidates. */
   def minhashDupes(df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16): DataFrame =
-    lshCandidates(minhashSignatures(df, idCol, textCol, shingleN, numHashes), numHashes, bands)
+      shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      maxBucketSize: Long = 100000L): DataFrame =
+    lshCandidates(minhashSignatures(df, idCol, textCol, shingleN, numHashes),
+      numHashes, bands, maxBucketSize)
 
   // --------------------------------------------------------------- SimHash
 
@@ -135,16 +167,20 @@ object Dedup {
 
   /** SimHash near-dup pairs: bucket by each of the four 16-bit chunks
     * (pigeonhole: hamming ≤ 3 ⇒ some chunk equal), verify with
-    * `bit_count(xor) <= maxHamming` inside the bucket join.
+    * `bit_count(xor) <= maxHamming` inside the bucket join. Bucket
+    * population capped at `maxBucketSize` (see [[boundBuckets]]).
     */
-  def simhashDupes(sims: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashDupes(sims: DataFrame, maxHamming: Int = 3,
+      maxBucketSize: Long = 100000L): DataFrame = {
     val chunks = (0 until 4).map(c =>
       struct(lit(c).as("chunk"),
         shiftright(col("simhash"), c * 16).bitwiseAND(0xffffL).as("bucket")))
     // materialize once — same non-reused self-join legs as lshCandidates
-    val buckets = sims.select(col("id"), col("simhash"), explode(array(chunks: _*)).as("bk"))
-      .select(col("id"), col("simhash"), col("bk.chunk").as("chunk"), col("bk.bucket").as("bucket"))
-      .localCheckpoint()
+    val buckets = boundBuckets(
+      sims.select(col("id"), col("simhash"), explode(array(chunks: _*)).as("bk"))
+        .select(col("id"), col("simhash"), col("bk.chunk").as("chunk"), col("bk.bucket").as("bucket"))
+        .localCheckpoint(),
+      Seq("chunk", "bucket"), maxBucketSize)
     val right = buckets.select(col("id").as("id2"), col("simhash").as("simhash2"),
       col("chunk").as("chunk2"), col("bucket").as("bucket2"))
     buckets.join(right,
@@ -232,8 +268,42 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
-  /** All-pairs variant (id_a < id_b) — quadratic; callers at scale feed
-    * LSH-bucketed pairs into [[embedCosinePairs]] instead. When one copy
+  /** LSH-bucketed embedding near-dup — the scale path: random-hyperplane
+    * sign buckets ([[Ann.lshKeys]]) bound the pairwise work to bucket
+    * population × tables, never n². Vectors ride inline through the
+    * bucket self-join and the exact cosine is computed BEFORE the
+    * multi-table dedup (same trade as [[Ann.lshKnn]]: recomputing ~100
+    * flops per duplicate collision beats shuffling vector payloads
+    * through a distinct — the dedup key is the 24-byte result triple).
+    * Precision is exact (every emitted pair passes the true cosine
+    * threshold); recall < 1 by construction, measured vs
+    * [[embedCosineAllPairs]] in DedupSpec. Bucket population is capped
+    * via [[boundBuckets]], same rationale as the text-LSH path.
+    *
+    * For an externally-supplied candidate set (e.g. buckets from a
+    * different index), feed pairs into [[embedCosinePairs]] instead.
+    */
+  def embedCosineLsh(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+      threshold: Double, bitsPerTable: Int = 4, numTables: Int = 8,
+      seed: Long = 42L, maxBucketSize: Long = 100000L): DataFrame = {
+    val keys = boundBuckets(
+      Ann.lshKeys(emb, idCol, vecCol, dim, bitsPerTable, numTables, seed)
+        .localCheckpoint(),
+      Seq("table", "bucket"), maxBucketSize)
+    val right = keys.select(col("id").as("id2"), col("v").as("v2"),
+      col("table").as("table2"), col("bucket").as("bucket2"))
+    keys.join(right,
+        col("table") === col("table2") && col("bucket") === col("bucket2") &&
+          col("id") < col("id2"))
+      .withColumn("cosine", VectorFunctions.cosine(col("v"), col("v2")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id").as("id_a"), col("id2").as("id_b"), col("cosine"))
+      .distinct()
+  }
+
+  /** All-pairs variant (id_a < id_b) — quadratic; callers at scale use
+    * [[embedCosineLsh]] or feed bucketed pairs into
+    * [[embedCosinePairs]] instead. When one copy
     * of the table is provably broadcastable (row count checked), vectors
     * ride inline through a broadcast nested-loop self-join — zero
     * shuffle; past that bound it falls back to the id-cross-product +

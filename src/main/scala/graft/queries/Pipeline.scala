@@ -63,6 +63,17 @@ object Pipeline {
        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                     CAST(b.embedding AS DOUBLE[])) >= 0.4"""
 
+  /** LSH-bucketed embedding near-dup — the scale path behind
+    * `p_dedup_embed` (rows-only: the hyperplane bucketing has no SQL
+    * mirror; recall vs the all-pairs formulation asserted in DedupSpec,
+    * and the all-pairs query above stays as the small-SF oracle anchor).
+    */
+  def pDedupEmbedLsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embedCosineLsh(Tables.load(spark, dir, "embeddings"), "vec_id", "embedding",
+        dim = 64, threshold = 0.4)
+      .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"),
+        round(col("cosine"), 4).as("cosine"))
+
   /** Benchmark decontamination: corpus docs (doc_id >= 25) sharing any
     * 5-gram with the held-out set (doc_id < 25).
     */
@@ -241,6 +252,7 @@ object Pipeline {
     QueryDef.rowsOnly("p_dedup_simhash", pDedupSimhash),
     QueryDef.rowsOnly("p_dedup_ngram", pDedupNgram),
     QueryDef.sql("p_dedup_embed", pDedupEmbed, pDedupEmbedSql),
+    QueryDef.rowsOnly("p_dedup_embed_lsh", pDedupEmbedLsh),
     QueryDef.sql("p_decontam", pDecontam, pDecontamSql),
     QueryDef.sql("p_split_assign", pSplitAssign, pSplitAssignSql),
     QueryDef.sql("p_ngram_freq", pNgramFreq, pNgramFreqSql),

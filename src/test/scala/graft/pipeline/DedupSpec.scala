@@ -70,6 +70,56 @@ class DedupSpec extends SparkSpec {
     assert(res === Set((1L, 2L)))
   }
 
+  test("embedCosineLsh recalls planted near-dups found by all-pairs, with exact precision") {
+    import spark.implicits._
+    val dim = 16
+    val rnd = new scala.util.Random(7)
+    def unit(v: Array[Double]) = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(x => (x / n).toFloat)
+    }
+    // 40 random unit vectors + a perturbed near-dup of each even id
+    val base = (0 until 40).map(i => i.toLong -> Array.fill(dim)(rnd.nextGaussian()))
+    val rows = base.map { case (i, v) => (i, unit(v)) } ++
+      base.filter(_._1 % 2 == 0).map { case (i, v) =>
+        (100L + i, unit(v.map(_ + rnd.nextGaussian() * 0.05)))
+      }
+    val emb = rows.toDF("vec_id", "embedding")
+    val all = Dedup.embedCosineAllPairs(emb, "vec_id", "embedding", threshold = 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.embedCosineLsh(emb, "vec_id", "embedding", dim, threshold = 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(all.size >= 20) // the plant worked: every perturbed copy is a pair
+    assert(lsh.subsetOf(all)) // precision exact: cosine verified on every pair
+    assert(lsh.size >= (all.size * 0.8).toInt) // recall of the bucketed path
+  }
+
+  test("bucket-size cap bounds candidate volume on a planted mega-bucket") {
+    import spark.implicits._
+    // 50 identical docs = one clique: every band bucket holds all 50
+    val clique = (0 until 50).map(i => (i.toLong, "same exact text repeated for the mega bucket"))
+    val distinctDocs = Seq(
+      (100L, "completely different content about spark shuffles and pruning"),
+      (101L, "completely different content about spark shuffles and pruning"))
+    val df = (clique ++ distinctDocs).toDF("doc_id", "text")
+    // unbounded: the clique joins quadratically — 50*49/2 pairs + the pair
+    val unbounded = Dedup.minhashDupes(df, "doc_id", "text")
+    assert(unbounded.count() === 50L * 49 / 2 + 1)
+    // capped below the clique size: the clique's buckets are dropped, the
+    // small bucket survives — candidate volume stays bounded by cap²·bands
+    val capped = Dedup.minhashDupes(df, "doc_id", "text", maxBucketSize = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === Set((100L, 101L)))
+    // the dropped clique is exactly what the exact-dup pass collapses
+    val exact = Dedup.exact(df, "doc_id", "text")
+      .filter(col("n_copies") === 50).collect()
+    assert(exact.length === 1)
+    // simhash path honors the same cap
+    val sims = Dedup.simhash(df, "doc_id", "text")
+    val simCapped = Dedup.simhashDupes(sims, maxHamming = 3, maxBucketSize = 10L)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(simCapped === Set((100L, 101L)))
+  }
+
   test("decontamination flags exactly the corpus docs overlapping the test set") {
     import spark.implicits._
     val test = Seq(
