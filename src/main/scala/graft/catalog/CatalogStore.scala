@@ -30,12 +30,18 @@ final class CatalogStore(dir: String) {
   private def logPath = root.resolve("ddl.log")
   private def snapshotPath(v: Long) = root.resolve(s"snapshot-$v.json")
 
-  /** Append one applied DDL statement (raw text) to the log. */
+  /** Append one applied DDL statement (raw text) to the log. DSYNC to
+    * match the reference's synchronous AppendDDL
+    * (/root/reference/catalog/store.go:131) and graft's own data-path
+    * WAL (store.CommitLog): an acknowledged DDL must survive a crash —
+    * the schema log cannot be weaker than the DML log it governs.
+    */
   def logDdl(version: Long, ddlText: String): Unit = {
     val line = compact(render(JObject(
       "version" -> JLong(version), "ddl" -> JString(ddlText)))) + "\n"
     Files.write(logPath, line.getBytes("UTF-8"),
-      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND,
+      StandardOpenOption.DSYNC)
   }
 
   /** Write a full snapshot + manifest for the given catalog. */

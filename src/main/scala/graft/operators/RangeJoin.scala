@@ -33,8 +33,15 @@ object RangeJoin {
       bucketWidthSeconds: Long, extraKeys: Seq[String] = Nil,
       maxBucketsPerInterval: Long = 100000L): DataFrame = {
     val w = lit(bucketWidthSeconds)
+    // Plan-level aliases, not dataset-scoped refs (p("c") === i("c")):
+    // when both inputs derive from the same source — the classic
+    // self-join shape, e.g. clicks and purchase windows both from an
+    // events table — dataset-id disambiguation degenerates into
+    // Spark's "trivially true predicate" self-join hazard. Alias
+    // qualifiers make every join-condition reference unambiguous by
+    // construction.
     val p = points.withColumn("__bucket",
-      floor(col(tsCol).cast("double") / w))
+      floor(col(tsCol).cast("double") / w)).alias("__rj_p")
     val lo = floor(col(startCol).cast("double") / w)
     val hi = floor(col(endCol).cast("double") / w)
     // fail fast on degenerate intervals (open-ended sentinels like
@@ -45,14 +52,16 @@ object RangeJoin {
         s"$bucketWidthSeconds s — widen bucketWidthSeconds or cap the interval: "),
         col(startCol), lit(" .. "), col(endCol)))
     val i = intervals.withColumn("__bucket",
-      explode(when(guarded.isNull, sequence(lo, hi))))
-    val joinCond = (Seq(p("__bucket") === i("__bucket")) ++
-      extraKeys.map(k => p(k) === i(k)))
+      explode(when(guarded.isNull, sequence(lo, hi)))).alias("__rj_i")
+    def pc(c: String) = col(s"__rj_p.`$c`")
+    def ic(c: String) = col(s"__rj_i.`$c`")
+    val joinCond = (Seq(pc("__bucket") === ic("__bucket")) ++
+      extraKeys.map(k => pc(k) === ic(k)))
       .reduce(_ && _)
     val joined = p.join(i, joinCond)
-      .filter(p(tsCol) >= i(startCol) && p(tsCol) <= i(endCol))
-      .drop("__bucket")
+      .filter(pc(tsCol) >= ic(startCol) && pc(tsCol) <= ic(endCol))
+      .drop(pc("__bucket")).drop(ic("__bucket"))
     // keep the point side's copy of each shared equality key
-    extraKeys.foldLeft(joined)((df, k) => df.drop(i(k)))
+    extraKeys.foldLeft(joined)((df, k) => df.drop(ic(k)))
   }
 }

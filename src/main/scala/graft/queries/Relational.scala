@@ -237,10 +237,33 @@ object Relational {
         AND c.event_type = 'click' AND p.event_type = 'purchase'
         AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts"""
 
+  /** Hot-user attribution through [[graft.operators.SkewJoin]]: the
+    * event stream (power-law user activity at real scale) joins the
+    * customer dimension salted across 8 sub-keys, then aggregates value
+    * per market segment. Salting is result-invariant — the oracle is the
+    * plain equi-join — which is exactly the point: same answer, no
+    * single-reducer hot key.
+    */
+  def qSkewJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("user_id").as("custkey"), col("value"))
+    val cust = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+    graft.operators.SkewJoin.salted(ev, cust, Seq("custkey"), saltFactor = 8)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+  }
+
+  val qSkewJoinSql: String =
+    """SELECT c_mktsegment, count(*) AS n_events, round(sum(value), 2) AS total_value
+       FROM events e JOIN customer c ON e.user_id = c.c_custkey
+       GROUP BY c_mktsegment"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q1_agg", q1Agg, q1AggSql),
     QueryDef.sql("q_asof_operator", qAsofOperator, qAsofOperatorSql),
     QueryDef.sql("q_range_join", qRangeJoin, qRangeJoinSql),
+    QueryDef.sql("q_skew_join", qSkewJoin, qSkewJoinSql),
     QueryDef.sql("q3_shipping", q3Shipping, q3ShippingSql),
     QueryDef.sql("q5_multijoin", q5MultiJoin, q5MultiJoinSql),
     QueryDef.sql("q_window_rank", qWindowRank, qWindowRankSql),
