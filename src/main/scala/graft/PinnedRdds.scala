@@ -35,11 +35,18 @@ object PinnedRdds {
   def isPinned(spark: SparkSession, id: Int): Boolean =
     synchronized { ids.contains(app(spark) -> id) }
 
-  /** Unpersist everything except pinned ids — the harness cleanup. */
+  /** Unpersist everything except pinned ids — the harness cleanup.
+    * BLOCKING: async unpersist overlaps block eviction with the next
+    * query's execution, and over a 50+ query run that background
+    * block-manager churn inflates individual query times (the round-2
+    * full-run bench recorded 3-10× the isolated A/B numbers). Callers
+    * run this outside any measured window, so the synchronous wait
+    * costs measurements nothing.
+    */
   def dropUnpinned(spark: SparkSession): Unit = synchronized {
     val a = app(spark)
     spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
-      if (!ids.contains(a -> id)) rdd.unpersist(blocking = false)
+      if (!ids.contains(a -> id)) rdd.unpersist(blocking = true)
     }
   }
 }
