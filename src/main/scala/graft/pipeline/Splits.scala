@@ -56,4 +56,35 @@ object Splits {
                ELSE 'test' END AS split
         FROM $table"""
   }
+
+  /** Deterministic stratified downsampling — mixture construction for a
+    * training corpus: each stratum (source, language, quality tier)
+    * keeps `rates(stratum)` percent of its rows, strata not listed keep
+    * `defaultPct`. Same content-hash mechanics as [[assign]]: whether a
+    * row survives is a pure function of its key, so the mixture is
+    * reproducible across runs, engines, and repartitionings, and a
+    * row's fate never changes when other rows come or go. One narrow
+    * filter — no shuffle, no sampling state.
+    */
+  def sampleStratified(df: DataFrame, keyCol: String, strataCol: String,
+      rates: Seq[(String, Int)], defaultPct: Int): DataFrame = {
+    val threshold = rates.foldRight(lit(hexThreshold(defaultPct))) {
+      case ((stratum, pct), acc) =>
+        when(col(strataCol) === stratum, lit(hexThreshold(pct))).otherwise(acc)
+    }
+    df.filter(bucket(col(keyCol)) < threshold)
+  }
+
+  /** DuckDB mirror of [[sampleStratified]], generated from the same
+    * constants.
+    */
+  def sampleStratifiedSql(table: String, keyCol: String, strataCol: String,
+      rates: Seq[(String, Int)], defaultPct: Int, selectCols: String): String = {
+    val cases = rates.map { case (s, p) =>
+      s"WHEN $strataCol = '$s' THEN '${hexThreshold(p)}'"
+    }.mkString(" ")
+    s"""SELECT $selectCols FROM $table
+        WHERE substr(md5(CAST($keyCol AS VARCHAR)), 1, 2) <
+          CASE $cases ELSE '${hexThreshold(defaultPct)}' END"""
+  }
 }

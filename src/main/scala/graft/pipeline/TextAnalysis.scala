@@ -65,6 +65,64 @@ object TextAnalysis {
     lengthTerm * 0.4 + punctTerm * 0.3 + stopTerm * 0.3
   }
 
+  // ------------------------------------------------- repetition filters
+
+  /** Gopher/C4-style cheap repetition + shape statistics (public
+    * heuristics from Rae et al. 2021 §A1.1 and Raffel et al. 2020 §2.2,
+    * re-expressed as one narrow codegen pass): mean word length,
+    * duplicate-word fraction, alphabetic-word fraction, and the
+    * composite keep/drop verdict. All ratios are exact integer
+    * divisions in double precision, so the verdict thresholds compare
+    * identically in any engine.
+    */
+  def meanWordLen(textCol: Column): Column = {
+    val toks = split(trim(textCol), "\\s+")
+    aggregate(toks, lit(0L), (acc, x) => acc + length(x)).cast("double") /
+      size(toks).cast("double")
+  }
+
+  def dupWordFrac(textCol: Column): Column = {
+    val toks = split(trim(textCol), "\\s+")
+    lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks).cast("double")
+  }
+
+  def alphaWordFrac(textCol: Column): Column = {
+    val toks = split(trim(textCol), "\\s+")
+    size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("double") /
+      size(toks).cast("double")
+  }
+
+  /** The composite repetition-filter verdict (thresholds are the
+    * standard published ballpark: mean word length 3-10, < 60%
+    * duplicate words, ≥ 80% alphabetic words).
+    */
+  def gopherKeep(textCol: Column): Column =
+    meanWordLen(textCol).between(3.0, 10.0) &&
+      dupWordFrac(textCol) < 0.6 &&
+      alphaWordFrac(textCol) >= 0.8
+
+  // --------------------------------------------------------- PII scrub
+
+  /** Conservative PII patterns (email, IPv4, SSN-shaped ids) — RE2/Java
+    * compatible so the Spark plan and a DuckDB oracle match byte for
+    * byte on the scrubbed text.
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>",
+    "\\b\\d{3}-\\d{2}-\\d{4}\\b" -> "<ID>")
+
+  /** Count of PII matches in the original text. */
+  def piiCount(textCol: Column): Column =
+    piiPatterns.map { case (p, _) => regexp_count(textCol, lit(p)) }.reduce(_ + _)
+
+  /** Text with every PII match replaced by its tag, patterns applied in
+    * declaration order (order matters: a replaced email no longer
+    * contains digit runs).
+    */
+  def scrubPii(textCol: Column): Column =
+    piiPatterns.foldLeft(textCol) { case (c, (p, tag)) => regexp_replace(c, p, tag) }
+
   /** Full per-document text profile. */
   def profile(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(

@@ -131,6 +131,59 @@ object Pipeline {
   val pSplitAssignSql: String =
     graft.pipeline.Splits.assignSql("documents", "doc_id")
 
+  /** Deterministic stratified mixture: per-source keep rates (a corpus
+    * mixing recipe), content-hash stable.
+    */
+  private val mixRates = Seq("src0" -> 100, "src1" -> 75, "src2" -> 50, "src3" -> 25)
+  private val mixDefaultPct = 10
+
+  def pSampleMix(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Splits.sampleStratified(
+        Tables.load(spark, dir, "documents"), "doc_id", "source",
+        mixRates, mixDefaultPct)
+      .select(col("doc_id"), col("source"))
+
+  val pSampleMixSql: String =
+    graft.pipeline.Splits.sampleStratifiedSql("documents", "doc_id", "source",
+      mixRates, mixDefaultPct, selectCols = "doc_id, source")
+
+  /** Dedup-cluster canonicalization: similarity pairs → undirected graph
+    * → connected components ([[graft.graph.Algorithms]] reused outside
+    * the property graph) → every document mapped to its cluster's
+    * canonical (minimum) id + cluster size. The last step of every
+    * dedup pipeline: pairs alone don't say which copy to keep when
+    * duplicates chain (a~b, b~c). Pairs here come from the exact
+    * all-pairs path so the DuckDB oracle (recursive-CTE closure) sees
+    * the identical edge set; at corpus scale the same composition runs
+    * off [[graft.pipeline.Dedup.embedCosineLsh]] / LSH candidates.
+    */
+  def pDedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val pairs = Dedup.embedCosineAllPairs(emb, "vec_id", "embedding", threshold = 0.4)
+    val comp = graft.graph.Algorithms.connectedComponents(
+      emb.select(col("vec_id").as("gid")),
+      pairs.select(col("id_a").as("gsrc"), col("id_b").as("gdst")))
+    val sizes = comp.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
+    comp.join(sizes, "comp")
+      .select(col("gid").as("vec_id"), col("comp").as("canon_id"), col("cluster_size"))
+  }
+
+  val pDedupClustersSql: String =
+    """WITH RECURSIVE e AS MATERIALIZED (
+         SELECT a.vec_id AS s, b.vec_id AS d
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])) >= 0.4),
+       und AS (SELECT s, d FROM e UNION ALL SELECT d AS s, s AS d FROM e),
+       reach(n, m) AS (
+         SELECT vec_id, vec_id FROM embeddings
+         UNION
+         SELECT r.n, u.d FROM reach r JOIN und u ON u.s = r.m),
+       comp AS (SELECT n AS vec_id, min(m) AS canon_id FROM reach GROUP BY n),
+       sz AS (SELECT canon_id, count(*) AS cluster_size FROM comp GROUP BY canon_id)
+       SELECT c.vec_id, c.canon_id, s.cluster_size
+       FROM comp c JOIN sz s USING (canon_id)"""
+
   // -------------------------------------------------------------- ANN
 
   def pKnnBrute(spark: SparkSession, dir: String): DataFrame = {
@@ -196,6 +249,52 @@ object Pipeline {
               FROM (SELECT doc_id, $scores FROM documents))"""
   }
 
+  /** Gopher/C4-style repetition filter statistics + keep verdict. */
+  def pGopherQuality(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        round(TextAnalysis.meanWordLen(col("text")), 4).as("mean_word_len"),
+        round(TextAnalysis.dupWordFrac(col("text")), 4).as("dup_word_frac"),
+        round(TextAnalysis.alphaWordFrac(col("text")), 4).as("alpha_word_frac"),
+        TextAnalysis.gopherKeep(col("text")).as("keep"))
+
+  val pGopherQualitySql: String =
+    """WITH t AS (
+         SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+         FROM documents),
+       m AS (
+         SELECT doc_id,
+                CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE) / len(w) AS mwl,
+                1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS dwf,
+                CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                  / len(w) AS awf
+         FROM t)
+       SELECT doc_id, round(mwl, 4) AS mean_word_len, round(dwf, 4) AS dup_word_frac,
+              round(awf, 4) AS alpha_word_frac,
+              (mwl BETWEEN 3.0 AND 10.0) AND dwf < 0.6 AND awf >= 0.8 AS keep
+       FROM m"""
+
+  /** PII scrub: match counts + sha of the redacted text (the sha proves
+    * the scrubbed bytes agree, without hauling full texts through the
+    * compare).
+    */
+  def pPiiScrub(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.piiCount(col("text")).cast("long").as("n_pii"),
+        sha2(TextAnalysis.scrubPii(col("text")), 256).as("scrubbed_sha"))
+
+  val pPiiScrubSql: String = {
+    val scrubbed = TextAnalysis.piiPatterns.foldLeft("text") {
+      case (c, (p, tag)) => s"regexp_replace($c, '$p', '$tag', 'g')"
+    }
+    val counts = TextAnalysis.piiPatterns
+      .map { case (p, _) => s"len(regexp_extract_all(text, '$p'))" }.mkString(" + ")
+    s"""SELECT doc_id, CAST($counts AS BIGINT) AS n_pii,
+              sha256($scrubbed) AS scrubbed_sha
+        FROM documents"""
+  }
+
   def pQualityScore(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
       .select(col("doc_id"), round(TextAnalysis.qualityScore(col("text")), 4).as("quality"))
@@ -255,6 +354,10 @@ object Pipeline {
     QueryDef.rowsOnly("p_dedup_embed_lsh", pDedupEmbedLsh),
     QueryDef.sql("p_decontam", pDecontam, pDecontamSql),
     QueryDef.sql("p_split_assign", pSplitAssign, pSplitAssignSql),
+    QueryDef.sql("p_sample_mix", pSampleMix, pSampleMixSql),
+    QueryDef.sql("p_dedup_clusters", pDedupClusters, pDedupClustersSql),
+    QueryDef.sql("p_gopher_quality", pGopherQuality, pGopherQualitySql),
+    QueryDef.sql("p_pii_scrub", pPiiScrub, pPiiScrubSql),
     QueryDef.sql("p_ngram_freq", pNgramFreq, pNgramFreqSql),
     QueryDef.sql("p_knn_brute", pKnnBrute, pKnnBruteSql),
     QueryDef.rowsOnly("p_knn_lsh", pKnnLsh),

@@ -29,6 +29,26 @@ class SplitsSpec extends SparkSpec {
     assert(once === again)
   }
 
+  test("stratified sampling honors per-stratum rates and stays key-pure") {
+    import spark.implicits._
+    val df = (0L until 4000L).map(i => (i, s"src${i % 4}")).toDF("k", "s")
+    val rates = Seq("src0" -> 100, "src1" -> 50, "src2" -> 0)
+    val kept = Splits.sampleStratified(df, "k", "s", rates, defaultPct = 10)
+    val bySrc = kept.groupBy("s").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("src0") === 1000L) // 100% stratum keeps everything
+    assert(!bySrc.contains("src2")) // 0% stratum keeps nothing
+    assert(math.abs(bySrc("src1") / 1000.0 - 0.5) < 0.06)
+    assert(math.abs(bySrc("src3") / 1000.0 - 0.1) < 0.04) // default rate
+    // purity: a row's fate is independent of partitioning and of which
+    // other rows exist
+    val keptIds = kept.select("k").collect().map(_.getLong(0)).toSet
+    val subsetKept = Splits.sampleStratified(
+        df.filter(col("k") < 2000).repartition(5, col("k")), "k", "s", rates, 10)
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(subsetKept === keptIds.filter(_ < 2000))
+  }
+
   test("degenerate percentages: all-train and all-test") {
     val allTrain = Splits.assign(keys, "k", trainPct = 100, valPct = 0)
       .select("split").distinct().collect().map(_.getString(0)).toSeq

@@ -31,6 +31,42 @@ class TextSpec extends SparkSpec {
     res.foreach(r => assert(r.getString(0) === r.getString(1)))
   }
 
+  test("gopher repetition stats flag the degenerate documents") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a normal sentence with reasonably varied words throughout here"),
+      (2L, "spam spam spam spam spam spam spam spam spam spam"), // dup frac 0.9
+      (3L, "12 34 56 78 90 11 22 33 44 55"),                     // no alpha words
+      (4L, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"))      // mean len 44
+      .toDF("doc_id", "text")
+    val r = df.select(col("doc_id"),
+        TextAnalysis.meanWordLen(col("text")).as("mwl"),
+        TextAnalysis.dupWordFrac(col("text")).as("dwf"),
+        TextAnalysis.alphaWordFrac(col("text")).as("awf"),
+        TextAnalysis.gopherKeep(col("text")).as("keep"))
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getBoolean(4))
+    assert(!r(2L).getBoolean(4) && r(2L).getDouble(2) > 0.8)
+    assert(!r(3L).getBoolean(4) && r(3L).getDouble(3) === 0.0)
+    assert(!r(4L).getBoolean(4) && r(4L).getDouble(1) === 44.0)
+  }
+
+  test("pii scrub counts and redacts emails, ips, and id numbers") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "contact bob.smith+x@example.org or 10.0.0.1 ref 123-45-6789 ok"),
+      (2L, "clean text with no sensitive tokens at all"))
+      .toDF("doc_id", "text")
+    val r = df.select(col("doc_id"),
+        TextAnalysis.piiCount(col("text")).as("n"),
+        TextAnalysis.scrubPii(col("text")).as("s"))
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getInt(1) === 3)
+    assert(r(1L).getString(2) === "contact <EMAIL> or <IP> ref <ID> ok")
+    assert(r(2L).getInt(1) === 0)
+    assert(r(2L).getString(2) === "clean text with no sensitive tokens at all")
+  }
+
   test("token counts and quality are sane") {
     import spark.implicits._
     val df = Seq("The quick brown fox, version 2.0!").toDF("text")
