@@ -322,12 +322,34 @@ object Pipeline {
               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
        FROM documents"""
 
-  /** Content fingerprint via the codegen'd FNV-1a expression (rows-only;
-    * value exactness against a reference implementation in TextSpec).
+  /** Content fingerprint via the codegen'd FNV-1a expression. Oracle:
+    * FNV-1a 64 re-expressed as a DuckDB `list_reduce` in HUGEINT
+    * arithmetic (xor of the low byte, multiply, mod 2^64), folded over
+    * `ascii()` code points — equal to the Spark expression's UTF-8 byte
+    * fold exactly when the corpus is ASCII, which the driver testdata
+    * is (0 non-ASCII docs, verified); known-answer + Unicode exactness
+    * vs the reference implementation stays in TextSpec.
     */
   def pFingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
       .select(col("doc_id"), FnvHash64(col("text")).as("fingerprint"))
+
+  val pFingerprintSql: String =
+    """WITH h AS (
+         SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST('14695981039346656037' AS HUGEINT),
+               list_transform(list_filter(string_split(text, ''), c -> c != ''),
+                              c -> CAST(ascii(c) AS HUGEINT))),
+             (h, b) -> (((h // 256) * 256 +
+                          xor(CAST(h % 256 AS BIGINT), CAST(b AS BIGINT)))
+                        * 1099511628211) % CAST('18446744073709551616' AS HUGEINT)) AS hv
+         FROM documents)
+       SELECT doc_id,
+         CAST(CASE WHEN hv >= CAST('9223372036854775808' AS HUGEINT)
+                   THEN hv - CAST('18446744073709551616' AS HUGEINT)
+                   ELSE hv END AS BIGINT) AS fingerprint
+       FROM h"""
 
   // -------------------------------------------------------- multimodal
 
@@ -365,6 +387,6 @@ object Pipeline {
     QueryDef.sql("p_lang_id", pLangId, pLangIdSql),
     QueryDef.sql("p_quality_score", pQualityScore, pQualityScoreSql),
     QueryDef.sql("p_token_count", pTokenCount, pTokenCountSql),
-    QueryDef.rowsOnly("p_fingerprint", pFingerprint),
+    QueryDef.sql("p_fingerprint", pFingerprint, pFingerprintSql),
     QueryDef.sql("p_media_meta", pMediaMeta, pMediaMetaSql))
 }
