@@ -55,8 +55,44 @@ object Streaming {
   val sDedupKeysSql: String =
     "SELECT DISTINCT user_id, event_type FROM events"
 
+  /** Batch face of the sliding-window aggregate. Oracle: every event
+    * contributes to two 30-minute-aligned window starts (its own
+    * bucket and the one 30 minutes earlier); DuckDB's `time_bucket`
+    * origin (2000-01-03, epoch 946857600 — divisible by 1800) aligns
+    * 30-minute buckets identically to Spark's epoch-aligned windows.
+    */
+  def sSlidingAgg(spark: SparkSession, dir: String): DataFrame =
+    Streams.slidingAgg(Tables.load(spark, dir, "events"))
+
+  val sSlidingAggSql: String =
+    """WITH sl AS (
+         SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+                        time_bucket(INTERVAL '30 minutes', ts) - INTERVAL 30 MINUTE])
+                  AS window_start,
+                event_type, value
+         FROM events)
+       SELECT window_start, event_type, count(*) AS n_events,
+              round(sum(value), 2) AS sum_value
+       FROM sl GROUP BY 1, 2"""
+
+  /** Batch face of the stream-stream interval join — same attribution
+    * semantics as q_range_join (deliberately the same oracle: the
+    * bucketized operator and the watermark-join formulation must agree).
+    */
+  def sStreamJoin(spark: SparkSession, dir: String): DataFrame =
+    Streams.intervalJoin(Tables.load(spark, dir, "events"), windowSeconds = 1800L)
+
+  val sStreamJoinSql: String =
+    """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+       FROM events c JOIN events p
+         ON c.user_id = p.user_id
+        AND c.event_type = 'click' AND p.event_type = 'purchase'
+        AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("s_tumbling_agg", sTumblingAgg, sTumblingAggSql),
     QueryDef.sql("s_sessionize", sSessionize, sSessionizeSql),
-    QueryDef.sql("s_dedup_keys", sDedupKeys, sDedupKeysSql))
+    QueryDef.sql("s_dedup_keys", sDedupKeys, sDedupKeysSql),
+    QueryDef.sql("s_sliding_agg", sSlidingAgg, sSlidingAggSql),
+    QueryDef.sql("s_stream_join", sStreamJoin, sStreamJoinSql))
 }

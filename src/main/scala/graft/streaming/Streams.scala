@@ -34,6 +34,49 @@ object Streams {
         col("n_events"), col("sum_value"))
   }
 
+  /** Sliding-window aggregate: 1-hour windows every 30 minutes, so each
+    * event contributes to windowLen/slide = 2 windows. Spark expands the
+    * window set in a narrow projection (no per-window shuffle); the
+    * watermark bounds state in streaming mode exactly as for tumbling
+    * windows. Windows align to the epoch (Spark's default startTime 0),
+    * which the oracle mirrors via 30-minute `time_bucket`s.
+    */
+  def slidingAgg(events: DataFrame, withWatermark: Boolean = false): DataFrame = {
+    val src = if (withWatermark) events.withWatermark("ts", "1 hour") else events
+    src.groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+  }
+
+  /** Stream-stream interval join: clicks joined to same-user purchases
+    * whose attribution window [purchase - windowSeconds, purchase]
+    * contains the click. In streaming mode BOTH sides carry a watermark
+    * and the join condition is equality + a bounded time interval —
+    * exactly the shape Structured Streaming needs to age out join state
+    * (a click older than watermark + window can never match a future
+    * purchase). In batch mode the same plan is a hash join on user_id
+    * with the range as residual predicate; the scale formulation for
+    * the KEYLESS case is [[graft.operators.RangeJoin]], and the two
+    * must (and do) agree on the oracle.
+    */
+  def intervalJoin(events: DataFrame, windowSeconds: Long = 1800L,
+      withWatermark: Boolean = false, watermark: String = "1 hour"): DataFrame = {
+    val clicks0 = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"), col("event_id").as("click_id"))
+    val purchases0 = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+    val clicks = if (withWatermark) clicks0.withWatermark("c_ts", watermark) else clicks0
+    val purchases =
+      if (withWatermark) purchases0.withWatermark("p_ts", watermark) else purchases0
+    clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowSeconds SECONDS") &&
+          col("c_ts") <= col("p_ts"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"))
+  }
+
   /** Gap-based sessionization (batch formulation): a session breaks when
     * a user is idle longer than `gapSeconds`. One shuffle on user_id;
     * the two window functions share the same partitioning.

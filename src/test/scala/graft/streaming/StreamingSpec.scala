@@ -44,6 +44,59 @@ class StreamingSpec extends SparkSpec {
     assert(batch.map(_._3).sum === 5L)
   }
 
+  test("sliding agg over a stream matches the batch plan and double-counts correctly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Ev]
+    source.addData(events: _*)
+    val agg = Streams.slidingAgg(source.toDF(), withWatermark = true)
+    val q = agg.writeStream
+      .format("memory").queryName("sliding_out").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("sliding_out")
+      .orderBy("window_start", "event_type")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val batch = Streams.slidingAgg(events.toDF())
+      .orderBy("window_start", "event_type")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(streamed.toSeq === batch.toSeq)
+    // every event lands in exactly len/slide = 2 windows
+    assert(batch.map(_._3).sum === 2L * events.size)
+    // the 10:59 click is in the [10:00,11:00) and [10:30,11:30) windows
+    val hits = batch.filter(_._2 == "click").map(r => r._1.toString -> r._3).toMap
+    assert(hits("2024-01-01 10:00:00.0") === 3L)
+    assert(hits("2024-01-01 10:30:00.0") === 1L)
+  }
+
+  test("stream-stream interval join attributes clicks within the purchase window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Ev]
+    val joined = Streams.intervalJoin(source.toDF(), windowSeconds = 1800L,
+      withWatermark = true, watermark = "10 minutes")
+    val q = joined.writeStream
+      .format("memory").queryName("sjoin_out").outputMode("append").start()
+    try {
+      source.addData(
+        Ev(1, ts(0), 1, "click", 1.0),     // 40 min before purchase: outside
+        Ev(2, ts(25), 1, "click", 1.0),    // 15 min before: attributed
+        Ev(3, ts(30), 2, "click", 1.0),    // other user: not attributed
+        Ev(4, ts(40), 1, "purchase", 9.0),
+        Ev(5, ts(45), 1, "click", 1.0))    // after the purchase: outside
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sjoin_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((1L, 2L, 4L)))
+    // batch face agrees
+    val batch = Streams.intervalJoin(Seq(
+        Ev(1, ts(0), 1, "click", 1.0), Ev(2, ts(25), 1, "click", 1.0),
+        Ev(3, ts(30), 2, "click", 1.0), Ev(4, ts(40), 1, "purchase", 9.0),
+        Ev(5, ts(45), 1, "click", 1.0)).toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batch === got)
+  }
+
   test("stateful streaming sessionize closes sessions past the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
