@@ -94,6 +94,15 @@ object Ast {
   final case class Match(pattern: Seq[MatchElement], where: Seq[Property],
       ret: Seq[String]) extends Stmt
 
+  /** Catalog introspection. The reference RESERVES the SHOW and
+    * DESCRIBE keywords (parser/token.go:44-45, keywords.go:30-31) but
+    * never grammars them; graft completes the feature: SHOW NODES |
+    * EDGES lists the catalog, DESCRIBE NODE|EDGE x returns the field
+    * table. Read-only — never written to the commit log.
+    */
+  final case class Show(edges: Boolean) extends Stmt
+  final case class Describe(edge: Boolean, name: String) extends Stmt
+
   // ------------------------------------------------------------ renderer
 
   /** Statement → canonical source text. Round-trips through the parser
@@ -138,6 +147,8 @@ object Ast {
       val p = pat.map(e => (Seq(id(e.tpe)) ++ e.alias.map(id)).mkString(" ")).mkString(", ")
       val r = if (ret.isEmpty) "" else s" RETURN ${ret.map(id).mkString(", ")}"
       s"MATCH $p${whereClause(where)}$r;"
+    case Show(e) => s"SHOW ${if (e) "EDGES" else "NODES"};"
+    case Describe(e, n) => s"DESCRIBE ${if (e) "EDGE" else "NODE"} ${id(n)};"
   }
 
   private val plainIdent = "[A-Za-z_][A-Za-z0-9_]*".r
@@ -152,7 +163,8 @@ object Ast {
     "CREATE", "ALTER", "DROP", "INSERT", "UPDATE", "DELETE", "MATCH",
     "NODE", "EDGE", "FROM", "TO", "ONE", "MANY", "PROPS",
     "PRIMARY", "KEY", "UNIQUE", "NOT", "DEFAULT",
-    "ADD", "MODIFY", "SET", "WHERE", "RETURN")
+    "ADD", "MODIFY", "SET", "WHERE", "RETURN",
+    "SHOW", "DESCRIBE", "NODES", "EDGES")
   private def id(n: String): String =
     if (plainIdent.matches(n) && !reserved.contains(n.toUpperCase)) n else s"`$n`"
 
@@ -175,6 +187,11 @@ object Ast {
 
   private def endpoint(e: Endpoint): String =
     s"${id(e.label)} ${if (e.card == Cardinality.Many) "MANY" else "ONE"}"
+
+  /** Canonical source text of a type — the same form the parser reads
+    * back; public for catalog introspection (DESCRIBE output).
+    */
+  def renderType(t: TypeSpec): String = tpe(t)
 
   private def tpe(t: TypeSpec): String = t match {
     case TypeSpec(_, Some(el), _) => s"array<${tpe(el)}>"

@@ -233,6 +233,37 @@ final class Interpreter(spark: SparkSession) {
           labelled.reduce(_.unionByName(_, allowMissingColumns = true))
         }
       Some(if (ret.nonEmpty) df.select(ret.map(col): _*) else df)
+
+    case Ast.Show(showEdges) =>
+      import spark.implicits._
+      if (showEdges) {
+        val rows = cat.edges.values.toSeq.sortBy(_.name).map { e =>
+          (e.name, e.from.label, if (e.from.many) "MANY" else "ONE",
+            e.to.label, if (e.to.many) "MANY" else "ONE", e.props.size.toLong)
+        }
+        Some(rows.toDF("edge", "from_label", "from_card", "to_label", "to_card", "n_props"))
+      } else {
+        val rows = cat.nodes.values.toSeq.sortBy(_.name).map { n =>
+          (n.name, n.fields.size.toLong, n.pk.mkString(","))
+        }
+        Some(rows.toDF("node", "n_fields", "primary_key"))
+      }
+
+    case Ast.Describe(isEdge, name) =>
+      import spark.implicits._
+      val (fields, pk) =
+        if (isEdge) {
+          val et = cat.edges.getOrElse(name, throw ExecError(s"unknown edge type: $name"))
+          (et.props, Nil)
+        } else {
+          val nt = cat.nodes.getOrElse(name, throw ExecError(s"unknown node type: $name"))
+          (nt.fields, nt.pk)
+        }
+      val rows = fields.map { f =>
+        (f.name, Ast.renderType(f.tpe), pk.contains(f.name), f.unique, f.notNull,
+          f.defaultRaw.orNull)
+      }
+      Some(rows.toDF("field", "type", "primary_key", "unique", "not_null", "default"))
   }
 
   /** Parse + execute a script; returns the last MATCH result, if any. */
@@ -263,7 +294,9 @@ final class Interpreter(spark: SparkSession) {
   def executeLogged(script: String, log: graft.store.CommitLog): Option[DataFrame] =
     Parser.parse(script).foldLeft(Option.empty[DataFrame]) { (acc, s) =>
       s match {
-        case _: Ast.Match => execute(s).orElse(acc)
+        // reads never reach the log (reference server.go appends
+        // mutating commands only)
+        case _: Ast.Match | _: Ast.Show | _: Ast.Describe => execute(s).orElse(acc)
         case _ =>
           val line = Ast.render(s)
           if (line.exists(c => c == '\n' || c == '\r'))

@@ -62,8 +62,22 @@ final class Parser(tokens: Vector[Token]) {
     else if (matchKw("UPDATE")) parseUpdate()
     else if (matchKw("DELETE")) parseDelete()
     else if (matchKw("MATCH")) parseMatch()
+    else if (matchKw("SHOW")) parseShow()
+    else if (matchKw("DESCRIBE")) parseDescribe()
     else err(s"expected statement, found '${tok.lit}'")
   }
+
+  // SHOW/DESCRIBE: keywords the reference reserves (keywords.go:30-31)
+  // without a grammar — graft completes the introspection surface
+  private def parseShow(): Stmt =
+    if (matchKw("NODES")) Show(edges = false)
+    else if (matchKw("EDGES")) Show(edges = true)
+    else err("expected NODES or EDGES after SHOW")
+
+  private def parseDescribe(): Stmt =
+    if (matchKw("NODE")) Describe(edge = false, expectIdent())
+    else if (matchKw("EDGE")) Describe(edge = true, expectIdent())
+    else err("expected NODE or EDGE after DESCRIBE")
 
   // ------------------------------------------------------------- CREATE
 

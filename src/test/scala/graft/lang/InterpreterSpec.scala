@@ -176,6 +176,37 @@ class InterpreterSpec extends SparkSpec {
     assert(rows === Map("John" -> 31L, "Jane" -> 25L))
   }
 
+  test("SHOW and DESCRIBE introspect the catalog and never reach the log") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-wal2").toString
+    val log = graft.store.CommitLog.open(dir)
+    val it = fresh()
+    it.executeLogged(
+      """CREATE NODE Person (id: int PRIMARY KEY, name: string NOT NULL,
+        |  status: enum<'a','b'> DEFAULT 'a');
+        |CREATE NODE Place (name: string);
+        |CREATE EDGE Knows (FROM Person ONE, TO Person MANY, PROPS (since: string));""".stripMargin,
+      log)
+    val shown = it.executeScript("SHOW NODES;").get.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(shown.toSeq === Seq(("Person", 3L, "id"), ("Place", 1L, "")))
+    val edges = it.executeLogged("SHOW EDGES;", log).get.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getString(4), r.getLong(5)))
+    assert(edges.toSeq === Seq(("Knows", "Person", "ONE", "Person", "MANY", 1L)))
+    val desc = it.executeScript("DESCRIBE NODE Person;").get.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getBoolean(2), r.getBoolean(4),
+        Option(r.getString(5))))
+    assert(desc.toSeq === Seq(
+      ("id", "int", true, true, None),
+      ("name", "string", false, true, None),
+      ("status", "enum<'a', 'b'>", false, false, Some("a"))))
+    val descE = it.executeScript("DESCRIBE EDGE Knows;").get.collect()
+    assert(descE.map(_.getString(0)).toSeq === Seq("since"))
+    assertThrows[ExecError](it.executeScript("DESCRIBE NODE Nope;"))
+    // reads never reach the log: only the three DDL statements are there
+    assert(java.nio.file.Files.readAllLines(log.path).size === 3)
+  }
+
   test("multi-element match unions every element's result set") {
     val it = fresh()
     it.executeScript(

@@ -157,7 +157,10 @@ class ParserSpec extends AnyFunSuite {
       "INSERT EDGE K FROM Person TO Person;",
       // identifiers that collide with literal keywords must re-quote
       "CREATE NODE X (`null`: int, `true`: bool);",
-      "INSERT NODE X (`null`: 1, `true`: false);")
+      "INSERT NODE X (`null`: 1, `true`: false);",
+      // introspection (reserved-but-ungrammared in the reference)
+      "SHOW NODES; SHOW EDGES;",
+      "DESCRIBE NODE Person; DESCRIBE EDGE `show`;")
     scripts.foreach { script =>
       val parsed = Parser.parse(script)
       val rendered = parsed.map(Ast.render).mkString("\n")
