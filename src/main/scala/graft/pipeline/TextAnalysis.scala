@@ -123,6 +123,27 @@ object TextAnalysis {
   def scrubPii(textCol: Column): Column =
     piiPatterns.foldLeft(textCol) { case (c, (p, tag)) => regexp_replace(c, p, tag) }
 
+  // ------------------------------------------------------------- tf-idf
+
+  /** Per-(document, term) TF-IDF over whitespace tokens: tf = in-doc
+    * occurrence count, idf = ln(N / df) with df the number of documents
+    * containing the term. Two shuffles (the doc-term and term
+    * aggregations); the corpus size N rides in as a broadcast scalar
+    * subplan — no driver action, no window-over-everything. The
+    * standard relevance/keyword-extraction scan over a training corpus.
+    */
+  def tfidf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+    val tf = toks.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).as("n_docs"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .select(col("id"), col("term"),
+        (col("tf") * log(col("n_docs").cast("double") / col("df"))).as("tfidf"))
+  }
+
   /** Full per-document text profile. */
   def profile(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(

@@ -295,6 +295,21 @@ object Pipeline {
         FROM documents"""
   }
 
+  /** TF-IDF term relevance per document. */
+  def pTfidf(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfidf(Tables.load(spark, dir, "documents"), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("term"), round(col("tfidf"), 4).as("tfidf"))
+
+  val pTfidfSql: String =
+    """WITH toks AS (
+         SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+         FROM documents),
+       tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+       dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       n AS (SELECT count(*) AS n_docs FROM documents)
+       SELECT doc_id, term, round(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS tfidf
+       FROM tf JOIN dfreq USING (term) CROSS JOIN n"""
+
   def pQualityScore(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
       .select(col("doc_id"), round(TextAnalysis.qualityScore(col("text")), 4).as("quality"))
@@ -380,6 +395,7 @@ object Pipeline {
     QueryDef.sql("p_dedup_clusters", pDedupClusters, pDedupClustersSql),
     QueryDef.sql("p_gopher_quality", pGopherQuality, pGopherQualitySql),
     QueryDef.sql("p_pii_scrub", pPiiScrub, pPiiScrubSql),
+    QueryDef.sql("p_tfidf", pTfidf, pTfidfSql),
     QueryDef.sql("p_ngram_freq", pNgramFreq, pNgramFreqSql),
     QueryDef.sql("p_knn_brute", pKnnBrute, pKnnBruteSql),
     QueryDef.rowsOnly("p_knn_lsh", pKnnLsh),
