@@ -159,7 +159,11 @@ object Pipeline {
     */
   def pDedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
+    // materialize the pair set once: CC's undirected-edge union reads it
+    // as two subtrees, and an unmaterialized input would run the
+    // all-pairs cosine join twice
     val pairs = Dedup.embedCosineAllPairs(emb, "vec_id", "embedding", threshold = 0.4)
+      .localCheckpoint()
     val comp = graft.graph.Algorithms.connectedComponents(
       emb.select(col("vec_id").as("gid")),
       pairs.select(col("id_a").as("gsrc"), col("id_b").as("gdst")))
