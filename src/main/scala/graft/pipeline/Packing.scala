@@ -1,0 +1,79 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Greedy sequence packing — the step between a filtered corpus and a
+  * training run: concatenate documents into fixed-budget context
+  * windows (packs) so short documents don't waste sequence slots.
+  *
+  * Packing is inherently sequential (whether doc N opens a new pack
+  * depends on every doc before it), so it cannot be a window/cumsum
+  * plan — the exact greedy recurrence `acc' = if (acc + tk > budget) tk
+  * else acc + tk` has data-dependent resets. The distributed design
+  * makes the sequence SHORT instead of avoiding it: documents shard by
+  * `id / shardSize` (a pure function of the id — NOT partition layout),
+  * each shard is packed greedily in id order, and pack identity is
+  * (shard, index-within-shard). Sharding bounds the sequential chain at
+  * `shardSize` docs; shards themselves scale out without limit. This is
+  * the legitimate `mapPartitions` case: per-shard sequential state that
+  * Catalyst has no operator for, over rows already partitioned+sorted
+  * by the shard key — and because pack assignment is a pure function of
+  * the (id, tokens) table, it is engine-reproducible and
+  * oracle-checkable (the oracle replays the same recurrence as a
+  * recursive CTE).
+  *
+  * Oversized documents (tokens > budget) get a pack of their own — a
+  * pack is never split, matching what a tokenizer-side truncation step
+  * would see.
+  */
+object Packing {
+
+  /** Pack (id, tokens) rows into ≤ `budget`-token packs per shard.
+    * Returns (id, shard, pack_idx, pack_tokens-so-far is internal).
+    */
+  def packGreedy(df: DataFrame, idCol: String, tokensCol: String,
+      budget: Long, shardSize: Long, spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    require(budget > 0 && shardSize > 0, "budget and shardSize must be positive")
+    df.select(col(idCol).cast("long").as("id"),
+        (col(idCol).cast("long") / lit(shardSize)).cast("long").as("shard"),
+        col(tokensCol).cast("long").as("tk"))
+      .as[(Long, Long, Long)]
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("id"))
+      .mapPartitions { it =>
+        // a partition holds whole shards (hash-partitioned on shard),
+        // possibly several: reset the greedy state on shard change
+        var shard = Long.MinValue
+        var packIdx = -1L
+        var acc = 0L
+        it.map { case (id, sh, tk) =>
+          if (sh != shard) { shard = sh; packIdx = 0L; acc = tk }
+          else if (acc + tk > budget) { packIdx += 1L; acc = tk }
+          else acc += tk
+          (id, sh, packIdx)
+        }
+      }
+      .toDF("id", "shard", "pack_idx")
+  }
+
+  /** DuckDB mirror: the same greedy recurrence replayed as a recursive
+    * CTE (one iteration per row rank; shards advance in lockstep).
+    * `tokensExpr` must compute the same token count as the Spark plan.
+    */
+  def packGreedySql(table: String, idCol: String, tokensExpr: String,
+      budget: Long, shardSize: Long): String =
+    s"""WITH RECURSIVE t AS MATERIALIZED (
+         SELECT $idCol AS id, $idCol // $shardSize AS shard, $tokensExpr AS tk,
+                row_number() OVER (PARTITION BY $idCol // $shardSize ORDER BY $idCol) AS rn
+         FROM $table),
+       walk(shard, rn, id, pack_idx, acc) AS (
+         SELECT shard, rn, id, CAST(0 AS BIGINT), tk FROM t WHERE rn = 1
+         UNION ALL
+         SELECT t.shard, t.rn, t.id,
+                CASE WHEN w.acc + t.tk > $budget THEN w.pack_idx + 1 ELSE w.pack_idx END,
+                CASE WHEN w.acc + t.tk > $budget THEN t.tk ELSE w.acc + t.tk END
+         FROM walk w JOIN t ON t.shard = w.shard AND t.rn = w.rn + 1)
+       SELECT id AS doc_id, shard, pack_idx FROM walk"""
+}

@@ -370,6 +370,21 @@ object Pipeline {
                    ELSE hv END AS BIGINT) AS fingerprint
        FROM h"""
 
+  /** Greedy context-window packing of the corpus by whitespace token
+    * count: 512-token packs, 100-doc shards (the sequential chain is
+    * bounded per shard; shards scale out).
+    */
+  def pPackSequences(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Packing.packGreedy(
+        Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), TextAnalysis.wsTokens(col("text")).as("ws")),
+        "doc_id", "ws", budget = 512L, shardSize = 100L, spark)
+      .select(col("id").as("doc_id"), col("shard"), col("pack_idx"))
+
+  val pPackSequencesSql: String =
+    graft.pipeline.Packing.packGreedySql("documents", "doc_id",
+      "len(regexp_split_to_array(trim(text), '\\s+'))", budget = 512L, shardSize = 100L)
+
   // -------------------------------------------------------- multimodal
 
   def pMediaMeta(spark: SparkSession, dir: String): DataFrame = {
@@ -400,6 +415,7 @@ object Pipeline {
     QueryDef.sql("p_gopher_quality", pGopherQuality, pGopherQualitySql),
     QueryDef.sql("p_pii_scrub", pPiiScrub, pPiiScrubSql),
     QueryDef.sql("p_tfidf", pTfidf, pTfidfSql),
+    QueryDef.sql("p_pack_sequences", pPackSequences, pPackSequencesSql),
     QueryDef.sql("p_ngram_freq", pNgramFreq, pNgramFreqSql),
     QueryDef.sql("p_knn_brute", pKnnBrute, pKnnBruteSql),
     QueryDef.rowsOnly("p_knn_lsh", pKnnLsh),

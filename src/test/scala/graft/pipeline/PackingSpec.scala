@@ -1,0 +1,50 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PackingSpec extends SparkSpec {
+
+  private def pack(rows: Seq[(Long, Long)], budget: Long, shardSize: Long) = {
+    import spark.implicits._
+    Packing.packGreedy(rows.toDF("doc_id", "tk"), "doc_id", "tk",
+        budget, shardSize, spark)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+  }
+
+  test("greedy packing fills to the budget, resets on overflow, isolates oversize docs") {
+    //            id -> tokens   (shard 0, budget 10)
+    val got = pack(Seq(1L -> 4L, 2L -> 4L, 3L -> 4L, 4L -> 25L, 5L -> 1L, 6L -> 9L),
+      budget = 10L, shardSize = 100L)
+    assert(got(1L) === (0L, 0L)) // 4
+    assert(got(2L) === (0L, 0L)) // 4+4=8 fits
+    assert(got(3L) === (0L, 1L)) // 8+4 > 10 → new pack
+    assert(got(4L) === (0L, 2L)) // oversize: its own pack, never split
+    assert(got(5L) === (0L, 3L)) // 25+1 > 10 → new pack after the oversize
+    assert(got(6L) === (0L, 3L)) // 1+9 = 10: exact fit shares
+  }
+
+  test("sharding bounds the chain: packing restarts per shard and is layout-pure") {
+    import spark.implicits._
+    val rows = (0L until 250L).map(i => i -> (i % 7 + 1))
+    val once = pack(rows, budget = 16L, shardSize = 50L)
+    // every shard starts at pack 0 and never mixes ids across shards
+    (0L until 5L).foreach { s =>
+      assert(once(s * 50L)._2 === 0L)
+      assert(once.filter(_._2._1 == s).keySet === (s * 50L until s * 50L + 50L).toSet)
+    }
+    // pure function of the (id, tokens) table: partition layout is irrelevant
+    val again = Packing.packGreedy(
+        rows.toDF("doc_id", "tk").repartition(13, col("tk")), "doc_id", "tk",
+        16L, 50L, spark)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(again === once)
+    // no pack exceeds the budget unless it is a single oversize doc
+    val packTotals = rows.toMap.toSeq
+      .groupMapReduce(kv => once(kv._1))(_._2)(_ + _)
+    packTotals.foreach { case (packKey, total) =>
+      val members = rows.filter(kv => once(kv._1) == packKey)
+      assert(total <= 16L || members.sizeIs == 1, s"pack $packKey overflows with $members")
+    }
+  }
+}
