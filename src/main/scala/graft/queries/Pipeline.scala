@@ -370,6 +370,32 @@ object Pipeline {
                    ELSE hv END AS BIGINT) AS fingerprint
        FROM h"""
 
+  /** Per-source token-length distribution profile (corpus length audit):
+    * exact interpolated p50/p90/p99 — Spark `percentile` and DuckDB
+    * `quantile_cont` share the linear-interpolation definition. At
+    * 100 TB the same query swaps `percentile` for the
+    * `approx_percentile` sketch (mergeable, bounded memory) — the exact
+    * form is kept here because it is the oracle-checkable one.
+    */
+  def pTokenQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("source"), TextAnalysis.wsTokens(col("text")).as("ws"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(expr("percentile(ws, 0.5)"), 4).as("p50"),
+        round(expr("percentile(ws, 0.9)"), 4).as("p90"),
+        round(expr("percentile(ws, 0.99)"), 4).as("p99"))
+
+  val pTokenQuantilesSql: String =
+    """SELECT source, count(*) AS n_docs,
+              round(quantile_cont(ws, 0.5), 4) AS p50,
+              round(quantile_cont(ws, 0.9), 4) AS p90,
+              round(quantile_cont(ws, 0.99), 4) AS p99
+       FROM (SELECT source, len(regexp_split_to_array(trim(text), '\s+')) AS ws
+             FROM documents)
+       GROUP BY source"""
+
   /** Greedy context-window packing of the corpus by whitespace token
     * count: 512-token packs, 100-doc shards (the sequential chain is
     * bounded per shard; shards scale out).
@@ -416,6 +442,7 @@ object Pipeline {
     QueryDef.sql("p_pii_scrub", pPiiScrub, pPiiScrubSql),
     QueryDef.sql("p_tfidf", pTfidf, pTfidfSql),
     QueryDef.sql("p_pack_sequences", pPackSequences, pPackSequencesSql),
+    QueryDef.sql("p_token_quantiles", pTokenQuantiles, pTokenQuantilesSql),
     QueryDef.sql("p_ngram_freq", pNgramFreq, pNgramFreqSql),
     QueryDef.sql("p_knn_brute", pKnnBrute, pKnnBruteSql),
     QueryDef.rowsOnly("p_knn_lsh", pKnnLsh),
