@@ -72,16 +72,30 @@ object Bench {
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    for (_ <- 1 to passes) selected.foreach { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
-        case e: Throwable =>
-          failed += name
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+    // Shuffle the query order differently each pass (fixed seed:
+    // reproducible). The per-query MIN defends against transient stalls
+    // only if a query's conditions vary across passes — with a FIXED
+    // order, any neighborhood effect (cleanup debris, block-manager /
+    // GC state left by the same predecessor, contention aligned with
+    // run phase) hits the same query every pass and the MIN keeps the
+    // inflated number. The round-3 driver run showed exactly that
+    // signature: two queries at ~6× their isolated time across all
+    // three min'd passes while the same commit measured flat locally.
+    val baseOrder = selected.toSeq
+    for (pass <- 1 to passes) {
+      val order = new scala.util.Random(42L + pass).shuffle(baseOrder)
+      order.foreach { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            failed += name
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        dropPersisted() // cleanup stays outside the measured window
+        results(name) = results.get(name).fold(elapsed)(math.min(_, elapsed))
       }
-      val elapsed = (System.nanoTime() - t0) / 1e9
-      dropPersisted() // cleanup stays outside the measured window
-      results(name) = results.get(name).fold(elapsed)(math.min(_, elapsed))
+      System.err.println(f"[bench] pass $pass done")
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

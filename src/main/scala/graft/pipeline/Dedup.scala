@@ -90,13 +90,15 @@ object Dedup {
     * self-join. At 100 TB, boilerplate-heavy corpora put millions of
     * near-identical docs into one band bucket (or simhash chunk), and
     * the intra-bucket join explodes quadratically on a single reducer.
-    * Oversized buckets are, by construction, near-duplicate cliques —
-    * the cheap exact-dup pass ([[exact]]) already collapses their
-    * identical members, so dropping them from the PAIRWISE path loses
-    * no information a quadratic join would add; a deployment routes
-    * them to representative sampling instead. Singleton buckets are
-    * dropped too: they cannot form a pair, and pre-shrinking here keeps
-    * them out of the self-join's shuffle.
+    * Oversized buckets are typically near-duplicate cliques — the cheap
+    * exact-dup pass ([[exact]]) collapses their identical members — but
+    * a mega-bucket of near-but-NOT-identical boilerplate would lose its
+    * pairs entirely, so the cap is OPT-IN (default `Long.MaxValue` =
+    * no cap) and capped deployments audit what they drop via
+    * [[oversizedLshBuckets]]/[[oversizedSimhashBuckets]] and route those
+    * cliques to representative sampling. Singleton buckets are always
+    * dropped: they cannot form a pair, and pre-shrinking here keeps
+    * them out of the self-join's shuffle — that part is lossless.
     *
     * One extra aggregation on the same key the self-join shuffles on —
     * co-partitioned, so the bound costs no additional exchange of the
@@ -110,15 +112,19 @@ object Dedup {
       .drop("__bn")
   }
 
-  /** LSH banding: hash each band of rowsPerBand signature slots, explode
-    * to (band, bucket) keys, self-join on the bucket. Two docs emerge as
-    * a candidate pair iff they collide in ≥1 band — the classic
-    * S-curve; with 16 bands × 4 rows the 0.5-Jaccard collision
-    * probability is ≈ 0.67. Shuffles on the bucket key only; bucket
-    * population is capped at `maxBucketSize` (see [[boundBuckets]]).
+  /** (keys..., population) of buckets above `maxBucketSize` — the audit
+    * face of [[boundBuckets]]: what a capped run drops from the pairwise
+    * path, so lost recall is observable instead of silent.
     */
-  def lshCandidates(sigs: DataFrame, numHashes: Int = 64, bands: Int = 16,
-      maxBucketSize: Long = 100000L): DataFrame = {
+  private def oversized(buckets: DataFrame, keys: Seq[String],
+      maxBucketSize: Long): DataFrame =
+    buckets.groupBy(keys.map(col): _*).agg(count(lit(1)).as("population"))
+      .filter(col("population") > maxBucketSize)
+
+  /** (id, band, bucket) banded signature keys — shared by the candidate
+    * join and its audit face.
+    */
+  private def bandBuckets(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes) — a remainder would " +
         "silently drop signature slots and change the collision S-curve")
@@ -128,14 +134,27 @@ object Dedup {
         element_at(col("sig"), b * rowsPerBand + r + 1))
       struct(lit(b).as("band"), xxhash64(slots: _*).as("bucket"))
     }
+    sigs.select(col("id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+  }
+
+  /** LSH banding: hash each band of rowsPerBand signature slots, explode
+    * to (band, bucket) keys, self-join on the bucket. Two docs emerge as
+    * a candidate pair iff they collide in ≥1 band — the classic
+    * S-curve; with 16 bands × 4 rows the 0.5-Jaccard collision
+    * probability is ≈ 0.67. Shuffles on the bucket key only; bucket
+    * population is unbounded by default — pass `maxBucketSize` to opt
+    * into the skew guard and audit the drops via
+    * [[oversizedLshBuckets]] (see [[boundBuckets]]).
+    */
+  def lshCandidates(sigs: DataFrame, numHashes: Int = 64, bands: Int = 16,
+      maxBucketSize: Long = Long.MaxValue): DataFrame = {
     // materialize once: the self-join legs are separate subtrees to
     // Catalyst (AQE does not reuse the exchange across the rename), so an
     // unmaterialized bucket table computes the whole signature pipeline
     // twice — verified via explain("formatted")
     val buckets = boundBuckets(
-      sigs.select(col("id"), explode(array(bandCols: _*)).as("bk"))
-        .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
-        .localCheckpoint(),
+      bandBuckets(sigs, numHashes, bands).localCheckpoint(),
       Seq("band", "bucket"), maxBucketSize)
     val left = buckets
     val right = buckets.select(col("id").as("id2"), col("band").as("band2"), col("bucket").as("bucket2"))
@@ -145,10 +164,18 @@ object Dedup {
       .distinct()
   }
 
+  /** (band, bucket, population) of band buckets a `maxBucketSize` cap
+    * would drop — run alongside a capped [[lshCandidates]] so the lost
+    * cliques are counted/routed, never silently discarded.
+    */
+  def oversizedLshBuckets(sigs: DataFrame, numHashes: Int = 64, bands: Int = 16,
+      maxBucketSize: Long = Long.MaxValue): DataFrame =
+    oversized(bandBuckets(sigs, numHashes, bands), Seq("band", "bucket"), maxBucketSize)
+
   /** End-to-end MinHash-LSH near-dup candidates. */
   def minhashDupes(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      maxBucketSize: Long = 100000L): DataFrame =
+      maxBucketSize: Long = Long.MaxValue): DataFrame =
     lshCandidates(minhashSignatures(df, idCol, textCol, shingleN, numHashes),
       numHashes, bands, maxBucketSize)
 
@@ -165,21 +192,37 @@ object Dedup {
       graft.functions.HashFunctions.simhash64(
         shingleArray(col(textCol), shingleN)).as("simhash"))
 
-  /** SimHash near-dup pairs: bucket by each of the four 16-bit chunks
-    * (pigeonhole: hamming ≤ 3 ⇒ some chunk equal), verify with
-    * `bit_count(xor) <= maxHamming` inside the bucket join. Bucket
-    * population capped at `maxBucketSize` (see [[boundBuckets]]).
+  /** (id, simhash, chunk, bucket) 16-bit-chunk keys — shared by the
+    * candidate join and its audit face.
     */
-  def simhashDupes(sims: DataFrame, maxHamming: Int = 3,
-      maxBucketSize: Long = 100000L): DataFrame = {
+  private def chunkBuckets(sims: DataFrame): DataFrame = {
     val chunks = (0 until 4).map(c =>
       struct(lit(c).as("chunk"),
         shiftright(col("simhash"), c * 16).bitwiseAND(0xffffL).as("bucket")))
+    sims.select(col("id"), col("simhash"), explode(array(chunks: _*)).as("bk"))
+      .select(col("id"), col("simhash"), col("bk.chunk").as("chunk"), col("bk.bucket").as("bucket"))
+  }
+
+  /** (chunk, bucket, population) of simhash chunk buckets a
+    * `maxBucketSize` cap would drop — the audit face of a capped
+    * [[simhashDupes]].
+    */
+  def oversizedSimhashBuckets(sims: DataFrame,
+      maxBucketSize: Long = Long.MaxValue): DataFrame =
+    oversized(chunkBuckets(sims), Seq("chunk", "bucket"), maxBucketSize)
+
+  /** SimHash near-dup pairs: bucket by each of the four 16-bit chunks
+    * (pigeonhole: hamming ≤ 3 ⇒ some chunk equal), verify with
+    * `bit_count(xor) <= maxHamming` inside the bucket join. Bucket
+    * population unbounded by default — pass `maxBucketSize` to opt into
+    * the skew guard (see [[boundBuckets]]), auditing drops via
+    * [[oversizedSimhashBuckets]].
+    */
+  def simhashDupes(sims: DataFrame, maxHamming: Int = 3,
+      maxBucketSize: Long = Long.MaxValue): DataFrame = {
     // materialize once — same non-reused self-join legs as lshCandidates
     val buckets = boundBuckets(
-      sims.select(col("id"), col("simhash"), explode(array(chunks: _*)).as("bk"))
-        .select(col("id"), col("simhash"), col("bk.chunk").as("chunk"), col("bk.bucket").as("bucket"))
-        .localCheckpoint(),
+      chunkBuckets(sims).localCheckpoint(),
       Seq("chunk", "bucket"), maxBucketSize)
     val right = buckets.select(col("id").as("id2"), col("simhash").as("simhash2"),
       col("chunk").as("chunk2"), col("bucket").as("bucket2"))
@@ -277,7 +320,8 @@ object Dedup {
     * through a distinct — the dedup key is the 24-byte result triple).
     * Precision is exact (every emitted pair passes the true cosine
     * threshold); recall < 1 by construction, measured vs
-    * [[embedCosineAllPairs]] in DedupSpec. Bucket population is capped
+    * [[embedCosineAllPairs]] in DedupSpec. Bucket population is
+    * unbounded by default; `maxBucketSize` opts into the skew guard
     * via [[boundBuckets]], same rationale as the text-LSH path.
     *
     * For an externally-supplied candidate set (e.g. buckets from a
@@ -285,7 +329,7 @@ object Dedup {
     */
   def embedCosineLsh(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
       threshold: Double, bitsPerTable: Int = 4, numTables: Int = 8,
-      seed: Long = 42L, maxBucketSize: Long = 100000L): DataFrame = {
+      seed: Long = 42L, maxBucketSize: Long = Long.MaxValue): DataFrame = {
     val keys = boundBuckets(
       Ann.lshKeys(emb, idCol, vecCol, dim, bitsPerTable, numTables, seed)
         .localCheckpoint(),

@@ -31,13 +31,19 @@ object Packing {
 
   /** Pack (id, tokens) rows into ≤ `budget`-token packs per shard.
     * Returns (id, shard, pack_idx, pack_tokens-so-far is internal).
+    *
+    * Ids must be non-negative. The shard key uses integral division
+    * (`div`), exact at any id magnitude — a double true-division would
+    * lose precision past 2^53 and silently mis-shard. The DuckDB mirror
+    * uses `//` (floor division); for non-negative ids trunc and floor
+    * agree, which is why the non-negativity requirement exists.
     */
   def packGreedy(df: DataFrame, idCol: String, tokensCol: String,
       budget: Long, shardSize: Long, spark: SparkSession): DataFrame = {
     import spark.implicits._
     require(budget > 0 && shardSize > 0, "budget and shardSize must be positive")
     df.select(col(idCol).cast("long").as("id"),
-        (col(idCol).cast("long") / lit(shardSize)).cast("long").as("shard"),
+        expr(s"CAST(`$idCol` AS BIGINT) div $shardSize").as("shard"),
         col(tokensCol).cast("long").as("tk"))
       .as[(Long, Long, Long)]
       .repartition(col("shard"))

@@ -77,6 +77,13 @@ object GraphOracleSql {
 
   /** Unrolled connected components (min-label propagation incl. self)
     * over the co-purchase graph, reported as the component-size profile.
+    *
+    * Self-checking: the unroll count is a measured-fixpoint + margin
+    * calibration, so the oracle asserts (via a cardinality-affecting
+    * WHERE — an unused projected assertion gets pruned by DuckDB's
+    * optimizer and never evaluates) that the last round changed nothing.
+    * A dataset needing more rounds then fails loudly as "rounds
+    * exhausted" instead of surfacing as a spurious Spark-vs-oracle diff.
     */
   def ccSql(rounds: Int): String = {
     val steps = (1 to rounds).map { i =>
@@ -90,8 +97,13 @@ object GraphOracleSql {
     }.mkString
     s"""WITH $copurchase,
        c0 AS MATERIALIZED (SELECT gid, gid AS comp FROM pnodes)$steps,
+       converged AS (
+         SELECT 1 AS ok WHERE CASE WHEN (SELECT count(*) FROM
+             ((SELECT * FROM c$rounds) EXCEPT (SELECT * FROM c${rounds - 1}))) > 0
+           THEN error('cc oracle: $rounds unrolled rounds exhausted before fixpoint')
+           ELSE true END),
        sizes AS (SELECT comp, count(*) AS size FROM c$rounds GROUP BY comp)
-       SELECT size, count(*) AS n_components FROM sizes GROUP BY size"""
+       SELECT size, count(*) AS n_components FROM sizes, converged GROUP BY size"""
   }
 
   /** Unrolled synchronous label propagation with the
@@ -121,6 +133,10 @@ object GraphOracleSql {
   /** Unrolled k-core peeling over the co-purchase graph: survivors of
     * round i are nodes with degree ≥ k in the subgraph induced by round
     * i-1's survivors. Reports the member count.
+    *
+    * Self-checking like [[ccSql]]: survivor sets only shrink, so count
+    * equality between the last two rounds IS set equality — asserted in
+    * a cardinality-affecting WHERE so a too-small unroll fails loudly.
     */
   def kcoreSql(k: Int, rounds: Int): String = {
     val steps = (1 to rounds).map { i =>
@@ -132,7 +148,12 @@ object GraphOracleSql {
          GROUP BY u.a HAVING count(*) >= $k)"""
     }.mkString
     s"""WITH $copurchase,
-       s0 AS MATERIALIZED (SELECT DISTINCT a AS gid FROM und)$steps
-       SELECT count(*) AS core_size FROM s$rounds"""
+       s0 AS MATERIALIZED (SELECT DISTINCT a AS gid FROM und)$steps,
+       converged AS (
+         SELECT 1 AS ok WHERE CASE WHEN (SELECT count(*) FROM s$rounds) <>
+             (SELECT count(*) FROM s${rounds - 1})
+           THEN error('kcore oracle: $rounds unrolled rounds exhausted before fixpoint')
+           ELSE true END)
+       SELECT count(*) AS core_size FROM s$rounds, converged"""
   }
 }

@@ -345,9 +345,13 @@ object Pipeline {
     * FNV-1a 64 re-expressed as a DuckDB `list_reduce` in HUGEINT
     * arithmetic (xor of the low byte, multiply, mod 2^64), folded over
     * `ascii()` code points — equal to the Spark expression's UTF-8 byte
-    * fold exactly when the corpus is ASCII, which the driver testdata
-    * is (0 non-ASCII docs, verified); known-answer + Unicode exactness
-    * vs the reference implementation stays in TextSpec.
+    * fold exactly when the corpus is ASCII. The oracle GUARDS that
+    * assumption itself: any row where the byte length differs from the
+    * character length (the UTF-8 definition of "contains non-ASCII")
+    * raises error() instead of silently hashing differently, so a future
+    * non-ASCII document surfaces as "oracle assumption violated", never
+    * as a spurious Spark-vs-DuckDB mismatch. Unicode exactness of the
+    * Spark expression vs the reference implementation stays in TextSpec.
     */
   def pFingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
@@ -356,13 +360,17 @@ object Pipeline {
   val pFingerprintSql: String =
     """WITH h AS (
          SELECT doc_id,
+           CASE WHEN strlen(text) <> length(text)
+             THEN error('fingerprint oracle: non-ASCII document; codepoint fold != UTF-8 byte fold')
+             ELSE
            list_reduce(
              list_prepend(CAST('14695981039346656037' AS HUGEINT),
                list_transform(list_filter(string_split(text, ''), c -> c != ''),
                               c -> CAST(ascii(c) AS HUGEINT))),
              (h, b) -> (((h // 256) * 256 +
                           xor(CAST(h % 256 AS BIGINT), CAST(b AS BIGINT)))
-                        * 1099511628211) % CAST('18446744073709551616' AS HUGEINT)) AS hv
+                        * 1099511628211) % CAST('18446744073709551616' AS HUGEINT))
+           END AS hv
          FROM documents)
        SELECT doc_id,
          CAST(CASE WHEN hv >= CAST('9223372036854775808' AS HUGEINT)

@@ -118,6 +118,16 @@ class DedupSpec extends SparkSpec {
     val simCapped = Dedup.simhashDupes(sims, maxHamming = 3, maxBucketSize = 10L)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(simCapped === Set((100L, 101L)))
+    // the audit face reports exactly what the cap dropped: the 50-doc
+    // clique fills one oversized bucket per band — lost recall is
+    // observable, never silent
+    val over = Dedup.oversizedLshBuckets(
+        Dedup.minhashSignatures(df, "doc_id", "text"), maxBucketSize = 10L)
+      .collect()
+    assert(over.length === 16)
+    assert(over.forall(_.getAs[Long]("population") === 50L))
+    val simOver = Dedup.oversizedSimhashBuckets(sims, maxBucketSize = 10L).collect()
+    assert(simOver.length >= 4 && simOver.forall(_.getAs[Long]("population") >= 50L))
   }
 
   test("decontamination flags exactly the corpus docs overlapping the test set") {
