@@ -144,6 +144,57 @@ object TextAnalysis {
         (col("tf") * log(col("n_docs").cast("double") / col("df"))).as("tfidf"))
   }
 
+  // ------------------------------------------------- corpus-level signals
+
+  /** Per-document boilerplate fraction: the share of a document's
+    * distinct word n-grams whose corpus document frequency is ≥ minDf —
+    * the C4/RefinedWeb-style template-detection signal (a page whose
+    * n-grams are mostly corpus-common is navigation/boilerplate, not
+    * content). One shingling pass feeds both the DF aggregation and the
+    * per-doc join; shuffles on the n-gram key and the doc key only. At
+    * 100 TB the join key swaps to [[Dedup.hashedShingles]] (16-byte
+    * keys) without changing the shape.
+    */
+  def boilerplateFrac(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minDf: Long): DataFrame = {
+    // one exploded (id, shingle) table feeds two legs — materialize once
+    val sh = Dedup.shingles(df, idCol, textCol, n).localCheckpoint()
+    val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    sh.join(dfreq, "sh")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_common"))
+      .select(col("id"), col("n_ngrams"), col("n_common"),
+        round(col("n_common").cast("double") / col("n_ngrams"), 6).as("common_frac"))
+  }
+
+  /** Vocabulary coverage curve: the top-k corpus words by total term
+    * frequency with each word's cumulative share of all tokens — the
+    * tokenizer-design / Zipf-audit view of a corpus. The heavy work is
+    * one token-count aggregation; the rank/cumsum window runs over the
+    * VOCABULARY (bounded, ≪ corpus — same posture as tf-idf's broadcast
+    * scalar), and the total-token count rides in as a broadcast scalar
+    * subplan, not a window over everything. Deterministic ordering:
+    * (tf desc, word) everywhere, so rank, cumsum, and the top-k cutoff
+    * are engine-stable.
+    */
+  def vocabCoverage(df: DataFrame, textCol: String, topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("tf"))
+    val total = counts.agg(sum(col("tf")).as("total_tf"))
+    val w = Window.orderBy(col("tf").desc, col("word"))
+    counts
+      .withColumn("rank", row_number().over(w))
+      .withColumn("cum_tf", sum(col("tf")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("rank") <= topK)
+      .crossJoin(broadcast(total))
+      .select(col("rank").cast("long").as("rank"), col("word"), col("tf"),
+        round(col("cum_tf").cast("double") / col("total_tf"), 8).as("cum_frac"))
+  }
+
   /** Full per-document text profile. */
   def profile(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(

@@ -435,8 +435,61 @@ object Pipeline {
               'fake/raw' AS format
        FROM documents"""
 
+  /** Per-document boilerplate fraction: share of each doc's distinct
+    * 2-grams with corpus DF ≥ 25 (the same threshold the DF profile
+    * query uses) — template/navigation detection.
+    */
+  def pBoilerplate(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.boilerplateFrac(Tables.load(spark, dir, "documents"),
+        "doc_id", "text", n = 2, minDf = 25L)
+      .select(col("id").as("doc_id"), col("n_ngrams"), col("n_common"),
+        col("common_frac"))
+
+  val pBoilerplateSql: String =
+    """WITH words AS (
+         SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+         FROM documents),
+       sh AS MATERIALIZED (
+         SELECT doc_id, unnest(CASE WHEN len(w) >= 2
+           THEN list_distinct(list_transform(range(len(w) - 1),
+                  i -> array_to_string(w[i + 1:i + 2], ' ')))
+           ELSE [array_to_string(w, ' ')] END) AS sh
+         FROM words),
+       dfreq AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh)
+       SELECT s.doc_id, count(*) AS n_ngrams,
+              count(*) FILTER (WHERE d.df >= 25) AS n_common,
+              round(CAST(count(*) FILTER (WHERE d.df >= 25) AS DOUBLE)
+                    / count(*), 6) AS common_frac
+       FROM sh s JOIN dfreq d USING (sh)
+       GROUP BY s.doc_id"""
+
+  /** Vocabulary coverage curve: top-200 words by corpus term frequency
+    * with cumulative token-share — the Zipf/tokenizer-design audit.
+    */
+  def pVocabCoverage(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabCoverage(Tables.load(spark, dir, "documents"),
+      "text", topK = 200)
+
+  val pVocabCoverageSql: String =
+    """WITH tok AS (
+         SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+         FROM documents),
+       counts AS (SELECT word, count(*) AS tf FROM tok GROUP BY word),
+       ranked AS (
+         SELECT word, tf,
+                row_number() OVER (ORDER BY tf DESC, word) AS rank,
+                sum(tf) OVER (ORDER BY tf DESC, word
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tf
+         FROM counts)
+       SELECT CAST(rank AS BIGINT) AS rank, word, tf,
+              round(CAST(cum_tf AS DOUBLE) /
+                    (SELECT CAST(sum(tf) AS DOUBLE) FROM counts), 8) AS cum_frac
+       FROM ranked WHERE rank <= 200"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("p_dedup_exact", pDedupExact, pDedupExactSql),
+    QueryDef.sql("p_boilerplate", pBoilerplate, pBoilerplateSql),
+    QueryDef.sql("p_vocab_coverage", pVocabCoverage, pVocabCoverageSql),
     QueryDef.rowsOnly("p_dedup_minhash", pDedupMinhash),
     QueryDef.rowsOnly("p_dedup_simhash", pDedupSimhash),
     QueryDef.rowsOnly("p_dedup_ngram", pDedupNgram),

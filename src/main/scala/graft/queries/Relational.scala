@@ -259,8 +259,64 @@ object Relational {
        FROM events e JOIN customer c ON e.user_id = c.c_custkey
        GROUP BY c_mktsegment"""
 
+  /** Ordered conversion funnel view → click → purchase over the event
+    * stream via [[graft.operators.Funnel]]: per-step user counts where
+    * each step must occur strictly after the user's previous step time.
+    */
+  def qFunnel(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.counts(Tables.load(spark, dir, "events"),
+      "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+
+  val qFunnelSql: String =
+    """WITH s1 AS (SELECT user_id AS u, min(ts) AS t1 FROM events
+                   WHERE event_type = 'view' GROUP BY 1),
+       s2 AS (SELECT s1.u, min(e.ts) AS t2 FROM s1 JOIN events e
+              ON e.user_id = s1.u AND e.event_type = 'click' AND e.ts > s1.t1
+              GROUP BY 1),
+       s3 AS (SELECT s2.u, min(e.ts) AS t3 FROM s2 JOIN events e
+              ON e.user_id = s2.u AND e.event_type = 'purchase' AND e.ts > s2.t2
+              GROUP BY 1)
+       SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
+              (SELECT count(*) FROM s1) AS users
+       UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+       UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)"""
+
+  /** Snapshot ⊕ CDC compaction via [[graft.store.CdcMerge]]: the event
+    * stream read as an after-image change log on customer balances
+    * (error ⇒ delete, anything else ⇒ upsert of `value`), merged into
+    * the customer snapshot — last change per key wins, untouched keys
+    * keep their base row. Oracle: the same window + full-outer-join in
+    * SQL.
+    */
+  def qCdcMerge(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), round(col("c_acctbal"), 2).as("balance"))
+    val changes = Tables.load(spark, dir, "events")
+      .select(col("user_id").as("c_custkey"),
+        round(col("value"), 2).as("balance"), col("ts"), col("event_id"),
+        when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"))
+    graft.store.CdcMerge.merge(base, changes, "c_custkey",
+      Seq("ts", "event_id"), "op")
+  }
+
+  val qCdcMergeSql: String =
+    """WITH last AS (
+         SELECT * FROM (
+           SELECT user_id AS k, round(value, 2) AS balance,
+                  CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events) WHERE rn = 1),
+       b AS (SELECT c_custkey AS k, round(c_acctbal, 2) AS balance FROM customer)
+       SELECT coalesce(b.k, l.k) AS c_custkey,
+              CASE WHEN l.op IS NOT NULL THEN l.balance ELSE b.balance END AS balance
+       FROM b FULL OUTER JOIN last l ON b.k = l.k
+       WHERE l.op IS NULL OR l.op <> 'D'"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q1_agg", q1Agg, q1AggSql),
+    QueryDef.sql("q_funnel", qFunnel, qFunnelSql),
+    QueryDef.sql("q_cdc_merge", qCdcMerge, qCdcMergeSql),
     QueryDef.sql("q_asof_operator", qAsofOperator, qAsofOperatorSql),
     QueryDef.sql("q_range_join", qRangeJoin, qRangeJoinSql),
     QueryDef.sql("q_skew_join", qSkewJoin, qSkewJoinSql),

@@ -113,6 +113,35 @@ class GraphAlgSpec extends SparkSpec {
     assert(lpA === lpB)
   }
 
+  test("adamic-adar scores non-adjacent pairs by hub-discounted common neighbors") {
+    // square 1-2-3-4-1: the two diagonals are the only non-adjacent
+    // pairs, each with common neighbors {the other two}, all degree 2
+    val square = edgeDf(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 1L)
+    val res = Algorithms.adamicAdar(square, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getLong(3))).toMap
+    val expected = BigDecimal(2.0 / math.log(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(res.keySet === Set((1L, 3L), (2L, 4L)))
+    assert(res((1L, 3L)) === ((expected, 2L)))
+    assert(res((2L, 4L)) === ((expected, 2L)))
+  }
+
+  test("seed-anchored adamic-adar scores only pairs whose first endpoint is a seed") {
+    val square = edgeDf(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 1L)
+    val res = Algorithms.adamicAdarFor(square, nodeDf(1L), topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getLong(3))).toMap
+    val expected = BigDecimal(2.0 / math.log(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(res === Map((1L, 3L) -> ((expected, 2L))))
+  }
+
+  test("adamic-adar maxCenterDegree drops hub-mediated wedges") {
+    // star: center 0 (degree 3) is the only wedge center
+    val star = edgeDf(0L -> 1L, 0L -> 2L, 0L -> 3L)
+    assert(Algorithms.adamicAdar(star, topK = 10).count() === 3L)
+    assert(Algorithms.adamicAdar(star, topK = 10, maxCenterDegree = 2L).count() === 0L)
+  }
+
   test("label propagation converges on two cliques joined by one edge") {
     // cliques {1,2,3} and {11,12,13} with a bridge 3-11
     val cliq = Seq(1L -> 2L, 1L -> 3L, 2L -> 3L, 11L -> 12L, 11L -> 13L, 12L -> 13L, 3L -> 11L)

@@ -87,6 +87,35 @@ class OperatorsSpec extends SparkSpec {
     assert(messages(ex).exists(_.contains("buckets")))
   }
 
+  test("funnel counts users per ordered step, strictly after the previous step") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      // u1 completes the whole funnel in order
+      (1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, "click", ts("2024-01-01 10:05:00")),
+      (1L, "purchase", ts("2024-01-01 10:10:00")),
+      // u2 views then purchases without clicking → stops at step 1
+      (2L, "view", ts("2024-01-01 10:00:00")),
+      (2L, "purchase", ts("2024-01-01 10:01:00")),
+      // u3's early click precedes the view and must NOT count; the
+      // later one does → reaches step 2, never purchases
+      (3L, "click", ts("2024-01-01 09:00:00")),
+      (3L, "view", ts("2024-01-01 10:00:00")),
+      (3L, "click", ts("2024-01-01 10:30:00")),
+      // u4 purchases before viewing → step 1 only
+      (4L, "purchase", ts("2024-01-01 09:00:00")),
+      (4L, "view", ts("2024-01-01 10:00:00")),
+      // u5 clicks at the SAME instant as the view — strictly-after
+      // excludes it
+      (5L, "view", ts("2024-01-01 10:00:00")),
+      (5L, "click", ts("2024-01-01 10:00:00"))).toDF("user_id", "event_type", "ts")
+    val counts = Funnel.counts(events, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(counts === Map(1L -> 5L, 2L -> 2L, 3L -> 1L))
+  }
+
   test("bucketized range join equals the predicate join across bucket boundaries") {
     import spark.implicits._
     val points = (0L to 100L by 3L).map(t => (t, s"p$t")).toDF("ts", "pid")

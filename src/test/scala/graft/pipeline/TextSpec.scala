@@ -79,4 +79,27 @@ class TextSpec extends SparkSpec {
     assert(r.getInt(1) === 10)
     assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
   }
+
+  test("boilerplate fraction counts corpus-common n-grams per doc") {
+    import spark.implicits._
+    // "aa bb" appears in 3 docs (DF 3); every other bigram is unique
+    val docs = Seq(
+      (1L, "aa bb cc"), (2L, "aa bb dd"), (3L, "aa bb"),
+      (4L, "xx yy zz")).toDF("doc_id", "text")
+    val r = TextAnalysis.boilerplateFrac(docs, "doc_id", "text", n = 2, minDf = 3L)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    assert(r(1L) === ((2L, 1L, 0.5)))
+    assert(r(2L) === ((2L, 1L, 0.5)))
+    assert(r(3L) === ((1L, 1L, 1.0))) // 2-word doc: its single bigram is the common one
+    assert(r(4L) === ((2L, 0L, 0.0)))
+  }
+
+  test("vocab coverage ranks by tf with word tiebreak and accumulates token share") {
+    import spark.implicits._
+    val docs = Seq("a a b", "b c").toDF("text")
+    // tf: a=2, b=2, c=1; total 5; order (tf desc, word): a, b, c
+    val rows = TextAnalysis.vocabCoverage(docs, "text", topK = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.toSeq === Seq((1L, "a", 2L, 0.4), (2L, "b", 2L, 0.8)))
+  }
 }
