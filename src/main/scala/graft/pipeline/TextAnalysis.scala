@@ -144,6 +144,22 @@ object TextAnalysis {
         (col("tf") * log(col("n_docs").cast("double") / col("df"))).as("tfidf"))
   }
 
+  /** The end-to-end curation verdict: first failing rule in a fixed
+    * order (short → word shape → repetition → alphabetic share →
+    * language → PII), 'ok' when everything passes — the composition a
+    * production corpus filter runs as ONE narrow codegen pass per
+    * document, with the reason string making the drop ledger auditable
+    * (every curation pipeline reports per-reason drop counts).
+    */
+  def filterReason(textCol: Column, minTokens: Int = 10): Column =
+    when(wsTokens(textCol) < minTokens, "too_short")
+      .when(!meanWordLen(textCol).between(3.0, 10.0), "word_shape")
+      .when(dupWordFrac(textCol) >= 0.6, "repetitive")
+      .when(alphaWordFrac(textCol) < 0.8, "non_alpha")
+      .when(langId(textCol) =!= "en", "lang")
+      .when(piiCount(textCol) > 0, "pii")
+      .otherwise("ok")
+
   // ------------------------------------------------- corpus-level signals
 
   /** Per-document boilerplate fraction: the share of a document's

@@ -253,6 +253,72 @@ object Pipeline {
               FROM (SELECT doc_id, $scores FROM documents))"""
   }
 
+  /** End-to-end corpus filter: (keep, reason) per document — the
+    * composed curation verdict with its drop-ledger reason. Oracle
+    * composes the same rule SQL fragments in the same order.
+    */
+  def pCorpusFilter(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.filterReason(col("text")).as("reason"))
+      .withColumn("keep", col("reason") === "ok")
+
+  val pCorpusFilterSql: String = {
+    val langScores = Seq("en", "es", "de", "fr")
+      .map(l => s"(${sqlLangScore(l)}) AS s_$l").mkString(", ")
+    val pii = TextAnalysis.piiPatterns
+      .map { case (p, _) => s"len(regexp_extract_all(text, '$p'))" }
+      .mkString(" + ")
+    s"""WITH t AS (
+         SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS w
+         FROM documents),
+       m AS (
+         SELECT doc_id, text, len(w) AS ws,
+                CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE) / len(w) AS mwl,
+                1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS dwf,
+                CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                  / len(w) AS awf,
+                $pii AS n_pii
+         FROM t),
+       l AS (
+         SELECT doc_id,
+                CASE WHEN s_en = best AND best > 0 THEN 'en'
+                     WHEN s_es = best AND best > 0 THEN 'es'
+                     WHEN s_de = best AND best > 0 THEN 'de'
+                     WHEN s_fr = best AND best > 0 THEN 'fr'
+                     ELSE 'und' END AS lang_guess
+         FROM (SELECT doc_id, s_en, s_es, s_de, s_fr,
+                      greatest(s_en, s_es, s_de, s_fr) AS best
+               FROM (SELECT doc_id, $langScores FROM documents)))
+       SELECT doc_id, reason, reason = 'ok' AS keep
+       FROM (
+         SELECT m.doc_id,
+                CASE WHEN ws < 10 THEN 'too_short'
+                     WHEN NOT (mwl BETWEEN 3.0 AND 10.0) THEN 'word_shape'
+                     WHEN dwf >= 0.6 THEN 'repetitive'
+                     WHEN awf < 0.8 THEN 'non_alpha'
+                     WHEN lang_guess <> 'en' THEN 'lang'
+                     WHEN n_pii > 0 THEN 'pii'
+                     ELSE 'ok' END AS reason
+         FROM m JOIN l USING (doc_id))"""
+  }
+
+  /** Sketch-based corpus profile: per source, exact row count plus
+    * HyperLogLog++ approximate distinct texts and doc ids — the
+    * bounded-memory, mergeable way to count distincts at 100 TB (an
+    * exact distinct shuffles the full column; the sketch is a few KB
+    * per partition and merges associatively). Rows-only: the sketch
+    * estimate is Spark-specific (DuckDB's approx_count_distinct uses a
+    * different HLL); the ≤5%-relative-error contract vs exact counts is
+    * asserted in TextSpec.
+    */
+  def pApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        approx_count_distinct(col("text")).as("approx_texts"),
+        approx_count_distinct(col("doc_id")).as("approx_ids"))
+
   /** Gopher/C4-style repetition filter statistics + keep verdict. */
   def pGopherQuality(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
@@ -500,6 +566,8 @@ object Pipeline {
     QueryDef.sql("p_sample_mix", pSampleMix, pSampleMixSql),
     QueryDef.sql("p_dedup_clusters", pDedupClusters, pDedupClustersSql),
     QueryDef.sql("p_gopher_quality", pGopherQuality, pGopherQualitySql),
+    QueryDef.sql("p_corpus_filter", pCorpusFilter, pCorpusFilterSql),
+    QueryDef.rowsOnly("p_approx_distinct", pApproxDistinct),
     QueryDef.sql("p_pii_scrub", pPiiScrub, pPiiScrubSql),
     QueryDef.sql("p_tfidf", pTfidf, pTfidfSql),
     QueryDef.sql("p_pack_sequences", pPackSequences, pPackSequencesSql),

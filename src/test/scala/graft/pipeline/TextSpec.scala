@@ -80,6 +80,36 @@ class TextSpec extends SparkSpec {
     assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
   }
 
+  test("corpus filter reports the first failing rule in order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "too short"),                                           // < 10 tokens
+      (2L, ("ab " * 12).trim),                                     // repeats beat word-shape? mwl=2 -> word_shape first
+      (3L, "the cat and the dog ran over the road and then came home again yes"),
+      (4L, "el la de que " + "uno dos tres cuatro cinco seis siete ocho nueve diez"),
+      (5L, "the cat and the dog contact bob@example.com over the road and then again")
+    ).toDF("doc_id", "text")
+    val r = docs.select(col("doc_id"),
+        TextAnalysis.filterReason(col("text")).as("reason"))
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r(1L) === "too_short")
+    assert(r(2L) === "word_shape") // mean word len 2 fails before the repetition rule
+    assert(r(3L) === "ok")
+    assert(r(4L) === "lang")
+    assert(r(5L) === "pii")
+  }
+
+  test("approx distinct stays within 5% of exact on a planted id set") {
+    import spark.implicits._
+    val df = (1L to 20000L).map(i => (i, s"text-${i % 7000}")).toDF("id", "text")
+    val r = df.agg(
+      org.apache.spark.sql.functions.approx_count_distinct(col("id")).as("aid"),
+      org.apache.spark.sql.functions.approx_count_distinct(col("text")).as("atx"))
+      .collect()(0)
+    assert(math.abs(r.getLong(0) - 20000L) <= 1000L)
+    assert(math.abs(r.getLong(1) - 7000L) <= 350L)
+  }
+
   test("boilerplate fraction counts corpus-common n-grams per doc") {
     import spark.implicits._
     // "aa bb" appears in 3 docs (DF 3); every other bigram is unique
