@@ -313,10 +313,32 @@ object Relational {
        FROM b FULL OUTER JOIN last l ON b.k = l.k
        WHERE l.op IS NULL OR l.op <> 'D'"""
 
+  /** Z-order layout key for the event table via the codegen
+    * [[graft.functions.ZOrder]] expression: sort/range-partition by
+    * this at write time and min/max zone maps prune scans filtered on
+    * EITHER user or time-ish id, not just the leading sort key. The
+    * oracle replays the mathematical bit-interleave definition
+    * (the Spark side runs the branch-free magic-number spread — same
+    * function, different formulation).
+    */
+  def qZorder(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .select(col("event_id"),
+        graft.functions.ZOrder(col("user_id"), col("event_id")).as("z"))
+
+  val qZorderSql: String =
+    """SELECT event_id,
+              CAST(list_sum(list_transform(range(31), i ->
+                (((user_id & 2147483647) >> i & 1) << (2 * i)) +
+                (((event_id & 2147483647) >> i & 1) << (2 * i + 1))))
+                AS BIGINT) AS z
+       FROM events"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q1_agg", q1Agg, q1AggSql),
     QueryDef.sql("q_funnel", qFunnel, qFunnelSql),
     QueryDef.sql("q_cdc_merge", qCdcMerge, qCdcMergeSql),
+    QueryDef.sql("q_zorder", qZorder, qZorderSql),
     QueryDef.sql("q_asof_operator", qAsofOperator, qAsofOperatorSql),
     QueryDef.sql("q_range_join", qRangeJoin, qRangeJoinSql),
     QueryDef.sql("q_skew_join", qSkewJoin, qSkewJoinSql),

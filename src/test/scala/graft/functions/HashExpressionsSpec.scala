@@ -31,6 +31,31 @@ class HashExpressionsSpec extends SparkSpec {
     viaExpr.foreach { case (id, sig) => assert(sig === viaGroupBy(id), s"doc $id") }
   }
 
+  test("zorder expression interleaves bits, known answers, both execution modes") {
+    import spark.implicits._
+    // zorder(5, 3): a=0b101 at even positions -> 0b10001 (17);
+    // b=0b011 at odd positions -> 0b1010 (10); z = 27
+    assert(ZOrder.interleave(5L, 3L) === 27L)
+    assert(ZOrder.interleave(0L, 0L) === 0L)
+    assert(ZOrder.interleave((1L << 31) - 1, 0L) === 0x1555555555555555L)
+    val df = Seq((5L, 3L), (0L, 0L), (123456789L, 987654321L)).toDF("a", "b")
+    def run(codegen: Boolean): Seq[Long] = {
+      spark.conf.set("spark.sql.codegen.wholeStage", codegen.toString)
+      try df.select(ZOrder(col("a"), col("b")).as("z")).collect().map(_.getLong(0)).toSeq
+      finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+    val viaCodegen = run(codegen = true)
+    val viaInterp = run(codegen = false)
+    assert(viaCodegen === viaInterp)
+    assert(viaCodegen.head === 27L)
+    // definition check: bit i of a lands at position 2i, b at 2i+1
+    val (a, b) = (123456789L, 987654321L)
+    val expected = (0 until 31).map { i =>
+      (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))
+    }.reduce(_ | _)
+    assert(viaCodegen(2) === expected)
+  }
+
   test("simhash expression matches the vote-aggregation formulation bit-for-bit") {
     val viaExpr = Dedup.simhash(docs, "doc_id", "text", shingleN = 2)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
