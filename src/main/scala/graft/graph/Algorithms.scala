@@ -530,7 +530,14 @@ object Algorithms {
     * generation real recommenders run. Same scoring, rounding, and
     * deterministic top-k cutoff as [[adamicAdar]].
     */
-  def adamicAdarFor(edges: DataFrame, seeds: DataFrame, topK: Int): DataFrame = {
+  /** Loop/lookup invariants of neighborhood-scoring queries over one
+    * graph: the deduped undirected edge set (both orientations) and the
+    * degree-annotated neighbor list — built once, reusable across seed
+    * sets (callers serving several queries pin them, like [[RankGraph]]).
+    */
+  final case class AdjGraph(und: DataFrame, nb: DataFrame)
+
+  def prepareAdjacency(edges: DataFrame): AdjGraph = {
     val canon = edges.select(
         least(col("gsrc"), col("gdst")).as("a"),
         greatest(col("gsrc"), col("gdst")).as("b"))
@@ -541,10 +548,17 @@ object Algorithms {
     val deg = und.groupBy(col("a").as("z")).agg(count(lit(1)).as("dz"))
     val nb = und.select(col("a").as("z"), col("b").as("n")).join(deg, "z")
       .localCheckpoint()
+    AdjGraph(und, nb)
+  }
+
+  def adamicAdarFor(edges: DataFrame, seeds: DataFrame, topK: Int): DataFrame =
+    adamicAdarFor(prepareAdjacency(edges), seeds, topK)
+
+  def adamicAdarFor(g: AdjGraph, seeds: DataFrame, topK: Int): DataFrame = {
     // wedges anchored on a seed endpoint: (z, s∈seeds) × (z, y), s ≠ y
-    val seedNb = nb.join(broadcast(seeds.select(col("gid").as("n"))), "n")
+    val seedNb = g.nb.join(broadcast(seeds.select(col("gid").as("n"))), "n")
     val wedges = seedNb.select(col("z"), col("n").as("s"), col("dz"))
-      .join(nb.select(col("z").as("z2"), col("n").as("y")),
+      .join(g.nb.select(col("z").as("z2"), col("n").as("y")),
         col("z") === col("z2") && col("s") =!= col("y"))
       .select(col("s"), col("y"), (lit(1.0) / log(col("dz").cast("double"))).as("w"))
     val scores = wedges.groupBy(col("s"), col("y"))
@@ -552,7 +566,7 @@ object Algorithms {
     // drop already-adjacent pairs: und holds both orientations, so one
     // directed anti-join covers (s,y) adjacency either way
     scores
-      .join(und, scores("s") === und("a") && scores("y") === und("b"), "left_anti")
+      .join(g.und, scores("s") === g.und("a") && scores("y") === g.und("b"), "left_anti")
       .select(col("s").as("x"), col("y"), round(col("score"), 6).as("score"), col("common"))
       .orderBy(col("score").desc, col("x"), col("y")).limit(topK)
   }

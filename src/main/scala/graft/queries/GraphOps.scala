@@ -68,8 +68,22 @@ object GraphOps {
     gidEdgesCached(spark, dir, Seq("PLACED", "IN_NATION"))
     gidNodesCached(spark, dir, TpchGraph.nodeLabels)
     rankGraphCached(spark, dir)
+    adjGraphCached(spark, dir)
     ()
   }
+
+  /** The co-purchase adjacency invariants (deduped undirected edges +
+    * degree-annotated neighbor list), shared by neighborhood-scoring
+    * queries — prepared once per (session, dir) and pinned.
+    */
+  private val adjGraphCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Algorithms.AdjGraph]
+
+  private def adjGraphCached(spark: SparkSession, dir: String): Algorithms.AdjGraph =
+    adjGraphCache.getOrElseUpdate((spark.sparkContext.applicationId, dir),
+      graft.PinnedRdds.pinning(spark) {
+        Algorithms.prepareAdjacency(copurchaseGraph(spark, dir)._2)
+      })
 
   /** MATCH (c:customer {segment, acctbal-pred}) RETURN ... — reference
     * equality-only WHERE generalized to arbitrary predicates.
@@ -341,8 +355,9 @@ object GraphOps {
     * ULP-stable across engines.
     */
   def gAdamicAdar(spark: SparkSession, dir: String): DataFrame = {
-    val (nodes, edges) = copurchaseGraph(spark, dir)
-    Algorithms.adamicAdarFor(edges, nodes.filter(col("gid") < 100), topK = 100)
+    val (nodes, _) = copurchaseGraph(spark, dir)
+    Algorithms.adamicAdarFor(adjGraphCached(spark, dir),
+        nodes.filter(col("gid") < 100), topK = 100)
       .select(col("x").as("part_a"), col("y").as("part_b"),
         col("score"), col("common"))
   }

@@ -28,6 +28,44 @@ object CdcMerge {
     *                  deterministic total order per key)
     * @param orderCols change order per key, later-wins (compared desc)
     */
+  /** Seed the incremental-compaction state from a base snapshot: base
+    * rows carry null order columns (any real change out-orders them)
+    * and op 'U'. Order-column types are borrowed from the change-log
+    * schema. Schema: key, payload..., orderCols..., op.
+    */
+  def initState(base: DataFrame, changes: DataFrame, keyCol: String,
+      orderCols: Seq[String], opCol: String): DataFrame =
+    base.select(col(keyCol) +:
+      (base.columns.filterNot(_ == keyCol).toSeq.map(col) ++
+        orderCols.map(c => lit(null).cast(changes.schema(c).dataType).as(c)) :+
+        lit("U").as(opCol)): _*)
+
+  /** One micro-batch step of incremental compaction: last-wins over
+    * state ∪ batch, per key. The state RETAINS the winning change's
+    * order columns and keeps 'D' rows as tombstones, which is what makes
+    * the step ASSOCIATIVE — folding batches b1, b2 through this equals
+    * compacting over b1 ∪ b2 whatever the batch boundaries, so an
+    * out-of-order earlier update in a later micro-batch can neither
+    * resurrect a deleted key nor overwrite a newer value. This is the
+    * `foreachBatch` MERGE pattern a streaming lakehouse sink runs;
+    * [[visible]] projects the queryable face. One window over
+    * state ∪ batch, shuffled on the key only.
+    */
+  def compact(state: DataFrame, batch: DataFrame, keyCol: String,
+      orderCols: Seq[String], opCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(orderCols.map(col(_).desc_nulls_last): _*)
+    state.unionByName(batch.select(state.columns.map(col): _*))
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** The queryable face of a compaction state: live rows, key + payload
+    * only (order bookkeeping and tombstones stripped).
+    */
+  def visible(state: DataFrame, orderCols: Seq[String], opCol: String): DataFrame =
+    state.filter(col(opCol) =!= "D").drop(orderCols :+ opCol: _*)
+
   def merge(base: DataFrame, changes: DataFrame, keyCol: String,
       orderCols: Seq[String], opCol: String): DataFrame = {
     require(orderCols.nonEmpty, "CDC merge needs a change order")

@@ -185,4 +185,39 @@ class StreamingSpec extends SparkSpec {
       withWatermark = false)
     assert(batch.count() === 2L)
   }
+
+  test("foreachBatch CDC compaction over a stream equals the one-shot batch merge") {
+    import spark.implicits._
+    import graft.store.CdcMerge
+    implicit val sqlCtx = spark.sqlContext
+    val base = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("user_id", "balance")
+    def toChanges(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("user_id"), col("value").as("balance"), col("ts"), col("event_id"),
+        when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"))
+    val evs = Seq(
+      Ev(1, ts(0), 1, "click", 11.0),
+      Ev(2, ts(5), 2, "error", 0.0), // delete user 2
+      Ev(3, ts(10), 1, "click", 12.0), // later update of user 1
+      Ev(4, ts(15), 4, "click", 40.0)) // insert of a key absent from base
+    val source = MemoryStream[Ev]
+    var state = CdcMerge.initState(base, toChanges(evs.toDF()),
+      "user_id", Seq("ts", "event_id"), "op")
+    val q = source.toDF().writeStream.foreachBatch {
+      (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        state = CdcMerge.compact(state, toChanges(b),
+          "user_id", Seq("ts", "event_id"), "op").localCheckpoint()
+    }.outputMode("append").start()
+    try {
+      // two micro-batches with the later update split from the delete
+      source.addData(evs.take(2): _*); q.processAllAvailable()
+      source.addData(evs.drop(2): _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = CdcMerge.visible(state, Seq("ts", "event_id"), "op")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val oneShot = CdcMerge.merge(base, toChanges(evs.toDF()),
+        "user_id", Seq("ts", "event_id"), "op")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(streamed === oneShot)
+    assert(streamed === Map(1L -> 12.0, 3L -> 30.0, 4L -> 40.0))
+  }
 }
