@@ -87,4 +87,42 @@ object Splits {
         WHERE substr(md5(CAST($keyCol AS VARCHAR)), 1, 2) <
           CASE $cases ELSE '${hexThreshold(defaultPct)}' END"""
   }
+
+  /** Token-budget mixture: each stratum keeps a deterministic hash
+    * slice sized so its kept weight (token mass) approximates `budget`
+    * — the data-derived form of [[sampleStratified]], where the keep
+    * rate is min(1, budget / Σ weight) per stratum instead of a given
+    * constant. The rate quantizes to the same 1/256 bucket grid, so a
+    * row's fate stays a pure function of (its key, its stratum's
+    * total): stable across runs, engines, and partitionings. Shape: one
+    * aggregation over the (bounded) strata, broadcast back, one narrow
+    * filter — the corpus never shuffles.
+    */
+  def sampleByBudget(df: DataFrame, keyCol: String, strataCol: String,
+      weightCol: String, budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val totals = df.groupBy(col(strataCol))
+      .agg(sum(col(weightCol)).as("__tot"))
+    val v = floor(lit(256.0) * least(lit(1.0),
+      lit(budget.toDouble) / col("__tot").cast("double"))).cast("int")
+    df.join(broadcast(totals), strataCol)
+      .withColumn("__thr",
+        when(v >= 256, lit("g")).otherwise(format_string("%02x", v)))
+      .filter(bucket(col(keyCol)) < col("__thr"))
+      .drop("__tot", "__thr")
+  }
+
+  /** DuckDB mirror of [[sampleByBudget]]: same grid, same arithmetic
+    * (both engines compute the rate in IEEE doubles from the same
+    * integers, so floor(256·rate) agrees bit-for-bit).
+    */
+  def sampleByBudgetSql(table: String, keyCol: String, strataCol: String,
+      weightExpr: String, budget: Long, selectCols: String): String =
+    s"""WITH w AS (SELECT *, $weightExpr AS __w FROM $table),
+        tot AS (SELECT $strataCol, CAST(floor(256.0 * least(1.0,
+                  $budget.0 / CAST(sum(__w) AS DOUBLE))) AS INT) AS v
+                FROM w GROUP BY $strataCol)
+        SELECT $selectCols FROM w JOIN tot USING ($strataCol)
+        WHERE substr(md5(CAST($keyCol AS VARCHAR)), 1, 2) <
+          CASE WHEN v >= 256 THEN 'g' ELSE printf('%02x', v) END"""
 }

@@ -319,6 +319,24 @@ object Pipeline {
         approx_count_distinct(col("text")).as("approx_texts"),
         approx_count_distinct(col("doc_id")).as("approx_ids"))
 
+  /** Token-budget mixture: each source keeps a deterministic hash slice
+    * targeting ~600 whitespace tokens — the data-derived mixture
+    * construction (rates from per-source token mass, not hand-set
+    * percentages).
+    */
+  def pBudgetMix(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Splits.sampleByBudget(
+        Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            TextAnalysis.wsTokens(col("text")).cast("long").as("ws")),
+        "doc_id", "source", "ws", budget = 600L)
+      .select(col("doc_id"), col("source"))
+
+  val pBudgetMixSql: String = graft.pipeline.Splits.sampleByBudgetSql(
+    "documents", "doc_id", "source",
+    "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)",
+    budget = 600L, selectCols = "doc_id, source")
+
   /** Gopher/C4-style repetition filter statistics + keep verdict. */
   def pGopherQuality(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
@@ -564,6 +582,7 @@ object Pipeline {
     QueryDef.sql("p_decontam", pDecontam, pDecontamSql),
     QueryDef.sql("p_split_assign", pSplitAssign, pSplitAssignSql),
     QueryDef.sql("p_sample_mix", pSampleMix, pSampleMixSql),
+    QueryDef.sql("p_budget_mix", pBudgetMix, pBudgetMixSql),
     QueryDef.sql("p_dedup_clusters", pDedupClusters, pDedupClustersSql),
     QueryDef.sql("p_gopher_quality", pGopherQuality, pGopherQualitySql),
     QueryDef.sql("p_corpus_filter", pCorpusFilter, pCorpusFilterSql),

@@ -49,6 +49,28 @@ class SplitsSpec extends SparkSpec {
     assert(subsetKept === keptIds.filter(_ < 2000))
   }
 
+  test("budget mixture keeps whole small strata and slices big ones deterministically") {
+    import spark.implicits._
+    // src_small: 10 rows x 10 tokens = 100 <= budget 500 -> keep all;
+    // src_big: 1000 rows x 10 tokens = 10000 -> rate 0.05
+    val df = ((0L until 10L).map(i => (i, "src_small", 10L)) ++
+      (100L until 1100L).map(i => (i, "src_big", 10L))).toDF("k", "s", "w")
+    val kept = Splits.sampleByBudget(df, "k", "s", "w", budget = 500L)
+    val bySrc = kept.groupBy("s").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("src_small") === 10L)
+    // rate floor(256*0.05)/256 = 12/256 ≈ 4.7%: the hash slice lands near it
+    assert(bySrc("src_big") > 20L && bySrc("src_big") < 80L)
+    // determinism + key-purity: same result on a repartitioned subset
+    val keptBig = kept.filter(col("s") === "src_big")
+      .select("k").collect().map(_.getLong(0)).toSet
+    val again = Splits.sampleByBudget(
+        df.filter(col("s") === "src_big").repartition(7, col("k")),
+        "k", "s", "w", budget = 500L)
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(again === keptBig)
+  }
+
   test("degenerate percentages: all-train and all-test") {
     val allTrain = Splits.assign(keys, "k", trainPct = 100, valPct = 0)
       .select("split").distinct().collect().map(_.getString(0)).toSeq
