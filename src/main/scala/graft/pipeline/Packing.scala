@@ -64,6 +64,33 @@ object Packing {
       .toDF("id", "shard", "pack_idx")
   }
 
+  /** Deterministic training-order shuffle + sharding: shard = first md5
+    * hex nibble of the key (16 shards), position = rank within the
+    * shard by (md5, key) — a reproducible global permutation that is a
+    * pure function of the keys (stable across runs, engines, input
+    * layout; the same guarantee [[Splits]] gives splits, applied to
+    * training order). The window partitions BY SHARD, so no global
+    * sort/single-partition window exists at any scale; readers stream
+    * shards independently and each shard's order is fixed.
+    */
+  def shuffleShards(df: DataFrame, keyCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = md5(col(keyCol).cast("string"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("__h"), col(keyCol))
+    df.withColumn("__h", h)
+      .withColumn("shard", substring(col("__h"), 1, 1))
+      .withColumn("position", row_number().over(w).cast("long"))
+      .drop("__h")
+  }
+
+  /** DuckDB mirror of [[shuffleShards]]. */
+  def shuffleShardsSql(table: String, keyCol: String, selectCols: String): String =
+    s"""SELECT $selectCols, substr(md5(CAST($keyCol AS VARCHAR)), 1, 1) AS shard,
+          CAST(row_number() OVER (
+            PARTITION BY substr(md5(CAST($keyCol AS VARCHAR)), 1, 1)
+            ORDER BY md5(CAST($keyCol AS VARCHAR)), $keyCol) AS BIGINT) AS position
+        FROM $table"""
+
   /** DuckDB mirror: the same greedy recurrence replayed as a recursive
     * CTE (one iteration per row rank; shards advance in lockstep).
     * `tokensExpr` must compute the same token count as the Spark plan.

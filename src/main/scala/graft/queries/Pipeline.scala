@@ -503,6 +503,17 @@ object Pipeline {
     graft.pipeline.Packing.packGreedySql("documents", "doc_id",
       "len(regexp_split_to_array(trim(text), '\\s+'))", budget = 512L, shardSize = 100L)
 
+  /** Deterministic training-order shuffle: 16 hash shards, reproducible
+    * in-shard order — the layout a training loader reads.
+    */
+  def pShuffleShard(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Packing.shuffleShards(
+        Tables.load(spark, dir, "documents").select(col("doc_id")), "doc_id")
+      .select(col("doc_id"), col("shard"), col("position"))
+
+  val pShuffleShardSql: String =
+    graft.pipeline.Packing.shuffleShardsSql("documents", "doc_id", "doc_id")
+
   // -------------------------------------------------------- multimodal
 
   def pMediaMeta(spark: SparkSession, dir: String): DataFrame = {
@@ -590,6 +601,7 @@ object Pipeline {
     QueryDef.sql("p_pii_scrub", pPiiScrub, pPiiScrubSql),
     QueryDef.sql("p_tfidf", pTfidf, pTfidfSql),
     QueryDef.sql("p_pack_sequences", pPackSequences, pPackSequencesSql),
+    QueryDef.sql("p_shuffle_shard", pShuffleShard, pShuffleShardSql),
     QueryDef.sql("p_token_quantiles", pTokenQuantiles, pTokenQuantilesSql),
     QueryDef.sql("p_ngram_freq", pNgramFreq, pNgramFreqSql),
     QueryDef.sql("p_knn_brute", pKnnBrute, pKnnBruteSql),

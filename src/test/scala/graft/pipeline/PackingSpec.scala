@@ -47,4 +47,24 @@ class PackingSpec extends SparkSpec {
       assert(total <= 16L || members.sizeIs == 1, s"pack $packKey overflows with $members")
     }
   }
+
+  test("shuffle shards give a reproducible layout-independent training order") {
+    import spark.implicits._
+    val df = (0L until 500L).toDF("doc_id")
+    val once = Packing.shuffleShards(df, "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // exhaustive and positionally dense per shard: positions are 1..n
+    assert(once.size === 500)
+    once.groupBy(_._2._1).foreach { case (_, rows) =>
+      assert(rows.values.map(_._2).toSeq.sorted === (1L to rows.size).toSeq)
+    }
+    // 16 hex shards, roughly balanced
+    val shardSizes = once.values.groupBy(_._1).view.mapValues(_.size)
+    assert(shardSizes.size === 16)
+    assert(shardSizes.values.forall(s => s > 10 && s < 60))
+    // pure function of the keys: partition layout changes nothing
+    val again = Packing.shuffleShards(df.repartition(11, col("doc_id")), "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(again === once)
+  }
 }
