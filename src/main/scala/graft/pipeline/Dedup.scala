@@ -271,6 +271,55 @@ object Dedup {
           (col("sz_a") + col("sz_b") - coalesce(col("inter"), lit(0L)))).as("jaccard"))
   }
 
+  // ------------------------------------------------------------ winnowing
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003 — the MOSS algorithm): hash every word k-gram, slide a
+    * window of `w` consecutive gram hashes, keep each window's minimum,
+    * dedup. The guarantee: any two documents sharing a run of at least
+    * w + k - 1 words share at least one fingerprint — SPAN-level
+    * near-dup detection (quotation, boilerplate blocks, partial copies)
+    * where MinHash sees only whole-document set similarity.
+    *
+    * Gram hashes are md5 hex strings and window minima are their
+    * lexicographic minima — deliberately engine-portable (any SQL engine
+    * reproduces the selection bit-for-bit), unlike the xxhash64 family.
+    * Pure higher-order functions, linear in document length per row
+    * (the HOF-allocation caveat of §8 applies to O(n²) hot loops, not a
+    * per-document linear pass). Documents shorter than k words
+    * contribute their whole text as one gram.
+    */
+  def winnowFingerprints(textCol: Column, k: Int, w: Int): Column = {
+    val tokens = split(lower(trim(textCol)), "\\s+")
+    val n = size(tokens)
+    val grams = when(n >= k,
+        transform(sequence(lit(0), n - k),
+          i => concat_ws(" ", slice(tokens, i + 1, lit(k)))))
+      .otherwise(array(concat_ws(" ", tokens)))
+    val hashes = transform(grams, g => md5(g))
+    val sel = transform(sequence(lit(1), greatest(lit(1), size(hashes) - w + 1)),
+      j => array_min(slice(hashes, j, lit(w))))
+    array_distinct(sel)
+  }
+
+  /** Span-sharing candidate pairs from winnowed fingerprints: docs
+    * sharing ≥ `minShared` selected fingerprints. One explode + one
+    * equi-join on the fingerprint key — the same bucket-join shape as
+    * the LSH family, so the same scale posture (and the same opt-in
+    * population guard applies if a corpus has mega-common spans).
+    */
+  def winnowPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 5, minShared: Long = 2L): DataFrame = {
+    val fps = df.select(col(idCol).as("id"),
+        explode(winnowFingerprints(col(textCol), k, w)).as("fp"))
+      .localCheckpoint() // both join legs read it
+    fps.join(fps.select(col("id").as("id2"), col("fp").as("fp2")),
+        col("fp") === col("fp2") && col("id") < col("id2"))
+      .groupBy(col("id").as("id_a"), col("id2").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   // -------------------------------------------------------- decontamination
 
   /** Benchmark decontamination: flag corpus documents sharing at least

@@ -74,6 +74,33 @@ object Pipeline {
       .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"),
         round(col("cosine"), 4).as("cosine"))
 
+  /** Winnowing span-sharing pairs (MOSS fingerprints): docs sharing ≥ 2
+    * selected k=4-gram window minima — span-level copy detection.
+    */
+  def pWinnow(spark: SparkSession, dir: String): DataFrame =
+    Dedup.winnowPairs(Tables.load(spark, dir, "documents"), "doc_id", "text")
+
+  val pWinnowSql: String =
+    """WITH words AS (
+         SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+         FROM documents),
+       g AS (
+         SELECT doc_id, CASE WHEN len(tk) >= 4
+           THEN list_transform(range(len(tk) - 3),
+                  i -> array_to_string(tk[i + 1:i + 4], ' '))
+           ELSE [array_to_string(tk, ' ')] END AS grams
+         FROM words),
+       h AS (SELECT doc_id, list_transform(grams, x -> md5(x)) AS hs FROM g),
+       sel AS (
+         SELECT doc_id, list_distinct(list_transform(
+           range(1, greatest(2, len(hs) - 5 + 2)),
+           j -> list_aggregate(hs[j:j + 4], 'min'))) AS fps
+         FROM h),
+       fp AS (SELECT doc_id, unnest(fps) AS fp FROM sel)
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+       FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       GROUP BY 1, 2 HAVING count(*) >= 2"""
+
   /** Benchmark decontamination: corpus docs (doc_id >= 25) sharing any
     * 5-gram with the held-out set (doc_id < 25).
     */
@@ -591,6 +618,7 @@ object Pipeline {
     QueryDef.sql("p_dedup_embed", pDedupEmbed, pDedupEmbedSql),
     QueryDef.rowsOnly("p_dedup_embed_lsh", pDedupEmbedLsh),
     QueryDef.sql("p_decontam", pDecontam, pDecontamSql),
+    QueryDef.sql("p_winnow", pWinnow, pWinnowSql),
     QueryDef.sql("p_split_assign", pSplitAssign, pSplitAssignSql),
     QueryDef.sql("p_sample_mix", pSampleMix, pSampleMixSql),
     QueryDef.sql("p_budget_mix", pBudgetMix, pBudgetMixSql),

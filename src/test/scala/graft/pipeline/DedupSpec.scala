@@ -130,6 +130,28 @@ class DedupSpec extends SparkSpec {
     assert(simOver.length >= 4 && simOver.forall(_.getAs[Long]("population") >= 50L))
   }
 
+  test("winnowing: any shared run of w+k-1 words yields a shared fingerprint") {
+    import spark.implicits._
+    // the classic winnowing guarantee with k=4, w=5: a shared run of
+    // 8 words must select at least one common fingerprint
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val df = Seq(
+      (1L, s"unique prefix one two three $shared closing words here"),
+      (2L, s"$shared totally different tail content follows now"),
+      (3L, "completely disjoint vocabulary nothing matches at all whatsoever"),
+      (4L, "tiny")).toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairs(df, "doc_id", "text", k = 4, w = 5, minShared = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => a >= 3L || b >= 3L })
+    // fingerprint sets are deterministic and non-empty even for sub-k docs
+    val fps = df.select(col("doc_id"),
+        Dedup.winnowFingerprints(col("text"), 4, 5).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(fps.values.forall(_.nonEmpty))
+    assert(fps(4L).length === 1)
+  }
+
   test("decontamination flags exactly the corpus docs overlapping the test set") {
     import spark.implicits._
     val test = Seq(
