@@ -176,6 +176,110 @@ case class MinHashSignature(child: Expression, numHashes: Int)
     copy(child = newChild)
 }
 
+/** Winnowing fingerprint selection (Schleimer et al. 2003) over a token
+  * array, fused into one pass: gram = k tokens joined by space, hashed
+  * to an md5 hex string, window minima (lexicographic — equals any SQL
+  * engine's min over the same hex strings) collected and deduped. The
+  * HOF formulation (`transform`+`slice`+`array_min`) allocates a window
+  * slice per position in interpreted fallback — measured 10.4 s at
+  * sf0.1 vs this fused loop; the selected SET is identical, which is
+  * all the downstream explode/join sees. Output order is first-window
+  * occurrence (callers treat it as a set).
+  */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends ShingleArrayExpression {
+  require(k >= 1 && w >= 1, s"winnow needs k >= 1 and w >= 1, got k=$k w=$w")
+  override def prettyName: String = "winnow_fingerprints"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    WinnowFingerprints.winnow(input.asInstanceOf[ArrayData], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      arr => s"graft.functions.WinnowFingerprints.winnow($arr, $k, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WinnowFingerprints {
+  private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private val Hex = "0123456789abcdef".getBytes("US-ASCII")
+
+  private def less(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < 32) {
+      if (a(i) != b(i)) return a(i) < b(i)
+      i += 1
+    }
+    false
+  }
+
+  /** Referenced from generated code — public, one pass, no per-window
+    * allocation (the window minimum is an index scan, not a slice).
+    */
+  def winnow(tokens: ArrayData, k: Int, w: Int): ArrayData = {
+    val n = tokens.numElements()
+    val toks = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+    var i = 0
+    while (i < n) {
+      toks(i) =
+        if (tokens.isNullAt(i)) org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8
+        else tokens.getUTF8String(i)
+      i += 1
+    }
+    val sep = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+    val m = if (n >= k) n - k + 1 else 1
+    val md = mdLocal.get()
+    val hexes = new Array[Array[Byte]](m)
+    var g = 0
+    while (g < m) {
+      val gram =
+        if (n >= k)
+          org.apache.spark.unsafe.types.UTF8String.concatWs(sep,
+            java.util.Arrays.copyOfRange(toks, g, g + k): _*)
+        else org.apache.spark.unsafe.types.UTF8String.concatWs(sep, toks: _*)
+      md.reset()
+      val dig = md.digest(gram.getBytes)
+      val hex = new Array[Byte](32)
+      var b = 0
+      while (b < 16) {
+        hex(2 * b) = Hex((dig(b) >> 4) & 0xf)
+        hex(2 * b + 1) = Hex(dig(b) & 0xf)
+        b += 1
+      }
+      hexes(g) = hex
+      g += 1
+    }
+    val nw = math.max(1, m - w + 1)
+    val seen = new java.util.LinkedHashSet[String]()
+    var j = 0
+    while (j < nw) {
+      var best = hexes(j)
+      var t = j + 1
+      val end = math.min(j + w, m)
+      while (t < end) {
+        if (less(hexes(t), best)) best = hexes(t)
+        t += 1
+      }
+      seen.add(new String(best, "US-ASCII"))
+      j += 1
+    }
+    val out = new Array[AnyRef](seen.size())
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) {
+      out(o) = org.apache.spark.unsafe.types.UTF8String.fromString(it.next())
+      o += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object HashFunctions {
   /** 64-bit simhash of an `array<string>` shingle column. */
   def simhash64(shingles: Column): Column =
@@ -184,4 +288,8 @@ object HashFunctions {
   /** `array<long>` minhash signature of an `array<string>` shingle column. */
   def minhashSignature(shingles: Column, numHashes: Int): Column =
     Bridge.column(MinHashSignature(Bridge.expression(shingles), numHashes))
+
+  /** `array<string>` winnowing fingerprint set of a token-array column. */
+  def winnowFingerprints(tokens: Column, k: Int, w: Int): Column =
+    Bridge.column(WinnowFingerprints(Bridge.expression(tokens), k, w))
 }

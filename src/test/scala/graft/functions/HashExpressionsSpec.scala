@@ -31,6 +31,25 @@ class HashExpressionsSpec extends SparkSpec {
     viaExpr.foreach { case (id, sig) => assert(sig === viaGroupBy(id), s"doc $id") }
   }
 
+  test("winnow expression selects the same fingerprint set as the HOF formulation") {
+    val viaExpr = docs.select(col("doc_id"),
+        Dedup.winnowFingerprints(col("text"), 3, 4).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val viaHof = docs.select(col("doc_id"),
+        Dedup.winnowFingerprintsHof(col("text"), 3, 4).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    assert(viaExpr === viaHof)
+    assert(viaExpr.values.forall(_.nonEmpty))
+    // interpreted mode agrees with codegen
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interp = docs.select(col("doc_id"),
+          Dedup.winnowFingerprints(col("text"), 3, 4).as("fps"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+      assert(interp === viaExpr)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
   test("zorder expression interleaves bits, known answers, both execution modes") {
     import spark.implicits._
     // zorder(5, 3): a=0b101 at even positions -> 0b10001 (17);
