@@ -34,6 +34,32 @@ object Ann {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** Hard-negative mining for contrastive training: per query, the
+    * top-k most-similar corpus vectors with a DIFFERENT label — the
+    * near-miss negatives that actually move a contrastive loss (random
+    * negatives are trivially separable). Same broadcast/window shape as
+    * [[bruteKnn]] with the label inequality folded into the join, so
+    * same-label rows never reach the cosine; at corpus scale the
+    * LSH-bucketed candidate path substitutes for the broadcast join
+    * exactly as for [[lshKnn]].
+    */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"), col(labelCol).as("q_label"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv"), col(labelCol).as("n_label"))
+    c.join(broadcast(q),
+        col("query_id") =!= col("neighbor_id") && col("q_label") =!= col("n_label"))
+      .withColumn("cosine", VectorFunctions.cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("q_label"), col("neighbor_id"),
+        col("n_label"), col("cosine"), col("rank"))
+  }
+
   /** Deterministic random hyperplanes (seeded, generated driver-side —
     * tiny) as literal array columns.
     */

@@ -239,6 +239,37 @@ object Pipeline {
          WHERE q.vec_id < 10)
        WHERE rank <= 5"""
 
+  /** Hard-negative mining: per query vector (vec_id < 10), the 5
+    * most-similar corpus vectors with a different label.
+    */
+  def pHardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    Ann.hardNegatives(emb.filter(col("vec_id") < 10), emb,
+        "vec_id", "embedding", "label", k = 5)
+      .select(col("query_id"), col("q_label").cast("long").as("q_label"),
+        col("neighbor_id"), col("n_label").cast("long").as("n_label"),
+        round(col("cosine"), 4).as("cosine"), col("rank").cast("long").as("rank"))
+  }
+
+  val pHardNegativesSql: String =
+    """SELECT query_id, CAST(q_label AS BIGINT) AS q_label, neighbor_id,
+              CAST(n_label AS BIGINT) AS n_label,
+              round(cosine, 4) AS cosine, CAST(rank AS BIGINT) AS rank
+       FROM (
+         SELECT q.vec_id AS query_id, q.label AS q_label,
+                e.vec_id AS neighbor_id, e.label AS n_label,
+                list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                       CAST(e.embedding AS DOUBLE[])) AS cosine,
+                row_number() OVER (
+                  PARTITION BY q.vec_id
+                  ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                  CAST(e.embedding AS DOUBLE[])) DESC,
+                           e.vec_id) AS rank
+         FROM embeddings q JOIN embeddings e
+           ON e.vec_id != q.vec_id AND e.label != q.label
+         WHERE q.vec_id < 10)
+       WHERE rank <= 5"""
+
   /** LSH-bucketed ANN (rows-only; recall vs brute measured in AnnSpec). */
   def pKnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
@@ -633,6 +664,7 @@ object Pipeline {
     QueryDef.sql("p_token_quantiles", pTokenQuantiles, pTokenQuantilesSql),
     QueryDef.sql("p_ngram_freq", pNgramFreq, pNgramFreqSql),
     QueryDef.sql("p_knn_brute", pKnnBrute, pKnnBruteSql),
+    QueryDef.sql("p_hard_negatives", pHardNegatives, pHardNegativesSql),
     QueryDef.rowsOnly("p_knn_lsh", pKnnLsh),
     QueryDef.rowsOnly("p_knn_ivf", pKnnIvf),
     QueryDef.sql("p_lang_id", pLangId, pLangIdSql),

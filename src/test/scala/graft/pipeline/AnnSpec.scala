@@ -35,6 +35,22 @@ class AnnSpec extends SparkSpec {
     assert(lsh.forall { case (q, n) => q != n })
   }
 
+  test("hard negatives rank by similarity but never share the query's label") {
+    import spark.implicits._
+    val rows = Seq(
+      // query 0 (label 0); vector 1 is same-label and CLOSEST — must be
+      // excluded; 2 and 3 are different-label in descending similarity
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.99f, 0.01f, 0.0f), 0),
+      (2L, Array(0.9f, 0.1f, 0.0f), 1),
+      (3L, Array(0.5f, 0.5f, 0.0f), 1),
+      (4L, Array(0.0f, 1.0f, 0.0f), 2)).toDF("vec_id", "embedding", "label")
+    val got = Ann.hardNegatives(rows.filter(col("vec_id") === 0), rows,
+        "vec_id", "embedding", "label", k = 2)
+      .collect().map(r => (r.getLong(2), r.getInt(3), r.getInt(5)))
+    assert(got.toSeq === Seq((2L, 1, 1), (3L, 1, 2))) // ranked, same-label 1 excluded
+  }
+
   test("ivf knn achieves >=40% recall@5 vs brute on the test corpus") {
     val queries = emb.filter(col("vec_id") < 20)
     val brute = Ann.bruteKnn(queries, emb, "vec_id", "embedding", k = 5)
