@@ -572,6 +572,29 @@ object Pipeline {
   val pShuffleShardSql: String =
     graft.pipeline.Packing.shuffleShardsSql("documents", "doc_id", "doc_id")
 
+  /** BPE vocabulary induction: the first 30 learned merges (rows-only:
+    * the iterative merge loop has no SQL mirror; known-answer + corpus
+    * determinism in BpeSpec).
+    */
+  def pBpeVocab(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.pipeline.Bpe.learnMerges(
+        Tables.load(spark, dir, "documents"), "text", numMerges = 30)
+      .zipWithIndex
+      .map { case ((a, b), i) => (i.toLong + 1L, a, b) }
+      .toDF("rank", "left", "right")
+  }
+
+  /** Corpus tokenized with the learned BPE merges: per-doc token count
+    * under the induced vocabulary (rows-only; segmenter known-answers
+    * in BpeSpec).
+    */
+  def pBpeTokens(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val merges = graft.pipeline.Bpe.learnMerges(docs, "text", numMerges = 30)
+    graft.pipeline.Bpe.tokenize(docs, "doc_id", "text", merges, spark)
+  }
+
   // -------------------------------------------------------- multimodal
 
   def pMediaMeta(spark: SparkSession, dir: String): DataFrame = {
@@ -661,6 +684,8 @@ object Pipeline {
     QueryDef.sql("p_tfidf", pTfidf, pTfidfSql),
     QueryDef.sql("p_pack_sequences", pPackSequences, pPackSequencesSql),
     QueryDef.sql("p_shuffle_shard", pShuffleShard, pShuffleShardSql),
+    QueryDef.rowsOnly("p_bpe_vocab", pBpeVocab),
+    QueryDef.rowsOnly("p_bpe_tokens", pBpeTokens),
     QueryDef.sql("p_token_quantiles", pTokenQuantiles, pTokenQuantilesSql),
     QueryDef.sql("p_ngram_freq", pNgramFreq, pNgramFreqSql),
     QueryDef.sql("p_knn_brute", pKnnBrute, pKnnBruteSql),
