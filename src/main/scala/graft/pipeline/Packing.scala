@@ -91,22 +91,32 @@ object Packing {
             ORDER BY md5(CAST($keyCol AS VARCHAR)), $keyCol) AS BIGINT) AS position
         FROM $table"""
 
+  /** The greedy-packing recurrence as a reusable CTE-list fragment
+    * (callers prepend `WITH RECURSIVE` and append their SELECT), so a
+    * composed pipeline oracle can chain it after its own CTEs.
+    * `source` is any parenthesizable SELECT producing `$idCol` and the
+    * columns `tokensExpr` reads.
+    */
+  def packGreedyCtes(source: String, idCol: String, tokensExpr: String,
+      budget: Long, shardSize: Long): String =
+    s"""pk_t AS MATERIALIZED (
+         SELECT $idCol AS id, $idCol // $shardSize AS shard, $tokensExpr AS tk,
+                row_number() OVER (PARTITION BY $idCol // $shardSize ORDER BY $idCol) AS rn
+         FROM ($source)),
+       walk(shard, rn, id, pack_idx, acc) AS (
+         SELECT shard, rn, id, CAST(0 AS BIGINT), tk FROM pk_t WHERE rn = 1
+         UNION ALL
+         SELECT t.shard, t.rn, t.id,
+                CASE WHEN w.acc + t.tk > $budget THEN w.pack_idx + 1 ELSE w.pack_idx END,
+                CASE WHEN w.acc + t.tk > $budget THEN t.tk ELSE w.acc + t.tk END
+         FROM walk w JOIN pk_t t ON t.shard = w.shard AND t.rn = w.rn + 1)"""
+
   /** DuckDB mirror: the same greedy recurrence replayed as a recursive
     * CTE (one iteration per row rank; shards advance in lockstep).
     * `tokensExpr` must compute the same token count as the Spark plan.
     */
   def packGreedySql(table: String, idCol: String, tokensExpr: String,
       budget: Long, shardSize: Long): String =
-    s"""WITH RECURSIVE t AS MATERIALIZED (
-         SELECT $idCol AS id, $idCol // $shardSize AS shard, $tokensExpr AS tk,
-                row_number() OVER (PARTITION BY $idCol // $shardSize ORDER BY $idCol) AS rn
-         FROM $table),
-       walk(shard, rn, id, pack_idx, acc) AS (
-         SELECT shard, rn, id, CAST(0 AS BIGINT), tk FROM t WHERE rn = 1
-         UNION ALL
-         SELECT t.shard, t.rn, t.id,
-                CASE WHEN w.acc + t.tk > $budget THEN w.pack_idx + 1 ELSE w.pack_idx END,
-                CASE WHEN w.acc + t.tk > $budget THEN t.tk ELSE w.acc + t.tk END
-         FROM walk w JOIN t ON t.shard = w.shard AND t.rn = w.rn + 1)
+    s"""WITH RECURSIVE ${packGreedyCtes(s"SELECT * FROM $table", idCol, tokensExpr, budget, shardSize)}
        SELECT id AS doc_id, shard, pack_idx FROM walk"""
 }

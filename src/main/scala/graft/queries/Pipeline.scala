@@ -321,13 +321,17 @@ object Pipeline {
         TextAnalysis.filterReason(col("text")).as("reason"))
       .withColumn("keep", col("reason") === "ok")
 
-  val pCorpusFilterSql: String = {
+  /** The corpus-filter verdict as a reusable CTE-list fragment ending
+    * in `cf(doc_id, reason)` — shared by the standalone query and the
+    * composed curation-pipeline oracle so the rule SQL exists once.
+    */
+  private val corpusFilterCtes: String = {
     val langScores = Seq("en", "es", "de", "fr")
       .map(l => s"(${sqlLangScore(l)}) AS s_$l").mkString(", ")
     val pii = TextAnalysis.piiPatterns
       .map { case (p, _) => s"len(regexp_extract_all(text, '$p'))" }
       .mkString(" + ")
-    s"""WITH t AS (
+    s"""t AS (
          SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS w
          FROM documents),
        m AS (
@@ -347,9 +351,8 @@ object Pipeline {
                      ELSE 'und' END AS lang_guess
          FROM (SELECT doc_id, s_en, s_es, s_de, s_fr,
                       greatest(s_en, s_es, s_de, s_fr) AS best
-               FROM (SELECT doc_id, $langScores FROM documents)))
-       SELECT doc_id, reason, reason = 'ok' AS keep
-       FROM (
+               FROM (SELECT doc_id, $langScores FROM documents))),
+       cf AS (
          SELECT m.doc_id,
                 CASE WHEN ws < 10 THEN 'too_short'
                      WHEN NOT (mwl BETWEEN 3.0 AND 10.0) THEN 'word_shape'
@@ -360,6 +363,10 @@ object Pipeline {
                      ELSE 'ok' END AS reason
          FROM m JOIN l USING (doc_id))"""
   }
+
+  val pCorpusFilterSql: String =
+    s"""WITH $corpusFilterCtes
+       SELECT doc_id, reason, reason = 'ok' AS keep FROM cf"""
 
   /** Sketch-based corpus profile: per source, exact row count plus
     * HyperLogLog++ approximate distinct texts and doc ids — the
@@ -572,6 +579,48 @@ object Pipeline {
   val pShuffleShardSql: String =
     graft.pipeline.Packing.shuffleShardsSql("documents", "doc_id", "doc_id")
 
+  /** The end-to-end curation pipeline as ONE composed Catalyst plan —
+    * what "a user switches their corpus job to graft" looks like:
+    * quality filter (keep 'ok' docs) → exact dedup (min doc_id per
+    * text, carrying its source) → token-budget mixture per source →
+    * greedy sequence packing of the survivors. Every stage is an
+    * already-verified operator; the oracle chains the same four SQL
+    * fragments, so the whole pipeline is hash-checked end to end.
+    */
+  def pCurationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val kept = docs.filter(TextAnalysis.filterReason(col("text")) === "ok")
+    val deduped = kept.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        min_by(col("source"), col("doc_id")).as("source"))
+      .select(col("doc_id"), col("source"),
+        TextAnalysis.wsTokens(col("text")).cast("long").as("ws"))
+    val mixed = graft.pipeline.Splits.sampleByBudget(
+      deduped, "doc_id", "source", "ws", budget = 2000L)
+    graft.pipeline.Packing.packGreedy(
+        mixed.select(col("doc_id"), col("ws")), "doc_id", "ws",
+        budget = 512L, shardSize = 100L, spark)
+      .select(col("id").as("doc_id"), col("shard"), col("pack_idx"))
+  }
+
+  val pCurationPipelineSql: String =
+    s"""WITH RECURSIVE $corpusFilterCtes,
+       keptd AS (SELECT d.doc_id, d.text, d.source
+                 FROM documents d JOIN cf USING (doc_id) WHERE cf.reason = 'ok'),
+       dd AS (SELECT min(doc_id) AS doc_id, arg_min(source, doc_id) AS source,
+                     CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS ws
+              FROM keptd GROUP BY text),
+       tot AS (SELECT source, CAST(floor(256.0 * least(1.0,
+                 2000.0 / CAST(sum(ws) AS DOUBLE))) AS INT) AS v
+               FROM dd GROUP BY source),
+       mixed AS (SELECT dd.doc_id, dd.ws FROM dd JOIN tot USING (source)
+                 WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+                   CASE WHEN v >= 256 THEN 'g' ELSE printf('%02x', v) END),
+       ${graft.pipeline.Packing.packGreedyCtes(
+           "SELECT doc_id, ws FROM mixed", "doc_id", "ws",
+           budget = 512L, shardSize = 100L)}
+       SELECT id AS doc_id, shard, pack_idx FROM walk"""
+
   /** BPE vocabulary induction: the first 30 learned merges (rows-only:
     * the iterative merge loop has no SQL mirror; known-answer + corpus
     * determinism in BpeSpec).
@@ -686,6 +735,7 @@ object Pipeline {
     QueryDef.sql("p_shuffle_shard", pShuffleShard, pShuffleShardSql),
     QueryDef.rowsOnly("p_bpe_vocab", pBpeVocab),
     QueryDef.rowsOnly("p_bpe_tokens", pBpeTokens),
+    QueryDef.sql("p_curation_pipeline", pCurationPipeline, pCurationPipelineSql),
     QueryDef.sql("p_token_quantiles", pTokenQuantiles, pTokenQuantilesSql),
     QueryDef.sql("p_ngram_freq", pNgramFreq, pNgramFreqSql),
     QueryDef.sql("p_knn_brute", pKnnBrute, pKnnBruteSql),
