@@ -344,6 +344,47 @@ object Dedup {
     * STRING for oracle parity — the scale path swaps in
     * [[hashedShingles]] (16-byte keys) without changing the shape.
     */
+  /** Line-level exact dedup (the C4/CCNet normalization step): split
+    * each document into sentences (lowercased, delimiter-consumed), keep
+    * only the FIRST corpus occurrence of each distinct sentence — first
+    * by (doc id, position), a total deterministic order — and report per
+    * document how many lines survived plus the sha256 of the kept text
+    * (rejoined in original order), which proves content parity without
+    * hauling text through a compare. Boilerplate sentences (nav bars,
+    * cookie banners, disclaimers) repeat across millions of pages; this
+    * removes every copy but one while leaving unique prose untouched.
+    *
+    * Shape: one narrow split/explode pass, ONE shuffle on the sentence
+    * key for the first-occurrence window, one groupBy doc for
+    * reassembly (collect_list bounded by document size). At 100 TB the
+    * window key swaps to sha2(line) to keep shuffle rows narrow; the
+    * plan is otherwise unchanged. Docs whose every line was dropped
+    * keep n_kept = 0 and a NULL sha (no kept text ≠ empty text).
+    */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = df.select(col(idCol).as("id"),
+        posexplode(split(lower(trim(col(textCol))), "[.!?]+\\s+"))
+          .as(Seq("pos", "line")))
+      // the split consumes interior terminators but the document-final
+      // one has no trailing whitespace — strip it so "x." ≡ "x"
+      .withColumn("line", regexp_replace(col("line"), "[.!?]+$", ""))
+      .filter(col("line") =!= "")
+    val firstSeen = Window.partitionBy(col("line")).orderBy(col("id"), col("pos"))
+    lines.withColumn("rn", row_number().over(firstSeen))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        // collect_list skips the null branch → kept lines only; struct
+        // sort orders by pos (unique per doc) → original order
+        array_join(transform(
+          array_sort(collect_list(when(col("rn") === 1,
+            struct(col("pos"), col("line"))))),
+          _.getField("line")), " ").as("__kept"))
+      .select(col("id"), col("n_lines"), col("n_kept"),
+        when(col("n_kept") > 0, sha2(col("__kept"), 256)).as("kept_sha"))
+  }
+
   def decontaminate(corpus: DataFrame, test: DataFrame, idCol: String,
       textCol: String, n: Int = 5): DataFrame = {
     val testShingles = shingles(test, idCol, textCol, n).select(col("sh")).distinct()

@@ -91,6 +91,58 @@ object Packing {
             ORDER BY md5(CAST($keyCol AS VARCHAR)), $keyCol) AS BIGINT) AS position
         FROM $table"""
 
+  /** Overlapping fixed-size token chunking — the context/RAG counterpart
+    * of packing: each document's whitespace tokens become windows of
+    * `chunkSize` tokens advancing by `stride` (stride < chunkSize ⇒
+    * overlap), the last window covering the tail. Chunk count is exact
+    * integer arithmetic (1 + ceil(max(0, n-C)/S)) so any engine agrees
+    * on the chunk set. Emits (id, chunk_idx, start_tok, n_toks,
+    * chunk_sha) — the sha256 of the space-rejoined window proves chunk
+    * CONTENT parity without hauling chunk text through a compare. The
+    * whole plan is one narrow codegen pass + a generator: no shuffle at
+    * any scale, output volume ≈ corpus·(1/stride overlap factor).
+    */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      s"need 0 < stride <= chunkSize, got chunk=$chunkSize stride=$stride")
+    val toks = split(trim(col(textCol)), "\\s+")
+    df.select(col(idCol).as("id"), toks.as("__tk"),
+        size(toks).cast("long").as("__n"))
+      // ceil((n-C)/S) via integral `div` (never Column./, which is double
+      // true-division); ws <= C collapses to 1 chunk
+      .withColumn("__nchunks", lit(1L) +
+        expr(s"(greatest(__n - $chunkSize, 0L) + ${stride - 1}) div $stride"))
+      .select(col("id"), col("__tk"),
+        explode(sequence(lit(0L), col("__nchunks") - 1)).as("chunk_idx"))
+      .select(col("id"), col("chunk_idx"),
+        (col("chunk_idx") * stride).as("start_tok"),
+        slice(col("__tk"), (col("chunk_idx") * stride + 1).cast("int"),
+          lit(chunkSize)).as("__w"))
+      .select(col("id"), col("chunk_idx"), col("start_tok"),
+        size(col("__w")).cast("long").as("n_toks"),
+        sha2(array_join(col("__w"), " "), 256).as("chunk_sha"))
+  }
+
+  /** DuckDB mirror of [[chunkTokens]] — same integer chunk-count
+    * arithmetic, same 1-based token slicing, same space re-join.
+    */
+  def chunkTokensSql(table: String, idCol: String, textCol: String,
+      chunkSize: Int, stride: Int, idOut: String): String =
+    s"""WITH t AS (
+         SELECT $idCol, regexp_split_to_array(trim($textCol), '\\s+') AS tk
+         FROM $table),
+       c AS (
+         SELECT $idCol, tk, unnest(range(
+           1 + (greatest(len(tk) - $chunkSize, 0) + ${stride - 1}) // $stride)) AS chunk_idx
+         FROM t)
+       SELECT $idCol AS $idOut, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+              CAST(chunk_idx * $stride AS BIGINT) AS start_tok,
+              CAST(len(tk[chunk_idx * $stride + 1 : chunk_idx * $stride + $chunkSize]) AS BIGINT) AS n_toks,
+              sha256(array_to_string(
+                tk[chunk_idx * $stride + 1 : chunk_idx * $stride + $chunkSize], ' ')) AS chunk_sha
+       FROM c"""
+
   /** The greedy-packing recurrence as a reusable CTE-list fragment
     * (callers prepend `WITH RECURSIVE` and append their SELECT), so a
     * composed pipeline oracle can chain it after its own CTEs.

@@ -125,4 +125,37 @@ object Splits {
         SELECT $selectCols FROM w JOIN tot USING ($strataCol)
         WHERE substr(md5(CAST($keyCol AS VARCHAR)), 1, 2) <
           CASE WHEN v >= 256 THEN 'g' ELSE printf('%02x', v) END"""
+
+  /** Fixed-COUNT deterministic stratified sample: exactly min(n, |s|)
+    * rows per stratum s, selected by md5 order of the key — eval/holdout
+    * construction where the budget is a row count, not a keep rate.
+    * Unlike the rate samplers above, a row's fate depends on its hash
+    * RANK among stratum siblings (adding rows can displace one), which
+    * is the contract a fixed-size eval set wants: the set stays exactly
+    * n and changes minimally under corpus growth. Full-hex md5 order
+    * with the key as tiebreak makes selection total and engine-stable.
+    * Spark plans the rank filter as WindowGroupLimit: a partial top-n
+    * runs per input partition BEFORE the stratum exchange, so the
+    * shuffle carries at most n rows per (stratum, partition) — never
+    * the corpus.
+    */
+  def sampleTopN(df: DataFrame, keyCol: String, strataCol: String,
+      n: Int): DataFrame = {
+    require(n > 0, "sample size must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
+
+  /** DuckDB mirror of [[sampleTopN]] — same order, same tiebreak. */
+  def sampleTopNSql(table: String, keyCol: String, strataCol: String,
+      n: Int, selectCols: String): String =
+    s"""SELECT $selectCols FROM (
+          SELECT *, row_number() OVER (PARTITION BY $strataCol
+            ORDER BY md5(CAST($keyCol AS VARCHAR)), $keyCol) AS __rn
+          FROM $table)
+        WHERE __rn <= $n"""
 }

@@ -211,6 +211,44 @@ object TextAnalysis {
         round(col("cum_tf").cast("double") / col("total_tf"), 8).as("cum_frac"))
   }
 
+  /** Bigram language-model quality score (the CCNet/KenLM-style
+    * statistical filter, self-trained): fit an add-k-smoothed word
+    * bigram model on the corpus itself, then score each document by the
+    * mean log-probability of its bigram instances —
+    * ln((c(prev,cur)+k) / (c(prev)+k·V)) averaged with multiplicity.
+    * Documents far below the corpus mean read as gibberish / boilerplate
+    * / wrong-register text. Three shuffles (bigram agg, context agg,
+    * model join) + the per-doc agg; the model tables are vocabulary-
+    * bounded (≪ corpus) and V rides in as a broadcast scalar subplan.
+    * Docs with < 2 tokens have no bigrams and drop out, matching the
+    * oracle's bigram CTE.
+    */
+  def bigramLm(df: DataFrame, idCol: String, textCol: String,
+      k: Double = 0.5): DataFrame = {
+    val t = df.select(col(idCol).as("id"),
+        split(lower(trim(col(textCol))), "\\s+").as("w"))
+      .filter(size(col("w")) >= 2)
+    // adjacent-pair explode: zip the array against its own tail (narrow,
+    // one pass); materialize once — it feeds the model aggregations AND
+    // the per-doc scoring join
+    val bi = t.select(col("id"),
+        explode(zip_with(
+          slice(col("w"), lit(1), size(col("w")) - 1),
+          slice(col("w"), lit(2), size(col("w")) - 1),
+          (a, b) => struct(a.as("prev"), b.as("cur")))).as("bg"))
+      .select(col("id"), col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+      .localCheckpoint()
+    val cbg = bi.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("c"))
+    val cu = cbg.groupBy(col("prev")).agg(sum(col("c")).as("n"))
+    val v = cbg.agg(countDistinct(col("cur")).as("v"))
+    bi.join(cbg, Seq("prev", "cur")).join(cu, Seq("prev"))
+      .crossJoin(broadcast(v))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log((col("c") + k) / (col("n") + col("v") * k))), 4)
+          .as("lm_score"))
+  }
+
   /** Full per-document text profile. */
   def profile(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(

@@ -174,6 +174,81 @@ object Pipeline {
     graft.pipeline.Splits.sampleStratifiedSql("documents", "doc_id", "source",
       mixRates, mixDefaultPct, selectCols = "doc_id, source")
 
+  /** Fixed-count eval-set sample: exactly 20 docs per source by md5
+    * order of the key — the row-count counterpart of the rate samplers.
+    */
+  def pSampleTopN(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Splits.sampleTopN(
+        Tables.load(spark, dir, "documents"), "doc_id", "source", n = 20)
+      .select(col("doc_id"), col("source"))
+
+  val pSampleTopNSql: String =
+    graft.pipeline.Splits.sampleTopNSql("documents", "doc_id", "source",
+      n = 20, selectCols = "doc_id, source")
+
+  /** Overlapping token chunking: 32-token windows, 16-token stride (the
+    * testdata docs run 10-99 tokens, so the overlap + tail paths are
+    * actually exercised) — the RAG/context-window preparation pass.
+    */
+  def pChunkDocs(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Packing.chunkTokens(
+        Tables.load(spark, dir, "documents"), "doc_id", "text",
+        chunkSize = 32, stride = 16)
+      .withColumnRenamed("id", "doc_id")
+
+  val pChunkDocsSql: String =
+    graft.pipeline.Packing.chunkTokensSql("documents", "doc_id", "text",
+      chunkSize = 32, stride = 16, idOut = "doc_id")
+
+  /** Self-trained bigram LM quality score (statistical gibberish /
+    * boilerplate filter): mean log-prob of each doc's bigrams under the
+    * corpus's own add-0.5-smoothed bigram model.
+    */
+  def pLmScore(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bigramLm(Tables.load(spark, dir, "documents"), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("n_bigrams"), col("lm_score"))
+
+  val pLmScoreSql: String =
+    """WITH t AS (
+         SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+         FROM documents),
+       t2 AS (SELECT doc_id, w FROM t WHERE len(w) >= 2),
+       b2 AS MATERIALIZED (
+         SELECT doc_id, w[i + 1] AS prev, w[i + 2] AS cur
+         FROM (SELECT doc_id, w, unnest(range(len(w) - 1)) AS i FROM t2)),
+       cbg AS MATERIALIZED (SELECT prev, cur, count(*) AS c FROM b2 GROUP BY 1, 2),
+       cu AS (SELECT prev, sum(c) AS n FROM cbg GROUP BY 1),
+       v AS (SELECT count(DISTINCT cur) AS v FROM cbg)
+       SELECT doc_id, count(*) AS n_bigrams,
+              round(avg(ln((c + 0.5) / (n + 0.5 * v))), 4) AS lm_score
+       FROM b2 JOIN cbg USING (prev, cur) JOIN cu USING (prev) CROSS JOIN v
+       GROUP BY doc_id"""
+
+  /** Line-level exact dedup (C4/CCNet): keep the first corpus occurrence
+    * of every distinct sentence; per-doc survivor stats + kept-text sha.
+    */
+  def pLineDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.lineDedup(Tables.load(spark, dir, "documents"), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("n_lines"), col("n_kept"), col("kept_sha"))
+
+  val pLineDedupSql: String =
+    """WITH t AS (
+         SELECT doc_id, regexp_split_to_array(lower(trim(text)), '[.!?]+\s+') AS s
+         FROM documents),
+       x AS (SELECT doc_id, s, unnest(range(len(s))) AS pos FROM t),
+       l AS MATERIALIZED (
+         SELECT doc_id, pos, line FROM (
+           SELECT doc_id, pos, regexp_replace(s[pos + 1], '[.!?]+$', '') AS line
+           FROM x)
+         WHERE line <> ''),
+       k AS (SELECT doc_id, pos, line,
+               row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+             FROM l)
+       SELECT doc_id, count(*) AS n_lines,
+              count(*) FILTER (WHERE rn = 1) AS n_kept,
+              sha256(string_agg(line, ' ' ORDER BY pos) FILTER (WHERE rn = 1)) AS kept_sha
+       FROM k GROUP BY doc_id"""
+
   /** Dedup-cluster canonicalization: similarity pairs → undirected graph
     * → connected components ([[graft.graph.Algorithms]] reused outside
     * the property graph) → every document mapped to its cluster's
@@ -724,6 +799,10 @@ object Pipeline {
     QueryDef.sql("p_winnow", pWinnow, pWinnowSql),
     QueryDef.sql("p_split_assign", pSplitAssign, pSplitAssignSql),
     QueryDef.sql("p_sample_mix", pSampleMix, pSampleMixSql),
+    QueryDef.sql("p_sample_topn", pSampleTopN, pSampleTopNSql),
+    QueryDef.sql("p_chunk_docs", pChunkDocs, pChunkDocsSql),
+    QueryDef.sql("p_lm_score", pLmScore, pLmScoreSql),
+    QueryDef.sql("p_line_dedup", pLineDedup, pLineDedupSql),
     QueryDef.sql("p_budget_mix", pBudgetMix, pBudgetMixSql),
     QueryDef.sql("p_dedup_clusters", pDedupClusters, pDedupClustersSql),
     QueryDef.sql("p_gopher_quality", pGopherQuality, pGopherQualitySql),

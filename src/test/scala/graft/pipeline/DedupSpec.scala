@@ -169,4 +169,31 @@ class DedupSpec extends SparkSpec {
     assert(got(10L) === 1L) // exactly the one shared 3-gram
     assert(got(12L) === 7L) // all 7 distinct 3-grams of a 9-word doc
   }
+
+  test("line dedup keeps only the first corpus occurrence of each sentence") {
+    import spark.implicits._
+    def sha(s: String) =
+      org.apache.commons.codec.digest.DigestUtils.sha256Hex(s)
+    val docs = Seq(
+      (1L, "Common header. Unique one."),
+      (2L, "Common header. Unique two."),
+      (3L, "common header"), // no terminator; still one line, still a dup
+      (4L, "Twice here. Twice here.")) // intra-doc dup: second copy dropped
+      .toDF("doc_id", "text")
+    val got = Dedup.lineDedup(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.getString(3))))).toMap
+    assert(got(1L) === ((2L, 2L, Some(sha("common header unique one")))))
+    assert(got(2L) === ((2L, 1L, Some(sha("unique two")))))
+    // every line already seen → nothing kept, NULL sha (not sha(""))
+    assert(got(3L) === ((1L, 0L, None)))
+    assert(got(4L) === ((2L, 1L, Some(sha("twice here")))))
+    // layout purity: first-occurrence is by (id, pos), not partition order
+    val again = Dedup.lineDedup(docs.repartition(5, col("text")), "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.getString(3))))).toMap
+    assert(again === got)
+  }
 }

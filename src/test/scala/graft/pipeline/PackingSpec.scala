@@ -48,6 +48,34 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("chunkTokens: overlap, tail coverage, and short-doc collapse are exact") {
+    import spark.implicits._
+    def sha(s: String) =
+      org.apache.commons.codec.digest.DigestUtils.sha256Hex(s)
+    val toks10 = (0 until 10).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, toks10), (2L, "a b c")).toDF("doc_id", "text")
+    val got = Packing.chunkTokens(df, "doc_id", "text", chunkSize = 4, stride = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    // 10 tokens, C=4, S=2 → 1 + ceil(6/2) = 4 chunks at starts 0,2,4,6
+    assert(got.keySet === Set((1L, 0L), (1L, 1L), (1L, 2L), (1L, 3L), (2L, 0L)))
+    assert(got((1L, 0L)) === ((0L, 4L, sha("t0 t1 t2 t3"))))
+    assert(got((1L, 1L)) === ((2L, 4L, sha("t2 t3 t4 t5"))))
+    assert(got((1L, 3L)) === ((6L, 4L, sha("t6 t7 t8 t9"))))
+    // 3 tokens < C → one whole-doc chunk
+    assert(got((2L, 0L)) === ((0L, 3L, sha("a b c"))))
+    // 9 tokens: the last window is a partial tail, still covered
+    val tail = Packing.chunkTokens(
+        Seq((3L, (0 until 9).map(i => s"u$i").mkString(" "))).toDF("doc_id", "text"),
+        "doc_id", "text", chunkSize = 4, stride = 2)
+      .collect().map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(tail === Map(0L -> ((0L, 4L)), 1L -> ((2L, 4L)),
+      2L -> ((4L, 4L)), 3L -> ((6L, 3L))))
+    assertThrows[IllegalArgumentException](
+      Packing.chunkTokens(df, "doc_id", "text", chunkSize = 4, stride = 5))
+  }
+
   test("shuffle shards give a reproducible layout-independent training order") {
     import spark.implicits._
     val df = (0L until 500L).toDF("doc_id")

@@ -71,6 +71,25 @@ class SplitsSpec extends SparkSpec {
     assert(again === keptBig)
   }
 
+  test("sampleTopN keeps exactly n per stratum, whole strata when smaller") {
+    import spark.implicits._
+    val df = ((0L until 100L).map(i => (i, "big")) ++
+      (100L until 103L).map(i => (i, "tiny"))).toDF("k", "s")
+    val kept = Splits.sampleTopN(df, "k", "s", n = 10)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(kept.count(_._2 == "big") === 10)
+    assert(kept.count(_._2 == "tiny") === 3)
+    // selection is the md5-minimal key set, not arbitrary
+    val expectBig = (0L until 100L)
+      .sortBy(k => org.apache.commons.codec.digest.DigestUtils.md5Hex(k.toString))
+      .take(10).toSet
+    assert(kept.filter(_._2 == "big").map(_._1).toSet === expectBig)
+    // pure function of the keys: layout-independent
+    val again = Splits.sampleTopN(df.repartition(7, col("k")), "k", "s", n = 10)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toSet
+    assert(again === kept.toSet)
+  }
+
   test("degenerate percentages: all-train and all-test") {
     val allTrain = Splits.assign(keys, "k", trainPct = 100, valPct = 0)
       .select("split").distinct().collect().map(_.getString(0)).toSeq

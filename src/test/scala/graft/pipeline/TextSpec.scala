@@ -124,6 +124,25 @@ class TextSpec extends SparkSpec {
     assert(r(4L) === ((2L, 0L, 0.0)))
   }
 
+  test("bigram LM score matches the hand-computed smoothed model") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "solo"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLm(docs, "doc_id", "text", k = 0.5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // model: c(a,b)=2 c(a,c)=1, context c(a)=3, V=|{b,c}|=2
+    // P(b|a) = (2+0.5)/(3+0.5·2) = 0.625 ; P(c|a) = 1.5/4 = 0.375
+    val lnPb = BigDecimal(math.log(0.625))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val lnPc = BigDecimal(math.log(0.375))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) === ((1L, lnPb)))
+    assert(got(2L) === ((1L, lnPb)))
+    assert(got(3L) === ((1L, lnPc)))
+    // the 1-token doc has no bigrams and drops out
+    assert(!got.contains(4L))
+  }
+
   test("vocab coverage ranks by tf with word tiebreak and accumulates token share") {
     import spark.implicits._
     val docs = Seq("a a b", "b c").toDF("text")
