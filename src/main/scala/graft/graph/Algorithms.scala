@@ -379,6 +379,81 @@ object Algorithms {
     } // withoutAqe
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999, re-expressed as a
+    * co-partitioned DataFrame loop): per round, auth(v) = Σ_{u→v} hub(u)
+    * then hub(u) = Σ_{u→v} auth(v), each phase L1-normalized. Fixed
+    * iteration count (deterministic, oracle-replicable as unrolled SQL).
+    *
+    * Same loop discipline as [[pageRankLoop]], with one extra trick for
+    * the normalization scalars: the L1 norm of the NEXT phase's raw
+    * contributions is a linear function of the CURRENT state —
+    * Σ_v auth_raw(v) = Σ_u hub(u)·outdeg(u) and Σ_u hub_raw(u) =
+    * Σ_v auth(v)·indeg(v) — so each norm is `observe`d during the
+    * checkpoint job of the state it derives from (degrees ride in the
+    * state exactly like PageRank's outdeg). Per half-round the plan is
+    * one contribution shuffle + the co-partitioned join back onto the
+    * base; no separate normalization scan ever runs. The hub phase uses
+    * a second edge copy hash-partitioned by gdst (built once; at 100 TB
+    * this is the same both-sides layout a bucketed edge table gives for
+    * free).
+    */
+  def hits(g: RankGraph, iters: Int): DataFrame = {
+    withoutAqe(g.e, Some(g.width)) {
+    val eSrc = g.e
+    val eDst = g.e.repartition(g.width, col("gdst")).localCheckpoint()
+    val indeg = eDst.groupBy(col("gdst").as("igid")).agg(count(lit(1)).as("indeg"))
+    // base carries both static degrees; projection/join keeps hash(gid)
+    val base = g.base0
+      .join(indeg.hint("shuffle_hash"), col("gid") === col("igid"), "left")
+      .select(col("gid"), coalesce(col("outdeg"), lit(0L)).as("outdeg"),
+        coalesce(col("indeg"), lit(0L)).as("indeg"))
+      .repartition(g.width, col("gid"))
+      .localCheckpoint()
+    var h = base.withColumn("hub", lit(1.0 / g.n))
+    var a = base.withColumn("auth", lit(0.0))
+    // norm of round 1's raw auth = Σ hub·outdeg over the init state
+    var nextNorm: Option[() => Double] = None
+    def safe(x: Double): Double = if (x > 0) x else 1.0
+    for (i <- 1 to iters) {
+      val aNorm = safe(nextNorm.map(_.apply()).getOrElse {
+        h.agg(coalesce(sum(col("hub") * col("outdeg")), lit(0.0))).first().getDouble(0)
+      })
+      val aRaw = eSrc
+        .join(h.filter(col("outdeg") > 0).hint("shuffle_hash"),
+          eSrc("gsrc") === col("gid"))
+        .groupBy(eSrc("gdst").as("agid"))
+        .agg(sum(col("hub")).as("raw"))
+      val aMetric = s"graft_hits_an_$i"
+      val aObs = base
+        .join(aRaw.hint("shuffle_hash"), col("gid") === col("agid"), "left")
+        .select(col("gid"), col("outdeg"), col("indeg"),
+          (coalesce(col("raw"), lit(0.0)) / aNorm).as("auth"))
+        .observe(aMetric, sum(col("auth") * col("indeg")).as("n"))
+      a = aObs.localCheckpoint()
+      val hNorm = safe(aObs.queryExecution.observedMetrics(aMetric).getDouble(0))
+      val hRaw = eDst
+        .join(a.filter(col("indeg") > 0).hint("shuffle_hash"),
+          eDst("gdst") === col("gid"))
+        .groupBy(eDst("gsrc").as("hgid"))
+        .agg(sum(col("auth")).as("raw"))
+      val hMetric = s"graft_hits_hn_$i"
+      val hObs = base
+        .join(hRaw.hint("shuffle_hash"), col("gid") === col("hgid"), "left")
+        .select(col("gid"), col("outdeg"), col("indeg"),
+          (coalesce(col("raw"), lit(0.0)) / hNorm).as("hub"))
+        .observe(hMetric, sum(col("hub") * col("outdeg")).as("n"))
+      h = hObs.localCheckpoint()
+      nextNorm = Some(() =>
+        hObs.queryExecution.observedMetrics(hMetric).getDouble(0))
+    }
+    // both states are hash(gid, width): the final join is exchange-free
+    a.select(col("gid"), col("auth"))
+      .join(h.select(col("gid").as("hgid"), col("hub")).hint("shuffle_hash"),
+        col("gid") === col("hgid"))
+      .select(col("gid"), col("auth"), col("hub"))
+    } // withoutAqe
+  }
+
   /** k-core: the maximal subgraph in which every node has degree ≥ k,
     * found by iterative peeling — drop nodes with (surviving-)degree
     * < k, shrink the edge set to surviving endpoints, repeat to

@@ -317,6 +317,23 @@ object GraphOps {
   val gPprSql: String = GraphOracleSql.pageRankSql(iters = 10, damping = 0.85,
     seedSql = Some("SELECT 2*4294967296 + c_custkey AS gid FROM customer WHERE c_custkey <= 10"))
 
+  /** HITS hubs & authorities over the heterogeneous gid graph, 8 rounds,
+    * top-100 by rounded authority (ULP-stable cutoff, as [[gPagerank]]).
+    * Shares the pinned RankGraph invariants with the PageRank family.
+    * Oracle: 8 unrolled double-phase rounds.
+    */
+  def gHits(spark: SparkSession, dir: String): DataFrame = {
+    val gr = g(spark, dir)
+    val ha = Algorithms.hits(rankGraphCached(spark, dir), iters = 8)
+    gr.decode(
+      ha.select(col("gid"), round(col("auth"), 8).as("auth"),
+          round(col("hub"), 8).as("hub"))
+        .orderBy(col("auth").desc, col("gid")).limit(100), "gid")
+      .select(col("label"), col("key"), col("auth"), col("hub"))
+  }
+
+  val gHitsSql: String = GraphOracleSql.hitsSql(iters = 8)
+
   /** Label propagation over the co-purchase graph, 5 synchronous rounds
     * with deterministic tie-breaks; reported as community-size profile.
     * Oracle: exactly 5 unrolled majority-vote rounds (count desc, lowest
@@ -464,6 +481,7 @@ object GraphOps {
     QueryDef.sql("g_cc", gCc, gCcSql),
     QueryDef.sql("g_pagerank", gPagerank, gPagerankSql),
     QueryDef.sql("g_ppr", gPpr, gPprSql),
+    QueryDef.sql("g_hits", gHits, gHitsSql),
     QueryDef.sql("g_label_prop", gLabelProp, gLabelPropSql),
     QueryDef.sql("g_kcore", gKcore, gKcoreSql),
     QueryDef.sql("g_triangles", gTriangles, gTrianglesSql),

@@ -84,6 +84,39 @@ class GraphAlgSpec extends SparkSpec {
     assert(math.abs(pr(1L) - pr(4L)) < 1e-12)
   }
 
+  test("hits matches a driver power iteration and ranks the shared target highest") {
+    // three hubs point at 5, only hub 1 also points at 4 (asymmetric:
+    // 5 must out-authority 4, and 1 — pointing at both — out-hubs 2,3)
+    val edges = Seq(1L -> 5L, 2L -> 5L, 3L -> 5L, 1L -> 4L)
+    val nodes = 1L to 5L
+    val g = Algorithms.prepareRankGraph(
+      nodeDf(nodes: _*), edgeDf(edges: _*))
+    val got = Algorithms.hits(g, iters = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    // driver model: same recurrence, same normalization
+    var hub = nodes.map(_ -> 1.0 / nodes.size).toMap
+    var auth = nodes.map(_ -> 0.0).toMap
+    for (_ <- 1 to 8) {
+      val aRaw = nodes.map(v => v -> edges.filter(_._2 == v).map(e => hub(e._1)).sum).toMap
+      val aN = math.max(aRaw.values.sum, Double.MinPositiveValue)
+      auth = aRaw.view.mapValues(_ / aN).toMap
+      val hRaw = nodes.map(u => u -> edges.filter(_._1 == u).map(e => auth(e._2)).sum).toMap
+      val hN = math.max(hRaw.values.sum, Double.MinPositiveValue)
+      hub = hRaw.view.mapValues(_ / hN).toMap
+    }
+    nodes.foreach { v =>
+      assert(math.abs(got(v)._1 - auth(v)) < 1e-9, s"auth($v)")
+      assert(math.abs(got(v)._2 - hub(v)) < 1e-9, s"hub($v)")
+    }
+    // structure: 5 (in-degree from both strong hubs) out-ranks 4; hub 1
+    // (points at both authorities) out-ranks hubs 2 and 3
+    assert(got(5L)._1 > got(4L)._1)
+    assert(got(1L)._2 > got(2L)._2 && got(1L)._2 > got(3L)._2)
+    // L1 invariants: each phase is normalized
+    assert(math.abs(got.values.map(_._1).sum - 1.0) < 1e-9)
+    assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-9)
+  }
+
   test("triangle count on K4 is 4 regardless of orientation/duplicates") {
     val edges = edgeDf(
       1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 3L, 2L -> 4L, 3L -> 4L,
