@@ -1,0 +1,136 @@
+package graft.pipeline
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Embedding clustering for corpus organization: Lloyd k-means with a
+  * deterministic seed, and SemDeDup (Abbas et al. 2023) — semantic
+  * dedup as cluster-then-intra-cluster-cosine.
+  *
+  * The centroid codebook lives on the driver (k × dim doubles — the
+  * same bounded-broadcast-dictionary posture as [[Ann.sampleCentroids]];
+  * this is the standard distributed-k-means split: assignment is a
+  * narrow codegen pass over the corpus, the update is one aggregation,
+  * and only the k×dim means ever reach the driver). Every step is a
+  * pure function of the data + constants, so the whole fit is
+  * reproducible across runs, engines, and partitionings, and the fixed
+  * round count unrolls into an exact DuckDB oracle ([[kmeansCtes]]).
+  */
+object Cluster {
+
+  /** Deterministic init: the embeddings of the k smallest ids, centroid
+    * index assigned in id order.
+    */
+  def initCentroids(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int): Seq[(Int, Array[Double])] =
+    emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .orderBy(col("id")).limit(k)
+      .collect().zipWithIndex
+      .map { case (r, i) => i -> r.getSeq[Double](1).toArray }.toSeq
+
+  /** Nearest-centroid assignment: arg-min squared L2 against the
+    * broadcast centroid literals via struct ordering (`array_min` on
+    * struct(dist, cid) — ties to the lowest cid), fully codegen'd, one
+    * narrow pass. Returns (id, v, cluster).
+    */
+  def assign(emb: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Int, Array[Double])]): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val scored = centroids.map { case (cid, cv) =>
+      struct(
+        VectorFunctions.l2sq(array(cv.toIndexedSeq.map(lit): _*), v).as("d"),
+        lit(cid).as("cid"))
+    }
+    emb.select(col(idCol).as("id"), v.as("v"),
+      array_min(array(scored: _*)).getField("cid").as("cluster"))
+  }
+
+  /** One Lloyd update: per-dimension mean of each cluster's members
+    * (posexplode → one groupBy on (cluster, dim) — dims are bounded so
+    * the shuffle is corpus-row-bounded, never corpus×corpus). Clusters
+    * that lost every member keep their previous centroid, so the
+    * codebook size is invariant.
+    */
+  def updateCentroids(assigned: DataFrame,
+      prev: Seq[(Int, Array[Double])]): Seq[(Int, Array[Double])] = {
+    val means = assigned
+      .select(col("cluster"), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("cluster"), col("i")).agg(avg(col("x")).as("m"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .view.mapValues(rows =>
+        rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray)
+      .toMap
+    prev.map { case (cid, old) => cid -> means.getOrElse(cid, old) }
+  }
+
+  /** Lloyd k-means: `rounds` centroid updates from the deterministic
+    * init, then a final assignment under the fitted codebook. Returns
+    * (id, v, cluster) — callers wanting just the labels project.
+    */
+  def kmeansAssign(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, rounds: Int): DataFrame = {
+    require(k > 0 && rounds >= 0, s"need k > 0, rounds >= 0; got k=$k rounds=$rounds")
+    var cents = initCentroids(emb, idCol, vecCol, k)
+    for (_ <- 1 to rounds)
+      cents = updateCentroids(assign(emb, idCol, vecCol, cents), cents)
+    assign(emb, idCol, vecCol, cents)
+  }
+
+  /** SemDeDup: k-means partition, then exact cosine over pairs WITHIN
+    * each cluster — the clustering bounds the pairwise work at
+    * Σ |cluster|² instead of n², which is the published scale recipe
+    * for semantic dedup (and unlike LSH buckets, the partition is also
+    * a reusable corpus-organization artifact). Returns near-duplicate
+    * pairs (id_a, id_b, cluster, cosine ≥ threshold).
+    */
+  def semDedup(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, rounds: Int, threshold: Double): DataFrame = {
+    // materialize the fitted assignment once: both self-join legs read it
+    val asg = kmeansAssign(emb, idCol, vecCol, k, rounds).localCheckpoint()
+    val a = asg.select(col("cluster"), col("id").as("id_a"), col("v").as("va"))
+    val b = asg.select(col("cluster").as("cluster_b"), col("id").as("id_b"),
+      col("v").as("vb"))
+    a.join(b, col("cluster") === col("cluster_b") && col("id_a") < col("id_b"))
+      .withColumn("cosine", VectorFunctions.cosine(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cluster"), col("cosine"))
+  }
+
+  /** The k-means fit as a reusable DuckDB CTE-list fragment generated
+    * from the same constants, ending in `a$rounds(vec_id, v, cluster)` —
+    * the final assignment. Mirrors [[kmeansAssign]] round for round:
+    * same deterministic init, same arg-min (distance, cid) order, same
+    * per-dimension means, same empty-cluster carry-over.
+    */
+  def kmeansCtes(table: String, idCol: String, vecCol: String,
+      k: Int, rounds: Int): String = {
+    def assignCte(name: String, cents: String): String =
+      s"""$name AS MATERIALIZED (
+         SELECT $idCol, v, cluster FROM (
+           SELECT e.$idCol, e.v, c.cid AS cluster,
+                  row_number() OVER (PARTITION BY e.$idCol
+                    ORDER BY list_distance(e.v, c.cv), c.cid) AS rn
+           FROM e CROSS JOIN $cents c) WHERE rn = 1)"""
+    val steps = (1 to rounds).map { r =>
+      s""",
+       ${assignCte(s"s$r", s"c${r - 1}")},
+       m$r AS (
+         SELECT cluster, i, avg(v[i + 1]) AS mx
+         FROM (SELECT cluster, v, unnest(range(len(v))) AS i FROM s$r)
+         GROUP BY 1, 2),
+       c$r AS MATERIALIZED (
+         SELECT c.cid, coalesce(n.cv, c.cv) AS cv
+         FROM c${r - 1} c LEFT JOIN (
+           SELECT cluster AS cid, list(mx ORDER BY i) AS cv
+           FROM m$r GROUP BY cluster) n USING (cid))"""
+    }.mkString
+    s"""e AS MATERIALIZED (
+         SELECT $idCol, CAST($vecCol AS DOUBLE[]) AS v FROM $table),
+       c0 AS MATERIALIZED (
+         SELECT row_number() OVER (ORDER BY $idCol) - 1 AS cid, v AS cv
+         FROM e ORDER BY $idCol LIMIT $k)$steps,
+       ${assignCte(s"a$rounds", s"c$rounds")}"""
+  }
+}

@@ -290,6 +290,43 @@ object Pipeline {
        SELECT c.vec_id, c.canon_id, s.cluster_size
        FROM comp c JOIN sz s USING (canon_id)"""
 
+  /** Lloyd k-means over the embedding corpus: 8 clusters, 2 update
+    * rounds from the deterministic init — the corpus-organization fit
+    * behind SemDeDup/IVF. Oracle: the same fit unrolled round-for-round
+    * (same init, same arg-min order, same means).
+    */
+  def pKmeans(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Cluster.kmeansAssign(
+        Tables.load(spark, dir, "embeddings"), "vec_id", "embedding",
+        k = 8, rounds = 2)
+      .select(col("id").as("vec_id"), col("cluster").cast("long").as("cluster"))
+
+  val pKmeansSql: String =
+    s"""WITH ${graft.pipeline.Cluster.kmeansCtes("embeddings", "vec_id", "embedding",
+            k = 8, rounds = 2)}
+       SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM a2"""
+
+  /** SemDeDup: semantic near-dup pairs found INSIDE k-means clusters —
+    * the clustering bounds pairwise work at Σ|cluster|², the scale
+    * recipe for embedding dedup when LSH recall isn't wanted.
+    */
+  def pSemDedup(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Cluster.semDedup(
+        Tables.load(spark, dir, "embeddings"), "vec_id", "embedding",
+        k = 8, rounds = 2, threshold = 0.4)
+      .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"),
+        col("cluster").cast("long").as("cluster"),
+        round(col("cosine"), 4).as("cosine"))
+
+  val pSemDedupSql: String =
+    s"""WITH ${graft.pipeline.Cluster.kmeansCtes("embeddings", "vec_id", "embedding",
+            k = 8, rounds = 2)}
+       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+              CAST(a.cluster AS BIGINT) AS cluster,
+              round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+       FROM a2 a JOIN a2 b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       WHERE list_cosine_similarity(a.v, b.v) >= 0.4"""
+
   // -------------------------------------------------------------- ANN
 
   def pKnnBrute(spark: SparkSession, dir: String): DataFrame = {
@@ -817,6 +854,8 @@ object Pipeline {
     QueryDef.sql("p_curation_pipeline", pCurationPipeline, pCurationPipelineSql),
     QueryDef.sql("p_token_quantiles", pTokenQuantiles, pTokenQuantilesSql),
     QueryDef.sql("p_ngram_freq", pNgramFreq, pNgramFreqSql),
+    QueryDef.sql("p_kmeans", pKmeans, pKmeansSql),
+    QueryDef.sql("p_semdedup", pSemDedup, pSemDedupSql),
     QueryDef.sql("p_knn_brute", pKnnBrute, pKnnBruteSql),
     QueryDef.sql("p_hard_negatives", pHardNegatives, pHardNegativesSql),
     QueryDef.rowsOnly("p_knn_lsh", pKnnLsh),

@@ -1,0 +1,68 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ClusterSpec extends SparkSpec {
+
+  // two tight groups around (10,0,..) and (0,10,..): ids 1,2 seed one
+  // centroid in each group, so Lloyd must separate them in one round
+  private def planted = {
+    import spark.implicits._
+    Seq(
+      (1L, Array(10.0f, 0.1f, 0.0f)),
+      (2L, Array(0.1f, 10.0f, 0.0f)),
+      (3L, Array(9.8f, -0.2f, 0.1f)),
+      (4L, Array(10.2f, 0.0f, -0.1f)),
+      (5L, Array(0.0f, 9.9f, 0.2f)),
+      (6L, Array(-0.1f, 10.1f, 0.0f))).toDF("vec_id", "embedding")
+  }
+
+  test("kmeans separates planted groups and is layout-pure") {
+    val got = Cluster.kmeansAssign(planted, "vec_id", "embedding", k = 2, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(got(1L) === got(3L) && got(1L) === got(4L))
+    assert(got(2L) === got(5L) && got(2L) === got(6L))
+    assert(got(1L) !== got(2L))
+    // pure function of (data, constants): partition layout is irrelevant
+    val again = Cluster.kmeansAssign(planted.repartition(5, col("embedding")),
+        "vec_id", "embedding", k = 2, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(again === got)
+  }
+
+  test("empty clusters keep their previous centroid") {
+    // k=3 over 2 real groups: whichever centroid empties must survive
+    // the update with its previous coordinates (codebook size invariant)
+    val cents = Cluster.initCentroids(planted, "vec_id", "embedding", k = 3)
+    val updated = Cluster.updateCentroids(
+      Cluster.assign(planted, "vec_id", "embedding", cents), cents)
+    assert(updated.size === 3)
+    assert(updated.map(_._1) === Seq(0, 1, 2))
+    val emptied = cents.map(_._1).toSet --
+      Cluster.assign(planted, "vec_id", "embedding", cents)
+        .select("cluster").distinct().collect().map(_.getInt(0)).toSet
+    emptied.foreach { cid =>
+      assert(updated.find(_._1 == cid).get._2.toSeq ===
+        cents.find(_._1 == cid).get._2.toSeq)
+    }
+  }
+
+  test("semDedup flags near-dups inside a cluster, never across clusters") {
+    import spark.implicits._
+    // 7 duplicates 1 (same group); 2 and 1 are near-orthogonal (cosine
+    // ~0) AND land in different clusters
+    val emb = planted.union(
+      Seq((7L, Array(10.0f, 0.1f, 0.0f))).toDF("vec_id", "embedding"))
+    val pairs = Cluster.semDedup(emb, "vec_id", "embedding",
+        k = 2, rounds = 2, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 7L)))
+    assert(pairs.forall { case (a, b) => a < b })
+    // every reported pair shares a cluster
+    val clusters = Cluster.kmeansAssign(emb, "vec_id", "embedding", k = 2, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    pairs.foreach { case (a, b) => assert(clusters(a) === clusters(b)) }
+    assert(!pairs.exists { case (a, b) => clusters(a) != clusters(b) })
+  }
+}
