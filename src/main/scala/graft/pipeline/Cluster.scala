@@ -32,7 +32,8 @@ object Cluster {
   /** Nearest-centroid assignment: arg-min squared L2 against the
     * broadcast centroid literals via struct ordering (`array_min` on
     * struct(dist, cid) — ties to the lowest cid), fully codegen'd, one
-    * narrow pass. Returns (id, v, cluster).
+    * narrow pass. Returns (id, v, cluster, dist) with dist the squared
+    * L2 to the winning centroid.
     */
   def assign(emb: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[(Int, Array[Double])]): DataFrame = {
@@ -42,8 +43,9 @@ object Cluster {
         VectorFunctions.l2sq(array(cv.toIndexedSeq.map(lit): _*), v).as("d"),
         lit(cid).as("cid"))
     }
+    val best = array_min(array(scored: _*))
     emb.select(col(idCol).as("id"), v.as("v"),
-      array_min(array(scored: _*)).getField("cid").as("cluster"))
+      best.getField("cid").as("cluster"), best.getField("d").as("dist"))
   }
 
   /** One Lloyd update: per-dimension mean of each cluster's members
@@ -98,6 +100,72 @@ object Cluster {
       .select(col("id_a"), col("id_b"), col("cluster"), col("cosine"))
   }
 
+  /** Embedding outlier pruning: each vector's (squared) distance to its
+    * fitted centroid, flagged when above its cluster's q-quantile — the
+    * prune-OOD/noisy-samples curation step that usually follows a
+    * SemDeDup pass. The per-cluster thresholds are a k-row aggregate
+    * broadcast back; the corpus never shuffles beyond the fit itself.
+    * Exact interpolated `percentile` keeps the threshold oracle-
+    * checkable (same definition as DuckDB's quantile_cont); at 100 TB
+    * it swaps for the mergeable `approx_percentile` sketch unchanged.
+    */
+  def embedOutliers(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, rounds: Int, q: Double): DataFrame = {
+    val asg = kmeansAssign(emb, idCol, vecCol, k, rounds).localCheckpoint()
+    val thr = asg.groupBy(col("cluster"))
+      .agg(expr(s"percentile(dist, $q)").as("__thr"))
+    asg.join(broadcast(thr), "cluster")
+      .select(col("id"), col("cluster"), col("dist"),
+        (col("dist") > col("__thr")).as("is_outlier"))
+  }
+
+  /** Per-dimension corpus min/max — the scalar-quantization codebook
+    * (dim-bounded, driver-side like the centroid codebook; min/max are
+    * exact order statistics, so the codebook is engine-identical).
+    */
+  def quantStats(emb: DataFrame, vecCol: String): (Array[Double], Array[Double]) = {
+    val rows = emb
+      .select(posexplode(col(vecCol).cast("array<double>")).as(Seq("i", "x")))
+      .groupBy(col("i")).agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      .collect().sortBy(_.getInt(0))
+    (rows.map(_.getDouble(1)), rows.map(_.getDouble(2)))
+  }
+
+  /** Int8 scalar quantization of an embedding column: code_i =
+    * floor((x_i - lo_i) · 255 / (hi_i - lo_i) + 0.5) against the
+    * per-dimension corpus min/max — the standard 4× storage compression
+    * for a 100 TB embedding store (the codes scan path replaces the
+    * float vectors; full-precision re-ranking reads the original column
+    * only for finalists). floor(·+0.5) instead of round() so both
+    * engines share one tie rule; degenerate dims (hi = lo) code to 0
+    * and dequantize to lo exactly. Emits (id, codes, mse) — the
+    * round-trip reconstruction MSE is the quality audit. One narrow
+    * pass; the dim-bounded codebook rides in as literals.
+    */
+  def quantizeInt8(emb: DataFrame, idCol: String, vecCol: String,
+      lo: Array[Double], hi: Array[Double]): DataFrame = {
+    val loL = lit(lo.toIndexedSeq.toArray)
+    val hiL = lit(hi.toIndexedSeq.toArray)
+    val v = col(vecCol).cast("array<double>")
+    val idxOf = (arr: org.apache.spark.sql.Column) =>
+      sequence(lit(0), size(arr) - 1)
+    val codes = zip_with(v, idxOf(v), (x, i) => {
+      val l = element_at(loL, i + 1)
+      val h = element_at(hiL, i + 1)
+      when(h > l, floor((x - l) * 255.0 / (h - l) + 0.5)).otherwise(lit(0.0))
+    }).cast("array<int>")
+    val base = emb.select(col(idCol).as("id"), v.as("v"), codes.as("codes"))
+    val deq = zip_with(col("codes").cast("array<double>"), idxOf(col("codes")),
+      (c, i) => {
+        val l = element_at(loL, i + 1)
+        val h = element_at(hiL, i + 1)
+        l + c * (h - l) / 255.0
+      })
+    base.select(col("id"), col("codes"),
+      (aggregate(zip_with(col("v"), deq, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, d) => acc + d) / size(col("v"))).as("mse"))
+  }
+
   /** The k-means fit as a reusable DuckDB CTE-list fragment generated
     * from the same constants, ending in `a$rounds(vec_id, v, cluster)` —
     * the final assignment. Mirrors [[kmeansAssign]] round for round:
@@ -106,10 +174,13 @@ object Cluster {
     */
   def kmeansCtes(table: String, idCol: String, vecCol: String,
       k: Int, rounds: Int): String = {
+    // dist mirrors the Spark side's SQUARED L2 (list_distance² differs
+    // from the fused squared sum only at ULP scale — callers round)
     def assignCte(name: String, cents: String): String =
       s"""$name AS MATERIALIZED (
-         SELECT $idCol, v, cluster FROM (
+         SELECT $idCol, v, cluster, dist FROM (
            SELECT e.$idCol, e.v, c.cid AS cluster,
+                  list_distance(e.v, c.cv) * list_distance(e.v, c.cv) AS dist,
                   row_number() OVER (PARTITION BY e.$idCol
                     ORDER BY list_distance(e.v, c.cv), c.cid) AS rn
            FROM e CROSS JOIN $cents c) WHERE rn = 1)"""

@@ -327,6 +327,52 @@ object Pipeline {
        FROM a2 a JOIN a2 b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
        WHERE list_cosine_similarity(a.v, b.v) >= 0.4"""
 
+  /** Embedding outlier audit: squared distance to the fitted centroid,
+    * flagged above the per-cluster p95 — prune-OOD curation.
+    */
+  def pEmbedOutliers(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Cluster.embedOutliers(
+        Tables.load(spark, dir, "embeddings"), "vec_id", "embedding",
+        k = 8, rounds = 2, q = 0.95)
+      .select(col("id").as("vec_id"), col("cluster").cast("long").as("cluster"),
+        round(col("dist"), 6).as("dist"), col("is_outlier"))
+
+  val pEmbedOutliersSql: String =
+    s"""WITH ${graft.pipeline.Cluster.kmeansCtes("embeddings", "vec_id", "embedding",
+            k = 8, rounds = 2)},
+       thr AS (SELECT cluster, quantile_cont(dist, 0.95) AS thr
+               FROM a2 GROUP BY cluster)
+       SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
+              round(dist, 6) AS dist, dist > thr AS is_outlier
+       FROM a2 JOIN thr USING (cluster)"""
+
+  /** Int8 scalar quantization of the embedding store: codes + per-vector
+    * reconstruction MSE (the 4× compression audit).
+    */
+  def pQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val (lo, hi) = graft.pipeline.Cluster.quantStats(emb, "embedding")
+    graft.pipeline.Cluster.quantizeInt8(emb, "vec_id", "embedding", lo, hi)
+      .select(col("id").as("vec_id"), col("codes"), round(col("mse"), 8).as("mse"))
+  }
+
+  val pQuantizeSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       f AS MATERIALIZED (SELECT vec_id, v, unnest(range(len(v))) AS i FROM e),
+       st AS MATERIALIZED (
+         SELECT i, min(v[i + 1]) AS lo, max(v[i + 1]) AS hi FROM f GROUP BY i),
+       c AS (
+         SELECT vec_id, i, v[i + 1] AS x, lo, hi,
+                CASE WHEN hi > lo
+                  THEN CAST(floor((v[i + 1] - lo) * 255.0 / (hi - lo) + 0.5) AS INT)
+                  ELSE 0 END AS code
+         FROM f JOIN st USING (i)),
+       d AS (SELECT vec_id, i, code, x,
+                    lo + code * (hi - lo) / 255.0 AS deq FROM c)
+       SELECT vec_id, list(code ORDER BY i) AS codes,
+              round(sum((x - deq) * (x - deq)) / count(*), 8) AS mse
+       FROM d GROUP BY vec_id"""
+
   // -------------------------------------------------------------- ANN
 
   def pKnnBrute(spark: SparkSession, dir: String): DataFrame = {
@@ -856,6 +902,8 @@ object Pipeline {
     QueryDef.sql("p_ngram_freq", pNgramFreq, pNgramFreqSql),
     QueryDef.sql("p_kmeans", pKmeans, pKmeansSql),
     QueryDef.sql("p_semdedup", pSemDedup, pSemDedupSql),
+    QueryDef.sql("p_embed_outliers", pEmbedOutliers, pEmbedOutliersSql),
+    QueryDef.sql("p_quantize", pQuantize, pQuantizeSql),
     QueryDef.sql("p_knn_brute", pKnnBrute, pKnnBruteSql),
     QueryDef.sql("p_hard_negatives", pHardNegatives, pHardNegativesSql),
     QueryDef.rowsOnly("p_knn_lsh", pKnnLsh),

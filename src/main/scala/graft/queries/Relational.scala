@@ -40,6 +40,24 @@ object Relational {
        WHERE l_shipdate <= TIMESTAMP '1998-09-01'
        GROUP BY l_returnflag, l_linestatus"""
 
+  /** ROLLUP subtotal hierarchy (flag → flag+status → grand total) — the
+    * multi-level reporting aggregate. Spark plans rollup as ONE Expand +
+    * aggregate pass (each input row expands to its grouping sets; no
+    * per-level rescan), which is exactly the plan you want at 100 TB:
+    * grouping-set count multiplies the shuffle, never the scan.
+    */
+  def qRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+        count(lit(1)).as("n"))
+
+  val qRollupSql: String =
+    """SELECT l_returnflag, l_linestatus,
+              round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+       FROM lineitem
+       GROUP BY ROLLUP (l_returnflag, l_linestatus)"""
+
   /** Shipping-priority (TPC-H Q3 shape): filtered 3-way join + agg + top-k.
     * customer is small relative to the facts → broadcast; lineitem and
     * orders each shuffle once on l_orderkey/o_orderkey.
@@ -336,6 +354,7 @@ object Relational {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q1_agg", q1Agg, q1AggSql),
+    QueryDef.sql("q_rollup", qRollup, qRollupSql),
     QueryDef.sql("q_funnel", qFunnel, qFunnelSql),
     QueryDef.sql("q_cdc_merge", qCdcMerge, qCdcMergeSql),
     QueryDef.sql("q_zorder", qZorder, qZorderSql),

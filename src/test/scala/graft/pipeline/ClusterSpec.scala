@@ -48,6 +48,40 @@ class ClusterSpec extends SparkSpec {
     }
   }
 
+  test("int8 quantization round-trips within the grid step and handles degenerate dims") {
+    import spark.implicits._
+    // dim 0 spans [0,10]; dim 1 is constant (degenerate); dim 2 spans [-1,1]
+    val emb = Seq(
+      (1L, Array(0.0f, 5.0f, -1.0f)),
+      (2L, Array(10.0f, 5.0f, 1.0f)),
+      (3L, Array(5.0f, 5.0f, 0.0f))).toDF("vec_id", "embedding")
+    val (lo, hi) = Cluster.quantStats(emb, "embedding")
+    assert(lo.toSeq === Seq(0.0, 5.0, -1.0) && hi.toSeq === Seq(10.0, 5.0, 1.0))
+    val got = Cluster.quantizeInt8(emb, "vec_id", "embedding", lo, hi)
+      .collect().map(r => r.getLong(0) -> ((r.getSeq[Int](1), r.getDouble(2)))).toMap
+    // extremes hit the grid ends exactly; the constant dim codes to 0
+    assert(got(1L)._1 === Seq(0, 0, 0))
+    assert(got(2L)._1 === Seq(255, 0, 255))
+    assert(got(3L)._1 === Seq(128, 0, 128)) // floor(127.5+0.5), floor(127.5+0.5)
+    // reconstruction error bounded by half a grid step per dim
+    val maxStep = math.max(10.0 / 255, 2.0 / 255) / 2
+    got.values.foreach { case (_, mse) => assert(mse <= maxStep * maxStep) }
+    // extremes dequantize exactly → zero error on doc 2's dims 0,2
+    assert(got(2L)._2 === 0.0)
+  }
+
+  test("embedOutliers flags the planted far point and nothing in the tight core") {
+    import spark.implicits._
+    // 9 points near the origin + one far point, k=1 so one cluster
+    val emb = ((1L to 9L).map(i => (i, Array((i % 3 - 1) * 0.1f, ((i / 3) % 3 - 1) * 0.1f))) :+
+      (10L, Array(50.0f, 50.0f))).toDF("vec_id", "embedding")
+    val got = Cluster.embedOutliers(emb, "vec_id", "embedding",
+        k = 1, rounds = 1, q = 0.8)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(got(10L) === true)
+    assert((1L to 9L).count(got(_)) <= 2) // p80 over 10 points flags ≤ 2
+  }
+
   test("semDedup flags near-dups inside a cluster, never across clusters") {
     import spark.implicits._
     // 7 duplicates 1 (same group); 2 and 1 are near-orthogonal (cosine
