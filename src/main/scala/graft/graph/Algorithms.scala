@@ -401,56 +401,47 @@ object Algorithms {
     withoutAqe(g.e, Some(g.width)) {
     val eSrc = g.e
     val eDst = g.e.repartition(g.width, col("gdst")).localCheckpoint()
-    val indeg = eDst.groupBy(col("gdst").as("igid")).agg(count(lit(1)).as("indeg"))
-    // base carries both static degrees; projection/join keeps hash(gid)
-    val base = g.base0
-      .join(indeg.hint("shuffle_hash"), col("gid") === col("igid"), "left")
-      .select(col("gid"), coalesce(col("outdeg"), lit(0L)).as("outdeg"),
-        coalesce(col("indeg"), lit(0L)).as("indeg"))
-      .repartition(g.width, col("gid"))
-      .localCheckpoint()
-    var h = base.withColumn("hub", lit(1.0 / g.n))
-    var a = base.withColumn("auth", lit(0.0))
-    // norm of round 1's raw auth = Σ hub·outdeg over the init state
-    var nextNorm: Option[() => Double] = None
-    def safe(x: Double): Double = if (x > 0) x else 1.0
-    for (i <- 1 to iters) {
-      val aNorm = safe(nextNorm.map(_.apply()).getOrElse {
-        h.agg(coalesce(sum(col("hub") * col("outdeg")), lit(0.0))).first().getDouble(0)
-      })
+    val base = g.base0.select(col("gid")) // projection keeps hash(gid)
+    // The recurrence is linear, so per-round normalization only rescales
+    // — run it UNNORMALIZED and normalize once at the end (λ^iters stays
+    // far inside double range for any physical graph), which fuses each
+    // round's two phases into ONE checkpointed plan: two contribution
+    // shuffles per round but a single per-round job, halving the
+    // driver-floor cost that dominates iterative loops (§9).
+    def authOf(hub: DataFrame): DataFrame = {
       val aRaw = eSrc
-        .join(h.filter(col("outdeg") > 0).hint("shuffle_hash"),
+        .join(hub.filter(col("hub") =!= 0.0).hint("shuffle_hash"),
           eSrc("gsrc") === col("gid"))
         .groupBy(eSrc("gdst").as("agid"))
         .agg(sum(col("hub")).as("raw"))
-      val aMetric = s"graft_hits_an_$i"
-      val aObs = base
-        .join(aRaw.hint("shuffle_hash"), col("gid") === col("agid"), "left")
-        .select(col("gid"), col("outdeg"), col("indeg"),
-          (coalesce(col("raw"), lit(0.0)) / aNorm).as("auth"))
-        .observe(aMetric, sum(col("auth") * col("indeg")).as("n"))
-      a = aObs.localCheckpoint()
-      val hNorm = safe(aObs.queryExecution.observedMetrics(aMetric).getDouble(0))
+      base.join(aRaw.hint("shuffle_hash"), col("gid") === col("agid"), "left")
+        .select(col("gid"), coalesce(col("raw"), lit(0.0)).as("auth"))
+    }
+    var h = base.withColumn("hub", lit(1.0))
+    for (_ <- 1 to iters) {
+      val a = authOf(h)
       val hRaw = eDst
-        .join(a.filter(col("indeg") > 0).hint("shuffle_hash"),
+        .join(a.filter(col("auth") =!= 0.0).hint("shuffle_hash"),
           eDst("gdst") === col("gid"))
         .groupBy(eDst("gsrc").as("hgid"))
         .agg(sum(col("auth")).as("raw"))
-      val hMetric = s"graft_hits_hn_$i"
-      val hObs = base
+      h = base
         .join(hRaw.hint("shuffle_hash"), col("gid") === col("hgid"), "left")
-        .select(col("gid"), col("outdeg"), col("indeg"),
-          (coalesce(col("raw"), lit(0.0)) / hNorm).as("hub"))
-        .observe(hMetric, sum(col("hub") * col("outdeg")).as("n"))
-      h = hObs.localCheckpoint()
-      nextNorm = Some(() =>
-        hObs.queryExecution.observedMetrics(hMetric).getDouble(0))
+        .select(col("gid"), coalesce(col("raw"), lit(0.0)).as("hub"))
+        .localCheckpoint()
     }
-    // both states are hash(gid, width): the final join is exchange-free
-    a.select(col("gid"), col("auth"))
-      .join(h.select(col("gid").as("hgid"), col("hub")).hint("shuffle_hash"),
+    // final auth off the last hub state; checkpointed because it feeds
+    // both the norm scalar and the output join
+    val a = authOf(h).localCheckpoint()
+    val aS = a.agg(sum(col("auth")).as("as"))
+    val hS = h.agg(sum(col("hub")).as("hs"))
+    // both states are hash(gid, width): the output join is exchange-free
+    a.join(h.select(col("gid").as("hgid"), col("hub")).hint("shuffle_hash"),
         col("gid") === col("hgid"))
-      .select(col("gid"), col("auth"), col("hub"))
+      .crossJoin(broadcast(aS)).crossJoin(broadcast(hS))
+      .select(col("gid"),
+        when(col("as") > 0, col("auth") / col("as")).otherwise(lit(0.0)).as("auth"),
+        when(col("hs") > 0, col("hub") / col("hs")).otherwise(lit(0.0)).as("hub"))
     } // withoutAqe
   }
 

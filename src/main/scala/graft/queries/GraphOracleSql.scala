@@ -77,28 +77,23 @@ object GraphOracleSql {
 
   /** Unrolled HITS over the heterogeneous gid graph — the SQL mirror of
     * [[graft.graph.Algorithms.hits]]: per round, auth = in-sum of hubs
-    * then hub = out-sum of auths, each phase divided by its L1 norm,
-    * which (as in the Spark loop) is computed from the PREVIOUS state as
-    * Σ hub·outdeg / Σ auth·indeg. Top-100 by ROUNDED authority so
-    * cross-engine summation ULP noise cannot flip the cutoff (same
+    * then hub = out-sum of auths, UNNORMALIZED (the recurrence is
+    * linear, so norms factor out), both L1-normalized once at the end —
+    * exactly the Spark loop's arithmetic. Top-100 by ROUNDED authority
+    * so cross-engine summation ULP noise cannot flip the cutoff (same
     * rationale as [[pageRankSql]]).
     */
   def hitsSql(iters: Int): String = {
-    def norm(state: String, score: String, deg: String): String =
-      s"""(SELECT CASE WHEN coalesce(sum($score * $deg), 0.0) > 0
-             THEN sum($score * $deg) ELSE 1.0 END FROM $state)"""
     val rounds = (1 to iters).map { i =>
       s""",
        a$i AS MATERIALIZED (
-         SELECT b.gid, b.outdeg, b.indeg,
-                coalesce(c.raw, 0.0) / ${norm(s"h${i - 1}", "hub", "outdeg")} AS auth
+         SELECT b.gid, coalesce(c.raw, 0.0) AS auth
          FROM base b LEFT JOIN (
            SELECT e.gdst AS agid, sum(h.hub) AS raw
            FROM e JOIN h${i - 1} h ON e.gsrc = h.gid GROUP BY e.gdst) c
          ON b.gid = c.agid),
        h$i AS MATERIALIZED (
-         SELECT b.gid, b.outdeg, b.indeg,
-                coalesce(c.raw, 0.0) / ${norm(s"a$i", "auth", "indeg")} AS hub
+         SELECT b.gid, coalesce(c.raw, 0.0) AS hub
          FROM base b LEFT JOIN (
            SELECT e.gsrc AS hgid, sum(a.auth) AS raw
            FROM e JOIN a$i a ON e.gdst = a.gid GROUP BY e.gsrc) c
@@ -106,21 +101,24 @@ object GraphOracleSql {
     }.mkString
     s"""WITH nodes AS MATERIALIZED (${TpchGraph.gidSqlNodes}),
        e AS MATERIALIZED (${TpchGraph.gidSqlEdges}),
-       odeg AS (SELECT gsrc, count(*) AS outdeg FROM e GROUP BY gsrc),
-       ideg AS (SELECT gdst, count(*) AS indeg FROM e GROUP BY gdst),
-       base AS MATERIALIZED (
-         SELECT n.gid, coalesce(o.outdeg, 0) AS outdeg,
-                coalesce(i.indeg, 0) AS indeg
-         FROM nodes n LEFT JOIN odeg o ON n.gid = o.gsrc
-                      LEFT JOIN ideg i ON n.gid = i.gdst),
-       h0 AS MATERIALIZED (
-         SELECT gid, outdeg, indeg,
-                1.0 / (SELECT count(*) FROM nodes) AS hub
-         FROM base)$rounds
+       base AS MATERIALIZED (SELECT gid FROM nodes),
+       h0 AS MATERIALIZED (SELECT gid, CAST(1.0 AS DOUBLE) AS hub FROM base)$rounds,
+       afin AS MATERIALIZED (
+         SELECT b.gid, coalesce(c.raw, 0.0) AS auth
+         FROM base b LEFT JOIN (
+           SELECT e.gdst AS agid, sum(h.hub) AS raw
+           FROM e JOIN h$iters h ON e.gsrc = h.gid GROUP BY e.gdst) c
+         ON b.gid = c.agid),
+       norms AS (
+         SELECT (SELECT sum(auth) FROM afin) AS asum,
+                (SELECT sum(hub) FROM h$iters) AS hsum)
        SELECT ${TpchGraph.gidSqlLabel} AS label, gid % 4294967296 AS key, auth, hub
-       FROM (SELECT a.gid, round(a.auth, 8) AS auth, round(h.hub, 8) AS hub
-             FROM a$iters a JOIN h$iters h USING (gid)
-             ORDER BY round(a.auth, 8) DESC, a.gid LIMIT 100)"""
+       FROM (SELECT a.gid,
+                    round(CASE WHEN n.asum > 0 THEN a.auth / n.asum ELSE 0.0 END, 8) AS auth,
+                    round(CASE WHEN n.hsum > 0 THEN h.hub / n.hsum ELSE 0.0 END, 8) AS hub
+             FROM afin a JOIN h$iters h USING (gid) CROSS JOIN norms n
+             ORDER BY round(CASE WHEN n.asum > 0 THEN a.auth / n.asum ELSE 0.0 END, 8) DESC,
+                      a.gid LIMIT 100)"""
   }
 
   /** Unrolled connected components (min-label propagation incl. self)

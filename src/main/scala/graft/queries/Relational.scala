@@ -58,6 +58,81 @@ object Relational {
        FROM lineitem
        GROUP BY ROLLUP (l_returnflag, l_linestatus)"""
 
+  /** Top-k per group as a custom partial AGGREGATE
+    * ([[graft.operators.TopK]]) — the scale-preferred alternative to the
+    * window formulation `q_topk_per_group`: the shuffle carries ≤ k
+    * entries per (group, map partition), no reducer-side full-group
+    * sort. Same task, same oracle shape — the two formulations must
+    * agree row for row.
+    */
+  def qTopkAgg(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.TopK.topKPerGroup(
+        Tables.load(spark, dir, "orders"),
+        groupCol = "o_custkey", valueCol = "o_totalprice", idCol = "o_orderkey",
+        k = 3)
+      .select(col("o_custkey"), col("rank"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"))
+
+  val qTopkAggSql: String =
+    """SELECT o_custkey, CAST(rank AS BIGINT) AS rank, o_orderkey,
+              round(o_totalprice, 2) AS o_totalprice
+       FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey) AS rank
+             FROM orders)
+       WHERE rank <= 3"""
+
+  /** Pivot (long → wide): per-user event-type value matrix. Spark plans
+    * pivot over an explicit value list as ONE aggregate pass with a
+    * conditional-agg column per value — no per-column rescan, same as
+    * the FILTER formulation the oracle runs.
+    */
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  def qPivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .pivot("event_type", eventTypes)
+      .agg(round(sum(col("value")), 2))
+
+  val qPivotSql: String = {
+    val cols = eventTypes.map(t =>
+      s"round(sum(value) FILTER (WHERE event_type = '$t'), 2) AS $t").mkString(", ")
+    s"SELECT user_id, $cols FROM events GROUP BY user_id"
+  }
+
+  /** Weekly cohort retention: users grouped by first-activity week,
+    * counted per week-offset of later activity — the standard retention
+    * matrix. Two aggregations + one join on user_id; week arithmetic is
+    * exact day counts between Monday-truncated dates (both engines
+    * truncate weeks to Monday).
+    */
+  def qRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val first = ev.groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).cast("date").as("w0"))
+    val active = ev.select(col("user_id"),
+      date_trunc("week", col("ts")).cast("date").as("w")).distinct()
+    active.join(first, "user_id")
+      .select(col("w0").as("cohort_week"),
+        // Monday-to-Monday day counts are exact multiples of 7
+        (datediff(col("w"), col("w0")) / 7).cast("long").as("week_offset"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      // (user, week) rows are distinct, so the count IS distinct users
+      .agg(count(lit(1)).as("n_active"))
+  }
+
+  val qRetentionSql: String =
+    """WITH f AS (SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS w0
+                  FROM events GROUP BY user_id),
+       a AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS w
+             FROM events)
+       SELECT f.w0 AS cohort_week,
+              CAST(datediff('day', f.w0, a.w) // 7 AS BIGINT) AS week_offset,
+              count(*) AS n_active
+       FROM a JOIN f USING (user_id)
+       GROUP BY 1, 2"""
+
   /** Shipping-priority (TPC-H Q3 shape): filtered 3-way join + agg + top-k.
     * customer is small relative to the facts → broadcast; lineitem and
     * orders each shuffle once on l_orderkey/o_orderkey.
@@ -355,6 +430,9 @@ object Relational {
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q1_agg", q1Agg, q1AggSql),
     QueryDef.sql("q_rollup", qRollup, qRollupSql),
+    QueryDef.sql("q_topk_agg", qTopkAgg, qTopkAggSql),
+    QueryDef.sql("q_pivot", qPivot, qPivotSql),
+    QueryDef.sql("q_retention", qRetention, qRetentionSql),
     QueryDef.sql("q_funnel", qFunnel, qFunnelSql),
     QueryDef.sql("q_cdc_merge", qCdcMerge, qCdcMergeSql),
     QueryDef.sql("q_zorder", qZorder, qZorderSql),

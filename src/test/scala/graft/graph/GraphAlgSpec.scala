@@ -93,17 +93,19 @@ class GraphAlgSpec extends SparkSpec {
       nodeDf(nodes: _*), edgeDf(edges: _*))
     val got = Algorithms.hits(g, iters = 8)
       .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
-    // driver model: same recurrence, same normalization
-    var hub = nodes.map(_ -> 1.0 / nodes.size).toMap
-    var auth = nodes.map(_ -> 0.0).toMap
+    // driver model: same recurrence — unnormalized rounds (norms factor
+    // out of the linear recurrence), final auth off the final hub state,
+    // one L1 normalization at the end
+    var hub = nodes.map(_ -> 1.0).toMap
     for (_ <- 1 to 8) {
       val aRaw = nodes.map(v => v -> edges.filter(_._2 == v).map(e => hub(e._1)).sum).toMap
-      val aN = math.max(aRaw.values.sum, Double.MinPositiveValue)
-      auth = aRaw.view.mapValues(_ / aN).toMap
-      val hRaw = nodes.map(u => u -> edges.filter(_._1 == u).map(e => auth(e._2)).sum).toMap
-      val hN = math.max(hRaw.values.sum, Double.MinPositiveValue)
-      hub = hRaw.view.mapValues(_ / hN).toMap
+      hub = nodes.map(u => u -> edges.filter(_._1 == u).map(e => aRaw(e._2)).sum).toMap
     }
+    val aRaw = nodes.map(v => v -> edges.filter(_._2 == v).map(e => hub(e._1)).sum).toMap
+    val aN = math.max(aRaw.values.sum, Double.MinPositiveValue)
+    val hN = math.max(hub.values.sum, Double.MinPositiveValue)
+    val auth = aRaw.view.mapValues(_ / aN).toMap
+    hub = hub.view.mapValues(_ / hN).toMap
     nodes.foreach { v =>
       assert(math.abs(got(v)._1 - auth(v)) < 1e-9, s"auth($v)")
       assert(math.abs(got(v)._2 - hub(v)) < 1e-9, s"hub($v)")
