@@ -130,4 +130,23 @@ class OperatorsSpec extends SparkSpec {
     assert(got === expected)
     assert(expected.nonEmpty)
   }
+
+  test("topk aggregator equals the window formulation, ties broken by id") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // duplicate values force the (value desc, id asc) tiebreak; many
+    // partitions force real partial-buffer merges
+    val rows = (1L to 400L).map(i => (i % 7, rnd.nextInt(20).toDouble, i))
+    val df = rows.toDF("g", "v", "id").repartition(13)
+    val got = TopK.topKPerGroup(df, "g", "v", "id", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("v").desc, col("id"))
+    val expected = df.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("g"), col("rank").cast("long"), col("id"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got === expected)
+    assert(got.size === 35) // 7 groups x 5
+  }
 }
