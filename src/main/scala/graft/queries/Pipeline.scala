@@ -818,6 +818,57 @@ object Pipeline {
               'fake/raw' AS format
        FROM documents"""
 
+  /** Frame sampling over the binary payload: every 2nd 64-byte "frame",
+    * emitted as (media_id, frame_idx, frame_sha) — the one-row-in,
+    * k-rows-out demux shape; payload bytes never shuffle (only the
+    * 32-byte sha leaves the operator here). Oracle slices the VARCHAR —
+    * byte ≡ char slicing for ASCII, which the oracle itself guards
+    * (same pattern as the fingerprint oracle).
+    */
+  def pMediaFrames(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Multimodal.withPayload(Tables.load(spark, dir, "documents"), "text")
+    Multimodal.sampleFrames(spark, docs, "doc_id", frameBytes = 64, stride = 2)
+      .toDF("media_id", "frame_idx", "frame")
+      .select(col("media_id"), col("frame_idx"), sha2(col("frame"), 256).as("frame_sha"))
+  }
+
+  val pMediaFramesSql: String =
+    """WITH g AS (
+         SELECT doc_id, CASE WHEN strlen(text) <> length(text)
+           THEN error('media frames oracle: non-ASCII document; char slice != byte slice')
+           ELSE text END AS t
+         FROM documents),
+       f AS (SELECT doc_id, t,
+               unnest(range(0, length(t) // 64, 2)) AS frame_idx
+             FROM g)
+       SELECT doc_id AS media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+              sha256(substring(t, CAST(frame_idx * 64 + 1 AS INT), 64)) AS frame_sha
+       FROM f"""
+
+  /** Resize (stub codec): deterministic re-encoded payload of exactly
+    * the target byte budget (64×48 → 20 bytes, cyclic fill), reported as
+    * (media_id, byte_size, payload sha). Same partition-mapped
+    * payload-in → payload-out contract a real codec UDF has.
+    */
+  def pMediaResize(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Multimodal.withPayload(Tables.load(spark, dir, "documents"), "text")
+    Multimodal.resize(spark, docs, "doc_id", targetW = 64, targetH = 48)
+      .toDF("media_id", "payload")
+      .select(col("media_id"),
+        length(col("payload")).cast("long").as("byte_size"),
+        sha2(col("payload"), 256).as("payload_sha"))
+  }
+
+  val pMediaResizeSql: String =
+    """WITH g AS (
+         SELECT doc_id, CASE WHEN strlen(text) <> length(text)
+           THEN error('media resize oracle: non-ASCII document; char fill != byte fill')
+           ELSE text END AS t
+         FROM documents)
+       SELECT doc_id AS media_id, CAST(20 AS BIGINT) AS byte_size,
+              sha256(substring(repeat(t, CAST(20 // length(t) + 1 AS INT)), 1, 20)) AS payload_sha
+       FROM g"""
+
   /** Per-document boilerplate fraction: share of each doc's distinct
     * 2-grams with corpus DF ≥ 25 (the same threshold the DF profile
     * query uses) — template/navigation detection.
@@ -912,5 +963,7 @@ object Pipeline {
     QueryDef.sql("p_quality_score", pQualityScore, pQualityScoreSql),
     QueryDef.sql("p_token_count", pTokenCount, pTokenCountSql),
     QueryDef.sql("p_fingerprint", pFingerprint, pFingerprintSql),
-    QueryDef.sql("p_media_meta", pMediaMeta, pMediaMetaSql))
+    QueryDef.sql("p_media_meta", pMediaMeta, pMediaMetaSql),
+    QueryDef.sql("p_media_frames", pMediaFrames, pMediaFramesSql),
+    QueryDef.sql("p_media_resize", pMediaResize, pMediaResizeSql))
 }
