@@ -89,10 +89,31 @@ object Streaming {
         AND c.event_type = 'click' AND p.event_type = 'purchase'
         AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts"""
 
+  /** Batch face of the stream-static enrichment: events joined to the
+    * customer→nation dimension (broadcast), hourly counts per nation.
+    */
+  def sEnrichAgg(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+    val nat = Tables.load(spark, dir, "nation")
+    val dim = cust.join(nat, cust("c_nationkey") === nat("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"))
+    Streams.enrichAgg(Tables.load(spark, dir, "events"), dim,
+      dimKey = "c_custkey", dimAttr = "n_name")
+  }
+
+  val sEnrichAggSql: String =
+    """SELECT date_trunc('hour', e.ts) AS window_start, n.n_name,
+              count(*) AS n_events, round(sum(e.value), 2) AS sum_value
+       FROM events e
+       JOIN customer c ON e.user_id = c.c_custkey
+       JOIN nation n ON c.c_nationkey = n.n_nationkey
+       GROUP BY 1, 2"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("s_tumbling_agg", sTumblingAgg, sTumblingAggSql),
     QueryDef.sql("s_sessionize", sSessionize, sSessionizeSql),
     QueryDef.sql("s_dedup_keys", sDedupKeys, sDedupKeysSql),
     QueryDef.sql("s_sliding_agg", sSlidingAgg, sSlidingAggSql),
-    QueryDef.sql("s_stream_join", sStreamJoin, sStreamJoinSql))
+    QueryDef.sql("s_stream_join", sStreamJoin, sStreamJoinSql),
+    QueryDef.sql("s_enrich_agg", sEnrichAgg, sEnrichAggSql))
 }

@@ -77,6 +77,26 @@ object Streams {
       .select(col("user_id"), col("click_id"), col("purchase_id"))
   }
 
+  /** Stream-static enrichment: the event stream joined to a (small,
+    * slowly-changing) dimension table and aggregated per (hour window,
+    * dimension attribute). The dimension side is `broadcast` — in
+    * streaming mode Structured Streaming re-evaluates the static side
+    * per micro-batch against broadcast state, never shuffling the
+    * stream; in batch mode the same plan is a plain broadcast-hash
+    * join. This is THE bread-and-butter streaming-ETL shape (facts
+    * stream, dimensions don't), distinct from the stream-stream
+    * interval join above (both sides watermarked there).
+    */
+  def enrichAgg(events: DataFrame, dim: DataFrame, dimKey: String,
+      dimAttr: String, withWatermark: Boolean = false): DataFrame = {
+    val src = if (withWatermark) events.withWatermark("ts", "1 hour") else events
+    src.join(broadcast(dim), src("user_id") === dim(dimKey))
+      .groupBy(window(col("ts"), "1 hour").as("w"), col(dimAttr))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("w.start").as("window_start"), col(dimAttr),
+        col("n_events"), col("sum_value"))
+  }
+
   /** Gap-based sessionization (batch formulation): a session breaks when
     * a user is idle longer than `gapSeconds`. One shuffle on user_id;
     * the two window functions share the same partitioning.

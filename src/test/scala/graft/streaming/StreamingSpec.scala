@@ -44,6 +44,32 @@ class StreamingSpec extends SparkSpec {
     assert(batch.map(_._3).sum === 5L)
   }
 
+  test("stream-static enrichment joins the broadcast dimension per micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "ALPHA"), (2L, "BETA")).toDF("c_custkey", "n_name")
+    val source = MemoryStream[Ev]
+    source.addData(events.take(3): _*)
+    val agg = Streams.enrichAgg(source.toDF(), dim, "c_custkey", "n_name",
+      withWatermark = true)
+    val q = agg.writeStream
+      .format("memory").queryName("enrich_out").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      source.addData(events.drop(3): _*) // a second micro-batch re-reads the dim
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("enrich_out")
+      .orderBy("window_start", "n_name")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val batch = Streams.enrichAgg(events.toDF(), dim, "c_custkey", "n_name")
+      .orderBy("window_start", "n_name")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(streamed.toSeq === batch.toSeq)
+    // every event's user exists in the dim, so nothing is dropped
+    assert(batch.map(_._3).sum === events.size.toLong)
+  }
+
   test("sliding agg over a stream matches the batch plan and double-counts correctly") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
