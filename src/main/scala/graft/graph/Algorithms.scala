@@ -257,7 +257,13 @@ object Algorithms {
     * by gid — both checkpointed inside the AQE-off scope so the
     * partitioning survives — plus the node count and loop width.
     */
-  final case class RankGraph(e: DataFrame, base0: DataFrame, n: Double, width: Int)
+  /** `e` is hash(gsrc, width) — the PageRank-family layout; `eDst` is
+    * the same edge set hash(gdst, width), LAZY so PageRank-only callers
+    * never pay for it — HITS forces it on first use and `PinnedRdds`
+    * pins it with the rest of the invariants.
+    */
+  final case class RankGraph(e: DataFrame, eDst: () => DataFrame,
+      base0: DataFrame, n: Double, width: Int)
 
   def prepareRankGraph(nodes: DataFrame, edges: DataFrame): RankGraph = {
     val e0 = materializeInvariant(edges.select(col("gsrc"), col("gdst")))
@@ -270,7 +276,12 @@ object Algorithms {
         .select(col("gid"), col("outdeg"))
         .repartition(width, col("gid"))
         .localCheckpoint()
-      RankGraph(e, base0, base0.count().toDouble, width)
+      // memoized: checkpointing inside the AQE-off scope preserves the
+      // hash(gdst) partitioning, exactly as for `e` (§9)
+      lazy val eDst = withoutAqe(edges, Some(width)) {
+        e.repartition(width, col("gdst")).localCheckpoint()
+      }
+      RankGraph(e, () => eDst, base0, base0.count().toDouble, width)
     }
   }
 
@@ -400,7 +411,7 @@ object Algorithms {
   def hits(g: RankGraph, iters: Int): DataFrame = {
     withoutAqe(g.e, Some(g.width)) {
     val eSrc = g.e
-    val eDst = g.e.repartition(g.width, col("gdst")).localCheckpoint()
+    val eDst = g.eDst() // pinned invariant, built once per session
     val base = g.base0.select(col("gid")) // projection keeps hash(gid)
     // The recurrence is linear, so per-round normalization only rescales
     // — run it UNNORMALIZED and normalize once at the end (λ^iters stays

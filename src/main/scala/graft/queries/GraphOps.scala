@@ -52,9 +52,11 @@ object GraphOps {
   private def rankGraphCached(spark: SparkSession, dir: String): Algorithms.RankGraph =
     rankGraphCache.getOrElseUpdate((spark.sparkContext.applicationId, dir),
       graft.PinnedRdds.pinning(spark) {
-        Algorithms.prepareRankGraph(
+        val g = Algorithms.prepareRankGraph(
           gidNodesCached(spark, dir, TpchGraph.nodeLabels),
           gidEdgesCached(spark, dir, TpchGraph.edgeLabels))
+        g.eDst() // force HITS's gdst-layout copy INSIDE the pinning scope
+        g
       })
 
   /** Build the pinned materialized views for `dir` ahead of queries —
