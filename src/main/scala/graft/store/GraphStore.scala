@@ -80,6 +80,34 @@ object GraphStore {
     *  - `sortBy` → `sortWithinPartitions` before the write, giving
     *    parquet rowgroup min/max stats their range-index effect.
     */
+  /** Metastore-bucketed write: unlike the path-based [[writeTable]]
+    * clustering (which co-locates rows per file but can't tell the
+    * planner), `bucketBy` + `saveAsTable` records the bucketing in the
+    * catalog, so a join of two tables bucketed (same column, same
+    * count) plans with NO Exchange on either side. At 100 TB this is
+    * THE recurring-join lever: the fact tables pay their big shuffle
+    * once at write time, then every co-bucketed join is narrow (the
+    * residual merge-join Sort is per-bucket and in-memory — Spark ≥ 3
+    * ignores the on-disk sortBy order at read time unless the legacy
+    * `bucketedTableScan.outputOrdering` conf is set; sortBy still earns
+    * its keep as rowgroup min/max clustering). StoreSpec asserts the
+    * exchange-free plan.
+    */
+  def writeBucketedTable(df: DataFrame, table: String, buckets: Int,
+      bucketCols: Seq[String], sortCols: Seq[String] = Nil,
+      path: Option[String] = None): Unit = {
+    require(buckets > 0 && bucketCols.nonEmpty, "need buckets > 0 and bucket columns")
+    // one file per bucket (this IS the once-paid shuffle): the reader
+    // only trusts sortBy order — and skips the merge-join Sort — when a
+    // bucket is a single file
+    val clustered = df.repartition(buckets, bucketCols.map(col): _*)
+    var w = clustered.write.format("parquet").mode("overwrite")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+    if (sortCols.nonEmpty) w = w.sortBy(sortCols.head, sortCols.tail: _*)
+    path.foreach(p => w = w.option("path", p))
+    w.saveAsTable(table)
+  }
+
   def writeTable(df: DataFrame, path: String,
       layout: graft.catalog.LayoutSpec = graft.catalog.LayoutSpec(),
       format: String = "parquet"): Unit = {

@@ -32,6 +32,38 @@ class StoreSpec extends SparkSpec {
     }
   }
 
+  test("co-bucketed tables join with no Exchange") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-bucket").toString
+    val facts = Seq.tabulate(200)(i => (i.toLong % 50, i.toLong, i * 1.5))
+      .toDF("key", "seq", "v")
+    val dims = Seq.tabulate(50)(i => (i.toLong, s"d$i")).toDF("key", "name")
+    GraphStore.writeBucketedTable(facts, "b_facts", buckets = 4,
+      bucketCols = Seq("key"), sortCols = Seq("key"), path = Some(s"$base/f"))
+    GraphStore.writeBucketedTable(dims, "b_dims", buckets = 4,
+      bucketCols = Seq("key"), sortCols = Seq("key"), path = Some(s"$base/d"))
+    try {
+      val joined = spark.table("b_facts")
+        .join(spark.table("b_dims").hint("merge"), "key")
+      val rows = joined.collect()
+      assert(rows.length === 200)
+      // the write paid the shuffle; the join must not repeat it (the
+      // per-bucket in-memory merge Sort remains — Spark ≥ 3 ignores
+      // on-disk sortBy order without a legacy conf)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"unexpected exchange:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"scan not bucketed:\n$plan")
+      // same answer as the plain (shuffling) join
+      val expected = facts.join(dims, "key").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3))).toSet
+      assert(rows.map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3))).toSet === expected)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS b_facts")
+      spark.sql("DROP TABLE IF EXISTS b_dims")
+    }
+  }
+
   test("ingest reads csv/json with the catalog schema, never inference") {
     import graft.catalog.Ddl
     import graft.lang.Parser
