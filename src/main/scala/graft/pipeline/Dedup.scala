@@ -385,6 +385,25 @@ object Dedup {
         when(col("n_kept") > 0, sha2(col("__kept"), 256)).as("kept_sha"))
   }
 
+  /** Cross-snapshot incremental dedup — the index-and-ingest pattern: a
+    * NEW batch is deduped against an already-curated corpus without
+    * re-reading corpus text. The index side reduces to 32-byte digests
+    * (at 100 TB the digest index is ~0.03% of the corpus and lives as
+    * its own compact table, re-usable every ingest); the batch drops
+    * rows whose digest exists in the index, then exact-dedups within
+    * itself (keep min id). Verdict per surviving row: one anti-join on
+    * the digest + one digest groupBy — the batch never joins corpus
+    * text, and the corpus is never re-scanned past its digest column.
+    */
+  def incrementalExact(index: DataFrame, batch: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val idx = index.select(sha2(col(textCol), 256).as("digest")).distinct()
+    batch.select(col(idCol).as("id"), sha2(col(textCol), 256).as("digest"))
+      .join(idx, Seq("digest"), "left_anti")
+      .groupBy(col("digest"))
+      .agg(min(col("id")).as("keep_id"), count(lit(1)).as("n_batch_copies"))
+  }
+
   def decontaminate(corpus: DataFrame, test: DataFrame, idCol: String,
       textCol: String, n: Int = 5): DataFrame = {
     val testShingles = shingles(test, idCol, textCol, n).select(col("sh")).distinct()

@@ -101,6 +101,25 @@ object Pipeline {
        FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
        GROUP BY 1, 2 HAVING count(*) >= 2"""
 
+  /** Incremental ingest dedup: docs ≥ 250 are the new batch, docs < 250
+    * the already-curated index — survivors are batch docs whose text
+    * digest is unseen, exact-deduped within the batch.
+    */
+  def pDedupIncr(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    Dedup.incrementalExact(
+        docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250),
+        "doc_id", "text")
+      .select(col("keep_id"), col("n_batch_copies"))
+  }
+
+  val pDedupIncrSql: String =
+    """WITH idx AS (SELECT DISTINCT sha256(text) AS digest FROM documents WHERE doc_id < 250),
+       b AS (SELECT doc_id, sha256(text) AS digest FROM documents WHERE doc_id >= 250)
+       SELECT min(doc_id) AS keep_id, count(*) AS n_batch_copies
+       FROM b ANTI JOIN idx USING (digest)
+       GROUP BY b.digest"""
+
   /** Benchmark decontamination: corpus docs (doc_id >= 25) sharing any
     * 5-gram with the held-out set (doc_id < 25).
     */
@@ -802,6 +821,23 @@ object Pipeline {
     graft.pipeline.Bpe.tokenize(docs, "doc_id", "text", merges, spark)
   }
 
+  /** Tokenizer fertility audit: chars-per-BPE-token by source under the
+    * induced vocabulary — the standard tokenizer-fit metric (a source
+    * whose fertility is far off corpus norm tokenizes poorly). Rows-only
+    * like the other BPE entries; the ratio arithmetic is spec-checked.
+    */
+  def pBpeFertility(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val merges = graft.pipeline.Bpe.learnMerges(docs, "text", numMerges = 30)
+    val toks = graft.pipeline.Bpe.tokenize(docs, "doc_id", "text", merges, spark)
+      .toDF("doc_id", "n_tokens")
+    docs.join(toks, "doc_id")
+      .groupBy(col("source"))
+      .agg(sum(col("n_chars")).as("chars"), sum(col("n_tokens")).as("bpe_tokens"),
+        round(sum(col("n_chars")).cast("double") / sum(col("n_tokens")), 4)
+          .as("chars_per_token"))
+  }
+
   // -------------------------------------------------------- multimodal
 
   def pMediaMeta(spark: SparkSession, dir: String): DataFrame = {
@@ -930,6 +966,7 @@ object Pipeline {
     QueryDef.sql("p_dedup_embed", pDedupEmbed, pDedupEmbedSql),
     QueryDef.rowsOnly("p_dedup_embed_lsh", pDedupEmbedLsh),
     QueryDef.sql("p_decontam", pDecontam, pDecontamSql),
+    QueryDef.sql("p_dedup_incr", pDedupIncr, pDedupIncrSql),
     QueryDef.sql("p_winnow", pWinnow, pWinnowSql),
     QueryDef.sql("p_split_assign", pSplitAssign, pSplitAssignSql),
     QueryDef.sql("p_sample_mix", pSampleMix, pSampleMixSql),
@@ -948,6 +985,7 @@ object Pipeline {
     QueryDef.sql("p_shuffle_shard", pShuffleShard, pShuffleShardSql),
     QueryDef.rowsOnly("p_bpe_vocab", pBpeVocab),
     QueryDef.rowsOnly("p_bpe_tokens", pBpeTokens),
+    QueryDef.rowsOnly("p_bpe_fertility", pBpeFertility),
     QueryDef.sql("p_curation_pipeline", pCurationPipeline, pCurationPipelineSql),
     QueryDef.sql("p_token_quantiles", pTokenQuantiles, pTokenQuantilesSql),
     QueryDef.sql("p_ngram_freq", pNgramFreq, pNgramFreqSql),

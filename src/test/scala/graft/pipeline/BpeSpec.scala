@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions._
 
 /** Known-answer BPE induction + segmentation (hand-derived merge
   * sequence on a 2-word corpus) and corpus-level determinism.
@@ -41,5 +42,20 @@ class BpeSpec extends SparkSpec {
         docs.repartition(5), "doc_id", "text", merges, spark)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(repart === counts)
+  }
+
+  test("fertility is chars over induced tokens per stratum") {
+    import spark.implicits._
+    val docs = Seq((1L, "aa ab", "s1", 5L), (2L, "aa aa aa", "s2", 8L))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val merges = Bpe.learnMerges(docs, "text", numMerges = 3)
+    val toks = Bpe.tokenize(docs, "doc_id", "text", merges, spark)
+      .toDF("doc_id", "n_tokens")
+    val got = docs.join(toks, "doc_id").groupBy(col("source"))
+      .agg(round(sum(col("n_chars")).cast("double") / sum(col("n_tokens")), 4)
+        .as("cpt"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // s1: 5 chars / 3 tokens; s2: 8 chars / 3 tokens
+    assert(got === Map("s1" -> 1.6667, "s2" -> 2.6667))
   }
 }

@@ -170,6 +170,21 @@ class DedupSpec extends SparkSpec {
     assert(got(12L) === 7L) // all 7 distinct 3-grams of a 9-word doc
   }
 
+  test("incremental dedup drops batch docs already in the index, dedups the rest") {
+    import spark.implicits._
+    val index = Seq((1L, "already curated"), (2L, "also present"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "already curated"), // exact dup of the index → dropped
+      (11L, "fresh content"),
+      (12L, "fresh content"),   // intra-batch dup → collapses to 11
+      (13L, "brand new"))
+      .toDF("doc_id", "text")
+    val got = Dedup.incrementalExact(index, batch, "doc_id", "text")
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(got === Map(11L -> 2L, 13L -> 1L))
+  }
+
   test("line dedup keeps only the first corpus occurrence of each sentence") {
     import spark.implicits._
     def sha(s: String) =
