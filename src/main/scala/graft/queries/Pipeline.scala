@@ -545,6 +545,34 @@ object Pipeline {
     s"""WITH $corpusFilterCtes
        SELECT doc_id, reason, reason = 'ok' AS keep FROM cf"""
 
+  /** The drop ledger itself: per-reason document counts — the one-line
+    * summary every curation run reports. Same rule fragments as
+    * `p_corpus_filter` (shared CTE list), aggregated.
+    */
+  def pFilterReport(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(TextAnalysis.filterReason(col("text")).as("reason"))
+      .groupBy(col("reason")).agg(count(lit(1)).as("n_docs"))
+
+  val pFilterReportSql: String =
+    s"""WITH $corpusFilterCtes
+       SELECT reason, count(*) AS n_docs FROM cf GROUP BY reason"""
+
+  /** Canonical text form (Unicode NFC via the codegen
+    * [[graft.functions.NfcNormalize]] expression) + its digest — the
+    * normalization that must precede content hashing, or composed vs
+    * decomposed codepoint sequences dedup as distinct documents. The
+    * oracle runs DuckDB's nfc_normalize; the unicode known-answers
+    * (where the two forms actually differ) live in TextSpec.
+    */
+  def pNormalize(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        sha2(graft.functions.NfcNormalize(col("text")), 256).as("canon_sha"))
+
+  val pNormalizeSql: String =
+    """SELECT doc_id, sha256(nfc_normalize(text)) AS canon_sha FROM documents"""
+
   /** Sketch-based corpus profile: per source, exact row count plus
     * HyperLogLog++ approximate distinct texts and doc ids — the
     * bounded-memory, mergeable way to count distincts at 100 TB (an
@@ -978,6 +1006,8 @@ object Pipeline {
     QueryDef.sql("p_dedup_clusters", pDedupClusters, pDedupClustersSql),
     QueryDef.sql("p_gopher_quality", pGopherQuality, pGopherQualitySql),
     QueryDef.sql("p_corpus_filter", pCorpusFilter, pCorpusFilterSql),
+    QueryDef.sql("p_filter_report", pFilterReport, pFilterReportSql),
+    QueryDef.sql("p_normalize", pNormalize, pNormalizeSql),
     QueryDef.rowsOnly("p_approx_distinct", pApproxDistinct),
     QueryDef.sql("p_pii_scrub", pPiiScrub, pPiiScrubSql),
     QueryDef.sql("p_tfidf", pTfidf, pTfidfSql),

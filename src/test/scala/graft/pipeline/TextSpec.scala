@@ -124,6 +124,28 @@ class TextSpec extends SparkSpec {
     assert(r(4L) === ((2L, 0L, 0.0)))
   }
 
+  test("nfc normalize collapses decomposed sequences, identity on ASCII and NFC input") {
+    import spark.implicits._
+    val composed = "caf\u00e9" // e-acute as one codepoint
+    val decomposed = "cafe\u0301" // e + combining acute
+    val docs = Seq((1L, composed), (2L, decomposed), (3L, "plain ascii"))
+      .toDF("id", "text")
+    val got = docs.select(col("id"),
+        graft.functions.NfcNormalize(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === composed)
+    assert(got(2L) === composed) // the two forms now hash identically
+    assert(got(3L) === "plain ascii")
+    // exercised in BOTH execution modes (same pattern as the other
+    // custom expressions): interpreted eval must agree with codegen
+    val interp = graft.functions.NfcNormalize(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(decomposed),
+        org.apache.spark.sql.types.StringType))
+      .eval(null).toString
+    assert(interp === composed)
+  }
+
   test("bigram LM score matches the hand-computed smoothed model") {
     import spark.implicits._
     val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "solo"))
