@@ -164,6 +164,33 @@ class RandomizedAlgSpec extends SparkSpec {
     }
   }
 
+  test("hits matches driver iteration on random multigraphs") {
+    (71 to 75).foreach { seed =>
+      val (nodes, edges) = randomGraph(seed)
+      val (ndf, edf) = toDf(nodes, edges)
+      val got = Algorithms.hits(Algorithms.prepareRankGraph(ndf, edf), iters = 5)
+        .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+      // driver model: unnormalized linear recurrence (parallel edges
+      // count with multiplicity), final auth off the final hub state,
+      // one L1 normalization at the end — the Spark loop's semantics
+      var hub = nodes.map(_ -> 1.0).toMap
+      def authOf(h: Map[Long, Double]): Map[Long, Double] =
+        nodes.map(v => v -> edges.filter(_._2 == v).map(e => h(e._1)).sum).toMap
+      (1 to 5).foreach { _ =>
+        val a = authOf(hub)
+        hub = nodes.map(u => u -> edges.filter(_._1 == u).map(e => a(e._2)).sum).toMap
+      }
+      val a = authOf(hub)
+      val aN = a.values.sum; val hN = hub.values.sum
+      nodes.foreach { v =>
+        val expA = if (aN > 0) a(v) / aN else 0.0
+        val expH = if (hN > 0) hub(v) / hN else 0.0
+        assert(math.abs(got(v)._1 - expA) < 1e-9, s"seed=$seed auth($v)")
+        assert(math.abs(got(v)._2 - expH) < 1e-9, s"seed=$seed hub($v)")
+      }
+    }
+  }
+
   test("personalized pagerank matches driver power iteration with seeded teleport") {
     (51 to 55).foreach { seed =>
       val (nodes, edges) = randomGraph(seed)
