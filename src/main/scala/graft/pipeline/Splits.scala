@@ -126,6 +126,51 @@ object Splits {
         WHERE substr(md5(CAST($keyCol AS VARCHAR)), 1, 2) <
           CASE WHEN v >= 256 THEN 'g' ELSE printf('%02x', v) END"""
 
+  /** Temperature-scaled mixture (the multilingual-sampling α rule,
+    * Conneau & Lample 2019): each stratum's target share of the kept
+    * budget is mass^α / Σ mass^α — α < 1 upsamples small strata
+    * relative to proportional sampling, α = 1 reduces to
+    * [[sampleByBudget]]'s proportional rule. Keep rate_s =
+    * min(1, budget·share_s / mass_s), quantized to the same 1/256 hash
+    * grid, so a row's fate stays a pure function of (key, stratum
+    * totals). Same shape as the other samplers: strata-bounded aggs
+    * broadcast back, one narrow filter, the corpus never shuffles.
+    */
+  def sampleByTemperature(df: DataFrame, keyCol: String, strataCol: String,
+      weightCol: String, alpha: Double, budget: Long): DataFrame = {
+    require(budget > 0 && alpha > 0, "budget and alpha must be positive")
+    val totals = df.groupBy(col(strataCol))
+      .agg(sum(col(weightCol)).as("__m"))
+    val z = totals.agg(sum(pow(col("__m").cast("double"), alpha)).as("__z"))
+    val rate = least(lit(1.0),
+      lit(budget.toDouble) * pow(col("__m").cast("double"), alpha) /
+        col("__z") / col("__m").cast("double"))
+    val v = floor(lit(256.0) * rate).cast("int")
+    df.join(broadcast(totals), strataCol)
+      .crossJoin(broadcast(z))
+      .withColumn("__thr",
+        when(v >= 256, lit("g")).otherwise(format_string("%02x", v)))
+      .filter(bucket(col(keyCol)) < col("__thr"))
+      .drop("__m", "__z", "__thr")
+  }
+
+  /** DuckDB mirror of [[sampleByTemperature]] — same grid, same
+    * arithmetic, same operation order (pow/division ULP agreement is
+    * what keeps floor(256·rate) engine-stable).
+    */
+  def sampleByTemperatureSql(table: String, keyCol: String, strataCol: String,
+      weightExpr: String, alpha: Double, budget: Long, selectCols: String): String =
+    s"""WITH w AS (SELECT *, $weightExpr AS __w FROM $table),
+        tot AS (SELECT $strataCol, CAST(sum(__w) AS DOUBLE) AS m
+                FROM w GROUP BY $strataCol),
+        z AS (SELECT sum(pow(m, $alpha)) AS z FROM tot),
+        thr AS (SELECT $strataCol, CAST(floor(256.0 * least(1.0,
+                  $budget.0 * pow(m, $alpha) / z / m)) AS INT) AS v
+                FROM tot CROSS JOIN z)
+        SELECT $selectCols FROM w JOIN thr USING ($strataCol)
+        WHERE substr(md5(CAST($keyCol AS VARCHAR)), 1, 2) <
+          CASE WHEN v >= 256 THEN 'g' ELSE printf('%02x', v) END"""
+
   /** Fixed-COUNT deterministic stratified sample: exactly min(n, |s|)
     * rows per stratum s, selected by md5 order of the key — eval/holdout
     * construction where the budget is a row count, not a keep rate.

@@ -607,6 +607,22 @@ object Pipeline {
     "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)",
     budget = 600L, selectCols = "doc_id, source")
 
+  /** Temperature-scaled mixture (α = 0.5): small sources upsampled
+    * relative to proportional — the multilingual-sampling rule.
+    */
+  def pTempMix(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Splits.sampleByTemperature(
+        Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            TextAnalysis.wsTokens(col("text")).cast("long").as("ws")),
+        "doc_id", "source", "ws", alpha = 0.5, budget = 600L)
+      .select(col("doc_id"), col("source"))
+
+  val pTempMixSql: String = graft.pipeline.Splits.sampleByTemperatureSql(
+    "documents", "doc_id", "source",
+    "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)",
+    alpha = 0.5, budget = 600L, selectCols = "doc_id, source")
+
   /** Gopher/C4-style repetition filter statistics + keep verdict. */
   def pGopherQuality(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
@@ -1003,6 +1019,7 @@ object Pipeline {
     QueryDef.sql("p_lm_score", pLmScore, pLmScoreSql),
     QueryDef.sql("p_line_dedup", pLineDedup, pLineDedupSql),
     QueryDef.sql("p_budget_mix", pBudgetMix, pBudgetMixSql),
+    QueryDef.sql("p_temp_mix", pTempMix, pTempMixSql),
     QueryDef.sql("p_dedup_clusters", pDedupClusters, pDedupClustersSql),
     QueryDef.sql("p_gopher_quality", pGopherQuality, pGopherQualitySql),
     QueryDef.sql("p_corpus_filter", pCorpusFilter, pCorpusFilterSql),

@@ -71,6 +71,29 @@ class SplitsSpec extends SparkSpec {
     assert(again === keptBig)
   }
 
+  test("temperature mixture upsamples small strata relative to proportional") {
+    import spark.implicits._
+    // big: 2000 rows × 1 token, small: 100 rows × 1 token
+    val df = ((0L until 2000L).map(i => (i, "big", 1L)) ++
+      (10000L until 10100L).map(i => (i, "small", 1L))).toDF("k", "s", "w")
+    def keptBySrc(kept: org.apache.spark.sql.DataFrame) =
+      kept.groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        .withDefaultValue(0L)
+    val temp = keptBySrc(Splits.sampleByTemperature(df, "k", "s", "w",
+      alpha = 0.5, budget = 300L))
+    // the GLOBAL budget is respected: ~300 of 2100 tokens kept
+    assert(math.abs(temp.values.sum - 300L) < 60L, s"temp=$temp")
+    // α = 0.5 shifts share toward the small stratum: shares ∝ √mass →
+    // small's keep rate ≈ 300·(√100/(√2000+√100))/100 ≈ 55%, far above
+    // the uniform global-proportional 300/2100 ≈ 14%; big lands below it
+    assert(temp("small").toDouble / 100 > 0.35, s"temp=$temp")
+    assert(temp("big").toDouble / 2000 < 0.145, s"temp=$temp")
+    // determinism: same key set on re-evaluation over a repartition
+    val again = keptBySrc(Splits.sampleByTemperature(df.repartition(7, col("k")),
+      "k", "s", "w", alpha = 0.5, budget = 300L))
+    assert(again === temp)
+  }
+
   test("sampleTopN keeps exactly n per stratum, whole strata when smaller") {
     import spark.implicits._
     val df = ((0L until 100L).map(i => (i, "big")) ++
