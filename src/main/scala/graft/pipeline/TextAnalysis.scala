@@ -123,6 +123,27 @@ object TextAnalysis {
   def scrubPii(textCol: Column): Column =
     piiPatterns.foldLeft(textCol) { case (c, (p, tag)) => regexp_replace(c, p, tag) }
 
+  /** Phrase-blocklist hits: occurrences of any blocklisted phrase
+    * (case-insensitive, whole-phrase) — the standard
+    * blocklist-filtering curation step (spam/adult/boilerplate phrase
+    * lists), distinct from PII (shape-based) and decontamination
+    * (target-set n-grams). One alternation regex per row, codegen'd;
+    * the (bounded) phrase list rides in the pattern literal, exactly
+    * how a broadcast multi-pattern matcher degenerates when the list is
+    * small. Phrases are metachar-escaped (portably — `\Q…\E` is Java-
+    * only and would break the RE2 oracle), so the list is data not
+    * syntax.
+    */
+  def blocklistCount(textCol: Column, phrases: Seq[String]): Column = {
+    require(phrases.nonEmpty, "blocklist must not be empty")
+    regexp_count(lower(textCol), lit(blocklistPattern(phrases)))
+  }
+
+  /** The alternation pattern, shared with the oracle generator. */
+  def blocklistPattern(phrases: Seq[String]): String =
+    phrases.map(_.replaceAll("([\\\\.\\[\\]{}()*+?^$|])", "\\\\$1"))
+      .mkString("(?:", ")|(?:", ")")
+
   // ------------------------------------------------------------- tf-idf
 
   /** Per-(document, term) TF-IDF over whitespace tokens: tf = in-doc

@@ -669,6 +669,27 @@ object Pipeline {
         FROM documents"""
   }
 
+  /** Phrase-blocklist audit: per-doc hit counts for a (bounded) phrase
+    * list + the keep verdict — spam/boilerplate phrase filtering.
+    */
+  private val blockPhrases = Seq("click here", "buy now", "lorem ipsum",
+    "all rights reserved")
+
+  def pBlocklist(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.blocklistCount(col("text"), blockPhrases).cast("long")
+          .as("n_hits"))
+      .withColumn("keep", col("n_hits") === 0L)
+
+  val pBlocklistSql: String = {
+    val pat = TextAnalysis.blocklistPattern(blockPhrases)
+    s"""SELECT doc_id,
+              CAST(len(regexp_extract_all(lower(text), '$pat')) AS BIGINT) AS n_hits,
+              len(regexp_extract_all(lower(text), '$pat')) = 0 AS keep
+       FROM documents"""
+  }
+
   /** TF-IDF term relevance per document. */
   def pTfidf(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.tfidf(Tables.load(spark, dir, "documents"), "doc_id", "text")
@@ -1027,6 +1048,7 @@ object Pipeline {
     QueryDef.sql("p_normalize", pNormalize, pNormalizeSql),
     QueryDef.rowsOnly("p_approx_distinct", pApproxDistinct),
     QueryDef.sql("p_pii_scrub", pPiiScrub, pPiiScrubSql),
+    QueryDef.sql("p_blocklist", pBlocklist, pBlocklistSql),
     QueryDef.sql("p_tfidf", pTfidf, pTfidfSql),
     QueryDef.sql("p_pack_sequences", pPackSequences, pPackSequencesSql),
     QueryDef.sql("p_shuffle_shard", pShuffleShard, pShuffleShardSql),

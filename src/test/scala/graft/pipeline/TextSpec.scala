@@ -124,6 +124,19 @@ class TextSpec extends SparkSpec {
     assert(r(4L) === ((2L, 0L, 0.0)))
   }
 
+  test("blocklist counts phrase hits case-insensitively, metachars stay literal") {
+    import spark.implicits._
+    val phrases = Seq("click here", "v1.0 (beta)")
+    val docs = Seq(
+      (1L, "Click HERE and click here again"),
+      (2L, "running v1.0 (beta) today; v1x0 abetab should NOT match"),
+      (3L, "nothing to see")).toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+        TextAnalysis.blocklistCount(col("text"), phrases).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === Map(1L -> 2, 2L -> 1, 3L -> 0))
+  }
+
   test("nfc normalize collapses decomposed sequences, identity on ASCII and NFC input") {
     import spark.implicits._
     val composed = "caf\u00e9" // e-acute as one codepoint
