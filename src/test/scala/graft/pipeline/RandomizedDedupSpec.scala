@@ -76,4 +76,53 @@ class RandomizedDedupSpec extends SparkSpec {
       assert(got === expected, s"seed=$seed")
     }
   }
+
+  test("line dedup matches driver first-occurrence semantics on random corpora") {
+    import spark.implicits._
+    (1 to 4).foreach { seed =>
+      val rnd = new Random(200 + seed)
+      // sentences drawn from a small pool force heavy cross-doc repeats
+      val pool = Vector("alpha bravo", "charlie delta", "echo foxtrot",
+        "golf hotel alpha", "bravo charlie")
+      val docs = (0L until 10L).map { i =>
+        i -> Seq.fill(1 + rnd.nextInt(4))(pool(rnd.nextInt(pool.size)))
+          .mkString(". ") // interior terminators; final sentence bare
+      }
+      val got = Dedup.lineDedup(docs.toDF("doc_id", "text"), "doc_id", "text")
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      // driver model: first (doc, pos) wins per distinct sentence
+      val seen = scala.collection.mutable.Set.empty[String]
+      val expected = docs.map { case (id, text) =>
+        val lines = text.toLowerCase.trim.split("[.!?]+\\s+").toSeq
+          .map(_.replaceAll("[.!?]+$", "")).filter(_.nonEmpty)
+        val kept = lines.count(l => seen.add(l))
+        id -> ((lines.size.toLong, kept.toLong))
+      }.toMap
+      assert(got === expected, s"seed=$seed docs=$docs")
+    }
+  }
+
+  test("chunking matches driver window arithmetic on random lengths") {
+    import spark.implicits._
+    (1 to 3).foreach { seed =>
+      val rnd = new Random(300 + seed)
+      val docs = (0L until 12L).map { i =>
+        i -> (0 until 1 + rnd.nextInt(40)).map(j => s"w$j").mkString(" ")
+      }
+      val c = 2 + rnd.nextInt(6)
+      val s = 1 + rnd.nextInt(c)
+      val got = Packing.chunkTokens(docs.toDF("doc_id", "text"), "doc_id", "text",
+          chunkSize = c, stride = s)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+      val expected = docs.flatMap { case (id, text) =>
+        val n = text.split("\\s+").length
+        val nChunks = 1 + (math.max(n - c, 0) + s - 1) / s
+        (0 until nChunks).map(k =>
+          (id, k.toLong) -> ((k.toLong * s, math.min(c, n - k * s).toLong)))
+      }.toMap
+      assert(got === expected, s"seed=$seed c=$c s=$s")
+    }
+  }
 }
