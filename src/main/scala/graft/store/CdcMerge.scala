@@ -55,7 +55,7 @@ object CdcMerge {
       orderCols: Seq[String], opCol: String): DataFrame = {
     val w = Window.partitionBy(col(keyCol))
       .orderBy(orderCols.map(col(_).desc_nulls_last): _*)
-    state.unionByName(batch.select(state.columns.map(col): _*))
+    state.unionByName(batch.select(state.columns.toIndexedSeq.map(col): _*))
       .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
       .drop("__rn")
   }
