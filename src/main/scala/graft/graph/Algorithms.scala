@@ -533,7 +533,13 @@ object Algorithms {
     * groupBy and two m-row joins (AQE broadcasts the adjacency side when
     * it fits; each array is ≤ O(√m) entries by the orientation bound).
     */
-  def triangleCount(edges: DataFrame): DataFrame = {
+  /** Shared triangle machinery: canonical undirected simple edges, the
+    * degree table, and the degree-ordered orientation with its adjacency
+    * lists (the edge-iterator layout — wedge volume O(m^1.5), no wedge
+    * row ever shuffled).
+    */
+  private def orientedAdjacency(edges: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
     val canon = edges.select(
       least(col("gsrc"), col("gdst")).as("a"),
       greatest(col("gsrc"), col("gdst")).as("b"))
@@ -553,6 +559,11 @@ object Algorithms {
       .select(col("e.u").as("u"), col("e.w").as("w"))
       .localCheckpoint()
     val adj = oriented.groupBy(col("u")).agg(collect_list(col("w")).as("nbrs"))
+    (deg, oriented, adj)
+  }
+
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val (_, oriented, adj) = orientedAdjacency(edges)
     // inner joins: an endpoint absent from adj has no out-neighbors and
     // contributes 0 triangles on that edge anyway
     oriented
@@ -560,6 +571,30 @@ object Algorithms {
       .join(adj.select(col("u").as("aw"), col("nbrs").as("nw")), col("w") === col("aw"))
       .select(size(array_intersect(col("nu"), col("nw"))).cast("long").as("t"))
       .agg(coalesce(sum(col("t")), lit(0L)).as("triangles"))
+  }
+
+  /** Per-node triangle participation + local clustering coefficient
+    * cc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) — how close each node's
+    * neighborhood is to a clique (community-density / spam-structure
+    * signal). Same edge-iterator as [[triangleCount]]; instead of
+    * summing intersection SIZES, the intersection ELEMENTS explode so
+    * each triangle credits its three corners — 3 rows per triangle,
+    * shuffled on the node key once. Nodes with deg < 2 report cc 0.
+    */
+  def clusteringCoefficient(edges: DataFrame): DataFrame = {
+    val (deg, oriented, adj) = orientedAdjacency(edges)
+    val corners = oriented
+      .join(adj.select(col("u").as("au"), col("nbrs").as("nu")), col("u") === col("au"))
+      .join(adj.select(col("u").as("aw"), col("nbrs").as("nw")), col("w") === col("aw"))
+      .select(col("u"), col("w"), explode(array_intersect(col("nu"), col("nw"))).as("x"))
+      .select(explode(array(col("u"), col("w"), col("x"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("tri"))
+    deg.join(corners.withColumnRenamed("v", "cv"), col("v") === col("cv"), "left")
+      .select(col("v"), col("d"),
+        coalesce(col("tri"), lit(0L)).as("triangles"),
+        when(col("d") >= 2,
+          round(lit(2.0) * coalesce(col("tri"), lit(0L)) /
+            (col("d") * (col("d") - 1)), 6)).otherwise(lit(0.0)).as("cc"))
   }
 
   /** Adamic-Adar link prediction over an undirected simple graph:

@@ -417,6 +417,38 @@ object GraphOps {
        FROM e e1 JOIN e e2 ON e1.b = e2.a
                  JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b"""
 
+  /** Per-part local clustering coefficient over the co-purchase graph —
+    * neighborhood density (how clique-like each part's co-purchase
+    * neighborhood is). Oracle enumerates each node's closed wedges
+    * directly; the Spark side explodes the edge-iterator intersections
+    * so every triangle credits its three corners.
+    */
+  def gClusteringCoef(spark: SparkSession, dir: String): DataFrame = {
+    val (_, edges) = copurchaseGraph(spark, dir)
+    Algorithms.clusteringCoefficient(edges)
+      .select(col("v").as("part"), col("d").as("degree"),
+        col("triangles"), col("cc"))
+  }
+
+  val gClusteringCoefSql: String =
+    """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       ce AS MATERIALIZED (
+         SELECT a.l_partkey AS a, b.l_partkey AS b
+         FROM op a JOIN op b
+         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         GROUP BY 1, 2),
+       und AS MATERIALIZED (SELECT a, b FROM ce UNION ALL SELECT b AS a, a AS b FROM ce),
+       deg AS (SELECT a AS v, count(*) AS d FROM und GROUP BY a),
+       tri AS (SELECT u1.a AS v, count(*) AS t
+               FROM und u1 JOIN und u2 ON u1.a = u2.a AND u1.b < u2.b
+               JOIN ce e ON e.a = u1.b AND e.b = u2.b
+               GROUP BY u1.a)
+       SELECT d.v AS part, d.d AS degree, coalesce(t.t, 0) AS triangles,
+              CASE WHEN d.d >= 2
+                THEN round(2.0 * coalesce(t.t, 0) / (d.d * (d.d - 1)), 6)
+                ELSE 0.0 END AS cc
+       FROM deg d LEFT JOIN tri t USING (v)"""
+
   /** WAL replay → state reconstruction (reference server/commitlog.go:
     * replay-on-boot): treating events as an ordered command log keyed by
     * user_id, the reconstructed state is last-writer-wins per key.
@@ -487,6 +519,7 @@ object GraphOps {
     QueryDef.sql("g_label_prop", gLabelProp, gLabelPropSql),
     QueryDef.sql("g_kcore", gKcore, gKcoreSql),
     QueryDef.sql("g_triangles", gTriangles, gTrianglesSql),
+    QueryDef.sql("g_clustering_coef", gClusteringCoef, gClusteringCoefSql),
     QueryDef.sql("g_adamic_adar", gAdamicAdar, gAdamicAdarSql),
     QueryDef.sql("g_wal_replay", gWalReplay, gWalReplaySql))
 }

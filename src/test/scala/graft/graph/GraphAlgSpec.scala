@@ -127,6 +127,20 @@ class GraphAlgSpec extends SparkSpec {
     assert(n === 4L)
   }
 
+  test("clustering coefficient: K4 corners are closed, a pendant dilutes its anchor") {
+    // K4 on 1-4 plus pendant 5-1
+    val edges = edgeDf(
+      1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 3L, 2L -> 4L, 3L -> 4L, 5L -> 1L)
+    val got = Algorithms.clusteringCoefficient(edges)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // pure K4 corners: deg 3, 3 triangles, cc = 2·3/(3·2) = 1
+    Seq(2L, 3L, 4L).foreach(v => assert(got(v) === ((3L, 3L, 1.0)), s"node $v"))
+    // node 1 gains the pendant: deg 4, still 3 triangles → 6/12
+    assert(got(1L) === ((4L, 3L, 0.5)))
+    // the pendant itself: deg 1, no triangles, cc 0
+    assert(got(5L) === ((1L, 0L, 0.0)))
+  }
+
   test("co-partitioned (large-state) path matches the broadcast path") {
     // force the shuffle-hash loop the bench only exercises at scale:
     // with the state bound at 0 every loop takes the co-partitioned
