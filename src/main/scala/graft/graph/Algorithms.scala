@@ -533,6 +533,18 @@ object Algorithms {
     * groupBy and two m-row joins (AQE broadcasts the adjacency side when
     * it fits; each array is ≤ O(√m) entries by the orientation bound).
     */
+  /** The degree-ordered edge-iterator invariants shared by the triangle
+    * family (global count + per-node clustering coefficient): degree
+    * table, oriented edges, adjacency lists. Prepared once and pinned
+    * per session like RankGraph/AdjGraph.
+    */
+  final case class OrientedGraph(deg: DataFrame, oriented: DataFrame, adj: DataFrame)
+
+  def prepareOriented(edges: DataFrame): OrientedGraph = {
+    val (d, o, a) = orientedAdjacency(edges)
+    OrientedGraph(d, o, a)
+  }
+
   /** Shared triangle machinery: canonical undirected simple edges, the
     * degree table, and the degree-ordered orientation with its adjacency
     * lists (the edge-iterator layout — wedge volume O(m^1.5), no wedge
@@ -562,16 +574,17 @@ object Algorithms {
     (deg, oriented, adj)
   }
 
-  def triangleCount(edges: DataFrame): DataFrame = {
-    val (_, oriented, adj) = orientedAdjacency(edges)
+  def triangleCount(edges: DataFrame): DataFrame =
+    triangleCount(prepareOriented(edges))
+
+  def triangleCount(g: OrientedGraph): DataFrame =
     // inner joins: an endpoint absent from adj has no out-neighbors and
     // contributes 0 triangles on that edge anyway
-    oriented
-      .join(adj.select(col("u").as("au"), col("nbrs").as("nu")), col("u") === col("au"))
-      .join(adj.select(col("u").as("aw"), col("nbrs").as("nw")), col("w") === col("aw"))
+    g.oriented
+      .join(g.adj.select(col("u").as("au"), col("nbrs").as("nu")), col("u") === col("au"))
+      .join(g.adj.select(col("u").as("aw"), col("nbrs").as("nw")), col("w") === col("aw"))
       .select(size(array_intersect(col("nu"), col("nw"))).cast("long").as("t"))
       .agg(coalesce(sum(col("t")), lit(0L)).as("triangles"))
-  }
 
   /** Per-node triangle participation + local clustering coefficient
     * cc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) — how close each node's
@@ -581,8 +594,11 @@ object Algorithms {
     * each triangle credits its three corners — 3 rows per triangle,
     * shuffled on the node key once. Nodes with deg < 2 report cc 0.
     */
-  def clusteringCoefficient(edges: DataFrame): DataFrame = {
-    val (deg, oriented, adj) = orientedAdjacency(edges)
+  def clusteringCoefficient(edges: DataFrame): DataFrame =
+    clusteringCoefficient(prepareOriented(edges))
+
+  def clusteringCoefficient(g: OrientedGraph): DataFrame = {
+    val (deg, oriented, adj) = (g.deg, g.oriented, g.adj)
     val corners = oriented
       .join(adj.select(col("u").as("au"), col("nbrs").as("nu")), col("u") === col("au"))
       .join(adj.select(col("u").as("aw"), col("nbrs").as("nw")), col("w") === col("aw"))

@@ -71,6 +71,7 @@ object GraphOps {
     gidNodesCached(spark, dir, TpchGraph.nodeLabels)
     rankGraphCached(spark, dir)
     adjGraphCached(spark, dir)
+    orientedCached(spark, dir)
     ()
   }
 
@@ -85,6 +86,18 @@ object GraphOps {
     adjGraphCache.getOrElseUpdate((spark.sparkContext.applicationId, dir),
       graft.PinnedRdds.pinning(spark) {
         Algorithms.prepareAdjacency(copurchaseGraph(spark, dir)._2)
+      })
+
+  /** The degree-ordered edge-iterator invariants shared by the triangle
+    * family (g_triangles, g_clustering_coef) — pinned like the others.
+    */
+  private val orientedCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Algorithms.OrientedGraph]
+
+  private def orientedCached(spark: SparkSession, dir: String): Algorithms.OrientedGraph =
+    orientedCache.getOrElseUpdate((spark.sparkContext.applicationId, dir),
+      graft.PinnedRdds.pinning(spark) {
+        Algorithms.prepareOriented(copurchaseGraph(spark, dir)._2)
       })
 
   /** MATCH (c:customer {segment, acctbal-pred}) RETURN ... — reference
@@ -403,10 +416,8 @@ object GraphOps {
              ORDER BY round(score, 6) DESC, s, y LIMIT 100)"""
 
   /** Triangle count over the co-purchase graph. */
-  def gTriangles(spark: SparkSession, dir: String): DataFrame = {
-    val (_, edges) = copurchaseGraph(spark, dir)
-    Algorithms.triangleCount(edges)
-  }
+  def gTriangles(spark: SparkSession, dir: String): DataFrame =
+    Algorithms.triangleCount(orientedCached(spark, dir))
 
   val gTrianglesSql: String =
     """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
@@ -423,12 +434,10 @@ object GraphOps {
     * directly; the Spark side explodes the edge-iterator intersections
     * so every triangle credits its three corners.
     */
-  def gClusteringCoef(spark: SparkSession, dir: String): DataFrame = {
-    val (_, edges) = copurchaseGraph(spark, dir)
-    Algorithms.clusteringCoefficient(edges)
+  def gClusteringCoef(spark: SparkSession, dir: String): DataFrame =
+    Algorithms.clusteringCoefficient(orientedCached(spark, dir))
       .select(col("v").as("part"), col("d").as("degree"),
         col("triangles"), col("cc"))
-  }
 
   val gClusteringCoefSql: String =
     """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
