@@ -85,6 +85,8 @@ object Bench {
     for (pass <- 1 to passes) {
       val order = new scala.util.Random(42L + pass).shuffle(baseOrder)
       order.foreach { case (name, fn) =>
+        if (sys.env.contains("GRAFT_DEBUG_STAGES"))
+          System.err.println(s"[bench] start $name")
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
           case e: Throwable =>
@@ -93,15 +95,22 @@ object Bench {
         }
         val elapsed = (System.nanoTime() - t0) / 1e9
         dropPersisted() // cleanup stays outside the measured window
+        if (sys.env.contains("GRAFT_DEBUG_STAGES"))
+          System.err.println(f"[bench] done $name $elapsed%.2fs")
         results(name) = results.get(name).fold(elapsed)(math.min(_, elapsed))
       }
       System.err.println(f"[bench] pass $pass done")
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // ascending by time: the driver persists only the last ~2 KB of
+    // output, so the expensive queries (the ones worth auditing) must
+    // sit at the END of the line; total/failed after the map for the
+    // same reason (round-4 verdict "What's missing" #2)
+    val qs = results.toSeq.sortBy(_._2)
+      .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"value":$total,"failed":$failedJson}""")
     spark.stop()
   }
 }

@@ -36,7 +36,9 @@ object Algorithms {
     * state outgrows executor memory.
     */
   private def BroadcastStateBound: Long =
-    sys.props.get("graft.broadcastStateBound").map(_.toLong).getOrElse(100000L)
+    sys.props.get("graft.broadcastStateBound")
+      .orElse(sys.env.get("GRAFT_BROADCAST_STATE_BOUND"))
+      .map(_.toLong).getOrElse(100000L)
   private def stateHint(df: DataFrame, small: Boolean): DataFrame =
     if (small) broadcast(df) else df.hint("shuffle_hash")
 

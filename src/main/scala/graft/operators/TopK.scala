@@ -24,9 +24,20 @@ import org.apache.spark.sql.functions._
   */
 object TopK {
 
-  /** (value, id) ordering: larger value first, then smaller id. */
-  private def better(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+  /** (value, id) ordering: larger value first, then smaller id.
+    * `Double.compare` instead of primitive `>` so NaN ranks ABOVE every
+    * double — matching Spark's `desc` sort order, which the window
+    * formulation this aggregate hash-matches relies on (primitive
+    * comparisons are all-false on NaN and would silently drop such
+    * rows). Zeros are normalized first: `Double.compare(-0.0, 0.0)` is
+    * negative, but Spark sorts treat the two as equal.
+    */
+  private def better(a: (Double, Long), b: (Double, Long)): Boolean = {
+    val cmp = java.lang.Double.compare(
+      if (a._1 == 0.0d) 0.0d else a._1,
+      if (b._1 == 0.0d) 0.0d else b._1)
+    cmp > 0 || (cmp == 0 && a._2 < b._2)
+  }
 
   final class TopKAggregator(k: Int)
       extends Aggregator[(Double, Long), Vector[(Double, Long)], Seq[(Double, Long)]] {

@@ -28,20 +28,36 @@ object Bpe {
 
   private val EndOfWord = "</w>"
 
-  /** Word → frequency via the distributed aggregation, collected as the
-    * bounded vocabulary table.
+  /** Hard cap on the distinct-word table the merge loop collects.
+    * Vocabulary grows ~logarithmically with corpus size on natural
+    * text, but an adversarial corpus (random strings) is unbounded —
+    * the cap keeps the driver table bounded by CONSTRUCTION, the same
+    * frequency-cutoff HF tokenizer trainers apply. 1M words ≈ tens of
+    * MB; plans as TakeOrderedAndProject (distributed per-partition
+    * top-N, one k-row merge), never a full sort.
     */
-  def wordCounts(df: DataFrame, textCol: String): Array[(String, Long)] =
+  val DefaultMaxVocab = 1000000
+
+  /** Word → frequency via the distributed aggregation, collected as the
+    * bounded vocabulary table: the `maxVocab` most frequent words, ties
+    * broken lexicographically so the table (and everything learned from
+    * it) stays deterministic under partitioning.
+    */
+  def wordCounts(df: DataFrame, textCol: String,
+      maxVocab: Int = DefaultMaxVocab): Array[(String, Long)] =
     df.select(explode(split(lower(trim(col(textCol))), "\\s+")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w"))
+      .limit(maxVocab)
       .collect().map(r => r.getString(0) -> r.getLong(1))
 
   /** Learn `numMerges` BPE merges from the corpus. Returns the ordered
     * merge list — earlier = higher priority.
     */
-  def learnMerges(df: DataFrame, textCol: String, numMerges: Int): Seq[Merge] = {
-    var vocab: Map[Vector[String], Long] = wordCounts(df, textCol).map {
+  def learnMerges(df: DataFrame, textCol: String, numMerges: Int,
+      maxVocab: Int = DefaultMaxVocab): Seq[Merge] = {
+    var vocab: Map[Vector[String], Long] = wordCounts(df, textCol, maxVocab).map {
       case (w, c) => (w.map(_.toString).toVector :+ EndOfWord) -> c
     }.toMap
     val merges = Seq.newBuilder[Merge]

@@ -88,9 +88,20 @@ object Cluster {
     * pairs (id_a, id_b, cluster, cosine ≥ threshold).
     */
   def semDedup(emb: DataFrame, idCol: String, vecCol: String,
-      k: Int, rounds: Int, threshold: Double): DataFrame = {
+      k: Int, rounds: Int, threshold: Double,
+      maxClusterSize: Long = Long.MaxValue): DataFrame = {
     // materialize the fitted assignment once: both self-join legs read it
-    val asg = kmeansAssign(emb, idCol, vecCol, k, rounds).localCheckpoint()
+    val asg0 = kmeansAssign(emb, idCol, vecCol, k, rounds).localCheckpoint()
+    // population guard, same posture as Dedup.boundBuckets: the pairwise
+    // stage is Σ|cluster|² by design, and a degenerate fit (k too small,
+    // all-similar corpus) regresses toward n² on one join key with no
+    // error. Opt-in cap drops such clusters from the pairwise path;
+    // [[oversizedClusters]] is the audit face that counts what a capped
+    // run skipped. Singletons are dropped losslessly (they cannot pair).
+    val sizes = asg0.groupBy(col("cluster")).agg(count(lit(1)).as("__cn"))
+    val asg = asg0.join(broadcast(sizes), "cluster")
+      .filter(col("__cn") >= 2 && col("__cn") <= maxClusterSize)
+      .drop("__cn")
     val a = asg.select(col("cluster"), col("id").as("id_a"), col("v").as("va"))
     val b = asg.select(col("cluster").as("cluster_b"), col("id").as("id_b"),
       col("v").as("vb"))
@@ -99,6 +110,19 @@ object Cluster {
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cluster"), col("cosine"))
   }
+
+  /** (cluster, population) of fitted clusters above `maxClusterSize` —
+    * the audit face of [[semDedup]]'s cap, mirroring
+    * [[Dedup.oversizedLshBuckets]]: what a capped run drops from the
+    * pairwise path, so lost recall is counted/routed, never silent. The
+    * fit is deterministic, so this re-run aligns exactly with the
+    * capped pass's assignment.
+    */
+  def oversizedClusters(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, rounds: Int, maxClusterSize: Long): DataFrame =
+    kmeansAssign(emb, idCol, vecCol, k, rounds)
+      .groupBy(col("cluster")).agg(count(lit(1)).as("population"))
+      .filter(col("population") > maxClusterSize)
 
   /** Embedding outlier pruning: each vector's (squared) distance to its
     * fitted centroid, flagged when above its cluster's q-quantile — the
@@ -147,8 +171,11 @@ object Cluster {
     val loL = lit(lo.toIndexedSeq.toArray)
     val hiL = lit(hi.toIndexedSeq.toArray)
     val v = col(vecCol).cast("array<double>")
+    // sequence(0, -1) steps DOWNWARD to [0, -1]; an empty vector must
+    // index to an empty list, not two phantom dimensions
     val idxOf = (arr: org.apache.spark.sql.Column) =>
-      sequence(lit(0), size(arr) - 1)
+      when(size(arr) > 0, sequence(lit(0), size(arr) - 1))
+        .otherwise(array().cast("array<int>"))
     val codes = zip_with(v, idxOf(v), (x, i) => {
       val l = element_at(loL, i + 1)
       val h = element_at(hiL, i + 1)
@@ -162,8 +189,10 @@ object Cluster {
         l + c * (h - l) / 255.0
       })
     base.select(col("id"), col("codes"),
-      (aggregate(zip_with(col("v"), deq, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, d) => acc + d) / size(col("v"))).as("mse"))
+      when(size(col("v")) > 0,
+        aggregate(zip_with(col("v"), deq, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, d) => acc + d) / size(col("v")))
+        .otherwise(lit(0.0)).as("mse"))
   }
 
   /** The k-means fit as a reusable DuckDB CTE-list fragment generated

@@ -149,4 +149,39 @@ class OperatorsSpec extends SparkSpec {
     assert(got === expected)
     assert(got.size === 35) // 7 groups x 5
   }
+
+  test("topk aggregator ranks NaN above every double, like the window's desc sort") {
+    import spark.implicits._
+    val df = Seq((0L, 1.0, 1L), (0L, Double.NaN, 2L), (0L, 5.0, 3L),
+      (0L, Double.NaN, 4L), (0L, -0.0, 5L), (0L, 0.0, 6L)).toDF("g", "v", "id")
+    val got = TopK.topKPerGroup(df, "g", "v", "id", k = 4)
+      .select("rank", "id").collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("v").desc, col("id"))
+    val expected = df.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 4)
+      .select(col("rank").cast("long"), col("id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(got === expected)
+    // NaNs first (ids 2,4 by the id tiebreak), then 5.0, then 1.0
+    assert(got === Set(1L -> 2L, 2L -> 4L, 3L -> 3L, 4L -> 1L))
+  }
+
+  test("q_topk_agg plans the partial topkaggregator before the exchange") {
+    // the whole point of the aggregate formulation is map-side partials:
+    // ≤ k entries per (group, map partition) cross the wire. Assert the
+    // physical plan keeps that shape so a Spark upgrade can't silently
+    // de-optimize it into a full shuffle + sort.
+    import spark.implicits._
+    val df = (1L to 100L).map(i => (i % 5, i.toDouble, i)).toDF("g", "v", "id")
+    val plan = TopK.topKPerGroup(df, "g", "v", "id", k = 3)
+      .queryExecution.executedPlan.toString
+    val partialIdx = plan.toLowerCase.indexOf("partial_topkaggregator")
+    val exchangeIdx = plan.indexOf("Exchange")
+    assert(partialIdx >= 0, s"no partial topkaggregator in plan:\n$plan")
+    assert(exchangeIdx >= 0 && partialIdx > exchangeIdx,
+      // plan trees print top-down: the partial agg is BELOW (after, in
+      // text) the exchange iff it runs before it
+      s"partial aggregate not below the exchange:\n$plan")
+  }
 }

@@ -58,4 +58,18 @@ class BpeSpec extends SparkSpec {
     // s1: 5 chars / 3 tokens; s2: 8 chars / 3 tokens
     assert(got === Map("s1" -> 1.6667, "s2" -> 2.6667))
   }
+
+  test("maxVocab caps the collected word table by frequency, ties lexicographic") {
+    import spark.implicits._
+    // frequencies: zz×3, aa×2, then ba/bb×1 — a cap of 3 must keep
+    // (zz, aa) and break the 1-count tie toward "ba"
+    val docs = Seq("zz zz zz aa", "aa ba bb").toDF("text")
+    val capped = Bpe.wordCounts(docs, "text", maxVocab = 3)
+    assert(capped.toSeq === Seq("zz" -> 3L, "aa" -> 2L, "ba" -> 1L))
+    // learning under the cap only ever sees the kept words
+    val merges = Bpe.learnMerges(docs, "text", numMerges = 10, maxVocab = 1)
+    assert(merges.forall { case (a, b) => (a + b).replace("</w>", "").forall(c => c == 'z') })
+    // uncapped default keeps everything
+    assert(Bpe.wordCounts(docs, "text").length === 4)
+  }
 }

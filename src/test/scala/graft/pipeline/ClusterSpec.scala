@@ -99,4 +99,43 @@ class ClusterSpec extends SparkSpec {
     pairs.foreach { case (a, b) => assert(clusters(a) === clusters(b)) }
     assert(!pairs.exists { case (a, b) => clusters(a) != clusters(b) })
   }
+
+  test("semDedup maxClusterSize drops a planted mega-cluster and the audit sees it") {
+    import spark.implicits._
+    // 20 identical vectors (one mega-cluster) + a 2-vector tight pair;
+    // ids 1 and 2 straddle the groups so the deterministic init seeds
+    // one centroid in each
+    val mega = (Seq(1L) ++ (3L to 21L)).map(i => (i, Array(10.0f, 0.0f, 0.0f)))
+    val emb = (mega ++ Seq(
+      (2L, Array(0.0f, 10.0f, 0.0f)),
+      (22L, Array(0.1f, 10.0f, 0.0f)))).toDF("vec_id", "embedding")
+    val uncapped = Cluster.semDedup(emb, "vec_id", "embedding",
+      k = 2, rounds = 2, threshold = 0.9)
+    assert(uncapped.count() === 20L * 19 / 2 + 1) // mega pairs + the small pair
+    // cap below the mega-cluster population: its |c|² pairwise work is
+    // skipped entirely, the small cluster still reports its pair
+    val capped = Cluster.semDedup(emb, "vec_id", "embedding",
+      k = 2, rounds = 2, threshold = 0.9, maxClusterSize = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === Set((2L, 22L)))
+    // audit face: exactly the dropped cluster, with its true population
+    val audit = Cluster.oversizedClusters(emb, "vec_id", "embedding",
+        k = 2, rounds = 2, maxClusterSize = 10)
+      .collect().map(r => r.getLong(1))
+    assert(audit.toSeq === Seq(20L))
+    // no cap → no audit rows
+    assert(Cluster.oversizedClusters(emb, "vec_id", "embedding",
+      k = 2, rounds = 2, maxClusterSize = Long.MaxValue).isEmpty)
+  }
+
+  test("quantizeInt8 codes an empty vector to an empty list, not phantom dims") {
+    import spark.implicits._
+    val emb = Seq((1L, Array(1.0f, 2.0f)), (2L, Array.empty[Float]))
+      .toDF("vec_id", "embedding")
+    val (lo, hi) = Cluster.quantStats(emb, "embedding")
+    val got = Cluster.quantizeInt8(emb, "vec_id", "embedding", lo, hi)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(got(2L) === Seq.empty)
+    assert(got(1L).length === 2)
+  }
 }
