@@ -718,17 +718,21 @@ object Algorithms {
       .unionByName(edges.select(col("gdst").as("a"), col("gsrc").as("b")))
       .localCheckpoint()
     val width = loopWidth(edges, und0.count())
-    // size-adaptive strategy, same shape as connectedComponents
+    // ALWAYS co-partitioned, unlike the size-adaptive siblings: label
+    // prop re-broadcasts TWO state tables per round (labels + votes),
+    // and the A/B at sf0.1 has the co-partitioned loop faster even in
+    // isolation (4.3 s vs 6.1 s) and far more robust inside a full
+    // 100-query bench run (5.3 s vs 9-26 s) — the per-round driver
+    // collect+build behind each broadcast is the part that stalls under
+    // full-run driver-heap pressure, and this path does zero of them.
+    // (Override knob retained for future A/Bs via
+    // -Dgraft.broadcastStateBound=<huge> is deliberately NOT honored
+    // here: the broadcast formulation lost both measurements.)
     withoutAqe(edges, Some(width)) {
     var labels = nodes.select(col("gid"), col("gid").as("community"))
-    val nRows = labels.count()
-    val small = nRows <= BroadcastStateBound
-    val undirected =
-      if (small) und0.coalesce(width)
-      else und0.repartition(width, col("b")).localCheckpoint()
-    labels =
-      if (small) labels.localCheckpoint()
-      else labels.repartition(width, col("gid")).localCheckpoint()
+    val small = false
+    val undirected = und0.repartition(width, col("b")).localCheckpoint()
+    labels = labels.repartition(width, col("gid")).localCheckpoint()
     for (_ <- 1 to iters) {
       // majority vote with smallest-label tie-break in ONE aggregation:
       // mode(deterministic = true) is "most frequent, ties broken by the
