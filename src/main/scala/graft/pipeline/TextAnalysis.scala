@@ -270,6 +270,48 @@ object TextAnalysis {
           .as("lm_score"))
   }
 
+  /** Shannon entropy (bits) of the per-document CHARACTER distribution —
+    * the compression-ratio quality proxy: near-zero entropy is
+    * repeated-character junk, unusually high entropy is base64/binary
+    * spill; natural prose sits in a stable band. Computed row-locally
+    * with higher-order functions (distinct chars × occurrences — the
+    * alphabet is bounded, so O(|Σ|·len) per row), fully codegen, ZERO
+    * shuffles: the per-(doc, char) groupBy formulation would shuffle
+    * corpus × avg-len rows for the same answer. Matches DuckDB's
+    * `entropy()` aggregate (base-2 Shannon) for the oracle.
+    */
+  def charEntropy(textCol: Column): Column = {
+    val chars = filter(split(textCol, ""), c => length(c) > 0)
+    val n = size(chars).cast("double")
+    val probs = transform(array_distinct(chars),
+      c => size(filter(chars, x => x === c)).cast("double") / n)
+    // 0.0 - sum, not unary minus: a single-character text sums to 0.0
+    // and -0.0 would print/hash differently from the oracle's +0.0
+    lit(0.0) - aggregate(probs, lit(0.0), (acc, p) => acc + p * log(2.0, p))
+  }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
+    * document with the corpus-fit bigram LM ([[bigramLm]]), then cut
+    * each language into `n` equal-population buckets — bucket 1 ("head")
+    * is the most-fluent slice that curation keeps at full weight,
+    * the last ("tail") the usual drop/downsample candidate. Ties are
+    * broken on the ROUNDED score then the id, so the cut is ULP-stable
+    * across engines. ntile's per-language sort is fine at bench scale
+    * and replicates exactly in SQL; at 100 TB a deployment swaps the
+    * window for per-language approx-quantile cutoffs broadcast back —
+    * the published recipe also derives its cutoffs from a sample.
+    */
+  def perplexityBuckets(df: DataFrame, idCol: String, textCol: String,
+      langCol: String, n: Int = 3): DataFrame = {
+    val scored = bigramLm(df, idCol, textCol)
+      .join(df.select(col(idCol).as("id"), col(langCol).as("lang")), Seq("id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(col("lm_score").desc, col("id"))
+    scored.select(col("id"), col("lang"), col("lm_score"),
+      ntile(n).over(w).cast("long").as("bucket"))
+  }
+
   /** Full per-document text profile. */
   def profile(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.functions.FnvHash64
-import graft.pipeline.{Ann, Dedup, Multimodal, TextAnalysis}
+import graft.pipeline.{Ann, Dedup, Importance, Multimodal, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -237,6 +237,64 @@ object Pipeline {
   val pChunkDocsSql: String =
     graft.pipeline.Packing.chunkTokensSql("documents", "doc_id", "text",
       chunkSize = 32, stride = 16, idOut = "doc_id")
+
+  /** DSIR importance weights (Xie et al. 2023): per-doc mean
+    * log-likelihood ratio of hashed bigram features under the
+    * English-subset target model vs the raw corpus model — the
+    * resample-toward-quality signal.
+    */
+  def pDsir(spark: SparkSession, dir: String): DataFrame =
+    Importance.dsirWeights(Tables.load(spark, dir, "documents"),
+        "doc_id", "text", isTarget = col("lang") === "en")
+      .select(col("id").as("doc_id"), col("n_feats"), col("dsir_weight"))
+
+  val pDsirSql: String =
+    Importance.dsirSql("documents", "doc_id", "text", "lang = 'en'")
+
+  /** Per-doc character-distribution Shannon entropy (bits) — the
+    * compression-ratio junk detector.
+    */
+  def pCharEntropy(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        round(TextAnalysis.charEntropy(col("text")), 6).as("char_entropy"))
+
+  val pCharEntropySql: String =
+    """SELECT d.doc_id, round(coalesce(e.ent, 0.0), 6) AS char_entropy
+       FROM documents d LEFT JOIN (
+         SELECT doc_id, entropy(c) AS ent
+         FROM (SELECT doc_id, unnest(string_split_regex(text, '')) AS c
+               FROM documents)
+         WHERE c != '' GROUP BY doc_id) e ON d.doc_id = e.doc_id"""
+
+  /** CCNet-style perplexity buckets: per-language equal-population
+    * head/middle/tail cut on the bigram-LM fluency score.
+    */
+  def pPerplexityBuckets(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.perplexityBuckets(Tables.load(spark, dir, "documents"),
+        "doc_id", "text", "lang", n = 3)
+      .select(col("id").as("doc_id"), col("lang"), col("lm_score"), col("bucket"))
+
+  val pPerplexityBucketsSql: String =
+    """WITH t AS (
+         SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+         FROM documents),
+       t2 AS (SELECT doc_id, w FROM t WHERE len(w) >= 2),
+       b2 AS MATERIALIZED (
+         SELECT doc_id, w[i + 1] AS prev, w[i + 2] AS cur
+         FROM (SELECT doc_id, w, unnest(range(len(w) - 1)) AS i FROM t2)),
+       cbg AS MATERIALIZED (SELECT prev, cur, count(*) AS c FROM b2 GROUP BY 1, 2),
+       cu AS (SELECT prev, sum(c) AS n FROM cbg GROUP BY 1),
+       v AS (SELECT count(DISTINCT cur) AS v FROM cbg),
+       s AS (
+         SELECT doc_id, round(avg(ln((c + 0.5) / (n + 0.5 * v))), 4) AS lm_score
+         FROM b2 JOIN cbg USING (prev, cur) JOIN cu USING (prev) CROSS JOIN v
+         GROUP BY doc_id)
+       SELECT s.doc_id, d.lang, s.lm_score,
+              CAST(ntile(3) OVER (
+                PARTITION BY d.lang ORDER BY s.lm_score DESC, s.doc_id)
+                AS BIGINT) AS bucket
+       FROM s JOIN documents d ON d.doc_id = s.doc_id"""
 
   /** Self-trained bigram LM quality score (statistical gibberish /
     * boilerplate filter): mean log-prob of each doc's bigrams under the
@@ -1066,6 +1124,9 @@ object Pipeline {
     QueryDef.sql("p_sample_topn", pSampleTopN, pSampleTopNSql),
     QueryDef.sql("p_chunk_docs", pChunkDocs, pChunkDocsSql),
     QueryDef.sql("p_lm_score", pLmScore, pLmScoreSql),
+    QueryDef.sql("p_dsir", pDsir, pDsirSql),
+    QueryDef.sql("p_char_entropy", pCharEntropy, pCharEntropySql),
+    QueryDef.sql("p_perplexity_buckets", pPerplexityBuckets, pPerplexityBucketsSql),
     QueryDef.sql("p_line_dedup", pLineDedup, pLineDedupSql),
     QueryDef.sql("p_budget_mix", pBudgetMix, pBudgetMixSql),
     QueryDef.sql("p_temp_mix", pTempMix, pTempMixSql),

@@ -1,0 +1,58 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ImportanceSpec extends SparkSpec {
+
+  // target docs speak in "good good" bigrams, the rest in "junk junk";
+  // a held-out doc of each flavor must be pulled toward its model
+  private def corpus = {
+    import spark.implicits._
+    Seq(
+      (1L, "good text good text good text", true),
+      (2L, "good text good text", true),
+      (3L, "junk spam junk spam junk spam", false),
+      (4L, "junk spam junk spam", false),
+      (5L, "good text good text good", false), // target-like non-target doc
+      (6L, "one", false), // < 2 tokens — no features
+      (7L, "junk spam", false)).toDF("doc_id", "text", "is_tgt")
+  }
+
+  test("dsir weights rank target-like docs above anti-target docs") {
+    val got = Importance.dsirWeights(corpus, "doc_id", "text", col("is_tgt"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // every target-flavored doc (incl. doc 5, which is NOT in the
+    // target set) outranks every junk doc — absolute sign is not
+    // asserted because add-alpha smoothing over 256 buckets dominates
+    // a 7-doc corpus's counts
+    for (g <- Seq(1L, 2L, 5L); j <- Seq(3L, 4L, 7L)) assert(got(g) > got(j))
+    // no-feature doc drops out, like the bigram LM
+    assert(!got.contains(6L))
+  }
+
+  test("dsir weights are layout-pure and mean-log-ratio by construction") {
+    val base = Importance.dsirWeights(corpus, "doc_id", "text", col("is_tgt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val again = Importance.dsirWeights(corpus.repartition(7, col("text")),
+        "doc_id", "text", col("is_tgt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(again === base)
+    // n_feats is tokens-1 for each surviving doc
+    val feats = base.map(t => t._1 -> t._2).toMap
+    assert(feats(1L) === 5L && feats(2L) === 3L && feats(7L) === 1L)
+  }
+
+  test("identical target and raw distributions give ~zero weights") {
+    import spark.implicits._
+    // every doc is in the target: p_t deviates from p_r only through
+    // the smoothing-denominator difference, so weights land near zero
+    // and EQUAL for identical docs
+    val docs = Seq((1L, "a b a b"), (2L, "a b a b"), (3L, "a b a b"))
+      .toDF("doc_id", "text")
+    val got = Importance.dsirWeights(docs, "doc_id", "text", lit(true))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got.values.toSet.size === 1)
+    assert(math.abs(got(1L)) < 1e-6)
+  }
+}

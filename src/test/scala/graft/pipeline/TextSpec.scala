@@ -186,4 +186,36 @@ class TextSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
     assert(rows.toSeq === Seq((1L, "a", 2L, 0.4), (2L, "b", 2L, 0.8)))
   }
+
+  test("char entropy: known answers, positive zero, uniform = log2(alphabet)") {
+    import spark.implicits._
+    val docs = Seq((1L, "aaaa"), (2L, "abab"), (3L, "abcd"), (4L, "a"))
+      .toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+        round(TextAnalysis.charEntropy(col("text")), 6).as("e"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got === Map(1L -> 0.0, 2L -> 1.0, 3L -> 2.0, 4L -> 0.0))
+    // the zero must be POSITIVE zero (oracle parity: +0.0 vs -0.0 hash
+    // differently after string formatting)
+    assert(java.lang.Double.doubleToRawLongBits(got(1L)) === 0L)
+  }
+
+  test("perplexity buckets cut each language into equal thirds, fluent first") {
+    import spark.implicits._
+    // 6 'aa' docs per lang; fluency decreases as rarer bigrams appear
+    val docs = (1L to 6L).map(i =>
+        (i, ("aa " * (7 - i.toInt)).trim + " zz" + i, "en")) ++
+      (7L to 12L).map(i => (i, ("bb " * (13 - i.toInt)).trim + " yy" + i, "de"))
+    val got = TextAnalysis.perplexityBuckets(
+        docs.toDF("doc_id", "text", "lang"), "doc_id", "text", "lang", n = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    // 2 docs per (lang, bucket)
+    val sizes = got.groupBy(r => (r._2, r._4)).view.mapValues(_.length).toMap
+    assert(sizes.values.toSet === Set(2))
+    assert(sizes.keySet === Set("en", "de").flatMap(l => (1L to 3L).map(l -> _)))
+    // within a language, no doc in a later bucket outscores an earlier one
+    for (l <- Seq("en", "de"); a <- got; b <- got
+         if a._2 == l && b._2 == l && a._4 < b._4)
+      assert(a._3 >= b._3)
+  }
 }
