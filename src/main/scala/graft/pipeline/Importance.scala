@@ -27,12 +27,16 @@ import org.apache.spark.sql.functions._
   *  - the per-doc score is the mean over its bigram occurrences of
   *    ln(p_target(bucket) / p_raw(bucket)).
   *
-  * Scale shape: one narrow explode pass feeds (a) two 256-row
-  * aggregations and (b) the scoring join, which is a broadcast-hash
-  * join against the 256-row ratio table followed by one groupBy(doc) —
-  * two bounded shuffles plus the per-doc aggregation, no driver
-  * actions. Docs with < 2 tokens have no features and drop out,
-  * matching [[TextAnalysis.bigramLm]] and the oracle CTE.
+  * Scale shape: TWO narrow corpus passes and nothing token-level ever
+  * materializes. Pass one fits BOTH models in a single conditional
+  * aggregation to 256 rows (the totals then derive from that table,
+  * not from the corpus); pass two re-explodes for scoring — a
+  * broadcast-hash join against the 256-row ratio table plus one
+  * groupBy(doc). Recomputing the narrow explode beats checkpointing
+  * the exploded (corpus × tokens)-row table, the same trade
+  * [[graft.queries.Pipeline.pDedupNgram]] documents for re-shingling.
+  * Docs with < 2 tokens have no features and drop out, matching
+  * [[TextAnalysis.bigramLm]] and the oracle CTE.
   */
 object Importance {
 
@@ -58,19 +62,17 @@ object Importance {
           slice(col("w"), lit(1), size(col("w")) - 1),
           slice(col("w"), lit(2), size(col("w")) - 1),
           (a, b) => bucketOf(a, b))).as("bucket"))
-      .localCheckpoint() // feeds both model aggregations AND scoring
-    val tgt = bi.filter(col("is_target"))
-      .groupBy(col("bucket")).agg(count(lit(1)).as("tc"))
-    val raw = bi.groupBy(col("bucket")).agg(count(lit(1)).as("rc"))
-    val totals = bi.agg(
-      sum(when(col("is_target"), 1L).otherwise(0L)).as("tn"),
-      count(lit(1)).as("rn"))
-    // left join from raw (every observed bucket) so target-unseen
-    // buckets still smooth to alpha / (tn + alpha * Buckets)
-    val ratio = raw.join(tgt, Seq("bucket"), "left")
-      .crossJoin(broadcast(totals))
+    // both models in ONE aggregation pass: rc counts every occurrence,
+    // tc only the target ones (buckets unseen in the target smooth to
+    // alpha / (tn + alpha·Buckets) via tc = 0)
+    val models = bi.groupBy(col("bucket")).agg(
+      count(lit(1)).as("rc"),
+      sum(when(col("is_target"), 1L).otherwise(0L)).as("tc"))
+    // totals from the 256-row model table — NOT another corpus pass
+    val totals = models.agg(sum(col("tc")).as("tn"), sum(col("rc")).as("rn"))
+    val ratio = models.crossJoin(broadcast(totals))
       .select(col("bucket"),
-        log((coalesce(col("tc"), lit(0L)) + alpha) / (col("tn") + alpha * Buckets))
+        log((col("tc") + alpha) / (col("tn") + alpha * Buckets))
           .minus(log((col("rc") + alpha) / (col("rn") + alpha * Buckets)))
           .as("log_ratio"))
     bi.join(broadcast(ratio), Seq("bucket"))
