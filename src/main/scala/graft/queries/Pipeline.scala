@@ -238,6 +238,25 @@ object Pipeline {
     graft.pipeline.Packing.chunkTokensSql("documents", "doc_id", "text",
       chunkSize = 32, stride = 16, idOut = "doc_id")
 
+  /** Misra-Gries heavy hitters over the corpus token stream — the
+    * single-pass k-bounded-state frequency sketch. The driver runs it
+    * with capacity ≥ the corpus vocabulary (the exact regime, so the
+    * GROUP BY oracle hash-matches); FreqSketchSpec exercises eviction
+    * and the N/(k+1) undercount bound, which is the 100 TB contract.
+    */
+  def pHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.load(spark, dir, "documents")
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+    graft.operators.FreqSketch.heavyHitters(words, "w", capacity = 256)
+  }
+
+  val pHeavyHittersSql: String =
+    """SELECT w AS item, count(*) AS est_count
+       FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+             FROM documents)
+       WHERE len(w) > 0 GROUP BY 1"""
+
   /** DSIR importance weights (Xie et al. 2023): per-doc mean
     * log-likelihood ratio of hashed bigram features under the
     * English-subset target model vs the raw corpus model — the
@@ -1125,6 +1144,7 @@ object Pipeline {
     QueryDef.sql("p_chunk_docs", pChunkDocs, pChunkDocsSql),
     QueryDef.sql("p_lm_score", pLmScore, pLmScoreSql),
     QueryDef.sql("p_dsir", pDsir, pDsirSql),
+    QueryDef.sql("p_heavy_hitters", pHeavyHitters, pHeavyHittersSql),
     QueryDef.sql("p_char_entropy", pCharEntropy, pCharEntropySql),
     QueryDef.sql("p_perplexity_buckets", pPerplexityBuckets, pPerplexityBucketsSql),
     QueryDef.sql("p_line_dedup", pLineDedup, pLineDedupSql),
