@@ -275,10 +275,12 @@ object TextAnalysis {
     * repeated-character junk, unusually high entropy is base64/binary
     * spill; natural prose sits in a stable band. Computed row-locally
     * with higher-order functions (distinct chars × occurrences — the
-    * alphabet is bounded, so O(|Σ|·len) per row), fully codegen, ZERO
-    * shuffles: the per-(doc, char) groupBy formulation would shuffle
-    * corpus × avg-len rows for the same answer. Matches DuckDB's
-    * `entropy()` aggregate (base-2 Shannon) for the oracle.
+    * alphabet is bounded, so O(|Σ|·len) per row) in ONE narrow pass,
+    * ZERO shuffles: the per-(doc, char) groupBy formulation would
+    * shuffle corpus × avg-len rows for the same answer. (HOFs evaluate
+    * outside whole-stage codegen, but a narrow scan-projection is
+    * I/O-bound either way — the shuffle saved is the win.) Matches
+    * DuckDB's `entropy()` aggregate (base-2 Shannon) for the oracle.
     */
   def charEntropy(textCol: Column): Column = {
     val chars = filter(split(textCol, ""), c => length(c) > 0)
