@@ -203,4 +203,50 @@ object Splits {
             ORDER BY md5(CAST($keyCol AS VARCHAR)), $keyCol) AS __rn
           FROM $table)
         WHERE __rn <= $n"""
+
+  /** Weight-proportional fixed-count sample (Efraimidis-Spirakis A-ES,
+    * 2006), derandomized: per stratum keep the n rows with the largest
+    * u^(1/weight), where u is the md5-derived uniform of the KEY (first
+    * 13 hex chars = 52 bits scaled to [0,1)) — rows with twice the
+    * weight are twice as likely to survive, yet the draw is a pure
+    * function of (key, weight) and therefore reproducible across runs,
+    * engines, and partitionings, like every sampler in this file.
+    * The heavy-tailed corpus use case: quality- or length-weighted
+    * subsampling where a fixed budget must favor the valuable rows
+    * without going deterministic-top-N on the weight itself.
+    *
+    * Plan shape: identical to [[sampleTopN]] — the row_number ≤ n
+    * filter plans as WindowGroupLimit, a partial per-partition top-n
+    * BEFORE the stratum exchange, so the shuffle carries at most n rows
+    * per (stratum, input partition). The sort key is ROUNDED to 9dp
+    * (ties then broken by the key) so cross-engine pow()-ULP noise
+    * cannot flip the cutoff — the same ULP discipline as the top-k
+    * oracles.
+    */
+  def weightedSample(df: DataFrame, keyCol: String, strataCol: String,
+      weightCol: String, n: Int): DataFrame = {
+    require(n > 0, "sample size must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val u = conv(substring(md5(col(keyCol).cast("string")), 1, 13), 16, 10)
+      .cast("double") / lit(4503599627370496.0) // 2^52
+    val skey = round(pow(u, lit(1.0) / col(weightCol).cast("double")), 9)
+    val w = Window.partitionBy(col(strataCol)).orderBy(skey.desc, col(keyCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
+
+  /** DuckDB mirror of [[weightedSample]] — same uniform, same rounded
+    * sort key, same tiebreak.
+    */
+  def weightedSampleSql(table: String, keyCol: String, strataCol: String,
+      weightCol: String, n: Int, selectCols: String): String =
+    s"""SELECT $selectCols FROM (
+          SELECT *, row_number() OVER (PARTITION BY $strataCol
+            ORDER BY round(pow(
+                CAST(CAST('0x' || substr(md5(CAST($keyCol AS VARCHAR)), 1, 13) AS BIGINT)
+                  AS DOUBLE) / 4503599627370496.0,
+                1.0 / CAST($weightCol AS DOUBLE)), 9) DESC, $keyCol) AS __rn
+          FROM $table)
+        WHERE __rn <= $n"""
 }

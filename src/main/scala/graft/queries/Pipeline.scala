@@ -238,6 +238,19 @@ object Pipeline {
     graft.pipeline.Packing.chunkTokensSql("documents", "doc_id", "text",
       chunkSize = 32, stride = 16, idOut = "doc_id")
 
+  /** Weight-proportional deterministic sample: 15 docs per language,
+    * length-weighted (A-ES with md5-derived uniforms) — the fixed-budget
+    * subsample that favors heavy rows reproducibly.
+    */
+  def pWeightedSample(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Splits.weightedSample(Tables.load(spark, dir, "documents"),
+        "doc_id", "lang", "n_chars", n = 15)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+
+  val pWeightedSampleSql: String =
+    graft.pipeline.Splits.weightedSampleSql("documents", "doc_id", "lang",
+      "n_chars", n = 15, selectCols = "doc_id, lang, n_chars")
+
   /** Misra-Gries heavy hitters over the corpus token stream — the
     * single-pass k-bounded-state frequency sketch. The driver runs it
     * with capacity ≥ the corpus vocabulary (the exact regime, so the
@@ -1145,6 +1158,7 @@ object Pipeline {
     QueryDef.sql("p_lm_score", pLmScore, pLmScoreSql),
     QueryDef.sql("p_dsir", pDsir, pDsirSql),
     QueryDef.sql("p_heavy_hitters", pHeavyHitters, pHeavyHittersSql),
+    QueryDef.sql("p_weighted_sample", pWeightedSample, pWeightedSampleSql),
     QueryDef.sql("p_char_entropy", pCharEntropy, pCharEntropySql),
     QueryDef.sql("p_perplexity_buckets", pPerplexityBuckets, pPerplexityBucketsSql),
     QueryDef.sql("p_line_dedup", pLineDedup, pLineDedupSql),

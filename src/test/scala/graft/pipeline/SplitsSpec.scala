@@ -113,6 +113,29 @@ class SplitsSpec extends SparkSpec {
     assert(again === kept.toSet)
   }
 
+  test("weightedSample favors heavy rows, is layout-pure, keeps small strata whole") {
+    import spark.implicits._
+    // 500 light rows (w=1) + 100 heavy rows (w=20) in one stratum: an
+    // A-ES draw of 60 should be dominated by heavy rows (each is 20x
+    // as likely); the assertion is deterministic because the "draw" is
+    // a pure function of the keys
+    val df = ((0L until 500L).map(i => (i, "s", 1L)) ++
+      (1000L until 1100L).map(i => (i, "s", 20L)) ++
+      (2000L until 2005L).map(i => (i, "tiny", 5L))).toDF("k", "s", "w")
+    val kept = Splits.weightedSample(df, "k", "s", "w", n = 60)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(kept.count(_._2 == "s") === 60)
+    assert(kept.count(_._2 == "tiny") === 5) // stratum smaller than n
+    val heavy = kept.count(t => t._2 == "s" && t._1 >= 1000L)
+    // 100 heavy rows out of 600, weight 20 vs 1: expected heavy share
+    // ~20·100/(20·100+500) ≈ 80%; even a loose bound separates regimes
+    assert(heavy >= 40, s"only $heavy/60 heavy rows survived")
+    // pure function of (key, weight): layout-independent
+    val again = Splits.weightedSample(df.repartition(9, col("k")), "k", "s", "w", n = 60)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(again === kept.toSet)
+  }
+
   test("degenerate percentages: all-train and all-test") {
     val allTrain = Splits.assign(keys, "k", trainPct = 100, valPct = 0)
       .select("split").distinct().collect().map(_.getString(0)).toSeq

@@ -200,6 +200,24 @@ class TextSpec extends SparkSpec {
     assert(java.lang.Double.doubleToRawLongBits(got(1L)) === 0L)
   }
 
+  test("char entropy matches the closed-form model on random strings") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    val docs = (1L to 60L).map { i =>
+      val len = 1 + rnd.nextInt(80)
+      (i, Seq.fill(len)(('a' + rnd.nextInt(6)).toChar).mkString)
+    }
+    val got = docs.toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.charEntropy(col("text")).as("e"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    docs.foreach { case (id, s) =>
+      val n = s.length.toDouble
+      val model = -s.groupBy(identity).values
+        .map(g => g.size / n).map(p => p * math.log(p) / math.log(2.0)).sum
+      assert(math.abs(got(id) - model) < 1e-9, s"doc $id: ${got(id)} vs $model")
+    }
+  }
+
   test("perplexity buckets cut each language into equal thirds, fluent first") {
     import spark.implicits._
     // 6 'aa' docs per lang; fluency decreases as rarer bigrams appear
