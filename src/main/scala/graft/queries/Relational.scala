@@ -58,6 +58,22 @@ object Relational {
        FROM lineitem
        GROUP BY ROLLUP (l_returnflag, l_linestatus)"""
 
+  /** CUBE over (returnflag, linestatus): all four grouping sets in the
+    * same ONE Expand + one aggregation pass as rollup — the full
+    * cross-dimensional reporting aggregate.
+    */
+  def qCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+        count(lit(1)).as("n"))
+
+  val qCubeSql: String =
+    """SELECT l_returnflag, l_linestatus,
+              round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+       FROM lineitem
+       GROUP BY CUBE (l_returnflag, l_linestatus)"""
+
   /** Top-k per group as a custom partial AGGREGATE
     * ([[graft.operators.TopK]]) — the scale-preferred alternative to the
     * window formulation `q_topk_per_group`: the shuffle carries ≤ k
@@ -430,6 +446,7 @@ object Relational {
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q1_agg", q1Agg, q1AggSql),
     QueryDef.sql("q_rollup", qRollup, qRollupSql),
+    QueryDef.sql("q_cube", qCube, qCubeSql),
     QueryDef.sql("q_topk_agg", qTopkAgg, qTopkAggSql),
     QueryDef.sql("q_pivot", qPivot, qPivotSql),
     QueryDef.sql("q_retention", qRetention, qRetentionSql),

@@ -134,6 +134,17 @@ class SplitsSpec extends SparkSpec {
     val again = Splits.weightedSample(df.repartition(9, col("k")), "k", "s", "w", n = 60)
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(again === kept.toSet)
+    // exact model cross-check: the survivors are the top-60 by the
+    // closed-form sort key (md5-52-bit uniform, rounded pow, key tiebreak)
+    def skey(k: Long, w: Long): Double = {
+      val hex = org.apache.commons.codec.digest.DigestUtils.md5Hex(k.toString).take(13)
+      val u = java.lang.Long.parseLong(hex, 16).toDouble / 4503599627370496.0
+      BigDecimal(math.pow(u, 1.0 / w)).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expect = (((0L until 500L).map(k => (k, 1L)) ++
+      (1000L until 1100L).map(k => (k, 20L))))
+      .sortBy { case (k, w) => (-skey(k, w), k) }.take(60).map(_._1).toSet
+    assert(kept.filter(_._2 == "s").map(_._1).toSet === expect)
   }
 
   test("degenerate percentages: all-train and all-test") {
