@@ -228,6 +228,76 @@ object Relational {
   /** Window rank: each customer's 3 largest orders. row_number with a
     * full tiebreak (price desc, key) keeps the result deterministic.
     */
+  /** EXISTS semi-join (TPC-H Q4 shape): order-priority counts over
+    * orders with at least one near-max-quantity lineitem. `left_semi`
+    * keeps the probe side single-copy — the build side is only ever
+    * tested for existence, never multiplied into the output, so the
+    * join cannot fan out rows no matter how many qualifying items an
+    * order has.
+    */
+  def qExistsSemi(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.load(spark, dir, "orders")
+    val big = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_quantity") >= 45)
+      .select(col("l_orderkey"))
+    ord.join(big, ord("o_orderkey") === big("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  val qExistsSemiSql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+       FROM orders o
+       WHERE EXISTS (SELECT 1 FROM lineitem l
+                     WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45)
+       GROUP BY o_orderpriority"""
+
+  /** Customer order-count distribution (TPC-H Q13 shape): LEFT OUTER
+    * join so zero-order customers survive with count 0, then the
+    * distribution over that count — the two-level aggregation that
+    * exercises outer-join null semantics in the first groupBy.
+    */
+  def qCustDist(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer").select(col("c_custkey"))
+    val ord = Tables.load(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"))
+    cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count")) // count skips nulls
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  val qCustDistSql: String =
+    """SELECT c_count, count(*) AS custdist
+       FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+             FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+             GROUP BY c.c_custkey)
+       GROUP BY c_count"""
+
+  /** Moving-frame window aggregate: per-user 3-event trailing average
+    * over the event stream — the ROWS BETWEEN frame family (running /
+    * sliding computations inside a partition), distinct from the
+    * row_number ranking windows. One shuffle on user_id; the frame
+    * is O(1) incremental per row.
+    */
+  def qMovingAvg(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-2, Window.currentRow)
+    ev.select(col("user_id"), col("event_id"),
+      round(avg(col("value")).over(w), 4).as("avg3"))
+  }
+
+  val qMovingAvgSql: String =
+    """SELECT user_id, event_id,
+              round(avg(value) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS avg3
+       FROM events"""
+
   def qWindowRank(spark: SparkSession, dir: String): DataFrame = {
     val ord = Tables.load(spark, dir, "orders")
       .select("o_custkey", "o_orderkey", "o_totalprice")
@@ -459,6 +529,9 @@ object Relational {
     QueryDef.sql("q3_shipping", q3Shipping, q3ShippingSql),
     QueryDef.sql("q5_multijoin", q5MultiJoin, q5MultiJoinSql),
     QueryDef.sql("q_window_rank", qWindowRank, qWindowRankSql),
+    QueryDef.sql("q_exists_semi", qExistsSemi, qExistsSemiSql),
+    QueryDef.sql("q_custdist", qCustDist, qCustDistSql),
+    QueryDef.sql("q_moving_avg", qMovingAvg, qMovingAvgSql),
     QueryDef.sql("q_topk_per_group", qTopkPerGroup, qTopkPerGroupSql),
     QueryDef.sql("q_asof_join", qAsofJoin, qAsofJoinSql))
 }

@@ -43,6 +43,42 @@ class ImportanceSpec extends SparkSpec {
     assert(feats(1L) === 5L && feats(2L) === 3L && feats(7L) === 1L)
   }
 
+  test("dsir matches a from-scratch Scala model on random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    val docs = (1L to 40L).map { i =>
+      val len = 2 + rnd.nextInt(10)
+      (i, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "),
+        rnd.nextBoolean())
+    }
+    val got = Importance.dsirWeights(docs.toDF("doc_id", "text", "t"),
+        "doc_id", "text", col("t"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+
+    // independent model: same bucketing, counts, smoothing, mean
+    def bucket(a: String, b: String): String =
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(s"$a $b").take(2)
+    val feats = docs.map { case (id, text, t) =>
+      val w = text.split("\\s+").toSeq
+      (id, t, w.zip(w.tail).map { case (a, b) => bucket(a, b) })
+    }
+    val all = feats.flatMap(_._3)
+    val tgt = feats.filter(_._2).flatMap(_._3)
+    val rc = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tc = tgt.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val (tn, rn) = (tgt.size.toDouble, all.size.toDouble)
+    def ratio(b: String): Double =
+      math.log((tc.getOrElse(b, 0L) + 1.0) / (tn + 256.0)) -
+        math.log((rc(b) + 1.0) / (rn + 256.0))
+    feats.foreach { case (id, _, bs) =>
+      val model = bs.map(ratio).sum / bs.size
+      val (nf, w) = got(id)
+      assert(nf === bs.size.toLong)
+      assert(math.abs(w - model) < 2e-6, s"doc $id: $w vs $model")
+    }
+  }
+
   test("identical target and raw distributions give ~zero weights") {
     import spark.implicits._
     // every doc is in the target: p_t deviates from p_r only through
