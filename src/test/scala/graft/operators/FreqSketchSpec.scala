@@ -63,6 +63,34 @@ class FreqSketchSpec extends SparkSpec {
     assert(streamed.values.sum === 300L)
   }
 
+  test("windowed sketch emits finalized windows in append mode past the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(java.sql.Timestamp, String)]
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val f = udaf(new FreqSketch.MisraGriesAggregator(capacity = 8),
+      org.apache.spark.sql.Encoders.STRING)
+    val agg = source.toDF().toDF("ts", "w")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("win"))
+      .agg(f(col("w")).as("hh"))
+      .select(col("win.start").as("ws"), explode(col("hh")).as("e"))
+      .select(col("ws"), col("e._1").as("item"), col("e._2").as("est_count"))
+    val q = agg.writeStream.format("memory").queryName("hh_win_out")
+      .outputMode("append").start()
+    try {
+      source.addData(Seq(t(0) -> "a", t(5) -> "a", t(10) -> "b", t(20) -> "a"): _*)
+      q.processAllAvailable()
+      // advance the watermark past the 10:00 window so it finalizes
+      source.addData(java.sql.Timestamp.valueOf("2024-01-01 12:00:00") -> "z")
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("hh_win_out")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === Set((t(0), "a", 3L), (t(0), "b", 1L)))
+  }
+
   test("heavy hitters plan partial-merges the sketch before the exchange") {
     import spark.implicits._
     val df = (1 to 100).map(i => s"w${i % 5}").toDF("w")
