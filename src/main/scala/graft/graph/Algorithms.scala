@@ -81,7 +81,7 @@ object Algorithms {
     * scale `rows/50k` exceeds any cluster width and this is simply
     * `defaultParallelism`; the clamp only bites when state is small.
     */
-  private def loopWidth(df: DataFrame, rows: Long): Int = {
+  private[graph] def loopWidth(df: DataFrame, rows: Long): Int = {
     val para = df.sparkSession.sparkContext.defaultParallelism
     math.max(1, math.min(para.toLong, rows / 50000L + 1L).toInt)
   }
@@ -94,7 +94,7 @@ object Algorithms {
     * Session-scoped flags: safe because a loop owns its session for the
     * duration of the call (graft ops are driver-sequential).
     */
-  private def withoutAqe[T](df: DataFrame, width: Option[Int] = None)(body: => T): T = {
+  private[graph] def withoutAqe[T](df: DataFrame, width: Option[Int] = None)(body: => T): T = {
     val conf = df.sparkSession.conf
     val prev = conf.get("spark.sql.adaptive.enabled", "true")
     val prevParts = conf.get("spark.sql.shuffle.partitions", "200")

@@ -363,6 +363,18 @@ object GraphOps {
 
   val gLabelPropSql: String = GraphOracleSql.labelPropSql(iters = 5)
 
+  /** Deterministic 3-step random-walk corpus over the co-purchase graph
+    * (DeepWalk input): one md5-derandomized walk per node, emitted as a
+    * path string. Oracle: the same three steps unrolled, each picking
+    * the md5-minimal neighbor per walk.
+    */
+  def gRandomWalks(spark: SparkSession, dir: String): DataFrame = {
+    val (nodes, edges) = copurchaseGraph(spark, dir)
+    graft.graph.Walks.randomWalks(nodes, edges, steps = 3)
+  }
+
+  val gRandomWalksSql: String = GraphOracleSql.randomWalksSql(steps = 3)
+
   /** 4-core of the co-purchase graph, reported as its member count.
     * Oracle: unrolled peeling rounds (fixpoint measured at 1 round on
     * this graph; 4 unrolled — peeling past the fixpoint is a no-op).
@@ -527,6 +539,7 @@ object GraphOps {
     QueryDef.sql("g_hits", gHits, gHitsSql),
     QueryDef.sql("g_label_prop", gLabelProp, gLabelPropSql),
     QueryDef.sql("g_kcore", gKcore, gKcoreSql),
+    QueryDef.sql("g_random_walks", gRandomWalks, gRandomWalksSql),
     QueryDef.sql("g_triangles", gTriangles, gTrianglesSql),
     QueryDef.sql("g_clustering_coef", gClusteringCoef, gClusteringCoefSql),
     QueryDef.sql("g_adamic_adar", gAdamicAdar, gAdamicAdarSql),

@@ -176,6 +176,35 @@ object GraphOracleSql {
        SELECT size, count(*) AS n_communities FROM sizes GROUP BY size"""
   }
 
+  /** Unrolled derandomized random walks ([[graft.graph.Walks]]): step i
+    * keeps, per walk, the neighbor with the smallest
+    * md5(walk_id:i:neighbor) (neighbor id as tiebreak, matching the
+    * struct min), appending it to the path; dead ends carry the path
+    * unchanged.
+    */
+  def randomWalksSql(steps: Int): String = {
+    val stepCtes = (1 to steps).map { i =>
+      s""",
+       w$i AS MATERIALIZED (
+         SELECT w.walk_id,
+                coalesce(p.nb, w.cur) AS cur,
+                CASE WHEN p.nb IS NULL THEN w.path
+                     ELSE w.path || '->' || CAST(p.nb AS VARCHAR) END AS path
+         FROM w${i - 1} w LEFT JOIN (
+           SELECT walk_id, nb FROM (
+             SELECT w.walk_id, u.b AS nb,
+                    row_number() OVER (PARTITION BY w.walk_id
+                      ORDER BY md5(concat_ws(':', w.walk_id, $i, u.b)), u.b) AS rn
+             FROM w${i - 1} w JOIN und u ON w.cur = u.a) t
+           WHERE rn = 1) p ON w.walk_id = p.walk_id)"""
+    }.mkString
+    s"""WITH $copurchase,
+       w0 AS MATERIALIZED (
+         SELECT gid AS walk_id, gid AS cur, CAST(gid AS VARCHAR) AS path
+         FROM pnodes)$stepCtes
+       SELECT walk_id, path FROM w$steps"""
+  }
+
   /** Unrolled k-core peeling over the co-purchase graph: survivors of
     * round i are nodes with degree ≥ k in the subgraph induced by round
     * i-1's survivors. Reports the member count.

@@ -1,0 +1,53 @@
+package graft.graph
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class WalksSpec extends SparkSpec {
+
+  test("every hop follows an edge, isolated seeds stay, full length otherwise") {
+    import spark.implicits._
+    // path graph 1-2-3-4 plus isolated node 9
+    val nodes = Seq(1L, 2L, 3L, 4L, 9L).toDF("gid")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("gsrc", "gdst")
+    val got = Walks.randomWalks(nodes, edges, steps = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.keySet === Set(1L, 2L, 3L, 4L, 9L))
+    assert(got(9L) === "9") // no neighbors, path never grows
+    val undirected = Set((1L, 2L), (2L, 3L), (3L, 4L))
+      .flatMap { case (a, b) => Set((a, b), (b, a)) }
+    got.filter(_._1 != 9L).foreach { case (id, path) =>
+      val hops = path.split("->").map(_.toLong).toSeq
+      assert(hops.head === id)
+      assert(hops.size === 4, s"walk $id: $path") // steps+1 nodes
+      hops.zip(hops.tail).foreach(h => assert(undirected.contains(h), s"$path"))
+    }
+  }
+
+  test("walks are a pure function of the graph — layout-independent") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val edges = (1 to 60).map(_ => (rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+      .filter(e => e._1 != e._2).toDF("gsrc", "gdst")
+    val nodes = (0L until 20L).toDF("gid")
+    val a = Walks.randomWalks(nodes, edges, steps = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Walks.randomWalks(nodes.repartition(7), edges.repartition(5, col("gsrc")), steps = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a === b)
+  }
+
+  test("md5 choice spreads across neighbors rather than collapsing to one") {
+    import spark.implicits._
+    // 200 leaves each connected to hubs 1000-1003: first hops should
+    // spread over all four hubs (deterministic given the fixed keys)
+    val leaves = (1L to 200L)
+    val edges = leaves.flatMap(l => (1000L to 1003L).map(h => (l, h)))
+      .toDF("gsrc", "gdst")
+    val firstHop = Walks.randomWalks(leaves.toDF("gid"), edges, steps = 1)
+      .collect().map(_.getString(1).split("->")(1).toLong)
+    val byHub = firstHop.groupBy(identity).view.mapValues(_.length).toMap
+    assert(byHub.keySet === (1000L to 1003L).toSet)
+    byHub.values.foreach(n => assert(n >= 20, s"skewed hub choice: $byHub"))
+  }
+}
