@@ -314,6 +314,43 @@ object TextAnalysis {
       ntile(n).over(w).cast("long").as("bucket"))
   }
 
+  /** Pointwise mutual information over token co-occurrence pairs
+    * (window ≤ 2, canonicalized a ≤ b) — the word2vec/GloVe-era
+    * association signal: which token pairs co-occur more than their
+    * unigram frequencies predict. pmi = ln(c(a,b)·T / (c(a)·c(b))),
+    * T the corpus token count — the standard corpus formulation.
+    *
+    * The pair explosion is the co-purchase slice trick (per-row HOF,
+    * narrow); then two bounded aggregations (pairs, unigrams) and a
+    * join keyed on the vocabulary — at 100 TB the model tables stay
+    * vocabulary-bounded exactly like TF-IDF's, and the corpus is read
+    * once. Pairs below `minPairCount` are dropped (the standard noise
+    * floor; PMI on singletons is meaningless).
+    */
+  def pmiPairs(df: DataFrame, textCol: String, minPairCount: Long = 2L): DataFrame = {
+    val t = df.select(split(lower(trim(col(textCol))), "\\s+").as("w"))
+      .filter(size(col("w")) >= 2)
+      .localCheckpoint() // feeds the pair AND unigram aggregations
+    val pairs = t.select(explode(flatten(transform(col("w"), (x, i) =>
+        transform(slice(col("w"), i + 2, lit(2)),
+          y => struct(least(x, y).as("a"), greatest(x, y).as("b")))))).as("p"))
+      .groupBy(col("p.a").as("w1"), col("p.b").as("w2"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minPairCount)
+    val uni = t.select(explode(col("w")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val total = uni.agg(sum(col("c")).as("t"))
+    pairs
+      .join(broadcast(uni.select(col("tok").as("w1"), col("c").as("c1"))), Seq("w1"))
+      .join(broadcast(uni.select(col("tok").as("w2"), col("c").as("c2"))), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("n_pair"),
+        // double arithmetic throughout: long·long products overflow at
+        // corpus scale, and the oracle must mirror the exact fp ops
+        round(log(col("n_pair").cast("double") * col("t").cast("double") /
+          (col("c1").cast("double") * col("c2").cast("double"))), 6).as("pmi"))
+  }
+
   /** Full per-document text profile. */
   def profile(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(

@@ -328,6 +328,38 @@ object Pipeline {
                 AS BIGINT) AS bucket
        FROM s JOIN documents d ON d.doc_id = s.doc_id"""
 
+  /** PMI token-pair association over a ≤2-token window — the
+    * co-occurrence signal corpus (word2vec/GloVe preprocessing).
+    */
+  def pPmi(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.pmiPairs(Tables.load(spark, dir, "documents"), "text",
+      minPairCount = 2L)
+
+  val pPmiSql: String =
+    """WITH t AS (
+         SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS w
+         FROM documents),
+       t2 AS MATERIALIZED (SELECT w FROM t WHERE len(w) >= 2),
+       p1 AS (SELECT w[i + 1] AS x, w[i + 2] AS y
+              FROM (SELECT w, unnest(range(len(w) - 1)) AS i FROM t2)),
+       p2 AS (SELECT w[i + 1] AS x, w[i + 3] AS y
+              FROM (SELECT w, unnest(range(len(w) - 2)) AS i FROM t2)),
+       pairs AS (
+         SELECT least(x, y) AS w1, greatest(x, y) AS w2, count(*) AS n_pair
+         FROM (SELECT x, y FROM p1 UNION ALL SELECT x, y FROM p2)
+         GROUP BY 1, 2 HAVING count(*) >= 2),
+       uni AS MATERIALIZED (
+         SELECT tok, count(*) AS c FROM (
+           SELECT unnest(w) AS tok FROM t2) GROUP BY 1),
+       total AS (SELECT sum(c) AS t FROM uni)
+       SELECT w1, w2, n_pair,
+              round(ln(CAST(n_pair AS DOUBLE) * CAST(t AS DOUBLE) /
+                (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE))), 6) AS pmi
+       FROM pairs
+       JOIN uni u1 ON pairs.w1 = u1.tok
+       JOIN uni u2 ON pairs.w2 = u2.tok
+       CROSS JOIN total"""
+
   /** Self-trained bigram LM quality score (statistical gibberish /
     * boilerplate filter): mean log-prob of each doc's bigrams under the
     * corpus's own add-0.5-smoothed bigram model.
@@ -1159,6 +1191,7 @@ object Pipeline {
     QueryDef.sql("p_dsir", pDsir, pDsirSql),
     QueryDef.sql("p_heavy_hitters", pHeavyHitters, pHeavyHittersSql),
     QueryDef.sql("p_weighted_sample", pWeightedSample, pWeightedSampleSql),
+    QueryDef.sql("p_pmi", pPmi, pPmiSql),
     QueryDef.sql("p_char_entropy", pCharEntropy, pCharEntropySql),
     QueryDef.sql("p_perplexity_buckets", pPerplexityBuckets, pPerplexityBucketsSql),
     QueryDef.sql("p_line_dedup", pLineDedup, pLineDedupSql),

@@ -200,6 +200,20 @@ class TextSpec extends SparkSpec {
     assert(java.lang.Double.doubleToRawLongBits(got(1L)) === 0L)
   }
 
+  test("pmi pairs match the hand computation, floor drops singletons") {
+    import spark.implicits._
+    // tokens a b a b: window-2 pairs = (a,b)x3, (a,a)x1, (b,b)x1;
+    // floor 2 keeps only (a,b). T=4, c(a)=c(b)=2 -> pmi = ln(3*4/4)
+    val docs = Seq("a b a b").toDF("text")
+    val got = TextAnalysis.pmiPairs(docs, "text", minPairCount = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === Seq(("a", "b", 3L,
+      BigDecimal(math.log(3.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    // layout purity
+    val again = TextAnalysis.pmiPairs(docs.repartition(4), "text", 2L).collect()
+    assert(again.length === 1)
+  }
+
   test("char entropy matches the closed-form model on random strings") {
     import spark.implicits._
     val rnd = new scala.util.Random(99)
