@@ -709,6 +709,55 @@ object Algorithms {
       .orderBy(col("score").desc, col("x"), col("y")).limit(topK)
   }
 
+  /** Seed-anchored neighborhood Jaccard — the set-overlap
+    * link-prediction score: J(s,y) = |N(s)∩N(y)| / |N(s)∪N(y)| for
+    * non-adjacent pairs with s ∈ seeds. Same anchored-wedge shape (and
+    * the same |seeds|·avg_deg² volume bound) as [[adamicAdarFor]];
+    * the union size needs both endpoint degrees, picked up by two joins
+    * against the degree face of `nb` after the pair aggregation — so
+    * the degree lookups ride on the already-reduced pair table, never
+    * the wedge stream. Rounded-score cutoff as everywhere.
+    */
+  def jaccardFor(g: AdjGraph, seeds: DataFrame, topK: Int): DataFrame = {
+    val seedNb = g.nb.join(broadcast(seeds.select(col("gid").as("n"))), "n")
+    val wedges = seedNb.select(col("z"), col("n").as("s"))
+      .join(g.nb.select(col("z").as("z2"), col("n").as("y")),
+        col("z") === col("z2") && col("s") =!= col("y"))
+      .select(col("s"), col("y"))
+    val common = wedges.groupBy(col("s"), col("y"))
+      .agg(count(lit(1)).as("common"))
+    val deg = g.nb.select(col("z"), col("dz")).distinct()
+    val scored = common
+      .join(deg.select(col("z").as("s"), col("dz").as("ds")), "s")
+      .join(deg.select(col("z").as("y"), col("dz").as("dy")), "y")
+      .select(col("s"), col("y"), col("common"),
+        round(col("common").cast("double") /
+          (col("ds") + col("dy") - col("common")), 6).as("jaccard"))
+    scored
+      .join(g.und, scored("s") === g.und("a") && scored("y") === g.und("b"), "left_anti")
+      .select(col("s").as("x"), col("y"), col("jaccard"), col("common"))
+      .orderBy(col("jaccard").desc, col("x"), col("y")).limit(topK)
+  }
+
+  /** Degree assortativity: the Pearson correlation of endpoint degrees
+    * across the undirected edge list (each edge contributing both
+    * orientations — the standard estimator for undirected graphs).
+    * Positive = hubs attach to hubs; negative = hub-leaf (disassortative,
+    * the common shape of co-occurrence graphs). One degree aggregation,
+    * two node-sized shuffle joins, one corr() scalar: corr is
+    * scale-invariant so the (n-1) normalization convention cancels and
+    * any engine agrees to ULP.
+    */
+  def degreeAssortativity(g: AdjGraph): DataFrame = {
+    val deg = g.nb.select(col("z"), col("dz")).distinct()
+    g.und
+      .join(deg.select(col("z").as("a"), col("dz").as("da")), "a")
+      .join(deg.select(col("z").as("b"), col("dz").as("db")), "b")
+      .agg(round(corr(col("da").cast("double"), col("db").cast("double")), 6)
+          .as("assortativity"),
+        (count(lit(1)) / 2).cast("long").as("n_edges"))
+  }
+
   /** Community detection by synchronous label propagation with a
     * deterministic tie-break (smallest label among the most frequent).
     * Fixed iteration count keeps it reproducible.

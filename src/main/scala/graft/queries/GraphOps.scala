@@ -523,6 +523,115 @@ object GraphOps {
       }
     })
 
+  /** Seed-anchored neighborhood Jaccard over the co-purchase graph —
+    * the set-overlap cousin of `g_adamic_adar` (reference scores
+    * common-neighbor similarity; Jaccard normalizes by the union so
+    * hub neighborhoods don't dominate). Same seed set and cutoff
+    * conventions as AA.
+    */
+  def gJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val (nodes, _) = copurchaseGraph(spark, dir)
+    Algorithms.jaccardFor(adjGraphCached(spark, dir),
+        nodes.filter(col("gid") < 100), topK = 100)
+      .select(col("x").as("part_a"), col("y").as("part_b"),
+        col("jaccard"), col("common"))
+  }
+
+  val gJaccardSql: String =
+    """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       ce AS MATERIALIZED (
+         SELECT a.l_partkey AS a, b.l_partkey AS b
+         FROM op a JOIN op b
+         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         GROUP BY 1, 2),
+       und AS MATERIALIZED (SELECT a, b FROM ce UNION ALL SELECT b AS a, a AS b FROM ce),
+       deg AS (SELECT a AS z, count(*) AS dz FROM und GROUP BY a),
+       nb AS MATERIALIZED (SELECT a AS z, b AS n FROM und),
+       cmn AS (SELECT x.n AS s, y.n AS y, count(*) AS common
+               FROM nb x JOIN nb y ON x.z = y.z AND x.n <> y.n
+               WHERE x.n < 100 GROUP BY 1, 2),
+       sc AS (SELECT c.s, c.y, c.common,
+                     round(CAST(c.common AS DOUBLE) /
+                           (ds.dz + dy.dz - c.common), 6) AS jaccard
+              FROM cmn c JOIN deg ds ON c.s = ds.z JOIN deg dy ON c.y = dy.z),
+       na AS (SELECT sc.s, sc.y, sc.jaccard, sc.common
+              FROM sc LEFT JOIN und u ON sc.s = u.a AND sc.y = u.b
+              WHERE u.a IS NULL)
+       SELECT s AS part_a, y AS part_b, jaccard, common
+       FROM na ORDER BY jaccard DESC, s, y LIMIT 100"""
+
+  /** Degree assortativity of the co-purchase graph — one scalar
+    * summarizing whether popular parts co-occur with other popular
+    * parts. The Pearson-over-edges estimator; corr's normalization
+    * cancels so the engines agree to ULP and round(6) seals it.
+    */
+  def gAssortativity(spark: SparkSession, dir: String): DataFrame =
+    Algorithms.degreeAssortativity(adjGraphCached(spark, dir))
+
+  val gAssortativitySql: String =
+    """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       ce AS MATERIALIZED (
+         SELECT a.l_partkey AS a, b.l_partkey AS b
+         FROM op a JOIN op b
+         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         GROUP BY 1, 2),
+       und AS MATERIALIZED (SELECT a, b FROM ce UNION ALL SELECT b AS a, a AS b FROM ce),
+       deg AS (SELECT a AS z, count(*) AS dz FROM und GROUP BY a)
+       SELECT round(corr(CAST(da.dz AS DOUBLE), CAST(db.dz AS DOUBLE)), 6)
+                AS assortativity,
+              CAST(count(*) / 2 AS BIGINT) AS n_edges
+       FROM und u JOIN deg da ON u.a = da.z JOIN deg db ON u.b = db.z"""
+
+  /** Market-basket association mining over orders: pair support (how
+    * many orders contain both parts) and lift (support over the
+    * independence expectation). The co-purchase pair generation reuses
+    * the array-explode derivation — the quadratic blowup stays inside a
+    * map stage, the wire carries only (pair, count) partials — and the
+    * per-part support join runs on the already-aggregated pair table.
+    * Top pairs by (support, lift): the frequent-itemset k=2 pass every
+    * recommender bootstrap runs.
+    */
+  def gBasket(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val op = li.select(col("l_orderkey"), col("l_partkey")).distinct()
+    // corpus-size scalar as a broadcast one-row subplan (no driver action)
+    val nOrders = op.agg(
+      countDistinct(col("l_orderkey")).cast("double").as("n_orders"))
+    val perOrder = op.groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
+    val pairs = perOrder.select(explode(flatten(transform(col("ps"),
+        (x, i) => transform(slice(col("ps"), i + 2, size(col("ps"))),
+          y => struct(x.as("a"), y.as("b")))))).as("e"))
+      .groupBy(col("e.a").as("a"), col("e.b").as("b"))
+      .agg(count(lit(1)).as("support"))
+    val sup = op.groupBy(col("l_partkey").as("p")).agg(count(lit(1)).as("s"))
+    pairs
+      .join(sup.select(col("p").as("a"), col("s").as("sa")), "a")
+      .join(sup.select(col("p").as("b"), col("s").as("sb")), "b")
+      .crossJoin(broadcast(nOrders))
+      .select(col("a").as("part_a"), col("b").as("part_b"), col("support"),
+        round(col("support") * col("n_orders") / (col("sa") * col("sb")), 6)
+          .as("lift"))
+      .orderBy(col("support").desc, col("lift").desc,
+        col("part_a"), col("part_b"))
+      .limit(100)
+  }
+
+  val gBasketSql: String =
+    """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       n AS (SELECT CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS n FROM op),
+       pr AS (SELECT a.l_partkey AS a, b.l_partkey AS b, count(*) AS support
+              FROM op a JOIN op b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+              GROUP BY 1, 2),
+       sup AS (SELECT l_partkey AS p, count(*) AS s FROM op GROUP BY 1)
+       SELECT pr.a AS part_a, pr.b AS part_b, pr.support,
+              round(pr.support * n.n / (sa.s * sb.s), 6) AS lift
+       FROM pr JOIN sup sa ON pr.a = sa.p JOIN sup sb ON pr.b = sb.p, n
+       ORDER BY pr.support DESC, round(pr.support * n.n / (sa.s * sb.s), 6) DESC,
+                part_a, part_b
+       LIMIT 100"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("g_match_node", gMatchNode, gMatchNodeSql),
     QueryDef.sql("g_match_1hop", gMatch1Hop, gMatch1HopSql),
@@ -543,5 +652,8 @@ object GraphOps {
     QueryDef.sql("g_triangles", gTriangles, gTrianglesSql),
     QueryDef.sql("g_clustering_coef", gClusteringCoef, gClusteringCoefSql),
     QueryDef.sql("g_adamic_adar", gAdamicAdar, gAdamicAdarSql),
+    QueryDef.sql("g_jaccard", gJaccard, gJaccardSql),
+    QueryDef.sql("g_assortativity", gAssortativity, gAssortativitySql),
+    QueryDef.sql("g_basket", gBasket, gBasketSql),
     QueryDef.sql("g_wal_replay", gWalReplay, gWalReplaySql))
 }

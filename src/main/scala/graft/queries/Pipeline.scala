@@ -1170,7 +1170,68 @@ object Pipeline {
                     (SELECT CAST(sum(tf) AS DOUBLE) FROM counts), 8) AS cum_frac
        FROM ranked WHERE rank <= 200"""
 
+  /** Winsorization: clamp document lengths at the exact interpolated
+    * [p05, p95] — the outlier-robust normalization step ahead of
+    * length-weighted sampling. The two quantiles ride back over the
+    * corpus as a broadcast one-row subplan; the clamp itself is pure
+    * codegen arithmetic. At 100 TB swap `percentile` for the
+    * `approx_percentile` sketch, as with `p_token_quantiles`.
+    */
+  def pWinsorize(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val q = docs.agg(
+      expr("percentile(n_chars, 0.05)").as("lo"),
+      expr("percentile(n_chars, 0.95)").as("hi"))
+    docs.crossJoin(broadcast(q))
+      .select(col("doc_id"), col("n_chars"),
+        round(least(greatest(col("n_chars").cast("double"), col("lo")),
+          col("hi")), 4).as("clamped"))
+  }
+
+  val pWinsorizeSql: String =
+    """WITH q AS (SELECT quantile_cont(n_chars, 0.05) AS lo,
+                         quantile_cont(n_chars, 0.95) AS hi
+                  FROM documents)
+       SELECT doc_id, n_chars,
+              round(least(greatest(CAST(n_chars AS DOUBLE), lo), hi), 4) AS clamped
+       FROM documents, q"""
+
+  /** Per-dimension mean/variance profile of the embedding table — the
+    * feature-health audit (dead dimensions, unnormalized scales) that
+    * precedes any geometric dedup/ANN run. posexplode → ONE
+    * (dim)-keyed aggregation whose output is dim-bounded.
+    */
+  def pVarProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "embeddings")
+      .select(posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+      .groupBy(col("dim").cast("long").as("dim"))
+      .agg(round(avg(col("x")), 6).as("mean"),
+        round(var_samp(col("x")), 6).as("variance"))
+
+  val pVarProfileSql: String =
+    """WITH x AS (SELECT CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+                         CAST(unnest(embedding) AS DOUBLE) AS x
+                  FROM embeddings)
+       SELECT dim, round(avg(x), 6) AS mean, round(var_samp(x), 6) AS variance
+       FROM x GROUP BY dim"""
+
+  /** Top-|projection| documents along the corpus's first principal
+    * component ([[graft.pipeline.Pca]]) — the "what spans this
+    * corpus's dominant variance axis" audit. Iterative eigen solve on
+    * a driver-side dim² matrix → no DuckDB mirror; exactness is
+    * PcaSpec's job (planted-component recovery + Cv≈λv residual).
+    */
+  def pPcaProject(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Pca.projectFirst(
+        Tables.load(spark, dir, "embeddings"), "vec_id", "embedding")
+      .select(col("vec_id"), round(col("score"), 4).as("score"))
+      .orderBy(round(abs(col("score")), 4).desc, col("vec_id"))
+      .limit(50)
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("p_winsorize", pWinsorize, pWinsorizeSql),
+    QueryDef.sql("p_var_profile", pVarProfile, pVarProfileSql),
+    QueryDef.rowsOnly("p_pca_project", pPcaProject),
     QueryDef.sql("p_dedup_exact", pDedupExact, pDedupExactSql),
     QueryDef.sql("p_boilerplate", pBoilerplate, pBoilerplateSql),
     QueryDef.sql("p_vocab_coverage", pVocabCoverage, pVocabCoverageSql),

@@ -513,6 +513,86 @@ object Relational {
                 AS BIGINT) AS z
        FROM events"""
 
+  /** Distribution window functions (ntile / cume_dist / percent_rank)
+    * over customer balances within nation — quartile bucketing and
+    * relative standing, the analyst scorecard trio. The ORDER BY is made
+    * total (balance, then key) so ntile's positional split is
+    * deterministic across engines; all three functions plan into the
+    * ONE per-nation sort the window already pays.
+    */
+  def qNtileCume(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"),
+        round(col("c_acctbal"), 2).as("c_acctbal"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(cume_dist().over(w), 6).as("cd"),
+        round(percent_rank().over(w), 6).as("pr"))
+  }
+
+  val qNtileCumeSql: String =
+    """SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS c_acctbal,
+              CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+              round(cume_dist() OVER w, 6) AS cd,
+              round(percent_rank() OVER w, 6) AS pr
+       FROM customer
+       WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)"""
+
+  /** GROUPING SETS with non-hierarchical sets — (flag, status), the
+    * orthogonal (ship year), and the grand total in ONE Expand +
+    * aggregate pass (rollup/cube are the special cases; this is the
+    * general form). Grouping-set count multiplies the shuffle rows,
+    * never the scan — the property that matters at 100 TB.
+    */
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .withColumn("ship_year", year(col("l_shipdate")).cast("long"))
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("ship_year")), Seq()),
+        col("l_returnflag"), col("l_linestatus"), col("ship_year"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+        count(lit(1)).as("n"))
+
+  val qGroupingSetsSql: String =
+    """SELECT l_returnflag, l_linestatus, year(l_shipdate) AS ship_year,
+              round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+       FROM lineitem
+       GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (year(l_shipdate)), ())"""
+
+  /** Correlated scalar subqueries through Catalyst decorrelation:
+    * customers ordering more than their nation's per-customer average.
+    * Written as SQL text (the one query face where the subquery surface
+    * exists) — Catalyst rewrites both correlated subqueries into
+    * aggregate + join, so the executed plan is two shuffles, not a
+    * per-row loop. Counts are integers, so the avg is an exact
+    * small-rational double and the > boundary is engine-stable.
+    */
+  def qCorrSub(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "customer").createOrReplaceTempView("graft_customer")
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("graft_orders")
+    spark.sql(
+      """WITH oc AS (
+           SELECT c_custkey, c_nationkey,
+                  (SELECT count(*) FROM graft_orders o
+                   WHERE o.o_custkey = c.c_custkey) AS n_orders
+           FROM graft_customer c)
+         SELECT c_custkey, n_orders FROM oc
+         WHERE n_orders > (SELECT avg(n_orders) FROM oc i
+                           WHERE i.c_nationkey = oc.c_nationkey)""")
+  }
+
+  val qCorrSubSql: String =
+    """WITH oc AS (
+         SELECT c_custkey, c_nationkey,
+                (SELECT count(*) FROM orders o
+                 WHERE o.o_custkey = c.c_custkey) AS n_orders
+         FROM customer c)
+       SELECT c_custkey, n_orders FROM oc
+       WHERE n_orders > (SELECT avg(n_orders) FROM oc i
+                         WHERE i.c_nationkey = oc.c_nationkey)"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q1_agg", q1Agg, q1AggSql),
     QueryDef.sql("q_rollup", qRollup, qRollupSql),
@@ -533,5 +613,8 @@ object Relational {
     QueryDef.sql("q_custdist", qCustDist, qCustDistSql),
     QueryDef.sql("q_moving_avg", qMovingAvg, qMovingAvgSql),
     QueryDef.sql("q_topk_per_group", qTopkPerGroup, qTopkPerGroupSql),
+    QueryDef.sql("q_ntile_cume", qNtileCume, qNtileCumeSql),
+    QueryDef.sql("q_grouping_sets", qGroupingSets, qGroupingSetsSql),
+    QueryDef.sql("q_corr_subquery", qCorrSub, qCorrSubSql),
     QueryDef.sql("q_asof_join", qAsofJoin, qAsofJoinSql))
 }
