@@ -146,6 +146,44 @@ object Algorithms {
     visited
   }
 
+  /** Multi-source labeled BFS: per-(source, node) hop distances, state
+    * keyed by the pair so each source's wavefront expands independently
+    * in the SAME per-hop shuffle (one frontier ⋈ edges join per hop, not
+    * one per source — the batched form sampled-centrality estimators
+    * need). State volume is bounded by |seeds| × |reachable|, the
+    * quantity the caller chose by picking the sample size.
+    *
+    * @param seeds (src) source ids; each starts at hop 0 from itself
+    * @return (src, gid, hop) minimum hops from `src` to `gid`
+    */
+  def bfsMulti(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    val e0 = materializeInvariant(edges.select(col("gsrc"), col("gdst")))
+    val width = loopWidth(edges, e0.count())
+    val e = e0.coalesce(width)
+    var visited = seeds.select(col("src"), col("src").as("gid"), lit(0).as("hop"))
+      .localCheckpoint()
+    var visitedRows = visited.count()
+    var frontier = visited.select(col("src"), col("gid"))
+    var frontierRows = visitedRows
+    var hop = 0
+    withoutAqe(edges, Some(width)) { while (hop < maxHops && frontierRows > 0) {
+      hop += 1
+      val next = hintSmall(frontier, frontierRows)
+        .join(e, frontier("gid") === e("gsrc"))
+        .select(frontier("src"), e("gdst").as("gid")).distinct()
+        .join(hintSmall(visited.select(col("src").as("vs"), col("gid").as("vg")),
+            visitedRows),
+          col("src") === col("vs") && col("gid") === col("vg"), "left_anti")
+        .withColumn("hop", lit(hop))
+        .localCheckpoint()
+      frontierRows = next.count()
+      visitedRows += frontierRows
+      visited = visited.unionByName(next)
+      frontier = next.select(col("src"), col("gid"))
+    } }
+    visited
+  }
+
   /** Hop-bounded weighted single-source shortest paths (Bellman-Ford
     * with delta/frontier propagation): after k rounds, `dist` holds the
     * minimum path weight over all paths of ≤ k edges from the seed set —

@@ -101,6 +101,25 @@ object TextAnalysis {
       dupWordFrac(textCol) < 0.6 &&
       alphaWordFrac(textCol) >= 0.8
 
+  /** Fixed-weight logistic quality model over the shape features — the
+    * served form of a trained linear quality classifier (the
+    * fastText/DCLM-style filter): one codegen arithmetic pass ending in
+    * a sigmoid. Weights are published-ballpark constants; a deployment
+    * swaps in trained ones and nothing else changes. The keep verdict
+    * compares the LOGIT against 0 (not the sigmoid against 0.5): z is
+    * plain ±× double arithmetic, identical in any engine, while exp()
+    * could differ in the last ULP.
+    */
+  def qualityLogit(textCol: Column): Column =
+    lit(-3.0) +
+      meanWordLen(textCol) * lit(0.35) +
+      alphaWordFrac(textCol) * lit(1.5) -
+      dupWordFrac(textCol) * lit(2.0) +
+      least(wsTokens(textCol).cast("double") / lit(200.0), lit(1.0)) * lit(1.2)
+
+  def qualityLogitProb(textCol: Column): Column =
+    lit(1.0) / (lit(1.0) + exp(-qualityLogit(textCol)))
+
   // --------------------------------------------------------- PII scrub
 
   /** Conservative PII patterns (email, IPv4, SSN-shaped ids) — RE2/Java

@@ -582,6 +582,45 @@ object GraphOps {
               CAST(count(*) / 2 AS BIGINT) AS n_edges
        FROM und u JOIN deg da ON u.a = da.z JOIN deg db ON u.b = db.z"""
 
+  /** Sampled harmonic centrality over the co-purchase graph: Σ 1/d(s,v)
+    * across a pinned seed sample — the practical estimator (exact
+    * all-pairs centrality is O(V·E); the sampled form is how
+    * centrality is actually computed on big graphs, cf. the k-source
+    * Brandes/Eppstein-Wang line). One batched multi-source BFS
+    * ([[Algorithms.bfsMulti]]): per-hop work is ONE frontier ⋈ edges
+    * shuffle carrying all sources' wavefronts.
+    */
+  def gHarmonic(spark: SparkSession, dir: String): DataFrame = {
+    val (nodes, edges) = copurchaseGraph(spark, dir)
+    val und = edges.select(col("gsrc"), col("gdst"))
+      .unionByName(edges.select(col("gdst").as("gsrc"), col("gsrc").as("gdst")))
+    val seeds = nodes.filter(col("gid") < 10).select(col("gid").as("src"))
+    Algorithms.bfsMulti(und, seeds, maxHops = 3)
+      .filter(col("hop") > 0)
+      .groupBy(col("gid").as("part"))
+      .agg(round(sum(lit(1.0) / col("hop")), 6).as("harmonic"),
+        count(lit(1)).as("reached_from"))
+  }
+
+  val gHarmonicSql: String =
+    """WITH RECURSIVE op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       ce AS MATERIALIZED (
+         SELECT a.l_partkey AS a, b.l_partkey AS b
+         FROM op a JOIN op b
+         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         GROUP BY 1, 2),
+       und AS MATERIALIZED (SELECT a, b FROM ce UNION ALL SELECT b AS a, a AS b FROM ce),
+       walk(src, gid, hop) AS (
+         SELECT DISTINCT l_partkey, l_partkey, 0 FROM lineitem WHERE l_partkey < 10
+         UNION
+         SELECT w.src, u.b, w.hop + 1
+         FROM walk w JOIN und u ON u.a = w.gid WHERE w.hop < 3),
+       d AS (SELECT src, gid, min(hop) AS hop FROM walk GROUP BY 1, 2)
+       SELECT gid AS part,
+              round(sum(1.0 / CAST(hop AS DOUBLE)), 6) AS harmonic,
+              count(*) AS reached_from
+       FROM d WHERE hop > 0 GROUP BY gid"""
+
   /** Market-basket association mining over orders: pair support (how
     * many orders contain both parts) and lift (support over the
     * independence expectation). The co-purchase pair generation reuses
@@ -653,6 +692,7 @@ object GraphOps {
     QueryDef.sql("g_clustering_coef", gClusteringCoef, gClusteringCoefSql),
     QueryDef.sql("g_adamic_adar", gAdamicAdar, gAdamicAdarSql),
     QueryDef.sql("g_jaccard", gJaccard, gJaccardSql),
+    QueryDef.sql("g_harmonic", gHarmonic, gHarmonicSql),
     QueryDef.sql("g_assortativity", gAssortativity, gAssortativitySql),
     QueryDef.sql("g_basket", gBasket, gBasketSql),
     QueryDef.sql("g_wal_replay", gWalReplay, gWalReplaySql))

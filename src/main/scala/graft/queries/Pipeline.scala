@@ -793,6 +793,35 @@ object Pipeline {
               (mwl BETWEEN 3.0 AND 10.0) AND dwf < 0.6 AND awf >= 0.8 AS keep
        FROM m"""
 
+  /** Served linear quality classifier
+    * ([[TextAnalysis.qualityLogit]]): per-doc keep probability and
+    * verdict. The verdict compares the logit to 0 so engine exp()
+    * rounding can never flip it.
+    */
+  def pQualityLogit(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        round(TextAnalysis.qualityLogitProb(col("text")), 4).as("p_keep"),
+        (TextAnalysis.qualityLogit(col("text")) > 0.0).as("keep"))
+
+  val pQualityLogitSql: String =
+    """WITH t AS (
+         SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+         FROM documents),
+       m AS (
+         SELECT doc_id,
+                CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE) / len(w) AS mwl,
+                1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS dwf,
+                CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                  / len(w) AS awf,
+                least(CAST(len(w) AS DOUBLE) / 200.0, 1.0) AS lt
+         FROM t),
+       z AS (SELECT doc_id,
+                    -3.0 + mwl * 0.35 + awf * 1.5 - dwf * 2.0 + lt * 1.2 AS z
+             FROM m)
+       SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 4) AS p_keep, z > 0.0 AS keep
+       FROM z"""
+
   /** PII scrub: match counts + sha of the redacted text (the sha proves
     * the scrubbed bytes agree, without hauling full texts through the
     * compare).
@@ -1260,6 +1289,7 @@ object Pipeline {
     QueryDef.sql("p_temp_mix", pTempMix, pTempMixSql),
     QueryDef.sql("p_dedup_clusters", pDedupClusters, pDedupClustersSql),
     QueryDef.sql("p_gopher_quality", pGopherQuality, pGopherQualitySql),
+    QueryDef.sql("p_quality_logit", pQualityLogit, pQualityLogitSql),
     QueryDef.sql("p_corpus_filter", pCorpusFilter, pCorpusFilterSql),
     QueryDef.sql("p_filter_report", pFilterReport, pFilterReportSql),
     QueryDef.sql("p_normalize", pNormalize, pNormalizeSql),

@@ -593,6 +593,35 @@ object Relational {
        WHERE n_orders > (SELECT avg(n_orders) FROM oc i
                          WHERE i.c_nationkey = oc.c_nationkey)"""
 
+  /** Set operations (INTERSECT / EXCEPT) over yearly customer cohorts —
+    * retained vs churned buyers. Spark plans INTERSECT as a left-semi
+    * and EXCEPT as a left-anti over distinct inputs — hash joins, no
+    * sort — which is the shape that scales; the tag column folds both
+    * results into one verifiable output.
+    */
+  def qSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+    def cohort(y: Int) = orders
+      .filter(year(col("o_orderdate")) === y)
+      .select(col("o_custkey"))
+    cohort(1995).intersect(cohort(1996))
+      .select(lit("retained").as("tag"), col("o_custkey"))
+      .unionByName(
+        cohort(1995).except(cohort(1996))
+          .select(lit("churned").as("tag"), col("o_custkey")))
+  }
+
+  val qSetOpsSql: String =
+    """SELECT 'retained' AS tag, o_custkey FROM (
+         SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+         INTERSECT
+         SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+       UNION ALL
+       SELECT 'churned' AS tag, o_custkey FROM (
+         SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+         EXCEPT
+         SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q1_agg", q1Agg, q1AggSql),
     QueryDef.sql("q_rollup", qRollup, qRollupSql),
@@ -616,5 +645,6 @@ object Relational {
     QueryDef.sql("q_ntile_cume", qNtileCume, qNtileCumeSql),
     QueryDef.sql("q_grouping_sets", qGroupingSets, qGroupingSetsSql),
     QueryDef.sql("q_corr_subquery", qCorrSub, qCorrSubSql),
+    QueryDef.sql("q_set_ops", qSetOps, qSetOpsSql),
     QueryDef.sql("q_asof_join", qAsofJoin, qAsofJoinSql))
 }

@@ -33,6 +33,22 @@ class GraphAlgSpec extends SparkSpec {
     assert(res === Map(1L -> 0, 2L -> 1))
   }
 
+  test("bfsMulti equals one bfs per source") {
+    // two chains sharing node 3: 1→2→3→4 and 6→3, plus isolate source 9
+    val edges = edgeDf(1L -> 2L, 2L -> 3L, 3L -> 4L, 6L -> 3L)
+    val srcs = Seq(1L, 6L, 9L)
+    val multi = {
+      import spark.implicits._
+      Algorithms.bfsMulti(edges, srcs.toDF("src"), maxHops = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    }
+    val singles = srcs.flatMap { s =>
+      Algorithms.bfs(edges, nodeDf(s), maxHops = 3)
+        .collect().map(r => (s, r.getLong(0)) -> r.getInt(1))
+    }.toMap
+    assert(multi === singles)
+  }
+
   test("k-core peels the tail off a clique-plus-path graph") {
     // K4 on {1,2,3,4} plus a path 4-5-6: the 3-core is exactly the K4
     val edges = edgeDf(
