@@ -1,0 +1,65 @@
+package graft
+
+/** Physical-plan shape assertions for the headline queries — the
+  * properties that decide 100 TB behavior, pinned so a Spark upgrade or
+  * refactor can't silently de-optimize them:
+  * filters reach the parquet scan, scans read only referenced columns,
+  * dimension joins broadcast, hot paths stay inside whole-stage codegen.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  // collect() executes THIS queryExecution (count() would plan a new
+  // one), letting AQE finalize; keep only the final-plan section so
+  // operator counts aren't doubled by the echoed initial plan. Codegen
+  // shows as the `*(N)` operator prefix in this format.
+  private def plan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  // the formatted explain carries PushedFilters/ReadSchema per scan
+  private def formatted(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("q1_agg: shipdate filter pushed to the scan, unused columns pruned, codegen") {
+    val df = queries.Relational.q1Agg(spark, sf())
+    val f = formatted(df)
+    assert(f.contains("PushedFilters"), "scan lost its pushed-filter face")
+    assert(f.matches("(?s).*PushedFilters: \\[[^\\]]*l_shipdate[^\\]]*\\].*"),
+      s"l_shipdate predicate not pushed:\n$f")
+    // projection needs 6 of 11 lineitem columns; the scan must not read keys
+    assert(!f.matches("(?s).*ReadSchema[^\\n]*l_partkey.*"),
+      "scan reads l_partkey which q1 never references")
+    assert(plan(df).contains("*("), "agg fell out of codegen")
+  }
+
+  test("q5_multijoin: dimension joins broadcast, no dimension sort-merge") {
+    val p = plan(queries.Relational.q5MultiJoin(spark, sf()))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(broadcasts >= 3, s"expected >=3 broadcast dim joins, got $broadcasts:\n$p")
+  }
+
+  test("q3_shipping: customer filter pushed down, join broadcast at dim scale") {
+    val f = formatted(queries.Relational.q3Shipping(spark, sf()))
+    assert(f.matches("(?s).*PushedFilters: \\[[^\\]]*c_mktsegment[^\\]]*\\].*") ||
+      f.matches("(?s).*PushedFilters: \\[[^\\]]*EqualTo[^\\]]*\\].*"),
+      s"selective customer predicate not pushed:\n$f")
+  }
+
+  test("p_dedup_exact: one exchange (the digest groupBy), codegen hashing") {
+    val df = queries.Pipeline.pDedupExact(spark, sf())
+    val p = plan(df)
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, s"exact dedup should shuffle once (+AQE read), got:\n$p")
+    assert(p.contains("*("), "digest computation fell out of codegen")
+  }
+
+  test("p_var_profile: posexplode aggregation stays dim-bounded and codegen") {
+    val df = queries.Pipeline.pVarProfile(spark, sf())
+    val p = plan(df)
+    assert(p.contains("Generate"), "expected a posexplode Generate node")
+    assert("Exchange".r.findAllIn(p).size <= 2,
+      s"per-dim profile should pay one aggregation shuffle:\n$p")
+  }
+}
