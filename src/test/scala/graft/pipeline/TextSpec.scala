@@ -110,6 +110,24 @@ class TextSpec extends SparkSpec {
     assert(math.abs(r.getLong(1) - 7000L) <= 350L)
   }
 
+  test("approx_percentile stays within 2% of exact (the declared 100TB swap)") {
+    // rows 80/93 claim `percentile` ⇄ `approx_percentile` is a drop-in
+    // swap at scale; pin the sketch's error on a skewed distribution so
+    // the claim is a measured contract, not prose
+    import spark.implicits._
+    val df = (1L to 50000L).map(i => (i * i) % 9973).toDF("x")
+    val r = df.agg(
+      org.apache.spark.sql.functions.expr("percentile(x, array(0.5, 0.95))").as("exact"),
+      org.apache.spark.sql.functions
+        .expr("approx_percentile(x, array(0.5, 0.95), 10000)").as("approx"))
+      .collect()(0)
+    val exact = r.getSeq[Double](0)
+    val approx = r.getSeq[Long](1).map(_.toDouble)
+    exact.zip(approx).foreach { case (e, a) =>
+      assert(math.abs(e - a) / math.max(e, 1.0) < 0.02, s"exact $e vs approx $a")
+    }
+  }
+
   test("boilerplate fraction counts corpus-common n-grams per doc") {
     import spark.implicits._
     // "aa bb" appears in 3 docs (DF 3); every other bigram is unique

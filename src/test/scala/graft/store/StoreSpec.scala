@@ -64,6 +64,31 @@ class StoreSpec extends SparkSpec {
     }
   }
 
+  test("date-partitioned writes prune partitions at the scan") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val rows = Seq.tabulate(300)(i =>
+      (i.toLong, s"2024-01-${i % 3 + 1}", i * 2.0)).toDF("id", "day", "v")
+    rows.write.partitionBy("day").parquet(s"$base/t")
+    val read = spark.read.parquet(s"$base/t").filter(col("day") === "2024-01-2")
+    assert(read.count() === 100)
+    // the predicate must become a PartitionFilter (directory pruning —
+    // the scan never opens the other days' files), not a data filter
+    val f = read.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(f.matches("(?s).*PartitionFilters: \\[[^\\]]*day[^\\]]*\\].*"),
+      s"day predicate not applied as a partition filter:\n$f")
+    def files(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.executedPlan.collectLeaves().collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.selectedPartitions.totalNumberOfFiles
+      }.sum
+    val scannedFiles = files(read)
+    val allFiles = files(spark.read.parquet(s"$base/t"))
+    assert(scannedFiles < allFiles,
+      s"pruned scan reads $scannedFiles of $allFiles files - nothing pruned")
+  }
+
   test("ingest reads csv/json with the catalog schema, never inference") {
     import graft.catalog.Ddl
     import graft.lang.Parser
