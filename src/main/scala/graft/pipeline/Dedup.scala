@@ -385,6 +385,55 @@ object Dedup {
         when(col("n_kept") > 0, sha2(col("__kept"), 256)).as("kept_sha"))
   }
 
+  /** Exact substring-span dedup — the token-window re-expression of
+    * Lee et al. 2021 ("Deduplicating Training Data Makes Language
+    * Models Better", suffix-array ExactSubstr): any k-token window
+    * whose content also occurs EARLIER in corpus order (doc, start)
+    * marks a duplicated span, every non-first occurrence's token range
+    * is removed, and each document is reassembled from its surviving
+    * tokens. Catches copied passages inside otherwise-distinct
+    * documents — the case document- and line-level dedup both miss.
+    *
+    * Shape: window hashes are row-local HOF arithmetic (no shuffle);
+    * the corpus-sized work is ONE shuffle on the window hash (the
+    * first-occurrence ranking — the relational stand-in for the suffix
+    * sort, and like it linear in token count), then covered-position
+    * expansion (k rows per REMOVED window — linear in duplicated
+    * volume, not corpus volume), one anti-join, one reassembly groupBy.
+    * Docs shorter than k tokens emit no windows and survive whole.
+    */
+  def spanDedup(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2, "window must span at least 2 tokens")
+    val toks = df.select(col(idCol).as("id"),
+      split(trim(col(textCol)), "\\s+").as("w"))
+    val wins = toks.select(col("id"),
+      posexplode(when(size(col("w")) >= k,
+          transform(sequence(lit(0), size(col("w")) - k),
+            i => md5(concat_ws(" ", slice(col("w"), i + 1, lit(k))))))
+        .otherwise(array())).as(Seq("start", "h")))
+    val firstSeen = Window.partitionBy(col("h")).orderBy(col("id"), col("start"))
+    val removed = wins
+      .withColumn("rn", row_number().over(firstSeen))
+      .filter(col("rn") > 1)
+    val covered = removed.select(col("id"),
+        explode(sequence(col("start"), col("start") + k - 1)).as("pos"))
+      .distinct()
+    val tokPos = toks.select(col("id"), posexplode(col("w")).as(Seq("pos", "tok")))
+    val kept = tokPos.join(covered, Seq("id", "pos"), "left_anti")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          _.getField("tok")), " ").as("__kept"))
+    toks.select(col("id"), size(col("w")).cast("long").as("n_tokens"))
+      .join(kept, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        when(coalesce(col("n_kept"), lit(0L)) > 0, sha2(col("__kept"), 256))
+          .as("kept_sha"))
+  }
+
   /** Cross-snapshot incremental dedup — the index-and-ingest pattern: a
     * NEW batch is deduped against an already-curated corpus without
     * re-reading corpus text. The index side reduces to 32-byte digests

@@ -822,6 +822,60 @@ object Pipeline {
        SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 4) AS p_keep, z > 0.0 AS keep
        FROM z"""
 
+  /** Exact substring-span dedup ([[graft.pipeline.Dedup.spanDedup]]):
+    * copied k-token passages are removed from every non-first
+    * occurrence and the doc is reassembled — the Lee et al. ExactSubstr
+    * semantics, relationally. kept_sha proves byte-level parity of the
+    * rewritten corpus.
+    */
+  def pSpanDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.spanDedup(Tables.load(spark, dir, "documents"), "doc_id", "text", k = 15)
+      .select(col("id").as("doc_id"), col("n_tokens"), col("n_kept"),
+        col("kept_sha"))
+
+  val pSpanDedupSql: String =
+    """WITH t AS (SELECT doc_id AS id, regexp_split_to_array(trim(text), '\s+') AS w
+                  FROM documents),
+       wins AS (
+         SELECT id, r.i AS start,
+                md5(array_to_string(w[r.i + 1 : r.i + 15], ' ')) AS h
+         FROM t, unnest(range(0, greatest(len(w) - 14, 0))) AS r(i)),
+       rem AS (
+         SELECT id, start FROM (
+           SELECT id, start,
+                  row_number() OVER (PARTITION BY h ORDER BY id, start) AS rn
+           FROM wins) WHERE rn > 1),
+       cov AS (
+         SELECT DISTINCT rem.id, rem.start + r.s AS pos
+         FROM rem, unnest(range(0, 15)) AS r(s)),
+       tok AS (
+         SELECT id, generate_subscripts(w, 1) - 1 AS pos, unnest(w) AS tok FROM t),
+       kept AS (
+         SELECT tok.id, count(*) AS n_kept,
+                string_agg(tok.tok, ' ' ORDER BY tok.pos) AS ktext
+         FROM tok LEFT JOIN cov ON tok.id = cov.id AND tok.pos = cov.pos
+         WHERE cov.id IS NULL
+         GROUP BY tok.id)
+       SELECT t.id AS doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
+              coalesce(k.n_kept, 0) AS n_kept,
+              CASE WHEN coalesce(k.n_kept, 0) > 0 THEN sha256(k.ktext) END AS kept_sha
+       FROM t LEFT JOIN kept k ON t.id = k.id"""
+
+  /** Multimodal payload dedup: exact binary-content dedup over the
+    * payload column (the image/video dedup every multimodal corpus
+    * build runs first) — digest groupBy, min-id canonical, the same
+    * shape as `p_dedup_exact` but on bytes that never decode.
+    */
+  def pMediaDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Multimodal.withPayload(Tables.load(spark, dir, "documents"), "text")
+    docs.groupBy(sha2(col("payload"), 256).as("sha"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+  }
+
+  val pMediaDedupSql: String =
+    """SELECT sha256(text) AS sha, min(doc_id) AS keep_id, count(*) AS n_copies
+       FROM documents GROUP BY 1"""
+
   /** PII scrub: match counts + sha of the redacted text (the sha proves
     * the scrubbed bytes agree, without hauling full texts through the
     * compare).
@@ -1285,6 +1339,8 @@ object Pipeline {
     QueryDef.sql("p_char_entropy", pCharEntropy, pCharEntropySql),
     QueryDef.sql("p_perplexity_buckets", pPerplexityBuckets, pPerplexityBucketsSql),
     QueryDef.sql("p_line_dedup", pLineDedup, pLineDedupSql),
+    QueryDef.sql("p_span_dedup", pSpanDedup, pSpanDedupSql),
+    QueryDef.sql("p_media_dedup", pMediaDedup, pMediaDedupSql),
     QueryDef.sql("p_budget_mix", pBudgetMix, pBudgetMixSql),
     QueryDef.sql("p_temp_mix", pTempMix, pTempMixSql),
     QueryDef.sql("p_dedup_clusters", pDedupClusters, pDedupClustersSql),

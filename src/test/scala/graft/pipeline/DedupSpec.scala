@@ -211,4 +211,51 @@ class DedupSpec extends SparkSpec {
         ((r.getLong(1), r.getLong(2), Option(r.getString(3))))).toMap
     assert(again === got)
   }
+
+  test("span dedup removes copied token windows from non-first occurrences") {
+    import spark.implicits._
+    def sha(s: String) =
+      org.apache.commons.codec.digest.DigestUtils.sha256Hex(s)
+    // a 4-token passage copied from doc 1 into doc 2's middle; doc 3
+    // is clean; doc 4 is shorter than the window and must survive whole
+    val passage = "p1 p2 p3 p4"
+    val docs = Seq(
+      (1L, s"a1 a2 $passage a3"),
+      (2L, s"b1 b2 b3 $passage b4 b5"),
+      (3L, "c1 c2 c3 c4 c5 c6 c7"),
+      (4L, "d1 d2")).toDF("doc_id", "text")
+    val got = Dedup.spanDedup(docs, "doc_id", "text", k = 4)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.getString(3))))).toMap
+    // doc 1 holds the corpus-first occurrence: untouched
+    assert(got(1L) === ((7L, 7L, Some(sha(s"a1 a2 $passage a3")))))
+    // doc 2 loses exactly the copied window's 4 tokens
+    assert(got(2L) === ((9L, 5L, Some(sha("b1 b2 b3 b4 b5")))))
+    assert(got(3L) === ((7L, 7L, Some(sha("c1 c2 c3 c4 c5 c6 c7")))))
+    assert(got(4L) === ((2L, 2L, Some(sha("d1 d2")))))
+    // layout purity
+    val again = Dedup.spanDedup(docs.repartition(5, col("text")),
+        "doc_id", "text", k = 4)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.getString(3))))).toMap
+    assert(again === got)
+  }
+
+  test("span dedup collapses a doc that is one long repeat of another") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6"),
+      (2L, "w1 w2 w3 w4 w5 w6")).toDF("doc_id", "text")
+    val got = Dedup.spanDedup(docs, "doc_id", "text", k = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) === ((6L, 6L)))
+    // every window of doc 2 duplicates doc 1 → every token covered
+    assert(got(2L) === ((6L, 0L)))
+    val sha = Dedup.spanDedup(docs, "doc_id", "text", k = 3)
+      .filter(col("id") === 2L).collect()(0).getString(3)
+    assert(sha == null, "no kept text must yield NULL sha")
+  }
 }
