@@ -233,6 +233,61 @@ object Algorithms {
     dist
   }
 
+  /** [[sssp]] with PATH RECONSTRUCTION — the loop state carries the
+    * (dist, path) pair and relaxes under the LEXICOGRAPHIC order
+    * min(dist, then path-as-gid-sequence). With strictly positive
+    * weights that order is extension-monotone (equal-dist paths to one
+    * node can never be prefixes of each other — a prefix relation would
+    * imply a zero-weight cycle — so appending an edge preserves every
+    * comparison), which makes tuple-Bellman-Ford converge to the
+    * arg-min over ALL ≤ maxHops-edge walks: exactly what a walk-
+    * enumerating recursive-CTE oracle computes. Paths are ≤ maxHops+1
+    * gids, so the extra state per node is hop-bounded, not graph-bound.
+    *
+    * @param edges (gsrc, gdst, w) directed, w > 0 required for the
+    *              tie-break determinism argument above
+    * @return (gid, dist, path) minimum (dist, path) per reached node
+    */
+  def ssspPaths(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    val e0 = materializeInvariant(edges.select(col("gsrc"), col("gdst"), col("w")))
+    val width = loopWidth(edges, e0.count())
+    val e = e0.coalesce(width)
+    var state = seeds.select(col("gid"), lit(0.0).as("dist"),
+      array(col("gid")).as("path")).localCheckpoint()
+    var frontier = state
+    var frontierRows = frontier.count()
+    var bound = frontierRows
+    var hop = 0
+    withoutAqe(edges, Some(width)) { while (hop < maxHops && frontierRows > 0) {
+      hop += 1
+      val cand = hintSmall(frontier.select(col("gid").as("fgid"),
+          col("dist").as("fdist"), col("path").as("fpath")), frontierRows)
+        .join(e, col("fgid") === e("gsrc"))
+        .select(e("gdst").as("gid"), (col("fdist") + col("w")).as("nd"),
+          concat(col("fpath"), array(e("gdst"))).as("npath"))
+        .groupBy(col("gid"))
+        .agg(min(struct(col("nd"), col("npath"))).as("b"))
+        .select(col("gid"), col("b.nd").as("nd"), col("b.npath").as("npath"))
+      val improved = cand
+        .join(hintSmall(state.select(col("gid").as("sgid"), col("dist"),
+            col("path")), bound),
+          col("gid") === col("sgid"), "left")
+        .filter(col("dist").isNull ||
+          struct(col("nd"), col("npath")) < struct(col("dist"), col("path")))
+        .select(col("gid"), col("nd").as("dist"), col("npath").as("path"))
+        .localCheckpoint()
+      frontierRows = improved.count()
+      bound += frontierRows
+      state = state
+        .join(hintSmall(improved.select(col("gid").as("igid")), frontierRows),
+          col("gid") === col("igid"), "left_anti")
+        .unionByName(improved)
+        .localCheckpoint()
+      frontier = improved
+    } }
+    state
+  }
+
   /** Connected components by iterative min-label propagation: every node
     * adopts the smallest component id among itself and its neighbors
     * until fixpoint. O(diameter) rounds of one shuffle each; isolated

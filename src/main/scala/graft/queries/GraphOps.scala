@@ -263,6 +263,47 @@ object GraphOps {
       .select(col("label"), col("key"), round(col("dist"), 4).as("dist"))
   }
 
+  /** Shortest paths WITH the witness route ([[Algorithms.ssspPaths]]):
+    * same seeds/weights as `g_sssp`, plus the gid sequence of the
+    * lexicographically-least minimum-weight walk. Oracle: the same
+    * walk-enumerating recursive CTE carrying the path list, arg-min by
+    * (d, path) — DuckDB orders lists lexicographically, matching
+    * Spark's struct ordering.
+    */
+  def gSsspPaths(spark: SparkSession, dir: String): DataFrame = {
+    val gr = g(spark, dir)
+    val seeds = gr.nodes("customer").df.filter(col("_id") <= 3)
+      .select(gr.gid("customer", col("_id")).as("gid"))
+    val weighted = gr.gidWeightedEdges(TpchGraph.edgeLabels, {
+      case "CONTAINS" => col("l_quantity")
+      case _ => lit(1.0)
+    })
+    val reached = Algorithms.ssspPaths(weighted, seeds, maxHops = 3)
+    gr.decode(reached, "gid")
+      .select(col("label"), col("key"), round(col("dist"), 4).as("dist"),
+        array_join(transform(col("path"), _.cast("string")), "->").as("path"))
+  }
+
+  val gSsspPathsSql: String =
+    s"""WITH RECURSIVE e AS (${TpchGraph.gidSqlWeightedEdges}),
+       walk(gid, d, hop, path) AS (
+         SELECT 2*4294967296 + c_custkey, CAST(0 AS DOUBLE), 0,
+                [2*4294967296 + c_custkey]
+         FROM customer WHERE c_custkey <= 3
+         UNION ALL
+         SELECT e.gdst, w.d + e.w, w.hop + 1, list_append(w.path, e.gdst)
+         FROM walk w JOIN e ON e.gsrc = w.gid WHERE w.hop < 3),
+       best AS (
+         SELECT gid, d, path FROM (
+           SELECT gid, d, path,
+                  row_number() OVER (PARTITION BY gid ORDER BY d, path) AS rn
+           FROM walk) WHERE rn = 1)
+       SELECT ${TpchGraph.gidSqlLabel} AS label, gid % 4294967296 AS key,
+              round(d, 4) AS dist,
+              array_to_string(list_transform(path, x -> CAST(x AS VARCHAR)), '->')
+                AS path
+       FROM best"""
+
   val gSsspSql: String =
     s"""WITH RECURSIVE e AS (${TpchGraph.gidSqlWeightedEdges}),
        walk(gid, d, hop) AS (
@@ -681,6 +722,7 @@ object GraphOps {
     QueryDef.sql("g_degree_hist", gDegreeHist, gDegreeHistSql),
     QueryDef.sql("g_bfs", gBfs, gBfsSql),
     QueryDef.sql("g_sssp", gSssp, gSsspSql),
+    QueryDef.sql("g_sssp_paths", gSsspPaths, gSsspPathsSql),
     QueryDef.sql("g_cc", gCc, gCcSql),
     QueryDef.sql("g_pagerank", gPagerank, gPagerankSql),
     QueryDef.sql("g_ppr", gPpr, gPprSql),

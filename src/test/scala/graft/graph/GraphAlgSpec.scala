@@ -49,6 +49,31 @@ class GraphAlgSpec extends SparkSpec {
     assert(multi === singles)
   }
 
+  test("ssspPaths: dist matches sssp, path witnesses it, ties break lexicographically") {
+    import spark.implicits._
+    // 1→2→4 (1+1) and 1→3→4 (1+1): equal dist, path [1,2,4] < [1,3,4]
+    // 1→5 weight 5 vs 1→2→5 weight 1+1: multi-hop must win
+    val edges = Seq(
+      (1L, 2L, 1.0), (1L, 3L, 1.0), (2L, 4L, 1.0), (3L, 4L, 1.0),
+      (1L, 5L, 5.0), (2L, 5L, 1.0)).toDF("gsrc", "gdst", "w")
+    val got = Algorithms.ssspPaths(edges, nodeDf(1L), maxHops = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getSeq[Long](2).toList))).toMap
+    assert(got(4L) === ((2.0, List(1L, 2L, 4L))))
+    assert(got(5L) === ((2.0, List(1L, 2L, 5L))))
+    assert(got(2L) === ((1.0, List(1L, 2L))))
+    // distances agree with the path-free loop on every node
+    val plain = Algorithms.sssp(edges, nodeDf(1L), maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.view.mapValues(_._1).toMap === plain)
+    // every path is a real walk of the claimed weight
+    val w = edges.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    got.foreach { case (v, (d, p)) =>
+      assert(p.head === 1L && p.last === v)
+      assert(p.sliding(2).collect { case Seq(a, b) => w(a -> b) }.sum === d)
+    }
+  }
+
   test("k-core peels the tail off a clique-plus-path graph") {
     // K4 on {1,2,3,4} plus a path 4-5-6: the 3-core is exactly the K4
     val edges = edgeDf(
