@@ -5,6 +5,7 @@ import graft.functions.FnvHash64
 import graft.pipeline.{Ann, Dedup, Importance, Multimodal, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** LLM-training-data pipeline operators (SURVEY §2.7) over the
   * `documents` and `embeddings` tables.
@@ -876,6 +877,95 @@ object Pipeline {
     """SELECT sha256(text) AS sha, min(doc_id) AS keep_id, count(*) AS n_copies
        FROM documents GROUP BY 1"""
 
+  /** Distinctive-terms extraction per source: smoothed log-odds of each
+    * word in a source vs the REST of the corpus (Monroe et al. 2008's
+    * "Fightin' Words" estimator, the corpus-comparison tool) — top 5
+    * per source by rounded score. Two vocabulary-bounded aggregations +
+    * joins on the reduced tables; the corpus total rides as a broadcast
+    * scalar subplan.
+    */
+  def pLogOdds(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.load(spark, dir, "documents")
+      .select(col("source"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+    val csw = toks.groupBy(col("source"), col("word")).agg(count(lit(1)).as("csw"))
+    val cw = csw.groupBy(col("word")).agg(sum(col("csw")).as("cw"))
+    val ns = csw.groupBy(col("source")).agg(sum(col("csw")).as("ns"))
+    val total = csw.agg(sum(col("csw")).as("n_total"))
+    val scored = csw.join(cw, "word").join(ns, "source")
+      .crossJoin(broadcast(total))
+      .select(col("source"), col("word"), col("csw"),
+        round(
+          log((col("csw") + 0.5) / (col("ns") - col("csw") + 0.5)) -
+            log((col("cw") - col("csw") + 0.5) /
+              (col("n_total") - col("ns") - (col("cw") - col("csw")) + 0.5)),
+          6).as("log_odds"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("log_odds").desc, col("word"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("source"), col("rank"), col("word"), col("csw"), col("log_odds"))
+  }
+
+  val pLogOddsSql: String =
+    """WITH tok AS (
+         SELECT source, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+         FROM documents),
+       csw AS (SELECT source, word, count(*) AS csw FROM tok GROUP BY 1, 2),
+       cw AS (SELECT word, sum(csw) AS cw FROM csw GROUP BY 1),
+       ns AS (SELECT source, sum(csw) AS ns FROM csw GROUP BY 1),
+       t AS (SELECT sum(csw) AS n_total FROM csw),
+       sc AS (
+         SELECT c.source, c.word, c.csw,
+                round(ln((c.csw + 0.5) / (ns.ns - c.csw + 0.5)) -
+                      ln((cw.cw - c.csw + 0.5) /
+                         (t.n_total - ns.ns - (cw.cw - c.csw) + 0.5)), 6) AS log_odds
+         FROM csw c JOIN cw USING (word) JOIN ns USING (source), t),
+       rk AS (
+         SELECT source, word, csw, log_odds,
+                row_number() OVER (PARTITION BY source
+                  ORDER BY log_odds DESC, word) AS rank
+         FROM sc)
+       SELECT source, CAST(rank AS BIGINT) AS rank, word, csw, log_odds
+       FROM rk WHERE rank <= 5"""
+
+  /** Zipf-slope fit of the term-frequency distribution (regression of
+    * ln f on ln rank over the top-1000 vocabulary) — the one-scalar
+    * corpus-health audit (natural text ≈ −1; templated/generated
+    * corpora drift). regr_slope/intercept are one-pass mergeable
+    * moments over the 1000-row ranked table.
+    */
+  def pZipf(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.load(spark, dir, "documents")
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("tf"))
+    val ranked = counts
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("tf").desc, col("word"))))
+      .filter(col("rank") <= 1000)
+      .select(log(col("tf").cast("double")).as("lnf"),
+        log(col("rank").cast("double")).as("lnr"))
+    ranked.agg(
+      round(expr("regr_slope(lnf, lnr)"), 4).as("zipf_slope"),
+      round(expr("regr_intercept(lnf, lnr)"), 4).as("intercept"),
+      count(lit(1)).as("n_terms"))
+  }
+
+  val pZipfSql: String =
+    """WITH counts AS (
+         SELECT word, count(*) AS tf FROM (
+           SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+           FROM documents) GROUP BY 1),
+       ranked AS (
+         SELECT ln(CAST(tf AS DOUBLE)) AS lnf,
+                ln(CAST(row_number() OVER (ORDER BY tf DESC, word) AS DOUBLE)) AS lnr,
+                row_number() OVER (ORDER BY tf DESC, word) AS rank
+         FROM counts QUALIFY rank <= 1000)
+       SELECT round(regr_slope(lnf, lnr), 4) AS zipf_slope,
+              round(regr_intercept(lnf, lnr), 4) AS intercept,
+              count(*) AS n_terms
+       FROM ranked"""
+
   /** PII scrub: match counts + sha of the redacted text (the sha proves
     * the scrubbed bytes agree, without hauling full texts through the
     * compare).
@@ -1353,6 +1443,8 @@ object Pipeline {
     QueryDef.sql("p_pii_scrub", pPiiScrub, pPiiScrubSql),
     QueryDef.sql("p_blocklist", pBlocklist, pBlocklistSql),
     QueryDef.sql("p_tfidf", pTfidf, pTfidfSql),
+    QueryDef.sql("p_log_odds", pLogOdds, pLogOddsSql),
+    QueryDef.sql("p_zipf", pZipf, pZipfSql),
     QueryDef.sql("p_pack_sequences", pPackSequences, pPackSequencesSql),
     QueryDef.sql("p_shuffle_shard", pShuffleShard, pShuffleShardSql),
     QueryDef.rowsOnly("p_bpe_vocab", pBpeVocab),

@@ -622,6 +622,70 @@ object Relational {
          EXCEPT
          SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)"""
 
+  /** Fixed-width histogram of order values — the distribution profile
+    * every monitoring dashboard wants. Buckets by exact integer floor
+    * arithmetic (engine-identical; no corpus-derived bounds), one
+    * aggregation pass.
+    */
+  def qHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .select(least(floor(col("o_totalprice") / 25000.0), lit(23L)).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+
+  val qHistogramSql: String =
+    """SELECT CAST(least(floor(o_totalprice / 25000.0), 23) AS BIGINT) AS bucket,
+              count(*) AS n
+       FROM orders GROUP BY 1"""
+
+  /** Unpivot (wide → long, the inverse of `q_pivot`): four lineitem
+    * measures melted to (metric, value) rows in ONE Expand pass — the
+    * scan is read once, not once per metric (the oracle's UNION ALL of
+    * per-metric aggregates is the semantics, not the plan).
+    */
+  def qUnpivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .unpivot(
+        Array.empty[org.apache.spark.sql.Column],
+        Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")),
+        "metric", "value")
+      .groupBy(col("metric"))
+      .agg(round(avg(col("value")), 4).as("avg_value"),
+        count(lit(1)).as("n"))
+
+  val qUnpivotSql: String =
+    """SELECT 'l_quantity' AS metric, round(avg(l_quantity), 4) AS avg_value,
+              count(*) AS n FROM lineitem
+       UNION ALL
+       SELECT 'l_extendedprice', round(avg(l_extendedprice), 4), count(*) FROM lineitem
+       UNION ALL
+       SELECT 'l_discount', round(avg(l_discount), 4), count(*) FROM lineitem
+       UNION ALL
+       SELECT 'l_tax', round(avg(l_tax), 4), count(*) FROM lineitem"""
+
+  /** Semi-structured JSON extraction from the event props column —
+    * schema-on-read over an embedded document field, aggregated per
+    * event type. `get_json_object` is codegen'd; at 100 TB the same
+    * query runs after `from_json` promotes hot fields to columns at
+    * ingest, but the extract-in-place form is the exploration surface.
+    */
+  def qJsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n_with_k"),
+        round(avg(col("k")), 4).as("avg_k"),
+        max(col("k")).as("max_k"))
+
+  val qJsonExtractSql: String =
+    """SELECT event_type,
+              count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+              round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+              max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+       FROM events GROUP BY event_type"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q1_agg", q1Agg, q1AggSql),
     QueryDef.sql("q_rollup", qRollup, qRollupSql),
@@ -646,5 +710,8 @@ object Relational {
     QueryDef.sql("q_grouping_sets", qGroupingSets, qGroupingSetsSql),
     QueryDef.sql("q_corr_subquery", qCorrSub, qCorrSubSql),
     QueryDef.sql("q_set_ops", qSetOps, qSetOpsSql),
+    QueryDef.sql("q_histogram", qHistogram, qHistogramSql),
+    QueryDef.sql("q_unpivot", qUnpivot, qUnpivotSql),
+    QueryDef.sql("q_json_extract", qJsonExtract, qJsonExtractSql),
     QueryDef.sql("q_asof_join", qAsofJoin, qAsofJoinSql))
 }
