@@ -802,6 +802,96 @@ object Algorithms {
       .orderBy(col("score").desc, col("x"), col("y")).limit(topK)
   }
 
+  /** Borůvka minimum spanning forest. Each round every component picks
+    * its minimum incident cross-edge under the TOTAL order
+    * (w, a, b) — the lexicographic perturbation that makes the MSF
+    * unique and the per-round selection cycle-free even with tied
+    * weights — then components merge by connected components over the
+    * selected component-graph (re-using [[connectedComponents]];
+    * that table is component-count sized and shrinks ≥2× per round, so
+    * the outer loop is O(log n) rounds of edge-relabel + argmin
+    * shuffles). The classic distributed MST recipe (Borůvka 1926 /
+    * GHS lineage): per-round work is linear in surviving cross-edges,
+    * state is one label per node.
+    *
+    * @param edges (gsrc, gdst, w) undirected weighted (direction ignored)
+    * @return forest edges (a, b, w), a < b
+    */
+  def minimumSpanningForest(nodes: DataFrame, edges: DataFrame,
+      maxRounds: Int = 20): DataFrame = {
+    val canon = edges.select(
+        least(col("gsrc"), col("gdst")).as("a"),
+        greatest(col("gsrc"), col("gdst")).as("b"), col("w"))
+      .filter(col("a") =!= col("b"))
+      .groupBy(col("a"), col("b")).agg(min(col("w")).as("w"))
+      .localCheckpoint()
+    var comp = nodes.select(col("gid"), col("gid").as("comp")).localCheckpoint()
+    // per-round selections accumulate lazily (≤ log n rounds, each a
+    // checkpointed leaf — no per-round forest materialization)
+    val picked = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      round += 1
+      val ec = canon
+        .join(comp.select(col("gid").as("a"), col("comp").as("ca")), "a")
+        .join(comp.select(col("gid").as("b"), col("comp").as("cb")), "b")
+        .filter(col("ca") =!= col("cb"))
+      // every component sees its incident cross-edges from both sides
+      val inc = ec.select(col("ca").as("c"),
+          struct(col("w"), col("a"), col("b"), col("cb").as("oc")).as("e"))
+        .unionByName(ec.select(col("cb").as("c"),
+          struct(col("w"), col("a"), col("b"), col("ca").as("oc")).as("e")))
+      val sel = inc.groupBy(col("c")).agg(min(col("e")).as("e"))
+        .select(col("c"), col("e.w").as("w"), col("e.a").as("a"),
+          col("e.b").as("b"), col("e.oc").as("oc"))
+        .localCheckpoint()
+      // one action per round: the selection count is both the
+      // termination probe and the contraction-strategy pivot
+      val selCnt = sel.count()
+      if (selCnt == 0) done = true
+      else {
+        picked += sel.select(col("a"), col("b"), col("w"))
+        // contract along the selected component graph. The pair table is
+        // component-count bounded and halves per round — when it fits
+        // the broadcast-state bound, a driver union-find replaces the
+        // distributed CC loop (same hybrid as [[stateHint]]: the
+        // mapping is label-sized metadata, never node-sized data);
+        // past the bound the checkpointed CC loop takes over.
+        val mapping = if (selCnt <= BroadcastStateBound) {
+            val pairs = sel.select(col("c"), col("oc")).collect()
+              .map(r => (r.getLong(0), r.getLong(1)))
+            val parent = scala.collection.mutable.Map.empty[Long, Long]
+            def find(v: Long): Long = {
+              val p = parent.getOrElse(v, v)
+              if (p == v) v else { val r = find(p); parent(v) = r; r }
+            }
+            pairs.foreach { case (c, oc) =>
+              val (rc, ro) = (find(c), find(oc))
+              if (rc != ro) parent(math.max(rc, ro)) = math.min(rc, ro)
+            }
+            val rows = pairs.flatMap { case (c, oc) => Seq(c, oc) }.distinct
+              .map(c => (c, find(c)))
+            val spark = comp.sparkSession
+            import spark.implicits._
+            broadcast(rows.toSeq.toDF("oldc", "newc"))
+          } else {
+            connectedComponents(
+                comp.select(col("comp").as("gid")).distinct(),
+                sel.select(col("c").as("gsrc"), col("oc").as("gdst")))
+              .select(col("gid").as("oldc"), col("comp").as("newc"))
+          }
+        comp = comp.select(col("gid"), col("comp").as("oldc"))
+          .join(mapping, Seq("oldc"), "left")
+          .select(col("gid"), coalesce(col("newc"), col("oldc")).as("comp"))
+          .localCheckpoint()
+      }
+    }
+    if (picked.isEmpty)
+      canon.select(col("a"), col("b"), col("w")).limit(0)
+    else picked.reduce(_ unionByName _).distinct()
+  }
+
   /** Seed-anchored neighborhood Jaccard — the set-overlap
     * link-prediction score: J(s,y) = |N(s)∩N(y)| / |N(s)∪N(y)| for
     * non-adjacent pairs with s ∈ seeds. Same anchored-wedge shape (and

@@ -662,6 +662,30 @@ object GraphOps {
               count(*) AS reached_from
        FROM d WHERE hop > 0 GROUP BY gid"""
 
+  /** Minimum spanning forest of the support-weighted co-purchase
+    * subgraph (strong ties = light edges, so the forest is the
+    * maximum-affinity backbone — the category-taxonomy skeleton).
+    * Bounded to parts < 2000 as with the other seed-bounded analytics;
+    * iterative Borůvka has no SQL mirror (rows-only), exactness is
+    * RandomizedAlgSpec's Kruskal cross-check.
+    */
+  def gMst(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val op = li.filter(col("l_partkey") < 2000)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val perOrder = op.groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
+    val pairs = perOrder.select(explode(flatten(transform(col("ps"),
+        (x, i) => transform(slice(col("ps"), i + 2, size(col("ps"))),
+          y => struct(x.as("a"), y.as("b")))))).as("e"))
+      .groupBy(col("e.a").as("gsrc"), col("e.b").as("gdst"))
+      .agg((lit(1.0) / count(lit(1))).as("w"))
+    val nodes = op.select(col("l_partkey").as("gid")).distinct()
+    val forest = Algorithms.minimumSpanningForest(nodes, pairs)
+    forest.agg(count(lit(1)).as("n_edges"),
+      round(sum(col("w")), 6).as("total_weight"))
+  }
+
   /** Market-basket association mining over orders: pair support (how
     * many orders contain both parts) and lift (support over the
     * independence expectation). The co-purchase pair generation reuses
@@ -737,5 +761,6 @@ object GraphOps {
     QueryDef.sql("g_harmonic", gHarmonic, gHarmonicSql),
     QueryDef.sql("g_assortativity", gAssortativity, gAssortativitySql),
     QueryDef.sql("g_basket", gBasket, gBasketSql),
+    QueryDef.rowsOnly("g_mst", gMst),
     QueryDef.sql("g_wal_replay", gWalReplay, gWalReplaySql))
 }

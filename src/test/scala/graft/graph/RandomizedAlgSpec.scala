@@ -46,6 +46,39 @@ class RandomizedAlgSpec extends SparkSpec {
     }
   }
 
+  test("Boruvka forest matches Kruskal on random weighted multigraphs") {
+    import spark.implicits._
+    (41 to 48).foreach { seed =>
+      val rnd = new Random(seed)
+      val n = 4 + rnd.nextInt(9)
+      val nodes = (0L until n.toLong).toSeq
+      val m = rnd.nextInt(3 * n)
+      // small integer weights force ties → exercises the (w, a, b) order
+      val edges = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong,
+        (1 + rnd.nextInt(4)).toDouble))
+      val ndf = nodes.toDF("gid")
+      val edf =
+        if (edges.isEmpty) Seq((0L, 0L, 0.0)).toDF("gsrc", "gdst", "w").limit(0)
+        else edges.toDF("gsrc", "gdst", "w")
+      val got = Algorithms.minimumSpanningForest(ndf, edf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // driver Kruskal under the same (w, a, b) total order
+      val canon = edges.map { case (x, y, w) => (math.min(x, y), math.max(x, y), w) }
+        .filter { case (a, b, _) => a != b }
+        .groupBy { case (a, b, _) => (a, b) }
+        .map { case ((a, b), es) => (a, b, es.map(_._3).min) }.toSeq
+        .sortBy { case (a, b, w) => (w, a, b) }
+      val parent = scala.collection.mutable.Map(nodes.map(v => v -> v): _*)
+      def find(v: Long): Long =
+        if (parent(v) == v) v else { parent(v) = find(parent(v)); parent(v) }
+      val kruskal = canon.filter { case (a, b, _) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { parent(ra) = rb; true } else false
+      }.toSet
+      assert(got === kruskal, s"seed=$seed")
+    }
+  }
+
   test("connected components match union-find on random multigraphs") {
     (11 to 18).foreach { seed =>
       val (nodes, edges) = randomGraph(seed)
