@@ -416,6 +416,19 @@ object GraphOps {
 
   val gRandomWalksSql: String = GraphOracleSql.randomWalksSql(steps = 3)
 
+  /** node2vec-biased walk corpus over the co-purchase graph: p=4
+    * discourages immediate backtracking, q=0.25 favors outward (DFS-ish)
+    * exploration — the Grover-Leskovec bias, derandomized with the same
+    * md5/A-ES discipline as `g_random_walks` so the full path column is
+    * hash-checkable against the unrolled SQL mirror.
+    */
+  def gNode2vec(spark: SparkSession, dir: String): DataFrame = {
+    val (nodes, edges) = copurchaseGraph(spark, dir)
+    graft.graph.Walks.node2vecWalks(nodes, edges, steps = 3, p = 4.0, q = 0.25)
+  }
+
+  val gNode2vecSql: String = GraphOracleSql.node2vecSql(steps = 3, p = 4.0, q = 0.25)
+
   /** 4-core of the co-purchase graph, reported as its member count.
     * Oracle: unrolled peeling rounds (fixpoint measured at 1 round on
     * this graph; 4 unrolled — peeling past the fixpoint is a no-op).
@@ -754,6 +767,7 @@ object GraphOps {
     QueryDef.sql("g_label_prop", gLabelProp, gLabelPropSql),
     QueryDef.sql("g_kcore", gKcore, gKcoreSql),
     QueryDef.sql("g_random_walks", gRandomWalks, gRandomWalksSql),
+    QueryDef.sql("g_node2vec", gNode2vec, gNode2vecSql),
     QueryDef.sql("g_triangles", gTriangles, gTrianglesSql),
     QueryDef.sql("g_clustering_coef", gClusteringCoef, gClusteringCoefSql),
     QueryDef.sql("g_adamic_adar", gAdamicAdar, gAdamicAdarSql),

@@ -205,6 +205,47 @@ object GraphOracleSql {
        SELECT walk_id, path FROM w$steps"""
   }
 
+  /** Unrolled node2vec-biased walks ([[graft.graph.Walks.node2vecWalks]]
+    * mirror): per step the same md5-uniform, the same A-ES key
+    * pow(u, 1/α) rounded to 9 dp, the same (key DESC, b DESC) argmax,
+    * with α from the p/q rule against the PREVIOUS node (membership
+    * via a left join on the undirected edge set; a NULL prev — step 1 —
+    * falls through to the 1/q branch on both sides, a constant α that
+    * cannot change an argmax).
+    */
+  def node2vecSql(steps: Int, p: Double, q: Double): String = {
+    val stepCtes = (1 to steps).map { i =>
+      s""",
+       w$i AS MATERIALIZED (
+         SELECT w.walk_id,
+                CASE WHEN pk.nb IS NOT NULL THEN w.cur ELSE w.prev END AS prev,
+                coalesce(pk.nb, w.cur) AS cur,
+                CASE WHEN pk.nb IS NULL THEN w.path
+                     ELSE w.path || '->' || CAST(pk.nb AS VARCHAR) END AS path
+         FROM w${i - 1} w LEFT JOIN (
+           SELECT walk_id, nb FROM (
+             SELECT w.walk_id, u.b AS nb,
+                    row_number() OVER (PARTITION BY w.walk_id ORDER BY
+                      round(pow(
+                        CAST(CAST('0x' || substr(md5(
+                          concat_ws(':', w.walk_id, $i, u.b)), 1, 13) AS BIGINT)
+                          AS DOUBLE) / 4503599627370496.0,
+                        1.0 / (CASE WHEN u.b = w.prev THEN ${1.0 / p}
+                                    WHEN m.a IS NOT NULL THEN 1.0
+                                    ELSE ${1.0 / q} END)), 9) DESC, u.b DESC)
+                      AS rn
+             FROM w${i - 1} w JOIN und u ON w.cur = u.a
+             LEFT JOIN und m ON m.a = w.prev AND m.b = u.b) t
+           WHERE rn = 1) pk ON w.walk_id = pk.walk_id)"""
+    }.mkString
+    s"""WITH $copurchase,
+       w0 AS MATERIALIZED (
+         SELECT gid AS walk_id, CAST(NULL AS BIGINT) AS prev, gid AS cur,
+                CAST(gid AS VARCHAR) AS path
+         FROM pnodes)$stepCtes
+       SELECT walk_id, path FROM w$steps"""
+  }
+
   /** Unrolled k-core peeling over the co-purchase graph: survivors of
     * round i are nodes with degree ≥ k in the subgraph induced by round
     * i-1's survivors. Reports the member count.

@@ -37,6 +37,51 @@ class WalksSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("node2vec walks match a driver-side simulation of the p/q rule") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rawEdges = (1 to 60)
+      .map(_ => (rnd.nextInt(15).toLong, rnd.nextInt(15).toLong))
+      .filter(e => e._1 != e._2)
+    val nodes = (0L until 15L)
+    val (p, q, steps) = (4.0, 0.25, 4)
+    val got = Walks.node2vecWalks(nodes.toDF("gid"),
+        rawEdges.toDF("gsrc", "gdst"), steps, p, q)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // driver simulation of the identical deterministic rule
+    val und = rawEdges.flatMap { case (a, b) => Seq(a -> b, b -> a) }.toSet
+    val adj = und.groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted).toMap
+    def uniform(walkId: Long, step: Int, b: Long): Double = {
+      val h = org.apache.commons.codec.digest.DigestUtils
+        .md5Hex(s"$walkId:$step:$b").substring(0, 13)
+      java.lang.Long.parseLong(h, 16).toDouble / 4503599627370496.0
+    }
+    val sim = nodes.map { s =>
+      var prev = Option.empty[Long]
+      var cur = s
+      val path = new StringBuilder(s.toString)
+      for (step <- 1 to steps) {
+        val cands = adj.getOrElse(cur, Seq.empty)
+        if (cands.nonEmpty) {
+          val pick = cands.map { b =>
+            val alpha =
+              if (prev.contains(b)) 1.0 / p
+              else if (prev.exists(pv => und(pv -> b))) 1.0
+              else 1.0 / q
+            val key = BigDecimal(math.pow(uniform(s, step, b), 1.0 / alpha))
+              .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+            (key, b)
+          }.max
+          prev = Some(cur)
+          cur = pick._2
+          path.append("->").append(pick._2)
+        }
+      }
+      s -> path.toString
+    }.toMap
+    assert(got === sim)
+  }
+
   test("md5 choice spreads across neighbors rather than collapsing to one") {
     import spark.implicits._
     // 200 leaves each connected to hubs 1000-1003: first hops should
