@@ -404,6 +404,41 @@ object GraphOps {
 
   val gLabelPropSql: String = GraphOracleSql.labelPropSql(iters = 5)
 
+  /** Newman modularity of the label-propagation partition — the
+    * community-quality scalar (how much denser inside communities than
+    * a degree-preserving random graph): Q = Σ_c (e_c/m − (D_c/2m)²).
+    * Every term is exact integer arithmetic until the final divisions,
+    * so the engines agree to ULP and round(6) seals the sum order.
+    * The scalar m rides as a broadcast one-row subplan.
+    */
+  def gModularity(spark: SparkSession, dir: String): DataFrame = {
+    val (nodes, edges) = copurchaseGraph(spark, dir)
+    val labels = Algorithms.labelPropagation(nodes, edges, iters = 5)
+    val canon = edges.select(col("gsrc").as("a"), col("gdst").as("b"))
+    val und = canon.unionByName(
+      canon.select(col("b").as("a"), col("a").as("b")))
+    val lab = labels.select(col("gid"), col("community"))
+    val intra = canon
+      .join(lab.select(col("gid").as("a"), col("community").as("ca")), "a")
+      .join(lab.select(col("gid").as("b"), col("community").as("cb")), "b")
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("c")).agg(count(lit(1)).as("ec"))
+    val dc = und.groupBy(col("a")).agg(count(lit(1)).as("d"))
+      .join(lab.select(col("gid").as("a"), col("community")), "a")
+      .groupBy(col("community").as("c")).agg(sum(col("d")).as("dc"))
+    val scalars = canon.agg(count(lit(1)).cast("double").as("m"))
+      .crossJoin(broadcast(
+        labels.agg(countDistinct(col("community")).as("n_communities"))))
+    dc.join(intra, Seq("c"), "left")
+      .crossJoin(broadcast(scalars))
+      .agg(first(col("n_communities")).as("n_communities"),
+        round(sum(
+          coalesce(col("ec"), lit(0L)) / col("m") -
+            pow(col("dc") / (lit(2.0) * col("m")), 2)), 6).as("modularity"))
+  }
+
+  val gModularitySql: String = GraphOracleSql.modularitySql(iters = 5)
+
   /** Deterministic 3-step random-walk corpus over the co-purchase graph
     * (DeepWalk input): one md5-derandomized walk per node, emitted as a
     * path string. Oracle: the same three steps unrolled, each picking
@@ -765,6 +800,7 @@ object GraphOps {
     QueryDef.sql("g_ppr", gPpr, gPprSql),
     QueryDef.sql("g_hits", gHits, gHitsSql),
     QueryDef.sql("g_label_prop", gLabelProp, gLabelPropSql),
+    QueryDef.sql("g_modularity", gModularity, gModularitySql),
     QueryDef.sql("g_kcore", gKcore, gKcoreSql),
     QueryDef.sql("g_random_walks", gRandomWalks, gRandomWalksSql),
     QueryDef.sql("g_node2vec", gNode2vec, gNode2vecSql),

@@ -176,6 +176,45 @@ object GraphOracleSql {
        SELECT size, count(*) AS n_communities FROM sizes GROUP BY size"""
   }
 
+  /** Modularity of the label-propagation partition: the same unrolled
+    * majority-vote rounds as [[labelPropSql]], then
+    * Q = Σ_c (e_c/m − (D_c/2m)²) over the final labels — exact integer
+    * counts divided at the very end, mirroring the Spark plan.
+    */
+  def modularitySql(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s""",
+       l$i AS MATERIALIZED (
+         SELECT l.gid, coalesce(b.newc, l.community) AS community
+         FROM l${i - 1} l LEFT JOIN (
+           SELECT a, community AS newc FROM (
+             SELECT u.a, p.community,
+                    row_number() OVER (PARTITION BY u.a
+                      ORDER BY count(*) DESC, p.community) AS rn
+             FROM und u JOIN l${i - 1} p ON u.b = p.gid
+             GROUP BY u.a, p.community) t
+           WHERE rn = 1) b ON l.gid = b.a)"""
+    }.mkString
+    s"""WITH $copurchase,
+       l0 AS MATERIALIZED (SELECT gid, gid AS community FROM pnodes)$steps,
+       intra AS (
+         SELECT la.community AS c, count(*) AS ec
+         FROM ce e JOIN l$iters la ON e.a = la.gid
+                   JOIN l$iters lb ON e.b = lb.gid
+         WHERE la.community = lb.community GROUP BY 1),
+       dc AS (
+         SELECT l.community AS c, sum(d.d) AS dc
+         FROM (SELECT a AS gid, count(*) AS d FROM und GROUP BY 1) d
+         JOIN l$iters l ON d.gid = l.gid GROUP BY 1),
+       s AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM ce),
+       nc AS (SELECT count(DISTINCT community) AS n_communities FROM l$iters)
+       SELECT nc.n_communities,
+              round(sum(coalesce(intra.ec, 0) / s.m -
+                        pow(dc.dc / (2.0 * s.m), 2)), 6) AS modularity
+       FROM dc LEFT JOIN intra ON dc.c = intra.c, s, nc
+       GROUP BY nc.n_communities"""
+  }
+
   /** Unrolled derandomized random walks ([[graft.graph.Walks]]): step i
     * keeps, per walk, the neighbor with the smallest
     * md5(walk_id:i:neighbor) (neighbor id as tiebreak, matching the
