@@ -42,6 +42,33 @@ object Streaming {
               count(*) AS n_events
        FROM sess GROUP BY user_id, session_idx"""
 
+  /** Batch face of the engine-native `session_window` sessionizer
+    * ([[Streams.sessionizeNative]]) — must agree with `s_sessionize`'s
+    * gap semantics on this data (the two conventions only diverge on an
+    * exact-gap arrival; the oracle is the same gap-split SQL minus the
+    * session index).
+    */
+  def sSessionNative(spark: SparkSession, dir: String): DataFrame =
+    Streams.sessionizeNative(Tables.load(spark, dir, "events"),
+      gapSeconds = 1800L, withWatermark = false)
+
+  val sSessionNativeSql: String =
+    """WITH marked AS (
+         SELECT user_id, ts, event_id,
+                CASE WHEN lag(epoch(ts)) OVER w IS NULL
+                       OR epoch(ts) - lag(epoch(ts)) OVER w > 1800
+                     THEN 1 ELSE 0 END AS is_new
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       sess AS (
+         SELECT user_id, ts,
+                sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+         FROM marked)
+       SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+              count(*) AS n_events
+       FROM sess GROUP BY user_id, session_idx"""
+
   /** Batch face of the streaming dedup (SURVEY §2.5 row 39b): which
     * (user, event_type) keys survive. The key set is deterministic even
     * though dropDuplicates' surviving ROW is not, so this is the
@@ -112,6 +139,7 @@ object Streaming {
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("s_tumbling_agg", sTumblingAgg, sTumblingAggSql),
     QueryDef.sql("s_sessionize", sSessionize, sSessionizeSql),
+    QueryDef.sql("s_session_native", sSessionNative, sSessionNativeSql),
     QueryDef.sql("s_dedup_keys", sDedupKeys, sDedupKeysSql),
     QueryDef.sql("s_sliding_agg", sSlidingAgg, sSlidingAggSql),
     QueryDef.sql("s_stream_join", sStreamJoin, sStreamJoinSql),

@@ -117,6 +117,29 @@ object Streams {
         count(lit(1)).as("n_events"))
   }
 
+  /** Gap-based sessionization via the engine-native `session_window`
+    * aggregation — the third face of the same semantics (batch windows,
+    * custom fMGWS state, native session windows): each event opens a
+    * [ts, ts+gap) window and overlapping windows merge inside ONE
+    * stateful aggregation; in streaming mode sessions emit in Append
+    * once the watermark passes the merged window's end. State is
+    * per-open-session, watermark-bounded — the engine-managed version
+    * of what [[sessionizeStream]] maintains by hand. Boundary
+    * convention: an exact-gap arrival SPLITS here (merge requires
+    * next < prev + gap) but CONTINUES in [[sessionize]] (split requires
+    * diff > gap) — equal everywhere except diff == gap exactly.
+    */
+  def sessionizeNative(events: DataFrame, gapSeconds: Long = 1800L,
+      withWatermark: Boolean = true, watermark: String = "1 hour"): DataFrame = {
+    val src = if (withWatermark) events.withWatermark("ts", watermark) else events
+    src.groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapSeconds seconds"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"))
+  }
+
   /** Streaming exact dedup: keep the first event per key, with state
     * bounded by the event-time watermark — Structured Streaming's native
     * `dropDuplicatesWithinWatermark` (late duplicates beyond the horizon

@@ -179,6 +179,32 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq === Seq((ts(0), ts(40), 3L)))
   }
 
+  test("native session_window face agrees with the batch and fMGWS sessionizers") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Ev]
+    val sessions = Streams.sessionizeNative(source.toDF(), gapSeconds = 1800,
+      withWatermark = true, watermark = "10 minutes")
+    val q = sessions.writeStream
+      .format("memory").queryName("native_sessions_out").outputMode("append").start()
+    try {
+      source.addData(events: _*)
+      q.processAllAvailable()
+      source.addData(Ev(99, java.sql.Timestamp.valueOf("2024-01-02 12:00:00"), 9, "x", 0.0))
+      q.processAllAvailable()
+      source.addData(Ev(100, java.sql.Timestamp.valueOf("2024-01-03 12:00:00"), 9, "x", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("native_sessions_out")
+      .filter(col("user_id") < 9)
+      .orderBy("user_id", "session_start")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+    val batch = Streams.sessionize(events.toDF(), gapSeconds = 1800)
+      .orderBy("user_id", "session_start")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(2), r.getTimestamp(3), r.getLong(4)))
+    assert(got.toSeq === batch.toSeq)
+  }
+
   test("sessionize splits on the idle gap") {
     import spark.implicits._
     val sessions = Streams.sessionize(events.toDF(), gapSeconds = 1800)
