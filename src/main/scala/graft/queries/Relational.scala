@@ -686,6 +686,62 @@ object Relational {
               max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
        FROM events GROUP BY event_type"""
 
+  /** SCD-2 dimension build from a change log: each (user, value) change
+    * becomes a validity interval [valid_from, valid_to) with the
+    * current row open-ended — lead() over the per-key event order, ONE
+    * shuffle. The slowly-changing-dimension load every warehouse runs.
+    */
+  def qScd2(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        round(col("value"), 2).as("value"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("ts").as("valid_from"), col("valid_to"),
+        col("value"), col("valid_to").isNull.as("is_current"))
+  }
+
+  val qScd2Sql: String =
+    """SELECT user_id, ts AS valid_from,
+              lead(ts) OVER w AS valid_to,
+              round(value, 2) AS value,
+              lead(ts) OVER w IS NULL AS is_current
+       FROM events
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""
+
+  /** First-order Markov transition matrix of user behavior: counts and
+    * row-normalized probabilities of event_type → next event_type per
+    * user timeline. lead() pairs consecutive events in the ONE per-user
+    * sort; the row totals ride back as a (k²-bounded) join — the
+    * session-flow model behind next-action prediction.
+    */
+  def qMarkov(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.load(spark, dir, "events")
+      .select(col("event_type").as("from_type"),
+        lead(col("event_type"), 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("from_type")).agg(sum(col("n")).as("tot"))
+    pairs.join(totals, "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n") / col("tot"), 6).as("p"))
+  }
+
+  val qMarkovSql: String =
+    """WITH pairs AS (
+         SELECT event_type AS from_type,
+                lead(event_type) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS to_type
+         FROM events),
+       c AS (SELECT from_type, to_type, count(*) AS n FROM pairs
+             WHERE to_type IS NOT NULL GROUP BY 1, 2),
+       t AS (SELECT from_type, sum(n) AS tot FROM c GROUP BY 1)
+       SELECT c.from_type, c.to_type, c.n,
+              round(c.n / t.tot, 6) AS p
+       FROM c JOIN t USING (from_type)"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q1_agg", q1Agg, q1AggSql),
     QueryDef.sql("q_rollup", qRollup, qRollupSql),
@@ -713,5 +769,7 @@ object Relational {
     QueryDef.sql("q_histogram", qHistogram, qHistogramSql),
     QueryDef.sql("q_unpivot", qUnpivot, qUnpivotSql),
     QueryDef.sql("q_json_extract", qJsonExtract, qJsonExtractSql),
+    QueryDef.sql("q_scd2", qScd2, qScd2Sql),
+    QueryDef.sql("q_markov", qMarkov, qMarkovSql),
     QueryDef.sql("q_asof_join", qAsofJoin, qAsofJoinSql))
 }
