@@ -143,6 +143,42 @@ object Cluster {
         (col("dist") > col("__thr")).as("is_outlier"))
   }
 
+  /** Labeled-embedding margin audit (mislabeled-example detection):
+    * per-label centroids (label-count × dim, the driver-side codebook
+    * contract as everywhere in this module), then per vector the
+    * squared distance to its OWN label's centroid vs the nearest OTHER
+    * label's — a vector closer to a foreign class centroid than its own
+    * is a label suspect. Distances are codegen literal-array arithmetic;
+    * the suspect flag compares ROUNDED distances so engine summation
+    * ULP can't flip it.
+    */
+  def labelMargins(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val cents = emb
+      .select(col(labelCol).cast("int").as("l"), posexplode(v).as(Seq("i", "x")))
+      .groupBy(col("l"), col("i")).agg(avg(col("x")).as("m"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .view.mapValues(rs => rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray)
+      .toSeq.sortBy(_._1)
+    val dists = cents.map { case (l, c) =>
+      struct(
+        round(VectorFunctions.l2sq(array(c.toIndexedSeq.map(lit): _*), v), 6).as("d"),
+        lit(l).as("l"))
+    }
+    val all = array(dists: _*)
+    val own = element_at(
+      filter(all, s => s.getField("l") === col(labelCol).cast("int")), 1)
+      .getField("d")
+    val other = array_min(
+        filter(all, s => s.getField("l") =!= col(labelCol).cast("int")))
+      .getField("d")
+    emb.select(col(idCol).as("id"), col(labelCol).cast("int").as("label"),
+      own.as("d_own"), other.as("d_other"),
+      (own > other).as("suspect"))
+  }
+
   /** Per-dimension corpus min/max — the scalar-quantization codebook
     * (dim-bounded, driver-side like the centroid codebook; min/max are
     * exact order statistics, so the codebook is engine-identical).

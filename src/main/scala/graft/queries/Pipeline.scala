@@ -966,6 +966,32 @@ object Pipeline {
               count(*) AS n_terms
        FROM ranked"""
 
+  /** Labeled-embedding margin audit
+    * ([[graft.pipeline.Cluster.labelMargins]]): vectors closer to a
+    * foreign label's centroid than their own are label suspects.
+    */
+  def pLabelMargin(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Cluster.labelMargins(
+        Tables.load(spark, dir, "embeddings"), "vec_id", "embedding", "label")
+      .select(col("id").as("vec_id"), col("label"), col("d_own"),
+        col("d_other"), col("suspect"))
+
+  val pLabelMarginSql: String =
+    """WITH x AS (
+         SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+                CAST(unnest(embedding) AS DOUBLE) AS xv
+         FROM embeddings),
+       c AS (SELECT label AS l, i, avg(xv) AS m FROM x GROUP BY 1, 2),
+       d AS (SELECT x.vec_id, x.label, c.l,
+                    round(sum((x.xv - c.m) * (x.xv - c.m)), 6) AS d2
+             FROM x JOIN c ON x.i = c.i GROUP BY 1, 2, 3),
+       own AS (SELECT vec_id, label, d2 AS d_own FROM d WHERE l = label),
+       oth AS (SELECT vec_id, min(d2) AS d_other FROM d WHERE l <> label
+               GROUP BY 1)
+       SELECT o.vec_id, o.label, o.d_own, t.d_other,
+              o.d_own > t.d_other AS suspect
+       FROM own o JOIN oth t USING (vec_id)"""
+
   /** PII scrub: match counts + sha of the redacted text (the sha proves
     * the scrubbed bytes agree, without hauling full texts through the
     * compare).
@@ -1456,6 +1482,7 @@ object Pipeline {
     QueryDef.sql("p_kmeans", pKmeans, pKmeansSql),
     QueryDef.sql("p_semdedup", pSemDedup, pSemDedupSql),
     QueryDef.sql("p_embed_outliers", pEmbedOutliers, pEmbedOutliersSql),
+    QueryDef.sql("p_label_margin", pLabelMargin, pLabelMarginSql),
     QueryDef.sql("p_quantize", pQuantize, pQuantizeSql),
     QueryDef.sql("p_knn_brute", pKnnBrute, pKnnBruteSql),
     QueryDef.sql("p_hard_negatives", pHardNegatives, pHardNegativesSql),
