@@ -992,6 +992,40 @@ object Pipeline {
               o.d_own > t.d_other AS suspect
        FROM own o JOIN oth t USING (vec_id)"""
 
+  /** Dataset card: the one-row corpus datasheet (docs, sources,
+    * token/char mass, exact-duplicate rate, language mix, mean quality)
+    * every curated release ships with — composed entirely from already-
+    * verified per-doc fragments, aggregated in ONE pass plus the
+    * digest-distinct count.
+    */
+  def pDatasetCard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    docs.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("source")).as("n_sources"),
+      countDistinct(sha2(col("text"), 256)).as("n_unique_texts"),
+      sum(col("n_chars")).as("total_chars"),
+      sum(TextAnalysis.wsTokens(col("text"))).cast("long").as("total_ws_tokens"),
+      round(avg(TextAnalysis.qualityScore(col("text"))), 4).as("mean_quality"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"))
+  }
+
+  val pDatasetCardSql: String = {
+    val ws = "len(regexp_split_to_array(trim(text), '\\s+'))"
+    val punct = s"(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / greatest(length(text), 1))"
+    val stop = s"(CAST(${sqlLangScore("en")} AS DOUBLE) / greatest($ws, 1))"
+    s"""SELECT count(*) AS n_docs,
+              count(DISTINCT source) AS n_sources,
+              count(DISTINCT sha256(text)) AS n_unique_texts,
+              sum(n_chars) AS total_chars,
+              CAST(sum($ws) AS BIGINT) AS total_ws_tokens,
+              round(avg(least(CAST($ws AS DOUBLE) / 100.0, 1.0) * 0.4 +
+                    (1.0 - least($punct * 10.0, 1.0)) * 0.3 +
+                    least($stop * 4.0, 1.0) * 0.3), 4) AS mean_quality,
+              sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_en
+       FROM documents"""
+  }
+
   /** PII scrub: match counts + sha of the redacted text (the sha proves
     * the scrubbed bytes agree, without hauling full texts through the
     * compare).
@@ -1477,6 +1511,7 @@ object Pipeline {
     QueryDef.rowsOnly("p_bpe_tokens", pBpeTokens),
     QueryDef.rowsOnly("p_bpe_fertility", pBpeFertility),
     QueryDef.sql("p_curation_pipeline", pCurationPipeline, pCurationPipelineSql),
+    QueryDef.sql("p_dataset_card", pDatasetCard, pDatasetCardSql),
     QueryDef.sql("p_token_quantiles", pTokenQuantiles, pTokenQuantilesSql),
     QueryDef.sql("p_ngram_freq", pNgramFreq, pNgramFreqSql),
     QueryDef.sql("p_kmeans", pKmeans, pKmeansSql),

@@ -742,6 +742,30 @@ object Relational {
               round(c.n / t.tot, 6) AS p
        FROM c JOIN t USING (from_type)"""
 
+  /** Time-interval RANGE window frame — trailing-hour running aggregate
+    * per user (the RATE/velocity feature behind fraud and engagement
+    * scoring). Unlike a ROWS frame, the frame is bounded by the VALUE
+    * of the ordering column, so bursts widen the window's row count;
+    * Spark plans it in the same ONE per-user sort as any other frame.
+    */
+  def qRangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").cast("long"))
+      .rangeBetween(-3600L, 0L)
+    Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        round(sum(col("value")).over(w), 4).as("hour_sum"),
+        count(lit(1)).over(w).as("hour_n"))
+  }
+
+  val qRangeFrameSql: String =
+    """SELECT event_id, user_id, ts,
+              round(sum(value) OVER w, 4) AS hour_sum,
+              count(*) OVER w AS hour_n
+       FROM events
+       WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q1_agg", q1Agg, q1AggSql),
     QueryDef.sql("q_rollup", qRollup, qRollupSql),
@@ -771,5 +795,6 @@ object Relational {
     QueryDef.sql("q_json_extract", qJsonExtract, qJsonExtractSql),
     QueryDef.sql("q_scd2", qScd2, qScd2Sql),
     QueryDef.sql("q_markov", qMarkov, qMarkovSql),
+    QueryDef.sql("q_range_frame", qRangeFrame, qRangeFrameSql),
     QueryDef.sql("q_asof_join", qAsofJoin, qAsofJoinSql))
 }
