@@ -46,6 +46,37 @@ class RandomizedAlgSpec extends SparkSpec {
     }
   }
 
+  test("seed-anchored Jaccard matches driver set computation on random graphs") {
+    import spark.implicits._
+    (61 to 66).foreach { seed =>
+      val (nodes, edges) = randomGraph(seed)
+      val (_, edf) = toDf(nodes, edges)
+      val adjg = Algorithms.prepareAdjacency(edf)
+      val seeds = nodes.filter(_ < 5)
+      val got = Algorithms.jaccardFor(adjg, seeds.toDF("gid"), topK = 1000)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getDouble(2), r.getLong(3))))
+        .toMap
+      // driver model over the simple undirected graph
+      val simple = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .filter { case (a, b) => a != b }.toSet
+      val und = simple.flatMap { case (a, b) => Set(a -> b, b -> a) }
+      val nb = und.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val expected = (for {
+        s <- seeds if nb.contains(s)
+        y <- nb.values.flatten.toSet if y != s && !und(s -> y)
+        common = nb(s).intersect(nb.getOrElse(y, Set.empty))
+        if common.nonEmpty
+      } yield {
+        val j = common.size.toDouble /
+          (nb(s).size + nb.getOrElse(y, Set.empty).size - common.size)
+        (s, y) -> ((BigDecimal(j).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble, common.size.toLong))
+      }).toMap
+      assert(got === expected, s"seed=$seed edges=$simple")
+    }
+  }
+
   test("Boruvka forest matches Kruskal on random weighted multigraphs") {
     import spark.implicits._
     (41 to 48).foreach { seed =>

@@ -103,6 +103,37 @@ class RandomizedDedupSpec extends SparkSpec {
     }
   }
 
+  test("span dedup matches driver first-occurrence removal on random corpora") {
+    import spark.implicits._
+    (1 to 4).foreach { seed =>
+      val rnd = new Random(300 + seed)
+      // tiny vocab + short window force heavy window collisions,
+      // including intra-doc repeats and sub-window docs
+      val docs = (0L until 12L).map { i =>
+        i -> Seq.fill(1 + rnd.nextInt(10))(vocab(rnd.nextInt(3))).mkString(" ")
+      }
+      val k = 3
+      val got = Dedup.spanDedup(docs.toDF("doc_id", "text"), "doc_id", "text", k)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      // driver model: corpus-order first occurrence of each k-window
+      // survives; every other occurrence covers its k positions
+      val seen = scala.collection.mutable.Set.empty[String]
+      val expected = docs.map { case (id, text) =>
+        val toks = text.trim.split("\\s+").toSeq
+        val covered = scala.collection.mutable.Set.empty[Int]
+        if (toks.size >= k) {
+          (0 to toks.size - k).foreach { s =>
+            val w = toks.slice(s, s + k).mkString(" ")
+            if (!seen.add(w)) covered ++= (s until s + k)
+          }
+        }
+        id -> ((toks.size.toLong, (toks.size - covered.size).toLong))
+      }.toMap
+      assert(got === expected, s"seed=$seed docs=$docs")
+    }
+  }
+
   test("chunking matches driver window arithmetic on random lengths") {
     import spark.implicits._
     (1 to 3).foreach { seed =>
