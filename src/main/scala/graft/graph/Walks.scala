@@ -91,7 +91,7 @@ object Walks {
       val cand = walks.select(col("walk_id"), col("prev"), col("cur"))
         .join(und.hint("shuffle_hash"), col("cur") === col("a"), "left")
       val flagged = cand.join(
-        und.select(col("a").as("ma"), col("b").as("mb")),
+        und.select(col("a").as("ma"), col("b").as("mb")).hint("shuffle_hash"),
         col("prev") === col("ma") && col("b") === col("mb"), "left")
       val u = conv(substring(md5(
           concat_ws(":", col("walk_id"), lit(step), col("b"))), 1, 13), 16, 10)
