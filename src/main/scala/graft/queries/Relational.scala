@@ -766,6 +766,45 @@ object Relational {
        WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
                     RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)"""
 
+  /** Blocked fuzzy matching (entity resolution): near-duplicate part
+    * names by edit distance ≤ 2, with a composite blocking key
+    * (last word + name length) so the pairwise work is per-block
+    * quadratic, never corpus-quadratic — the blocking-then-verify shape
+    * every dedupe/ER system runs, with `levenshtein` codegen'd on the
+    * candidate pairs only. (Same-length blocking admits exactly the
+    * substitution-edit matches; the recall tradeoff of any blocking
+    * key, stated rather than hidden.)
+    */
+  def qFuzzyMatch(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.load(spark, dir, "part")
+      .select(col("p_partkey"), col("p_name"),
+        element_at(split(col("p_name"), " "), -1).as("blk"),
+        length(col("p_name")).as("len"))
+    val a = p.select(col("blk"), col("len"),
+      col("p_partkey").as("key_a"), col("p_name").as("name_a"))
+    val b = p.select(col("blk"), col("len"),
+      col("p_partkey").as("key_b"), col("p_name").as("name_b"))
+    a.join(b, Seq("blk", "len"))
+      .filter(col("key_a") < col("key_b") && col("name_a") =!= col("name_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= 2)
+      .select(col("key_a"), col("key_b"), col("name_a"), col("name_b"),
+        col("dist").cast("long").as("dist"))
+  }
+
+  val qFuzzyMatchSql: String =
+    """WITH p AS (
+         SELECT p_partkey, p_name,
+                string_split(p_name, ' ')[-1] AS blk,
+                length(p_name) AS len
+         FROM part)
+       SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+              a.p_name AS name_a, b.p_name AS name_b,
+              CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+       FROM p a JOIN p b ON a.blk = b.blk AND a.len = b.len
+        AND a.p_partkey < b.p_partkey AND a.p_name <> b.p_name
+       WHERE levenshtein(a.p_name, b.p_name) <= 2"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q1_agg", q1Agg, q1AggSql),
     QueryDef.sql("q_rollup", qRollup, qRollupSql),
@@ -796,5 +835,6 @@ object Relational {
     QueryDef.sql("q_scd2", qScd2, qScd2Sql),
     QueryDef.sql("q_markov", qMarkov, qMarkovSql),
     QueryDef.sql("q_range_frame", qRangeFrame, qRangeFrameSql),
+    QueryDef.sql("q_fuzzy_match", qFuzzyMatch, qFuzzyMatchSql),
     QueryDef.sql("q_asof_join", qAsofJoin, qAsofJoinSql))
 }
