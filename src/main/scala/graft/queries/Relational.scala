@@ -776,17 +776,24 @@ object Relational {
     * key, stated rather than hidden.)
     */
   def qFuzzyMatch(spark: SparkSession, dir: String): DataFrame = {
+    // edit distance is common-suffix-invariant (d(x·s, y·s) = d(x, y)),
+    // and the blocking key IS the shared suffix — so the per-pair DP
+    // runs on the short distinct prefix only, same result, ~3× less work
     val p = Tables.load(spark, dir, "part")
       .select(col("p_partkey"), col("p_name"),
         element_at(split(col("p_name"), " "), -1).as("blk"),
         length(col("p_name")).as("len"))
+      .withColumn("pre",
+        substring(col("p_name"), lit(1), length(col("p_name")) - length(col("blk"))))
     val a = p.select(col("blk"), col("len"),
-      col("p_partkey").as("key_a"), col("p_name").as("name_a"))
+      col("p_partkey").as("key_a"), col("p_name").as("name_a"),
+      col("pre").as("pre_a"))
     val b = p.select(col("blk"), col("len"),
-      col("p_partkey").as("key_b"), col("p_name").as("name_b"))
-    a.join(b, Seq("blk", "len"))
+      col("p_partkey").as("key_b"), col("p_name").as("name_b"),
+      col("pre").as("pre_b"))
+    a.join(b.hint("shuffle_hash"), Seq("blk", "len"))
       .filter(col("key_a") < col("key_b") && col("name_a") =!= col("name_b"))
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .withColumn("dist", levenshtein(col("pre_a"), col("pre_b")))
       .filter(col("dist") <= 2)
       .select(col("key_a"), col("key_b"), col("name_a"), col("name_b"),
         col("dist").cast("long").as("dist"))
