@@ -174,9 +174,14 @@ object Cluster {
     val other = array_min(
         filter(all, s => s.getField("l") =!= col(labelCol).cast("int")))
       .getField("d")
+    // a single-label corpus has no foreign centroid: drop those rows so
+    // this face agrees with the SQL mirror's inner join (which emits
+    // zero rows) instead of returning NULL d_other/suspect — and so the
+    // degenerate shape never feeds element_at/array_min ANSI corners
     emb.select(col(idCol).as("id"), col(labelCol).cast("int").as("label"),
       own.as("d_own"), other.as("d_other"),
       (own > other).as("suspect"))
+      .filter(col("d_other").isNotNull)
   }
 
   /** Per-dimension corpus min/max — the scalar-quantization codebook

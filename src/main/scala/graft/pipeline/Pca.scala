@@ -76,14 +76,25 @@ object Pca {
     * Deterministic: init is the basis vector of the largest-variance
     * coordinate, and the sign convention (largest-|coordinate| entry
     * positive) pins the eigenvector's inherent ± ambiguity.
+    *
+    * Runs to CONVERGENCE (||v_new − v_old|| < tol), capped at `maxIters`
+    * — a fixed iteration count can return a non-converged direction when
+    * the top two eigenvalues are near-equal, and the downstream
+    * projection rounds that unconverged score into the gate. A rank-0
+    * covariance (all-identical vectors: λ = 0, every direction is an
+    * eigenvector) returns the deterministic init vector with λ = 0
+    * rather than aborting — the projection is then the constant 0 for
+    * every row, a defined and correct degenerate answer.
     */
-  def firstComponent(cov: Array[Array[Double]], iters: Int = 100): (Array[Double], Double) = {
+  def firstComponent(cov: Array[Array[Double]], maxIters: Int = 1000,
+      tol: Double = 1e-12): (Array[Double], Double) = {
     val d = cov.length
     var v = new Array[Double](d)
     v((0 until d).maxBy(i => cov(i)(i))) = 1.0
     var lambda = 0.0
     var it = 0
-    while (it < iters) {
+    var resid = Double.MaxValue
+    while (it < maxIters && resid >= tol) {
       val w = Array.tabulate(d) { i =>
         var acc = 0.0
         var j = 0
@@ -91,9 +102,18 @@ object Pca {
         acc
       }
       val nrm = math.sqrt(w.map(x => x * x).sum)
-      require(nrm > 0.0, "power iteration hit the zero vector (rank-0 covariance)")
-      v = w.map(_ / nrm)
-      lambda = nrm
+      if (nrm == 0.0) {
+        // v lies in the null space: PSD + power step → λ = 0 along v;
+        // keep the deterministic current direction, done
+        lambda = 0.0
+        resid = 0.0
+      } else {
+        val vn = w.map(_ / nrm)
+        resid = math.sqrt(vn.zip(v).map { case (a, b) =>
+          (a - b) * (a - b) }.sum)
+        v = vn
+        lambda = nrm
+      }
       it += 1
     }
     val jm = (0 until d).maxBy(i => math.abs(v(i)))
@@ -110,9 +130,9 @@ object Pca {
     * scalar shift — no per-row centering materialization.
     */
   def projectFirst(emb: DataFrame, idCol: String, vecCol: String,
-      iters: Int = 100): DataFrame = {
+      maxIters: Int = 1000): DataFrame = {
     val (_, mean, cov) = moments(emb, vecCol)
-    val (v, _) = firstComponent(cov, iters)
+    val (v, _) = firstComponent(cov, maxIters)
     val shift = mean.zip(v).map { case (m, c) => m * c }.sum
     emb.select(col(idCol),
       (VectorFunctions.dot(col(vecCol).cast("array<double>"), litVec(v)) - lit(shift))

@@ -997,32 +997,57 @@ object Pipeline {
     * every curated release ships with — composed entirely from already-
     * verified per-doc fragments, aggregated in ONE pass plus the
     * digest-distinct count.
+    *
+    * `mean_quality` aggregates the per-doc 4-dp-integerized score
+    * `floor(quality·10⁴ + 0.5)` — exactly the quantity `p_quality_score`
+    * proves engine-equal — as an EXACT integer sum, divided once at the
+    * end. A raw `avg(quality)` is boundary-fragile: the corpus mean can
+    * sit within ULP noise of a 4-dp rounding boundary, where any sub-4dp
+    * per-doc divergence (engine regex corners hidden by a saturated
+    * `least` term) flips the last digit. Summing integers makes both
+    * engines perform ONE identical division on identical operands —
+    * bit-stable on any corpus.
     */
+  private val cardLangs = Seq("en", "zh", "es", "de", "fr")
+
   def pDatasetCard(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
-    docs.agg(
+    val q4 = floor(TextAnalysis.qualityScore(col("text")) * 10000.0 + lit(0.5))
+      .cast("long")
+    val langCounts = cardLangs.map(l =>
+      sum(when(col("lang") === l, 1L).otherwise(0L)).as(s"n_$l")) :+
+      sum(when(!col("lang").isin(cardLangs.map(x => x: Any): _*), 1L)
+        .otherwise(0L)).as("n_other")
+    val cols = Seq(
       count(lit(1)).as("n_docs"),
       countDistinct(col("source")).as("n_sources"),
       countDistinct(sha2(col("text"), 256)).as("n_unique_texts"),
       sum(col("n_chars")).as("total_chars"),
       sum(TextAnalysis.wsTokens(col("text"))).cast("long").as("total_ws_tokens"),
-      round(avg(TextAnalysis.qualityScore(col("text"))), 4).as("mean_quality"),
-      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"))
+      round(sum(q4).cast("double") / count(lit(1)) / lit(10000.0), 4)
+        .as("mean_quality")) ++ langCounts
+    docs.agg(cols.head, cols.tail: _*)
   }
 
   val pDatasetCardSql: String = {
     val ws = "len(regexp_split_to_array(trim(text), '\\s+'))"
     val punct = s"(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / greatest(length(text), 1))"
     val stop = s"(CAST(${sqlLangScore("en")} AS DOUBLE) / greatest($ws, 1))"
+    val quality = s"""least(CAST($ws AS DOUBLE) / 100.0, 1.0) * 0.4 +
+                    (1.0 - least($punct * 10.0, 1.0)) * 0.3 +
+                    least($stop * 4.0, 1.0) * 0.3"""
+    val langCounts = cardLangs.map(l =>
+      s"sum(CASE WHEN lang = '$l' THEN 1 ELSE 0 END) AS n_$l").mkString(",\n              ")
+    val inList = cardLangs.map(l => s"'$l'").mkString(", ")
     s"""SELECT count(*) AS n_docs,
               count(DISTINCT source) AS n_sources,
               count(DISTINCT sha256(text)) AS n_unique_texts,
               sum(n_chars) AS total_chars,
               CAST(sum($ws) AS BIGINT) AS total_ws_tokens,
-              round(avg(least(CAST($ws AS DOUBLE) / 100.0, 1.0) * 0.4 +
-                    (1.0 - least($punct * 10.0, 1.0)) * 0.3 +
-                    least($stop * 4.0, 1.0) * 0.3), 4) AS mean_quality,
-              sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_en
+              round(CAST(sum(CAST(floor(($quality) * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                    / count(*) / 10000.0, 4) AS mean_quality,
+              $langCounts,
+              sum(CASE WHEN lang NOT IN ($inList) THEN 1 ELSE 0 END) AS n_other
        FROM documents"""
   }
 

@@ -43,10 +43,12 @@ object Streaming {
        FROM sess GROUP BY user_id, session_idx"""
 
   /** Batch face of the engine-native `session_window` sessionizer
-    * ([[Streams.sessionizeNative]]) — must agree with `s_sessionize`'s
-    * gap semantics on this data (the two conventions only diverge on an
-    * exact-gap arrival; the oracle is the same gap-split SQL minus the
-    * session index).
+    * ([[Streams.sessionizeNative]]). The oracle mirrors session_window's
+    * OWN boundary convention — an arrival exactly `gap` after the
+    * previous event SPLITS (merge requires next < prev + gap), hence
+    * `>= 1800` below, where `s_sessionize`'s gap-split uses `> 1800`.
+    * The two faces agree everywhere except an exact-gap arrival; the
+    * oracle is exact either way, not data-dependent.
     */
   def sSessionNative(spark: SparkSession, dir: String): DataFrame =
     Streams.sessionizeNative(Tables.load(spark, dir, "events"),
@@ -56,7 +58,7 @@ object Streaming {
     """WITH marked AS (
          SELECT user_id, ts, event_id,
                 CASE WHEN lag(epoch(ts)) OVER w IS NULL
-                       OR epoch(ts) - lag(epoch(ts)) OVER w > 1800
+                       OR epoch(ts) - lag(epoch(ts)) OVER w >= 1800
                      THEN 1 ELSE 0 END AS is_new
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),

@@ -138,4 +138,23 @@ class ClusterSpec extends SparkSpec {
     assert(got(2L) === Seq.empty)
     assert(got(1L).length === 2)
   }
+
+  test("labelMargins flags the planted mislabel; single-label corpus is empty") {
+    import spark.implicits._
+    // id 3 sits in label 1's cluster but carries label 0 → suspect
+    val emb = Seq(
+      (1L, Array(10.0f, 0.0f), 0), (2L, Array(9.8f, 0.2f), 0),
+      (3L, Array(0.1f, 9.9f), 0),
+      (4L, Array(0.0f, 10.0f), 1), (5L, Array(0.2f, 9.8f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Cluster.labelMargins(emb, "vec_id", "embedding", "label")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(got(3L))
+    assert(!got(1L) && !got(4L))
+    // degenerate: one label → no foreign centroid → zero rows, matching
+    // the SQL mirror's inner join (not NULL-filled rows)
+    val one = Seq((1L, Array(1.0f, 2.0f), 7), (2L, Array(1.1f, 2.1f), 7))
+      .toDF("vec_id", "embedding", "label")
+    assert(Cluster.labelMargins(one, "vec_id", "embedding", "label").isEmpty)
+  }
 }

@@ -64,4 +64,32 @@ class PcaSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     got.foreach { case (k, s) => assert(math.abs(again(k) - s) < 1e-9) }
   }
+
+  test("power iteration stops at convergence, not the iteration cap") {
+    val (_, _, cov) = Pca.moments(planted, "embedding")
+    // a converged run and a generously-capped run agree: the tol check
+    // is doing the stopping, so the cap is a backstop, not the answer
+    val (v1, l1) = Pca.firstComponent(cov, maxIters = 1000)
+    val (v2, l2) = Pca.firstComponent(cov, maxIters = 100000)
+    assert(math.abs(l1 - l2) < 1e-9)
+    v1.zip(v2).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
+    // exit residual is a true eigenpair residual, not a mid-flight state
+    val cv = Array.tabulate(3)(i => cov(i).zip(v1).map { case (a, b) => a * b }.sum)
+    val resid = math.sqrt(cv.zip(v1).map { case (a, b) =>
+      val r = a - l1 * b; r * r }.sum)
+    assert(resid / l1 < 1e-9)
+  }
+
+  test("rank-0 covariance (all-identical vectors) is a defined result") {
+    import spark.implicits._
+    val same = (1L to 5L).map(i => (i, Array(2.5f, -1.0f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val (_, _, cov) = Pca.moments(same, "embedding")
+    val (v, lambda) = Pca.firstComponent(cov)
+    assert(lambda === 0.0)
+    assert(math.abs(math.sqrt(v.map(x => x * x).sum) - 1.0) < 1e-12)
+    // projection of a constant corpus is the constant 0 for every row
+    Pca.projectFirst(same, "vec_id", "embedding").collect()
+      .foreach(r => assert(math.abs(r.getDouble(1)) < 1e-9))
+  }
 }
