@@ -18,10 +18,19 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val df = SparkEntry.queries(name)(spark, dir)
-    df.explain("formatted")
-    val t0 = System.nanoTime()
-    println(s"rows=${df.count()} in ${(System.nanoTime() - t0) / 1e9}s")
+    // time construction + count together: iterative queries materialize
+    // per-round checkpoints while the DataFrame is being BUILT, so a
+    // count-only timer reads ~0 for exactly the queries worth measuring.
+    // Two passes: pass 2 reuses pinned materialized views (the bench
+    // steady-state); pass 1 includes view construction (cold).
+    for (pass <- 1 to 2) {
+      val t0 = System.nanoTime()
+      val df = SparkEntry.queries(name)(spark, dir)
+      val n = df.count()
+      println(s"pass$pass rows=$n in ${(System.nanoTime() - t0) / 1e9}s")
+      PinnedRdds.dropUnpinned(spark)
+    }
+    SparkEntry.queries(name)(spark, dir).explain("formatted")
     spark.stop()
   }
 }

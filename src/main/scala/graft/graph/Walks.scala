@@ -23,16 +23,31 @@ import org.apache.spark.sql.functions._
   * neighbor argmin aggregates bare (walk_id, hash, neighbor) rows, and
   * the join-back onto the path state is exchange-free on both sides.
   * Dead ends (isolated seeds) carry their path unchanged.
+  *
+  * Both walk families accept a prepared [[Algorithms.AdjGraph]] so the
+  * undirected union/checkpoint they need is the SAME pinned invariant
+  * the neighborhood-scoring queries already materialize — a walk query
+  * then pays zero per-call derivation of the graph itself.
   */
 object Walks {
 
+  /** Uniform walks over the pinned adjacency invariant — skips the
+    * per-call undirected-union derivation + checkpoint.
+    */
+  def randomWalks(g: Algorithms.AdjGraph, nodes: DataFrame, steps: Int): DataFrame =
+    uniformLoop(g.und, nodes, steps)
+
   def randomWalks(nodes: DataFrame, edges: DataFrame, steps: Int): DataFrame = {
-    require(steps >= 1, s"steps must be >= 1, got $steps")
     val und0 = edges.select(col("gsrc").as("a"), col("gdst").as("b"))
       .unionByName(edges.select(col("gdst").as("a"), col("gsrc").as("b")))
       .localCheckpoint()
-    val width = Algorithms.loopWidth(edges, und0.count())
-    Algorithms.withoutAqe(edges, Some(width)) {
+    uniformLoop(und0, nodes, steps)
+  }
+
+  private def uniformLoop(und0: DataFrame, nodes: DataFrame, steps: Int): DataFrame = {
+    require(steps >= 1, s"steps must be >= 1, got $steps")
+    val width = Algorithms.loopWidth(und0, und0.count())
+    Algorithms.withoutAqe(und0, Some(width)) {
     val und = und0.repartition(width, col("a")).localCheckpoint()
     var walks = nodes.select(col("gid").as("walk_id"), col("gid").as("cur"),
         col("gid").cast("string").as("path"))
@@ -68,21 +83,44 @@ object Walks {
     * "random" choice is the A-ES key (pow(u, 1/α) maximized, u an
     * md5-derived uniform of (walk_id, step, candidate) — the recipe
     * [[graft.pipeline.Splits.weightedSample]] proves portable), rounded
-    * to 9 dp so cross-engine pow ULP can't flip a pick. The extra cost
-    * over the uniform walk is one membership join per step (is the
-    * candidate adjacent to the PREVIOUS node) — the price of the
-    * second-order bias, linear in candidate volume.
+    * to 9 dp so cross-engine pow ULP can't flip a pick.
+    *
+    * The second-order "is the candidate adjacent to the PREVIOUS node"
+    * test joins the candidate stream against a NODE-keyed table of
+    * sorted neighbor arrays on `prev` alone and evaluates
+    * `array_contains(nbrs, candidate)` — a node-sized build side. The
+    * earlier formulation joined candidates against the FULL edge list
+    * on the composite (prev, candidate) key: at 100× scale that is an
+    * edge-sized build and the widest shuffle in the repo, where the
+    * adjacency-array build is node-sized (the array payload totals the
+    * edge count, but it rides a build relation keyed and partitioned by
+    * node, built exchange-free from the already-hash(a) edge layout).
     */
+  def node2vecWalks(g: Algorithms.AdjGraph, nodes: DataFrame, steps: Int,
+      p: Double, q: Double): DataFrame =
+    node2vecLoop(g.und, nodes, steps, p, q)
+
   def node2vecWalks(nodes: DataFrame, edges: DataFrame, steps: Int,
       p: Double, q: Double): DataFrame = {
-    require(steps >= 1, s"steps must be >= 1, got $steps")
-    require(p > 0 && q > 0, "p and q must be positive")
     val und0 = edges.select(col("gsrc").as("a"), col("gdst").as("b"))
       .unionByName(edges.select(col("gdst").as("a"), col("gsrc").as("b")))
       .distinct().localCheckpoint()
-    val width = Algorithms.loopWidth(edges, und0.count())
-    Algorithms.withoutAqe(edges, Some(width)) {
+    node2vecLoop(und0, nodes, steps, p, q)
+  }
+
+  private def node2vecLoop(und0: DataFrame, nodes: DataFrame, steps: Int,
+      p: Double, q: Double): DataFrame = {
+    require(steps >= 1, s"steps must be >= 1, got $steps")
+    require(p > 0 && q > 0, "p and q must be positive")
+    val width = Algorithms.loopWidth(und0, und0.count())
+    Algorithms.withoutAqe(und0, Some(width)) {
     val und = und0.repartition(width, col("a")).localCheckpoint()
+    // node-keyed sorted adjacency arrays for the membership test;
+    // groupBy rides the hash(a) layout, so this aggregation (and the
+    // per-step probe build) is exchange-free
+    val nbrs = und.groupBy(col("a").as("na"))
+      .agg(array_sort(collect_set(col("b"))).as("nbrs"))
+      .localCheckpoint()
     var walks = nodes.select(col("gid").as("walk_id"),
         lit(null).cast("long").as("prev"), col("gid").as("cur"),
         col("gid").cast("string").as("path"))
@@ -90,14 +128,17 @@ object Walks {
     for (step <- 1 to steps) {
       val cand = walks.select(col("walk_id"), col("prev"), col("cur"))
         .join(und.hint("shuffle_hash"), col("cur") === col("a"), "left")
-      val flagged = cand.join(
-        und.select(col("a").as("ma"), col("b").as("mb")).hint("shuffle_hash"),
-        col("prev") === col("ma") && col("b") === col("mb"), "left")
+      // prev-adjacency via the node-keyed array table: at step 1 prev is
+      // null → no match → adj = false → the uniform 1/q branch, exactly
+      // the composite-join behavior
+      val flagged = cand.join(nbrs.hint("shuffle_hash"),
+        col("prev") === col("na"), "left")
       val u = conv(substring(md5(
           concat_ws(":", col("walk_id"), lit(step), col("b"))), 1, 13), 16, 10)
         .cast("double") / lit(4503599627370496.0) // 2^52
+      val adj = coalesce(array_contains(col("nbrs"), col("b")), lit(false))
       val alpha = when(col("b") === col("prev"), lit(1.0 / p))
-        .when(col("mb").isNotNull, lit(1.0))
+        .when(adj, lit(1.0))
         .otherwise(lit(1.0 / q))
       val pick = flagged
         .groupBy(col("walk_id"))
