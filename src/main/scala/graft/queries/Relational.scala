@@ -767,37 +767,14 @@ object Relational {
                     RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)"""
 
   /** Blocked fuzzy matching (entity resolution): near-duplicate part
-    * names by edit distance ≤ 2, with a composite blocking key
-    * (last word + name length) so the pairwise work is per-block
-    * quadratic, never corpus-quadratic — the blocking-then-verify shape
-    * every dedupe/ER system runs, with `levenshtein` codegen'd on the
-    * candidate pairs only. (Same-length blocking admits exactly the
-    * substitution-edit matches; the recall tradeoff of any blocking
-    * key, stated rather than hidden.)
+    * names by edit distance ≤ 2 via [[graft.operators.FuzzyMatch]] —
+    * see there for the blocking key, the prefix-DP cut, and the opt-in
+    * hot-block cap + audit (uncapped here: part names have no hot
+    * suffix block; a skewed corpus opts in via `maxBlockSize`).
     */
-  def qFuzzyMatch(spark: SparkSession, dir: String): DataFrame = {
-    // edit distance is common-suffix-invariant (d(x·s, y·s) = d(x, y)),
-    // and the blocking key IS the shared suffix — so the per-pair DP
-    // runs on the short distinct prefix only, same result, ~3× less work
-    val p = Tables.load(spark, dir, "part")
-      .select(col("p_partkey"), col("p_name"),
-        element_at(split(col("p_name"), " "), -1).as("blk"),
-        length(col("p_name")).as("len"))
-      .withColumn("pre",
-        substring(col("p_name"), lit(1), length(col("p_name")) - length(col("blk"))))
-    val a = p.select(col("blk"), col("len"),
-      col("p_partkey").as("key_a"), col("p_name").as("name_a"),
-      col("pre").as("pre_a"))
-    val b = p.select(col("blk"), col("len"),
-      col("p_partkey").as("key_b"), col("p_name").as("name_b"),
-      col("pre").as("pre_b"))
-    a.join(b.hint("shuffle_hash"), Seq("blk", "len"))
-      .filter(col("key_a") < col("key_b") && col("name_a") =!= col("name_b"))
-      .withColumn("dist", levenshtein(col("pre_a"), col("pre_b")))
-      .filter(col("dist") <= 2)
-      .select(col("key_a"), col("key_b"), col("name_a"), col("name_b"),
-        col("dist").cast("long").as("dist"))
-  }
+  def qFuzzyMatch(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.FuzzyMatch.matchPairs(
+      Tables.load(spark, dir, "part"), "p_partkey", "p_name", maxDist = 2)
 
   val qFuzzyMatchSql: String =
     """WITH p AS (

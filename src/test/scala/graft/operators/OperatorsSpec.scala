@@ -184,4 +184,28 @@ class OperatorsSpec extends SparkSpec {
       // text) the exchange iff it runs before it
       s"partial aggregate not below the exchange:\n$plan")
   }
+
+  test("fuzzy-match block cap bounds a planted hot block and the audit sees it") {
+    import spark.implicits._
+    // hot block: 40 same-length names sharing the last word "corp" →
+    // 780 uncapped candidate pairs from one key; plus one small clean
+    // block ("ab x"/"ac x") whose pair must survive the cap
+    val hot = (1L to 40L).map(i => (i, f"v$i%02d corp"))
+    val clean = Seq((100L, "ab x"), (101L, "ac x"))
+    val df = (hot ++ clean).toDF("id", "name")
+    val uncapped = FuzzyMatch.matchPairs(df, "id", "name", maxDist = 2)
+    assert(uncapped.count() === 780L + 1L)
+    val capped = FuzzyMatch.matchPairs(df, "id", "name", maxDist = 2,
+      maxBlockSize = 10L)
+    val got = capped.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // the hot block contributes nothing; the clean pair survives
+    assert(got.toSeq === Seq((100L, 101L)))
+    // audit face: exactly the dropped block, with its population
+    val audit = FuzzyMatch.oversizedBlocks(df, "id", "name", maxBlockSize = 10L)
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+    assert(audit.toSeq === Seq(("corp", 40L)))
+    // no cap → no audit rows
+    assert(FuzzyMatch.oversizedBlocks(df, "id", "name",
+      maxBlockSize = Long.MaxValue).isEmpty)
+  }
 }
