@@ -733,9 +733,16 @@ object GraphOps {
   /** Minimum spanning forest of the support-weighted co-purchase
     * subgraph (strong ties = light edges, so the forest is the
     * maximum-affinity backbone — the category-taxonomy skeleton).
-    * Bounded to parts < 2000 as with the other seed-bounded analytics;
-    * iterative Borůvka has no SQL mirror (rows-only), exactness is
-    * RandomizedAlgSpec's Kruskal cross-check.
+    * Bounded to parts < 2000 as with the other seed-bounded analytics.
+    *
+    * Reported as the spanning-forest summary (n_nodes, n_components,
+    * n_edges) with n_components computed FROM THE FOREST — so the
+    * DuckDB mirror ([[GraphOracleSql.msfSummarySql]]), which derives
+    * the same triple from the full graph's components, catches an
+    * under-spanning forest (component counts diverge) or a cyclic one
+    * (edge count ≠ nodes − components). Total-weight minimality has no
+    * SQL mirror; it stays under RandomizedAlgSpec's Kruskal cross-check
+    * (forced ties included).
     */
   def gMst(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(spark, dir, "lineitem")
@@ -750,9 +757,15 @@ object GraphOps {
       .agg((lit(1.0) / count(lit(1))).as("w"))
     val nodes = op.select(col("l_partkey").as("gid")).distinct()
     val forest = Algorithms.minimumSpanningForest(nodes, pairs)
-    forest.agg(count(lit(1)).as("n_edges"),
-      round(sum(col("w")), 6).as("total_weight"))
+    val comps = Algorithms.connectedComponents(nodes,
+      forest.select(col("a").as("gsrc"), col("b").as("gdst")))
+    comps.agg(count(lit(1)).as("n_nodes"),
+        countDistinct(col("comp")).as("n_components"))
+      .crossJoin(broadcast(forest.agg(count(lit(1)).as("n_edges"))))
+      .select(col("n_nodes"), col("n_components"), col("n_edges"))
   }
+
+  val gMstSql: String = GraphOracleSql.msfSummarySql(rounds = 12)
 
   /** Market-basket association mining over orders: pair support (how
     * many orders contain both parts) and lift (support over the
@@ -831,6 +844,6 @@ object GraphOps {
     QueryDef.sql("g_harmonic", gHarmonic, gHarmonicSql),
     QueryDef.sql("g_assortativity", gAssortativity, gAssortativitySql),
     QueryDef.sql("g_basket", gBasket, gBasketSql),
-    QueryDef.rowsOnly("g_mst", gMst),
+    QueryDef.sql("g_mst", gMst, gMstSql),
     QueryDef.sql("g_wal_replay", gWalReplay, gWalReplaySql))
 }

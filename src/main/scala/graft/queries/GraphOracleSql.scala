@@ -152,6 +152,51 @@ object GraphOracleSql {
        SELECT size, count(*) AS n_components FROM sizes, converged GROUP BY size"""
   }
 
+  /** Spanning-forest summary invariants of the support-weighted
+    * co-purchase subgraph (parts < 2000) — the checkable face of the
+    * iterative Borůvka MSF ([[graft.graph.Algorithms.minimumSpanningForest]]):
+    * full MSF edge selection has no SQL mirror, but ANY correct spanning
+    * forest must satisfy (a) it spans: the forest's component structure
+    * equals the graph's, and (b) it is acyclic: edge count =
+    * n_nodes − n_components. The Spark side computes n_components FROM
+    * THE FOREST it built; this oracle computes it from the full graph by
+    * unrolled min-label propagation (same fixpoint-with-margin recipe as
+    * [[ccSql]]) and derives the forest size — a cyclic or under-spanning
+    * forest mismatches on either column. Edge WEIGHT exactness (the
+    * min-total-weight property) is RandomizedAlgSpec's Kruskal
+    * cross-check; it has no closed SQL form.
+    */
+  def msfSummarySql(rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s""",
+       c$i AS MATERIALIZED (
+         SELECT c.gid, least(c.comp, coalesce(m.nc, c.comp)) AS comp
+         FROM c${i - 1} c LEFT JOIN (
+           SELECT u.a, min(p.comp) AS nc
+           FROM und u JOIN c${i - 1} p ON u.b = p.gid GROUP BY u.a) m
+         ON c.gid = m.a)"""
+    }.mkString
+    s"""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+                    WHERE l_partkey < 2000),
+       ce AS MATERIALIZED (
+         SELECT a.l_partkey AS a, b.l_partkey AS b
+         FROM op a JOIN op b
+         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         GROUP BY 1, 2),
+       und AS MATERIALIZED (SELECT a, b FROM ce UNION ALL SELECT b AS a, a AS b FROM ce),
+       pnodes AS (SELECT DISTINCT l_partkey AS gid FROM op),
+       c0 AS MATERIALIZED (SELECT gid, gid AS comp FROM pnodes)$steps,
+       converged AS (
+         SELECT 1 AS ok WHERE CASE WHEN (SELECT count(*) FROM
+             ((SELECT * FROM c$rounds) EXCEPT (SELECT * FROM c${rounds - 1}))) > 0
+           THEN error('msf oracle: $rounds unrolled rounds exhausted before fixpoint')
+           ELSE true END)
+       SELECT count(*) AS n_nodes,
+              count(DISTINCT comp) AS n_components,
+              count(*) - count(DISTINCT comp) AS n_edges
+       FROM c$rounds, converged"""
+  }
+
   /** Unrolled synchronous label propagation with the
     * `mode(deterministic = true)` tie-break (most frequent neighbor
     * label, ties to the lowest), reported as the community-size profile.
