@@ -62,4 +62,22 @@ class PlanShapeSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).size <= 2,
       s"per-dim profile should pay one aggregation shuffle:\n$p")
   }
+
+  test("g_modularity rides g_label_prop's pinned fit — one iterative fit per session") {
+    // the 5-round fit ends as a pinned localCheckpoint; both queries'
+    // plans must scan the SAME checkpoint RDD, proving the fit is a
+    // shared materialized view rather than re-run per query (the r5
+    // bench had modularity paying the full fit a second time)
+    def rddIds(df: org.apache.spark.sql.DataFrame): Set[Int] =
+      df.queryExecution.analyzed.collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+      }.toSet
+    val lp1 = rddIds(queries.GraphOps.gLabelProp(spark, sf()))
+    val lp2 = rddIds(queries.GraphOps.gLabelProp(spark, sf()))
+    assert(lp1.nonEmpty && lp1 === lp2,
+      s"two g_label_prop builds scan different checkpoints: $lp1 vs $lp2")
+    val mod = rddIds(queries.GraphOps.gModularity(spark, sf()))
+    assert(lp1.subsetOf(mod),
+      s"g_modularity does not scan the pinned fit $lp1 (scans $mod)")
+  }
 }

@@ -37,6 +37,31 @@ class WalksSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("the AdjGraph faces equal the raw-edge faces (canonicalized und is the same graph)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // include a duplicate and a reversed duplicate: the AdjGraph path
+    // dedups via least/greatest+distinct, the raw path keeps multiplicity
+    // — the md5-argmin / A-ES-argmax picks are multiplicity-invariant,
+    // so both faces must emit identical paths
+    val base = (1 to 50).map(_ => (rnd.nextInt(15).toLong, rnd.nextInt(15).toLong))
+      .filter(e => e._1 != e._2)
+    val edges = (base ++ base.take(5) ++ base.take(3).map(_.swap))
+      .toDF("gsrc", "gdst")
+    val nodes = (0L until 15L).toDF("gid")
+    val adj = Algorithms.prepareAdjacency(edges)
+    val u1 = Walks.randomWalks(nodes, edges, steps = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val u2 = Walks.randomWalks(adj, nodes, steps = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(u1 === u2)
+    val n1 = Walks.node2vecWalks(nodes, edges, steps = 3, p = 4.0, q = 0.25)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val n2 = Walks.node2vecWalks(adj, nodes, steps = 3, p = 4.0, q = 0.25)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(n1 === n2)
+  }
+
   test("node2vec walks match a driver-side simulation of the p/q rule") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
