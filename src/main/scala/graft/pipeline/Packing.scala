@@ -64,6 +64,30 @@ object Packing {
       .toDF("id", "shard", "pack_idx")
   }
 
+  /** Packing-efficiency audit over a [[packGreedy]] assignment: per
+    * shard, packs / docs / packed token mass / waste (unused budget
+    * summed over packs — an oversized single-doc pack wastes 0, it
+    * overflows by design) and the fill rate as a rounded ratio of
+    * exact integers. One doc-keyed join + two shard-bounded
+    * aggregations; the result is corpus/shardSize rows at any scale.
+    */
+  def packAudit(df: DataFrame, idCol: String, tokensCol: String,
+      budget: Long, shardSize: Long, spark: SparkSession): DataFrame = {
+    val docs = df.select(col(idCol).cast("long").as("id"),
+      col(tokensCol).cast("long").as("__tk"))
+    val packs = packGreedy(df, idCol, tokensCol, budget, shardSize, spark)
+    val fills = packs.join(docs, "id")
+      .groupBy(col("shard"), col("pack_idx"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__tk")).as("fill"))
+    fills.groupBy(col("shard")).agg(
+      count(lit(1)).as("n_packs"),
+      sum(col("n_docs")).as("n_docs"),
+      sum(col("fill")).as("packed_tokens"),
+      sum(greatest(lit(0L), lit(budget) - col("fill"))).as("waste_tokens"),
+      round(sum(col("fill")).cast("double") / (count(lit(1)) * budget), 4)
+        .as("fill_rate"))
+  }
+
   /** Deterministic training-order shuffle + sharding: shard = first md5
     * hex nibble of the key (16 shards), position = rank within the
     * shard by (md5, key) — a reproducible global permutation that is a

@@ -730,6 +730,50 @@ object GraphOps {
               count(*) AS reached_from
        FROM d WHERE hop > 0 GROUP BY gid"""
 
+  /** Sampled eccentricity + diameter lower bound over the co-purchase
+    * graph: ecc(s) = max_v d(s,v) across the same pinned seed sample,
+    * diameter_lb = max ecc — the k-source sweep that bounds a big
+    * graph's diameter in practice (exact diameter is all-pairs). Rides
+    * the SAME batched multi-source BFS as [[gHarmonic]] — one
+    * frontier ⋈ edges shuffle per hop carries every wavefront, and the
+    * 4-hop cap costs nothing when the graph is shallower (the loop
+    * stops on an empty frontier; on this graph every seed finishes by
+    * hop 3, so the reported ecc is EXACT, not cap-clipped — n_reached
+    * says so). diameter_lb joins back as a broadcast scalar subplan of
+    * the seed-bounded result, never a global sort.
+    */
+  def gEccentricity(spark: SparkSession, dir: String): DataFrame = {
+    val (nodes, edges) = copurchaseGraph(spark, dir)
+    val und = edges.select(col("gsrc"), col("gdst"))
+      .unionByName(edges.select(col("gdst").as("gsrc"), col("gsrc").as("gdst")))
+    val seeds = nodes.filter(col("gid") < 10).select(col("gid").as("src"))
+    val ecc = Algorithms.bfsMulti(und, seeds, maxHops = 4)
+      .filter(col("hop") > 0)
+      .groupBy(col("src"))
+      .agg(max(col("hop")).cast("long").as("ecc"),
+        count(lit(1)).as("n_reached"))
+    ecc.crossJoin(broadcast(ecc.agg(max(col("ecc")).as("diameter_lb"))))
+  }
+
+  val gEccentricitySql: String =
+    """WITH RECURSIVE op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       ce AS MATERIALIZED (
+         SELECT a.l_partkey AS a, b.l_partkey AS b
+         FROM op a JOIN op b
+         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         GROUP BY 1, 2),
+       und AS MATERIALIZED (SELECT a, b FROM ce UNION ALL SELECT b AS a, a AS b FROM ce),
+       walk(src, gid, hop) AS (
+         SELECT DISTINCT l_partkey, l_partkey, 0 FROM lineitem WHERE l_partkey < 10
+         UNION
+         SELECT w.src, u.b, w.hop + 1
+         FROM walk w JOIN und u ON u.a = w.gid WHERE w.hop < 4),
+       d AS (SELECT src, gid, min(hop) AS hop FROM walk GROUP BY 1, 2),
+       e AS (SELECT src, CAST(max(hop) AS BIGINT) AS ecc, count(*) AS n_reached
+             FROM d WHERE hop > 0 GROUP BY src)
+       SELECT src, ecc, n_reached, (SELECT max(ecc) FROM e) AS diameter_lb
+       FROM e"""
+
   /** Minimum spanning forest of the support-weighted co-purchase
     * subgraph (strong ties = light edges, so the forest is the
     * maximum-affinity backbone — the category-taxonomy skeleton).
@@ -842,6 +886,7 @@ object GraphOps {
     QueryDef.sql("g_adamic_adar", gAdamicAdar, gAdamicAdarSql),
     QueryDef.sql("g_jaccard", gJaccard, gJaccardSql),
     QueryDef.sql("g_harmonic", gHarmonic, gHarmonicSql),
+    QueryDef.sql("g_eccentricity", gEccentricity, gEccentricitySql),
     QueryDef.sql("g_assortativity", gAssortativity, gAssortativitySql),
     QueryDef.sql("g_basket", gBasket, gBasketSql),
     QueryDef.sql("g_mst", gMst, gMstSql),

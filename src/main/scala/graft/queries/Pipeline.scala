@@ -22,6 +22,34 @@ object Pipeline {
     """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
        FROM documents GROUP BY text"""
 
+  /** Duplication-depth profile: the histogram of exact-duplicate
+    * cluster sizes (how many texts appear once, twice, k times) with
+    * doc and char mass per depth — the corpus-health number quoted
+    * before any dedup decision ("X% of docs are copies ≥ k deep", cf.
+    * the duplication analyses in the C4/RefinedWeb/FineWeb line).
+    * Two digest-keyed aggregations, all-integer output; the result is
+    * max-cluster-size rows at any corpus scale.
+    */
+  def pDupProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .groupBy(sha2(col("text"), 256).as("digest"))
+      .agg(count(lit(1)).as("copies"), sum(col("n_chars")).as("chars"))
+      .groupBy(col("copies"))
+      .agg(count(lit(1)).as("n_clusters"),
+        (count(lit(1)) * col("copies")).as("n_docs"),
+        (count(lit(1)) * (col("copies") - 1)).as("redundant_docs"),
+        sum(col("chars")).as("char_mass"))
+
+  val pDupProfileSql: String =
+    """WITH cl AS (SELECT sha256(text) AS digest, count(*) AS copies,
+                          sum(n_chars) AS chars
+                   FROM documents GROUP BY 1)
+       SELECT copies, count(*) AS n_clusters,
+              CAST(count(*) * copies AS BIGINT) AS n_docs,
+              CAST(count(*) * (copies - 1) AS BIGINT) AS redundant_docs,
+              sum(chars) AS char_mass
+       FROM cl GROUP BY copies"""
+
   /** MinHash-LSH candidate pairs (rows-only: the banding arithmetic has
     * no tractable SQL mirror; exactness on planted dups in DedupSpec).
     */
@@ -1051,6 +1079,100 @@ object Pipeline {
        FROM documents"""
   }
 
+  /** Per-source dataset cards — the grouped face of [[pDatasetCard]]:
+    * one datasheet row per source (docs, unique texts, char/token mass,
+    * exact-integer mean quality, English share), the release-notes
+    * table every mixed-corpus drop ships. Same aggregation discipline
+    * as the global card: the quality mean is an exact integer sum of
+    * the 4dp-integerized per-doc score divided once, never a float
+    * mean; everything else is integer counts. One groupBy(source) pass
+    * — source cardinality is release-bounded (dozens), so the result is
+    * a broadcast-sized table at any corpus scale.
+    */
+  def pSourceCards(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val q4 = floor(TextAnalysis.qualityScore(col("text")) * 10000.0 + lit(0.5))
+      .cast("long")
+    docs.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(sha2(col("text"), 256)).as("n_unique_texts"),
+      sum(col("n_chars")).as("total_chars"),
+      sum(TextAnalysis.wsTokens(col("text"))).cast("long").as("total_ws_tokens"),
+      round(sum(q4).cast("double") / count(lit(1)) / lit(10000.0), 4)
+        .as("mean_quality"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"))
+  }
+
+  val pSourceCardsSql: String = {
+    val ws = "len(regexp_split_to_array(trim(text), '\\s+'))"
+    val punct = s"(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / greatest(length(text), 1))"
+    val stop = s"(CAST(${sqlLangScore("en")} AS DOUBLE) / greatest($ws, 1))"
+    val quality = s"""least(CAST($ws AS DOUBLE) / 100.0, 1.0) * 0.4 +
+                    (1.0 - least($punct * 10.0, 1.0)) * 0.3 +
+                    least($stop * 4.0, 1.0) * 0.3"""
+    s"""SELECT source,
+              count(*) AS n_docs,
+              count(DISTINCT sha256(text)) AS n_unique_texts,
+              sum(n_chars) AS total_chars,
+              CAST(sum($ws) AS BIGINT) AS total_ws_tokens,
+              round(CAST(sum(CAST(floor(($quality) * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                    / count(*) / 10000.0, 4) AS mean_quality,
+              sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_en
+       FROM documents GROUP BY source"""
+  }
+
+  /** Cross-source duplicate-leakage matrix: for each pair of SOURCES,
+    * how many document pairs share winnowed span fingerprints — the
+    * train/eval contamination audit run before any mixture is frozen (a
+    * passage appearing in both a training source and a benchmark source
+    * is leakage per-source dedup can't see; span fingerprints catch the
+    * partial-copy case exact text digests miss). Reuses the verified
+    * [[pWinnow]] pair stream (fingerprint-keyed equi-join, never
+    * all-pairs), attributes each pair to its source pair via two
+    * doc-keyed joins against the (doc_id, source) map, and collapses to
+    * the release-bounded source×source matrix. The pair stream is the
+    * only wide object and it's O(shared fingerprints); at 100 TB the
+    * matrix itself is dozens×dozens. Diagonal (same-source) pairs are
+    * intra-source duplication, a different audit — filtered out.
+    */
+  def pSourceLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val src = docs.select(col("doc_id"), col("source"))
+    Dedup.winnowPairs(docs, "doc_id", "text")
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), "id_a")
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), "id_b")
+      .filter(col("sa") =!= col("sb"))
+      .groupBy(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("n_shared")).as("n_shared_fps"))
+  }
+
+  val pSourceLeakageSql: String =
+    """WITH words AS (
+         SELECT doc_id, source, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+         FROM documents),
+       g AS (
+         SELECT doc_id, source, CASE WHEN len(tk) >= 4
+           THEN list_transform(range(len(tk) - 3),
+                  i -> array_to_string(tk[i + 1:i + 4], ' '))
+           ELSE [array_to_string(tk, ' ')] END AS grams
+         FROM words),
+       h AS (SELECT doc_id, source, list_transform(grams, x -> md5(x)) AS hs FROM g),
+       sel AS (
+         SELECT doc_id, source, list_distinct(list_transform(
+           range(1, greatest(2, len(hs) - 5 + 2)),
+           j -> list_aggregate(hs[j:j + 4], 'min'))) AS fps
+         FROM h),
+       fp AS (SELECT doc_id, source, unnest(fps) AS fp FROM sel),
+       pairs AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                a.source AS sa, b.source AS sb, count(*) AS n_shared
+         FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         GROUP BY 1, 2, 3, 4 HAVING count(*) >= 2)
+       SELECT least(sa, sb) AS source_a, greatest(sa, sb) AS source_b,
+              count(*) AS n_pairs, sum(n_shared) AS n_shared_fps
+       FROM pairs WHERE sa <> sb GROUP BY 1, 2"""
+
   /** PII scrub: match counts + sha of the redacted text (the sha proves
     * the scrubbed bytes agree, without hauling full texts through the
     * compare).
@@ -1216,6 +1338,37 @@ object Pipeline {
   val pPackSequencesSql: String =
     graft.pipeline.Packing.packGreedySql("documents", "doc_id",
       "len(regexp_split_to_array(trim(text), '\\s+'))", budget = 512L, shardSize = 100L)
+
+  /** Packing-efficiency audit — the per-shard waste report read before
+    * a training run is launched: packs, docs, packed token mass, waste
+    * (unused budget summed over packs; an oversized single-doc pack
+    * wastes 0, it overflows by design), and the fill rate as a rounded
+    * ratio of exact integers. Composes the verified [[pPackSequences]]
+    * assignment with the per-doc token counts it packed — one join on
+    * doc_id + two seed-bounded aggregations; the shard table is
+    * corpus/shardSize rows, trivially small at any scale.
+    */
+  def pPackAudit(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Packing.packAudit(
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.wsTokens(col("text")).cast("long").as("ws")),
+      "doc_id", "ws", budget = 512L, shardSize = 100L, spark)
+
+  val pPackAuditSql: String = {
+    val ctes = graft.pipeline.Packing.packGreedyCtes(
+      "SELECT * FROM documents", "doc_id",
+      "len(regexp_split_to_array(trim(text), '\\s+'))", budget = 512L, shardSize = 100L)
+    s"""WITH RECURSIVE $ctes,
+       fills AS (SELECT w.shard, w.pack_idx, count(*) AS n_docs,
+                        CAST(sum(t.tk) AS BIGINT) AS fill
+                 FROM walk w JOIN pk_t t ON t.shard = w.shard AND t.rn = w.rn
+                 GROUP BY 1, 2)
+       SELECT shard, count(*) AS n_packs, sum(n_docs) AS n_docs,
+              sum(fill) AS packed_tokens,
+              sum(greatest(0, 512 - fill)) AS waste_tokens,
+              round(CAST(sum(fill) AS DOUBLE) / (count(*) * 512.0), 4) AS fill_rate
+       FROM fills GROUP BY shard"""
+  }
 
   /** Deterministic training-order shuffle: 16 hash shards, reproducible
     * in-shard order — the layout a training loader reads.
@@ -1491,6 +1644,7 @@ object Pipeline {
     QueryDef.sql("p_var_profile", pVarProfile, pVarProfileSql),
     QueryDef.rowsOnly("p_pca_project", pPcaProject),
     QueryDef.sql("p_dedup_exact", pDedupExact, pDedupExactSql),
+    QueryDef.sql("p_dup_profile", pDupProfile, pDupProfileSql),
     QueryDef.sql("p_boilerplate", pBoilerplate, pBoilerplateSql),
     QueryDef.sql("p_vocab_coverage", pVocabCoverage, pVocabCoverageSql),
     QueryDef.rowsOnly("p_dedup_minhash", pDedupMinhash),
@@ -1531,12 +1685,15 @@ object Pipeline {
     QueryDef.sql("p_log_odds", pLogOdds, pLogOddsSql),
     QueryDef.sql("p_zipf", pZipf, pZipfSql),
     QueryDef.sql("p_pack_sequences", pPackSequences, pPackSequencesSql),
+    QueryDef.sql("p_pack_audit", pPackAudit, pPackAuditSql),
     QueryDef.sql("p_shuffle_shard", pShuffleShard, pShuffleShardSql),
     QueryDef.rowsOnly("p_bpe_vocab", pBpeVocab),
     QueryDef.rowsOnly("p_bpe_tokens", pBpeTokens),
     QueryDef.rowsOnly("p_bpe_fertility", pBpeFertility),
     QueryDef.sql("p_curation_pipeline", pCurationPipeline, pCurationPipelineSql),
     QueryDef.sql("p_dataset_card", pDatasetCard, pDatasetCardSql),
+    QueryDef.sql("p_source_cards", pSourceCards, pSourceCardsSql),
+    QueryDef.sql("p_source_leakage", pSourceLeakage, pSourceLeakageSql),
     QueryDef.sql("p_token_quantiles", pTokenQuantiles, pTokenQuantilesSql),
     QueryDef.sql("p_ngram_freq", pNgramFreq, pNgramFreqSql),
     QueryDef.sql("p_kmeans", pKmeans, pKmeansSql),

@@ -19,6 +19,21 @@ object Streaming {
               count(*) AS n_events, round(sum(value), 2) AS sum_value
        FROM events GROUP BY 1, 2"""
 
+  /** Per-hour heavy hitters over the event stream — the windowed face
+    * of the Misra-Gries sketch. Capacity 64 exceeds the event-type
+    * domain, so the sketch runs in its exact regime and the plain
+    * GROUP BY oracle hash-matches; the eviction regime (the 100 TB
+    * contract) stays under FreqSketchSpec's planted-skew tests.
+    */
+  def sHeavyHitters(spark: SparkSession, dir: String): DataFrame =
+    Streams.windowedHeavyHitters(Tables.load(spark, dir, "events"),
+      "event_type", capacity = 64)
+
+  val sHeavyHittersSql: String =
+    """SELECT date_trunc('hour', ts) AS window_start, event_type AS item,
+              count(*) AS est_count
+       FROM events GROUP BY 1, 2"""
+
   def sSessionize(spark: SparkSession, dir: String): DataFrame =
     Streams.sessionize(Tables.load(spark, dir, "events"), gapSeconds = 1800L)
       .select(col("user_id"), col("session_idx").cast("long").as("session_idx"),
@@ -145,5 +160,6 @@ object Streaming {
     QueryDef.sql("s_dedup_keys", sDedupKeys, sDedupKeysSql),
     QueryDef.sql("s_sliding_agg", sSlidingAgg, sSlidingAggSql),
     QueryDef.sql("s_stream_join", sStreamJoin, sStreamJoinSql),
-    QueryDef.sql("s_enrich_agg", sEnrichAgg, sEnrichAggSql))
+    QueryDef.sql("s_enrich_agg", sEnrichAgg, sEnrichAggSql),
+    QueryDef.sql("s_heavy_hitters", sHeavyHitters, sHeavyHittersSql))
 }

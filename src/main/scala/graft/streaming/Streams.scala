@@ -34,6 +34,27 @@ object Streams {
         col("n_events"), col("sum_value"))
   }
 
+  /** Per-window Misra-Gries heavy hitters: the frequency sketch
+    * ([[graft.operators.FreqSketch]]) keyed by tumbling window — "what
+    * dominated each hour" with k-bounded state per window, the form the
+    * sketch takes on an unbounded stream (global MG state would grow
+    * with stream lifetime; windowed state expires with the watermark).
+    * Same partial-merge Aggregator, so each micro-batch folds in
+    * map-side; FreqSketchSpec drives the identical plan through
+    * readStream in append mode past the watermark.
+    */
+  def windowedHeavyHitters(events: DataFrame, itemCol: String, capacity: Int,
+      withWatermark: Boolean = false): DataFrame = {
+    val src = if (withWatermark) events.withWatermark("ts", "1 hour") else events
+    val f = udaf(new graft.operators.FreqSketch.MisraGriesAggregator(capacity),
+      org.apache.spark.sql.Encoders.STRING)
+    src.groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(f(col(itemCol)).as("hh"))
+      .select(col("w.start").as("window_start"), explode(col("hh")).as("e"))
+      .select(col("window_start"), col("e._1").as("item"),
+        col("e._2").as("est_count"))
+  }
+
   /** Sliding-window aggregate: 1-hour windows every 30 minutes, so each
     * event contributes to windowLen/slide = 2 windows. Spark expands the
     * window set in a narrow projection (no per-window shuffle); the

@@ -49,6 +49,19 @@ class GraphAlgSpec extends SparkSpec {
     assert(multi === singles)
   }
 
+  test("eccentricity from bfsMulti: path-graph ends see the diameter, centers half") {
+    import spark.implicits._
+    // undirected path 1-2-3-4-5: ecc(1)=4, ecc(3)=2, diameter 4
+    val und = edgeDf(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L)
+      .unionByName(edgeDf(2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L))
+    val ecc = Algorithms.bfsMulti(und, Seq(1L, 3L).toDF("src"), maxHops = 10)
+      .filter(col("hop") > 0)
+      .groupBy(col("src")).agg(max(col("hop")).as("ecc"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(ecc === Map(1L -> 4, 3L -> 2))
+    assert(ecc.values.max === 4) // the diameter_lb the query reports
+  }
+
   test("ssspPaths: dist matches sssp, path witnesses it, ties break lexicographically") {
     import spark.implicits._
     // 1→2→4 (1+1) and 1→3→4 (1+1): equal dist, path [1,2,4] < [1,3,4]

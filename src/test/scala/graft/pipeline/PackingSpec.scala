@@ -76,6 +76,29 @@ class PackingSpec extends SparkSpec {
       Packing.chunkTokens(df, "doc_id", "text", chunkSize = 4, stride = 5))
   }
 
+  test("packAudit: waste + fill account for every pack, oversize packs waste zero") {
+    import spark.implicits._
+    // the planted shape from the greedy test: packs fill 8, 4, 25, 10
+    val rows = Seq(1L -> 4L, 2L -> 4L, 3L -> 4L, 4L -> 25L, 5L -> 1L, 6L -> 9L)
+    val got = Packing.packAudit(rows.toDF("doc_id", "tk"), "doc_id", "tk",
+        budget = 10L, shardSize = 100L, spark)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    // 4 packs, 6 docs, 47 tokens packed; waste = 2 + 6 + 0 (oversize) + 0
+    assert(got === Map(0L -> ((4L, 6L, 47L, 8L, 1.175))))
+    // accounting identity on a multi-shard corpus WITHOUT oversize docs:
+    // packed + waste = n_packs * budget, and doc/token mass is conserved
+    val many = (0L until 250L).map(i => i -> (i % 7 + 1))
+    val audit = Packing.packAudit(many.toDF("doc_id", "tk"), "doc_id", "tk",
+        budget = 16L, shardSize = 50L, spark).collect()
+    assert(audit.map(_.getLong(2)).sum === 250L)
+    assert(audit.map(_.getLong(3)).sum === many.map(_._2).sum)
+    audit.foreach { r =>
+      assert(r.getLong(3) + r.getLong(4) === r.getLong(1) * 16L)
+    }
+  }
+
   test("shuffle shards give a reproducible layout-independent training order") {
     import spark.implicits._
     val df = (0L until 500L).toDF("doc_id")
