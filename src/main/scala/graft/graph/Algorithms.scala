@@ -818,7 +818,19 @@ object Algorithms {
     * @return forest edges (a, b, w), a < b
     */
   def minimumSpanningForest(nodes: DataFrame, edges: DataFrame,
-      maxRounds: Int = 20): DataFrame = {
+      maxRounds: Int = 20): DataFrame =
+    minimumSpanningForestWithComponents(nodes, edges, maxRounds)._1
+
+  /** [[minimumSpanningForest]] plus the forest's connected components
+    * (gid, comp) for free: Borůvka's contraction merges labels exactly
+    * along the picked edges starting from singletons, so the final
+    * label table IS the forest's (equivalently the graph's) component
+    * assignment — callers that need both (e.g. a spanning-forest
+    * summary: n_components + acyclicity) must not pay a second CC fit
+    * over the forest they just built.
+    */
+  def minimumSpanningForestWithComponents(nodes: DataFrame, edges: DataFrame,
+      maxRounds: Int = 20): (DataFrame, DataFrame) = {
     val canon = edges.select(
         least(col("gsrc"), col("gdst")).as("a"),
         greatest(col("gsrc"), col("gdst")).as("b"), col("w"))
@@ -887,9 +899,10 @@ object Algorithms {
           .localCheckpoint()
       }
     }
-    if (picked.isEmpty)
-      canon.select(col("a"), col("b"), col("w")).limit(0)
-    else picked.reduce(_ unionByName _).distinct()
+    val forest =
+      if (picked.isEmpty) canon.select(col("a"), col("b"), col("w")).limit(0)
+      else picked.reduce(_ unionByName _).distinct()
+    (forest, comp)
   }
 
   /** Seed-anchored neighborhood Jaccard — the set-overlap

@@ -800,9 +800,10 @@ object GraphOps {
       .groupBy(col("e.a").as("gsrc"), col("e.b").as("gdst"))
       .agg((lit(1.0) / count(lit(1))).as("w"))
     val nodes = op.select(col("l_partkey").as("gid")).distinct()
-    val forest = Algorithms.minimumSpanningForest(nodes, pairs)
-    val comps = Algorithms.connectedComponents(nodes,
-      forest.select(col("a").as("gsrc"), col("b").as("gdst")))
+    // the forest's component labels fall out of Borůvka's contraction —
+    // no second CC fit over the forest we just built
+    val (forest, comps) =
+      Algorithms.minimumSpanningForestWithComponents(nodes, pairs)
     comps.agg(count(lit(1)).as("n_nodes"),
         countDistinct(col("comp")).as("n_components"))
       .crossJoin(broadcast(forest.agg(count(lit(1)).as("n_edges"))))

@@ -299,6 +299,29 @@ object Pipeline {
              FROM documents)
        WHERE len(w) > 0 GROUP BY 1"""
 
+  /** Exact heavy tokens via a count-min-sketch prefilter
+    * ([[graft.operators.CountMin.heavyExact]]): tokens with true count
+    * ≥ 900 and their exact counts. The sketch pass shuffles a bounded
+    * depth·width bucket space instead of the corpus-wide token domain,
+    * and CMS never under-counts, so the prefilter is lossless for true
+    * heavy items — the output is bit-equal to a plain GROUP BY …
+    * HAVING, which is the oracle. CountMinSpec exercises the estimate
+    * face (upper-bound + merge-by-construction) that has no SQL
+    * mirror.
+    */
+  def pCmsHeavy(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.load(spark, dir, "documents")
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("item"))
+      .filter(length(col("item")) > 0)
+    graft.operators.CountMin.heavyExact(words, "item", threshold = 900L)
+  }
+
+  val pCmsHeavySql: String =
+    """SELECT w AS item, count(*) AS exact_count
+       FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+             FROM documents)
+       WHERE len(w) > 0 GROUP BY 1 HAVING count(*) >= 900"""
+
   /** DSIR importance weights (Xie et al. 2023): per-doc mean
     * log-likelihood ratio of hashed bigram features under the
     * English-subset target model vs the raw corpus model — the
@@ -1663,6 +1686,7 @@ object Pipeline {
     QueryDef.sql("p_lm_score", pLmScore, pLmScoreSql),
     QueryDef.sql("p_dsir", pDsir, pDsirSql),
     QueryDef.sql("p_heavy_hitters", pHeavyHitters, pHeavyHittersSql),
+    QueryDef.sql("p_cms_heavy", pCmsHeavy, pCmsHeavySql),
     QueryDef.sql("p_weighted_sample", pWeightedSample, pWeightedSampleSql),
     QueryDef.sql("p_pmi", pPmi, pPmiSql),
     QueryDef.sql("p_char_entropy", pCharEntropy, pCharEntropySql),

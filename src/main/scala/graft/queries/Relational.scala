@@ -789,6 +789,65 @@ object Relational {
         AND a.p_partkey < b.p_partkey AND a.p_name <> b.p_name
        WHERE levenshtein(a.p_name, b.p_name) <= 2"""
 
+  /** Entity-resolution canonicalization: the fuzzy-match pairs chained
+    * into entity clusters. Pairs alone don't resolve entities when
+    * matches chain (a~b, b~c with d(a,c) > threshold) — the standard
+    * closure step runs connected components over the match graph and
+    * elects the minimum key as the surviving record. Output: one row
+    * per MATCHED record (unmatched rows are their own entity trivially
+    * and stay out of the report) with its entity id, entity size, and
+    * the canonical member's name.
+    *
+    * Scale posture: the node set is only the matched keys (≪ corpus),
+    * the edge set is the blocked pair stream (per-block quadratic,
+    * cappable), and the closure is the same co-partitioned CC loop the
+    * graph family runs — no all-pairs step anywhere. The relational
+    * mirror of `p_dedup_clusters`, closing the dedup trilogy:
+    * pair generation (q_fuzzy_match) → closure (here) → survivorship.
+    */
+  def qEntityRes(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.load(spark, dir, "part")
+    // materialize the pair set once: CC's undirected union reads it as
+    // two subtrees, and an unmaterialized input would run the blocked
+    // levenshtein join twice
+    val pairs = graft.operators.FuzzyMatch
+      .matchPairs(part, "p_partkey", "p_name", maxDist = 2)
+      .select(col("key_a"), col("key_b")).localCheckpoint()
+    val nodes = pairs.select(col("key_a").as("gid"))
+      .unionByName(pairs.select(col("key_b").as("gid"))).distinct()
+    val comp = graft.graph.Algorithms.connectedComponents(
+      nodes, pairs.select(col("key_a").as("gsrc"), col("key_b").as("gdst")))
+    val sizes = comp.groupBy(col("comp")).agg(count(lit(1)).as("entity_size"))
+    comp.join(sizes, "comp")
+      .join(part.select(col("p_partkey").as("comp"), col("p_name").as("rep_name")),
+        "comp")
+      .select(col("gid").as("p_partkey"), col("comp").as("entity_id"),
+        col("entity_size"), col("rep_name"))
+  }
+
+  val qEntityResSql: String =
+    """WITH RECURSIVE p AS (
+         SELECT p_partkey, p_name,
+                string_split(p_name, ' ')[-1] AS blk,
+                length(p_name) AS len
+         FROM part),
+       e AS MATERIALIZED (
+         SELECT a.p_partkey AS s, b.p_partkey AS d
+         FROM p a JOIN p b ON a.blk = b.blk AND a.len = b.len
+          AND a.p_partkey < b.p_partkey AND a.p_name <> b.p_name
+         WHERE levenshtein(a.p_name, b.p_name) <= 2),
+       n AS (SELECT DISTINCT s AS k FROM e UNION SELECT DISTINCT d FROM e),
+       und AS (SELECT s, d FROM e UNION ALL SELECT d AS s, s AS d FROM e),
+       reach(v, m) AS (
+         SELECT k, k FROM n
+         UNION
+         SELECT r.v, u.d FROM reach r JOIN und u ON u.s = r.m),
+       comp AS (SELECT v AS p_partkey, min(m) AS entity_id FROM reach GROUP BY v),
+       sz AS (SELECT entity_id, count(*) AS entity_size FROM comp GROUP BY entity_id)
+       SELECT c.p_partkey, c.entity_id, s.entity_size, rp.p_name AS rep_name
+       FROM comp c JOIN sz s USING (entity_id)
+       JOIN part rp ON rp.p_partkey = c.entity_id"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q1_agg", q1Agg, q1AggSql),
     QueryDef.sql("q_rollup", qRollup, qRollupSql),
@@ -820,5 +879,6 @@ object Relational {
     QueryDef.sql("q_markov", qMarkov, qMarkovSql),
     QueryDef.sql("q_range_frame", qRangeFrame, qRangeFrameSql),
     QueryDef.sql("q_fuzzy_match", qFuzzyMatch, qFuzzyMatchSql),
+    QueryDef.sql("q_entity_res", qEntityRes, qEntityResSql),
     QueryDef.sql("q_asof_join", qAsofJoin, qAsofJoinSql))
 }
