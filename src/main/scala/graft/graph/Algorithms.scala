@@ -153,35 +153,100 @@ object Algorithms {
     * need). State volume is bounded by |seeds| × |reachable|, the
     * quantity the caller chose by picking the sample size.
     *
+    * Also counts shortest paths: `sigma(src, v)` = number of minimum-hop
+    * paths from `src` to `v`, accumulated in the same sweep (a node
+    * first reached at hop h receives Σ sigma over its hop-(h−1)
+    * predecessors — the frontier IS exactly the hop-(h−1) set, so one
+    * groupBy per hop computes it; the path counter every sampled
+    * betweenness/stress estimator needs, and it is cap-invariant:
+    * extending `maxHops` never changes sigma at distances already
+    * reached). `edges` must be deduplicated — a repeated (gsrc, gdst)
+    * row would double-count paths (all callers pass deduped unions).
+    *
     * @param seeds (src) source ids; each starts at hop 0 from itself
-    * @return (src, gid, hop) minimum hops from `src` to `gid`
+    * @return (src, gid, hop, sigma) minimum hops + shortest-path counts
     */
   def bfsMulti(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
     val e0 = materializeInvariant(edges.select(col("gsrc"), col("gdst")))
     val width = loopWidth(edges, e0.count())
     val e = e0.coalesce(width)
-    var visited = seeds.select(col("src"), col("src").as("gid"), lit(0).as("hop"))
+    var visited = seeds.select(col("src"), col("src").as("gid"), lit(0).as("hop"),
+        lit(1L).as("sigma"))
       .localCheckpoint()
     var visitedRows = visited.count()
-    var frontier = visited.select(col("src"), col("gid"))
+    var frontier = visited.select(col("src"), col("gid"), col("sigma"))
     var frontierRows = visitedRows
     var hop = 0
     withoutAqe(edges, Some(width)) { while (hop < maxHops && frontierRows > 0) {
       hop += 1
+      // sum-then-anti-join: every contribution comes from the hop-(h-1)
+      // frontier, so the grouped sigma is correct for nodes that turn
+      // out to be new; rediscovered nodes drop with their sums
       val next = hintSmall(frontier, frontierRows)
         .join(e, frontier("gid") === e("gsrc"))
-        .select(frontier("src"), e("gdst").as("gid")).distinct()
+        .select(frontier("src"), e("gdst").as("gid"), frontier("sigma"))
+        .groupBy(col("src"), col("gid")).agg(sum(col("sigma")).as("sigma"))
         .join(hintSmall(visited.select(col("src").as("vs"), col("gid").as("vg")),
             visitedRows),
           col("src") === col("vs") && col("gid") === col("vg"), "left_anti")
         .withColumn("hop", lit(hop))
+        .select(col("src"), col("gid"), col("hop"), col("sigma"))
         .localCheckpoint()
       frontierRows = next.count()
       visitedRows += frontierRows
       visited = visited.unionByName(next)
-      frontier = next.select(col("src"), col("gid"))
+      frontier = next.select(col("src"), col("gid"), col("sigma"))
     } }
     visited
+  }
+
+  /** Hop-bounded sampled betweenness (Brandes 2001, k-source): the
+    * backward dependency accumulation over a σ-carrying [[bfsMulti]]
+    * fit. δ_s(v) = Σ_{w ∈ succ_s(v)} σ_sv/σ_sw · (1 + δ_s(w)),
+    * accumulated level by level in descending hop order — per level ONE
+    * join of the (seed-bounded) level table against edges and the
+    * already-computed deeper deltas, never per-source work. bc(v) =
+    * Σ_s δ_s(v); sources and per-source endpoints are excluded by
+    * construction (δ is only defined for hop ≥ 1 interior roles).
+    * Output keeps only δ > 0 rows — an EXACT condition (a sum of
+    * positive terms can't cancel), so the row set is float-stable.
+    *
+    * @param fit   (src, gid, hop, sigma) from [[bfsMulti]], already
+    *              capped at the caller's hop bound
+    * @param edges deduplicated directed edge list the fit was run on
+    * @return (gid, bc) raw (unnormalized, unrounded) betweenness
+    */
+  def betweenness(fit: DataFrame, edges: DataFrame, maxHop: Int): DataFrame = {
+    val e = materializeInvariant(edges.select(col("gsrc"), col("gdst")))
+    val levels = (0 to maxHop).map(h => fit.filter(col("hop") === h))
+    // deltas(h): (src, gid, delta) for level-h nodes with >= 1 successor
+    val deltas = scala.collection.mutable.Map.empty[Int, DataFrame]
+    for (h <- (maxHop - 1) to 1 by -1) {
+      val v = levels(h).select(col("src"), col("gid").as("v"), col("sigma").as("sv"))
+      val wBase = levels(h + 1).select(
+        col("src").as("ws"), col("gid").as("w"), col("sigma").as("sw"))
+      val w = deltas.get(h + 1) match {
+        case Some(d) => wBase.join(
+            d.select(col("src").as("ds"), col("gid").as("dg"), col("delta")),
+            col("ws") === col("ds") && col("w") === col("dg"), "left")
+          .select(col("ws"), col("w"), col("sw"),
+            coalesce(col("delta"), lit(0.0)).as("dw"))
+        case None => wBase.select(col("ws"), col("w"), col("sw"),
+          lit(0.0).as("dw"))
+      }
+      val d = v.join(e, col("v") === col("gsrc"))
+        .join(w, col("src") === col("ws") && col("gdst") === col("w"))
+        .groupBy(col("src"), col("v").as("gid"))
+        .agg(sum(col("sv").cast("double") / col("sw") * (lit(1.0) + col("dw")))
+          .as("delta"))
+        .localCheckpoint()
+      deltas(h) = d
+    }
+    if (deltas.isEmpty)
+      fit.select(col("gid"), lit(0.0).as("bc")).limit(0)
+    else deltas.values.reduce(_ unionByName _)
+      .groupBy(col("gid")).agg(sum(col("delta")).as("bc"))
+      .filter(col("bc") > 0)
   }
 
   /** Hop-bounded weighted single-source shortest paths (Bellman-Ford

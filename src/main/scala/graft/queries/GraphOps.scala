@@ -775,6 +775,87 @@ object GraphOps {
     * says so). diameter_lb joins back as a broadcast scalar subplan of
     * the seed-bounded result, never a global sort.
     */
+  /** Shortest-path counts from the seed sample: the σ table of the
+    * shared sweep ([[Algorithms.bfsMulti]] counts minimum-hop paths in
+    * the same per-hop groupBy that discovers them). Exact integers —
+    * the hash-stable face of the betweenness pair; the oracle counts
+    * minimum-length simple walks (every shortest walk is simple, so
+    * no-repeat pruning is lossless). Capped at 3 hops: σ at distances
+    * already reached is cap-invariant, so `hop <= 3` of the pinned
+    * 4-hop sweep is exactly the 3-hop fit.
+    */
+  def gPathCounts(spark: SparkSession, dir: String): DataFrame =
+    bfsSampleCached(spark, dir)
+      .filter(col("hop") > 0 && col("hop") <= 3)
+      .select(col("src"), col("gid"), col("hop").cast("long").as("hop"),
+        col("sigma"))
+
+  val gPathCountsSql: String =
+    """WITH RECURSIVE op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       ce AS MATERIALIZED (
+         SELECT a.l_partkey AS a, b.l_partkey AS b FROM op a JOIN op b
+         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey GROUP BY 1, 2),
+       und AS MATERIALIZED (SELECT a, b FROM ce UNION ALL SELECT b AS a, a AS b FROM ce),
+       walk(src, gid, hop, path) AS (
+         SELECT DISTINCT l_partkey, l_partkey, 0, [l_partkey]
+         FROM lineitem WHERE l_partkey < 10
+         UNION ALL
+         SELECT w.src, u.b, w.hop + 1, list_append(w.path, u.b)
+         FROM walk w JOIN und u ON u.a = w.gid
+         WHERE w.hop < 3 AND NOT list_contains(w.path, u.b)),
+       d AS (SELECT src, gid, min(hop) AS hop FROM walk GROUP BY 1, 2),
+       sp AS (SELECT w.src, w.gid, w.hop FROM walk w
+              JOIN d ON w.src = d.src AND w.gid = d.gid AND w.hop = d.hop
+              WHERE w.hop > 0)
+       SELECT src, gid, CAST(hop AS BIGINT) AS hop, count(*) AS sigma
+       FROM sp GROUP BY 1, 2, 3"""
+
+  /** Hop-bounded sampled betweenness centrality (Brandes k-source, the
+    * classic missing from the centrality set: degree, harmonic,
+    * PageRank, HITS, eccentricity are all here) — the backward
+    * dependency sweep over the SAME pinned σ-carrying BFS the rest of
+    * the sampled-centrality family reads ([[Algorithms.betweenness]]).
+    * Oracle: full shortest-walk enumeration with path lists — interior
+    * occurrences per (s, t) over σ_st, summed; mathematically the
+    * Brandes recurrence unrolled, so values agree to float ULP and the
+    * 6dp round seals them. Row set (δ > 0) is float-exact: sums of
+    * positive terms can't cancel.
+    */
+  def gBetweenness(spark: SparkSession, dir: String): DataFrame = {
+    val fit = bfsSampleCached(spark, dir).filter(col("hop") <= 3)
+    val und = adjGraphCached(spark, dir).und
+      .select(col("a").as("gsrc"), col("b").as("gdst"))
+    Algorithms.betweenness(fit, und, maxHop = 3)
+      .select(col("gid").as("part"), round(col("bc"), 6).as("bc"))
+  }
+
+  val gBetweennessSql: String =
+    """WITH RECURSIVE op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       ce AS MATERIALIZED (
+         SELECT a.l_partkey AS a, b.l_partkey AS b FROM op a JOIN op b
+         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey GROUP BY 1, 2),
+       und AS MATERIALIZED (SELECT a, b FROM ce UNION ALL SELECT b AS a, a AS b FROM ce),
+       walk(src, gid, hop, path) AS (
+         SELECT DISTINCT l_partkey, l_partkey, 0, [l_partkey]
+         FROM lineitem WHERE l_partkey < 10
+         UNION ALL
+         SELECT w.src, u.b, w.hop + 1, list_append(w.path, u.b)
+         FROM walk w JOIN und u ON u.a = w.gid
+         WHERE w.hop < 3 AND NOT list_contains(w.path, u.b)),
+       d AS (SELECT src, gid, min(hop) AS hop FROM walk GROUP BY 1, 2),
+       sp AS MATERIALIZED (
+         SELECT w.src, w.gid, w.hop, w.path FROM walk w
+         JOIN d ON w.src = d.src AND w.gid = d.gid AND w.hop = d.hop
+         WHERE w.hop > 0),
+       sigma AS (SELECT src, gid, count(*) AS s FROM sp GROUP BY 1, 2),
+       thru AS (SELECT sp.src, sp.gid, t.v
+                FROM sp, unnest(sp.path[2:-2]) AS t(v) WHERE sp.hop >= 2),
+       term AS (SELECT v, src, gid, count(*) AS cv FROM thru GROUP BY 1, 2, 3),
+       bc AS (SELECT t.v AS part, sum(CAST(t.cv AS DOUBLE) / s.s) AS bc_raw
+              FROM term t JOIN sigma s ON s.src = t.src AND s.gid = t.gid
+              GROUP BY 1)
+       SELECT part, round(bc_raw, 6) AS bc FROM bc"""
+
   def gEccentricity(spark: SparkSession, dir: String): DataFrame = {
     val ecc = bfsSampleCached(spark, dir)
       .filter(col("hop") > 0)
@@ -917,6 +998,8 @@ object GraphOps {
     QueryDef.sql("g_jaccard", gJaccard, gJaccardSql),
     QueryDef.sql("g_harmonic", gHarmonic, gHarmonicSql),
     QueryDef.sql("g_eccentricity", gEccentricity, gEccentricitySql),
+    QueryDef.sql("g_path_counts", gPathCounts, gPathCountsSql),
+    QueryDef.sql("g_betweenness", gBetweenness, gBetweennessSql),
     QueryDef.sql("g_assortativity", gAssortativity, gAssortativitySql),
     QueryDef.sql("g_basket", gBasket, gBasketSql),
     QueryDef.sql("g_mst", gMst, gMstSql),

@@ -322,6 +322,57 @@ object Pipeline {
              FROM documents)
        WHERE len(w) > 0 GROUP BY 1 HAVING count(*) >= 900"""
 
+  /** Per-source vocabulary drift: KL(source unigram ‖ corpus unigram)
+    * per source, plus token/type totals — the corpus drift monitor a
+    * multi-source training mix runs per snapshot (a source whose word
+    * distribution walks away from the pool shows up as rising KL before
+    * it shows up in eval loss). All ratios are integer-derived
+    * (count/count), KL terms are per-(source, word) row-local, and the
+    * sum is round-sealed — the hygiene-spec discipline. Model tables
+    * are vocabulary-bounded; the corpus total rides along as a
+    * broadcast one-row subplan, so nothing here is driver-side.
+    */
+  def pVocabDrift(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.load(spark, dir, "documents")
+      .select(col("source"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+    val sw = words.groupBy(col("source"), col("w")).agg(count(lit(1)).as("c_sw"))
+    val s = sw.groupBy(col("source"))
+      .agg(sum(col("c_sw")).as("n_tokens"), count(lit(1)).as("n_types"))
+    val wc = sw.groupBy(col("w")).agg(sum(col("c_sw")).as("c_w"))
+    val tot = broadcast(wc.agg(sum(col("c_w")).as("tot")))
+    val p = col("c_sw") / col("n_tokens")
+    val q = col("c_w") / col("tot")
+    val kl = sw.join(wc, "w")
+      .join(s.select(col("source"), col("n_tokens")), "source")
+      .crossJoin(tot)
+      .withColumn("term", p * log(p / q))
+      .groupBy(col("source")).agg(round(sum(col("term")), 6).as("kl"))
+    kl.join(s, "source")
+      .select(col("source"), col("n_tokens"), col("n_types"), col("kl"))
+  }
+
+  val pVocabDriftSql: String =
+    """WITH w AS (
+         SELECT source, w FROM (
+           SELECT source,
+                  unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+           FROM documents)
+         WHERE len(w) > 0),
+       sw AS (SELECT source, w, count(*) AS c_sw FROM w GROUP BY 1, 2),
+       s AS (SELECT source, sum(c_sw) AS n_tokens, count(*) AS n_types
+             FROM sw GROUP BY 1),
+       wc AS (SELECT w, sum(c_w) AS c_w FROM (
+                SELECT w, sum(c_sw) AS c_w FROM sw GROUP BY 1) GROUP BY 1),
+       tot AS (SELECT sum(c_w) AS tot FROM wc)
+       SELECT sw.source, s.n_tokens, s.n_types,
+              round(sum((c_sw / CAST(s.n_tokens AS DOUBLE))
+                * ln((c_sw / CAST(s.n_tokens AS DOUBLE))
+                     / (c_w / CAST(tot.tot AS DOUBLE)))), 6) AS kl
+       FROM sw JOIN wc USING (w) JOIN s USING (source), tot
+       GROUP BY 1, 2, 3"""
+
   /** DSIR importance weights (Xie et al. 2023): per-doc mean
     * log-likelihood ratio of hashed bigram features under the
     * English-subset target model vs the raw corpus model — the
@@ -1687,6 +1738,7 @@ object Pipeline {
     QueryDef.sql("p_dsir", pDsir, pDsirSql),
     QueryDef.sql("p_heavy_hitters", pHeavyHitters, pHeavyHittersSql),
     QueryDef.sql("p_cms_heavy", pCmsHeavy, pCmsHeavySql),
+    QueryDef.sql("p_vocab_drift", pVocabDrift, pVocabDriftSql),
     QueryDef.sql("p_weighted_sample", pWeightedSample, pWeightedSampleSql),
     QueryDef.sql("p_pmi", pPmi, pPmiSql),
     QueryDef.sql("p_char_entropy", pCharEntropy, pCharEntropySql),

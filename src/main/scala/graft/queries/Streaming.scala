@@ -153,8 +153,73 @@ object Streaming {
        JOIN nation n ON c.c_nationkey = n.n_nationkey
        GROUP BY 1, 2"""
 
+  /** Peak session concurrency per day — the sweep-line interval
+    * aggregation (max overlapping intervals) over the verified
+    * sessionizer's output: +1 at each session start, −1 at each end,
+    * running sum, per-day max. Boundary deltas are NETTED PER INSTANT
+    * before the prefix (a session ending exactly when another starts is
+    * net 0), which removes all tie-order ambiguity — the output is
+    * exact integers.
+    *
+    * Scale posture: the prefix sum is NOT one global window — boundaries
+    * pre-aggregate to distinct instants, the within-day running sum
+    * partitions by day, and cross-day carry is a prefix over the tiny
+    * day table joined back: the two-level scan a 100 TB sweep line
+    * actually runs (the only single-partition window is over ~days
+    * rows).
+    */
+  def qConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sess = Streams.sessionize(Tables.load(spark, dir, "events"),
+      gapSeconds = 1800L)
+    val b = sess.select(col("session_start").as("ts"), lit(1L).as("d"))
+      .unionByName(sess.select(col("session_end").as("ts"), lit(-1L).as("d")))
+    val perTs = b.groupBy(col("ts")).agg(sum(col("d")).as("delta"))
+      .withColumn("day", to_date(col("ts")))
+    val wDay = Window.partitionBy(col("day")).orderBy(col("ts"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inDay = perTs.withColumn("run_in_day", sum(col("delta")).over(wDay))
+    val wDays = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val dayOffset = perTs.groupBy(col("day"))
+      .agg(sum(col("delta")).as("day_delta"))
+      .withColumn("off", coalesce(sum(col("day_delta")).over(wDays), lit(0L)))
+      .select(col("day"), col("off"))
+    inDay.join(dayOffset, "day")
+      .withColumn("conc", col("run_in_day") + col("off"))
+      .groupBy(col("day"))
+      .agg(max(col("conc")).as("peak_concurrent"),
+        count(lit(1)).as("n_boundaries"))
+  }
+
+  val qConcurrencySql: String =
+    """WITH marked AS (
+         SELECT user_id, ts, event_id,
+                CASE WHEN lag(epoch(ts)) OVER w IS NULL
+                       OR epoch(ts) - lag(epoch(ts)) OVER w > 1800
+                     THEN 1 ELSE 0 END AS is_new
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       s AS (
+         SELECT user_id, ts,
+                sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+         FROM marked),
+       sess AS (
+         SELECT user_id, session_idx, min(ts) AS st, max(ts) AS en
+         FROM s GROUP BY 1, 2),
+       b AS (SELECT st AS ts, 1 AS d FROM sess
+             UNION ALL SELECT en, -1 FROM sess),
+       pt AS (SELECT ts, sum(d) AS delta FROM b GROUP BY ts),
+       run AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                      sum(delta) OVER (ORDER BY ts) AS conc
+               FROM pt)
+       SELECT day, max(conc) AS peak_concurrent, count(*) AS n_boundaries
+       FROM run GROUP BY day"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("s_tumbling_agg", sTumblingAgg, sTumblingAggSql),
+    QueryDef.sql("q_concurrency", qConcurrency, qConcurrencySql),
     QueryDef.sql("s_sessionize", sSessionize, sSessionizeSql),
     QueryDef.sql("s_session_native", sSessionNative, sSessionNativeSql),
     QueryDef.sql("s_dedup_keys", sDedupKeys, sDedupKeysSql),

@@ -49,6 +49,37 @@ class GraphAlgSpec extends SparkSpec {
     assert(multi === singles)
   }
 
+  test("bfsMulti sigma counts shortest paths: diamond doubles, longer routes don't") {
+    import spark.implicits._
+    // diamond 1→{2,3}→4 plus a longer detour 1→5→6→4 that must NOT
+    // count toward sigma(4) (it isn't shortest)
+    val edges = edgeDf(1L -> 2L, 1L -> 3L, 2L -> 4L, 3L -> 4L,
+      1L -> 5L, 5L -> 6L, 6L -> 4L)
+    val res = Algorithms.bfsMulti(edges, Seq(1L).toDF("src"), maxHops = 3)
+      .collect().map(r => r.getLong(1) -> (r.getInt(2), r.getLong(3))).toMap
+    assert(res === Map(1L -> (0, 1L), 2L -> (1, 1L), 3L -> (1, 1L),
+      5L -> (1, 1L), 4L -> (2, 2L), 6L -> (2, 1L)))
+  }
+
+  test("betweenness: Brandes hand-check on path and diamond") {
+    import spark.implicits._
+    // undirected path 1-2-3, seeds {1, 3}: node 2 carries the (1,3)
+    // and (3,1) pairs -> bc(2) = 2; endpoints never accumulate
+    val p = edgeDf(1L -> 2L, 2L -> 3L)
+    val und = p.unionByName(p.select(col("gdst").as("gsrc"), col("gsrc").as("gdst")))
+    val fit = Algorithms.bfsMulti(und, Seq(1L, 3L).toDF("src"), maxHops = 3)
+    val bc = Algorithms.betweenness(fit, und, maxHop = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(bc === Map(2L -> 2.0))
+    // directed diamond 1→{2,3}→4 from seed 1: sigma(4)=2 splits the
+    // dependency, delta(2) = delta(3) = 1/2
+    val dia = edgeDf(1L -> 2L, 1L -> 3L, 2L -> 4L, 3L -> 4L)
+    val dfit = Algorithms.bfsMulti(dia, Seq(1L).toDF("src"), maxHops = 3)
+    val dbc = Algorithms.betweenness(dfit, dia, maxHop = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(dbc === Map(2L -> 0.5, 3L -> 0.5))
+  }
+
   test("eccentricity from bfsMulti: path-graph ends see the diameter, centers half") {
     import spark.implicits._
     // undirected path 1-2-3-4-5: ecc(1)=4, ecc(3)=2, diameter 4
