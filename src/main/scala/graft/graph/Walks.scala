@@ -48,21 +48,33 @@ object Walks {
     require(steps >= 1, s"steps must be >= 1, got $steps")
     val width = Algorithms.loopWidth(und0, und0.count())
     Algorithms.withoutAqe(und0, Some(width)) {
-    val und = und0.repartition(width, col("a")).localCheckpoint()
+    // node-keyed sorted adjacency arrays: the argmin over N(cur) runs as
+    // a higher-order fold over ONE array per walker per step — no
+    // candidate-row explosion and no per-step groupBy. The md5-hex fold
+    // keeps the lexicographic (h, nb) minimum; ascending array order +
+    // strict < reproduces min(struct(h, nb)) exactly (first minimal
+    // wins = smaller nb on an md5 tie), and collect_set's dedup is
+    // pick-invariant (min over a set = min over the multiset).
+    val nbrs = und0.repartition(width, col("a"))
+      .groupBy(col("a").as("na"))
+      .agg(array_sort(collect_set(col("b"))).as("nbrs"))
+      .localCheckpoint()
     var walks = nodes.select(col("gid").as("walk_id"), col("gid").as("cur"),
         col("gid").cast("string").as("path"))
       .repartition(width, col("walk_id")).localCheckpoint()
     for (step <- 1 to steps) {
-      // frontier only: (walk_id, cur) shuffles to meet the edge layout;
-      // the left join keeps dead-end walks in the aggregate's domain
+      // frontier only: (walk_id, cur) meets the node-keyed array table;
+      // the growing path strings never leave their walk_id partition
       val pick = walks.select(col("walk_id"), col("cur"))
-        .join(und.hint("shuffle_hash"), col("cur") === col("a"), "left")
-        .groupBy(col("walk_id"))
-        .agg(min(when(col("b").isNotNull, struct(
-          md5(concat_ws(":", col("walk_id"), lit(step), col("b"))).as("h"),
-          col("b").as("nb")))).as("sel"))
-      // pick leaves its groupBy hash(walk_id)-partitioned; walks is
-      // checkpointed with the same layout — exchange-free join-back
+        .join(nbrs.hint("shuffle_hash"), col("cur") === col("na"), "left")
+        .select(col("walk_id"), aggregate(
+          coalesce(col("nbrs"), array().cast("array<bigint>")),
+          struct(lit("g").as("h"), lit(null).cast("bigint").as("nb")),
+          (acc, b) => {
+            val h = md5(concat_ws(":", col("walk_id"), lit(step), b))
+            when(h < acc.getField("h"), struct(h.as("h"), b.as("nb")))
+              .otherwise(acc)
+          }).as("sel"))
       walks = walks.join(pick.hint("shuffle_hash"), Seq("walk_id"))
         .select(col("walk_id"),
           coalesce(col("sel.nb"), col("cur")).as("cur"),
@@ -114,37 +126,49 @@ object Walks {
     require(p > 0 && q > 0, "p and q must be positive")
     val width = Algorithms.loopWidth(und0, und0.count())
     Algorithms.withoutAqe(und0, Some(width)) {
-    val und = und0.repartition(width, col("a")).localCheckpoint()
-    // node-keyed sorted adjacency arrays for the membership test;
-    // groupBy rides the hash(a) layout, so this aggregation (and the
-    // per-step probe build) is exchange-free
-    val nbrs = und.groupBy(col("a").as("na"))
+    // node-keyed sorted adjacency arrays are the ONLY graph
+    // representation the loop touches: the A-ES argmax over N(cur) runs
+    // as a higher-order fold over one array per walker per step, with
+    // the second-order "adjacent to prev" test an array_contains against
+    // N(prev) CARRIED IN THE WALKER STATE from the previous step (the
+    // array was already in hand when the walker stepped — carrying it
+    // forward replaces the per-step membership join entirely). Per step:
+    // one node-keyed join + pure codegen arithmetic; no wedge-volume
+    // candidate stream, no per-candidate array duplication, no groupBy.
+    val nbrs = und0.repartition(width, col("a"))
+      .groupBy(col("a").as("na"))
       .agg(array_sort(collect_set(col("b"))).as("nbrs"))
       .localCheckpoint()
     var walks = nodes.select(col("gid").as("walk_id"),
         lit(null).cast("long").as("prev"), col("gid").as("cur"),
-        col("gid").cast("string").as("path"))
+        col("gid").cast("string").as("path"),
+        lit(null).cast("array<bigint>").as("pnbrs"))
       .repartition(width, col("walk_id")).localCheckpoint()
     for (step <- 1 to steps) {
-      val cand = walks.select(col("walk_id"), col("prev"), col("cur"))
-        .join(und.hint("shuffle_hash"), col("cur") === col("a"), "left")
-      // prev-adjacency via the node-keyed array table: at step 1 prev is
-      // null → no match → adj = false → the uniform 1/q branch, exactly
-      // the composite-join behavior
-      val flagged = cand.join(nbrs.hint("shuffle_hash"),
-        col("prev") === col("na"), "left")
-      val u = conv(substring(md5(
-          concat_ws(":", col("walk_id"), lit(step), col("b"))), 1, 13), 16, 10)
-        .cast("double") / lit(4503599627370496.0) // 2^52
-      val adj = coalesce(array_contains(col("nbrs"), col("b")), lit(false))
-      val alpha = when(col("b") === col("prev"), lit(1.0 / p))
-        .when(adj, lit(1.0))
-        .otherwise(lit(1.0 / q))
-      val pick = flagged
-        .groupBy(col("walk_id"))
-        .agg(max(when(col("b").isNotNull, struct(
-          round(pow(u, lit(1.0) / alpha), 9).as("k"),
-          col("b").as("nb")))).as("sel"))
+      // frontier (walk_id, prev, cur, pnbrs) meets the array table on
+      // cur; path strings never leave their walk_id partition. At step 1
+      // prev/pnbrs are null → array_contains is null → the uniform 1/q
+      // branch, exactly the former composite-join behavior.
+      val pick = walks.select(col("walk_id"), col("prev"), col("cur"),
+          col("pnbrs"))
+        .join(nbrs.hint("shuffle_hash"), col("cur") === col("na"), "left")
+        .select(col("walk_id"), col("nbrs"), aggregate(
+          coalesce(col("nbrs"), array().cast("array<bigint>")),
+          struct(lit(-1.0).as("k"), lit(null).cast("bigint").as("nb")),
+          (acc, b) => {
+            val u = conv(substring(md5(
+                concat_ws(":", col("walk_id"), lit(step), b)), 1, 13), 16, 10)
+              .cast("double") / lit(4503599627370496.0) // 2^52
+            val adj = coalesce(array_contains(col("pnbrs"), b), lit(false))
+            val alpha = when(b === col("prev"), lit(1.0 / p))
+              .when(adj, lit(1.0))
+              .otherwise(lit(1.0 / q))
+            val k = round(pow(u, lit(1.0) / alpha), 9)
+            // ascending array + >= takes the larger nb on a key tie —
+            // exactly max(struct(k, nb))
+            when(k >= acc.getField("k"), struct(k.as("k"), b.as("nb")))
+              .otherwise(acc)
+          }).as("sel"))
       walks = walks.join(pick.hint("shuffle_hash"), Seq("walk_id"))
         .select(col("walk_id"),
           when(col("sel.nb").isNotNull, col("cur")).otherwise(col("prev"))
@@ -152,7 +176,9 @@ object Walks {
           coalesce(col("sel.nb"), col("cur")).as("cur"),
           when(col("sel.nb").isNotNull,
             concat(col("path"), lit("->"), col("sel.nb")))
-            .otherwise(col("path")).as("path"))
+            .otherwise(col("path")).as("path"),
+          when(col("sel.nb").isNotNull, col("nbrs")).otherwise(col("pnbrs"))
+            .as("pnbrs"))
         .localCheckpoint()
     }
     walks.select(col("walk_id"), col("path"))
