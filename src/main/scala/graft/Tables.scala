@@ -21,14 +21,25 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    // events.ts is TIMESTAMP(NANOS) parquet, which Spark only reads via
-    // spark.sql.legacy.parquet.nanosAsLong (set in every graft session).
-    // The generated data is µs-aligned, so long-nanos → µs timestamp is
-    // lossless and matches DuckDB's view of the column.
-    val typed =
-      if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-      else df
+    // The generator has emitted timestamps two ways across driver
+    // versions: TIMESTAMP(NANOS), readable only as long via
+    // spark.sql.legacy.parquet.nanosAsLong (converted below), and
+    // TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark 4 would
+    // infer as TIMESTAMP_NTZ — every graft session disables
+    // spark.sql.parquet.inferTimestampNTZ.enabled so those scan
+    // directly as TimestampType (identical instants under the UTC
+    // session, matching DuckDB's naive view) WITHOUT a cast above the
+    // scan that would block predicate pushdown on date columns. A cast
+    // is kept as defense for sessions missing the conf.
+    val typed = df.schema.fields.foldLeft(df) { (acc, f) =>
+      f.dataType match {
+        case org.apache.spark.sql.types.LongType if name == "events" && f.name == "ts" =>
+          acc.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          acc.withColumn(f.name, acc(f.name).cast(org.apache.spark.sql.types.TimestampType))
+        case _ => acc
+      }
+    }
     // Single-row-group files scan as ONE task, serializing every map-side
     // stage no matter the core count. That only matters for the tables
     // with heavy per-row CPU (shingling/hashing text, vector math) — fan
