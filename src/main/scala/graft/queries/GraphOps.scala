@@ -763,6 +763,43 @@ object GraphOps {
               count(*) AS reached_from
        FROM d WHERE hop > 0 GROUP BY gid"""
 
+  /** Sampled closeness centrality: reached_from / Σ_s d(s,v) over the
+    * pinned seed sample — the third read of the SAME pinned 4-hop
+    * multi-source BFS (harmonic sums 1/d, eccentricity maxes d,
+    * closeness inverts the mean d; a deployment derives all three from
+    * one sweep). Hygiene-safe by construction: the only double is one
+    * division of two exact integers, round-sealed at 6dp.
+    */
+  def gCloseness(spark: SparkSession, dir: String): DataFrame =
+    bfsSampleCached(spark, dir)
+      .filter(col("hop") > 0 && col("hop") <= 3)
+      .groupBy(col("gid").as("part"))
+      .agg(
+        round(count(lit(1)).cast("double") / sum(col("hop")), 6)
+          .as("closeness"),
+        sum(col("hop")).cast("long").as("dist_sum"),
+        count(lit(1)).as("reached_from"))
+
+  val gClosenessSql: String =
+    """WITH RECURSIVE op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       ce AS MATERIALIZED (
+         SELECT a.l_partkey AS a, b.l_partkey AS b
+         FROM op a JOIN op b
+         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         GROUP BY 1, 2),
+       und AS MATERIALIZED (SELECT a, b FROM ce UNION ALL SELECT b AS a, a AS b FROM ce),
+       walk(src, gid, hop) AS (
+         SELECT DISTINCT l_partkey, l_partkey, 0 FROM lineitem WHERE l_partkey < 10
+         UNION
+         SELECT w.src, u.b, w.hop + 1
+         FROM walk w JOIN und u ON u.a = w.gid WHERE w.hop < 3),
+       d AS (SELECT src, gid, min(hop) AS hop FROM walk GROUP BY 1, 2)
+       SELECT gid AS part,
+              round(CAST(count(*) AS DOUBLE) / sum(hop), 6) AS closeness,
+              CAST(sum(hop) AS BIGINT) AS dist_sum,
+              count(*) AS reached_from
+       FROM d WHERE hop > 0 GROUP BY gid"""
+
   /** Sampled eccentricity + diameter lower bound over the co-purchase
     * graph: ecc(s) = max_v d(s,v) across the same pinned seed sample,
     * diameter_lb = max ecc — the k-source sweep that bounds a big
@@ -997,6 +1034,7 @@ object GraphOps {
     QueryDef.sql("g_adamic_adar", gAdamicAdar, gAdamicAdarSql),
     QueryDef.sql("g_jaccard", gJaccard, gJaccardSql),
     QueryDef.sql("g_harmonic", gHarmonic, gHarmonicSql),
+    QueryDef.sql("g_closeness", gCloseness, gClosenessSql),
     QueryDef.sql("g_eccentricity", gEccentricity, gEccentricitySql),
     QueryDef.sql("g_path_counts", gPathCounts, gPathCountsSql),
     QueryDef.sql("g_betweenness", gBetweenness, gBetweennessSql),

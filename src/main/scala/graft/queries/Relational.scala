@@ -245,6 +245,105 @@ object Relational {
       .agg(count(lit(1)).as("order_count"))
   }
 
+  /** One-pass table profile ([[graft.operators.Profiler]]) over the
+    * events stream table — the SUMMARIZE datasheet: per column, null
+    * count, exact distinct count, numeric min/max, mean string length.
+    * ONE aggregation pass (the multi-distinct Expand is the only row
+    * multiplier; `exact = false` swaps it for mergeable HLL partials at
+    * deployment scale), long-formatted by a pure stack projection of
+    * the single stats row.
+    */
+  def qProfile(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiler.summarize(Tables.load(spark, dir, "events"))
+
+  val qProfileSql: String = {
+    def face(name: String, dtype: String, numeric: Boolean,
+        str: Boolean): String = {
+      val minMax =
+        if (numeric)
+          s"round(CAST(min($name) AS DOUBLE), 4) AS min_d, " +
+            s"round(CAST(max($name) AS DOUBLE), 4) AS max_d"
+        else "CAST(NULL AS DOUBLE) AS min_d, CAST(NULL AS DOUBLE) AS max_d"
+      val avgLen =
+        if (str) s"round(avg(length($name)), 2) AS avg_len"
+        else "CAST(NULL AS DOUBLE) AS avg_len"
+      s"""SELECT '$name' AS col_name, '$dtype' AS dtype,
+                count(*) AS n_rows,
+                CAST(sum(CASE WHEN $name IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_null,
+                count(DISTINCT $name) AS n_distinct, $minMax, $avgLen
+         FROM events"""
+    }
+    Seq(
+      face("event_id", "bigint", numeric = true, str = false),
+      face("ts", "timestamp", numeric = false, str = false),
+      face("user_id", "bigint", numeric = true, str = false),
+      face("event_type", "string", numeric = false, str = true),
+      face("value", "double", numeric = true, str = false),
+      face("props", "string", numeric = false, str = true))
+      .mkString("\nUNION ALL\n")
+  }
+
+  /** Bloom-pruned exact semi join ([[graft.operators.BloomJoin]]): the
+    * runtime-filter join for dims too big to broadcast — fact rows that
+    * can't match die inside the scan stage on a codegen'd
+    * `might_contain`, and only survivors pay the exact semi-join
+    * shuffle. Output is bit-equal to the plain semi join (false
+    * positives cost shuffle bytes, never correctness), which is exactly
+    * what the EXISTS oracle checks.
+    */
+  def qBloomSemi(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val dim = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_totalprice") > 150000.0)
+    graft.operators.BloomJoin
+      .semiJoin(li, dim, "l_orderkey", "o_orderkey", expectedItems = 50000L)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"))
+  }
+
+  val qBloomSemiSql: String =
+    """SELECT l_returnflag, count(*) AS n_items,
+              round(sum(l_quantity), 2) AS sum_qty
+       FROM lineitem l
+       WHERE EXISTS (SELECT 1 FROM orders o
+                     WHERE o.o_orderkey = l.l_orderkey
+                       AND o.o_orderpriority = '1-URGENT'
+                       AND o.o_totalprice > 150000.0)
+       GROUP BY l_returnflag"""
+
+  /** Bloom-pruned exact ANTI join — the decontamination shape (keep
+    * fact rows matching NOTHING in the dim). Bloom filters have no
+    * false negatives, so a key that misses the filter skips the
+    * exchange entirely and goes straight to the output; only the
+    * might-contain survivors (true matches + fpp) pay the exact
+    * anti-join shuffle. At a 100 TB fact with a selective dim this
+    * routes ~all of the fact around the shuffle.
+    */
+  def qBloomAnti(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val dim = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_totalprice") > 150000.0)
+    graft.operators.BloomJoin
+      .antiJoin(li, dim, "l_orderkey", "o_orderkey", expectedItems = 50000L)
+      .groupBy(col("l_linestatus"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"))
+  }
+
+  val qBloomAntiSql: String =
+    """SELECT l_linestatus, count(*) AS n_items,
+              round(sum(l_extendedprice), 2) AS sum_price
+       FROM lineitem l
+       WHERE NOT EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_orderkey = l.l_orderkey
+                           AND o.o_orderpriority = '1-URGENT'
+                           AND o.o_totalprice > 150000.0)
+       GROUP BY l_linestatus"""
+
   val qExistsSemiSql: String =
     """SELECT o_orderpriority, count(*) AS order_count
        FROM orders o
@@ -888,6 +987,9 @@ object Relational {
     QueryDef.sql("q5_multijoin", q5MultiJoin, q5MultiJoinSql),
     QueryDef.sql("q_window_rank", qWindowRank, qWindowRankSql),
     QueryDef.sql("q_exists_semi", qExistsSemi, qExistsSemiSql),
+    QueryDef.sql("q_bloom_semi", qBloomSemi, qBloomSemiSql),
+    QueryDef.sql("q_bloom_anti", qBloomAnti, qBloomAntiSql),
+    QueryDef.sql("q_profile", qProfile, qProfileSql),
     QueryDef.sql("q_custdist", qCustDist, qCustDistSql),
     QueryDef.sql("q_moving_avg", qMovingAvg, qMovingAvgSql),
     QueryDef.sql("q_topk_per_group", qTopkPerGroup, qTopkPerGroupSql),
