@@ -245,6 +245,56 @@ object Relational {
       .agg(count(lit(1)).as("order_count"))
   }
 
+  /** Calendar gap-fill + LOCF (last-observation-carried-forward): the
+    * time-series densification every metrics store runs — per user,
+    * generate the full daily calendar between first and last purchase
+    * (`sequence` + explode: the calendar explode is Σ user spans, never
+    * a global cross join) and carry the last observed daily reading
+    * across missing days with an ignoreNulls running `last` window.
+    * One shuffle by user for the window; the daily pre-aggregate is
+    * round-sealed BEFORE the fill so carried values are bit-identical
+    * to observed ones.
+    */
+  def qGapfill(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .filter(col("user_id") < 20 && col("event_type") === "purchase")
+    val daily = ev.groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(round(max(col("value")), 4).as("reading"))
+    val cal = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day")))
+          .as("day"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cal.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        round(last(col("reading"), ignoreNulls = true).over(w), 4)
+          .as("reading"),
+        col("reading").isNull.as("filled"))
+  }
+
+  val qGapfillSql: String =
+    """WITH daily AS (
+         SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+                round(max(value), 4) AS reading
+         FROM events WHERE user_id < 20 AND event_type = 'purchase'
+         GROUP BY 1, 2),
+       span AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+                FROM daily GROUP BY 1),
+       cal AS (SELECT user_id,
+                      CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+                        AS DATE) AS day
+               FROM span)
+       SELECT c.user_id, c.day,
+              round(last_value(d.reading IGNORE NULLS) OVER (
+                PARTITION BY c.user_id ORDER BY c.day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+                AS reading,
+              d.reading IS NULL AS filled
+       FROM cal c LEFT JOIN daily d
+       ON c.user_id = d.user_id AND c.day = d.day"""
+
   /** One-pass table profile ([[graft.operators.Profiler]]) over the
     * events stream table — the SUMMARIZE datasheet: per column, null
     * count, exact distinct count, numeric min/max, mean string length.
@@ -990,6 +1040,7 @@ object Relational {
     QueryDef.sql("q_bloom_semi", qBloomSemi, qBloomSemiSql),
     QueryDef.sql("q_bloom_anti", qBloomAnti, qBloomAntiSql),
     QueryDef.sql("q_profile", qProfile, qProfileSql),
+    QueryDef.sql("q_gapfill", qGapfill, qGapfillSql),
     QueryDef.sql("q_custdist", qCustDist, qCustDistSql),
     QueryDef.sql("q_moving_avg", qMovingAvg, qMovingAvgSql),
     QueryDef.sql("q_topk_per_group", qTopkPerGroup, qTopkPerGroupSql),
