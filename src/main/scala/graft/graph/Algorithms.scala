@@ -773,6 +773,68 @@ object Algorithms {
             (col("d") * (col("d") - 1)), 6)).otherwise(lit(0.0)).as("cc"))
   }
 
+  /** k-truss: the maximal subgraph in which every EDGE participates in
+    * ≥ k−2 triangles (edge-level cohesion — one level up from k-core's
+    * node degrees; the community-backbone extractor). Peeling loop:
+    * per round, count per-edge support with the degree-ordered
+    * edge-iterator (same O(m^1.5)-wedge layout as [[triangleCount]] —
+    * intersections happen on adjacency ARRAYS, each triangle ships as
+    * exactly 3 (edge, +1) credit rows, no wedge row ever hits the
+    * wire), drop under-supported edges, repeat to fixpoint. The edge
+    * set only shrinks, so round cost tracks the surviving subgraph; a
+    * support drop can only be caused by a removed edge, which is why
+    * peeling converges rather than oscillates.
+    *
+    * Returns the canonical (a < b) surviving edges.
+    */
+  def kTruss(edges: DataFrame, k: Int, maxIter: Int = 50): DataFrame = {
+    require(k >= 3, s"k must be >= 3, got $k")
+    val minSup = k - 2
+    val canon0 = edges.select(
+        least(col("gsrc"), col("gdst")).as("a"),
+        greatest(col("gsrc"), col("gdst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct().localCheckpoint()
+    val width = loopWidth(edges, canon0.count())
+    withoutAqe(edges, Some(width)) {
+      var e = canon0.coalesce(width)
+      var rows = -1L
+      var converged = false
+      var iter = 0
+      while (!converged && iter < maxIter) {
+        iter += 1
+        val g = prepareOriented(
+          e.select(col("a").as("gsrc"), col("b").as("gdst")))
+        // each triangle (u,w,x) credits its three canonical edges
+        val support = g.oriented
+          .join(g.adj.select(col("u").as("au"), col("nbrs").as("nu")),
+            col("u") === col("au"))
+          .join(g.adj.select(col("u").as("aw"), col("nbrs").as("nw")),
+            col("w") === col("aw"))
+          .select(col("u"), col("w"),
+            explode(array_intersect(col("nu"), col("nw"))).as("x"))
+          .select(explode(array(
+            struct(least(col("u"), col("w")).as("a"),
+              greatest(col("u"), col("w")).as("b")),
+            struct(least(col("u"), col("x")).as("a"),
+              greatest(col("u"), col("x")).as("b")),
+            struct(least(col("w"), col("x")).as("a"),
+              greatest(col("w"), col("x")).as("b")))).as("te"))
+          .select(col("te.a").as("a"), col("te.b").as("b"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("sup"))
+        // edges in no triangle have no support row: the inner filter on
+        // the aggregated table drops them exactly like support 0 would
+        val kept = support.filter(col("sup") >= minSup)
+          .select(col("a"), col("b")).localCheckpoint()
+        val n = kept.count()
+        converged = n == rows || n == 0
+        rows = n
+        e = kept
+      }
+      e
+    } // withoutAqe
+  }
+
   /** Adamic-Adar link prediction over an undirected simple graph:
     * score(x,y) = Σ_{z ∈ N(x)∩N(y)} 1/ln(deg z) for NON-adjacent pairs
     * sharing at least one neighbor — the classic common-neighbor signal

@@ -959,6 +959,33 @@ object GraphOps {
 
   val gMstSql: String = GraphOracleSql.msfSummarySql(rounds = 12)
 
+  /** 4-truss of the bounded co-purchase graph (every surviving edge in
+    * ≥ 2 triangles among survivors — the edge-cohesion community
+    * backbone, one level up from k-core): [[Algorithms.kTruss]] peeling
+    * with the degree-ordered edge-iterator per round. Reported as the
+    * surviving canonical edge list — the strongest hashable evidence
+    * (the oracle must agree on every edge, not a summary). Same
+    * part-bound as gMst; oracle unrolls 5 peeling rounds with the
+    * kcore-style fixpoint assertion (measured fixpoint: round 3 at
+    * both sf0.01 and sf0.1).
+    */
+  def gTruss(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val op = li.filter(col("l_partkey") < 2000)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val perOrder = op.groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
+    val pairs = perOrder.select(explode(flatten(transform(col("ps"),
+        (x, i) => transform(slice(col("ps"), i + 2, size(col("ps"))),
+          y => struct(x.as("a"), y.as("b")))))).as("e"))
+      .select(col("e.a").as("gsrc"), col("e.b").as("gdst")).distinct()
+    Algorithms.kTruss(pairs, k = 4)
+      .select(col("a").as("part_a"), col("b").as("part_b"))
+  }
+
+  val gTrussSql: String =
+    GraphOracleSql.trussSql(k = 4, rounds = 5, partBound = 2000)
+
   /** Market-basket association mining over orders: pair support (how
     * many orders contain both parts) and lift (support over the
     * independence expectation). The co-purchase pair generation reuses
@@ -1041,5 +1068,6 @@ object GraphOps {
     QueryDef.sql("g_assortativity", gAssortativity, gAssortativitySql),
     QueryDef.sql("g_basket", gBasket, gBasketSql),
     QueryDef.sql("g_mst", gMst, gMstSql),
+    QueryDef.sql("g_truss", gTruss, gTrussSql),
     QueryDef.sql("g_wal_replay", gWalReplay, gWalReplaySql))
 }

@@ -356,4 +356,45 @@ object GraphOracleSql {
            ELSE true END)
        SELECT count(*) AS core_size FROM s$rounds, converged"""
   }
+
+  /** Unrolled k-truss peeling over the bounded co-purchase graph — the
+    * SQL mirror of [[graft.graph.Algorithms.kTruss]]: per round,
+    * enumerate triangles on the surviving canonical edge set (x<y<z via
+    * the two-hop join), credit each triangle to its three edges, keep
+    * edges with support ≥ k−2. Same self-checking convergence assertion
+    * as [[kcoreSql]] (edge sets only shrink, so count equality between
+    * the final two rounds is set equality).
+    */
+  def trussSql(k: Int, rounds: Int, partBound: Int): String = {
+    val minSup = k - 2
+    val steps = (1 to rounds).map { i =>
+      s""",
+       tri$i AS (
+         SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         FROM t${i - 1} e1
+         JOIN t${i - 1} e2 ON e2.a = e1.a AND e2.b > e1.b
+         JOIN t${i - 1} e3 ON e3.a = e1.b AND e3.b = e2.b),
+       t$i AS MATERIALIZED (
+         SELECT a, b FROM (
+           SELECT a, b, count(*) AS s FROM (
+             SELECT x AS a, y AS b FROM tri$i
+             UNION ALL SELECT x AS a, z AS b FROM tri$i
+             UNION ALL SELECT y AS a, z AS b FROM tri$i)
+           GROUP BY 1, 2)
+         WHERE s >= $minSup)"""
+    }.mkString
+    s"""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+                    WHERE l_partkey < $partBound),
+       t0 AS MATERIALIZED (
+         SELECT a.l_partkey AS a, b.l_partkey AS b
+         FROM op a JOIN op b
+         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         GROUP BY 1, 2)$steps,
+       converged AS (
+         SELECT 1 AS ok WHERE CASE WHEN (SELECT count(*) FROM t$rounds) <>
+             (SELECT count(*) FROM t${rounds - 1})
+           THEN error('truss oracle: $rounds unrolled rounds exhausted before fixpoint')
+           ELSE true END)
+       SELECT a AS part_a, b AS part_b FROM t$rounds, converged"""
+  }
 }

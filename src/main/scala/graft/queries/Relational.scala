@@ -245,6 +245,45 @@ object Relational {
       .agg(count(lit(1)).as("order_count"))
   }
 
+  /** Cumulative distinct reach (running count of users ever seen, per
+    * day) — the audience-growth curve. The classic trap is a running
+    * COUNT(DISTINCT) window (quadratic re-scan per day); the linear
+    * form aggregates each user to their FIRST day (one user-keyed
+    * shuffle), counts new users per day, and prefix-sums over the
+    * calendar-bounded day table — the single-partition window touches
+    * only days, never events, so the plan holds at any event volume.
+    */
+  def qCumDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val newPerDay = ev.groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+    val days = ev.groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    days.join(newPerDay, Seq("day"), "left")
+      .select(col("day"), col("n_events"),
+        coalesce(col("new_users"), lit(0L)).as("new_users"),
+        sum(coalesce(col("new_users"), lit(0L))).over(w).as("cum_users"))
+  }
+
+  val qCumDistinctSql: String =
+    """WITH fd AS (
+         SELECT user_id, min(CAST(date_trunc('day', ts) AS DATE)) AS day
+         FROM events GROUP BY 1),
+       npd AS (SELECT day, count(*) AS new_users FROM fd GROUP BY 1),
+       days AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                       count(*) AS n_events
+                FROM events GROUP BY 1)
+       SELECT d.day, d.n_events,
+              coalesce(npd.new_users, 0) AS new_users,
+              CAST(sum(coalesce(npd.new_users, 0)) OVER (
+                ORDER BY d.day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                AS cum_users
+       FROM days d LEFT JOIN npd USING (day)"""
+
   /** Calendar gap-fill + LOCF (last-observation-carried-forward): the
     * time-series densification every metrics store runs — per user,
     * generate the full daily calendar between first and last purchase
@@ -1041,6 +1080,7 @@ object Relational {
     QueryDef.sql("q_bloom_anti", qBloomAnti, qBloomAntiSql),
     QueryDef.sql("q_profile", qProfile, qProfileSql),
     QueryDef.sql("q_gapfill", qGapfill, qGapfillSql),
+    QueryDef.sql("q_cum_distinct", qCumDistinct, qCumDistinctSql),
     QueryDef.sql("q_custdist", qCustDist, qCustDistSql),
     QueryDef.sql("q_moving_avg", qMovingAvg, qMovingAvgSql),
     QueryDef.sql("q_topk_per_group", qTopkPerGroup, qTopkPerGroupSql),

@@ -226,6 +226,28 @@ class GraphAlgSpec extends SparkSpec {
     assert(got(5L) === ((1L, 0L, 0.0)))
   }
 
+  test("k-truss peels bridges and triangles but keeps cliques") {
+    // two disjoint K4s (1-4, 11-14) joined by a bridge 4-11, plus a
+    // dangling triangle 21-22-23 hanging off node 1 via 21-1
+    val edges = edgeDf(
+      1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 3L, 2L -> 4L, 3L -> 4L,
+      11L -> 12L, 11L -> 13L, 11L -> 14L, 12L -> 13L, 12L -> 14L, 13L -> 14L,
+      4L -> 11L, 21L -> 22L, 22L -> 23L, 23L -> 21L, 21L -> 1L)
+    def trussEdges(k: Int): Set[(Long, Long)] =
+      Algorithms.kTruss(edges, k).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val k4edges = Set(
+      1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 3L, 2L -> 4L, 3L -> 4L,
+      11L -> 12L, 11L -> 13L, 11L -> 14L, 12L -> 13L, 12L -> 14L, 13L -> 14L)
+    // k=4: every K4 edge sits in 2 triangles among survivors; the
+    // bridge (0 triangles), the pendant, and the lone triangle (1) peel
+    assert(trussEdges(4) === k4edges)
+    // k=3: the triangle survives too (each edge in 1 triangle)
+    assert(trussEdges(3) === k4edges ++ Set(21L -> 22L, 22L -> 23L, 21L -> 23L))
+    // k high enough empties the graph
+    assert(trussEdges(6) === Set.empty)
+  }
+
   test("co-partitioned (large-state) path matches the broadcast path") {
     // force the shuffle-hash loop the bench only exercises at scale:
     // with the state bound at 0 every loop takes the co-partitioned
