@@ -245,6 +245,89 @@ object Relational {
       .agg(count(lit(1)).as("order_count"))
   }
 
+  /** Pairwise Pearson correlation matrix over the lineitem numeric
+    * columns — the data-exploration one-liner, computed as ONE
+    * aggregation pass (every `corr` is a moment aggregate, so all six
+    * pairs partial-merge in the same map-side combine) and
+    * long-formatted by a stack projection of the single stats row.
+    */
+  def qCorrMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.length
+    } yield (cols(i), cols(j))
+    val aggs = pairs.map { case (a, b) =>
+      round(corr(col(a), col(b)), 6).as(s"${a}__$b")
+    }
+    val stackArgs = pairs
+      .map { case (a, b) => s"'$a', '$b', `${a}__$b`" }.mkString(", ")
+    li.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(
+        s"stack(${pairs.length}, $stackArgs) AS (col_a, col_b, pearson_r)")
+  }
+
+  val qCorrMatrixSql: String = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.length
+    } yield (cols(i), cols(j))
+    pairs.map { case (a, b) =>
+      s"""SELECT '$a' AS col_a, '$b' AS col_b,
+                round(corr($a, $b), 6) AS pearson_r
+         FROM lineitem"""
+    }.mkString("\nUNION ALL\n")
+  }
+
+  /** Robust outlier screen per group: median + MAD (median absolute
+    * deviation), flagging values beyond 3 scaled MADs — the
+    * quality-control screen that survives the heavy tails that break
+    * mean/stddev z-scores. Exact interpolated `percentile` here (the
+    * driver gate hashes values); the deployment swap at 100 TB is
+    * `approx_percentile`, same plan shape. Two grouped percentile
+    * passes (median, then median of deviations) + one counting pass,
+    * all keyed on the group — no global sort anywhere.
+    */
+  def qMadOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_type"), col("value"))
+    val med = ev.groupBy(col("event_type"))
+      .agg(percentile(col("value"), lit(0.5)).as("med"))
+    val dev = ev.join(med, "event_type")
+      .select(col("event_type"), col("value"), col("med"),
+        abs(col("value") - col("med")).as("adev"))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(percentile(col("adev"), lit(0.5)).as("mad"))
+    dev.join(mad, "event_type")
+      .groupBy(col("event_type"))
+      .agg(round(first(col("med")), 4).as("med"),
+        round(first(col("mad")), 4).as("mad"),
+        sum(when(abs(col("value") - col("med")) >
+            lit(3.0) * lit(1.4826) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"),
+        count(lit(1)).as("n"))
+  }
+
+  val qMadOutliersSql: String =
+    """WITH med AS (
+         SELECT event_type, median(value) AS med
+         FROM events GROUP BY 1),
+       dev AS (
+         SELECT e.event_type, e.value, m.med,
+                abs(e.value - m.med) AS adev
+         FROM events e JOIN med m USING (event_type)),
+       mad AS (
+         SELECT event_type, median(adev) AS mad FROM dev GROUP BY 1)
+       SELECT d.event_type,
+              round(min(d.med), 4) AS med,
+              round(min(a.mad), 4) AS mad,
+              CAST(sum(CASE WHEN abs(d.value - d.med) >
+                  3.0 * 1.4826 * a.mad THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_outliers,
+              count(*) AS n
+       FROM dev d JOIN mad a USING (event_type)
+       GROUP BY 1"""
+
   /** Cumulative distinct reach (running count of users ever seen, per
     * day) — the audience-growth curve. The classic trap is a running
     * COUNT(DISTINCT) window (quadratic re-scan per day); the linear
@@ -1081,6 +1164,8 @@ object Relational {
     QueryDef.sql("q_profile", qProfile, qProfileSql),
     QueryDef.sql("q_gapfill", qGapfill, qGapfillSql),
     QueryDef.sql("q_cum_distinct", qCumDistinct, qCumDistinctSql),
+    QueryDef.sql("q_corr_matrix", qCorrMatrix, qCorrMatrixSql),
+    QueryDef.sql("q_mad_outliers", qMadOutliers, qMadOutliersSql),
     QueryDef.sql("q_custdist", qCustDist, qCustDistSql),
     QueryDef.sql("q_moving_avg", qMovingAvg, qMovingAvgSql),
     QueryDef.sql("q_topk_per_group", qTopkPerGroup, qTopkPerGroupSql),
