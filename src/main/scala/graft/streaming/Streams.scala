@@ -11,6 +11,10 @@ final case class SessionBuffer(timesMs: Seq[Long])
 final case class SessionOutput(user_id: Long, session_start: java.sql.Timestamp,
     session_end: java.sql.Timestamp, n_events: Long)
 
+/** Row shape for the bounded-state Bloom dedup stream. */
+final case class BloomDedupRow(bucket: Int, khash: Long, event_id: Long,
+    ts: java.sql.Timestamp, user_id: Long, event_type: String, value: Double)
+
 /** Streaming analytics (SURVEY §2.5) — the Structured-Streaming
   * re-expression of the reference's WAL tailing (server/commitlog.go).
   *
@@ -174,6 +178,62 @@ object Streams {
       events.withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark(keyCols)
     else events.dropDuplicates(keyCols)
+
+  /** Approximate streaming dedup with BOUNDED state — the 100 TB
+    * complement to [[dedupStream]]: exact dedup state grows with key
+    * cardinality inside the watermark (every first-seen key is
+    * remembered), which on an unbounded key space is itself unbounded.
+    * Here state is a fixed-size Bloom filter per hash bucket
+    * (`buckets × optimalNumBits(expectedPerBucket, fpp) / 8` bytes
+    * TOTAL, for the stream's whole lifetime), grouped by
+    * `xxhash64(key) mod buckets` so the filters shard evenly and
+    * micro-batch work parallelizes across buckets.
+    *
+    * Semantics: duplicates are ALWAYS suppressed (Bloom filters have no
+    * false negatives); an fpp-fraction of genuine first arrivals is
+    * wrongly suppressed too — the right trade for dedup (a lost unique
+    * costs one document; a leaked duplicate costs training-data
+    * quality), and the same one every at-scale streaming deduper makes.
+    * No timeout: state size is constant, so there is nothing for a
+    * watermark to bound.
+    */
+  def bloomDedupStream(events: DataFrame, key: org.apache.spark.sql.Column,
+      buckets: Int = 64, expectedPerBucket: Long = 1000000L,
+      fpp: Double = 0.01): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val keyed = events.select(
+        pmod(xxhash64(key), lit(buckets.toLong)).cast("int").as("bucket"),
+        xxhash64(key).as("khash"),
+        col("event_id").cast("long").as("event_id"), col("ts"),
+        col("user_id").cast("long").as("user_id"), col("event_type"),
+        col("value").cast("double").as("value"))
+      .as[BloomDedupRow]
+
+    def update(bucket: Int, it: Iterator[BloomDedupRow],
+        state: GroupState[Array[Byte]]): Iterator[BloomDedupRow] = {
+      import org.apache.spark.util.sketch.BloomFilter
+      val bf = state.getOption
+        .map(b => BloomFilter.readFrom(new java.io.ByteArrayInputStream(b)))
+        .getOrElse(BloomFilter.create(expectedPerBucket, fpp))
+      // materialize survivors BEFORE serializing state: the filter is
+      // lazy and state.update must see every putLong of this batch
+      val fresh = it.filter { e =>
+        if (bf.mightContainLong(e.khash)) false
+        else { bf.putLong(e.khash); true }
+      }.toVector
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      state.update(bos.toByteArray)
+      fresh.iterator
+    }
+
+    keyed.groupByKey(_.bucket)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(update)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+  }
 
   /** Gap-based sessionization, streaming formulation: per-user custom
     * state via `flatMapGroupsWithState` with an event-time timeout.

@@ -238,6 +238,38 @@ class StreamingSpec extends SparkSpec {
     assert(batch.count() === 2L)
   }
 
+  test("bloom dedup suppresses cross-batch duplicates with constant state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Ev]
+    val deduped = Streams.bloomDedupStream(source.toDF(),
+      concat_ws("|", col("user_id"), col("event_type")), buckets = 4,
+      expectedPerBucket = 10000L, fpp = 0.001)
+    val q = deduped.writeStream
+      .format("memory").queryName("bloom_dedup_out").outputMode("append").start()
+    try {
+      source.addData(events: _*) // keys: (1,click)×3, (2,view)×2
+      q.processAllAvailable()
+      // duplicate in a LATER batch: the serialized filter must remember
+      source.addData(Ev(60, ts(45), 1, "click", 9.0))
+      // and a genuinely new key in a later batch must pass
+      source.addData(Ev(61, ts(46), 3, "signup", 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("bloom_dedup_out")
+      .select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // at fpp=0.001 over 3 tiny keys, false positives are impossible in
+    // practice: output is exactly one row per distinct key
+    assert(got.sorted.toSeq ===
+      Seq((1L, "click"), (2L, "view"), (3L, "signup")))
+    // batch degradation: one survivor per distinct key
+    val batch = Streams.bloomDedupStream(events.toDF(),
+      concat_ws("|", col("user_id"), col("event_type")), buckets = 4,
+      expectedPerBucket = 10000L, fpp = 0.001)
+    assert(batch.count() === 2L)
+  }
+
   test("foreachBatch CDC compaction over a stream equals the one-shot batch merge") {
     import spark.implicits._
     import graft.store.CdcMerge
