@@ -46,6 +46,36 @@ object Funnel {
     }
   }
 
+  /** Step-transition latency distribution: for each i→i+1 transition,
+    * over exactly the users who completed step i+1, the earliest-time
+    * gap t{i+1} − t{i} — the time-to-convert profile that turns funnel
+    * COUNTS into a product decision (where do users stall?). Joins the
+    * already-checkpointed survivor frames pairwise on the user key
+    * (frame i+1's users ⊆ frame i's, so the join side is the smaller
+    * survivor set); exact interpolated percentiles for the gate,
+    * `approx_percentile` being the at-scale swap as with the MAD
+    * screen. Latencies are second-valued doubles (µs-precise timestamp
+    * difference), round-sealed.
+    */
+  def latencies(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.length >= 2, "latencies need at least two steps")
+    val frames = stepTimes(events, userCol, typeCol, tsCol, steps)
+    (1 until frames.length).map { i =>
+      val lat = frames(i).join(frames(i - 1), "user")
+        .select((col(s"t${i + 1}").cast("double") -
+          col(s"t$i").cast("double")).as("lat"))
+      lat.agg(
+          count(lit(1)).as("users"),
+          round(percentile(col("lat"), lit(0.5)), 2).as("p50_sec"),
+          round(percentile(col("lat"), lit(0.9)), 2).as("p90_sec"),
+          round(max(col("lat")), 2).as("max_sec"))
+        .select(lit(i.toLong).as("step"),
+          lit(s"${steps(i - 1)}->${steps(i)}").as("transition"),
+          col("users"), col("p50_sec"), col("p90_sec"), col("max_sec"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Funnel conversion counts: (step, step_name, users) per step. */
   def counts(events: DataFrame, userCol: String, typeCol: String,
       tsCol: String, steps: Seq[String]): DataFrame =

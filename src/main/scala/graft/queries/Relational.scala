@@ -245,6 +245,43 @@ object Relational {
       .agg(count(lit(1)).as("order_count"))
   }
 
+  /** Funnel step-transition latencies ([[graft.operators.Funnel
+    * .latencies]]): the time-to-convert distribution per transition over
+    * the SAME survivor frames q_funnel counts — where users stall, not
+    * just where they drop. Exact interpolated percentiles for the gate;
+    * `approx_percentile` is the at-scale swap.
+    */
+  def qFunnelLatency(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.latencies(Tables.load(spark, dir, "events"),
+      "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+
+  val qFunnelLatencySql: String =
+    """WITH s1 AS (
+         SELECT user_id AS u, min(ts) AS t1 FROM events
+         WHERE event_type = 'view' GROUP BY 1),
+       s2 AS (
+         SELECT e.user_id AS u, min(e.ts) AS t2
+         FROM events e JOIN s1 ON e.user_id = s1.u AND e.ts > s1.t1
+         WHERE e.event_type = 'click' GROUP BY 1),
+       s3 AS (
+         SELECT e.user_id AS u, min(e.ts) AS t3
+         FROM events e JOIN s2 ON e.user_id = s2.u AND e.ts > s2.t2
+         WHERE e.event_type = 'purchase' GROUP BY 1),
+       l1 AS (SELECT epoch(t2) - epoch(t1) AS lat FROM s2 JOIN s1 USING (u)),
+       l2 AS (SELECT epoch(t3) - epoch(t2) AS lat FROM s3 JOIN s2 USING (u))
+       SELECT CAST(1 AS BIGINT) AS step, 'view->click' AS transition,
+              count(*) AS users,
+              round(quantile_cont(lat, 0.5), 2) AS p50_sec,
+              round(quantile_cont(lat, 0.9), 2) AS p90_sec,
+              round(max(lat), 2) AS max_sec
+       FROM l1
+       UNION ALL
+       SELECT CAST(2 AS BIGINT), 'click->purchase', count(*),
+              round(quantile_cont(lat, 0.5), 2),
+              round(quantile_cont(lat, 0.9), 2),
+              round(max(lat), 2)
+       FROM l2"""
+
   /** Pairwise Pearson correlation matrix over the lineitem numeric
     * columns — the data-exploration one-liner, computed as ONE
     * aggregation pass (every `corr` is a moment aggregate, so all six
@@ -1165,6 +1202,7 @@ object Relational {
     QueryDef.sql("q_gapfill", qGapfill, qGapfillSql),
     QueryDef.sql("q_cum_distinct", qCumDistinct, qCumDistinctSql),
     QueryDef.sql("q_corr_matrix", qCorrMatrix, qCorrMatrixSql),
+    QueryDef.sql("q_funnel_latency", qFunnelLatency, qFunnelLatencySql),
     QueryDef.sql("q_mad_outliers", qMadOutliers, qMadOutliersSql),
     QueryDef.sql("q_custdist", qCustDist, qCustDistSql),
     QueryDef.sql("q_moving_avg", qMovingAvg, qMovingAvgSql),
