@@ -116,6 +116,25 @@ class OperatorsSpec extends SparkSpec {
     assert(counts === Map(1L -> 5L, 2L -> 2L, 3L -> 1L))
   }
 
+  test("funnel latencies interpolate percentiles over the earliest step gaps") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      (1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, "click", ts("2024-01-01 10:05:00")), // +300s
+      (1L, "purchase", ts("2024-01-01 10:10:00")), // +300s
+      (3L, "view", ts("2024-01-01 10:00:00")),
+      (3L, "click", ts("2024-01-01 10:30:00")) // +1800s
+    ).toDF("user_id", "event_type", "ts")
+    val got = Funnel.latencies(events, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => r.getString(1) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    // view->click gaps {300, 1800}: p50 midpoint 1050, p90 = 300+0.9·1500
+    assert(got("view->click") === ((2L, 1050.0, 1650.0, 1800.0)))
+    assert(got("click->purchase") === ((1L, 300.0, 300.0, 300.0)))
+  }
+
   test("bucketized range join equals the predicate join across bucket boundaries") {
     import spark.implicits._
     val points = (0L to 100L by 3L).map(t => (t, s"p$t")).toDF("ts", "pid")
