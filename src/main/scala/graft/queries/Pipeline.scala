@@ -47,7 +47,7 @@ object Pipeline {
        SELECT copies, count(*) AS n_clusters,
               CAST(count(*) * copies AS BIGINT) AS n_docs,
               CAST(count(*) * (copies - 1) AS BIGINT) AS redundant_docs,
-              sum(chars) AS char_mass
+              CAST(sum(chars) AS BIGINT) AS char_mass
        FROM cl GROUP BY copies"""
 
   /** MinHash-LSH candidate pairs (rows-only: the banding arithmetic has
@@ -361,7 +361,8 @@ object Pipeline {
            FROM documents)
          WHERE len(w) > 0),
        sw AS (SELECT source, w, count(*) AS c_sw FROM w GROUP BY 1, 2),
-       s AS (SELECT source, sum(c_sw) AS n_tokens, count(*) AS n_types
+       s AS (SELECT source, CAST(sum(c_sw) AS BIGINT) AS n_tokens,
+                    count(*) AS n_types
              FROM sw GROUP BY 1),
        wc AS (SELECT w, sum(c_w) AS c_w FROM (
                 SELECT w, sum(c_sw) AS c_w FROM sw GROUP BY 1) GROUP BY 1),
@@ -1139,17 +1140,18 @@ object Pipeline {
                     (1.0 - least($punct * 10.0, 1.0)) * 0.3 +
                     least($stop * 4.0, 1.0) * 0.3"""
     val langCounts = cardLangs.map(l =>
-      s"sum(CASE WHEN lang = '$l' THEN 1 ELSE 0 END) AS n_$l").mkString(",\n              ")
+      s"CAST(sum(CASE WHEN lang = '$l' THEN 1 ELSE 0 END) AS BIGINT) AS n_$l")
+      .mkString(",\n              ")
     val inList = cardLangs.map(l => s"'$l'").mkString(", ")
     s"""SELECT count(*) AS n_docs,
               count(DISTINCT source) AS n_sources,
               count(DISTINCT sha256(text)) AS n_unique_texts,
-              sum(n_chars) AS total_chars,
+              CAST(sum(n_chars) AS BIGINT) AS total_chars,
               CAST(sum($ws) AS BIGINT) AS total_ws_tokens,
               round(CAST(sum(CAST(floor(($quality) * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE)
                     / count(*) / 10000.0, 4) AS mean_quality,
               $langCounts,
-              sum(CASE WHEN lang NOT IN ($inList) THEN 1 ELSE 0 END) AS n_other
+              CAST(sum(CASE WHEN lang NOT IN ($inList) THEN 1 ELSE 0 END) AS BIGINT) AS n_other
        FROM documents"""
   }
 
@@ -1187,11 +1189,11 @@ object Pipeline {
     s"""SELECT source,
               count(*) AS n_docs,
               count(DISTINCT sha256(text)) AS n_unique_texts,
-              sum(n_chars) AS total_chars,
+              CAST(sum(n_chars) AS BIGINT) AS total_chars,
               CAST(sum($ws) AS BIGINT) AS total_ws_tokens,
               round(CAST(sum(CAST(floor(($quality) * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE)
                     / count(*) / 10000.0, 4) AS mean_quality,
-              sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_en
+              CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en
        FROM documents GROUP BY source"""
   }
 
@@ -1244,7 +1246,7 @@ object Pipeline {
          FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
          GROUP BY 1, 2, 3, 4 HAVING count(*) >= 2)
        SELECT least(sa, sb) AS source_a, greatest(sa, sb) AS source_b,
-              count(*) AS n_pairs, sum(n_shared) AS n_shared_fps
+              count(*) AS n_pairs, CAST(sum(n_shared) AS BIGINT) AS n_shared_fps
        FROM pairs WHERE sa <> sb GROUP BY 1, 2"""
 
   /** PII scrub: match counts + sha of the redacted text (the sha proves
@@ -1437,9 +1439,9 @@ object Pipeline {
                         CAST(sum(t.tk) AS BIGINT) AS fill
                  FROM walk w JOIN pk_t t ON t.shard = w.shard AND t.rn = w.rn
                  GROUP BY 1, 2)
-       SELECT shard, count(*) AS n_packs, sum(n_docs) AS n_docs,
-              sum(fill) AS packed_tokens,
-              sum(greatest(0, 512 - fill)) AS waste_tokens,
+       SELECT shard, count(*) AS n_packs, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+              CAST(sum(fill) AS BIGINT) AS packed_tokens,
+              CAST(sum(greatest(0, 512 - fill)) AS BIGINT) AS waste_tokens,
               round(CAST(sum(fill) AS DOUBLE) / (count(*) * 512.0), 4) AS fill_rate
        FROM fills GROUP BY shard"""
   }

@@ -49,10 +49,11 @@ object Streaming {
          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
        sess AS (
          SELECT user_id, ts,
-                sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+                CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                  AS session_idx
          FROM marked)
-       SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       SELECT user_id, session_idx,
               min(ts) AS session_start, max(ts) AS session_end,
               count(*) AS n_events
        FROM sess GROUP BY user_id, session_idx"""
@@ -212,7 +213,7 @@ object Streaming {
              UNION ALL SELECT en, -1 FROM sess),
        pt AS (SELECT ts, sum(d) AS delta FROM b GROUP BY ts),
        run AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
-                      sum(delta) OVER (ORDER BY ts) AS conc
+                      CAST(sum(delta) OVER (ORDER BY ts) AS BIGINT) AS conc
                FROM pt)
        SELECT day, max(conc) AS peak_concurrent, count(*) AS n_boundaries
        FROM run GROUP BY day"""

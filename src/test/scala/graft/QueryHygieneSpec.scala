@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average}
 import org.apache.spark.sql.catalyst.plans.logical.Aggregate
-import org.apache.spark.sql.types.{DataType, DoubleType, FloatType, StringType}
+import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType}
 
 import scala.collection.mutable
 
@@ -116,6 +116,110 @@ class QueryHygieneSpec extends SparkSpec {
           })
       }
     violations.toSeq
+  }
+
+  /** Rule 3 (string-level, r6 verdict): DuckDB types any uncast integer
+    * `sum()` as HUGEINT (int128), which the driver's `.df()` fetch path
+    * canonicalizes as float64 — hash-mismatching value-equal cells (the
+    * root cause of ALL seven r6 red rows and r5's `p_dataset_card`).
+    * Lint: every `sum(...)` in an oracle SQL whose alias names an
+    * integer-typed Spark output column must be wrapped in `CAST(`.
+    * This is a lint, not a type-checker — `tools/check.py` binds the
+    * real DuckDB types and is the hard gate; this spec just keeps the
+    * class from being written at all.
+    */
+  private def uncastIntegerSums(name: String, sql: String,
+      intCols: Set[String]): Seq[String] = {
+    val out = mutable.Buffer.empty[String]
+    val s = sql.toLowerCase
+    def skipWs(p: Int): Int = {
+      var q = p; while (q < s.length && s(q).isWhitespace) q += 1; q
+    }
+    var idx = s.indexOf("sum")
+    while (idx >= 0) {
+      val wordStart = idx == 0 ||
+        (!s(idx - 1).isLetterOrDigit && s(idx - 1) != '_')
+      val j = skipWs(idx + 3)
+      if (wordStart && j < s.length && s(j) == '(') {
+        // sealed if the token immediately before is `cast(`
+        val rev = s.substring(0, idx).reverse.dropWhile(_.isWhitespace)
+        val sealedByCast = rev.startsWith("(") &&
+          rev.drop(1).dropWhile(_.isWhitespace).startsWith("tsac")
+        if (!sealedByCast) {
+          // find sum's closing paren, skip an optional OVER (...) frame,
+          // then read the alias if the next token is AS
+          var depth = 1; var k = j + 1
+          while (k < s.length && depth > 0) {
+            if (s(k) == '(') depth += 1
+            else if (s(k) == ')') depth -= 1
+            k += 1
+          }
+          var m = skipWs(k)
+          if (s.startsWith("over", m)) {
+            m = skipWs(m + 4)
+            if (m < s.length && s(m) == '(') {
+              var d2 = 1; m += 1
+              while (m < s.length && d2 > 0) {
+                if (s(m) == '(') d2 += 1
+                else if (s(m) == ')') d2 -= 1
+                m += 1
+              }
+            }
+          }
+          m = skipWs(m)
+          if (s.startsWith("as", m) && m + 2 < s.length &&
+              s(m + 2).isWhitespace) {
+            val start = skipWs(m + 2)
+            var e = start
+            while (e < s.length && (s(e).isLetterOrDigit || s(e) == '_')) e += 1
+            val alias = s.substring(start, e)
+            if (intCols(alias))
+              out += s"$name: uncast integer sum() aliased AS $alias — " +
+                "DuckDB promotes to HUGEINT; wrap in CAST(... AS BIGINT)"
+          }
+        }
+      }
+      idx = s.indexOf("sum", idx + 1)
+    }
+    out.toSeq
+  }
+
+  private def isIntegral(t: DataType): Boolean =
+    t == LongType || t == IntegerType || t == ShortType || t == ByteType
+
+  test("oracle SQL: integer sums feeding integer output columns are CAST") {
+    val dir = sf()
+    val violations = SparkEntry.oracleSql.toSeq.sortBy(_._1)
+      .flatMap { case (name, sql) =>
+        val intCols = SparkEntry.queries(name)(spark, dir).schema.fields
+          .filter(f => isIntegral(f.dataType)).map(_.name.toLowerCase).toSet
+        uncastIntegerSums(name, sql, intCols)
+      }
+    assert(violations.isEmpty,
+      s"\n${violations.size} HUGEINT-lint violations:\n${violations.mkString("\n")}")
+  }
+
+  test("the HUGEINT lint catches the r6 red-row shapes (planted)") {
+    // the p_dataset_card / p_pack_audit shape: bare integer sum as output
+    assert(uncastIntegerSums("planted",
+      "SELECT sum(n_chars) AS total_chars FROM t", Set("total_chars")).nonEmpty)
+    // the q_concurrency shape: bare windowed sum as output
+    assert(uncastIntegerSums("planted",
+      "SELECT sum(d) OVER (ORDER BY ts) AS conc FROM t", Set("conc")).nonEmpty)
+    // cast forms pass
+    assert(uncastIntegerSums("planted",
+      "SELECT CAST(sum(n_chars) AS BIGINT) AS total_chars FROM t",
+      Set("total_chars")).isEmpty)
+    assert(uncastIntegerSums("planted",
+      "SELECT CAST(sum(d) OVER (ORDER BY ts) AS BIGINT) AS conc FROM t",
+      Set("conc")).isEmpty)
+    // float sums (round-sealed, double output) are out of scope
+    assert(uncastIntegerSums("planted",
+      "SELECT round(sum(x), 6) AS kl FROM t", Set.empty).isEmpty)
+    // CTE-internal sums whose alias is not an output column are fine
+    assert(uncastIntegerSums("planted",
+      "WITH c AS (SELECT sum(n) AS m FROM t) SELECT count(*) AS n_rows FROM c",
+      Set("n_rows")).isEmpty)
   }
 
   test("float outputs are round-sealed; no global float mean of text-derived scores") {

@@ -41,11 +41,28 @@ def main(outdir, sfdir):
     ok = fail = 0
     for name, sql in sorted(oracles.items()):
         try:
+            exp = con.sql(sql)
+            # Driver parity: the driver fetches oracle results via .df(),
+            # which canonicalizes DuckDB HUGEINT (the type of any uncast
+            # integer sum()) as float64 — hash-mismatching value-equal
+            # cells. Refuse such oracles outright so the class can't ship.
+            # Runs for EVERY oracle, even ones whose Spark result wasn't
+            # dumped in this (possibly SPARK_GRAFT_ONLY-filtered) pass.
+            bad = [c for c, t in zip(exp.columns, exp.types)
+                   if str(t) in ("HUGEINT", "UHUGEINT")]
+            if bad:
+                print(f"FAIL {name}: oracle column(s) {bad} typed "
+                      f"{'/'.join(sorted({str(t) for t in exp.types if str(t) in ('HUGEINT', 'UHUGEINT')}))}"
+                      " — wrap the integer sum() in CAST(... AS BIGINT)")
+                fail += 1
+                continue
             files = glob.glob(f"{outdir}/{name}/*.parquet")
+            if not files:
+                print(f"skip {name} (no Spark result in {outdir}; oracle types ok)")
+                continue
             got = con.sql(
                 f"SELECT * FROM read_parquet({files!r})")
             gcols, grows = got.columns, got.fetchall()
-            exp = con.sql(sql)
             ecols, erows = exp.columns, exp.fetchall()
             if sorted(gcols) != sorted(ecols):
                 print(f"FAIL {name}: cols spark={sorted(gcols)} oracle={sorted(ecols)}")
