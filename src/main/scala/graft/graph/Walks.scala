@@ -20,8 +20,9 @@ import org.apache.spark.sql.functions._
   * state hash-partitioned by walk_id ONCE and preserved by
   * localCheckpoint. Per step only the (walk_id, cur) frontier shuffles
   * — the growing path strings never leave their walk_id partition: the
-  * neighbor argmin aggregates bare (walk_id, hash, neighbor) rows, and
-  * the join-back onto the path state is exchange-free on both sides.
+  * neighbor selection is ONE fused codegen loop over the node-keyed
+  * sorted adjacency array ([[graft.functions.WalkPick]]), and the
+  * join-back onto the path state is exchange-free on both sides.
   * Dead ends (isolated seeds) carry their path unchanged.
   *
   * Both walk families accept a prepared [[Algorithms.AdjGraph]] so the
@@ -49,12 +50,13 @@ object Walks {
     val width = Algorithms.loopWidth(und0, und0.count())
     Algorithms.withoutAqe(und0, Some(width)) {
     // node-keyed sorted adjacency arrays: the argmin over N(cur) runs as
-    // a higher-order fold over ONE array per walker per step — no
-    // candidate-row explosion and no per-step groupBy. The md5-hex fold
-    // keeps the lexicographic (h, nb) minimum; ascending array order +
-    // strict < reproduces min(struct(h, nb)) exactly (first minimal
-    // wins = smaller nb on an md5 tie), and collect_set's dedup is
-    // pick-invariant (min over a set = min over the multiset).
+    // ONE fused codegen loop over the array per walker per step
+    // ([[graft.functions.UniformWalkPick]]) — no candidate-row
+    // explosion, no per-step groupBy, and no interpreted higher-order
+    // fold (the r6 `aggregate()` formulation was CodegenFallback: ~12M
+    // boxed md5 evals per step at sf0.1, a full-run GC liability).
+    // The expression keeps the (md5-hex, nb) minimum; collect_set's
+    // dedup is pick-invariant (min over a set = min over the multiset).
     val nbrs = und0.repartition(width, col("a"))
       .groupBy(col("a").as("na"))
       .agg(array_sort(collect_set(col("b"))).as("nbrs"))
@@ -67,19 +69,14 @@ object Walks {
       // the growing path strings never leave their walk_id partition
       val pick = walks.select(col("walk_id"), col("cur"))
         .join(nbrs.hint("shuffle_hash"), col("cur") === col("na"), "left")
-        .select(col("walk_id"), aggregate(
-          coalesce(col("nbrs"), array().cast("array<bigint>")),
-          struct(lit("g").as("h"), lit(null).cast("bigint").as("nb")),
-          (acc, b) => {
-            val h = md5(concat_ws(":", col("walk_id"), lit(step), b))
-            when(h < acc.getField("h"), struct(h.as("h"), b.as("nb")))
-              .otherwise(acc)
-          }).as("sel"))
+        .select(col("walk_id"),
+          graft.functions.WalkFunctions
+            .uniformWalkPick(col("walk_id"), col("nbrs"), step).as("nb"))
       walks = walks.join(pick.hint("shuffle_hash"), Seq("walk_id"))
         .select(col("walk_id"),
-          coalesce(col("sel.nb"), col("cur")).as("cur"),
-          when(col("sel.nb").isNotNull,
-            concat(col("path"), lit("->"), col("sel.nb")))
+          coalesce(col("nb"), col("cur")).as("cur"),
+          when(col("nb").isNotNull,
+            concat(col("path"), lit("->"), col("nb")))
             .otherwise(col("path")).as("path"))
         .localCheckpoint()
     }
@@ -128,12 +125,14 @@ object Walks {
     Algorithms.withoutAqe(und0, Some(width)) {
     // node-keyed sorted adjacency arrays are the ONLY graph
     // representation the loop touches: the A-ES argmax over N(cur) runs
-    // as a higher-order fold over one array per walker per step, with
-    // the second-order "adjacent to prev" test an array_contains against
+    // as ONE fused codegen loop per walker per step
+    // ([[graft.functions.Node2vecWalkPick]] — the r6 higher-order fold
+    // was CodegenFallback, a full-run GC liability), with the
+    // second-order "adjacent to prev" test a binary search against
     // N(prev) CARRIED IN THE WALKER STATE from the previous step (the
     // array was already in hand when the walker stepped — carrying it
     // forward replaces the per-step membership join entirely). Per step:
-    // one node-keyed join + pure codegen arithmetic; no wedge-volume
+    // one node-keyed join + one codegen'd pick; no wedge-volume
     // candidate stream, no per-candidate array duplication, no groupBy.
     val nbrs = und0.repartition(width, col("a"))
       .groupBy(col("a").as("na"))
@@ -147,37 +146,23 @@ object Walks {
     for (step <- 1 to steps) {
       // frontier (walk_id, prev, cur, pnbrs) meets the array table on
       // cur; path strings never leave their walk_id partition. At step 1
-      // prev/pnbrs are null → array_contains is null → the uniform 1/q
-      // branch, exactly the former composite-join behavior.
+      // prev/pnbrs are null → the uniform 1/q branch, exactly the former
+      // composite-join behavior.
       val pick = walks.select(col("walk_id"), col("prev"), col("cur"),
           col("pnbrs"))
         .join(nbrs.hint("shuffle_hash"), col("cur") === col("na"), "left")
-        .select(col("walk_id"), col("nbrs"), aggregate(
-          coalesce(col("nbrs"), array().cast("array<bigint>")),
-          struct(lit(-1.0).as("k"), lit(null).cast("bigint").as("nb")),
-          (acc, b) => {
-            val u = conv(substring(md5(
-                concat_ws(":", col("walk_id"), lit(step), b)), 1, 13), 16, 10)
-              .cast("double") / lit(4503599627370496.0) // 2^52
-            val adj = coalesce(array_contains(col("pnbrs"), b), lit(false))
-            val alpha = when(b === col("prev"), lit(1.0 / p))
-              .when(adj, lit(1.0))
-              .otherwise(lit(1.0 / q))
-            val k = round(pow(u, lit(1.0) / alpha), 9)
-            // ascending array + >= takes the larger nb on a key tie —
-            // exactly max(struct(k, nb))
-            when(k >= acc.getField("k"), struct(k.as("k"), b.as("nb")))
-              .otherwise(acc)
-          }).as("sel"))
+        .select(col("walk_id"), col("nbrs"),
+          graft.functions.WalkFunctions.node2vecWalkPick(col("walk_id"),
+            col("nbrs"), col("pnbrs"), col("prev"), step, p, q).as("nb"))
       walks = walks.join(pick.hint("shuffle_hash"), Seq("walk_id"))
         .select(col("walk_id"),
-          when(col("sel.nb").isNotNull, col("cur")).otherwise(col("prev"))
+          when(col("nb").isNotNull, col("cur")).otherwise(col("prev"))
             .as("prev"),
-          coalesce(col("sel.nb"), col("cur")).as("cur"),
-          when(col("sel.nb").isNotNull,
-            concat(col("path"), lit("->"), col("sel.nb")))
+          coalesce(col("nb"), col("cur")).as("cur"),
+          when(col("nb").isNotNull,
+            concat(col("path"), lit("->"), col("nb")))
             .otherwise(col("path")).as("path"),
-          when(col("sel.nb").isNotNull, col("nbrs")).otherwise(col("pnbrs"))
+          when(col("nb").isNotNull, col("nbrs")).otherwise(col("pnbrs"))
             .as("pnbrs"))
         .localCheckpoint()
     }
