@@ -831,6 +831,10 @@ object Algorithms {
         rows = n
         e = kept
       }
+      // mirror the SQL oracle's fixpoint assertion (trussSql errors on
+      // non-convergence): a truncated peel is NOT a k-truss and must
+      // fail loudly, not surface as a downstream hash mismatch
+      require(converged, s"kTruss: $maxIter rounds exhausted before fixpoint")
       e
     } // withoutAqe
   }

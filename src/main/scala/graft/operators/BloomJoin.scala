@@ -9,8 +9,8 @@ import org.apache.spark.sql.types.BinaryType
 
 /** Bloom-pruned semi join — the runtime-filter pattern for the dim-table
   * regime broadcast joins can't reach (reference join surface:
-  * `engine/executor.go` match/join stages; re-expressed as Spark's own
-  * `InjectRuntimeFilter` discipline made explicit and deterministic).
+  * `server/server.go` MATCH edge-resolution loop; re-expressed as Spark's
+  * own `InjectRuntimeFilter` discipline made explicit and deterministic).
   *
   * At 100 TB the painful join shape is fact ⋈ dim where dim is far too
   * large to broadcast as a hash relation (tens of millions of keys) but
@@ -50,13 +50,17 @@ object BloomJoin {
     val agg = new BloomFilterAggregate(
       Bridge.expression(xxhash64(col(dimKey))),
       Literal(expectedItems), Literal(numBits)).toAggregateExpression()
+    // BloomFilterAggregate yields NULL over zero input rows; callers
+    // must handle a null filter (empty dim) explicitly — probing a null
+    // literal makes every predicate three-valued NULL.
     dim.select(Bridge.column(agg).as("bf")).head.getAs[Array[Byte]](0)
   }
 
   /** `might_contain(filter, xxhash64(key))` as a native codegen'd
     * predicate — evaluates inside WholeStageCodegen in the scan stage.
-    * NULL keys yield NULL (dropped by Filter), matching semi-join
-    * semantics where NULL never equals.
+    * Note `xxhash64` is non-nullable (a NULL key hashes to the seed),
+    * so this is a real boolean even for NULL keys — callers that need
+    * NULL-never-matches semantics must add an explicit `isNotNull`.
     */
   def mightContain(filter: Array[Byte], key: Column): Column =
     Bridge.column(BloomFilterMightContain(
@@ -73,6 +77,7 @@ object BloomJoin {
   def semiJoin(fact: DataFrame, dim: DataFrame, factKey: String,
       dimKey: String, expectedItems: Long, fpp: Double = 0.01): DataFrame = {
     val bf = build(dim, dimKey, expectedItems, fpp)
+    if (bf == null) return fact.filter(lit(false)) // empty dim: semi = ∅
     val pruned = fact.filter(mightContain(bf, col(factKey)))
     pruned.join(dim, pruned(factKey) === dim(dimKey), "left_semi")
   }
@@ -86,7 +91,13 @@ object BloomJoin {
   def antiJoin(fact: DataFrame, dim: DataFrame, factKey: String,
       dimKey: String, expectedItems: Long, fpp: Double = 0.01): DataFrame = {
     val bf = build(dim, dimKey, expectedItems, fpp)
-    val maybe = fact.filter(mightContain(bf, col(factKey)))
+    if (bf == null) return fact // empty dim: anti join keeps every row
+    // Exclusive partition of fact: NULL keys match nothing, so they are
+    // definite misses regardless of the filter bit (xxhash64 hashes NULL
+    // to the seed, so mightContain(NULL) can be true — routing on the
+    // probe alone would emit such rows twice).
+    val maybe = fact.filter(mightContain(bf, col(factKey)) &&
+      col(factKey).isNotNull)
     val definiteMiss = fact.filter(!mightContain(bf, col(factKey)) ||
       col(factKey).isNull)
     definiteMiss.unionAll(

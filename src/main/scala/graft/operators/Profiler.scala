@@ -49,9 +49,15 @@ object Profiler {
       val c = col(f.name)
       val numeric = f.dataType.isInstanceOf[NumericType]
       val str = f.dataType == StringType
+      // maps are unorderable: countDistinct fails analysis on them, so
+      // the distinct stat is null for map columns (every other stat of
+      // the row still computes)
+      val distinctable = !f.dataType.isInstanceOf[MapType]
       Seq(
         sum(when(c.isNull, 1L).otherwise(0L)).as(s"${f.name}__nn"),
-        (if (exact) countDistinct(c) else approx_count_distinct(c))
+        (if (!distinctable) lit(null).cast("long")
+         else if (exact) countDistinct(c)
+         else approx_count_distinct(c))
           .as(s"${f.name}__nd"),
         (if (numeric) round(min(c).cast("double"), 4)
          else lit(null).cast("double")).as(s"${f.name}__mn"),
@@ -64,9 +70,12 @@ object Profiler {
     // pivot the single stats row to long format: stack is a pure
     // projection of the one-row aggregate — no second pass
     val stackArgs = fields.map { f =>
-      val n = f.name
-      s"'$n', '${canonicalType(f.dataType)}', `${n}__nn`, `${n}__nd`, " +
-        s"`${n}__mn`, `${n}__mx`, `${n}__al`"
+      // escape identifiers: a quote/backtick in a column name must not
+      // break (or inject into) the generated stack() expression
+      val nameLit = f.name.replace("'", "''")
+      val q = f.name.replace("`", "``")
+      s"'$nameLit', '${canonicalType(f.dataType)}', `${q}__nn`, `${q}__nd`, " +
+        s"`${q}__mn`, `${q}__mx`, `${q}__al`"
     }.mkString(", ")
     one.selectExpr(
       s"stack(${fields.length}, $stackArgs) AS " +

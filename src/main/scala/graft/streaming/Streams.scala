@@ -196,6 +196,15 @@ object Streams {
     * quality), and the same one every at-scale streaming deduper makes.
     * No timeout: state size is constant, so there is nothing for a
     * watermark to bound.
+    *
+    * Two approximation sources, both documented trades: the Bloom fpp
+    * above, AND the fact that dedup keys are the 64-bit `xxhash64` of
+    * the key expression — two distinct keys colliding on the 64-bit
+    * hash are conflated (birthday bound ≈ n²/2⁶⁵, ~0.03 expected extra
+    * losses per billion uniques — negligible next to fpp, but nonzero).
+    * The row schema is pinned to the events table (event_id/ts/user_id/
+    * event_type/value); generalizing to arbitrary input rows means
+    * struct-packing the payload through [[BloomDedupRow]].
     */
   def bloomDedupStream(events: DataFrame, key: org.apache.spark.sql.Column,
       buckets: Int = 64, expectedPerBucket: Long = 1000000L,

@@ -77,6 +77,35 @@ class BloomJoinSpec extends SparkSpec {
       s"bloom probe should sit under the join in the printed tree:\n$plan")
   }
 
+  test("antiJoin emits null-key fact rows exactly once even when the dim holds a NULL key") {
+    import spark.implicits._
+    // xxhash64 is non-nullable (NULL hashes to the seed), so a NULL dim
+    // key guarantees might_contain(NULL fact key) = true — the shape
+    // that double-emitted null-key rows before the exclusive partition
+    val (fact0, dim0) = factDim()
+    val fact = fact0.unionAll(
+      Seq((90001L, Option.empty[Long])).toDF("row_id", "k"))
+    val dim = dim0.unionAll(
+      Seq((Option.empty[Long], "dimnull")).toDF("dk", "payload"))
+    val got = BloomJoin.antiJoin(fact, dim, "k", "dk", expectedItems = 100L)
+      .select("row_id").collect().map(_.getLong(0)).sorted
+    val want = fact.join(dim, fact("k") === dim("dk"), "left_anti")
+      .select("row_id").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq === want.toSeq)
+    assert(got.count(_ == 90001L) === 1)
+  }
+
+  test("empty dim: semiJoin returns nothing, antiJoin returns every fact row") {
+    import spark.implicits._
+    val (fact, dim) = factDim()
+    val empty = dim.filter(lit(false))
+    // BloomFilterAggregate yields NULL over zero rows; both faces must
+    // match the plain joins rather than probe a null filter literal
+    assert(BloomJoin.semiJoin(fact, empty, "k", "dk", 100L).count() === 0L)
+    val got = BloomJoin.antiJoin(fact, empty, "k", "dk", 100L).count()
+    assert(got === fact.count())
+  }
+
   test("filter size is fixed by the bit budget, not dim cardinality") {
     import spark.implicits._
     val small = (0 until 50).map(_.toLong).toDF("dk")
