@@ -66,6 +66,8 @@ object Bench {
     catch { case _: Throwable => () }
     try { graft.queries.Relational.warmViews(spark, sfDir) }
     catch { case _: Throwable => () }
+    try { graft.queries.Pipeline.warmViews(spark, sfDir) }
+    catch { case _: Throwable => () }
     // the shared VM shows occasional 5-10× single-query stalls with zero
     // code difference (neighbor contention; round-2 full-run recorded
     // g_label_prop at 25.5 s vs 3.5 s isolated on the same commit).

@@ -1,6 +1,6 @@
 package graft.graph
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distributed graph algorithms over (gsrc, gdst) edge DataFrames.
@@ -453,6 +453,55 @@ object Algorithms {
     pageRankLoop(g, iters, damping, teleportOf = base =>
       base.withColumn("tele", lit(1.0 / g.n)))
 
+  /** Weighted-rank layout: same shape as [[prepareRankGraph]], but the
+    * edge list carries each edge's contribution FRACTION `w / wout(src)`
+    * precomputed — the fraction is a loop invariant (weights are
+    * static), so baking it at prepare time turns every weighted
+    * iteration into the exact plan of the unweighted one (join +
+    * sum(pr·frac)), with zero per-round weight arithmetic. `outdeg` in
+    * the base holds the weighted out-degree (null ⇒ dangling, same
+    * contract). Cross-engine float parity: graft's edge weights are
+    * integral doubles, so the wout sums are EXACT in any summation
+    * order and frac is one deterministic division; only the per-round
+    * contribution sums carry ULP noise, sealed by the caller's 8dp
+    * round exactly as in classic PageRank.
+    */
+  def prepareWeightedRankGraph(nodes: DataFrame, edges: DataFrame): RankGraph = {
+    val e0 = materializeInvariant(edges.select(col("gsrc"), col("gdst"), col("w")))
+    val width = loopWidth(edges, e0.count())
+    withoutAqe(edges, Some(width)) {
+      val eP = e0.repartition(width, col("gsrc")).localCheckpoint()
+      val wdeg = eP.groupBy(col("gsrc").as("dgid")).agg(sum(col("w")).as("wout"))
+      val e = eP.join(wdeg.hint("shuffle_hash"), eP("gsrc") === col("dgid"))
+        .select(eP("gsrc"), eP("gdst"), (col("w") / col("wout")).as("frac"))
+        .localCheckpoint()
+      val base0 = nodes.select(col("gid"))
+        .join(wdeg.hint("shuffle_hash"), col("gid") === col("dgid"), "left")
+        .select(col("gid"), col("wout").as("outdeg"))
+        .repartition(width, col("gid"))
+        .localCheckpoint()
+      lazy val eDst = withoutAqe(edges, Some(width)) {
+        e.repartition(width, col("gdst")).localCheckpoint()
+      }
+      RankGraph(e, () => eDst, base0, base0.count().toDouble, width)
+    }
+  }
+
+  /** PageRank where a node's rank distributes along its out-edges in
+    * proportion to edge WEIGHT instead of uniformly — the variant the
+    * typed edge-property model stores but the classic face ignores.
+    * Same loop, same dangling/teleport semantics; the only change is
+    * the contribution term pr·frac over the weighted layout.
+    */
+  def weightedPageRank(nodes: DataFrame, weightedEdges: DataFrame, iters: Int,
+      damping: Double = 0.85): DataFrame =
+    weightedPageRank(prepareWeightedRankGraph(nodes, weightedEdges), iters, damping)
+
+  def weightedPageRank(g: RankGraph, iters: Int, damping: Double): DataFrame =
+    pageRankLoop(g, iters, damping, teleportOf = base =>
+      base.withColumn("tele", lit(1.0 / g.n)),
+      contribExpr = col("pr") * col("frac"))
+
   /** Personalized PageRank: teleport (and dangling mass) returns to the
     * seed set instead of uniformly — the standard seeded-relevance
     * variant. Nodes unreachable from the seeds converge to rank 0. Same
@@ -493,7 +542,8 @@ object Algorithms {
     * the rank vector outgrows broadcast anyway.)
     */
   private def pageRankLoop(g: RankGraph, iters: Int,
-      damping: Double, teleportOf: DataFrame => DataFrame): DataFrame = {
+      damping: Double, teleportOf: DataFrame => DataFrame,
+      contribExpr: Column = col("pr") / col("outdeg")): DataFrame = {
     val n = g.n
     val e = g.e
     // IMPORTANT: everything here runs (and checkpoints) INSIDE the
@@ -527,7 +577,7 @@ object Algorithms {
         .join(pr.filter(col("outdeg").isNotNull).hint("shuffle_hash"),
           e("gsrc") === col("gid"))
         .groupBy(e("gdst").as("cgid"))
-        .agg(sum(col("pr") / col("outdeg")).as("contrib"))
+        .agg(sum(contribExpr).as("contrib"))
       val metricName = s"graft_pr_dm_$i"
       val observed = base
         .join(contribs.hint("shuffle_hash"), col("gid") === col("cgid"), "left")
@@ -1118,6 +1168,47 @@ object Algorithms {
       val best = undirected.join(stateHint(labels, small), col("b") === col("gid"))
         .groupBy(col("a"))
         .agg(mode(col("community"), deterministic = true).as("newc"))
+      labels = labels.join(stateHint(best, small), labels("gid") === col("a"), "left")
+        .select(labels("gid"), coalesce(col("newc"), col("community")).as("community"))
+        .localCheckpoint()
+    }
+    labels
+    } // withoutAqe
+  }
+
+  /** WEIGHTED label propagation: each neighbor's vote counts with its
+    * edge weight (tie at equal weight mass → lowest label, the same
+    * deterministic rule as [[labelPropagation]]'s mode). Integer-typed
+    * weights keep the vote sums exact in any summation/partitioning
+    * order — full cross-engine parity with no float discipline needed.
+    *
+    * `wEdges` is the canonical undirected edge list (gsrc < gdst) with
+    * a weight column `w`; both directions are materialized here. Per
+    * round: one (node, label)-keyed vote aggregation + one node-keyed
+    * argmax + the co-partitioned join back — two exchanges instead of
+    * mode's one (weighted mode has no builtin typed aggregate; the vote
+    * table is bounded by the label count per neighborhood, so the extra
+    * exchange is node-scale, never edge-scale).
+    */
+  def labelPropagationWeighted(nodes: DataFrame, wEdges: DataFrame,
+      iters: Int): DataFrame = {
+    val und0 = wEdges.select(col("gsrc").as("a"), col("gdst").as("b"), col("w"))
+      .unionByName(wEdges.select(col("gdst").as("a"), col("gsrc").as("b"), col("w")))
+      .localCheckpoint()
+    val width = loopWidth(wEdges, und0.count())
+    withoutAqe(wEdges, Some(width)) {
+    var labels = nodes.select(col("gid"), col("gid").as("community"))
+    val small = false
+    val undirected = und0.repartition(width, col("b")).localCheckpoint()
+    labels = labels.repartition(width, col("gid")).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val votes = undirected.join(stateHint(labels, small), col("b") === col("gid"))
+        .groupBy(col("a"), col("community")).agg(sum(col("w")).as("wv"))
+      // max(struct(wv, -community)): heaviest vote mass first, then the
+      // LOWEST label on a tie — the weighted mirror of deterministic mode
+      val best = votes.groupBy(col("a"))
+        .agg(max(struct(col("wv"), (-col("community")).as("negc"))).as("m"))
+        .select(col("a"), (-col("m.negc")).as("newc"))
       labels = labels.join(stateHint(best, small), labels("gid") === col("a"), "left")
         .select(labels("gid"), coalesce(col("newc"), col("community")).as("community"))
         .localCheckpoint()

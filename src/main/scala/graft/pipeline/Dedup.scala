@@ -138,6 +138,33 @@ object Dedup {
       .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
   }
 
+  /** (id, band, bucket) banded MinHash keys straight from text — the
+    * shareable LSH invariant: the candidate join, its oversized-bucket
+    * audit, and the Jaccard verify stage all derive from this ONE
+    * table, so a deployment materializes it once per corpus snapshot
+    * (callers pin it exactly like the graph loop invariants).
+    */
+  def minhashBandBuckets(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16): DataFrame =
+    bandBuckets(minhashSignatures(df, idCol, textCol, shingleN, numHashes),
+      numHashes, bands)
+
+  /** Candidate pairs from a precomputed (id, band, bucket) table — pass
+    * it CHECKPOINTED: the self-join legs are separate subtrees to
+    * Catalyst (AQE does not reuse the exchange across the rename), so
+    * an unmaterialized bucket table computes the whole signature
+    * pipeline twice (verified via explain("formatted")).
+    */
+  def lshCandidatesFromBuckets(buckets0: DataFrame,
+      maxBucketSize: Long = Long.MaxValue): DataFrame = {
+    val buckets = boundBuckets(buckets0, Seq("band", "bucket"), maxBucketSize)
+    val right = buckets.select(col("id").as("id2"), col("band").as("band2"), col("bucket").as("bucket2"))
+    buckets.join(right,
+        col("band") === col("band2") && col("bucket") === col("bucket2") && col("id") < col("id2"))
+      .select(col("id").as("id_a"), col("id2").as("id_b"))
+      .distinct()
+  }
+
   /** LSH banding: hash each band of rowsPerBand signature slots, explode
     * to (band, bucket) keys, self-join on the bucket. Two docs emerge as
     * a candidate pair iff they collide in ≥1 band — the classic
@@ -148,21 +175,9 @@ object Dedup {
     * [[oversizedLshBuckets]] (see [[boundBuckets]]).
     */
   def lshCandidates(sigs: DataFrame, numHashes: Int = 64, bands: Int = 16,
-      maxBucketSize: Long = Long.MaxValue): DataFrame = {
-    // materialize once: the self-join legs are separate subtrees to
-    // Catalyst (AQE does not reuse the exchange across the rename), so an
-    // unmaterialized bucket table computes the whole signature pipeline
-    // twice — verified via explain("formatted")
-    val buckets = boundBuckets(
-      bandBuckets(sigs, numHashes, bands).localCheckpoint(),
-      Seq("band", "bucket"), maxBucketSize)
-    val left = buckets
-    val right = buckets.select(col("id").as("id2"), col("band").as("band2"), col("bucket").as("bucket2"))
-    left.join(right,
-        col("band") === col("band2") && col("bucket") === col("bucket2") && col("id") < col("id2"))
-      .select(col("id").as("id_a"), col("id2").as("id_b"))
-      .distinct()
-  }
+      maxBucketSize: Long = Long.MaxValue): DataFrame =
+    lshCandidatesFromBuckets(
+      bandBuckets(sigs, numHashes, bands).localCheckpoint(), maxBucketSize)
 
   /** (band, bucket, population) of band buckets a `maxBucketSize` cap
     * would drop — run alongside a capped [[lshCandidates]] so the lost
@@ -171,6 +186,13 @@ object Dedup {
   def oversizedLshBuckets(sigs: DataFrame, numHashes: Int = 64, bands: Int = 16,
       maxBucketSize: Long = Long.MaxValue): DataFrame =
     oversized(bandBuckets(sigs, numHashes, bands), Seq("band", "bucket"), maxBucketSize)
+
+  /** Audit face over a precomputed (id, band, bucket) table — the
+    * pinned-invariant twin of [[oversizedLshBuckets]].
+    */
+  def oversizedLshBucketsFromBuckets(buckets: DataFrame,
+      maxBucketSize: Long = Long.MaxValue): DataFrame =
+    oversized(buckets, Seq("band", "bucket"), maxBucketSize)
 
   /** End-to-end MinHash-LSH near-dup candidates. */
   def minhashDupes(df: DataFrame, idCol: String, textCol: String,

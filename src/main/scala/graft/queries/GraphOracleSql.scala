@@ -75,6 +75,41 @@ object GraphOracleSql {
        FROM (SELECT gid, round(pr, 8) AS pr FROM r$iters ORDER BY pr DESC, gid LIMIT 100)"""
   }
 
+  /** Unrolled WEIGHTED PageRank — the SQL mirror of
+    * [[graft.graph.Algorithms.weightedPageRank]]: identical round
+    * structure to [[pageRankSql]], but rank distributes along out-edges
+    * in proportion to weight. The per-edge fraction w/wout is a
+    * materialized loop invariant exactly as the Spark layout bakes it
+    * (weights are integral doubles, so wout sums are exact in any
+    * order and the fraction is one deterministic division); `outdeg`
+    * in the base is the weighted out-degree, null ⇒ dangling.
+    */
+  def weightedPageRankSql(iters: Int, damping: Double): String = {
+    val rounds = (1 to iters).map { i =>
+      s""",
+       r$i AS MATERIALIZED (
+         SELECT b.gid, b.outdeg, b.tele,
+                (1.0 - $damping) * b.tele + $damping * (coalesce(c.contrib, 0.0) +
+                  (SELECT coalesce(sum(pr), 0.0) FROM r${i - 1} WHERE outdeg IS NULL) * b.tele) AS pr
+         FROM base b LEFT JOIN (
+           SELECT e.gdst AS cgid, sum(r.pr * e.frac) AS contrib
+           FROM e JOIN r${i - 1} r ON e.gsrc = r.gid
+           GROUP BY e.gdst) c ON b.gid = c.cgid)"""
+    }.mkString
+    s"""WITH nodes AS MATERIALIZED (${TpchGraph.gidSqlNodes}),
+       e0 AS MATERIALIZED (${TpchGraph.gidSqlWeightedEdges}),
+       wdeg AS MATERIALIZED (SELECT gsrc, sum(w) AS wout FROM e0 GROUP BY gsrc),
+       e AS MATERIALIZED (
+         SELECT e0.gsrc, e0.gdst, e0.w / d.wout AS frac
+         FROM e0 JOIN wdeg d USING (gsrc)),
+       base AS MATERIALIZED (
+         SELECT n.gid, d.wout AS outdeg, 1.0 / (SELECT count(*) FROM nodes) AS tele
+         FROM nodes n LEFT JOIN wdeg d ON n.gid = d.gsrc),
+       r0 AS MATERIALIZED (SELECT gid, outdeg, tele, tele AS pr FROM base)$rounds
+       SELECT ${TpchGraph.gidSqlLabel} AS label, gid % 4294967296 AS key, pr
+       FROM (SELECT gid, round(pr, 8) AS pr FROM r$iters ORDER BY pr DESC, gid LIMIT 100)"""
+  }
+
   /** Unrolled HITS over the heterogeneous gid graph — the SQL mirror of
     * [[graft.graph.Algorithms.hits]]: per round, auth = in-sum of hubs
     * then hub = out-sum of auths, UNNORMALIZED (the recurrence is
@@ -216,6 +251,43 @@ object GraphOracleSql {
            WHERE rn = 1) b ON l.gid = b.a)"""
     }.mkString
     s"""WITH $copurchase,
+       l0 AS MATERIALIZED (SELECT gid, gid AS community FROM pnodes)$steps,
+       sizes AS (SELECT community, count(*) AS size FROM l$iters GROUP BY community)
+       SELECT size, count(*) AS n_communities FROM sizes GROUP BY size"""
+  }
+
+  /** Unrolled WEIGHTED label propagation over the SUPPORT-weighted
+    * co-purchase graph (w = number of orders containing both parts) —
+    * the SQL mirror of [[graft.graph.Algorithms.labelPropagationWeighted]]:
+    * per round each node takes the label with the heaviest incident
+    * vote mass, lowest label on a tie. Votes are integer sums, so the
+    * two engines agree exactly in any evaluation order; the vote sums
+    * are intermediates (never output columns), so DuckDB's HUGEINT
+    * promotion is harmless here.
+    */
+  def labelPropWSql(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s""",
+       l$i AS MATERIALIZED (
+         SELECT l.gid, coalesce(b.newc, l.community) AS community
+         FROM l${i - 1} l LEFT JOIN (
+           SELECT a, community AS newc FROM (
+             SELECT u.a, p.community,
+                    row_number() OVER (PARTITION BY u.a
+                      ORDER BY sum(u.w) DESC, p.community) AS rn
+             FROM undw u JOIN l${i - 1} p ON u.b = p.gid
+             GROUP BY u.a, p.community) t
+           WHERE rn = 1) b ON l.gid = b.a)"""
+    }.mkString
+    s"""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       cew AS MATERIALIZED (
+         SELECT a.l_partkey AS a, b.l_partkey AS b, count(*) AS w
+         FROM op a JOIN op b
+         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         GROUP BY 1, 2),
+       undw AS MATERIALIZED (
+         SELECT a, b, w FROM cew UNION ALL SELECT b AS a, a AS b, w FROM cew),
+       pnodes AS MATERIALIZED (SELECT DISTINCT l_partkey AS gid FROM lineitem),
        l0 AS MATERIALIZED (SELECT gid, gid AS community FROM pnodes)$steps,
        sizes AS (SELECT community, count(*) AS size FROM l$iters GROUP BY community)
        SELECT size, count(*) AS n_communities FROM sizes GROUP BY size"""

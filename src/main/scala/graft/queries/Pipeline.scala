@@ -50,11 +50,50 @@ object Pipeline {
               CAST(sum(chars) AS BIGINT) AS char_mass
        FROM cl GROUP BY copies"""
 
+  /** The banded MinHash bucket table over documents (shingleN=3, 64
+    * hashes, 16 bands) and the candidate-pair stream it yields — the
+    * LSH analogue of the graph family's pinned loop invariants, shared
+    * by p_dedup_minhash (reports the pairs), p_dedup_ngram (verifies
+    * them), and p_oversized_buckets (audits the buckets): a deployment
+    * signatures the corpus snapshot ONCE and derives every dedup face
+    * from it (r6 verdict item #6 — the re-derivation was the only
+    * reason three faces each paid the signature scan).
+    */
+  private val lshBucketsCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  private def lshBucketsCached(spark: SparkSession, dir: String): DataFrame =
+    lshBucketsCache.getOrElseUpdate((spark.sparkContext.applicationId, dir),
+      graft.PinnedRdds.pinning(spark) {
+        Dedup.minhashBandBuckets(
+          Tables.load(spark, dir, "documents"), "doc_id", "text", shingleN = 3)
+          .localCheckpoint()
+      })
+
+  private val lshPairsCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  private def lshPairsCached(spark: SparkSession, dir: String): DataFrame =
+    lshPairsCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      val pairs = Dedup.lshCandidatesFromBuckets(lshBucketsCached(spark, dir))
+      graft.PinnedRdds.pinning(spark) { pairs.localCheckpoint() }
+    })
+
+  /** Build the pinned pipeline materialized views ahead of queries —
+    * same load-time contract as [[GraphOps.warmViews]].
+    */
+  def warmViews(spark: SparkSession, dir: String): Unit = {
+    lshBucketsCached(spark, dir)
+    lshPairsCached(spark, dir)
+    ()
+  }
+
   /** MinHash-LSH candidate pairs (rows-only: the banding arithmetic has
     * no tractable SQL mirror; exactness on planted dups in DedupSpec).
+    * Reads the pinned pair stream.
     */
   def pDedupMinhash(spark: SparkSession, dir: String): DataFrame =
-    Dedup.minhashDupes(Tables.load(spark, dir, "documents"), "doc_id", "text")
+    lshPairsCached(spark, dir)
 
   /** Oversized-LSH-bucket audit as a standing operability query: the
     * per-band count and total population of band buckets a
@@ -66,14 +105,11 @@ object Pipeline {
     * seeded-minhash arithmetic with no SQL mirror (exactness of the
     * underlying faces is DedupSpec's planted-clique test).
     */
-  def pOversizedBuckets(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
-    Dedup.oversizedLshBuckets(
-        Dedup.minhashSignatures(docs, "doc_id", "text", shingleN = 3),
+  def pOversizedBuckets(spark: SparkSession, dir: String): DataFrame =
+    Dedup.oversizedLshBucketsFromBuckets(lshBucketsCached(spark, dir),
         maxBucketSize = 1)
       .groupBy(col("band"))
       .agg(count(lit(1)).as("n_oversized"), sum(col("population")).as("dropped_docs"))
-  }
 
   def pDedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val sims = Dedup.simhash(Tables.load(spark, dir, "documents"), "doc_id", "text")
@@ -92,8 +128,7 @@ object Pipeline {
   def pDedupNgram(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
     val sh = Dedup.hashedShingles(docs, "doc_id", "text", n = 3).localCheckpoint()
-    val cands = Dedup.lshCandidates(Dedup.minhashSignatures(docs, "doc_id", "text", shingleN = 3))
-    Dedup.ngramJaccardFromHashed(sh, cands)
+    Dedup.ngramJaccardFromHashed(sh, lshPairsCached(spark, dir))
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 

@@ -169,6 +169,50 @@ class GraphAlgSpec extends SparkSpec {
     assert(math.abs(pr(1L) - pr(4L)) < 1e-12)
   }
 
+  test("weighted label propagation degrades to mode on unit weights and follows the heavy tie") {
+    import spark.implicits._
+    // path 1-2-3 plus pendant 4 on 2: with unit weights node 2 adopts
+    // the lowest frequent neighbor label, exactly the unweighted mode
+    val canon = Seq((1L, 2L), (2L, 3L), (2L, 4L))
+    val nodes = nodeDf(1L, 2L, 3L, 4L)
+    val unit = canon.toDF("gsrc", "gdst").select(col("gsrc"), col("gdst"),
+      lit(1L).as("w"))
+    val classic = Algorithms.labelPropagation(nodes,
+        canon.toDF("gsrc", "gdst"), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaW = Algorithms.labelPropagationWeighted(nodes, unit, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaW === classic)
+    // weight 3-2 heavily: node 2's first-round vote must follow label 3
+    // (9) over the lighter 1+4 mass (2) despite 1 being the lowest label
+    val skew = Seq((1L, 2L, 1L), (2L, 3L, 9L), (2L, 4L, 1L))
+      .toDF("gsrc", "gdst", "w")
+    val one = Algorithms.labelPropagationWeighted(nodes, skew, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one(2L) === 3L, one.toString)
+  }
+
+  test("weighted pagerank degrades to classic on unit weights and follows the heavy edge") {
+    import spark.implicits._
+    val edges = edgeDf(1L -> 5L, 2L -> 5L, 3L -> 5L, 4L -> 5L, 5L -> 1L, 5L -> 2L)
+    val nodes = nodeDf(1L, 2L, 3L, 4L, 5L)
+    // unit weights: weighted frac = 1/outdeg exactly — results identical
+    val unit = edges.select(col("gsrc"), col("gdst"), lit(1.0).as("w"))
+    val classic = Algorithms.pageRank(nodes, edges, iters = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val viaW = Algorithms.weightedPageRank(nodes, unit, iters = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    classic.foreach { case (gid, pr) =>
+      assert(math.abs(viaW(gid) - pr) < 1e-12, s"gid $gid") }
+    // skew 5's mass toward node 1 (weight 9 vs 1): rank must follow
+    val skew = Seq((1L, 5L, 1.0), (2L, 5L, 1.0), (3L, 5L, 1.0), (4L, 5L, 1.0),
+      (5L, 1L, 9.0), (5L, 2L, 1.0)).toDF("gsrc", "gdst", "w")
+    val wpr = Algorithms.weightedPageRank(nodes, skew, iters = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(wpr.values.sum - 1.0) < 1e-6)
+    assert(wpr(1L) > wpr(2L) * 2, s"${wpr(1L)} vs ${wpr(2L)}")
+  }
+
   test("hits matches a driver power iteration and ranks the shared target highest") {
     // three hubs point at 5, only hub 1 also points at 4 (asymmetric:
     // 5 must out-authority 4, and 1 — pointing at both — out-hubs 2,3)
