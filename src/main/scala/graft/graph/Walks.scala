@@ -32,20 +32,44 @@ import org.apache.spark.sql.functions._
   */
 object Walks {
 
+  /** Node-keyed sorted adjacency arrays at the loop width — the walk
+    * families' shared loop invariant (BOTH pick expressions fold over
+    * exactly this table): derive once per graph snapshot and pin, like
+    * the other materialized invariants. Built from the already-deduped
+    * undirected invariant, so collect_set vs collect_list is
+    * indifferent and array_sort fixes the fold order the oracles pin.
+    */
+  def prepareWalkNbrs(g: Algorithms.AdjGraph): DataFrame = {
+    val width = Algorithms.loopWidth(g.und, g.und.count())
+    Algorithms.withoutAqe(g.und, Some(width)) {
+      g.und.repartition(width, col("a"))
+        .groupBy(col("a").as("na"))
+        .agg(array_sort(collect_set(col("b"))).as("nbrs"))
+        .localCheckpoint()
+    }
+  }
+
   /** Uniform walks over the pinned adjacency invariant — skips the
-    * per-call undirected-union derivation + checkpoint.
+    * per-call undirected-union derivation + checkpoint. Pass the
+    * pinned [[prepareWalkNbrs]] table to also skip the per-call
+    * array-build aggregation (the preferred deployment shape).
     */
   def randomWalks(g: Algorithms.AdjGraph, nodes: DataFrame, steps: Int): DataFrame =
-    uniformLoop(g.und, nodes, steps)
+    uniformLoop(g.und, None, nodes, steps)
+
+  def randomWalks(g: Algorithms.AdjGraph, nbrs: DataFrame, nodes: DataFrame,
+      steps: Int): DataFrame =
+    uniformLoop(g.und, Some(nbrs), nodes, steps)
 
   def randomWalks(nodes: DataFrame, edges: DataFrame, steps: Int): DataFrame = {
     val und0 = edges.select(col("gsrc").as("a"), col("gdst").as("b"))
       .unionByName(edges.select(col("gdst").as("a"), col("gsrc").as("b")))
       .localCheckpoint()
-    uniformLoop(und0, nodes, steps)
+    uniformLoop(und0, None, nodes, steps)
   }
 
-  private def uniformLoop(und0: DataFrame, nodes: DataFrame, steps: Int): DataFrame = {
+  private def uniformLoop(und0: DataFrame, nbrs0: Option[DataFrame],
+      nodes: DataFrame, steps: Int): DataFrame = {
     require(steps >= 1, s"steps must be >= 1, got $steps")
     val width = Algorithms.loopWidth(und0, und0.count())
     Algorithms.withoutAqe(und0, Some(width)) {
@@ -57,10 +81,11 @@ object Walks {
     // boxed md5 evals per step at sf0.1, a full-run GC liability).
     // The expression keeps the (md5-hex, nb) minimum; collect_set's
     // dedup is pick-invariant (min over a set = min over the multiset).
-    val nbrs = und0.repartition(width, col("a"))
-      .groupBy(col("a").as("na"))
-      .agg(array_sort(collect_set(col("b"))).as("nbrs"))
-      .localCheckpoint()
+    val nbrs = nbrs0.getOrElse(
+      und0.repartition(width, col("a"))
+        .groupBy(col("a").as("na"))
+        .agg(array_sort(collect_set(col("b"))).as("nbrs"))
+        .localCheckpoint())
     var walks = nodes.select(col("gid").as("walk_id"), col("gid").as("cur"),
         col("gid").cast("string").as("path"))
       .repartition(width, col("walk_id")).localCheckpoint()
@@ -107,17 +132,22 @@ object Walks {
     */
   def node2vecWalks(g: Algorithms.AdjGraph, nodes: DataFrame, steps: Int,
       p: Double, q: Double): DataFrame =
-    node2vecLoop(g.und, nodes, steps, p, q)
+    node2vecLoop(g.und, None, nodes, steps, p, q)
+
+  def node2vecWalks(g: Algorithms.AdjGraph, nbrs: DataFrame, nodes: DataFrame,
+      steps: Int, p: Double, q: Double): DataFrame =
+    node2vecLoop(g.und, Some(nbrs), nodes, steps, p, q)
 
   def node2vecWalks(nodes: DataFrame, edges: DataFrame, steps: Int,
       p: Double, q: Double): DataFrame = {
     val und0 = edges.select(col("gsrc").as("a"), col("gdst").as("b"))
       .unionByName(edges.select(col("gdst").as("a"), col("gsrc").as("b")))
       .distinct().localCheckpoint()
-    node2vecLoop(und0, nodes, steps, p, q)
+    node2vecLoop(und0, None, nodes, steps, p, q)
   }
 
-  private def node2vecLoop(und0: DataFrame, nodes: DataFrame, steps: Int,
+  private def node2vecLoop(und0: DataFrame, nbrs0: Option[DataFrame],
+      nodes: DataFrame, steps: Int,
       p: Double, q: Double): DataFrame = {
     require(steps >= 1, s"steps must be >= 1, got $steps")
     require(p > 0 && q > 0, "p and q must be positive")
@@ -134,10 +164,11 @@ object Walks {
     // forward replaces the per-step membership join entirely). Per step:
     // one node-keyed join + one codegen'd pick; no wedge-volume
     // candidate stream, no per-candidate array duplication, no groupBy.
-    val nbrs = und0.repartition(width, col("a"))
-      .groupBy(col("a").as("na"))
-      .agg(array_sort(collect_set(col("b"))).as("nbrs"))
-      .localCheckpoint()
+    val nbrs = nbrs0.getOrElse(
+      und0.repartition(width, col("a"))
+        .groupBy(col("a").as("na"))
+        .agg(array_sort(collect_set(col("b"))).as("nbrs"))
+        .localCheckpoint())
     var walks = nodes.select(col("gid").as("walk_id"),
         lit(null).cast("long").as("prev"), col("gid").as("cur"),
         col("gid").cast("string").as("path"),

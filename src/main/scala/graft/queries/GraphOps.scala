@@ -91,6 +91,7 @@ object GraphOps {
     rankGraphCached(spark, dir)
     wRankGraphCached(spark, dir)
     adjGraphCached(spark, dir)
+    walkNbrsCached(spark, dir)
     orientedCached(spark, dir)
     labelPropCached(spark, dir)
     labelPropWCached(spark, dir)
@@ -110,6 +111,20 @@ object GraphOps {
     adjGraphCache.getOrElseUpdate((spark.sparkContext.applicationId, dir),
       graft.PinnedRdds.pinning(spark) {
         Algorithms.prepareAdjacency(copurchaseGraph(spark, dir)._2)
+      })
+
+  /** The walk families' node-keyed sorted adjacency-array table
+    * ([[graft.graph.Walks.prepareWalkNbrs]]) — one array build shared
+    * by g_random_walks and g_node2vec, pinned like the invariant it
+    * derives from.
+    */
+  private val walkNbrsCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  private def walkNbrsCached(spark: SparkSession, dir: String): DataFrame =
+    walkNbrsCache.getOrElseUpdate((spark.sparkContext.applicationId, dir),
+      graft.PinnedRdds.pinning(spark) {
+        graft.graph.Walks.prepareWalkNbrs(adjGraphCached(spark, dir))
       })
 
   /** The degree-ordered edge-iterator invariants shared by the triangle
@@ -580,7 +595,8 @@ object GraphOps {
     */
   def gRandomWalks(spark: SparkSession, dir: String): DataFrame = {
     val (nodes, _) = copurchaseGraph(spark, dir)
-    graft.graph.Walks.randomWalks(adjGraphCached(spark, dir), nodes, steps = 3)
+    graft.graph.Walks.randomWalks(adjGraphCached(spark, dir),
+      walkNbrsCached(spark, dir), nodes, steps = 3)
   }
 
   val gRandomWalksSql: String = GraphOracleSql.randomWalksSql(steps = 3)
@@ -593,7 +609,8 @@ object GraphOps {
     */
   def gNode2vec(spark: SparkSession, dir: String): DataFrame = {
     val (nodes, _) = copurchaseGraph(spark, dir)
-    graft.graph.Walks.node2vecWalks(adjGraphCached(spark, dir), nodes,
+    graft.graph.Walks.node2vecWalks(adjGraphCached(spark, dir),
+      walkNbrsCached(spark, dir), nodes,
       steps = 3, p = 4.0, q = 0.25)
   }
 
