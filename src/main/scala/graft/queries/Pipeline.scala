@@ -85,6 +85,7 @@ object Pipeline {
   def warmViews(spark: SparkSession, dir: String): Unit = {
     lshBucketsCached(spark, dir)
     lshPairsCached(spark, dir)
+    cosinePairsCached(spark, dir)
     ()
   }
 
@@ -132,9 +133,24 @@ object Pipeline {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
-  def pDedupEmbed(spark: SparkSession, dir: String): DataFrame =
-    Dedup.embedCosineAllPairs(Tables.load(spark, dir, "embeddings"), "vec_id", "embedding",
+  /** The ≥0.4-cosine pair stream over the embedding corpus — shared by
+    * p_dedup_embed (reports the pairs) and p_dedup_clusters (chains
+    * them into canonical clusters); pinned per (session, dir) like the
+    * LSH bucket invariants: one all-pairs verify per corpus snapshot.
+    */
+  private val cosinePairsCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  private def cosinePairsCached(spark: SparkSession, dir: String): DataFrame =
+    cosinePairsCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      val pairs = Dedup.embedCosineAllPairs(
+        Tables.load(spark, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.4)
+      graft.PinnedRdds.pinning(spark) { pairs.localCheckpoint() }
+    })
+
+  def pDedupEmbed(spark: SparkSession, dir: String): DataFrame =
+    cosinePairsCached(spark, dir)
       .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"),
         round(col("cosine"), 4).as("cosine"))
 
@@ -560,11 +576,10 @@ object Pipeline {
     */
   def pDedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
-    // materialize the pair set once: CC's undirected-edge union reads it
-    // as two subtrees, and an unmaterialized input would run the
-    // all-pairs cosine join twice
-    val pairs = Dedup.embedCosineAllPairs(emb, "vec_id", "embedding", threshold = 0.4)
-      .localCheckpoint()
+    // the pinned pair stream is already materialized: CC's
+    // undirected-edge union reads it as two subtrees without re-running
+    // the all-pairs cosine join
+    val pairs = cosinePairsCached(spark, dir)
     val comp = graft.graph.Algorithms.connectedComponents(
       emb.select(col("vec_id").as("gid")),
       pairs.select(col("id_a").as("gsrc"), col("id_b").as("gdst")))
