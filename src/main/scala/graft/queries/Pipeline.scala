@@ -425,6 +425,79 @@ object Pipeline {
        FROM sw JOIN wc USING (w) JOIN s USING (source), tot
        GROUP BY 1, 2, 3"""
 
+  /** Cross-source vocabulary-overlap matrix, EXACT face: distinct
+    * word-token sets per source, pairwise shared-type counts and
+    * Jaccard — the mixture-design companion to [[pVocabDrift]] (drift
+    * says how a source's distribution skews; overlap says how much two
+    * sources' vocabularies even coincide). Token-keyed equi-join of the
+    * distinct (source, type) table against itself — never a vocabulary
+    * cross product; all-integer counts with ONE rounded ratio of exact
+    * ints (parity-safe by construction). Output is |sources|² rows.
+    */
+  def pVocabOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.load(spark, dir, "documents")
+      .select(col("source"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .distinct().localCheckpoint() // feeds both join legs + the sizes
+    val sizes = words.groupBy(col("source")).agg(count(lit(1)).as("nv"))
+    words.select(col("source").as("source_a"), col("w"))
+      .join(words.select(col("source").as("source_b"), col("w")), "w")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes.select(col("source").as("source_a"), col("nv").as("na")),
+        "source_a")
+      .join(sizes.select(col("source").as("source_b"), col("nv").as("nb")),
+        "source_b")
+      .select(col("source_a"), col("source_b"), col("n_shared"), col("na"),
+        col("nb"),
+        round(col("n_shared").cast("double") /
+          (col("na") + col("nb") - col("n_shared")), 6).as("jaccard"))
+  }
+
+  val pVocabOverlapSql: String =
+    """WITH w AS (
+         SELECT DISTINCT source, w FROM (
+           SELECT source,
+                  unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+           FROM documents)
+         WHERE len(w) > 0),
+       sizes AS (SELECT source, count(*) AS nv FROM w GROUP BY 1),
+       sh AS (SELECT a.source AS source_a, b.source AS source_b,
+                     count(*) AS n_shared
+              FROM w a JOIN w b ON a.w = b.w AND a.source < b.source
+              GROUP BY 1, 2)
+       SELECT source_a, source_b, n_shared, sa.nv AS na, sb.nv AS nb,
+              round(CAST(n_shared AS DOUBLE) / (sa.nv + sb.nv - n_shared), 6)
+                AS jaccard
+       FROM sh JOIN sizes sa ON sh.source_a = sa.source
+               JOIN sizes sb ON sh.source_b = sb.source"""
+
+  /** The same matrix via KMV sketches ([[graft.operators.Kmv]]) — the
+    * 100 TB path: one k-bounded mergeable sketch per source in ONE
+    * partial-aggregated pass, then the pairwise combine runs over
+    * kilobyte arrays instead of re-joining full vocabularies per pair.
+    * Rows-only (seeded-hash estimator, no SQL mirror); KmvSpec pins the
+    * exact-below-k regime and the error bound vs the exact face.
+    */
+  def pVocabOverlapKmv(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.load(spark, dir, "documents")
+      .select(col("source"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+    val k = 256
+    val sk = graft.operators.Kmv.sketchPerGroup(words, "source", "w", k)
+      .localCheckpoint() // tiny (|sources| rows); feeds both join legs
+    val a = sk.select(col("source").as("source_a"), col("sketch").as("ska"))
+    val b = sk.select(col("source").as("source_b"), col("sketch").as("skb"))
+    a.join(b, col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"),
+        graft.operators.Kmv.combine(col("ska"), col("skb"), k).as("est"))
+      .select(col("source_a"), col("source_b"), col("est.est_union"),
+        col("est.est_shared"), col("est.est_jaccard"))
+  }
+
   /** DSIR importance weights (Xie et al. 2023): per-doc mean
     * log-likelihood ratio of hashed bigram features under the
     * English-subset target model vs the raw corpus model — the
@@ -1791,6 +1864,8 @@ object Pipeline {
     QueryDef.sql("p_heavy_hitters", pHeavyHitters, pHeavyHittersSql),
     QueryDef.sql("p_cms_heavy", pCmsHeavy, pCmsHeavySql),
     QueryDef.sql("p_vocab_drift", pVocabDrift, pVocabDriftSql),
+    QueryDef.sql("p_vocab_overlap", pVocabOverlap, pVocabOverlapSql),
+    QueryDef.rowsOnly("p_vocab_overlap_kmv", pVocabOverlapKmv),
     QueryDef.sql("p_weighted_sample", pWeightedSample, pWeightedSampleSql),
     QueryDef.sql("p_pmi", pPmi, pPmiSql),
     QueryDef.sql("p_char_entropy", pCharEntropy, pCharEntropySql),
