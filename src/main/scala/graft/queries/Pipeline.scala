@@ -112,6 +112,27 @@ object Pipeline {
       .groupBy(col("band"))
       .agg(count(lit(1)).as("n_oversized"), sum(col("population")).as("dropped_docs"))
 
+  /** Canonical near-dup TEXT clusters: connected components over the
+    * pinned MinHash-LSH candidate pairs — the text twin of
+    * [[pDedupClusters]] (embeddings), and the table a dedup RUN
+    * actually keys its keep/drop decision on (keep min doc_id per
+    * canon_id, drop the rest). Composes two verified parts: the pinned
+    * pair stream and the CC loop. Rows-only (the pair generation is
+    * seeded-minhash arithmetic with no SQL mirror; planted-clique
+    * exactness lives in DedupSpec, CC exactness in its own oracle).
+    */
+  def pMinhashClusters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val comp = graft.graph.Algorithms.connectedComponents(
+      docs.select(col("doc_id").as("gid")),
+      lshPairsCached(spark, dir)
+        .select(col("id_a").as("gsrc"), col("id_b").as("gdst")))
+    val sizes = comp.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
+    comp.join(sizes, "comp")
+      .select(col("gid").as("doc_id"), col("comp").as("canon_id"),
+        col("cluster_size"))
+  }
+
   def pDedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val sims = Dedup.simhash(Tables.load(spark, dir, "documents"), "doc_id", "text")
     Dedup.simhashDupes(sims, maxHamming = 3)
@@ -1847,6 +1868,7 @@ object Pipeline {
     QueryDef.sql("p_boilerplate", pBoilerplate, pBoilerplateSql),
     QueryDef.sql("p_vocab_coverage", pVocabCoverage, pVocabCoverageSql),
     QueryDef.rowsOnly("p_dedup_minhash", pDedupMinhash),
+    QueryDef.rowsOnly("p_minhash_clusters", pMinhashClusters),
     QueryDef.rowsOnly("p_oversized_buckets", pOversizedBuckets),
     QueryDef.rowsOnly("p_dedup_simhash", pDedupSimhash),
     QueryDef.rowsOnly("p_dedup_ngram", pDedupNgram),

@@ -37,6 +37,20 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => b == 4L || a == 4L })
   }
 
+  test("minhash clusters chain the dup family into one canonical cluster") {
+    import spark.implicits._
+    // CC over the LSH pairs: {1,2,3} must share a canon_id (1↔2 exact,
+    // 1/2↔3 near), 4 and 5 stay singletons
+    val pairs = Dedup.lshCandidatesFromBuckets(
+      Dedup.minhashBandBuckets(docs, "doc_id", "text").localCheckpoint())
+    val comp = graft.graph.Algorithms.connectedComponents(
+      docs.select(col("doc_id").as("gid")),
+      pairs.select(col("id_a").as("gsrc"), col("id_b").as("gdst")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp(1L) === comp(2L) && comp(2L) === comp(3L))
+    assert(comp(4L) === 4L && comp(5L) === 5L)
+  }
+
   test("simhash hamming-bucket join flags the near dup") {
     val sims = Dedup.simhash(docs, "doc_id", "text")
     val byId = sims.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
