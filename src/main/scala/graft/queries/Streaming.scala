@@ -218,8 +218,18 @@ object Streaming {
        SELECT day, max(conc) AS peak_concurrent, count(*) AS n_boundaries
        FROM run GROUP BY day"""
 
+  /** Hourly approximate distinct users (KMV k=256) — rows-only: the
+    * estimator is seeded-hash arithmetic with no SQL mirror; exactness
+    * below k and streaming↔batch sketch identity live in
+    * StreamingSpec/KmvSpec.
+    */
+  def sDistinctKmv(spark: SparkSession, dir: String): DataFrame =
+    Streams.windowedDistinctKmv(
+      Tables.load(spark, dir, "events"), "user_id", k = 256)
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("s_tumbling_agg", sTumblingAgg, sTumblingAggSql),
+    QueryDef.rowsOnly("s_distinct_kmv", sDistinctKmv),
     QueryDef.sql("q_concurrency", qConcurrency, qConcurrencySql),
     QueryDef.sql("s_sessionize", sSessionize, sSessionizeSql),
     QueryDef.sql("s_session_native", sSessionNative, sSessionNativeSql),

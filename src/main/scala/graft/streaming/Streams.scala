@@ -59,6 +59,28 @@ object Streams {
         col("e._2").as("est_count"))
   }
 
+  /** Per-window approximate distinct keys via the KMV sketch
+    * ([[graft.operators.Kmv]]): "how many distinct users each hour" with
+    * k-bounded state per window — the same windowed-sketch contract as
+    * [[windowedHeavyHitters]] (global sketch state would outlive the
+    * stream; windowed state expires with the watermark). KMV partials
+    * merge associatively and order-independently, so the streaming
+    * incremental aggregation yields BIT-IDENTICAL sketches to the batch
+    * plan (StreamingSpec asserts equality, not tolerance); below k
+    * distinct keys the estimate IS the exact count.
+    */
+  def windowedDistinctKmv(events: DataFrame, keyCol: String, k: Int,
+      withWatermark: Boolean = false): DataFrame = {
+    val src = if (withWatermark) events.withWatermark("ts", "1 hour") else events
+    src.select(col("ts"),
+        xxhash64(col(keyCol)).bitwiseXOR(lit(Long.MinValue)).as("__f"))
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(graft.operators.Kmv.kmvAgg(k)(col("__f")).as("sketch"))
+      .select(col("w.start").as("window_start"),
+        round(graft.operators.Kmv.estimateDistinct(col("sketch"), k), 2)
+          .as("est_distinct"))
+  }
+
   /** Sliding-window aggregate: 1-hour windows every 30 minutes, so each
     * event contributes to windowLen/slide = 2 windows. Spark expands the
     * window set in a narrow projection (no per-window shuffle); the

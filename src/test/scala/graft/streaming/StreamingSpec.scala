@@ -44,6 +44,29 @@ class StreamingSpec extends SparkSpec {
     assert(batch.map(_._3).sum === 5L)
   }
 
+  test("windowed KMV distinct over a stream equals the batch sketch exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Ev]
+    // two micro-batches so the sketch actually merges across batches
+    source.addData(events.take(2): _*)
+    source.addData(events.drop(2): _*)
+    val agg = Streams.windowedDistinctKmv(source.toDF(), "user_id", k = 256,
+      withWatermark = true)
+    val q = agg.writeStream
+      .format("memory").queryName("kmv_out").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("kmv_out").orderBy("window_start")
+      .collect().map(r => (r.getTimestamp(0), r.getDouble(1)))
+    val batch = Streams.windowedDistinctKmv(events.toDF(), "user_id", k = 256)
+      .orderBy("window_start")
+      .collect().map(r => (r.getTimestamp(0), r.getDouble(1)))
+    // KMV partials merge associatively: streaming must be IDENTICAL,
+    // and below k the estimate is the exact distinct count
+    assert(streamed.toSeq === batch.toSeq)
+    assert(batch.map(_._2).toSeq === Seq(2.0, 1.0)) // users {1,2} then {2}
+  }
+
   test("stream-static enrichment joins the broadcast dimension per micro-batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
