@@ -228,6 +228,70 @@ class RandomizedAlgSpec extends SparkSpec {
     }
   }
 
+  test("weighted pagerank matches driver power iteration on random weighted digraphs") {
+    import spark.implicits._
+    (81 to 85).foreach { seed =>
+      val (nodes, edges0) = randomGraph(seed)
+      val rnd = new Random(seed * 31)
+      // integral weights: wout sums are exact in any order, so the only
+      // cross-impl noise is per-round contribution ULP (1e-9 bound, as
+      // the unweighted test)
+      val wedges = edges0.map { case (a, b) => (a, b, (1 + rnd.nextInt(9)).toDouble) }
+      val ndf = nodes.toDF("gid")
+      val edf =
+        if (wedges.isEmpty) Seq((0L, 0L, 1.0)).toDF("gsrc", "gdst", "w").limit(0)
+        else wedges.toDF("gsrc", "gdst", "w")
+      val got = Algorithms.weightedPageRank(ndf, edf, iters = 6)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val n = nodes.size.toDouble
+      val d = 0.85
+      val wout = wedges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+      var pr = nodes.map(_ -> 1.0 / n).toMap
+      (1 to 6).foreach { _ =>
+        val dm = nodes.filterNot(wout.contains).map(pr).sum
+        val contrib = scala.collection.mutable.Map.empty[Long, Double].withDefaultValue(0.0)
+        wedges.foreach { case (u, t, w) => contrib(t) += pr(u) * (w / wout(u)) }
+        pr = nodes.map(v => v -> ((1 - d) / n + d * (contrib(v) + dm / n))).toMap
+      }
+      nodes.foreach { v =>
+        assert(math.abs(got(v) - pr(v)) < 1e-9, s"seed=$seed node=$v edges=$wedges")
+      }
+      assert(math.abs(got.values.sum - 1.0) < 1e-9)
+    }
+  }
+
+  test("weighted label propagation matches driver voting on random weighted multigraphs") {
+    import spark.implicits._
+    (91 to 95).foreach { seed =>
+      val (nodes, edges0) = randomGraph(seed)
+      val rnd = new Random(seed * 17)
+      val wedges = edges0.map { case (a, b) => (a, b, (1L + rnd.nextInt(9)).toLong) }
+      val ndf = nodes.toDF("gid")
+      val edf =
+        if (wedges.isEmpty) Seq((0L, 0L, 1L)).toDF("gsrc", "gdst", "w").limit(0)
+        else wedges.toDF("gsrc", "gdst", "w")
+      val got = Algorithms.labelPropagationWeighted(ndf, edf, iters = 4)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // driver model: both directions of every edge row (self-loops and
+      // duplicates vote with multiplicity, exactly as the DataFrame
+      // union does); heaviest vote mass, lowest label on ties
+      val und = wedges.flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) }
+      var labels = nodes.map(v => v -> v).toMap
+      (1 to 4).foreach { _ =>
+        val next = nodes.map { v =>
+          val votes = und.filter(_._1 == v)
+            .groupBy(e => labels(e._2)).view.mapValues(_.map(_._3).sum).toMap
+          v -> (if (votes.isEmpty) labels(v)
+                else votes.toSeq.maxBy { case (lbl, wv) => (wv, -lbl) }._1)
+        }.toMap
+        labels = next
+      }
+      nodes.foreach { v =>
+        assert(got(v) === labels(v), s"seed=$seed node=$v edges=$wedges")
+      }
+    }
+  }
+
   test("hits matches driver iteration on random multigraphs") {
     (71 to 75).foreach { seed =>
       val (nodes, edges) = randomGraph(seed)
