@@ -184,6 +184,50 @@ object TextAnalysis {
         (col("tf") * log(col("n_docs").cast("double") / col("df"))).as("tfidf"))
   }
 
+  /** Okapi BM25 relevance of every document to a fixed query-term set
+    * (Robertson et al., TREC-3 — the ranking function behind
+    * Lucene/Elasticsearch and the lexical retriever of choice when
+    * selecting training data against a query mix). Components: per-doc
+    * term frequency over the query terms only, doc length `dl` in
+    * whitespace tokens, per-term document frequency `df`, and the
+    * corpus stats (N, avgdl) as ONE broadcast scalar subplan.
+    *
+    *   idf(t)   = ln(1 + (N − df + 0.5)/(df + 0.5))        (Lucene form —
+    *              strictly positive, no negative-idf clamp needed)
+    *   score(d) = Σ_t idf(t) · tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl))
+    *
+    * Scale posture: the corpus is scanned once and immediately
+    * collapsed to the (doc, matched-query-term) table — every shuffled
+    * row is a MATCH, never a corpus token; df/stats are query-term- and
+    * one-row-bounded broadcasts. Cross-engine parity: each per-term
+    * contribution is integerized at 6 dp and the per-doc score is the
+    * EXACT integer sum divided once (the dataset-card mean discipline —
+    * a float Σ over terms would be summation-order ULP noise).
+    */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val docs = df.select(col(idCol).as("id"),
+        split(lower(trim(col(textCol))), "\\s+").as("toks"))
+      .select(col("id"), col("toks"), size(col("toks")).cast("long").as("dl"))
+    val tf = docs.select(col("id"), col("dl"), explode(col("toks")).as("term"))
+      .where(col("term").isin(queryTerms: _*))
+      .groupBy(col("id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val contrib = idf * (col("tf") * (k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / avgdl))
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("id"), floor(contrib * 1e6 + 0.5).as("c6"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_terms"),
+        round(sum(col("c6")).cast("double") / 1e6, 4).as("bm25"))
+  }
+
   /** The end-to-end curation verdict: first failing rule in a fixed
     * order (short → word shape → repetition → alphabetic share →
     * language → PII), 'ok' when everything passes — the composition a

@@ -183,6 +183,42 @@ object Pipeline {
        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                     CAST(b.embedding AS DOUBLE[])) >= 0.4"""
 
+  /** Embedding-space benchmark decontamination — the semantic twin of
+    * the n-gram decontaminate (row 55): a corpus vector is contaminated
+    * when it sits within cosine ≥ 0.4 of any held-out eval vector
+    * (eval set = vec_id ≡ 0 mod 50, the deterministic stand-in for a
+    * benchmark embedding table). Paraphrased eval leakage survives
+    * exact and n-gram dedup; this is the audit that catches it.
+    * Derived ENTIRELY from the pinned ≥0.4 cosine pair stream shared
+    * with p_dedup_embed/p_dedup_clusters — an eval-side filter over an
+    * already-verified artifact, zero new pairwise scans; at scale the
+    * LSH-bucketed pair path (embedCosineLsh) substitutes identically.
+    */
+  def pDecontamEmbed(spark: SparkSession, dir: String): DataFrame = {
+    val evalA = (col("id_a") % 50) === 0
+    val evalB = (col("id_b") % 50) === 0
+    cosinePairsCached(spark, dir)
+      .select(when(evalA && !evalB, col("id_b"))
+          .when(evalB && !evalA, col("id_a")).as("vec_id"),
+        col("cosine"))
+      .where(col("vec_id").isNotNull)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_eval_hits"),
+        round(max(col("cosine")), 4).as("max_cos"))
+  }
+
+  val pDecontamEmbedSql: String =
+    """WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                   FROM embeddings WHERE vec_id % 50 = 0),
+         corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                  FROM embeddings WHERE vec_id % 50 <> 0),
+         hits AS (SELECT c.vec_id,
+                         list_cosine_similarity(c.e, ev.e) AS cos
+                  FROM corp c JOIN ev
+                    ON list_cosine_similarity(c.e, ev.e) >= 0.4)
+       SELECT vec_id, count(*) AS n_eval_hits, round(max(cos), 4) AS max_cos
+       FROM hits GROUP BY 1"""
+
   /** LSH-bucketed embedding near-dup — the scale path behind
     * `p_dedup_embed` (rows-only: the hyperplane bucketing has no SQL
     * mirror; recall vs the all-pairs formulation asserted in DedupSpec,
@@ -1454,6 +1490,52 @@ object Pipeline {
        SELECT doc_id, term, round(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS tfidf
        FROM tf JOIN dfreq USING (term) CROSS JOIN n"""
 
+  /** The fixed query-term set for the BM25 retrieval face — shared
+    * verbatim with the oracle SQL below.
+    */
+  private val bm25Terms = Seq("hash", "vector", "stream", "join")
+
+  /** Okapi BM25 relevance to a fixed query (Lucene idf form, k1=1.2,
+    * b=0.75) — the lexical-retrieval complement of p_tfidf: TF-IDF
+    * profiles the corpus, BM25 ranks it against a query mix (the
+    * data-selection scan of retrieval-augmented curation). The per-doc
+    * score is the exact integer sum of 6dp-integerized per-term
+    * contributions divided once — the dataset-card discipline; a float
+    * Σ over terms would be summation-order ULP noise.
+    */
+  def pBm25(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bm25(Tables.load(spark, dir, "documents"),
+        "doc_id", "text", bm25Terms)
+      .select(col("id").as("doc_id"), col("n_terms"), col("bm25"))
+
+  val pBm25Sql: String = {
+    val terms = bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH docs AS (
+         SELECT doc_id,
+                regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+         FROM documents),
+       d2 AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM docs),
+       toks AS (SELECT doc_id, dl, unnest(toks) AS term FROM d2),
+       tf AS (SELECT doc_id, dl, term, count(*) AS tf
+              FROM toks WHERE term IN ($terms) GROUP BY 1, 2, 3),
+       dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
+                 FROM d2),
+       contrib AS (
+         SELECT doc_id,
+                CAST(floor(
+                  ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                    * (tf * 2.2)
+                    / (tf + 1.2 * (1.0 - 0.75
+                        + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))
+                  * 1000000.0 + 0.5) AS BIGINT) AS c6
+         FROM tf JOIN dfreq USING (term) CROSS JOIN stats)
+       SELECT doc_id, count(*) AS n_terms,
+              round(CAST(CAST(sum(c6) AS BIGINT) AS DOUBLE) / 1000000.0, 4)
+                AS bm25
+       FROM contrib GROUP BY 1"""
+  }
+
   def pQualityScore(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
       .select(col("doc_id"), round(TextAnalysis.qualityScore(col("text")), 4).as("quality"))
@@ -1467,6 +1549,43 @@ object Pipeline {
               (1.0 - least($punct * 10.0, 1.0)) * 0.3 +
               least($stop * 4.0, 1.0) * 0.3, 4) AS quality
         FROM documents"""
+  }
+
+  /** Per-source percentile calibration of the quality score — raw
+    * heuristic scores are NOT comparable across sources (a news corpus
+    * and a forum dump occupy different score ranges), so a single
+    * global keep threshold over-prunes one source and under-prunes
+    * another; the standard cure is to rank-normalize within source and
+    * threshold the PERCENTILE (keep the top 30% of each source). One
+    * window sorted per source partition — source-keyed, never global;
+    * the keep flag compares the unrounded rank (a count ratio, exact in
+    * both engines), the reported percentile is rounded for display.
+    */
+  def pQualityNorm(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("quality"))
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        round(TextAnalysis.qualityScore(col("text")), 4).as("quality"))
+      .select(col("doc_id"), col("source"), col("quality"),
+        round(percent_rank().over(w), 6).as("q_pct"),
+        (percent_rank().over(w) >= 0.7).as("keep_top30"))
+  }
+
+  val pQualityNormSql: String = {
+    val ws = "len(regexp_split_to_array(trim(text), '\\s+'))"
+    val punct = s"(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / greatest(length(text), 1))"
+    val stop = s"(CAST(${sqlLangScore("en")} AS DOUBLE) / greatest($ws, 1))"
+    s"""WITH q AS (
+         SELECT doc_id, source,
+                round(least(CAST($ws AS DOUBLE) / 100.0, 1.0) * 0.4 +
+                      (1.0 - least($punct * 10.0, 1.0)) * 0.3 +
+                      least($stop * 4.0, 1.0) * 0.3, 4) AS quality
+         FROM documents)
+       SELECT doc_id, source, quality,
+              round(percent_rank() OVER w, 6) AS q_pct,
+              percent_rank() OVER w >= 0.7 AS keep_top30
+       FROM q
+       WINDOW w AS (PARTITION BY source ORDER BY quality)"""
   }
 
   def pTokenCount(spark: SparkSession, dir: String): DataFrame =
@@ -1875,6 +1994,7 @@ object Pipeline {
     QueryDef.sql("p_dedup_embed", pDedupEmbed, pDedupEmbedSql),
     QueryDef.rowsOnly("p_dedup_embed_lsh", pDedupEmbedLsh),
     QueryDef.sql("p_decontam", pDecontam, pDecontamSql),
+    QueryDef.sql("p_decontam_embed", pDecontamEmbed, pDecontamEmbedSql),
     QueryDef.sql("p_dedup_incr", pDedupIncr, pDedupIncrSql),
     QueryDef.sql("p_winnow", pWinnow, pWinnowSql),
     QueryDef.sql("p_split_assign", pSplitAssign, pSplitAssignSql),
@@ -1907,6 +2027,7 @@ object Pipeline {
     QueryDef.sql("p_pii_scrub", pPiiScrub, pPiiScrubSql),
     QueryDef.sql("p_blocklist", pBlocklist, pBlocklistSql),
     QueryDef.sql("p_tfidf", pTfidf, pTfidfSql),
+    QueryDef.sql("p_bm25", pBm25, pBm25Sql),
     QueryDef.sql("p_log_odds", pLogOdds, pLogOddsSql),
     QueryDef.sql("p_zipf", pZipf, pZipfSql),
     QueryDef.sql("p_pack_sequences", pPackSequences, pPackSequencesSql),
@@ -1932,6 +2053,7 @@ object Pipeline {
     QueryDef.rowsOnly("p_knn_ivf", pKnnIvf),
     QueryDef.sql("p_lang_id", pLangId, pLangIdSql),
     QueryDef.sql("p_quality_score", pQualityScore, pQualityScoreSql),
+    QueryDef.sql("p_quality_norm", pQualityNorm, pQualityNormSql),
     QueryDef.sql("p_token_count", pTokenCount, pTokenCountSql),
     QueryDef.sql("p_fingerprint", pFingerprint, pFingerprintSql),
     QueryDef.sql("p_media_meta", pMediaMeta, pMediaMetaSql),

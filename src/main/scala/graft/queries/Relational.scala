@@ -184,6 +184,49 @@ object Relational {
        ORDER BY revenue DESC, o_orderdate, l_orderkey
        LIMIT 10"""
 
+  /** Top supplier (TPC-H Q15 shape): an aggregate view compared against
+    * its own scalar MAX — the "which key(s) attain the group-wise
+    * extreme" pattern (Spark plans the scalar as a broadcast one-row
+    * subplan; the revenue view is computed once and reused for both
+    * sides). Equality against an aggregate is ULP-fragile on floats, so
+    * revenue is EXACT integer arithmetic end-to-end: price cents ×
+    * (100 − discount points) summed as longs — both engines compare
+    * identical integers and divide once for display (the dataset-card
+    * discipline applied to a TPC-H classic; Q15's float SUM is the
+    * textbook case of tie-detection ambiguity).
+    */
+  def qTopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val cents = floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+    val discPts = floor(col("l_discount") * 100 + 0.5).cast("long")
+    val rev = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1996-04-01"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(cents * (lit(100L) - discPts)).as("rev4"))
+    val mx = rev.agg(max(col("rev4")).as("max_rev4"))
+    Tables.load(spark, dir, "supplier")
+      .join(rev, col("s_suppkey") === col("l_suppkey"))
+      .crossJoin(broadcast(mx))
+      .where(col("rev4") === col("max_rev4"))
+      .select(col("s_suppkey"), col("s_name"),
+        round(col("rev4").cast("double") / 1e4, 2).as("total_revenue"))
+  }
+
+  val qTopSupplierSql: String =
+    """WITH rev AS (
+         SELECT l_suppkey,
+                CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                         * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+                  AS BIGINT) AS rev4
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1996-04-01'
+         GROUP BY 1)
+       SELECT s_suppkey, s_name,
+              round(CAST(rev4 AS DOUBLE) / 10000.0, 2) AS total_revenue
+       FROM supplier JOIN rev ON s_suppkey = l_suppkey
+       WHERE rev4 = (SELECT max(rev4) FROM rev)"""
+
   /** Local-supplier volume (TPC-H Q5 shape): 6-way star join. All four
     * dimension legs (region→nation→customer / supplier) broadcast; the
     * only shuffles are lineitem⋈orders on the order key and the final
@@ -1193,6 +1236,7 @@ object Relational {
     QueryDef.sql("q_range_join", qRangeJoin, qRangeJoinSql),
     QueryDef.sql("q_skew_join", qSkewJoin, qSkewJoinSql),
     QueryDef.sql("q3_shipping", q3Shipping, q3ShippingSql),
+    QueryDef.sql("q_top_supplier", qTopSupplier, qTopSupplierSql),
     QueryDef.sql("q5_multijoin", q5MultiJoin, q5MultiJoinSql),
     QueryDef.sql("q_window_rank", qWindowRank, qWindowRankSql),
     QueryDef.sql("q_exists_semi", qExistsSemi, qExistsSemiSql),

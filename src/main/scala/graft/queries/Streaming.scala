@@ -34,6 +34,26 @@ object Streaming {
               count(*) AS est_count
        FROM events GROUP BY 1, 2"""
 
+  /** The k highest-value events per hour window — the windowed face of
+    * the TopK partial aggregate (§2.4 row 36b proves the aggregator
+    * against the window formulation on static groups; this face keys it
+    * by tumbling window, the "largest transactions each hour" report).
+    * k=3 is a real cutoff at every window (~100 events/hour here), so
+    * the oracle exercises the eviction path, not just the exact regime.
+    */
+  def sTopkWindow(spark: SparkSession, dir: String): DataFrame =
+    Streams.windowedTopK(Tables.load(spark, dir, "events"),
+      "value", "event_id", k = 3)
+
+  val sTopkWindowSql: String =
+    """WITH ranked AS (
+         SELECT date_trunc('hour', ts) AS window_start, event_id, value,
+                row_number() OVER (PARTITION BY date_trunc('hour', ts)
+                                   ORDER BY value DESC, event_id) AS rank
+         FROM events)
+       SELECT window_start, rank, event_id, value
+       FROM ranked WHERE rank <= 3"""
+
   def sSessionize(spark: SparkSession, dir: String): DataFrame =
     Streams.sessionize(Tables.load(spark, dir, "events"), gapSeconds = 1800L)
       .select(col("user_id"), col("session_idx").cast("long").as("session_idx"),
@@ -237,5 +257,6 @@ object Streaming {
     QueryDef.sql("s_sliding_agg", sSlidingAgg, sSlidingAggSql),
     QueryDef.sql("s_stream_join", sStreamJoin, sStreamJoinSql),
     QueryDef.sql("s_enrich_agg", sEnrichAgg, sEnrichAggSql),
-    QueryDef.sql("s_heavy_hitters", sHeavyHitters, sHeavyHittersSql))
+    QueryDef.sql("s_heavy_hitters", sHeavyHitters, sHeavyHittersSql),
+    QueryDef.sql("s_topk_window", sTopkWindow, sTopkWindowSql))
 }

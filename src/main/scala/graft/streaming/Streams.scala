@@ -81,6 +81,27 @@ object Streams {
           .as("est_distinct"))
   }
 
+  /** Per-window top-k records by value via the k-bounded TopK partial
+    * aggregate ([[graft.operators.TopK]]) — the windowed/streaming face
+    * of §2.4 row 36b: "the k largest transactions each hour" without a
+    * per-window sort. The exchange carries at most k entries per
+    * (window, map partition) and state per window is the k-slot buffer,
+    * expiring with the watermark; a window-rank formulation would hold
+    * every event of the hour in state. Deterministic (value desc,
+    * id asc) order makes the result hash-match the row_number oracle.
+    */
+  def windowedTopK(events: DataFrame, valueCol: String, idCol: String,
+      k: Int, withWatermark: Boolean = false): DataFrame = {
+    val src = if (withWatermark) events.withWatermark("ts", "1 hour") else events
+    val f = graft.operators.TopK.topK(k)
+    src.groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(f(col(valueCol), col(idCol)).as("top"))
+      .select(col("w.start").as("window_start"),
+        posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("window_start"), (col("pos") + 1).cast("long").as("rank"),
+        col("e._2").as(idCol), col("e._1").as(valueCol))
+  }
+
   /** Sliding-window aggregate: 1-hour windows every 30 minutes, so each
     * event contributes to windowLen/slide = 2 windows. Spark expands the
     * window set in a narrow projection (no per-window shuffle); the

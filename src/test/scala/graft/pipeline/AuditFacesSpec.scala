@@ -38,6 +38,33 @@ class AuditFacesSpec extends SparkSpec {
     assert(math.abs(weighted - meanQ(global)) < 1e-4)
   }
 
+  test("embedding decontamination face is the eval-side partition of the pair stream") {
+    // sf0.01 has planted ≥0.4 cosine pairs straddling the mod-50 eval cut
+    val dir = sf("sf0.01")
+    val got = Pipeline.pDecontamEmbed(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.nonEmpty)
+    // no eval vector may ever be flagged as contaminated corpus
+    got.keys.foreach(id => assert(id % 50 != 0, s"eval vec $id flagged"))
+    // reference: recompute from the all-pairs primitive, independently
+    // of the pinned cache
+    val pairs = Dedup.embedCosineAllPairs(
+      graft.Tables.load(spark, dir, "embeddings"), "vec_id", "embedding",
+      threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = pairs.flatMap { case (a, b, cos) =>
+      (a % 50 == 0, b % 50 == 0) match {
+        case (true, false) => Some(b -> cos)
+        case (false, true) => Some(a -> cos)
+        case _ => None
+      }
+    }.groupBy(_._1).map { case (id, hs) =>
+      id -> (hs.length.toLong,
+        BigDecimal(hs.map(_._2).max).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    assert(got === expected)
+  }
+
   test("leakage matrix is upper-triangular with pair-consistent counts") {
     // sf0.01: the smallest dir with known cross-source span sharing, so
     // the invariants are exercised on real rows, not a vacuous empty set

@@ -31,6 +31,30 @@ class TextSpec extends SparkSpec {
     res.foreach(r => assert(r.getString(0) === r.getString(1)))
   }
 
+  test("bm25 matches the hand-computed Okapi model") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "spark spark joins rows"),          // tf(spark)=2, dl=4
+      (2L, "spark scans tables"),              // tf(spark)=1, dl=3
+      (3L, "rows and tables and rows again"))  // no query term, dl=6
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bm25(df, "doc_id", "text", Seq("spark", "scans"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // reference model, computed independently of the Spark expression
+    val n = 3.0
+    val avgdl = (4 + 3 + 6) / 3.0
+    def idf(dfreq: Int) = math.log(1 + (n - dfreq + 0.5) / (dfreq + 0.5))
+    def term(tf: Int, dl: Long, dfreq: Int) = {
+      val c = idf(dfreq) * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+      math.floor(c * 1e6 + 0.5)
+    }
+    def score(parts: Double*) =
+      BigDecimal(parts.sum / 1e6).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) === ((1L, score(term(2, 4, 2)))))
+    assert(got(2L) === ((2L, score(term(1, 3, 2), term(1, 3, 1)))))
+    assert(!got.contains(3L)) // no matched term -> no row, by design
+  }
+
   test("gopher repetition stats flag the degenerate documents") {
     import spark.implicits._
     val df = Seq(

@@ -67,6 +67,32 @@ class StreamingSpec extends SparkSpec {
     assert(batch.map(_._2).toSeq === Seq(2.0, 1.0)) // users {1,2} then {2}
   }
 
+  test("windowed top-k over a stream matches the batch plan and evicts correctly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Ev]
+    // two micro-batches: after batch one the first hour's k=2 buffer
+    // holds events 3 (3.0) and 2 (2.0); batch two's event 4 (4.0) must
+    // evict event 2 from streaming state
+    source.addData(events.take(3): _*)
+    source.addData(events.drop(3): _*)
+    val agg = Streams.windowedTopK(source.toDF(), "value", "event_id", k = 2,
+      withWatermark = true)
+    val q = agg.writeStream
+      .format("memory").queryName("topk_out").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("topk_out").orderBy("window_start", "rank")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val batch = Streams.windowedTopK(events.toDF(), "value", "event_id", k = 2)
+      .orderBy("window_start", "rank")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(streamed.toSeq === batch.toSeq)
+    // hour 10: top-2 by value desc = events 4 (4.0) and 3 (3.0);
+    // events 1 and 2 evicted from the k=2 buffer
+    assert(batch.map(r => (r._3, r._4)).toSeq ===
+      Seq((4L, 4.0), (3L, 3.0), (5L, 5.0)))
+  }
+
   test("stream-static enrichment joins the broadcast dimension per micro-batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
