@@ -722,6 +722,57 @@ object Algorithms {
     } // withoutAqe
   }
 
+  /** Weighted k-core: iterative peeling by WEIGHTED degree — drop nodes
+    * whose incident edge-weight sum is < minWeight, shrink the edge set
+    * to surviving endpoints, repeat to fixpoint. The strength-of-ties
+    * face of [[kCore]] (reference stores typed edge properties the
+    * unweighted core ignores — same motivation as the weighted
+    * rank/label-prop variants). `wEdges` is the canonical undirected
+    * edge list (gsrc < gdst) with an integer weight column `w`; integer
+    * weights keep every peeling decision exact in any partitioning
+    * order, so cross-engine parity needs no float discipline. Same
+    * loop/plan shape as kCore: per round one weighted-degree groupBy +
+    * two semi-joins against the shrinking survivor set.
+    */
+  def kCoreWeighted(wEdges: DataFrame, minWeight: Long,
+      maxIter: Int = 100): DataFrame = {
+    require(minWeight >= 1, s"minWeight must be >= 1, got $minWeight")
+    val und0 = wEdges.select(col("gsrc").as("a"), col("gdst").as("b"), col("w"))
+      .filter(col("a") =!= col("b"))
+      .unionByName(wEdges
+        .select(col("gdst").as("a"), col("gsrc").as("b"), col("w"))
+        .filter(col("a") =!= col("b")))
+      .localCheckpoint()
+    val width = loopWidth(wEdges, und0.count())
+    withoutAqe(wEdges, Some(width)) {
+    var e = und0.coalesce(width)
+    var aliveRows = -1L
+    var converged = false
+    var iter = 0
+    var alive = e.select(col("a").as("gid")).distinct().localCheckpoint()
+    while (!converged && iter < maxIter) {
+      iter += 1
+      val survivors = e.groupBy(col("a")).agg(sum(col("w")).as("wdeg"))
+        .filter(col("wdeg") >= minWeight)
+        .select(col("a").as("gid"))
+        .localCheckpoint()
+      val n = survivors.count()
+      converged = n == aliveRows
+      aliveRows = n
+      alive = survivors
+      if (!converged && n > 0) {
+        e = e
+          .join(hintSmall(survivors.select(col("gid").as("sa")), n),
+            col("a") === col("sa"), "left_semi")
+          .join(hintSmall(survivors.select(col("gid").as("sb")), n),
+            col("b") === col("sb"), "left_semi")
+          .localCheckpoint()
+      } else if (n == 0) converged = true
+    }
+    alive
+    } // withoutAqe
+  }
+
   /** Global triangle count over an undirected simple graph given as
     * (gsrc, gdst) pairs (any orientation, multiplicity allowed — they
     * are canonicalized to a<b and deduped here).

@@ -244,6 +244,50 @@ object TextAnalysis {
       .when(piiCount(textCol) > 0, "pii")
       .otherwise("ok")
 
+  /** Within-document n-gram repetition profile — the Gopher repetition
+    * rules beyond single-word duplication ([[dupWordFrac]] is the
+    * 1-gram face): the mass of the single most frequent word bigram and
+    * the duplicate share of word trigrams. Boilerplate-generated and
+    * loop-generated text scores high on both while passing per-word
+    * filters. One positional explode feeds both gram streams (bigram
+    * counts via a doc-keyed aggregation, trigram distinctness
+    * likewise), so the whole profile is doc-key-partitioned work that
+    * scales linearly with token count — no cross-document state at
+    * all. The keep verdict compares UNROUNDED ratios (identical
+    * division in any engine); the reported fractions are 4dp-rounded
+    * display values.
+    */
+  def repetitionProfile(df: DataFrame, idCol: String, textCol: String,
+      maxTopBigramFrac: Double = 0.05,
+      maxDupTrigramFrac: Double = 0.02): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+        posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "tok")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("pos"))
+    // concat is null-propagating: grams that run off the end drop out
+    val grams = toks.select(col("id"),
+        concat(col("tok"), lit(" "), lead(col("tok"), 1).over(w)).as("bg"),
+        concat(col("tok"), lit(" "), lead(col("tok"), 1).over(w),
+          lit(" "), lead(col("tok"), 2).over(w)).as("tg"))
+      .localCheckpoint()
+    val bg = grams.filter(col("bg").isNotNull)
+      .groupBy(col("id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("id"))
+      .agg(max(col("c")).as("top_bigram_n"), sum(col("c")).as("n_bigrams"))
+    val tg = grams.filter(col("tg").isNotNull)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_trigrams"),
+        countDistinct(col("tg")).as("n_distinct_trigrams"))
+    val tbf = col("top_bigram_n").cast("double") / col("n_bigrams")
+    val dtf = lit(1.0) -
+      col("n_distinct_trigrams").cast("double") / col("n_trigrams")
+    bg.join(tg, "id")
+      .select(col("id"), col("top_bigram_n"),
+        round(tbf, 4).as("top_bigram_frac"),
+        round(dtf, 4).as("dup_trigram_frac"),
+        (tbf <= maxTopBigramFrac && dtf <= maxDupTrigramFrac).as("keep"))
+  }
+
   // ------------------------------------------------- corpus-level signals
 
   /** Per-document boilerplate fraction: the share of a document's

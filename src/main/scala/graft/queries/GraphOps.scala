@@ -159,6 +159,30 @@ object GraphOps {
       graft.PinnedRdds.pinning(spark) { fit.localCheckpoint() }
     })
 
+  /** The SUPPORT-weighted co-purchase edge list (canonical gsrc < gdst,
+    * w = number of orders containing both parts) — the weighted sibling
+    * of [[copurchaseGraph]]'s edge table, pinned once per (session, dir)
+    * and shared by every weighted graph face (g_label_prop_w,
+    * g_kcore_w). Same per-order array derivation as the unweighted
+    * edges; the groupBy keeps the multiplicity the unweighted face
+    * throws away.
+    */
+  private val wCopurchaseCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  private def wCopurchaseCached(spark: SparkSession, dir: String): DataFrame =
+    wCopurchaseCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      val li = Tables.load(spark, dir, "lineitem")
+      val perOrder = li.groupBy(col("l_orderkey"))
+        .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
+      val wedges = perOrder.select(explode(flatten(transform(col("ps"),
+          (x, i) => transform(slice(col("ps"), i + 2, size(col("ps"))),
+            y => struct(x.as("gsrc"), y.as("gdst")))))).as("e"))
+        .groupBy(col("e.gsrc").as("gsrc"), col("e.gdst").as("gdst"))
+        .agg(count(lit(1)).as("w"))
+      graft.PinnedRdds.pinning(spark) { wedges.localCheckpoint() }
+    })
+
   /** The 5-round WEIGHTED label-propagation fit over the
     * support-weighted co-purchase graph (votes weighted by how many
     * orders contain both parts — strong ties dominate the community
@@ -169,14 +193,7 @@ object GraphOps {
 
   private def labelPropWCached(spark: SparkSession, dir: String): DataFrame =
     labelPropWCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
-      val li = Tables.load(spark, dir, "lineitem")
-      val perOrder = li.groupBy(col("l_orderkey"))
-        .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
-      val wedges = perOrder.select(explode(flatten(transform(col("ps"),
-          (x, i) => transform(slice(col("ps"), i + 2, size(col("ps"))),
-            y => struct(x.as("gsrc"), y.as("gdst")))))).as("e"))
-        .groupBy(col("e.gsrc").as("gsrc"), col("e.gdst").as("gdst"))
-        .agg(count(lit(1)).as("w"))
+      val wedges = wCopurchaseCached(spark, dir)
       val (nodes, _) = copurchaseGraph(spark, dir)
       val fit = Algorithms.labelPropagationWeighted(nodes, wedges, iters = 5)
       graft.PinnedRdds.pinning(spark) { fit.localCheckpoint() }
@@ -627,6 +644,23 @@ object GraphOps {
   }
 
   val gKcoreSql: String = GraphOracleSql.kcoreSql(k = 4, rounds = 4)
+
+  /** WEIGHTED core of the support-weighted co-purchase graph: peel
+    * nodes whose incident support sum (orders containing both parts) is
+    * < 80 — the strength-of-ties core, completing the weighted family
+    * (rank, community, core) over the typed edge-property model. On
+    * this near-regular graph the weighted peel cascades for several
+    * rounds where the unweighted 4-core fixes immediately, so the face
+    * also exercises the multi-round shrink path. Oracle: unrolled
+    * weighted peeling (measured fixpoint: round 5 at sf0.01, round 7 at
+    * sf0.1; 9 unrolled — peeling a stable core is a no-op).
+    */
+  def gKcoreW(spark: SparkSession, dir: String): DataFrame = {
+    Algorithms.kCoreWeighted(wCopurchaseCached(spark, dir), minWeight = 80)
+      .agg(count(lit(1)).as("core_size"))
+  }
+
+  val gKcoreWSql: String = GraphOracleSql.kcoreWSql(minWeight = 80, rounds = 9)
 
   /** Adamic-Adar link prediction over the co-purchase graph, anchored on
     * seed parts (partkey < 100) — "what else would these items be
@@ -1152,6 +1186,7 @@ object GraphOps {
     QueryDef.sql("g_label_prop_w", gLabelPropW, gLabelPropWSql),
     QueryDef.sql("g_modularity", gModularity, gModularitySql),
     QueryDef.sql("g_kcore", gKcore, gKcoreSql),
+    QueryDef.sql("g_kcore_w", gKcoreW, gKcoreWSql),
     QueryDef.sql("g_random_walks", gRandomWalks, gRandomWalksSql),
     QueryDef.sql("g_node2vec", gNode2vec, gNode2vecSql),
     QueryDef.sql("g_triangles", gTriangles, gTrianglesSql),

@@ -429,6 +429,41 @@ object GraphOracleSql {
        SELECT count(*) AS core_size FROM s$rounds, converged"""
   }
 
+  /** Unrolled WEIGHTED k-core peeling over the support-weighted
+    * co-purchase graph — the SQL mirror of
+    * [[graft.graph.Algorithms.kCoreWeighted]]: survivors of round i are
+    * nodes whose incident support sum within round i-1's survivor
+    * subgraph is ≥ minWeight. Integer weights keep every peel exact;
+    * the weighted-degree sums are HAVING intermediates (never output
+    * columns), so DuckDB's HUGEINT promotion is harmless. Same
+    * shrink-only self-check as [[kcoreSql]].
+    */
+  def kcoreWSql(minWeight: Long, rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s""",
+       s$i AS MATERIALIZED (
+         SELECT u.a AS gid FROM undw u
+         JOIN s${i - 1} x ON u.a = x.gid
+         JOIN s${i - 1} y ON u.b = y.gid
+         GROUP BY u.a HAVING sum(u.w) >= $minWeight)"""
+    }.mkString
+    s"""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       cew AS MATERIALIZED (
+         SELECT a.l_partkey AS a, b.l_partkey AS b, count(*) AS w
+         FROM op a JOIN op b
+         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         GROUP BY 1, 2),
+       undw AS MATERIALIZED (
+         SELECT a, b, w FROM cew UNION ALL SELECT b AS a, a AS b, w FROM cew),
+       s0 AS MATERIALIZED (SELECT DISTINCT a AS gid FROM undw)$steps,
+       converged AS (
+         SELECT 1 AS ok WHERE CASE WHEN (SELECT count(*) FROM s$rounds) <>
+             (SELECT count(*) FROM s${rounds - 1})
+           THEN error('kcoreW oracle: $rounds unrolled rounds exhausted before fixpoint')
+           ELSE true END)
+       SELECT count(*) AS core_size FROM s$rounds, converged"""
+  }
+
   /** Unrolled k-truss peeling over the bounded co-purchase graph — the
     * SQL mirror of [[graft.graph.Algorithms.kTruss]]: per round,
     * enumerate triangles on the surviving canonical edge set (x<y<z via

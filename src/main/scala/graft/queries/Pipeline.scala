@@ -568,6 +568,47 @@ object Pipeline {
   val pDsirSql: String =
     Importance.dsirSql("documents", "doc_id", "text", "lang = 'en'")
 
+  /** Within-doc n-gram repetition profile (Gopher repetition rules
+    * past the 1-gram [[TextAnalysis.dupWordFrac]]): top-bigram mass +
+    * duplicate-trigram share + the keep verdict. Doc-keyed work only.
+    */
+  def pRepetition(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionProfile(Tables.load(spark, dir, "documents"),
+        "doc_id", "text")
+      .select(col("id").as("doc_id"), col("top_bigram_n"),
+        col("top_bigram_frac"), col("dup_trigram_frac"), col("keep"))
+
+  val pRepetitionSql: String =
+    """WITH t AS (
+         SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+         FROM documents),
+       tok AS (
+         SELECT doc_id, generate_subscripts(w, 1) AS pos, unnest(w) AS tok
+         FROM t),
+       bgs AS (
+         SELECT doc_id, tok || ' ' || lead(tok) OVER
+           (PARTITION BY doc_id ORDER BY pos) AS g
+         FROM tok),
+       tgs AS (
+         SELECT doc_id, tok || ' ' || lead(tok, 1) OVER w
+                || ' ' || lead(tok, 2) OVER w AS g
+         FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       bgc AS (
+         SELECT doc_id, g, count(*) AS c FROM bgs
+         WHERE g IS NOT NULL GROUP BY 1, 2),
+       bga AS (
+         SELECT doc_id, max(c) AS topn, CAST(sum(c) AS BIGINT) AS nbg
+         FROM bgc GROUP BY 1),
+       tga AS (
+         SELECT doc_id, count(*) AS ntg, count(DISTINCT g) AS ndtg
+         FROM tgs WHERE g IS NOT NULL GROUP BY 1)
+       SELECT b.doc_id, b.topn AS top_bigram_n,
+              round(b.topn / CAST(b.nbg AS DOUBLE), 4) AS top_bigram_frac,
+              round(1.0 - t.ndtg / CAST(t.ntg AS DOUBLE), 4) AS dup_trigram_frac,
+              (b.topn / CAST(b.nbg AS DOUBLE) <= 0.05 AND
+               1.0 - t.ndtg / CAST(t.ntg AS DOUBLE) <= 0.02) AS keep
+       FROM bga b JOIN tga t ON b.doc_id = t.doc_id"""
+
   /** Per-doc character-distribution Shannon entropy (bits) — the
     * compression-ratio junk detector.
     */
@@ -2010,6 +2051,7 @@ object Pipeline {
     QueryDef.rowsOnly("p_vocab_overlap_kmv", pVocabOverlapKmv),
     QueryDef.sql("p_weighted_sample", pWeightedSample, pWeightedSampleSql),
     QueryDef.sql("p_pmi", pPmi, pPmiSql),
+    QueryDef.sql("p_repetition", pRepetition, pRepetitionSql),
     QueryDef.sql("p_char_entropy", pCharEntropy, pCharEntropySql),
     QueryDef.sql("p_perplexity_buckets", pPerplexityBuckets, pPerplexityBucketsSql),
     QueryDef.sql("p_line_dedup", pLineDedup, pLineDedupSql),

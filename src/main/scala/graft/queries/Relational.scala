@@ -1222,8 +1222,51 @@ object Relational {
        FROM comp c JOIN sz s USING (entity_id)
        JOIN part rp ON rp.p_partkey = c.entity_id"""
 
+  /** Unbounded-depth hierarchy rollup — the recursive-CTE face
+    * (reference MATCH chains are fixed-depth; this is the WITH
+    * RECURSIVE generalization). A synthetic customer forest (parent =
+    * custkey/10, roots at custkey < 10) is closed transitively by
+    * [[graft.operators.Hierarchy.closure]] — pointer doubling, O(log d)
+    * shuffle rounds where the linear recursion a recursive CTE runs
+    * pays O(d) — then each ancestor's subtree is rolled up: descendant
+    * count, max depth, and subtree balance. Balances sum as exact
+    * integer cents (acctbal is 2dp) so the rollup is order-independent
+    * in both engines; the only float op is the final /100 display
+    * division. Oracle: the same forest via an actual WITH RECURSIVE.
+    */
+  def qHierRollup(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer")
+    val parents = c.select(col("c_custkey").as("node"),
+        floor(col("c_custkey") / 10).cast("long").as("parent"))
+      .filter(col("parent") >= 1)
+    val anc = graft.operators.Hierarchy.closure(parents)
+    val cents = c.select(col("c_custkey").as("ck"),
+      round(col("c_acctbal") * 100).cast("long").as("cents"))
+    anc.join(cents, col("node") === col("ck"))
+      .groupBy(col("anc").as("ancestor"))
+      .agg(count(lit(1)).as("n_desc"),
+        max(col("depth")).as("max_depth"),
+        round(sum(col("cents")) / 100.0, 2).as("desc_balance"))
+  }
+
+  val qHierRollupSql: String =
+    """WITH RECURSIVE anc AS (
+         SELECT c_custkey AS node, c_custkey // 10 AS anc,
+                CAST(1 AS BIGINT) AS depth
+         FROM customer WHERE c_custkey // 10 >= 1
+         UNION ALL
+         SELECT node, anc // 10, depth + 1 FROM anc WHERE anc // 10 >= 1)
+       SELECT a.anc AS ancestor,
+              count(*) AS n_desc,
+              max(a.depth) AS max_depth,
+              round(CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                    / 100.0, 2) AS desc_balance
+       FROM anc a JOIN customer c ON a.node = c.c_custkey
+       GROUP BY 1"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q1_agg", q1Agg, q1AggSql),
+    QueryDef.sql("q_hier_rollup", qHierRollup, qHierRollupSql),
     QueryDef.sql("q_rollup", qRollup, qRollupSql),
     QueryDef.sql("q_cube", qCube, qCubeSql),
     QueryDef.sql("q_topk_agg", qTopkAgg, qTopkAggSql),

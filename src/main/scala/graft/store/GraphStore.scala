@@ -130,10 +130,11 @@ object GraphStore {
       else writer
     format match {
       case "parquet" => partitioned.parquet(path)
+      case "orc" => partitioned.orc(path)
       case "csv" => partitioned.option("header", "true").csv(path)
       case "json" => partitioned.json(path)
       case other => throw new IllegalArgumentException(
-        s"unsupported sink format: $other (parquet, csv, json)")
+        s"unsupported sink format: $other (parquet, orc, csv, json)")
     }
   }
 }

@@ -29,10 +29,11 @@ object Ingest {
     val base = spark.read.options(options).schema(schema)
     format match {
       case "parquet" => (path: String) => base.parquet(path)
+      case "orc" => (path: String) => base.orc(path)
       case "csv" => (path: String) => base.option("header", "true").csv(path)
       case "json" => (path: String) => base.json(path)
       case other => throw new IllegalArgumentException(
-        s"unsupported ingest format: $other (parquet, csv, json)")
+        s"unsupported ingest format: $other (parquet, orc, csv, json)")
     }
   }
 

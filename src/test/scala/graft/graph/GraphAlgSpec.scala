@@ -132,6 +132,34 @@ class GraphAlgSpec extends SparkSpec {
     assert(Algorithms.kCore(edges, k = 4).isEmpty)
   }
 
+  test("weighted k-core peels by weighted degree, not edge count") {
+    import spark.implicits._
+    // triangle {1,2,3} with heavy edges (w=5 each → wdeg 10) plus hub 4
+    // attached to all three by light edges (w=1 each → wdeg 3): at
+    // minWeight=6 the hub peels even though its plain degree (3) equals
+    // the triangle nodes'; after the peel the triangle is stable at 10.
+    val wedges = Seq(
+      (1L, 2L, 5L), (1L, 3L, 5L), (2L, 3L, 5L),
+      (1L, 4L, 1L), (2L, 4L, 1L), (3L, 4L, 1L)).toDF("gsrc", "gdst", "w")
+    val core = Algorithms.kCoreWeighted(wedges, minWeight = 6)
+      .collect().map(_.getLong(0)).toSet
+    assert(core === Set(1L, 2L, 3L))
+    // at minWeight=3 nothing peels; far above the densest wdeg: empty
+    val all = Algorithms.kCoreWeighted(wedges, minWeight = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(all === Set(1L, 2L, 3L, 4L))
+    assert(Algorithms.kCoreWeighted(wedges, minWeight = 11).isEmpty)
+    // a cascade: peeling the hub drops a borderline node next round
+    // path 5-6 (w=2) hanging off the triangle via 6: 6's wdeg = 2+5;
+    val wedges2 = Seq(
+      (1L, 2L, 5L), (1L, 3L, 5L), (2L, 3L, 5L),
+      (3L, 6L, 5L), (5L, 6L, 2L)).toDF("gsrc", "gdst", "w")
+    // minWeight=7: 5 peels (wdeg 2), then 6 (5), triangle stable (10)
+    val c2 = Algorithms.kCoreWeighted(wedges2, minWeight = 7)
+      .collect().map(_.getLong(0)).toSet
+    assert(c2 === Set(1L, 2L, 3L))
+  }
+
   test("sssp prefers a lighter multi-hop path and respects the hop bound") {
     import spark.implicits._
     // 1→4 direct costs 10; 1→2→3→4 costs 3; 1→5 only via 4 edges

@@ -203,6 +203,39 @@ class RandomizedAlgSpec extends SparkSpec {
     }
   }
 
+  test("weighted k-core matches driver peeling on random weighted graphs") {
+    (61 to 68).foreach { seed =>
+      import spark.implicits._
+      val rnd = new Random(seed)
+      val n = 4 + rnd.nextInt(9)
+      val m = rnd.nextInt(3 * n)
+      // canonical a<b weighted simple edges (the operator's contract)
+      val wedges = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .filter { case (a, b) => a != b }
+        .groupBy(identity).map { case ((a, b), dup) => (a, b, dup.size.toLong) }
+        .toSeq
+      val edf =
+        if (wedges.isEmpty) Seq((0L, 1L, 1L)).toDF("gsrc", "gdst", "w").limit(0)
+        else wedges.toDF("gsrc", "gdst", "w")
+      (1 to 4).foreach { minW =>
+        val got = Algorithms.kCoreWeighted(edf, minW.toLong)
+          .collect().map(_.getLong(0)).toSet
+        val und = wedges.flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) }
+        var alive = und.map(_._1).toSet
+        var changed = true
+        while (changed) {
+          val wdeg = und.filter { case (a, b, _) => alive(a) && alive(b) }
+            .groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+          val next = alive.filter(v => wdeg.getOrElse(v, 0L) >= minW)
+          changed = next != alive
+          alive = next
+        }
+        assert(got === alive, s"seed=$seed minW=$minW edges=$wedges")
+      }
+    }
+  }
+
   test("pagerank matches driver power iteration on random digraphs") {
     (31 to 35).foreach { seed =>
       val (nodes, edges) = randomGraph(seed)

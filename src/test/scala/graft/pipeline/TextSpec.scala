@@ -19,6 +19,25 @@ class TextSpec extends SparkSpec {
     assert(hello === 0xa430d84680aabd0bL)
   }
 
+  test("repetitionProfile counts top-bigram mass and duplicate trigrams") {
+    import spark.implicits._
+    // "a b a b a b": bigrams = [a b, b a, a b, b a, a b] → top "a b"=3 of 5;
+    // trigrams = [a b a, b a b, a b a, b a b] → 2 distinct of 4 → dup 0.5
+    // "x y z w": all grams unique → top bigram 1/3, dup 0
+    val df = Seq((1L, "a b a b a b"), (2L, "x y z w")).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionProfile(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(got(1L) === ((3L, 0.6, 0.5, false)))
+    assert(got(2L) === ((1L, 0.3333, 0.0, false)))
+    // a long unique doc passes both thresholds
+    val long = (1 to 100).map(i => s"w$i").mkString(" ")
+    val keep = TextAnalysis.repetitionProfile(
+        Seq((3L, long)).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().head
+    assert(keep.getBoolean(4))
+  }
+
   test("langId picks the language with most marker hits") {
     import spark.implicits._
     val df = Seq(

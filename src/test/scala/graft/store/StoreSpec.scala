@@ -102,7 +102,9 @@ class StoreSpec extends SparkSpec {
       .toDF("_id", "name", "age", "score", "ok")
     GraphStore.writeTable(df, s"$dir/csv", format = "csv")
     GraphStore.writeTable(df, s"$dir/json", format = "json")
-    Seq("csv" -> s"$dir/csv", "json" -> s"$dir/json").foreach { case (fmt, path) =>
+    GraphStore.writeTable(df, s"$dir/orc", format = "orc")
+    Seq("csv" -> s"$dir/csv", "json" -> s"$dir/json",
+        "orc" -> s"$dir/orc").foreach { case (fmt, path) =>
       val back = Ingest.readNodes(spark, nt, path, format = fmt)
       // file sources force nullable=true on read (Spark semantics);
       // names and types must match the catalog exactly
