@@ -1167,6 +1167,58 @@ object Algorithms {
       .orderBy(col("jaccard").desc, col("x"), col("y")).limit(topK)
   }
 
+  /** Seed-anchored Swing item-similarity over a bipartite
+    * (container, item) incidence table — the substitute-detection
+    * recommender from Alibaba's production stack (Yang et al. 2020,
+    * "Large Scale Product Graph Construction for Recommendation"):
+    * items i,j are similar when many CONTAINER PAIRS co-hold both, and
+    * each pair's vote is discounted by how much the two containers
+    * overlap overall — 1/(α + |I_u ∩ I_v|) — so two near-identical
+    * carts add little evidence while independent co-occurrences add a
+    * lot (the robustness-to-cliques property common-neighbor scores
+    * lack). Anchoring pairs on a seed item bounds the container-pair
+    * volume by Σ_seed |U_seed|² — graph-size-independent, the same
+    * scale discipline as [[adamicAdarFor]]; the per-pair intersection
+    * runs on sorted adjacency arrays inside the map stage (the
+    * edge-iterator trick), never as a joined item stream.
+    *
+    * Float discipline: contributions are exact integers
+    * floor(1e6/(α+k) + 0.5), summed as longs, divided once at the end
+    * (the BM25/dataset-card treatment), so the top-k cutoff is
+    * ULP-stable in any engine.
+    *
+    * @param incidence (o, p) distinct container-item pairs
+    * @param seeds     one-column item frame (p) to anchor on
+    */
+  def swingFor(incidence: DataFrame, seeds: DataFrame, alpha: Double,
+      topK: Int): DataFrame = {
+    val items = incidence.groupBy(col("o"))
+      .agg(array_sort(collect_set(col("p"))).as("ps"))
+      .localCheckpoint() // feeds both sides of the pair join
+    val so = incidence
+      .join(broadcast(seeds.select(col("p").as("seed"))), col("p") === col("seed"))
+      .select(col("seed"), col("o"))
+    val pairs = so.select(col("seed"), col("o").as("u"))
+      .join(so.select(col("seed").as("s2"), col("o").as("v")),
+        col("seed") === col("s2") && col("u") < col("v"))
+      .select(col("seed"), col("u"), col("v"))
+    val inter = pairs
+      .join(items.select(col("o").as("u2"), col("ps").as("psu")), col("u") === col("u2"))
+      .join(items.select(col("o").as("v2"), col("ps").as("psv")), col("v") === col("v2"))
+      .select(col("seed"), array_intersect(col("psu"), col("psv")).as("sh"))
+    val contrib = inter
+      .select(col("seed"),
+        explode(col("sh")).as("j"),
+        floor(lit(1e6) / (lit(alpha) + size(col("sh"))) + lit(0.5))
+          .cast("long").as("c6"))
+      .filter(col("j") =!= col("seed"))
+    contrib.groupBy(col("seed"), col("j"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("c6")).as("s6"))
+      .select(col("seed").as("part_a"), col("j").as("part_b"), col("n_pairs"),
+        round(col("s6") / 1e6, 6).as("swing"))
+      .orderBy(col("swing").desc, col("part_a"), col("part_b")).limit(topK)
+  }
+
   /** Degree assortativity: the Pearson correlation of endpoint degrees
     * across the undirected edge list (each edge contributing both
     * orientations — the standard estimator for undirected graphs).

@@ -89,9 +89,19 @@ object Cluster {
     */
   def semDedup(emb: DataFrame, idCol: String, vecCol: String,
       k: Int, rounds: Int, threshold: Double,
-      maxClusterSize: Long = Long.MaxValue): DataFrame = {
+      maxClusterSize: Long = Long.MaxValue): DataFrame =
     // materialize the fitted assignment once: both self-join legs read it
-    val asg0 = kmeansAssign(emb, idCol, vecCol, k, rounds).localCheckpoint()
+    semDedupFromAssign(
+      kmeansAssign(emb, idCol, vecCol, k, rounds).localCheckpoint(),
+      threshold, maxClusterSize)
+
+  /** [[semDedup]] over an already-fitted (and materialized) assignment
+    * — the face a deployment uses when the k-means fit is a pinned
+    * corpus artifact shared across semantic faces rather than refit
+    * per query.
+    */
+  def semDedupFromAssign(asg0: DataFrame, threshold: Double,
+      maxClusterSize: Long = Long.MaxValue): DataFrame = {
     // population guard, same posture as Dedup.boundBuckets: the pairwise
     // stage is Σ|cluster|² by design, and a degenerate fit (k too small,
     // all-similar corpus) regresses toward n² on one join key with no
@@ -134,8 +144,13 @@ object Cluster {
     * it swaps for the mergeable `approx_percentile` sketch unchanged.
     */
   def embedOutliers(emb: DataFrame, idCol: String, vecCol: String,
-      k: Int, rounds: Int, q: Double): DataFrame = {
-    val asg = kmeansAssign(emb, idCol, vecCol, k, rounds).localCheckpoint()
+      k: Int, rounds: Int, q: Double): DataFrame =
+    embedOutliersFromAssign(
+      kmeansAssign(emb, idCol, vecCol, k, rounds).localCheckpoint(), q)
+
+  /** [[embedOutliers]] over an already-fitted materialized assignment
+    * (pinned-fit contract, as [[semDedupFromAssign]]). */
+  def embedOutliersFromAssign(asg: DataFrame, q: Double): DataFrame = {
     val thr = asg.groupBy(col("cluster"))
       .agg(expr(s"percentile(dist, $q)").as("__thr"))
     asg.join(broadcast(thr), "cluster")

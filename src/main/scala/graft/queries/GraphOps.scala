@@ -702,6 +702,41 @@ object GraphOps {
        FROM (SELECT s, y, round(score, 6) AS score, common FROM na
              ORDER BY round(score, 6) DESC, s, y LIMIT 100)"""
 
+  /** Seed-anchored Swing similarity over the (order, part) bipartite
+    * incidence — the container-pair-voting recommender
+    * ([[graft.graph.Algorithms.swingFor]]); seeds partkey < 50, α=1,
+    * top-100 by the integer-sealed score. Oracle: the same order-pair
+    * enumeration + shared-set counting as joins.
+    */
+  def gSwing(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val op = li.select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    Algorithms.swingFor(op, op.filter(col("p") < 50).select(col("p")).distinct(),
+      alpha = 1.0, topK = 100)
+  }
+
+  val gSwingSql: String =
+    """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       so AS (SELECT p AS seed, o FROM op WHERE p < 50),
+       pr AS (SELECT a.seed, a.o AS u, b.o AS v
+              FROM so a JOIN so b ON a.seed = b.seed AND a.o < b.o),
+       sh AS (SELECT pr.seed, pr.u, pr.v, x.p AS j
+              FROM pr JOIN op x ON x.o = pr.u
+              JOIN op y ON y.o = pr.v AND y.p = x.p),
+       kk AS (SELECT seed, u, v, count(*) AS k FROM sh GROUP BY 1, 2, 3),
+       contrib AS (
+         SELECT s.seed, s.j,
+                CAST(floor(1000000.0 / (1.0 + k.k) + 0.5) AS BIGINT) AS c6
+         FROM sh s JOIN kk k ON s.seed = k.seed AND s.u = k.u AND s.v = k.v
+         WHERE s.j <> s.seed),
+       agg AS (SELECT seed, j, count(*) AS n_pairs,
+                      CAST(sum(c6) AS BIGINT) AS s6
+               FROM contrib GROUP BY 1, 2)
+       SELECT seed AS part_a, j AS part_b, n_pairs,
+              round(s6 / 1000000.0, 6) AS swing
+       FROM agg ORDER BY round(s6 / 1000000.0, 6) DESC, part_a, part_b
+       LIMIT 100"""
+
   /** Triangle count over the co-purchase graph. */
   def gTriangles(spark: SparkSession, dir: String): DataFrame =
     Algorithms.triangleCount(orientedCached(spark, dir))
@@ -1193,6 +1228,7 @@ object GraphOps {
     QueryDef.sql("g_clustering_coef", gClusteringCoef, gClusteringCoefSql),
     QueryDef.sql("g_adamic_adar", gAdamicAdar, gAdamicAdarSql),
     QueryDef.sql("g_jaccard", gJaccard, gJaccardSql),
+    QueryDef.sql("g_swing", gSwing, gSwingSql),
     QueryDef.sql("g_harmonic", gHarmonic, gHarmonicSql),
     QueryDef.sql("g_closeness", gCloseness, gClosenessSql),
     QueryDef.sql("g_eccentricity", gEccentricity, gEccentricitySql),

@@ -1222,6 +1222,94 @@ object Relational {
        FROM comp c JOIN sz s USING (entity_id)
        JOIN part rp ON rp.p_partkey = c.entity_id"""
 
+  /** Gaps-and-islands: longest consecutive-day activity streak per
+    * user — the canonical islands detection via the date-minus-dense-
+    * rank constant: within a user's DISTINCT active days ordered by
+    * date, day − row_number() is constant exactly on a consecutive run.
+    * One user-keyed dedup + one user-keyed window + one (user, island)
+    * aggregation — no self-joins, no day-by-day iteration; all
+    * integers. Top-100 by (streak, active days, user) so the cutoff is
+    * deterministic.
+    */
+  def qStreaks(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables.load(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val islands = days
+      .select(col("user_id"), col("day"),
+        (datediff(col("day"), lit("1970-01-01")) -
+          row_number().over(w)).as("grp"))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+    islands.groupBy(col("user_id"))
+      .agg(max(col("len")).as("longest_streak"),
+        sum(col("len")).as("n_active_days"),
+        count(lit(1)).as("n_streaks"))
+      .orderBy(col("longest_streak").desc, col("n_active_days").desc,
+        col("user_id"))
+      .limit(100)
+  }
+
+  val qStreaksSql: String =
+    """WITH days AS (
+         SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+       isl AS (
+         SELECT user_id,
+                datediff('day', DATE '1970-01-01', day) -
+                  row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+         FROM days),
+       runs AS (
+         SELECT user_id, grp, count(*) AS len
+         FROM isl GROUP BY 1, 2),
+       per_user AS (
+         SELECT user_id, max(len) AS longest_streak,
+                CAST(sum(len) AS BIGINT) AS n_active_days,
+                count(*) AS n_streaks
+         FROM runs GROUP BY 1)
+       SELECT user_id, longest_streak, n_active_days, n_streaks
+       FROM per_user
+       ORDER BY longest_streak DESC, n_active_days DESC, user_id
+       LIMIT 100"""
+
+  /** Last-touch marketing attribution: each purchase credits its value
+    * to the user's most recent PRECEDING engagement touchpoint (click
+    * or view), 'none' when the purchase has no prior touch. One
+    * user-keyed window pass (the running last-non-null touch with an
+    * end-exclusive frame, so a purchase never attributes to itself),
+    * then a touch-type-bounded aggregation — no self-join of events
+    * against events, which is the quadratic formulation at 100 TB.
+    * Values sum as exact integer cents.
+    */
+  def qAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev.select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"),
+        last(when(col("event_type").isin("click", "view"), col("event_type")),
+          ignoreNulls = true).over(w).as("touch"))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("touch"), lit("none")).as("touch"))
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum(col("cents")) / 100.0, 2).as("attributed_value"))
+  }
+
+  val qAttributionSql: String =
+    """WITH t AS (
+         SELECT event_type,
+                CAST(round(value * 100) AS BIGINT) AS cents,
+                last_value(CASE WHEN event_type IN ('click', 'view')
+                                THEN event_type END IGNORE NULLS) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+         FROM events)
+       SELECT coalesce(touch, 'none') AS touch,
+              count(*) AS n_purchases,
+              round(CAST(sum(cents) AS BIGINT) / 100.0, 2) AS attributed_value
+       FROM t WHERE event_type = 'purchase'
+       GROUP BY 1"""
+
   /** Unbounded-depth hierarchy rollup — the recursive-CTE face
     * (reference MATCH chains are fixed-depth; this is the WITH
     * RECURSIVE generalization). A synthetic customer forest (parent =
@@ -1267,6 +1355,8 @@ object Relational {
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q1_agg", q1Agg, q1AggSql),
     QueryDef.sql("q_hier_rollup", qHierRollup, qHierRollupSql),
+    QueryDef.sql("q_attribution", qAttribution, qAttributionSql),
+    QueryDef.sql("q_streaks", qStreaks, qStreaksSql),
     QueryDef.sql("q_rollup", qRollup, qRollupSql),
     QueryDef.sql("q_cube", qCube, qCubeSql),
     QueryDef.sql("q_topk_agg", qTopkAgg, qTopkAggSql),

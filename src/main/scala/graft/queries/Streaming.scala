@@ -19,6 +19,31 @@ object Streaming {
               count(*) AS n_events, round(sum(value), 2) AS sum_value
        FROM events GROUP BY 1, 2"""
 
+  /** Hours where a type's event rate spikes past mean + 3σ
+    * ([[Streams.rateAnomalies]]): per-type moments from exact integer
+    * sums, one broadcast join, flag arithmetic bit-identical across
+    * engines (the single sqrt is applied to identical doubles).
+    */
+  def sRateAnomaly(spark: SparkSession, dir: String): DataFrame =
+    Streams.rateAnomalies(Tables.load(spark, dir, "events"))
+
+  val sRateAnomalySql: String =
+    """WITH hourly AS (
+         SELECT date_trunc('hour', ts) AS window_start, event_type,
+                count(*) AS c
+         FROM events GROUP BY 1, 2),
+       st AS (
+         SELECT event_type AS et, count(*) AS n,
+                CAST(sum(c) AS BIGINT) AS s, CAST(sum(c * c) AS BIGINT) AS ss
+         FROM hourly GROUP BY 1)
+       SELECT h.window_start, h.event_type, h.c AS n_events,
+              round(s / CAST(n AS DOUBLE), 4) AS mean_rate,
+              round(sqrt((ss - s * s / CAST(n AS DOUBLE)) / (n - 1)), 4)
+                AS sd_rate
+       FROM hourly h JOIN st ON h.event_type = st.et
+       WHERE n > 1 AND h.c > s / CAST(n AS DOUBLE) +
+             3.0 * sqrt((ss - s * s / CAST(n AS DOUBLE)) / (n - 1))"""
+
   /** Per-hour heavy hitters over the event stream — the windowed face
     * of the Misra-Gries sketch. Capacity 64 exceeds the event-type
     * domain, so the sketch runs in its exact regime and the plain
@@ -258,5 +283,6 @@ object Streaming {
     QueryDef.sql("s_stream_join", sStreamJoin, sStreamJoinSql),
     QueryDef.sql("s_enrich_agg", sEnrichAgg, sEnrichAggSql),
     QueryDef.sql("s_heavy_hitters", sHeavyHitters, sHeavyHittersSql),
+    QueryDef.sql("s_rate_anomaly", sRateAnomaly, sRateAnomalySql),
     QueryDef.sql("s_topk_window", sTopkWindow, sTopkWindowSql))
 }

@@ -38,6 +38,34 @@ object Streams {
         col("n_events"), col("sum_value"))
   }
 
+  /** Per-type event-rate anomaly screen: hours whose event count
+    * exceeds that type's mean + 3σ across the observed hours — the
+    * ops-dashboard "rate spike" detector. The per-type moment table
+    * (count of hours, Σc, Σc²) is type-domain-bounded, so it rides as
+    * a broadcast join back onto the hourly counts; mean and the
+    * variance numerator derive from EXACT integer sums, making the
+    * flag decision bit-identical in any engine or partitioning (the
+    * one float op is the final sqrt, applied identically on both
+    * sides of the comparison). Sample variance (n−1); single-hour
+    * types can't flag.
+    */
+  def rateAnomalies(events: DataFrame, sigmas: Double = 3.0): DataFrame = {
+    val hourly = events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("c"))
+    val stats = hourly.groupBy(col("event_type").as("et"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
+        sum(col("c") * col("c")).as("ss"))
+    val mean = col("s").cast("double") / col("n")
+    val sd = sqrt((col("ss") - col("s") * col("s") / col("n").cast("double"))
+      / (col("n") - 1))
+    hourly.join(broadcast(stats), col("event_type") === col("et"))
+      .filter(col("n") > 1 && col("c") > mean + lit(sigmas) * sd)
+      .select(col("window_start"), col("event_type"), col("c").as("n_events"),
+        round(mean, 4).as("mean_rate"), round(sd, 4).as("sd_rate"))
+  }
+
   /** Per-window Misra-Gries heavy hitters: the frequency sketch
     * ([[graft.operators.FreqSketch]]) keyed by tumbling window — "what
     * dominated each hour" with k-bounded state per window, the form the

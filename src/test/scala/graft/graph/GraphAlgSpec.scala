@@ -160,6 +160,25 @@ class GraphAlgSpec extends SparkSpec {
     assert(c2 === Set(1L, 2L, 3L))
   }
 
+  test("swing discounts overlapping container pairs and skips the seed") {
+    import spark.implicits._
+    // containers: u1={A,B}, u2={A,B}, u3={A,C}, u4={A,B,C} (A=1,B=2,C=3)
+    val op = Seq(
+      (10L, 1L), (10L, 2L),
+      (20L, 1L), (20L, 2L),
+      (30L, 1L), (30L, 3L),
+      (40L, 1L), (40L, 2L), (40L, 3L)).toDF("o", "p")
+    val seeds = Seq(1L).toDF("p")
+    val got = Algorithms.swingFor(op, seeds, alpha = 1.0, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    // swing(A,B): pairs (u1,u2) k=2, (u1,u4) k=2, (u2,u4) k=2 → 3·(1/3)
+    // swing(A,C): pair (u3,u4) k=2 → 1/3; (u1,u3) etc. share only {A}
+    assert(got((1L, 2L)) === ((3L, 0.999999)))
+    assert(got((1L, 3L)) === ((1L, 0.333333)))
+    assert(got.size === 2)
+  }
+
   test("sssp prefers a lighter multi-hop path and respects the hop bound") {
     import spark.implicits._
     // 1→4 direct costs 10; 1→2→3→4 costs 3; 1→5 only via 4 edges

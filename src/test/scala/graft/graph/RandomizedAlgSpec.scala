@@ -203,6 +203,41 @@ class RandomizedAlgSpec extends SparkSpec {
     }
   }
 
+  test("swing matches driver enumeration on random bipartite incidences") {
+    (71 to 76).foreach { seed =>
+      import spark.implicits._
+      val rnd = new Random(seed)
+      val nO = 3 + rnd.nextInt(5)
+      val nP = 3 + rnd.nextInt(4)
+      val inc = Seq.fill(4 * nO)((rnd.nextInt(nO).toLong, rnd.nextInt(nP).toLong))
+        .distinct
+      val incDf = inc.toDF("o", "p")
+      val seeds = Seq(0L, 1L).toDF("p")
+      val got = Algorithms.swingFor(incDf, seeds, alpha = 1.0, topK = 1000)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getDouble(3)))).toMap
+      // driver enumeration with the same integer-sealed contributions
+      val items = inc.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val acc = scala.collection.mutable.Map.empty[(Long, Long), (Long, Long)]
+      for {
+        s <- Seq(0L, 1L)
+        us = items.filter(_._2.contains(s)).keys.toSeq.sorted
+        u <- us; v <- us if u < v
+        shared = items(u) & items(v)
+        c6 = math.floor(1e6 / (1.0 + shared.size) + 0.5).toLong
+        j <- shared if j != s
+      } {
+        val k = (s, j)
+        val (n, t) = acc.getOrElse(k, (0L, 0L))
+        acc(k) = (n + 1, t + c6)
+      }
+      val expected = acc.view.mapValues { case (n, t) =>
+        (n, math.round(t / 1e6 * 1e6) / 1e6)
+      }.toMap
+      assert(got === expected, s"seed=$seed inc=$inc")
+    }
+  }
+
   test("weighted k-core matches driver peeling on random weighted graphs") {
     (61 to 68).foreach { seed =>
       import spark.implicits._
