@@ -1222,6 +1222,50 @@ object Relational {
        FROM comp c JOIN sz s USING (entity_id)
        JOIN part rp ON rp.p_partkey = c.entity_id"""
 
+  /** Revenue-concentration (Pareto/Lorenz) report: customers ranked by
+    * exact-cents revenue, cut into rank deciles, each decile's share of
+    * total revenue — "the top 10% of customers produce X%". The only
+    * single-partition window (ntile over the customer ranking) touches
+    * the CUSTOMER aggregate, never order rows, and at 100 TB swaps for
+    * rank()-over-count bucketing on the same sorted aggregate without
+    * changing the result. Shares divide exact integer cent sums, sealed
+    * at 6dp.
+    */
+  def qPareto(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.load(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val w = Window.orderBy(col("cents").desc, col("o_custkey"))
+    val deciles = perCust.select(col("cents"), ntile(10).over(w).as("decile"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("cents")).as("dc"))
+    val total = perCust.agg(sum(col("cents")).as("tc"))
+    deciles.crossJoin(broadcast(total))
+      .select(col("decile").cast("long").as("decile"), col("n_customers"),
+        round(col("dc") / 100.0, 2).as("decile_revenue"),
+        round(col("dc").cast("double") / col("tc"), 6).as("revenue_share"))
+  }
+
+  val qParetoSql: String =
+    """WITH pc AS (
+         SELECT o_custkey,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                  AS cents
+         FROM orders GROUP BY 1),
+       dec AS (
+         SELECT cents,
+                ntile(10) OVER (ORDER BY cents DESC, o_custkey) AS decile
+         FROM pc),
+       agg AS (
+         SELECT decile, count(*) AS n_customers,
+                CAST(sum(cents) AS BIGINT) AS dc
+         FROM dec GROUP BY 1)
+       SELECT CAST(decile AS BIGINT) AS decile, n_customers,
+              round(dc / 100.0, 2) AS decile_revenue,
+              round(dc / CAST((SELECT sum(cents) FROM pc) AS DOUBLE), 6)
+                AS revenue_share
+       FROM agg"""
+
   /** Gaps-and-islands: longest consecutive-day activity streak per
     * user — the canonical islands detection via the date-minus-dense-
     * rank constant: within a user's DISTINCT active days ordered by
@@ -1357,6 +1401,7 @@ object Relational {
     QueryDef.sql("q_hier_rollup", qHierRollup, qHierRollupSql),
     QueryDef.sql("q_attribution", qAttribution, qAttributionSql),
     QueryDef.sql("q_streaks", qStreaks, qStreaksSql),
+    QueryDef.sql("q_pareto", qPareto, qParetoSql),
     QueryDef.sql("q_rollup", qRollup, qRollupSql),
     QueryDef.sql("q_cube", qCube, qCubeSql),
     QueryDef.sql("q_topk_agg", qTopkAgg, qTopkAggSql),

@@ -15,6 +15,12 @@ final case class SessionOutput(user_id: Long, session_start: java.sql.Timestamp,
 final case class BloomDedupRow(bucket: Int, khash: Long, event_id: Long,
     ts: java.sql.Timestamp, user_id: Long, event_type: String, value: Double)
 
+/** Row shapes for the streaming ordered funnel. */
+final case class FunnelInput(user_id: Long, event_type: String,
+    ts: java.sql.Timestamp, event_id: Long)
+final case class FunnelState(step: Int, lastTsUs: Long)
+final case class FunnelHit(user_id: Long, step: Int, ts: java.sql.Timestamp)
+
 /** Streaming analytics (SURVEY §2.5) — the Structured-Streaming
   * re-expression of the reference's WAL tailing (server/commitlog.go).
   *
@@ -277,6 +283,57 @@ object Streams {
     * event_type/value); generalizing to arbitrary input rows means
     * struct-packing the payload through [[BloomDedupRow]].
     */
+  /** Streaming ordered funnel — the stream face of
+    * [[graft.operators.Funnel]]: per user, advance a step cursor when
+    * the NEXT needed step type arrives strictly after the previous
+    * step's time, emitting one (user, step, ts) row per completion.
+    *
+    * Per-user state is a step index + one timestamp — CONSTANT bytes
+    * per user regardless of event volume (never a buffered event
+    * array; the one-bot-user-with-10M-events case costs the same 12
+    * bytes as anyone else). For per-user-IN-ORDER delivery the greedy
+    * cursor computes exactly the batch funnel's earliest-completion
+    * recursion (t1 = first step-1 event; t_{i+1} = first step-(i+1)
+    * event strictly after t_i): processing in time order makes "first
+    * seen that qualifies" ≡ "minimum that qualifies". Each micro-batch
+    * is sorted by (ts, event_id) before folding, so the guarantee
+    * needed from the transport is per-user in-order BATCHES, not
+    * in-order rows. StreamingSpec drives multi-batch streams against
+    * the batch operator; completed steps are final (append mode), so
+    * no retraction is ever needed.
+    */
+  def funnelStream(events: DataFrame, steps: Seq[String]): Dataset[FunnelHit] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val src = events.select(col("user_id").cast("long").as("user_id"),
+        col("event_type"), col("ts"), col("event_id").cast("long").as("event_id"))
+      .as[FunnelInput]
+
+    def update(userId: Long, it: Iterator[FunnelInput],
+        state: GroupState[FunnelState]): Iterator[FunnelHit] = {
+      var st = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+      val out = Seq.newBuilder[FunnelHit]
+      it.toSeq.sortBy(e => (e.ts.getTime * 1000 + e.ts.getNanos / 1000 % 1000,
+          e.event_id))
+        .foreach { e =>
+          if (st.step < steps.length && e.event_type == steps(st.step)) {
+            val tUs = e.ts.getTime * 1000 + e.ts.getNanos / 1000 % 1000
+            if (st.step == 0 || tUs > st.lastTsUs) {
+              st = FunnelState(st.step + 1, tUs)
+              out += FunnelHit(userId, st.step, e.ts)
+            }
+          }
+        }
+      state.update(st)
+      out.result().iterator
+    }
+
+    src.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(update)
+  }
+
   def bloomDedupStream(events: DataFrame, key: org.apache.spark.sql.Column,
       buckets: Int = 64, expectedPerBucket: Long = 1000000L,
       fpp: Double = 0.01): DataFrame = {

@@ -172,6 +172,50 @@ class StreamingSpec extends SparkSpec {
     assert(batch === got)
   }
 
+  test("streaming funnel matches the batch earliest-completion recursion") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val steps = Seq("view", "click", "purchase")
+    // user 1 completes all three (with a decoy purchase BEFORE its
+    // click); user 2 stalls at view (its purchase precedes any click);
+    // user 3's click arrives before any view → never starts; user 4's
+    // click ties the view timestamp → strictness blocks step 2
+    val evs = Seq(
+      Ev(1, ts(0), 1, "view", 0.0), Ev(2, ts(1), 1, "purchase", 0.0),
+      Ev(3, ts(2), 1, "click", 0.0), Ev(4, ts(9), 1, "purchase", 0.0),
+      Ev(5, ts(3), 2, "purchase", 0.0), Ev(6, ts(4), 2, "view", 0.0),
+      Ev(7, ts(5), 3, "click", 0.0),
+      Ev(8, ts(6), 4, "view", 0.0), Ev(9, ts(6), 4, "click", 0.0))
+    val source = MemoryStream[Ev]
+    val hits = Streams.funnelStream(source.toDF(), steps)
+    val q = hits.writeStream
+      .format("memory").queryName("funnel_out").outputMode("append").start()
+    try {
+      // split across micro-batches at a per-user in-order boundary
+      source.addData(evs.filter(_.ts.before(ts(5))): _*)
+      q.processAllAvailable()
+      source.addData(evs.filterNot(_.ts.before(ts(5))): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("funnel_out")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getTimestamp(2))).toSet
+    assert(got === Set(
+      (1L, 1, ts(0)), (1L, 2, ts(2)), (1L, 3, ts(9)),
+      (2L, 1, ts(4)),
+      (4L, 1, ts(6))))
+    // batch parity: per-step survivor counts from the batch operator
+    val frames = graft.operators.Funnel.stepTimes(
+      evs.toDF(), "user_id", "event_type", "ts", steps)
+    assert(frames.map(_.count()) === Seq(3L, 1L, 1L))
+    val streamed = spark.table("funnel_out")
+    steps.indices.foreach { i =>
+      val streamUsers = streamed.filter(col("step") === i + 1)
+        .select("user_id").collect().map(_.getLong(0)).toSet
+      val batchUsers = frames(i).select("user").collect().map(_.getLong(0)).toSet
+      assert(streamUsers === batchUsers, s"step ${i + 1}")
+    }
+  }
+
   test("stateful streaming sessionize closes sessions past the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
