@@ -737,6 +737,60 @@ object GraphOps {
        FROM agg ORDER BY round(s6 / 1000000.0, 6) DESC, part_a, part_b
        LIMIT 100"""
 
+  /** Rich-club coefficient at degree threshold 150 (~top decile of the
+    * co-purchase degree distribution): edge density among the
+    * high-degree "club" vs the whole graph's density — do hubs
+    * preferentially interconnect (Colizza et al. 2006)? Exact integer
+    * counts (club size, within-club edges, graph totals) with the two
+    * density divisions and their ratio sealed at 6dp; the club edge
+    * filter is two semi-joins of the canonical edge list against the
+    * degree-filtered node set — node-scale state, one pass over edges.
+    */
+  def gRichClub(spark: SparkSession, dir: String): DataFrame = {
+    val (_, edges) = copurchaseGraph(spark, dir)
+    val deg = edges.select(col("gsrc").as("z"))
+      .unionByName(edges.select(col("gdst").as("z")))
+      .groupBy(col("z")).agg(count(lit(1)).as("d"))
+    val rich = deg.filter(col("d") > 150).select(col("z")).localCheckpoint()
+    val within = edges
+      .join(rich.select(col("z").as("ra")), col("gsrc") === col("ra"), "left_semi")
+      .join(rich.select(col("z").as("rb")), col("gdst") === col("rb"), "left_semi")
+    val stats = rich.agg(count(lit(1)).as("n_rich"))
+      .crossJoin(within.agg(count(lit(1)).as("e_rich")))
+      .crossJoin(deg.agg(count(lit(1)).as("n_all")))
+      .crossJoin(edges.agg(count(lit(1)).as("e_all")))
+    val clubD = col("e_rich") * 2.0 / (col("n_rich") * (col("n_rich") - 1))
+    val allD = col("e_all") * 2.0 / (col("n_all") * (col("n_all") - 1))
+    stats.select(col("n_rich"), col("e_rich"),
+      round(clubD, 6).as("club_density"),
+      round(allD, 6).as("graph_density"),
+      round(clubD / allD, 6).as("rich_club_coef"))
+  }
+
+  val gRichClubSql: String =
+    """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       ce AS MATERIALIZED (
+         SELECT a.l_partkey AS a, b.l_partkey AS b
+         FROM op a JOIN op b
+         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         GROUP BY 1, 2),
+       und AS (SELECT a, b FROM ce UNION ALL SELECT b AS a, a AS b FROM ce),
+       deg AS (SELECT a AS z, count(*) AS d FROM und GROUP BY 1),
+       rich AS (SELECT z FROM deg WHERE d > 150),
+       stats AS (
+         SELECT (SELECT count(*) FROM rich) AS n_rich,
+                (SELECT count(*) FROM ce
+                 WHERE a IN (SELECT z FROM rich)
+                   AND b IN (SELECT z FROM rich)) AS e_rich,
+                (SELECT count(*) FROM deg) AS n_all,
+                (SELECT count(*) FROM ce) AS e_all)
+       SELECT n_rich, e_rich,
+              round(e_rich * 2.0 / (n_rich * (n_rich - 1)), 6) AS club_density,
+              round(e_all * 2.0 / (n_all * (n_all - 1)), 6) AS graph_density,
+              round((e_rich * 2.0 / (n_rich * (n_rich - 1))) /
+                    (e_all * 2.0 / (n_all * (n_all - 1))), 6) AS rich_club_coef
+       FROM stats"""
+
   /** Triangle count over the co-purchase graph. */
   def gTriangles(spark: SparkSession, dir: String): DataFrame =
     Algorithms.triangleCount(orientedCached(spark, dir))
@@ -1229,6 +1283,7 @@ object GraphOps {
     QueryDef.sql("g_adamic_adar", gAdamicAdar, gAdamicAdarSql),
     QueryDef.sql("g_jaccard", gJaccard, gJaccardSql),
     QueryDef.sql("g_swing", gSwing, gSwingSql),
+    QueryDef.sql("g_rich_club", gRichClub, gRichClubSql),
     QueryDef.sql("g_harmonic", gHarmonic, gHarmonicSql),
     QueryDef.sql("g_closeness", gCloseness, gClosenessSql),
     QueryDef.sql("g_eccentricity", gEccentricity, gEccentricitySql),

@@ -1222,6 +1222,52 @@ object Relational {
        FROM comp c JOIN sz s USING (entity_id)
        JOIN part rp ON rp.p_partkey = c.entity_id"""
 
+  /** Abandonment screen — the temporal NOT-EXISTS face: views with no
+    * same-user purchase inside the following hour, reported as a
+    * per-user abandonment rate. The anti-join carries the user equi-key
+    * plus the interval predicate, so it shuffles once on user and never
+    * compares across users — the bounded form of "event not followed
+    * by event" (a time-window NOT EXISTS is otherwise the classic
+    * accidental cross product). Integer counts; one 4dp-sealed rate.
+    */
+  def qAbandoned(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("vts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pts"))
+    val abandoned = v.join(p,
+        col("user_id") === col("pu") && col("pts") > col("vts") &&
+          col("pts") <= col("vts") + expr("INTERVAL 1 HOUR"),
+        "left_anti")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_abandoned"))
+    v.groupBy(col("user_id")).agg(count(lit(1)).as("n_views"))
+      .join(abandoned, Seq("user_id"), "left")
+      .select(col("user_id"), col("n_views"),
+        coalesce(col("n_abandoned"), lit(0L)).as("n_abandoned"),
+        round(coalesce(col("n_abandoned"), lit(0L)).cast("double") /
+          col("n_views"), 4).as("abandon_rate"))
+  }
+
+  val qAbandonedSql: String =
+    """WITH v AS (SELECT user_id, ts AS vts FROM events
+                  WHERE event_type = 'view'),
+       p AS (SELECT user_id AS pu, ts AS pts FROM events
+             WHERE event_type = 'purchase'),
+       ab AS (
+         SELECT user_id, count(*) AS n_abandoned
+         FROM v WHERE NOT EXISTS (
+           SELECT 1 FROM p
+           WHERE p.pu = v.user_id AND p.pts > v.vts
+             AND p.pts <= v.vts + INTERVAL 1 HOUR)
+         GROUP BY 1)
+       SELECT v.user_id, count(*) AS n_views,
+              coalesce(any_value(ab.n_abandoned), 0) AS n_abandoned,
+              round(coalesce(any_value(ab.n_abandoned), 0) /
+                    CAST(count(*) AS DOUBLE), 4) AS abandon_rate
+       FROM v LEFT JOIN ab ON v.user_id = ab.user_id
+       GROUP BY v.user_id"""
+
   /** Revenue-concentration (Pareto/Lorenz) report: customers ranked by
     * exact-cents revenue, cut into rank deciles, each decile's share of
     * total revenue — "the top 10% of customers produce X%". The only
@@ -1402,6 +1448,7 @@ object Relational {
     QueryDef.sql("q_attribution", qAttribution, qAttributionSql),
     QueryDef.sql("q_streaks", qStreaks, qStreaksSql),
     QueryDef.sql("q_pareto", qPareto, qParetoSql),
+    QueryDef.sql("q_abandoned", qAbandoned, qAbandonedSql),
     QueryDef.sql("q_rollup", qRollup, qRollupSql),
     QueryDef.sql("q_cube", qCube, qCubeSql),
     QueryDef.sql("q_topk_agg", qTopkAgg, qTopkAggSql),

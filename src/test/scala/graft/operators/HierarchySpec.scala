@@ -36,6 +36,29 @@ class HierarchySpec extends SparkSpec {
     assert(rows.isEmpty)
   }
 
+  test("closure matches driver ancestor chains on random forests") {
+    (1 to 6).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val n = 5 + rnd.nextInt(20)
+      // random forest: each node's parent is a strictly smaller id (or
+      // none) — acyclic by construction, arbitrary branching
+      val parentOf = (1L until n.toLong).flatMap { v =>
+        if (rnd.nextInt(4) == 0) None // root
+        else Some(v -> rnd.nextInt(v.toInt).toLong)
+      }.toMap
+      val df = parentOf.toSeq.toDF("node", "parent")
+      val got = Hierarchy.closure(df)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val expected = (for {
+        v <- parentOf.keys
+        chain = Iterator.iterate(Option(v))(_.flatMap(parentOf.get))
+          .drop(1).takeWhile(_.isDefined).map(_.get).toSeq
+        (a, d) <- chain.zipWithIndex
+      } yield (v, a, d.toLong + 1L)).toSet
+      assert(got === expected, s"seed=$seed parents=$parentOf")
+    }
+  }
+
   test("maxDepth truncates the closure") {
     val parents = (2L to 8L).map(n => (n, n - 1)).toDF("node", "parent")
     val got = Hierarchy.closure(parents, maxDepth = 2)
