@@ -179,6 +179,24 @@ object Streaming {
         AND c.event_type = 'click' AND p.event_type = 'purchase'
         AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts"""
 
+  /** LEFT OUTER stream-stream interval join ([[Streams.intervalJoinOuter]]):
+    * every click with its attributed purchase or NULL — the unmatched
+    * side only emits after watermark eviction in streaming mode
+    * (StreamingSpec pins the timing); batch face is the plain left
+    * join below.
+    */
+  def sStreamJoinOuter(spark: SparkSession, dir: String): DataFrame =
+    Streams.intervalJoinOuter(Tables.load(spark, dir, "events"),
+      windowSeconds = 1800L)
+
+  val sStreamJoinOuterSql: String =
+    """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+       FROM events c LEFT JOIN events p
+         ON c.user_id = p.user_id
+        AND p.event_type = 'purchase'
+        AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
+       WHERE c.event_type = 'click'"""
+
   /** Batch face of the stream-static enrichment: events joined to the
     * customer→nation dimension (broadcast), hourly counts per nation.
     */
@@ -281,6 +299,7 @@ object Streaming {
     QueryDef.sql("s_dedup_keys", sDedupKeys, sDedupKeysSql),
     QueryDef.sql("s_sliding_agg", sSlidingAgg, sSlidingAggSql),
     QueryDef.sql("s_stream_join", sStreamJoin, sStreamJoinSql),
+    QueryDef.sql("s_stream_join_outer", sStreamJoinOuter, sStreamJoinOuterSql),
     QueryDef.sql("s_enrich_agg", sEnrichAgg, sEnrichAggSql),
     QueryDef.sql("s_heavy_hitters", sHeavyHitters, sHeavyHittersSql),
     QueryDef.sql("s_rate_anomaly", sRateAnomaly, sRateAnomalySql),

@@ -163,7 +163,8 @@ object Streams {
     * must (and do) agree on the oracle.
     */
   def intervalJoin(events: DataFrame, windowSeconds: Long = 1800L,
-      withWatermark: Boolean = false, watermark: String = "1 hour"): DataFrame = {
+      withWatermark: Boolean = false, watermark: String = "1 hour",
+      joinType: String = "inner"): DataFrame = {
     val clicks0 = events.filter(col("event_type") === "click")
       .select(col("user_id"), col("ts").as("c_ts"), col("event_id").as("click_id"))
     val purchases0 = events.filter(col("event_type") === "purchase")
@@ -175,9 +176,25 @@ object Streams {
     clicks.join(purchases,
         col("user_id") === col("p_user") &&
           col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowSeconds SECONDS") &&
-          col("c_ts") <= col("p_ts"))
+          col("c_ts") <= col("p_ts"),
+        joinType)
       .select(col("user_id"), col("click_id"), col("purchase_id"))
   }
+
+  /** LEFT OUTER face of [[intervalJoin]]: every click, with its
+    * attributed purchase or NULL. The semantics Structured Streaming
+    * makes subtle: a null-padded row for an unmatched click can only be
+    * emitted once the watermark proves no future purchase can still
+    * match (click older than watermark − window), so unmatched rows
+    * arrive LATE by design — state-eviction time, not arrival time.
+    * StreamingSpec pins exactly that: no null row while the match
+    * window is open, the null row after the watermark passes it. In
+    * batch mode the same plan is a plain left join; the matched subset
+    * is bit-identical to the inner face.
+    */
+  def intervalJoinOuter(events: DataFrame, windowSeconds: Long = 1800L,
+      withWatermark: Boolean = false, watermark: String = "1 hour"): DataFrame =
+    intervalJoin(events, windowSeconds, withWatermark, watermark, "left_outer")
 
   /** Stream-static enrichment: the event stream joined to a (small,
     * slowly-changing) dimension table and aggregated per (hour window,

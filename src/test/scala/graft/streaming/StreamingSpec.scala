@@ -172,6 +172,59 @@ class StreamingSpec extends SparkSpec {
     assert(batch === got)
   }
 
+  test("left-outer stream-stream join emits null rows only after watermark eviction") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Ev]
+    val joined = Streams.intervalJoinOuter(source.toDF(), windowSeconds = 1800L,
+      withWatermark = true, watermark = "10 minutes")
+    val q = joined.writeStream
+      .format("memory").queryName("sjoin_outer_out").outputMode("append").start()
+    def rows() = spark.table("sjoin_outer_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    try {
+      source.addData(
+        Ev(1, ts(0), 1, "click", 1.0),   // 40 min before purchase: no match
+        Ev(2, ts(25), 1, "click", 1.0),  // attributed
+        Ev(4, ts(40), 1, "purchase", 9.0))
+      q.processAllAvailable()
+      // matched row emits immediately; the unmatched click CANNOT —
+      // its 30-min match window is still inside the watermark
+      assert(rows() === Set((1L, 2L, 4L)))
+      // the join watermark is the MIN across both branches, so the
+      // advancing events must flow on BOTH the click and the purchase
+      // side (on an unrelated user so nothing new matches)
+      source.addData(
+        Ev(90, java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), 9, "click", 0.0),
+        Ev(80, java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), 8, "purchase", 0.0))
+      q.processAllAvailable()
+      source.addData(
+        Ev(91, java.sql.Timestamp.valueOf("2024-01-01 13:00:00"), 9, "click", 0.0),
+        Ev(81, java.sql.Timestamp.valueOf("2024-01-01 13:00:00"), 8, "purchase", 0.0))
+      q.processAllAvailable()
+      source.addData(
+        Ev(82, java.sql.Timestamp.valueOf("2024-01-01 13:20:00"), 8, "purchase", 0.0),
+        Ev(92, java.sql.Timestamp.valueOf("2024-01-01 13:20:00"), 7, "click", 0.0))
+      q.processAllAvailable()
+      // watermark (12:50) is now past click@10:00's window → null row
+      // out; click@13:00's own window is still open → still held back
+      assert(rows().contains((1L, 1L, -1L)))
+      assert(!rows().exists(t => t._2 == 91L))
+    } finally q.stop()
+    // batch face: plain left join, matched subset ≡ the inner face
+    val evs = Seq(
+      Ev(1, ts(0), 1, "click", 1.0), Ev(2, ts(25), 1, "click", 1.0),
+      Ev(4, ts(40), 1, "purchase", 9.0))
+    val batch = Streams.intervalJoinOuter(evs.toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(batch === Set((1L, 1L, -1L), (1L, 2L, 4L)))
+    val inner = Streams.intervalJoin(evs.toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batch.filter(_._3 != -1L) === inner)
+  }
+
   test("streaming funnel matches the batch earliest-completion recursion") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
