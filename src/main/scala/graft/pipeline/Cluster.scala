@@ -71,14 +71,20 @@ object Cluster {
     * init, then a final assignment under the fitted codebook. Returns
     * (id, v, cluster) — callers wanting just the labels project.
     */
-  def kmeansAssign(emb: DataFrame, idCol: String, vecCol: String,
-      k: Int, rounds: Int): DataFrame = {
+  /** The fitted codebook alone (the k×dim driver literal callers embed
+    * into downstream codegen passes). */
+  def kmeansFit(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, rounds: Int): Seq[(Int, Array[Double])] = {
     require(k > 0 && rounds >= 0, s"need k > 0, rounds >= 0; got k=$k rounds=$rounds")
     var cents = initCentroids(emb, idCol, vecCol, k)
     for (_ <- 1 to rounds)
       cents = updateCentroids(assign(emb, idCol, vecCol, cents), cents)
-    assign(emb, idCol, vecCol, cents)
+    cents
   }
+
+  def kmeansAssign(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, rounds: Int): DataFrame =
+    assign(emb, idCol, vecCol, kmeansFit(emb, idCol, vecCol, k, rounds))
 
   /** SemDeDup: k-means partition, then exact cosine over pairs WITHIN
     * each cluster — the clustering bounds the pairwise work at
@@ -258,35 +264,138 @@ object Cluster {
     * per-dimension means, same empty-cluster carry-over.
     */
   def kmeansCtes(table: String, idCol: String, vecCol: String,
-      k: Int, rounds: Int): String = {
+      k: Int, rounds: Int, prefix: String = ""): String = {
     // dist mirrors the Spark side's SQUARED L2 (list_distance² differs
-    // from the fused squared sum only at ULP scale — callers round)
+    // from the fused squared sum only at ULP scale — callers round).
+    // `prefix` namespaces every CTE so several independent fits can
+    // coexist in ONE oracle query (the PQ per-subspace fits).
     def assignCte(name: String, cents: String): String =
-      s"""$name AS MATERIALIZED (
+      s"""$prefix$name AS MATERIALIZED (
          SELECT $idCol, v, cluster, dist FROM (
            SELECT e.$idCol, e.v, c.cid AS cluster,
                   list_distance(e.v, c.cv) * list_distance(e.v, c.cv) AS dist,
                   row_number() OVER (PARTITION BY e.$idCol
                     ORDER BY list_distance(e.v, c.cv), c.cid) AS rn
-           FROM e CROSS JOIN $cents c) WHERE rn = 1)"""
+           FROM ${prefix}e e CROSS JOIN $prefix$cents c) WHERE rn = 1)"""
     val steps = (1 to rounds).map { r =>
       s""",
        ${assignCte(s"s$r", s"c${r - 1}")},
-       m$r AS (
+       ${prefix}m$r AS (
          SELECT cluster, i, avg(v[i + 1]) AS mx
-         FROM (SELECT cluster, v, unnest(range(len(v))) AS i FROM s$r)
+         FROM (SELECT cluster, v, unnest(range(len(v))) AS i FROM ${prefix}s$r)
          GROUP BY 1, 2),
-       c$r AS MATERIALIZED (
+       ${prefix}c$r AS MATERIALIZED (
          SELECT c.cid, coalesce(n.cv, c.cv) AS cv
-         FROM c${r - 1} c LEFT JOIN (
+         FROM ${prefix}c${r - 1} c LEFT JOIN (
            SELECT cluster AS cid, list(mx ORDER BY i) AS cv
-           FROM m$r GROUP BY cluster) n USING (cid))"""
+           FROM ${prefix}m$r GROUP BY cluster) n USING (cid))"""
     }.mkString
-    s"""e AS MATERIALIZED (
+    s"""${prefix}e AS MATERIALIZED (
          SELECT $idCol, CAST($vecCol AS DOUBLE[]) AS v FROM $table),
-       c0 AS MATERIALIZED (
+       ${prefix}c0 AS MATERIALIZED (
          SELECT row_number() OVER (ORDER BY $idCol) - 1 AS cid, v AS cv
-         FROM e ORDER BY $idCol LIMIT $k)$steps,
+         FROM ${prefix}e ORDER BY $idCol LIMIT $k)$steps,
        ${assignCte(s"a$rounds", s"c$rounds")}"""
+  }
+
+  /** Product quantization (Jégou et al. 2011): split the vector into
+    * `m` contiguous subspaces, fit an independent k-codebook per
+    * subspace with the SAME deterministic Lloyd machinery as
+    * [[kmeansAssign]], and encode each vector as its m nearest
+    * sub-centroid ids — m·log₂k bits per vector with k^m effective
+    * reconstruction points, the codebook scheme under IVF-PQ indexes at
+    * billion-vector scale. Returns one row per vector: the m codes plus
+    * the reconstruction error Σⱼ d(vⱼ, cⱼ) (subspace squared-L2s —
+    * additive because subspaces partition the dimensions). The m fits
+    * are independent column-sliced passes over the corpus; nothing ever
+    * shuffles wider than the (id, slice) projection, and every codebook
+    * is a k×(dim/m) driver literal exactly like the full-space fit.
+    */
+  def pqCodes(emb: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int, rounds: Int): DataFrame = {
+    val dim = emb.select(size(col(vecCol))).first().getInt(0)
+    require(m > 0 && dim % m == 0, s"dim $dim must split into m=$m subspaces")
+    val sub = dim / m
+    val parts = (0 until m).map { j =>
+      val sliced = emb.select(col(idCol),
+        slice(col(vecCol), j * sub + 1, sub).as(vecCol))
+      kmeansAssign(sliced, idCol, vecCol, k, rounds)
+        .select(col("id"),
+          col("cluster").cast("long").as(s"code$j"), col("dist").as(s"d$j"))
+    }
+    parts.reduce((a, b) => a.join(b, "id"))
+      .select(col("id") +:
+        (0 until m).map(j => col(s"code$j")) :+
+        ((0 until m).map(j => col(s"d$j")).reduce(_ + _)).as("recon_err"): _*)
+  }
+
+  /** PQ asymmetric-distance kNN (the ADC search of Jégou et al. 2011):
+    * score every CODE against each query as Σⱼ ‖qⱼ − centroidⱼ[codeⱼ]‖²
+    * — the query stays un-quantized, the corpus is touched only through
+    * its m small codes, which is the entire point at billion-vector
+    * scale (the scan reads m bytes per vector, not the vector). The
+    * per-subspace centroid lookup is `element_at` over the k-array
+    * codebook literal — the distance "table" inlined into one codegen
+    * pass; queries broadcast. Deterministic (adc, neighbor) tiebreak as
+    * [[Ann.bruteKnn]].
+    */
+  def pqAdcKnn(emb: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int, rounds: Int, queries: DataFrame, topK: Int): DataFrame = {
+    val dim = emb.select(size(col(vecCol))).first().getInt(0)
+    require(m > 0 && dim % m == 0, s"dim $dim must split into m=$m subspaces")
+    val sub = dim / m
+    val codebooks = (0 until m).map { j =>
+      kmeansFit(emb.select(col(idCol),
+          slice(col(vecCol), j * sub + 1, sub).as(vecCol)),
+        idCol, vecCol, k, rounds)
+    }
+    val codes = pqCodes(emb, idCol, vecCol, m, k, rounds)
+      .select(col("id").as("neighbor_id") +:
+        (0 until m).map(j => col(s"code$j")): _*)
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val adc = (0 until m).map { j =>
+      val book = array(codebooks(j).sortBy(_._1).map { case (_, cv) =>
+        array(cv.toIndexedSeq.map(lit): _*)
+      }: _*)
+      VectorFunctions.l2sq(
+        element_at(book, col(s"code$j").cast("int") + 1),
+        slice(col("qv"), j * sub + 1, sub))
+    }.reduce(_ + _)
+    codes.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", adc)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("adc"), col("neighbor_id"))))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("neighbor_id"), col("adc"), col("rank"))
+  }
+
+  /** PQ search as deployed: ADC SHORTLIST (cheap, codes-only) then an
+    * exact re-rank of only the shortlist against the true vectors — the
+    * IVF-PQ + re-rank recipe. Quantization error caps pure-ADC recall
+    * (hard on near-uniform vectors, the PQ worst case); the re-rank
+    * buys exactness back while touching `shortlist`/corpus-fraction of
+    * the real vectors. The exact leg joins the (query-count × shortlist)
+    * candidate table back to the corpus on id — never a full
+    * queries×corpus product.
+    */
+  def pqRerankKnn(emb: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int, rounds: Int, queries: DataFrame, topK: Int,
+      shortlist: Int): DataFrame = {
+    val cand = pqAdcKnn(emb, idCol, vecCol, m, k, rounds, queries, shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val vecs = emb.select(col(idCol).as("nid"),
+      col(vecCol).cast("array<double>").as("nv"))
+    val q = queries.select(col(idCol).as("qid"),
+      col(vecCol).cast("array<double>").as("qv"))
+    cand.join(vecs, col("neighbor_id") === col("nid"))
+      .join(broadcast(q), col("query_id") === col("qid"))
+      .withColumn("dist", VectorFunctions.l2sq(col("qv"), col("nv")))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("dist"), col("neighbor_id"))))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("neighbor_id"), col("dist"), col("rank"))
   }
 }

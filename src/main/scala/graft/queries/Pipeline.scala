@@ -887,6 +887,89 @@ object Pipeline {
               n AS top_n, round(n / CAST(total AS DOUBLE), 6) AS purity
        FROM best WHERE rn = 1"""
 
+  /** Product-quantization codes + reconstruction error
+    * ([[graft.pipeline.Cluster.pqCodes]]): 4 subspaces × 16 centroids
+    * over the 64-dim embeddings — 4 bytes/vector with 16⁴ effective
+    * reconstruction points, the IVF-PQ codebook layer. Oracle: four
+    * prefix-namespaced copies of the unrolled k-means CTEs, one per
+    * column slice, joined on vec_id.
+    */
+  def pPqCodes(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Cluster.pqCodes(Tables.load(spark, dir, "embeddings"),
+        "vec_id", "embedding", m = 4, k = 16, rounds = 2)
+      .select(col("id").as("vec_id"), col("code0"), col("code1"),
+        col("code2"), col("code3"), round(col("recon_err"), 6).as("recon_err"))
+
+  val pPqCodesSql: String = {
+    val sub = 16
+    val ctes = (0 until 4).map { j =>
+      graft.pipeline.Cluster.kmeansCtes(
+        s"(SELECT vec_id, embedding[${j * sub + 1}:${(j + 1) * sub}] AS embedding FROM embeddings)",
+        "vec_id", "embedding", k = 16, rounds = 2, prefix = s"q${j}_")
+    }.mkString(",\n")
+    s"""WITH $ctes
+       SELECT q0.vec_id,
+              CAST(q0.cluster AS BIGINT) AS code0,
+              CAST(q1.cluster AS BIGINT) AS code1,
+              CAST(q2.cluster AS BIGINT) AS code2,
+              CAST(q3.cluster AS BIGINT) AS code3,
+              round(q0.dist + q1.dist + q2.dist + q3.dist, 6) AS recon_err
+       FROM q0_a2 q0
+       JOIN q1_a2 q1 ON q0.vec_id = q1.vec_id
+       JOIN q2_a2 q2 ON q0.vec_id = q2.vec_id
+       JOIN q3_a2 q3 ON q0.vec_id = q3.vec_id"""
+  }
+
+  /** PQ asymmetric-distance kNN ([[graft.pipeline.Cluster.pqAdcKnn]]):
+    * queries scored against the corpus THROUGH ITS CODES — the
+    * billion-vector search path where the scan reads m bytes per
+    * vector. Same query anchor and tiebreak discipline as p_knn_brute.
+    */
+  def pKnnPq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    graft.pipeline.Cluster.pqAdcKnn(emb, "vec_id", "embedding",
+        m = 4, k = 16, rounds = 2,
+        queries = emb.filter(col("vec_id") < 10), topK = 5)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("adc"), 4).as("adc"), col("rank").cast("long").as("rank"))
+  }
+
+  val pKnnPqSql: String = {
+    val sub = 16
+    val ctes = (0 until 4).map { j =>
+      graft.pipeline.Cluster.kmeansCtes(
+        s"(SELECT vec_id, embedding[${j * sub + 1}:${(j + 1) * sub}] AS embedding FROM embeddings)",
+        "vec_id", "embedding", k = 16, rounds = 2, prefix = s"q${j}_")
+    }.mkString(",\n")
+    val subJoin = (0 until 4).map { j =>
+      s"s$j AS (SELECT a.vec_id, c.cv FROM q${j}_a2 a JOIN q${j}_c2 c ON a.cluster = c.cid)"
+    }.mkString(",\n       ")
+    val adcExpr = (0 until 4).map { j =>
+      s"list_distance(q.qv[${j * sub + 1}:${(j + 1) * sub}], s$j.cv) * " +
+        s"list_distance(q.qv[${j * sub + 1}:${(j + 1) * sub}], s$j.cv)"
+    }.mkString(" + ")
+    s"""WITH $ctes,
+       $subJoin,
+       q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+             FROM embeddings WHERE vec_id < 10),
+       scored AS (
+         SELECT q.query_id, s0.vec_id AS neighbor_id,
+                $adcExpr AS adc
+         FROM q CROSS JOIN s0
+         JOIN s1 ON s0.vec_id = s1.vec_id
+         JOIN s2 ON s0.vec_id = s2.vec_id
+         JOIN s3 ON s0.vec_id = s3.vec_id
+         WHERE q.query_id <> s0.vec_id),
+       ranked AS (
+         SELECT query_id, neighbor_id, adc,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY adc, neighbor_id) AS rank
+         FROM scored)
+       SELECT query_id, neighbor_id, round(adc, 4) AS adc,
+              CAST(rank AS BIGINT) AS rank
+       FROM ranked WHERE rank <= 5"""
+  }
+
   /** SemDeDup: semantic near-dup pairs found INSIDE k-means clusters —
     * the clustering bounds pairwise work at Σ|cluster|², the scale
     * recipe for embedding dedup when LSH recall isn't wanted.
@@ -2181,6 +2264,8 @@ object Pipeline {
     QueryDef.sql("p_novelty", pNovelty, pNoveltySql),
     QueryDef.sql("p_kmeans", pKmeans, pKmeansSql),
     QueryDef.sql("p_cluster_purity", pClusterPurity, pClusterPuritySql),
+    QueryDef.sql("p_pq_codes", pPqCodes, pPqCodesSql),
+    QueryDef.sql("p_knn_pq", pKnnPq, pKnnPqSql),
     QueryDef.sql("p_semdedup", pSemDedup, pSemDedupSql),
     QueryDef.sql("p_embed_outliers", pEmbedOutliers, pEmbedOutliersSql),
     QueryDef.sql("p_label_margin", pLabelMargin, pLabelMarginSql),

@@ -35,6 +35,46 @@ class AnnSpec extends SparkSpec {
     assert(lsh.forall { case (q, n) => q != n })
   }
 
+  test("pq adc shortlist + exact re-rank recovers recall the codes alone cannot") {
+    val queries = emb.filter(col("vec_id") < 20)
+    // exact L2 ground truth, driver-side (sf0.001 corpus is tiny)
+    val all = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val exact = (0L until 20L).flatMap { q =>
+      val qv = all(q)
+      all.toSeq.filter(_._1 != q)
+        .map { case (id, v) =>
+          id -> v.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum
+        }
+        .sortBy { case (id, d) => (d, id) }.take(5).map(q -> _._1)
+    }.toSet
+    def recallOf(got: Set[(Long, Long)]) =
+      (exact intersect got).size.toDouble / exact.size
+    // pure ADC: quantization error caps recall — these near-uniform
+    // synthetic embeddings are the PQ worst case (measured 0.17 at
+    // m=4 k=16; real clustered embeddings do far better). The floor
+    // pins "codes carry signal", not production recall.
+    val adc = Cluster.pqAdcKnn(emb, "vec_id", "embedding",
+        m = 4, k = 16, rounds = 2, queries = queries, topK = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adcRecall = recallOf(adc)
+    info(s"pure-adc recall@5 = $adcRecall")
+    assert(adcRecall >= 0.1)
+    assert(adc.forall { case (q, n) => q != n })
+    // the deployed shape: ADC shortlist, exact re-rank of only the
+    // shortlist — recall climbs with shortlist size (the cost knob)
+    val r40 = recallOf(Cluster.pqRerankKnn(emb, "vec_id", "embedding",
+        m = 4, k = 16, rounds = 2, queries = queries, topK = 5, shortlist = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    val r80 = recallOf(Cluster.pqRerankKnn(emb, "vec_id", "embedding",
+        m = 4, k = 16, rounds = 2, queries = queries, topK = 5, shortlist = 80)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    info(s"rerank recall@5: shortlist40=$r40 shortlist80=$r80")
+    assert(r40 >= 0.5)
+    assert(r80 >= 0.7)
+    assert(r80 >= r40)
+  }
+
   test("hard negatives rank by similarity but never share the query's label") {
     import spark.implicits._
     val rows = Seq(

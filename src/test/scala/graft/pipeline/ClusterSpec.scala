@@ -31,6 +31,38 @@ class ClusterSpec extends SparkSpec {
     assert(again === got)
   }
 
+  test("pq codes quantize each subspace independently and reconstruct exactly on repeats") {
+    import spark.implicits._
+    // dim 4 = 2 subspaces × 2 dims; the first-2-dims pattern and the
+    // last-2-dims pattern vary INDEPENDENTLY — product codes must track
+    // each subspace on its own (a full-space codebook of the same size
+    // could not represent all 4 combinations with k=2 per subspace)
+    val a = Array(10.0f, 0.0f); val b = Array(0.0f, 10.0f)
+    val vecs = Seq(
+      (1L, a ++ a), (2L, a ++ b), (3L, b ++ a), (4L, b ++ b),
+      (5L, a ++ a), (6L, b ++ b)).toDF("vec_id", "embedding")
+    val got = Cluster.pqCodes(vecs, "vec_id", "embedding",
+        m = 2, k = 2, rounds = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    // same subvector → same code in that subspace, independently
+    assert(got(1L)._1 === got(2L)._1) // both start with a
+    assert(got(3L)._1 === got(4L)._1) // both start with b
+    assert(got(1L)._1 !== got(3L)._1)
+    assert(got(1L)._2 === got(3L)._2) // both end with a
+    assert(got(2L)._2 === got(4L)._2) // both end with b
+    // every distinct subvector sits alone on its centroid → exact recon
+    got.values.foreach { case (_, _, err) => assert(err === 0.0) }
+    // layout-pure like the full-space fit
+    val again = Cluster.pqCodes(vecs.repartition(5, col("embedding")),
+        "vec_id", "embedding", m = 2, k = 2, rounds = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(again === got)
+  }
+
   test("empty clusters keep their previous centroid") {
     // k=3 over 2 real groups: whichever centroid empties must survive
     // the update with its previous coordinates (codebook size invariant)
