@@ -605,6 +605,44 @@ object GraphOps {
 
   val gModularitySql: String = GraphOracleSql.modularitySql(iters = 5)
 
+  /** WEIGHTED Newman modularity of the weighted label-prop partition —
+    * Q_w = Σ_c (W_c/W − (S_c/2W)²) with support-weighted intra-mass
+    * and weighted degrees. Computed as ONE exact integer numerator
+    * Σ_c (4·W·W_c − S_c²) over the common denominator 4W² (integer
+    * weights make every term exact in any summation order — tighter
+    * than the unweighted face's float Σ, which the 6dp seal absorbs),
+    * divided once at the end. Reads the pinned weighted fit + edge
+    * table; nothing refits.
+    */
+  def gModularityW(spark: SparkSession, dir: String): DataFrame = {
+    val wed = wCopurchaseCached(spark, dir)
+    val labels = labelPropWCached(spark, dir)
+    val lab = labels.select(col("gid"), col("community"))
+    val intra = wed
+      .join(lab.select(col("gid").as("gsrc"), col("community").as("ca")), "gsrc")
+      .join(lab.select(col("gid").as("gdst"), col("community").as("cb")), "gdst")
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("c")).agg(sum(col("w")).as("winc"))
+    val und = wed.select(col("gsrc").as("a"), col("w"))
+      .unionByName(wed.select(col("gdst").as("a"), col("w")))
+    val sdeg = und.groupBy(col("a")).agg(sum(col("w")).as("sd"))
+      .join(lab.select(col("gid").as("a"), col("community")), "a")
+      .groupBy(col("community").as("c")).agg(sum(col("sd")).as("sc"))
+    val scalars = wed.agg(sum(col("w")).as("tw"))
+      .crossJoin(broadcast(
+        labels.agg(countDistinct(col("community")).as("n_communities"))))
+    sdeg.join(intra, Seq("c"), "left")
+      .crossJoin(broadcast(scalars))
+      .agg(first(col("n_communities")).as("n_communities"),
+        round(
+          sum(lit(4L) * col("tw") * coalesce(col("winc"), lit(0L)) -
+            col("sc") * col("sc")).cast("double") /
+            (lit(4.0) * first(col("tw")) * first(col("tw"))), 6)
+          .as("modularity_w"))
+  }
+
+  val gModularityWSql: String = GraphOracleSql.modularityWSql(iters = 5)
+
   /** Deterministic 3-step random-walk corpus over the co-purchase graph
     * (DeepWalk input): one md5-derandomized walk per node, emitted as a
     * path string. Oracle: the same three steps unrolled, each picking
@@ -736,6 +774,36 @@ object GraphOps {
               round(s6 / 1000000.0, 6) AS swing
        FROM agg ORDER BY round(s6 / 1000000.0, 6) DESC, part_a, part_b
        LIMIT 100"""
+
+  /** Bipartite butterfly census (Sanei-Mehri et al. 2018): butterflies
+    * (2×2 bicliques — two orders sharing the same two parts) are THE
+    * cohesion primitive of bipartite graphs, where triangles cannot
+    * exist. Counted without enumerating any 4-tuple: a part pair with
+    * co-occurrence support w closes C(w,2) butterflies, so the census
+    * is ONE aggregation over the pinned support-weighted pair table —
+    * the same aggregation-beats-enumeration trick as the σ-counting
+    * BFS. All-integer output.
+    */
+  def gButterflies(spark: SparkSession, dir: String): DataFrame =
+    wCopurchaseCached(spark, dir).agg(
+      sum(expr("w * (w - 1) DIV 2")).as("n_butterflies"),
+      sum(when(col("w") >= 2, 1L).otherwise(0L)).as("n_multi_pairs"),
+      count(lit(1)).as("n_pairs"),
+      max(col("w")).as("max_support"))
+
+  val gButterfliesSql: String =
+    """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       cew AS (
+         SELECT a.l_partkey AS a, b.l_partkey AS b, count(*) AS w
+         FROM op a JOIN op b
+         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         GROUP BY 1, 2)
+       SELECT CAST(sum(w * (w - 1) // 2) AS BIGINT) AS n_butterflies,
+              CAST(sum(CASE WHEN w >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_multi_pairs,
+              count(*) AS n_pairs,
+              max(w) AS max_support
+       FROM cew"""
 
   /** Rich-club coefficient at degree threshold 150 (~top decile of the
     * co-purchase degree distribution): edge density among the
@@ -1284,6 +1352,8 @@ object GraphOps {
     QueryDef.sql("g_jaccard", gJaccard, gJaccardSql),
     QueryDef.sql("g_swing", gSwing, gSwingSql),
     QueryDef.sql("g_rich_club", gRichClub, gRichClubSql),
+    QueryDef.sql("g_butterflies", gButterflies, gButterfliesSql),
+    QueryDef.sql("g_modularity_w", gModularityW, gModularityWSql),
     QueryDef.sql("g_harmonic", gHarmonic, gHarmonicSql),
     QueryDef.sql("g_closeness", gCloseness, gClosenessSql),
     QueryDef.sql("g_eccentricity", gEccentricity, gEccentricitySql),

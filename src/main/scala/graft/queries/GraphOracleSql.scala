@@ -293,6 +293,55 @@ object GraphOracleSql {
        SELECT size, count(*) AS n_communities FROM sizes GROUP BY size"""
   }
 
+  /** WEIGHTED modularity over the weighted label-prop partition — the
+    * SQL mirror of [[graft.queries.GraphOps.gModularityW]]: the same
+    * unrolled weighted-majority rounds as [[labelPropWSql]], then the
+    * exact integer numerator Σ_c (4·W·W_c − S_c²) divided once by 4W².
+    */
+  def modularityWSql(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s""",
+       l$i AS MATERIALIZED (
+         SELECT l.gid, coalesce(b.newc, l.community) AS community
+         FROM l${i - 1} l LEFT JOIN (
+           SELECT a, community AS newc FROM (
+             SELECT u.a, p.community,
+                    row_number() OVER (PARTITION BY u.a
+                      ORDER BY sum(u.w) DESC, p.community) AS rn
+             FROM undw u JOIN l${i - 1} p ON u.b = p.gid
+             GROUP BY u.a, p.community) t
+           WHERE rn = 1) b ON l.gid = b.a)"""
+    }.mkString
+    s"""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       cew AS MATERIALIZED (
+         SELECT a.l_partkey AS a, b.l_partkey AS b, count(*) AS w
+         FROM op a JOIN op b
+         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         GROUP BY 1, 2),
+       undw AS MATERIALIZED (
+         SELECT a, b, w FROM cew UNION ALL SELECT b AS a, a AS b, w FROM cew),
+       pnodes AS MATERIALIZED (SELECT DISTINCT l_partkey AS gid FROM lineitem),
+       l0 AS MATERIALIZED (SELECT gid, gid AS community FROM pnodes)$steps,
+       intra AS (
+         SELECT la.community AS c, CAST(sum(e.w) AS BIGINT) AS winc
+         FROM cew e JOIN l$iters la ON e.a = la.gid
+                    JOIN l$iters lb ON e.b = lb.gid
+         WHERE la.community = lb.community GROUP BY 1),
+       sdeg AS (
+         SELECT l.community AS c, CAST(sum(d.sd) AS BIGINT) AS sc
+         FROM (SELECT a AS gid, CAST(sum(w) AS BIGINT) AS sd
+               FROM undw GROUP BY 1) d
+         JOIN l$iters l ON d.gid = l.gid GROUP BY 1),
+       s AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM cew),
+       nc AS (SELECT count(DISTINCT community) AS n_communities FROM l$iters)
+       SELECT nc.n_communities,
+              round(CAST(sum(4 * s.tw * coalesce(intra.winc, 0) -
+                             sdeg.sc * sdeg.sc) AS BIGINT)
+                    / (4.0 * s.tw * s.tw), 6) AS modularity_w
+       FROM sdeg LEFT JOIN intra ON sdeg.c = intra.c, s, nc
+       GROUP BY nc.n_communities, s.tw"""
+  }
+
   /** Modularity of the label-propagation partition: the same unrolled
     * majority-vote rounds as [[labelPropSql]], then
     * Q = Σ_c (e_c/m − (D_c/2m)²) over the final labels — exact integer

@@ -193,6 +193,44 @@ object Pipeline {
       .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"),
         round(col("cosine"), 4).as("cosine"))
 
+  /** Dedup-aggressiveness curve: near-dup pair counts and affected-doc
+    * counts at a grid of cosine thresholds — the number a curation run
+    * reads BEFORE choosing its threshold (how much would each setting
+    * delete?). One pass over the pinned ≥0.4 pair stream, exploded to
+    * the threshold grid; integer counts only.
+    */
+  def pDedupCurve(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = cosinePairsCached(spark, dir)
+    val grid = Seq(0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
+    grid.map { t =>
+      val p = pairs.filter(col("cosine") >= t)
+      val docs = p.select(col("id_a").as("id"))
+        .unionByName(p.select(col("id_b").as("id"))).distinct()
+      p.agg(lit(t).as("threshold"), count(lit(1)).as("n_pairs"))
+        .crossJoin(docs.agg(count(lit(1)).as("n_docs_affected")))
+    }.reduce(_ unionByName _)
+  }
+
+  val pDedupCurveSql: String =
+    """WITH pairs AS (
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])) AS cosine
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])) >= 0.4),
+       grid AS (SELECT CAST(unnest([0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS DOUBLE)
+                  AS threshold)
+       SELECT g.threshold,
+              (SELECT count(*) FROM pairs p
+               WHERE p.cosine >= g.threshold) AS n_pairs,
+              (SELECT count(DISTINCT id) FROM (
+                 SELECT id_a AS id FROM pairs WHERE cosine >= g.threshold
+                 UNION ALL
+                 SELECT id_b AS id FROM pairs WHERE cosine >= g.threshold))
+                AS n_docs_affected
+       FROM grid g"""
+
   val pDedupEmbedSql: String =
     """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
               round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -2210,6 +2248,7 @@ object Pipeline {
     QueryDef.rowsOnly("p_dedup_simhash", pDedupSimhash),
     QueryDef.rowsOnly("p_dedup_ngram", pDedupNgram),
     QueryDef.sql("p_dedup_embed", pDedupEmbed, pDedupEmbedSql),
+    QueryDef.sql("p_dedup_curve", pDedupCurve, pDedupCurveSql),
     QueryDef.rowsOnly("p_dedup_embed_lsh", pDedupEmbedLsh),
     QueryDef.sql("p_decontam", pDecontam, pDecontamSql),
     QueryDef.sql("p_decontam_embed", pDecontamEmbed, pDecontamEmbedSql),
