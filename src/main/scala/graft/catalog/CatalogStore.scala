@@ -86,6 +86,34 @@ final class CatalogStore(dir: String) {
       }
     }
   }
+
+  /** Time-travel load: the catalog AS OF `version` — the DDL log is the
+    * full history, so any past schema is a bounded replay of entries ≤
+    * version from the empty catalog (snapshots only accelerate the
+    * LATEST load; history reads take the log path, which is exactly the
+    * WAL-reconstruction contract of the reference's commit log). Out-of
+    * -range versions clamp: 0 → empty, ≥ head → head.
+    */
+  def loadAt(version: Long): GraphCatalog = {
+    if (!Files.exists(logPath)) return GraphCatalog.empty
+    Files.readAllLines(logPath).asScala
+      .foldLeft(GraphCatalog.empty) { (cat, line) =>
+        if (line.isBlank) cat
+        else {
+          val j = JsonMethods.parse(line)
+          val v = (j \ "version") match {
+            case JInt(n) => n.toLong
+            case JLong(n) => n
+            case _ => 0L
+          }
+          if (v > version || v <= cat.version) cat
+          else {
+            val JString(ddl) = (j \ "ddl"): @unchecked
+            Parser.parse(ddl).foldLeft(cat)(Ddl.apply)
+          }
+        }
+      }
+  }
 }
 
 /** Hand-mapped JSON codec for the catalog (stable on-disk schema that

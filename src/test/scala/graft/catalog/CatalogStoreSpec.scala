@@ -40,4 +40,24 @@ class CatalogStoreSpec extends AnyFunSuite {
   test("empty store loads the empty catalog") {
     assert(new CatalogStore(tmpDir()).load() === GraphCatalog.empty)
   }
+
+  test("loadAt time-travels to any logged version") {
+    val dir = tmpDir()
+    val store = new CatalogStore(dir)
+    store.logDdl(1, "CREATE NODE P (id: int PRIMARY KEY);")
+    store.logDdl(2, "CREATE NODE Q (name: string);")
+    store.logDdl(3, "ALTER NODE Q ADD age: int;")
+    store.logDdl(4, "DROP NODE P;")
+    val at1 = store.loadAt(1)
+    assert(at1.version === 1 && at1.nodes.contains("P") && !at1.nodes.contains("Q"))
+    val at2 = store.loadAt(2)
+    assert(at2.nodes.contains("Q") && at2.nodes("Q").field("age").isEmpty)
+    val at3 = store.loadAt(3)
+    assert(at3.nodes.contains("P") && at3.nodes("Q").field("age").isDefined)
+    // clamps: 0 → empty, past head → head (≡ load with no snapshot)
+    assert(store.loadAt(0) === GraphCatalog.empty)
+    val head = store.loadAt(99)
+    assert(head.version === 4 && !head.nodes.contains("P"))
+    assert(head === store.load())
+  }
 }
