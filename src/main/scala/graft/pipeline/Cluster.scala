@@ -67,12 +67,10 @@ object Cluster {
     prev.map { case (cid, old) => cid -> means.getOrElse(cid, old) }
   }
 
-  /** Lloyd k-means: `rounds` centroid updates from the deterministic
-    * init, then a final assignment under the fitted codebook. Returns
-    * (id, v, cluster) — callers wanting just the labels project.
+  /** Lloyd k-means fit: `rounds` centroid updates from the
+    * deterministic init. Returns the fitted codebook alone — the k×dim
+    * driver literal callers embed into downstream codegen passes.
     */
-  /** The fitted codebook alone (the k×dim driver literal callers embed
-    * into downstream codegen passes). */
   def kmeansFit(emb: DataFrame, idCol: String, vecCol: String,
       k: Int, rounds: Int): Seq[(Int, Array[Double])] = {
     require(k > 0 && rounds >= 0, s"need k > 0, rounds >= 0; got k=$k rounds=$rounds")
@@ -82,6 +80,9 @@ object Cluster {
     cents
   }
 
+  /** Fit + final assignment under the fitted codebook. Returns
+    * (id, v, cluster, dist) — callers wanting just the labels project.
+    */
   def kmeansAssign(emb: DataFrame, idCol: String, vecCol: String,
       k: Int, rounds: Int): DataFrame =
     assign(emb, idCol, vecCol, kmeansFit(emb, idCol, vecCol, k, rounds))
@@ -313,13 +314,36 @@ object Cluster {
     */
   def pqCodes(emb: DataFrame, idCol: String, vecCol: String,
       m: Int, k: Int, rounds: Int): DataFrame = {
+    val (sub, books) = pqFit(emb, idCol, vecCol, m, k, rounds)
+    pqAssign(emb, idCol, vecCol, sub, books)
+  }
+
+  /** The m per-subspace codebooks (+ the subspace width) alone — the
+    * driver-literal artifact a deployment fits once per corpus and
+    * shares across the encode and search faces (pinned in
+    * queries.Pipeline exactly like the full-space k-means fit).
+    */
+  def pqFit(emb: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int, rounds: Int): (Int, Seq[Seq[(Int, Array[Double])]]) = {
     val dim = emb.select(size(col(vecCol))).first().getInt(0)
     require(m > 0 && dim % m == 0, s"dim $dim must split into m=$m subspaces")
     val sub = dim / m
+    (sub, (0 until m).map { j =>
+      kmeansFit(emb.select(col(idCol),
+          slice(col(vecCol), j * sub + 1, sub).as(vecCol)),
+        idCol, vecCol, k, rounds)
+    })
+  }
+
+  /** Encode under an already-fitted set of codebooks: one codegen
+    * assignment pass per subspace, joined on id. */
+  def pqAssign(emb: DataFrame, idCol: String, vecCol: String,
+      sub: Int, books: Seq[Seq[(Int, Array[Double])]]): DataFrame = {
+    val m = books.length
     val parts = (0 until m).map { j =>
       val sliced = emb.select(col(idCol),
         slice(col(vecCol), j * sub + 1, sub).as(vecCol))
-      kmeansAssign(sliced, idCol, vecCol, k, rounds)
+      assign(sliced, idCol, vecCol, books(j))
         .select(col("id"),
           col("cluster").cast("long").as(s"code$j"), col("dist").as(s"d$j"))
     }
@@ -341,15 +365,18 @@ object Cluster {
     */
   def pqAdcKnn(emb: DataFrame, idCol: String, vecCol: String,
       m: Int, k: Int, rounds: Int, queries: DataFrame, topK: Int): DataFrame = {
-    val dim = emb.select(size(col(vecCol))).first().getInt(0)
-    require(m > 0 && dim % m == 0, s"dim $dim must split into m=$m subspaces")
-    val sub = dim / m
-    val codebooks = (0 until m).map { j =>
-      kmeansFit(emb.select(col(idCol),
-          slice(col(vecCol), j * sub + 1, sub).as(vecCol)),
-        idCol, vecCol, k, rounds)
-    }
-    val codes = pqCodes(emb, idCol, vecCol, m, k, rounds)
+    val (sub, codebooks) = pqFit(emb, idCol, vecCol, m, k, rounds)
+    pqAdcKnnFrom(pqAssign(emb, idCol, vecCol, sub, codebooks),
+      sub, codebooks, queries, idCol, vecCol, topK)
+  }
+
+  /** [[pqAdcKnn]] over an already-fitted (and materialized) code table
+    * + codebooks — the pinned-fit contract. */
+  def pqAdcKnnFrom(codesDf: DataFrame, sub: Int,
+      codebooks: Seq[Seq[(Int, Array[Double])]], queries: DataFrame,
+      idCol: String, vecCol: String, topK: Int): DataFrame = {
+    val m = codebooks.length
+    val codes = codesDf
       .select(col("id").as("neighbor_id") +:
         (0 until m).map(j => col(s"code$j")): _*)
     val q = queries.select(col(idCol).as("query_id"),

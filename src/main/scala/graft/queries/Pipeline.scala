@@ -96,6 +96,26 @@ object Pipeline {
           k = 8, rounds = 2).localCheckpoint()
       })
 
+  /** The m=4 × k=16 product-quantization fit (codebooks + encoded code
+    * table) — pinned per (session, dir) like the full-space k-means:
+    * the encode face and the ADC search face read ONE fit.
+    */
+  private val pqCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), (Int, Seq[Seq[(Int, Array[Double])]], DataFrame)]
+
+  private def pqCached(spark: SparkSession, dir: String)
+      : (Int, Seq[Seq[(Int, Array[Double])]], DataFrame) =
+    pqCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      val emb = Tables.load(spark, dir, "embeddings")
+      val (sub, books) = graft.pipeline.Cluster.pqFit(
+        emb, "vec_id", "embedding", m = 4, k = 16, rounds = 2)
+      val codes = graft.PinnedRdds.pinning(spark) {
+        graft.pipeline.Cluster.pqAssign(emb, "vec_id", "embedding", sub, books)
+          .localCheckpoint()
+      }
+      (sub, books, codes)
+    })
+
   /** Build the pinned pipeline materialized views ahead of queries —
     * same load-time contract as [[GraphOps.warmViews]].
     */
@@ -104,6 +124,7 @@ object Pipeline {
     lshPairsCached(spark, dir)
     cosinePairsCached(spark, dir)
     kmeansCached(spark, dir)
+    pqCached(spark, dir)
     ()
   }
 
@@ -933,8 +954,7 @@ object Pipeline {
     * column slice, joined on vec_id.
     */
   def pPqCodes(spark: SparkSession, dir: String): DataFrame =
-    graft.pipeline.Cluster.pqCodes(Tables.load(spark, dir, "embeddings"),
-        "vec_id", "embedding", m = 4, k = 16, rounds = 2)
+    pqCached(spark, dir)._3
       .select(col("id").as("vec_id"), col("code0"), col("code1"),
         col("code2"), col("code3"), round(col("recon_err"), 6).as("recon_err"))
 
@@ -965,9 +985,10 @@ object Pipeline {
     */
   def pKnnPq(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
-    graft.pipeline.Cluster.pqAdcKnn(emb, "vec_id", "embedding",
-        m = 4, k = 16, rounds = 2,
-        queries = emb.filter(col("vec_id") < 10), topK = 5)
+    val (sub, books, codes) = pqCached(spark, dir)
+    graft.pipeline.Cluster.pqAdcKnnFrom(codes, sub, books,
+        queries = emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", topK = 5)
       .select(col("query_id"), col("neighbor_id"),
         round(col("adc"), 4).as("adc"), col("rank").cast("long").as("rank"))
   }
