@@ -63,6 +63,45 @@ class PlanShapeSpec extends SparkSpec {
       s"per-dim profile should pay one aggregation shuffle:\n$p")
   }
 
+  test("q_abandoned: temporal NOT-EXISTS keeps the user equi-key — never a nested-loop join") {
+    val p = plan(queries.Relational.qAbandoned(spark, sf()))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"interval anti-join lost its equi-key and degenerated to a product:\n$p")
+    assert(p.contains("LeftAnti"), s"expected an anti join:\n$p")
+  }
+
+  test("q_pareto: the single-partition ntile window sees only the customer aggregate") {
+    val df = queries.Relational.qPareto(spark, sf())
+    val p = plan(df)
+    // the Window must sit ABOVE the per-customer HashAggregate — orders
+    // rows must never reach the single partition
+    val wIdx = p.indexOf("Window")
+    assert(wIdx >= 0, s"expected a window operator:\n$p")
+    val below = p.substring(wIdx)
+    assert(below.contains("HashAggregate"),
+      s"ntile window is not running over the customer aggregate:\n$p")
+  }
+
+  test("g_swing: seed-anchored pair stream broadcasts the seed side, no cartesian") {
+    val p = plan(queries.GraphOps.gSwing(spark, sf()))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"swing degenerated to a product:\n$p")
+  }
+
+  test("pq faces scan the pinned code table — one PQ fit per session") {
+    def rddIds(df: org.apache.spark.sql.DataFrame): Set[Int] =
+      df.queryExecution.analyzed.collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+      }.toSet
+    val c1 = rddIds(queries.Pipeline.pPqCodes(spark, sf()))
+    val c2 = rddIds(queries.Pipeline.pPqCodes(spark, sf()))
+    assert(c1.nonEmpty && c1 === c2,
+      s"two p_pq_codes builds scan different checkpoints: $c1 vs $c2")
+    val knn = rddIds(queries.Pipeline.pKnnPq(spark, sf()))
+    assert(c1.subsetOf(knn),
+      s"p_knn_pq does not scan the pinned code table $c1 (scans $knn)")
+  }
+
   test("g_modularity rides g_label_prop's pinned fit — one iterative fit per session") {
     // the 5-round fit ends as a pinned localCheckpoint; both queries'
     // plans must scan the SAME checkpoint RDD, proving the fit is a
