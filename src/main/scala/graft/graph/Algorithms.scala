@@ -745,29 +745,34 @@ object Algorithms {
       .localCheckpoint()
     val width = loopWidth(wEdges, und0.count())
     withoutAqe(wEdges, Some(width)) {
-    var e = und0.coalesce(width)
+    val base = und0.coalesce(width)
+    // Depth-1 lineage per round: the round-k subgraph is the BASE edge
+    // list induced on the CURRENT survivor set (survivors only shrink,
+    // so filtering the immutable base ≡ iteratively shrinking an edge
+    // state) — one checkpointed node-set per round instead of kCore's
+    // two materializations (edge state + survivors), and both semi-join
+    // probes broadcast the (node-scale) survivor set into the base scan.
     var aliveRows = -1L
     var converged = false
     var iter = 0
-    var alive = e.select(col("a").as("gid")).distinct().localCheckpoint()
+    var alive = base.select(col("a").as("gid")).distinct().localCheckpoint()
     while (!converged && iter < maxIter) {
       iter += 1
+      val e =
+        if (iter == 1) base
+        else base
+          .join(hintSmall(alive.select(col("gid").as("sa")), aliveRows),
+            col("a") === col("sa"), "left_semi")
+          .join(hintSmall(alive.select(col("gid").as("sb")), aliveRows),
+            col("b") === col("sb"), "left_semi")
       val survivors = e.groupBy(col("a")).agg(sum(col("w")).as("wdeg"))
         .filter(col("wdeg") >= minWeight)
         .select(col("a").as("gid"))
         .localCheckpoint()
       val n = survivors.count()
-      converged = n == aliveRows
+      converged = n == aliveRows || n == 0
       aliveRows = n
       alive = survivors
-      if (!converged && n > 0) {
-        e = e
-          .join(hintSmall(survivors.select(col("gid").as("sa")), n),
-            col("a") === col("sa"), "left_semi")
-          .join(hintSmall(survivors.select(col("gid").as("sb")), n),
-            col("b") === col("sb"), "left_semi")
-          .localCheckpoint()
-      } else if (n == 0) converged = true
     }
     alive
     } // withoutAqe
