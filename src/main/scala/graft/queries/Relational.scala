@@ -1312,6 +1312,50 @@ object Relational {
                 AS revenue_share
        FROM agg"""
 
+  /** 2-D skyline (Pareto frontier; Börzsönyi et al. 2001): parts not
+    * dominated on (price, size) — no other part at most as expensive
+    * AND at most as large with one strict. Done as the scale-correct
+    * sweep, never the quadratic dominance self-join: reduce to the
+    * per-price min-size table (one shuffle on the exact-cents key),
+    * prefix-min over the price-DISTINCT table (single partition, but
+    * bounded by the price DOMAIN, not the row count), join survivors
+    * back. Equal (price, size) ties all survive (dominance needs one
+    * strict inequality) — the join-back keeps them by construction.
+    * All-integer comparisons.
+    */
+  def qSkyline(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.load(spark, dir, "part")
+      .select(col("p_partkey"),
+        round(col("p_retailprice") * 100).cast("long").as("cents"),
+        col("p_size").cast("long").as("p_size"))
+    val minsz = p.groupBy(col("cents")).agg(min(col("p_size")).as("msz"))
+    val wPrev = Window.orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = minsz
+      .withColumn("m1", min(col("msz")).over(wPrev))
+      .filter(col("m1").isNull || col("m1") > col("msz"))
+      .select(col("cents").as("fc"), col("msz"))
+    p.join(frontier, col("cents") === col("fc") && col("p_size") === col("msz"))
+      .select(col("p_partkey"), round(col("cents") / 100.0, 2).as("price"),
+        col("p_size"))
+  }
+
+  val qSkylineSql: String =
+    """WITH p AS (
+         SELECT p_partkey, CAST(round(p_retailprice * 100) AS BIGINT) AS cents,
+                CAST(p_size AS BIGINT) AS p_size
+         FROM part),
+       minsz AS (SELECT cents, min(p_size) AS msz FROM p GROUP BY 1),
+       frontier AS (
+         SELECT cents AS fc, msz FROM (
+           SELECT cents, msz,
+                  min(msz) OVER (ORDER BY cents
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m1
+           FROM minsz)
+         WHERE m1 IS NULL OR m1 > msz)
+       SELECT p.p_partkey, round(p.cents / 100.0, 2) AS price, p.p_size
+       FROM p JOIN frontier f ON p.cents = f.fc AND p.p_size = f.msz"""
+
   /** Gaps-and-islands: longest consecutive-day activity streak per
     * user — the canonical islands detection via the date-minus-dense-
     * rank constant: within a user's DISTINCT active days ordered by
@@ -1449,6 +1493,7 @@ object Relational {
     QueryDef.sql("q_streaks", qStreaks, qStreaksSql),
     QueryDef.sql("q_pareto", qPareto, qParetoSql),
     QueryDef.sql("q_abandoned", qAbandoned, qAbandonedSql),
+    QueryDef.sql("q_skyline", qSkyline, qSkylineSql),
     QueryDef.sql("q_rollup", qRollup, qRollupSql),
     QueryDef.sql("q_cube", qCube, qCubeSql),
     QueryDef.sql("q_topk_agg", qTopkAgg, qTopkAggSql),
