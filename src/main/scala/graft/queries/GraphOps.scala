@@ -775,6 +775,49 @@ object GraphOps {
        FROM agg ORDER BY round(s6 / 1000000.0, 6) DESC, part_a, part_b
        LIMIT 100"""
 
+  /** Average-neighbor-degree curve k_nn(k) (Pastor-Satorras et al.
+    * 2001): for each degree class k, the mean degree of the neighbors
+    * of degree-k nodes — the degree-correlation PROFILE behind the
+    * single assortativity scalar (rising = hubs attach to hubs, flat =
+    * uncorrelated). Exact integer sums (Σ over degree-k nodes of
+    * Σ neighbor degrees, divided once by k·|class|), two node-scale
+    * joins on the degree table, one 4dp-sealed division.
+    */
+  def gKnnDegree(spark: SparkSession, dir: String): DataFrame = {
+    val und = adjGraphCached(spark, dir).und
+      .select(col("a"), col("b"))
+    val deg = und.groupBy(col("a")).agg(count(lit(1)).as("d"))
+    val nbSum = und
+      .join(deg.select(col("a").as("b2"), col("d").as("db")), col("b") === col("b2"))
+      .groupBy(col("a")).agg(sum(col("db")).as("s"))
+    deg.join(nbSum, "a")
+      .groupBy(col("d").as("degree"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("s")).as("snb"))
+      .select(col("degree"), col("n_nodes"),
+        round(col("snb").cast("double") / (col("degree") * col("n_nodes")), 4)
+          .as("avg_neighbor_degree"))
+  }
+
+  val gKnnDegreeSql: String =
+    """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       ce AS MATERIALIZED (
+         SELECT a.l_partkey AS a, b.l_partkey AS b
+         FROM op a JOIN op b
+         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         GROUP BY 1, 2),
+       und AS MATERIALIZED (
+         SELECT a, b FROM ce UNION ALL SELECT b AS a, a AS b FROM ce),
+       deg AS (SELECT a, count(*) AS d FROM und GROUP BY 1),
+       nbsum AS (
+         SELECT u.a, CAST(sum(db.d) AS BIGINT) AS s
+         FROM und u JOIN deg db ON u.b = db.a GROUP BY 1)
+       SELECT deg.d AS degree, count(*) AS n_nodes,
+              round(CAST(sum(nbsum.s) AS BIGINT) /
+                    CAST(deg.d * count(*) AS DOUBLE), 4)
+                AS avg_neighbor_degree
+       FROM deg JOIN nbsum ON deg.a = nbsum.a
+       GROUP BY deg.d"""
+
   /** Bipartite butterfly census (Sanei-Mehri et al. 2018): butterflies
     * (2×2 bicliques — two orders sharing the same two parts) are THE
     * cohesion primitive of bipartite graphs, where triangles cannot
@@ -1353,6 +1396,7 @@ object GraphOps {
     QueryDef.sql("g_swing", gSwing, gSwingSql),
     QueryDef.sql("g_rich_club", gRichClub, gRichClubSql),
     QueryDef.sql("g_butterflies", gButterflies, gButterfliesSql),
+    QueryDef.sql("g_knn_degree", gKnnDegree, gKnnDegreeSql),
     QueryDef.sql("g_modularity_w", gModularityW, gModularityWSql),
     QueryDef.sql("g_harmonic", gHarmonic, gHarmonicSql),
     QueryDef.sql("g_closeness", gCloseness, gClosenessSql),

@@ -103,6 +103,45 @@ object Streaming {
               count(*) AS n_events
        FROM sess GROUP BY user_id, session_idx"""
 
+  /** Session bounce rate: per user, the share of sessions containing a
+    * single event — the engagement metric every product dashboard pairs
+    * with sessionization. Pure projection of the [[Streams.sessionize]]
+    * output (no new shuffle beyond the session windows); integer counts
+    * with one 4dp-sealed rate.
+    */
+  def sBounce(spark: SparkSession, dir: String): DataFrame =
+    Streams.sessionize(Tables.load(spark, dir, "events"), gapSeconds = 1800L)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounces"))
+      .select(col("user_id"), col("n_sessions"), col("n_bounces"),
+        round(col("n_bounces").cast("double") / col("n_sessions"), 4)
+          .as("bounce_rate"))
+
+  val sBounceSql: String =
+    """WITH marked AS (
+         SELECT user_id, ts, event_id,
+                CASE WHEN lag(epoch(ts)) OVER w IS NULL
+                       OR epoch(ts) - lag(epoch(ts)) OVER w > 1800
+                     THEN 1 ELSE 0 END AS is_new
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       sess AS (
+         SELECT user_id, ts,
+                sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS session_idx
+         FROM marked),
+       per_session AS (
+         SELECT user_id, session_idx, count(*) AS n_events
+         FROM sess GROUP BY 1, 2)
+       SELECT user_id, count(*) AS n_sessions,
+              CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_bounces,
+              round(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) /
+                    CAST(count(*) AS DOUBLE), 4) AS bounce_rate
+       FROM per_session GROUP BY user_id"""
+
   /** Batch face of the engine-native `session_window` sessionizer
     * ([[Streams.sessionizeNative]]). The oracle mirrors session_window's
     * OWN boundary convention — an arrival exactly `gap` after the
@@ -296,6 +335,7 @@ object Streaming {
     QueryDef.sql("q_concurrency", qConcurrency, qConcurrencySql),
     QueryDef.sql("s_sessionize", sSessionize, sSessionizeSql),
     QueryDef.sql("s_session_native", sSessionNative, sSessionNativeSql),
+    QueryDef.sql("s_bounce", sBounce, sBounceSql),
     QueryDef.sql("s_dedup_keys", sDedupKeys, sDedupKeysSql),
     QueryDef.sql("s_sliding_agg", sSlidingAgg, sSlidingAggSql),
     QueryDef.sql("s_stream_join", sStreamJoin, sStreamJoinSql),
