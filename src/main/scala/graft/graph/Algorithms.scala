@@ -722,6 +722,51 @@ object Algorithms {
     } // withoutAqe
   }
 
+  /** Incremental connected-components maintenance: fold a batch of NEW
+    * edges into an existing (gid, comp) labeling with DELTA-SCALE work —
+    * the incremental-view-maintenance face of [[connectedComponents]].
+    * New edges can only MERGE components, so contracting each touched
+    * component to its label and running CC on that contracted graph
+    * (delta-edge-scale: its node set is touched components + unseen
+    * nodes, its edge set is the delta) yields the exact merge map; the
+    * corpus-scale labeling is then one label-keyed remap join. Min-gid
+    * labels are preserved exactly: the contracted node ids are the old
+    * min-gids (plus unseen nodes as themselves), so the contracted CC's
+    * min IS the merged component's global min — bit-identical to a full
+    * recompute, never an approximation. A 100 TB deployment pays
+    * O(delta + touched-components) per batch instead of refitting the
+    * graph; this is the CDC-merge discipline applied to graph state.
+    */
+  def ccIncremental(prevLabels: DataFrame, newEdges: DataFrame,
+      maxIter: Int = 50): DataFrame = {
+    val lab = prevLabels.select(col("gid"), col("comp")).localCheckpoint()
+    val e = newEdges.select(col("gsrc"), col("gdst"))
+    // delta endpoints relabeled to their previous component; unseen
+    // nodes act as their own (singleton) component
+    val rel = e
+      .join(lab.select(col("gid").as("gsrc"), col("comp").as("csrc")),
+        Seq("gsrc"), "left")
+      .join(lab.select(col("gid").as("gdst"), col("comp").as("cdst")),
+        Seq("gdst"), "left")
+      .select(coalesce(col("csrc"), col("gsrc")).as("gsrc"),
+        coalesce(col("cdst"), col("gdst")).as("gdst"))
+      .localCheckpoint()
+    val cNodes = rel.select(col("gsrc").as("gid"))
+      .unionByName(rel.select(col("gdst").as("gid"))).distinct()
+    val merged = connectedComponents(cNodes, rel, maxIter).localCheckpoint()
+    // remap previous labels through the merge map (untouched components
+    // pass through), then add the delta-only nodes with their labels
+    val prevMapped = lab
+      .join(merged.select(col("gid").as("comp"), col("comp").as("nc")),
+        Seq("comp"), "left")
+      .select(col("gid"), coalesce(col("nc"), col("comp")).as("comp"))
+    val deltaOnly = e.select(col("gsrc").as("gid"))
+      .unionByName(e.select(col("gdst").as("gid"))).distinct()
+      .join(lab.select(col("gid")), Seq("gid"), "left_anti")
+      .join(merged.select(col("gid"), col("comp")), Seq("gid"))
+    prevMapped.unionByName(deltaOnly)
+  }
+
   /** Weighted k-core: iterative peeling by WEIGHTED degree — drop nodes
     * whose incident edge-weight sum is < minWeight, shrink the edge set
     * to surviving endpoints, repeat to fixpoint. The strength-of-ties

@@ -467,6 +467,42 @@ object GraphOps {
 
   val gCcSql: String = GraphOracleSql.ccSql(rounds = 12)
 
+  /** Incremental CC maintenance face: the co-purchase graph arrives as
+    * a base batch (orders with key % 10 ≠ 0) plus a delta batch (the
+    * rest); the delta folds into the base labeling via
+    * [[graft.graph.Algorithms.ccIncremental]] — delta-scale contracted
+    * CC + one remap join, never a full refit. The oracle is the SAME
+    * full-graph ccSql as g_cc: hash-green here PROVES incremental ≡
+    * full recompute bit-for-bit (min-gid labels preserved through the
+    * contraction), the property that makes the operator safe to run
+    * forever under CDC.
+    */
+  def gCcIncr(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    def pairEdges(rows: DataFrame): DataFrame =
+      rows.groupBy(col("l_orderkey"))
+        .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
+        .select(explode(flatten(transform(col("ps"),
+          (x, i) => transform(slice(col("ps"), i + 2, size(col("ps"))),
+            y => struct(x.as("gsrc"), y.as("gdst")))))).as("e"))
+        .select(col("e.gsrc").as("gsrc"), col("e.gdst").as("gdst"))
+        .distinct()
+    val baseLi = li.filter(col("l_orderkey") % 10 =!= 0)
+    val deltaLi = li.filter(col("l_orderkey") % 10 === 0)
+    val prev = Algorithms.connectedComponents(
+      baseLi.select(col("l_partkey").as("gid")).distinct(), pairEdges(baseLi))
+    val labeled = Algorithms.ccIncremental(prev, pairEdges(deltaLi))
+    // parts appearing ONLY in single-part delta orders join as isolates
+    val missing = li.select(col("l_partkey").as("gid")).distinct()
+      .join(labeled.select(col("gid")), Seq("gid"), "left_anti")
+      .select(col("gid"), col("gid").as("comp"))
+    labeled.unionByName(missing)
+      .groupBy(col("comp")).agg(count(lit(1)).as("size"))
+      .groupBy(col("size")).agg(count(lit(1)).as("n_components"))
+  }
+
+  val gCcIncrSql: String = GraphOracleSql.ccSql(rounds = 12)
+
   /** PageRank over the directed heterogeneous graph, 10 iterations.
     * Top-100 ordered by the ROUNDED rank (8 dp) with gid tiebreak: the
     * oracle re-runs the same 10 rounds in SQL, and summation-order ULP
@@ -1378,6 +1414,7 @@ object GraphOps {
     QueryDef.sql("g_sssp", gSssp, gSsspSql),
     QueryDef.sql("g_sssp_paths", gSsspPaths, gSsspPathsSql),
     QueryDef.sql("g_cc", gCc, gCcSql),
+    QueryDef.sql("g_cc_incr", gCcIncr, gCcIncrSql),
     QueryDef.sql("g_pagerank", gPagerank, gPagerankSql),
     QueryDef.sql("g_pagerank_w", gPagerankW, gPagerankWSql),
     QueryDef.sql("g_ppr", gPpr, gPprSql),

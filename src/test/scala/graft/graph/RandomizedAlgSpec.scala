@@ -203,6 +203,39 @@ class RandomizedAlgSpec extends SparkSpec {
     }
   }
 
+  test("incremental cc equals full recompute on random edge splits") {
+    (81 to 88).foreach { seed =>
+      val rnd = new Random(seed)
+      val (nodes, edges) = randomGraph(seed)
+      val (ndf, edf) = toDf(nodes, edges)
+      val full = Algorithms.connectedComponents(ndf, edf)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // random split into base/delta; base nodes = endpoints of base
+      // edges plus a random subset of isolates
+      val (baseE, deltaE) = edges.partition(_ => rnd.nextBoolean())
+      import spark.implicits._
+      val baseNodes = (baseE.flatMap(e => Seq(e._1, e._2)) ++
+        nodes.filter(_ => rnd.nextBoolean())).distinct
+      val bn = if (baseNodes.isEmpty) Seq(0L).toDF("gid").limit(0)
+        else baseNodes.toDF("gid")
+      val be = if (baseE.isEmpty) Seq((0L, 0L)).toDF("gsrc", "gdst").limit(0)
+        else baseE.toDF("gsrc", "gdst")
+      val de = if (deltaE.isEmpty) Seq((0L, 0L)).toDF("gsrc", "gdst").limit(0)
+        else deltaE.toDF("gsrc", "gdst")
+      val prev = Algorithms.connectedComponents(bn, be)
+      val incr = Algorithms.ccIncremental(prev, de)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // nodes never reaching either batch stay out of the incremental
+      // view (the face adds them as isolates) — compare on its domain,
+      // then check the domain is exactly base nodes ∪ delta endpoints
+      val domain = baseNodes.toSet ++ deltaE.flatMap(e => Seq(e._1, e._2))
+      assert(incr.keySet === domain, s"seed=$seed")
+      domain.foreach { v =>
+        assert(incr(v) === full(v), s"seed=$seed node=$v base=$baseE delta=$deltaE")
+      }
+    }
+  }
+
   test("swing matches driver enumeration on random bipartite incidences") {
     (71 to 76).foreach { seed =>
       import spark.implicits._
