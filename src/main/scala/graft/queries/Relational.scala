@@ -1312,6 +1312,66 @@ object Relational {
                 AS revenue_share
        FROM agg"""
 
+  /** RFM customer segmentation: recency (days since last order,
+    * against the corpus max date), frequency (order count), monetary
+    * (exact-cents total), each cut into quintiles over the CUSTOMER
+    * aggregate with deterministic tiebreaks, combined into the classic
+    * R-F-M segment code. The three ntile windows run single-partition
+    * but over customers, never orders (the q_pareto discipline; at
+    * 100 TB they swap for rank-over-count bucketing unchanged). All
+    * cut decisions are integer comparisons.
+    */
+  def qRfm(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    val perCust = o.groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("frequency"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val maxDate = o.agg(max(col("o_orderdate")).as("maxd"))
+    val scored = perCust.crossJoin(broadcast(maxDate))
+      .select(col("o_custkey"),
+        datediff(col("maxd"), col("last_order")).cast("long").as("recency_days"),
+        col("frequency"), col("cents"))
+    val r = ntile(5).over(Window.orderBy(col("recency_days"), col("o_custkey")))
+    val f = ntile(5).over(Window.orderBy(col("frequency").desc, col("o_custkey")))
+    val m = ntile(5).over(Window.orderBy(col("cents").desc, col("o_custkey")))
+    scored
+      .select(col("o_custkey"), col("recency_days"), col("frequency"),
+        round(col("cents") / 100.0, 2).as("monetary"),
+        r.cast("long").as("r_score"), f.cast("long").as("f_score"),
+        m.cast("long").as("m_score"))
+      .withColumn("segment",
+        concat_ws("-", col("r_score"), col("f_score"), col("m_score")))
+  }
+
+  val qRfmSql: String =
+    """WITH pc AS (
+         SELECT o_custkey, max(o_orderdate) AS last_order,
+                count(*) AS frequency,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                  AS cents
+         FROM orders GROUP BY 1),
+       sc AS (
+         SELECT o_custkey,
+                CAST(datediff('day', last_order,
+                     (SELECT max(o_orderdate) FROM orders)) AS BIGINT)
+                  AS recency_days,
+                frequency, cents
+         FROM pc)
+       SELECT o_custkey, recency_days, frequency,
+              round(cents / 100.0, 2) AS monetary,
+              CAST(ntile(5) OVER (ORDER BY recency_days, o_custkey) AS BIGINT)
+                AS r_score,
+              CAST(ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS BIGINT)
+                AS f_score,
+              CAST(ntile(5) OVER (ORDER BY cents DESC, o_custkey) AS BIGINT)
+                AS m_score,
+              concat_ws('-',
+                ntile(5) OVER (ORDER BY recency_days, o_custkey),
+                ntile(5) OVER (ORDER BY frequency DESC, o_custkey),
+                ntile(5) OVER (ORDER BY cents DESC, o_custkey)) AS segment
+       FROM sc"""
+
   /** 2-D skyline (Pareto frontier; Börzsönyi et al. 2001): parts not
     * dominated on (price, size) — no other part at most as expensive
     * AND at most as large with one strict. Done as the scale-correct
@@ -1494,6 +1554,7 @@ object Relational {
     QueryDef.sql("q_pareto", qPareto, qParetoSql),
     QueryDef.sql("q_abandoned", qAbandoned, qAbandonedSql),
     QueryDef.sql("q_skyline", qSkyline, qSkylineSql),
+    QueryDef.sql("q_rfm", qRfm, qRfmSql),
     QueryDef.sql("q_rollup", qRollup, qRollupSql),
     QueryDef.sql("q_cube", qCube, qCubeSql),
     QueryDef.sql("q_topk_agg", qTopkAgg, qTopkAggSql),
