@@ -830,6 +830,60 @@ object GraphOps {
        FROM agg ORDER BY round(s6 / 1000000.0, 6) DESC, part_a, part_b
        LIMIT 100"""
 
+  /** WEIGHTED degree assortativity (Leung & Chau 2006): the Pearson
+    * correlation of endpoint WEIGHTED degrees across edges, each edge
+    * counted with its support weight — do strong-tie hubs attach to
+    * strong-tie hubs? Computed from six exact integer moments
+    * (Σw, Σwx, Σwx², Σwxy over both orientations; x=y symmetric on an
+    * undirected graph, so r = (SwSxy−Sx²)/(SwSxx−Sx²)) — every moment
+    * and both quadratic forms are exact integers converted to double
+    * ONCE for the final division, so the scalar is bit-identical in
+    * any engine or partitioning. At larger scales than the gate's the
+    * quadratic forms approach 2⁶³ and the moments swap to doubles
+    * (corr()'s own path); exactness here is what makes the oracle a
+    * hash, not a tolerance.
+    */
+  def gAssortativityW(spark: SparkSession, dir: String): DataFrame = {
+    val wed = wCopurchaseCached(spark, dir)
+    val und = wed.select(col("gsrc").as("a"), col("gdst").as("b"), col("w"))
+      .unionByName(wed.select(col("gdst").as("a"), col("gsrc").as("b"), col("w")))
+    val sdeg = und.groupBy(col("a")).agg(sum(col("w")).as("sd"))
+    val j = und
+      .join(sdeg.select(col("a").as("a2"), col("sd").as("x")), col("a") === col("a2"))
+      .join(sdeg.select(col("a").as("b2"), col("sd").as("y")), col("b") === col("b2"))
+    j.agg(sum(col("w")).as("sw"),
+        sum(col("w") * col("x")).as("sx"),
+        sum(col("w") * col("x") * col("x")).as("sxx"),
+        sum(col("w") * col("x") * col("y")).as("sxy"))
+      .select(col("sw").as("sum_w"),
+        round((col("sw") * col("sxy") - col("sx") * col("sx")).cast("double") /
+          (col("sw") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+          .as("assortativity_w"))
+  }
+
+  val gAssortativityWSql: String =
+    """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       cew AS MATERIALIZED (
+         SELECT a.l_partkey AS a, b.l_partkey AS b, count(*) AS w
+         FROM op a JOIN op b
+         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         GROUP BY 1, 2),
+       undw AS MATERIALIZED (
+         SELECT a, b, w FROM cew UNION ALL SELECT b AS a, a AS b, w FROM cew),
+       sdeg AS (SELECT a, CAST(sum(w) AS BIGINT) AS sd FROM undw GROUP BY 1),
+       m AS (
+         SELECT CAST(sum(u.w) AS BIGINT) AS sw,
+                sum(u.w * dx.sd) AS sx,
+                sum(u.w * dx.sd * dx.sd) AS sxx,
+                sum(u.w * dx.sd * dy.sd) AS sxy
+         FROM undw u
+         JOIN sdeg dx ON u.a = dx.a
+         JOIN sdeg dy ON u.b = dy.a)
+       SELECT sw AS sum_w,
+              round(CAST(sw * sxy - sx * sx AS DOUBLE) /
+                    CAST(sw * sxx - sx * sx AS DOUBLE), 6) AS assortativity_w
+       FROM m"""
+
   /** Average-neighbor-degree curve k_nn(k) (Pastor-Satorras et al.
     * 2001): for each degree class k, the mean degree of the neighbors
     * of degree-k nodes — the degree-correlation PROFILE behind the
@@ -1453,6 +1507,7 @@ object GraphOps {
     QueryDef.sql("g_rich_club", gRichClub, gRichClubSql),
     QueryDef.sql("g_butterflies", gButterflies, gButterfliesSql),
     QueryDef.sql("g_knn_degree", gKnnDegree, gKnnDegreeSql),
+    QueryDef.sql("g_assortativity_w", gAssortativityW, gAssortativityWSql),
     QueryDef.sql("g_modularity_w", gModularityW, gModularityWSql),
     QueryDef.sql("g_harmonic", gHarmonic, gHarmonicSql),
     QueryDef.sql("g_closeness", gCloseness, gClosenessSql),

@@ -1986,6 +1986,51 @@ object Pipeline {
        FROM fills GROUP BY shard"""
   }
 
+  /** Packing-efficiency CURVE: the global fill/waste audit at a grid
+    * of sequence-length budgets (256/512/1024) — the number read BEFORE
+    * choosing a training sequence length (longer sequences pack more
+    * waste from the same documents; this face prices that trade). One
+    * greedy-pack pass per grid point, each the same recursive-walk
+    * oracle as p_pack_audit namespaced into its own subquery scope.
+    */
+  def pPackCurve(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.wsTokens(col("text")).cast("long").as("ws"))
+    Seq(256L, 512L, 1024L).map { b =>
+      graft.pipeline.Packing.packAudit(docs, "doc_id", "ws",
+          budget = b, shardSize = 100L, spark)
+        .agg(sum(col("n_packs")).as("n_packs"),
+          sum(col("n_docs")).as("n_docs"),
+          sum(col("packed_tokens")).as("packed_tokens"),
+          sum(col("waste_tokens")).as("waste_tokens"))
+        .select(lit(b).as("budget"), col("n_packs"), col("n_docs"),
+          col("packed_tokens"), col("waste_tokens"),
+          round(col("packed_tokens").cast("double") /
+            (col("n_packs") * b), 4).as("fill_rate"))
+    }.reduce(_ unionByName _)
+  }
+
+  val pPackCurveSql: String =
+    Seq(256L, 512L, 1024L).map { b =>
+      val ctes = graft.pipeline.Packing.packGreedyCtes(
+        "SELECT * FROM documents", "doc_id",
+        "len(regexp_split_to_array(trim(text), '\\s+'))",
+        budget = b, shardSize = 100L)
+      s"""SELECT * FROM (WITH RECURSIVE $ctes,
+         fills AS (SELECT w.shard, w.pack_idx, count(*) AS n_docs,
+                          CAST(sum(t.tk) AS BIGINT) AS fill
+                   FROM walk w JOIN pk_t t ON t.shard = w.shard AND t.rn = w.rn
+                   GROUP BY 1, 2)
+         SELECT CAST($b AS BIGINT) AS budget,
+                count(*) AS n_packs,
+                CAST(sum(n_docs) AS BIGINT) AS n_docs,
+                CAST(sum(fill) AS BIGINT) AS packed_tokens,
+                CAST(sum(greatest(0, $b - fill)) AS BIGINT) AS waste_tokens,
+                round(CAST(sum(fill) AS DOUBLE) / (count(*) * $b.0), 4)
+                  AS fill_rate
+         FROM fills)"""
+    }.mkString("\n       UNION ALL\n       ")
+
   /** Deterministic training-order shuffle: 16 hash shards, reproducible
     * in-shard order — the layout a training loader reads.
     */
@@ -2311,6 +2356,7 @@ object Pipeline {
     QueryDef.sql("p_zipf", pZipf, pZipfSql),
     QueryDef.sql("p_pack_sequences", pPackSequences, pPackSequencesSql),
     QueryDef.sql("p_pack_audit", pPackAudit, pPackAuditSql),
+    QueryDef.sql("p_pack_curve", pPackCurve, pPackCurveSql),
     QueryDef.sql("p_shuffle_shard", pShuffleShard, pShuffleShardSql),
     QueryDef.rowsOnly("p_bpe_vocab", pBpeVocab),
     QueryDef.rowsOnly("p_bpe_tokens", pBpeTokens),
