@@ -1264,6 +1264,65 @@ object Pipeline {
     s"""WITH $corpusFilterCtes
        SELECT reason, count(*) AS n_docs FROM cf GROUP BY reason"""
 
+  /** Filter ABLATION audit: per rule, how many documents fail it and
+    * how many fail ONLY it — the marginal-contribution matrix behind a
+    * filter-stack decision (a rule whose every failure is shared with
+    * other rules can be dropped for free; one with a large unique
+    * count carries real weight). Same rule fragments as the verdict
+    * faces, evaluated as independent booleans in one narrow pass —
+    * the first-fail CASE ordering cannot hide overlaps here.
+    */
+  def pFilterAblation(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val docs = Tables.load(spark, dir, "documents").select(
+      (TextAnalysis.wsTokens(t) < 10).as("f_short"),
+      (!TextAnalysis.meanWordLen(t).between(3.0, 10.0)).as("f_shape"),
+      (TextAnalysis.dupWordFrac(t) >= 0.6).as("f_rep"),
+      (TextAnalysis.alphaWordFrac(t) < 0.8).as("f_alpha"),
+      (TextAnalysis.langId(t) =!= "en").as("f_lang"),
+      (TextAnalysis.piiCount(t) > 0).as("f_pii"))
+    val rules = Seq("f_short" -> "too_short", "f_shape" -> "word_shape",
+      "f_rep" -> "repetitive", "f_alpha" -> "non_alpha",
+      "f_lang" -> "lang", "f_pii" -> "pii")
+    val aggs = rules.flatMap { case (c, _) =>
+      val others = rules.map(_._1).filterNot(_ == c)
+        .map(col).reduce(_ || _)
+      Seq(sum(when(col(c), 1L).otherwise(0L)).as(s"n_$c"),
+        sum(when(col(c) && !others, 1L).otherwise(0L)).as(s"u_$c"))
+    }
+    docs.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(rules.map { case (c, name) =>
+        struct(lit(name).as("rule"), col(s"n_$c").as("n_fail"),
+          col(s"u_$c").as("n_unique_fail"))
+      }: _*)).as("r"))
+      .select(col("r.rule"), col("r.n_fail"), col("r.n_unique_fail"))
+  }
+
+  val pFilterAblationSql: String = {
+    val flags = Seq(
+      "f_short" -> "ws < 10", "f_shape" -> "NOT (mwl BETWEEN 3.0 AND 10.0)",
+      "f_rep" -> "dwf >= 0.6", "f_alpha" -> "awf < 0.8",
+      "f_lang" -> "lang_guess <> 'en'", "f_pii" -> "n_pii > 0")
+    val names = Map("f_short" -> "too_short", "f_shape" -> "word_shape",
+      "f_rep" -> "repetitive", "f_alpha" -> "non_alpha",
+      "f_lang" -> "lang", "f_pii" -> "pii")
+    val flagCols = flags.map { case (n, e) => s"$e AS $n" }.mkString(",\n                ")
+    val rows = flags.map { case (c, _) =>
+      val others = flags.map(_._1).filterNot(_ == c).mkString(" OR ")
+      s"""SELECT '${names(c)}' AS rule,
+              CAST(sum(CASE WHEN $c THEN 1 ELSE 0 END) AS BIGINT) AS n_fail,
+              CAST(sum(CASE WHEN $c AND NOT ($others) THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_unique_fail
+       FROM flags"""
+    }.mkString("\n       UNION ALL\n       ")
+    s"""WITH $corpusFilterCtes,
+       flags AS (
+         SELECT m.doc_id,
+                $flagCols
+         FROM m JOIN l USING (doc_id))
+       $rows"""
+  }
+
   /** Canonical text form (Unicode NFC via the codegen
     * [[graft.functions.NfcNormalize]] expression) + its digest — the
     * normalization that must precede content hashing, or composed vs
@@ -2346,6 +2405,7 @@ object Pipeline {
     QueryDef.sql("p_quality_logit", pQualityLogit, pQualityLogitSql),
     QueryDef.sql("p_corpus_filter", pCorpusFilter, pCorpusFilterSql),
     QueryDef.sql("p_filter_report", pFilterReport, pFilterReportSql),
+    QueryDef.sql("p_filter_ablation", pFilterAblation, pFilterAblationSql),
     QueryDef.sql("p_normalize", pNormalize, pNormalizeSql),
     QueryDef.rowsOnly("p_approx_distinct", pApproxDistinct),
     QueryDef.sql("p_pii_scrub", pPiiScrub, pPiiScrubSql),
