@@ -27,6 +27,55 @@ class RelFacesSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("q_attribution equals a driver last-touch replay on the real events") {
+    val got = Relational.qAttribution(spark, sf())
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val evs = Tables.load(spark, sf(), "events")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2), r.getLong(3), r.getLong(4)))
+    val byUser = evs.groupBy(_._1)
+    val acc = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    byUser.values.foreach { rows =>
+      // full µs precision: getTime truncates to ms and could mis-order
+      val sorted = rows.sortBy(e =>
+        (e._3.getTime * 1000 + e._3.getNanos / 1000 % 1000, e._4))
+      var touch: String = null
+      sorted.foreach { case (_, et, _, _, cents) =>
+        if (et == "purchase") {
+          val k = if (touch == null) "none" else touch
+          val (n, t) = acc.getOrElse(k, (0L, 0L))
+          acc(k) = (n + 1, t + cents)
+        }
+        if (et == "click" || et == "view") touch = et
+      }
+    }
+    val expected = acc.view.mapValues { case (n, t) =>
+      (n, math.round(t / 100.0 * 100.0) / 100.0)
+    }.toMap
+    assert(got === expected)
+  }
+
+  test("q_streaks equals driver island detection on the real events") {
+    val got = Relational.qStreaks(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val days = Tables.load(spark, sf(), "events")
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .collect().map(r => r.getLong(0) -> r.getDate(1).toLocalDate)
+    val expected = days.groupBy(_._1).map { case (u, ds) =>
+      val sorted = ds.map(_._2.toEpochDay).distinct.sorted
+      val runs = sorted.foldLeft(List.empty[List[Long]]) {
+        case (h :: t, d) if d == h.head + 1 => (d :: h) :: t
+        case (accum, d) => List(d) :: accum
+      }
+      (u, runs.map(_.size.toLong).max, sorted.size.toLong, runs.size.toLong)
+    }.toSeq
+      .sortBy { case (u, longest, nd, _) => (-longest, -nd, u) }
+      .take(100).toSet
+    assert(got === expected)
+  }
+
   test("q_skyline keeps equal-attribute ties (dominance needs one strict)") {
     import spark.implicits._
     // planted: two identical frontier points (1, 2), one dominated (3)

@@ -172,6 +172,32 @@ class StreamingSpec extends SparkSpec {
     assert(batch === got)
   }
 
+  test("rateAnomalies flags exactly the planted spike hour with exact moments") {
+    import spark.implicits._
+    // type "x": 15 hours of 2 events + 1 hour of 50 → mean 5, sd 12
+    // (sample), threshold 41 < 50 → exactly one flag; type "y" flat
+    var id = 0L
+    val evs = (0 until 16).flatMap { h =>
+      val n = if (h == 7) 50 else 2
+      (0 until n).map { i =>
+        id += 1
+        Ev(id, java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:${i % 60}%02d:00"),
+          1, "x", 0.0)
+      }
+    } ++ (0 until 6).map { h =>
+      id += 1
+      Ev(id, java.sql.Timestamp.valueOf(f"2024-01-02 $h%02d:00:00"), 2, "y", 0.0)
+    }
+    val got = Streams.rateAnomalies(evs.toDF()).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert(r.getTimestamp(0) === java.sql.Timestamp.valueOf("2024-01-01 07:00:00"))
+    assert(r.getString(1) === "x")
+    assert(r.getLong(2) === 50L)
+    assert(r.getDouble(3) === 5.0)
+    assert(r.getDouble(4) === 12.0)
+  }
+
   test("left-outer stream-stream join emits null rows only after watermark eviction") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
