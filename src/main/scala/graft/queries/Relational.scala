@@ -1312,6 +1312,43 @@ object Relational {
                 AS revenue_share
        FROM agg"""
 
+  /** Period-over-period report: monthly revenue with previous-month
+    * delta and percent change — the standard reporting face (lag over
+    * the MONTH table, which is calendar-bounded, so the unpartitioned
+    * window is a few dozen rows at any corpus scale). Exact-cents
+    * monthly sums; delta exact; pct change is one sealed division.
+    */
+  def qMom(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.load(spark, dir, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"),
+        count(lit(1)).as("n_orders"))
+    val w = Window.orderBy(col("month"))
+    monthly
+      .withColumn("prev", lag(col("cents"), 1).over(w))
+      .select(col("month"), col("n_orders"),
+        round(col("cents") / 100.0, 2).as("revenue"),
+        round((col("cents") - col("prev")) / 100.0, 2).as("mom_delta"),
+        round((col("cents") - col("prev")).cast("double") / col("prev"), 4)
+          .as("mom_pct"))
+  }
+
+  val qMomSql: String =
+    """WITH monthly AS (
+         SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                  AS cents,
+                count(*) AS n_orders
+         FROM orders GROUP BY 1)
+       SELECT month, n_orders,
+              round(cents / 100.0, 2) AS revenue,
+              round((cents - lag(cents) OVER (ORDER BY month)) / 100.0, 2)
+                AS mom_delta,
+              round((cents - lag(cents) OVER (ORDER BY month)) /
+                    CAST(lag(cents) OVER (ORDER BY month) AS DOUBLE), 4)
+                AS mom_pct
+       FROM monthly"""
+
   /** RFM customer segmentation: recency (days since last order,
     * against the corpus max date), frequency (order count), monetary
     * (exact-cents total), each cut into quintiles over the CUSTOMER
@@ -1555,6 +1592,7 @@ object Relational {
     QueryDef.sql("q_abandoned", qAbandoned, qAbandonedSql),
     QueryDef.sql("q_skyline", qSkyline, qSkylineSql),
     QueryDef.sql("q_rfm", qRfm, qRfmSql),
+    QueryDef.sql("q_mom", qMom, qMomSql),
     QueryDef.sql("q_rollup", qRollup, qRollupSql),
     QueryDef.sql("q_cube", qCube, qCubeSql),
     QueryDef.sql("q_topk_agg", qTopkAgg, qTopkAggSql),
