@@ -27,6 +27,11 @@ object Hierarchy {
     * @param parents child→parent edges as columns (node, parent); each
     *                node must have at most one parent and no cycles
     *                (a forest — the caller's contract).
+    * @param maxDepth upper bound on emitted depths. The doubling round
+    *                 at frontier depth f produces rows up to depth 2f,
+    *                 so the bound is enforced by a final filter, not by
+    *                 the loop exit alone (non-power-of-two values would
+    *                 otherwise overshoot).
     */
   def closure(parents: DataFrame, maxDepth: Long = 1L << 40): DataFrame = {
     var closure = parents
@@ -48,6 +53,6 @@ object Hierarchy {
         frontDepth *= 2
       }
     }
-    closure
+    closure.filter(col("depth") <= maxDepth)
   }
 }

@@ -325,7 +325,10 @@ object Cluster {
     */
   def pqFit(emb: DataFrame, idCol: String, vecCol: String,
       m: Int, k: Int, rounds: Int): (Int, Seq[Seq[(Int, Array[Double])]]) = {
-    val dim = emb.select(size(col(vecCol))).first().getInt(0)
+    val probe = emb.select(size(col(vecCol)).as("d")).head(1)
+    require(probe.nonEmpty,
+      s"pqFit: input table is empty — cannot infer $vecCol dimensionality")
+    val dim = probe(0).getInt(0)
     require(m > 0 && dim % m == 0, s"dim $dim must split into m=$m subspaces")
     val sub = dim / m
     (sub, (0 until m).map { j =>

@@ -279,9 +279,13 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_trigrams"),
         countDistinct(col("tg")).as("n_distinct_trigrams"))
     val tbf = col("top_bigram_n").cast("double") / col("n_bigrams")
-    val dtf = lit(1.0) -
-      col("n_distinct_trigrams").cast("double") / col("n_trigrams")
-    bg.join(tg, "id")
+    // LEFT join from the bigram stats: a 2-token document has one
+    // bigram but no trigram row — it keeps its bigram profile and its
+    // (vacuous) dup_trigram_frac is 0. Domain note: documents with
+    // fewer than 2 tokens have no bigram either and emit no row.
+    val dtf = coalesce(lit(1.0) -
+      col("n_distinct_trigrams").cast("double") / col("n_trigrams"), lit(0.0))
+    bg.join(tg, Seq("id"), "left")
       .select(col("id"), col("top_bigram_n"),
         round(tbf, 4).as("top_bigram_frac"),
         round(dtf, 4).as("dup_trigram_frac"),

@@ -979,7 +979,10 @@ object GraphOps {
       .crossJoin(within.agg(count(lit(1)).as("e_rich")))
       .crossJoin(deg.agg(count(lit(1)).as("n_all")))
       .crossJoin(edges.agg(count(lit(1)).as("e_all")))
-    val clubD = col("e_rich") * 2.0 / (col("n_rich") * (col("n_rich") - 1))
+    // degenerate-club guard: with 0 or 1 rich nodes the density
+    // denominator is 0 — report NULL (both engines) instead of NaN/Inf
+    val clubD = when(col("n_rich") >= 2,
+      col("e_rich") * 2.0 / (col("n_rich") * (col("n_rich") - 1)))
     val allD = col("e_all") * 2.0 / (col("n_all") * (col("n_all") - 1))
     stats.select(col("n_rich"), col("e_rich"),
       round(clubD, 6).as("club_density"),
@@ -1005,10 +1008,14 @@ object GraphOps {
                 (SELECT count(*) FROM deg) AS n_all,
                 (SELECT count(*) FROM ce) AS e_all)
        SELECT n_rich, e_rich,
-              round(e_rich * 2.0 / (n_rich * (n_rich - 1)), 6) AS club_density,
+              round(CASE WHEN n_rich >= 2
+                    THEN e_rich * 2.0 / (n_rich * (n_rich - 1)) END, 6)
+                AS club_density,
               round(e_all * 2.0 / (n_all * (n_all - 1)), 6) AS graph_density,
-              round((e_rich * 2.0 / (n_rich * (n_rich - 1))) /
-                    (e_all * 2.0 / (n_all * (n_all - 1))), 6) AS rich_club_coef
+              round(CASE WHEN n_rich >= 2
+                    THEN (e_rich * 2.0 / (n_rich * (n_rich - 1))) /
+                         (e_all * 2.0 / (n_all * (n_all - 1))) END, 6)
+                AS rich_club_coef
        FROM stats"""
 
   /** Triangle count over the co-purchase graph. */

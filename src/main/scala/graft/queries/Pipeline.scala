@@ -218,13 +218,17 @@ object Pipeline {
     * counts at a grid of cosine thresholds — the number a curation run
     * reads BEFORE choosing its threshold (how much would each setting
     * delete?). One pass over the pinned ≥0.4 pair stream, exploded to
-    * the threshold grid; integer counts only.
+    * the threshold grid; integer counts only. Grid comparisons run on
+    * the 6dp-ROUNDED cosine on both engines (the seal-before-compare
+    * float discipline): Spark's fused dot product and DuckDB's
+    * list_cosine_similarity can differ by a ULP, which at an exact
+    * grid boundary would flip a pair in or out of a bucket.
     */
   def pDedupCurve(spark: SparkSession, dir: String): DataFrame = {
     val pairs = cosinePairsCached(spark, dir)
     val grid = Seq(0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
     grid.map { t =>
-      val p = pairs.filter(col("cosine") >= t)
+      val p = pairs.filter(round(col("cosine"), 6) >= t)
       val docs = p.select(col("id_a").as("id"))
         .unionByName(p.select(col("id_b").as("id"))).distinct()
       p.agg(lit(t).as("threshold"), count(lit(1)).as("n_pairs"))
@@ -244,11 +248,11 @@ object Pipeline {
                   AS threshold)
        SELECT g.threshold,
               (SELECT count(*) FROM pairs p
-               WHERE p.cosine >= g.threshold) AS n_pairs,
+               WHERE round(p.cosine, 6) >= g.threshold) AS n_pairs,
               (SELECT count(DISTINCT id) FROM (
-                 SELECT id_a AS id FROM pairs WHERE cosine >= g.threshold
+                 SELECT id_a AS id FROM pairs WHERE round(cosine, 6) >= g.threshold
                  UNION ALL
-                 SELECT id_b AS id FROM pairs WHERE cosine >= g.threshold))
+                 SELECT id_b AS id FROM pairs WHERE round(cosine, 6) >= g.threshold))
                 AS n_docs_affected
        FROM grid g"""
 
@@ -721,10 +725,12 @@ object Pipeline {
          FROM tgs WHERE g IS NOT NULL GROUP BY 1)
        SELECT b.doc_id, b.topn AS top_bigram_n,
               round(b.topn / CAST(b.nbg AS DOUBLE), 4) AS top_bigram_frac,
-              round(1.0 - t.ndtg / CAST(t.ntg AS DOUBLE), 4) AS dup_trigram_frac,
+              round(coalesce(1.0 - t.ndtg / CAST(t.ntg AS DOUBLE), 0.0), 4)
+                AS dup_trigram_frac,
               (b.topn / CAST(b.nbg AS DOUBLE) <= 0.05 AND
-               1.0 - t.ndtg / CAST(t.ntg AS DOUBLE) <= 0.02) AS keep
-       FROM bga b JOIN tga t ON b.doc_id = t.doc_id"""
+               coalesce(1.0 - t.ndtg / CAST(t.ntg AS DOUBLE), 0.0) <= 0.02)
+                AS keep
+       FROM bga b LEFT JOIN tga t ON b.doc_id = t.doc_id"""
 
   /** Per-doc character-distribution Shannon entropy (bits) — the
     * compression-ratio junk detector.
