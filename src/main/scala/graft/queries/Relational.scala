@@ -1270,19 +1270,19 @@ object Relational {
 
   /** Revenue-concentration (Pareto/Lorenz) report: customers ranked by
     * exact-cents revenue, cut into rank deciles, each decile's share of
-    * total revenue — "the top 10% of customers produce X%". The only
-    * single-partition window (ntile over the customer ranking) touches
-    * the CUSTOMER aggregate, never order rows, and at 100 TB swaps for
-    * rank()-over-count bucketing on the same sorted aggregate without
-    * changing the result. Shares divide exact integer cent sums, sealed
-    * at 6dp.
+    * total revenue — "the top 10% of customers produce X%". The decile
+    * cut runs through [[graft.operators.Ntile.distributed]] — the
+    * rank-over-count bucketing path (range-partitioned sort + exact
+    * global rank, NO single-partition window anywhere in the plan),
+    * bit-identical to the ntile window by NtileSpec + the unchanged
+    * oracle. Shares divide exact integer cent sums, sealed at 6dp.
     */
   def qPareto(spark: SparkSession, dir: String): DataFrame = {
     val perCust = Tables.load(spark, dir, "orders")
       .groupBy(col("o_custkey"))
       .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
-    val w = Window.orderBy(col("cents").desc, col("o_custkey"))
-    val deciles = perCust.select(col("cents"), ntile(10).over(w).as("decile"))
+    val deciles = graft.operators.Ntile.distributed(perCust, 10,
+        Seq(col("cents").desc, col("o_custkey")), "decile")
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n_customers"), sum(col("cents")).as("dc"))
     val total = perCust.agg(sum(col("cents")).as("tc"))
@@ -1353,10 +1353,12 @@ object Relational {
     * against the corpus max date), frequency (order count), monetary
     * (exact-cents total), each cut into quintiles over the CUSTOMER
     * aggregate with deterministic tiebreaks, combined into the classic
-    * R-F-M segment code. The three ntile windows run single-partition
-    * but over customers, never orders (the q_pareto discipline; at
-    * 100 TB they swap for rank-over-count bucketing unchanged). All
-    * cut decisions are integer comparisons.
+    * R-F-M segment code. Each quintile cut runs through
+    * [[graft.operators.Ntile.distributed]] (rank-over-count bucketing,
+    * no single-partition window in the plan — the q_pareto swap made
+    * code); three successive range-partitioned passes over the
+    * customer aggregate, never orders. All cut decisions are integer
+    * comparisons.
     */
   def qRfm(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.load(spark, dir, "orders")
@@ -1369,14 +1371,16 @@ object Relational {
       .select(col("o_custkey"),
         datediff(col("maxd"), col("last_order")).cast("long").as("recency_days"),
         col("frequency"), col("cents"))
-    val r = ntile(5).over(Window.orderBy(col("recency_days"), col("o_custkey")))
-    val f = ntile(5).over(Window.orderBy(col("frequency").desc, col("o_custkey")))
-    val m = ntile(5).over(Window.orderBy(col("cents").desc, col("o_custkey")))
-    scored
+    val s1 = graft.operators.Ntile.distributed(scored, 5,
+      Seq(col("recency_days"), col("o_custkey")), "r_score")
+    val s2 = graft.operators.Ntile.distributed(s1, 5,
+      Seq(col("frequency").desc, col("o_custkey")), "f_score")
+    val s3 = graft.operators.Ntile.distributed(s2, 5,
+      Seq(col("cents").desc, col("o_custkey")), "m_score")
+    s3
       .select(col("o_custkey"), col("recency_days"), col("frequency"),
         round(col("cents") / 100.0, 2).as("monetary"),
-        r.cast("long").as("r_score"), f.cast("long").as("f_score"),
-        m.cast("long").as("m_score"))
+        col("r_score"), col("f_score"), col("m_score"))
       .withColumn("segment",
         concat_ws("-", col("r_score"), col("f_score"), col("m_score")))
   }

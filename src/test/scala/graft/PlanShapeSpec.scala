@@ -70,16 +70,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), s"expected an anti join:\n$p")
   }
 
-  test("q_pareto: the single-partition ntile window sees only the customer aggregate") {
-    val df = queries.Relational.qPareto(spark, sf())
-    val p = plan(df)
-    // the Window must sit ABOVE the per-customer HashAggregate — orders
-    // rows must never reach the single partition
-    val wIdx = p.indexOf("Window")
-    assert(wIdx >= 0, s"expected a window operator:\n$p")
-    val below = p.substring(wIdx)
-    assert(below.contains("HashAggregate"),
-      s"ntile window is not running over the customer aggregate:\n$p")
+  test("q_pareto + q_rfm: distributed ntile — no window operator anywhere in the plan") {
+    // the round-7 watch item made code: the customer-scale quantile
+    // cuts run through Ntile.distributed (range sort + rank-over-count),
+    // so no single-partition — indeed no — Window survives in either plan
+    for ((name, df) <- Seq(
+        "q_pareto" -> queries.Relational.qPareto(spark, sf()),
+        "q_rfm" -> queries.Relational.qRfm(spark, sf()))) {
+      val p = plan(df)
+      assert(!p.contains("Window"),
+        s"$name still plans a window (single-partition ntile came back):\n$p")
+    }
   }
 
   test("g_swing: seed-anchored pair stream broadcasts the seed side, no cartesian") {
