@@ -415,6 +415,17 @@ object Cluster {
       shortlist: Int): DataFrame = {
     val cand = pqAdcKnn(emb, idCol, vecCol, m, k, rounds, queries, shortlist)
       .select(col("query_id"), col("neighbor_id"))
+    rerankExact(cand, emb, idCol, vecCol, queries, topK)
+  }
+
+  /** Exact re-rank of a candidate shortlist: join the (query_id,
+    * neighbor_id) candidates back to the true vectors on id — never a
+    * queries×corpus product — and keep the exact-L2 top-k. The
+    * exactness-buy-back leg shared by the flat-PQ and IVF-PQ search
+    * shapes.
+    */
+  def rerankExact(cand: DataFrame, emb: DataFrame, idCol: String,
+      vecCol: String, queries: DataFrame, topK: Int): DataFrame = {
     val vecs = emb.select(col(idCol).as("nid"),
       col(vecCol).cast("array<double>").as("nv"))
     val q = queries.select(col(idCol).as("qid"),
@@ -427,5 +438,128 @@ object Cluster {
           .orderBy(col("dist"), col("neighbor_id"))))
       .filter(col("rank") <= topK)
       .select(col("query_id"), col("neighbor_id"), col("dist"), col("rank"))
+  }
+
+  // ----------------------------------------------------------- IVF-PQ
+
+  private def centroidArrayLit(cents: Seq[(Int, Array[Double])]) =
+    array(cents.sortBy(_._1).map { case (_, cv) =>
+      array(cv.toIndexedSeq.map(lit): _*)
+    }: _*)
+
+  /** Coarse-list assignment by SQUARED L2 — the IVF-PQ stack is
+    * L2 end-to-end (residual encode, ADC, exact re-rank), so list
+    * selection must rank by the same metric or queries probe the wrong
+    * lists ([[Ann.ivfAssign]] ranks by cosine, which costs real recall
+    * on un-normalized vectors). Same struct-ordering codegen shape:
+    * nProbe=1 (the corpus encode path) is one O(C) `array_min`; query
+    * probing sorts the C-length struct array once per query row.
+    */
+  def ivfAssignL2(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Int, Array[Double])], nProbe: Int): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val scored = centroids.map { case (cid, cv) =>
+      struct(
+        VectorFunctions.l2sq(array(cv.toIndexedSeq.map(lit): _*), v).as("d"),
+        lit(cid).as("cid"))
+    }
+    val probes =
+      if (nProbe == 1) array(array_min(array(scored: _*)))
+      else slice(array_sort(array(scored: _*)), 1, nProbe)
+    df.select(col(idCol).as("id"), v.as("v"), explode(probes).as("p"))
+      .select(col("id"), col("v"), col("p.cid").as("cid"))
+  }
+
+  /** IVF-PQ index fit (Jégou et al. 2011 IVFADC — the deployed
+    * billion-vector composition of the two halves graft already has):
+    * corpus vectors are assigned to their nearest IVF coarse-list
+    * centroid ([[Ann.ivfAssign]], nProbe=1), then PQ-encoded on the
+    * RESIDUAL v − centroid(list) — the residual win: residuals
+    * concentrate near the origin, so the same m×k codebook spends its
+    * 16⁴ reconstruction points on a much tighter ball than flat PQ
+    * spends on the raw corpus. One shared PQ codebook over all
+    * residuals (the classic IVFADC layout; per-list codebooks are the
+    * memory-heavy variant).
+    *
+    * Returns (sub, pq codebooks, code table (id, cid, code0..m-1,
+    * recon_err)). The residual subtraction is one `zip_with` pass —
+    * CodegenFallback, but this is the once-per-corpus ENCODE pass, not
+    * the search path; the search path reads codes only. Fit and codes
+    * are pinned per (session, dir) by the caller exactly like the flat
+    * PQ fit.
+    */
+  def ivfPqFit(emb: DataFrame, idCol: String, vecCol: String,
+      coarse: Seq[(Int, Array[Double])], m: Int, k: Int, rounds: Int)
+      : (Int, Seq[Seq[(Int, Array[Double])]], DataFrame) = {
+    val cents = centroidArrayLit(coarse)
+    val resid = ivfAssignL2(emb, idCol, vecCol, coarse, nProbe = 1)
+      .withColumn("resid", zip_with(col("v"),
+        element_at(cents, col("cid") + 1), (a, b) => a - b))
+      .select(col("id"), col("cid"), col("resid"))
+      .localCheckpoint()
+    val (sub, books) = pqFit(resid, "id", "resid", m, k, rounds)
+    val codes = pqAssign(resid, "id", "resid", sub, books)
+      .join(resid.select(col("id"), col("cid")), "id")
+    (sub, books, codes)
+  }
+
+  /** IVF-PQ ADC shortlist over an already-fitted index: queries probe
+    * their nProbe nearest coarse lists, and ADC-score ONLY the codes
+    * in those lists — candidate volume ≈ nProbe/nLists of the corpus,
+    * each candidate costing m bytes (vs flat ADC's full-corpus code
+    * scan). The query side carries its per-list residual
+    * q − centroid(list), so the inlined per-subspace distance lookup
+    * is the same codebook-literal `element_at` codegen pass as
+    * [[pqAdcKnnFrom]]. Every corpus vector lives in exactly one list,
+    * so (query, neighbor) candidates are duplicate-free by
+    * construction.
+    */
+  def ivfPqShortlistFrom(codesDf: DataFrame, sub: Int,
+      books: Seq[Seq[(Int, Array[Double])]],
+      coarse: Seq[(Int, Array[Double])], queries: DataFrame,
+      idCol: String, vecCol: String, nProbe: Int,
+      shortlist: Int): DataFrame = {
+    val m = books.length
+    val cents = centroidArrayLit(coarse)
+    val qprobe = ivfAssignL2(queries, idCol, vecCol, coarse, nProbe)
+      .withColumn("qresid", zip_with(col("v"),
+        element_at(cents, col("cid") + 1), (a, b) => a - b))
+      .select(col("id").as("query_id"), col("cid").as("qcid"),
+        col("qresid"))
+    val adc = (0 until m).map { j =>
+      val book = array(books(j).sortBy(_._1).map { case (_, cv) =>
+        array(cv.toIndexedSeq.map(lit): _*)
+      }: _*)
+      VectorFunctions.l2sq(
+        element_at(book, col(s"code$j").cast("int") + 1),
+        slice(col("qresid"), j * sub + 1, sub))
+    }.reduce(_ + _)
+    codesDf
+      .join(broadcast(qprobe),
+        col("cid") === col("qcid") && col("query_id") =!= col("id"))
+      .withColumn("adc", adc)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("adc"), col("id"))))
+      .filter(col("rank") <= shortlist)
+      .select(col("query_id"), col("id").as("neighbor_id"), col("adc"),
+        col("rank"))
+  }
+
+  /** The deployed IVF-PQ search: coarse probe → residual-ADC shortlist
+    * → exact re-rank of the shortlist only. Fits the whole index
+    * inline (spec convenience); the driver face reads the PINNED fit
+    * via [[ivfPqShortlistFrom]] + [[rerankExact]].
+    */
+  def ivfPqKnn(emb: DataFrame, idCol: String, vecCol: String,
+      nLists: Int, m: Int, k: Int, rounds: Int,
+      queries: DataFrame, topK: Int, nProbe: Int,
+      shortlist: Int): DataFrame = {
+    val coarse = kmeansFit(emb, idCol, vecCol, nLists, rounds)
+    val (sub, books, codes) = ivfPqFit(emb, idCol, vecCol, coarse, m, k, rounds)
+    val cand = ivfPqShortlistFrom(codes.localCheckpoint(), sub, books, coarse,
+        queries, idCol, vecCol, nProbe, shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    rerankExact(cand, emb, idCol, vecCol, queries, topK)
   }
 }

@@ -103,6 +103,17 @@ class PlanShapeSpec extends SparkSpec {
       s"p_knn_pq does not scan the pinned code table $c1 (scans $knn)")
   }
 
+  test("p_knn_ivfpq scans the pinned IVF-PQ code table — one index fit per session") {
+    def rddIds(df: org.apache.spark.sql.DataFrame): Set[Int] =
+      df.queryExecution.analyzed.collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+      }.toSet
+    val s1 = rddIds(queries.Pipeline.pKnnIvfPq(spark, sf()))
+    val s2 = rddIds(queries.Pipeline.pKnnIvfPq(spark, sf()))
+    assert(s1.nonEmpty && s1 === s2,
+      s"two p_knn_ivfpq builds scan different pinned fits: $s1 vs $s2")
+  }
+
   test("g_modularity rides g_label_prop's pinned fit — one iterative fit per session") {
     // the 5-round fit ends as a pinned localCheckpoint; both queries'
     // plans must scan the SAME checkpoint RDD, proving the fit is a

@@ -91,6 +91,52 @@ class AnnSpec extends SparkSpec {
     assert(got.toSeq === Seq((2L, 1, 1), (3L, 1, 2))) // ranked, same-label 1 excluded
   }
 
+  test("ivf-pq: residual codes + coarse prune match flat-pq rerank recall at equal budget, candidates bounded by nProbe/nLists") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val nq = 20
+    // exact L2 ground truth (as the flat-PQ test)
+    val all = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val corpusN = all.size
+    val exact = (0L until nq.toLong).flatMap { q =>
+      val qv = all(q)
+      all.toSeq.filter(_._1 != q)
+        .map { case (id, v) =>
+          id -> v.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum
+        }
+        .sortBy { case (id, d) => (d, id) }.take(5).map(q -> _._1)
+    }.toSet
+    def recallOf(got: Set[(Long, Long)]) =
+      (exact intersect got).size.toDouble / exact.size
+    val (nLists, nProbe, short) = (16, 4, 40)
+    val ivfpq = Cluster.ivfPqKnn(emb, "vec_id", "embedding",
+        nLists = nLists, m = 4, k = 16, rounds = 2,
+        queries = queries, topK = 5, nProbe = nProbe, shortlist = short)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val flat = recallOf(Cluster.pqRerankKnn(emb, "vec_id", "embedding",
+        m = 4, k = 16, rounds = 2, queries = queries, topK = 5,
+        shortlist = short)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    val r = recallOf(ivfpq)
+    info(s"ivf-pq rerank recall@5 = $r vs flat-pq rerank = $flat (shortlist $short)")
+    // equal re-rank budget: the residual-encoded codes must buy back at
+    // least what the coarse prune gives up
+    assert(r >= flat, s"ivf-pq recall $r fell below flat-pq $flat")
+    // candidate volume: ADC scores only the probed lists' codes —
+    // the whole point. Bound: nProbe/nLists of the corpus per query,
+    // with 2x slack for list-size skew on this small corpus.
+    val coarse = Cluster.kmeansFit(emb, "vec_id", "embedding", nLists, 2)
+    val (sub2, books2, codes2) =
+      Cluster.ivfPqFit(emb, "vec_id", "embedding", coarse, m = 4, k = 16, rounds = 2)
+    val candCount = Cluster.ivfPqShortlistFrom(codes2.localCheckpoint(), sub2,
+        books2, coarse, queries, "vec_id", "embedding", nProbe, Int.MaxValue)
+      .count()
+    val bound = (nq.toDouble * corpusN * nProbe / nLists * 2).toLong
+    info(s"adc candidates = $candCount, bound = $bound (corpus $corpusN × $nq queries)")
+    assert(candCount <= bound,
+      s"candidate volume $candCount exceeds the nProbe/nLists bound $bound")
+  }
+
   test("ivf knn achieves >=40% recall@5 vs brute on the test corpus") {
     val queries = emb.filter(col("vec_id") < 20)
     val brute = Ann.bruteKnn(queries, emb, "vec_id", "embedding", k = 5)
