@@ -309,6 +309,96 @@ final class Interpreter(spark: SparkSession) {
       }
     }
 
+  /** Snapshot-compaction of the statement WAL (the catalog store's
+    * snapshot + bounded-replay discipline extended to the DATA log —
+    * the reference replays the FULL commit log on boot): write the
+    * current label tables + catalog + id counter as snapshot
+    * generation G+1, open a fresh empty `commit.{G+1}.log`, and drop
+    * the old generation. From here, boot work is bounded by statements
+    * logged AFTER the snapshot, not by history. Publishing is the
+    * atomic meta.json rename ([[graft.store.Snapshot]]); a crash
+    * mid-compaction leaves the previous generation + its full log
+    * authoritative.
+    *
+    * Returns the new generation's (empty) commit log; the caller
+    * continues with `executeLogged(script, newLog)`.
+    */
+  def compact(dataDir: String): graft.store.CommitLog = {
+    import graft.store.Snapshot
+    val gen = Snapshot.latest(dataDir).map(_._1).getOrElse(0L) + 1
+    val dir = Snapshot.snapDir(dataDir, gen)
+    Snapshot.deleteRecursively(dir) // stale partial from a crashed attempt
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.writeString(dir.resolve("catalog.json"),
+      graft.catalog.CatalogJson.write(cat))
+    val nodeLabels = nodeState.keys.toSeq.sorted
+    val edgeLabels = edgeState.keys.toSeq.sorted
+    nodeLabels.foreach { l =>
+      nodeState(l).materialize().write.mode("overwrite")
+        .parquet(dir.resolve("nodes").resolve(l).toString)
+    }
+    edgeLabels.foreach { l =>
+      edgeState(l).materialize().write.mode("overwrite")
+        .parquet(dir.resolve("edges").resolve(l).toString)
+    }
+    Snapshot.publishMeta(dir,
+      Snapshot.Meta(gen, nextId, nodeLabels, edgeLabels))
+    val log = Snapshot.openLog(dataDir, gen)
+    // eager empty log file: the generation's WAL exists from birth
+    if (!java.nio.file.Files.exists(log.path))
+      java.nio.file.Files.createFile(log.path)
+    // repoint live state at the snapshot files BEFORE dropping the old
+    // generation (a previously-booted state may still read old files),
+    // and so post-compaction lineage starts from the snapshot
+    nodeLabels.foreach { l =>
+      nodeState(l).df = Some(spark.read.schema(nodeSchema(l))
+        .parquet(dir.resolve("nodes").resolve(l).toString))
+    }
+    edgeLabels.foreach { l =>
+      edgeState(l).df = Some(spark.read.schema(edgeSchema(l))
+        .parquet(dir.resolve("edges").resolve(l).toString))
+    }
+    Snapshot.dropOlderThan(dataDir, gen)
+    log
+  }
+
+  /** Boot-path state reconstruction with bounded replay: load the
+    * latest snapshot generation (catalog, label tables, id counter)
+    * and replay only its suffix log — or, with no snapshot, replay the
+    * full generation-0 log (the reference's plain replay-on-boot).
+    * Returns the live generation's commit log for serving.
+    */
+  def bootFrom(dataDir: String): graft.store.CommitLog = {
+    import graft.store.Snapshot
+    Snapshot.latest(dataDir) match {
+      case Some((gen, meta)) =>
+        val dir = Snapshot.snapDir(dataDir, gen)
+        cat = graft.catalog.CatalogJson.read(
+          java.nio.file.Files.readString(dir.resolve("catalog.json")))
+        nextId = meta.nextId
+        nodeState.clear(); edgeState.clear()
+        meta.nodes.foreach { l =>
+          val st = new LabelState(nodeSchema(l))
+          st.df = Some(spark.read.schema(nodeSchema(l))
+            .parquet(dir.resolve("nodes").resolve(l).toString))
+          nodeState(l) = st
+        }
+        meta.edges.foreach { l =>
+          val st = new LabelState(edgeSchema(l))
+          st.df = Some(spark.read.schema(edgeSchema(l))
+            .parquet(dir.resolve("edges").resolve(l).toString))
+          edgeState(l) = st
+        }
+        val log = Snapshot.openLog(dataDir, gen)
+        replayLog(log)
+        log
+      case None =>
+        val log = graft.store.CommitLog.open(dataDir)
+        replayLog(log)
+        log
+    }
+  }
+
   /** Current node set for a label (empty DF if nothing inserted). */
   def nodes(label: String): DataFrame = {
     if (!cat.nodes.contains(label)) throw ExecError(s"unknown node type: $label")

@@ -239,4 +239,76 @@ class InterpreterSpec extends SparkSpec {
     it.executeScript("DROP NODE P;")
     assertThrows[ExecError](it.nodes("P"))
   }
+
+  private def stateOf(it: Interpreter, nodeLabels: Seq[String],
+      edgeLabels: Seq[String] = Nil) =
+    (nodeLabels.map(l => l -> it.nodes(l).orderBy("_id").collect().toSeq).toMap,
+      edgeLabels.map(l => l -> it.edges(l).orderBy("_id").collect().toSeq).toMap)
+
+  test("WAL compaction: snapshot + suffix replay ≡ uncompacted replay, bit-identical; log bounded by post-snapshot statements") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val pre =
+      """CREATE NODE Person (name: string, age: int);
+        |CREATE NODE Place (name: string);
+        |CREATE EDGE Knows (FROM Person ONE, TO Person MANY, PROPS (since: string));
+        |INSERT NODE Person (name: 'John', age: 30);
+        |INSERT NODE Person (name: 'Jane', age: 25);
+        |INSERT NODE Place (name: 'NYC');
+        |INSERT EDGE Knows FROM Person (1) TO Person (2) (since: '2019');
+        |UPDATE NODE Person SET age: 31 WHERE name: 'John';""".stripMargin
+    val post =
+      """INSERT NODE Person (name: 'Late', age: 1);
+        |DELETE NODE Place WHERE name: 'NYC';""".stripMargin
+    val it = fresh()
+    val log0 = graft.store.CommitLog.open(dir)
+    it.executeLogged(pre, log0)
+    val preLines = java.nio.file.Files.readAllLines(log0.path).size
+    assert(preLines === 8)
+    val newLog = it.compact(dir)
+    // old-generation log dropped; live log is a NEW empty generation
+    assert(!java.nio.file.Files.exists(log0.path))
+    assert(newLog.path !== log0.path)
+    it.executeLogged(post, newLog)
+    // the WAL holds ONLY post-snapshot statements — compaction's point
+    assert(java.nio.file.Files.readAllLines(newLog.path).size === 2)
+    // in-memory state after compaction matches an uncompacted replay
+    val plain = fresh()
+    plain.replay(pre); plain.replay(post)
+    val want = stateOf(plain, Seq("Person", "Place"), Seq("Knows"))
+    assert(stateOf(it, Seq("Person", "Place"), Seq("Knows")) === want)
+    // boot path: snapshot load ⊕ suffix replay, bit-identical tables
+    val rebooted = fresh()
+    rebooted.bootFrom(dir)
+    assert(stateOf(rebooted, Seq("Person", "Place"), Seq("Knows")) === want)
+    assert(rebooted.catalog.version === it.catalog.version)
+    // id counter survives: the next insert cannot collide
+    rebooted.executeScript("INSERT NODE Person (name: 'After', age: 2);")
+    val ids = rebooted.nodes("Person").select("_id").collect().map(_.getLong(0))
+    assert(ids.distinct.length === ids.length)
+    // second compaction rolls the generation again and stays equivalent
+    val log2 = rebooted.compact(dir)
+    assert(java.nio.file.Files.readAllLines(log2.path).isEmpty)
+    val again = fresh()
+    again.bootFrom(dir)
+    assert(stateOf(again, Seq("Person", "Place"), Seq("Knows"))._1("Person")
+      === stateOf(rebooted, Seq("Person", "Place"), Seq("Knows"))._1("Person"))
+  }
+
+  test("WAL compaction: an unpublished snapshot (no meta.json) is invisible — boot falls back to the full log") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact2").toString
+    val it = fresh()
+    val log = graft.store.CommitLog.open(dir)
+    it.executeLogged(
+      """CREATE NODE P (name: string);
+        |INSERT NODE P (name: 'a');""".stripMargin, log)
+    // a crashed compaction: snapshot dir exists, meta.json never landed
+    val partial = graft.store.Snapshot.snapDir(dir, 1)
+    java.nio.file.Files.createDirectories(partial)
+    java.nio.file.Files.writeString(partial.resolve("catalog.json"), "{}")
+    assert(graft.store.Snapshot.latest(dir).isEmpty)
+    val rebooted = fresh()
+    rebooted.bootFrom(dir)
+    assert(rebooted.nodes("P").collect().map(_.getAs[String]("name")).toSeq
+      === Seq("a"))
+  }
 }
