@@ -453,6 +453,63 @@ object Algorithms {
     pageRankLoop(g, iters, damping, teleportOf = base =>
       base.withColumn("tele", lit(1.0 / g.n)))
 
+  /** WARM-START PageRank: iterate from a given prior rank vector
+    * instead of the uniform init — the incremental-maintenance face of
+    * the rank family (the g_cc_incr discipline extended from labels to
+    * rank). After folding a delta edge batch into the layout
+    * ([[foldDeltaIntoRankGraph]]), a few rounds from the previous
+    * batch's vector recover fixpoint-quality ranks at a fraction of a
+    * cold start's rounds — the previous state already carries the
+    * graph's structure; the delta only perturbs it locally. Nodes
+    * absent from `prev` (new arrivals) start at their teleport mass.
+    * Deterministic given (layout, prev, iters) — oracle-replicable as
+    * unrolled SQL seeded with the same prior state.
+    */
+  def pageRankFrom(g: RankGraph, prev: DataFrame, iters: Int,
+      damping: Double): DataFrame =
+    pageRankLoop(g, iters, damping, teleportOf = base =>
+      base.withColumn("tele", lit(1.0 / g.n)), initPr = Some(prev))
+
+  /** Fold a delta edge batch into an existing classic-rank layout at
+    * DELTA cost plus one corpus repartition (the loop needs the edge
+    * union co-partitioned — that single shuffle is the floor):
+    * out-degrees of touched sources are ADJUSTED by a delta-scale
+    * aggregate joined onto the node-scale base (never a corpus edge
+    * re-aggregation), and delta-only nodes append with their delta
+    * degree. Width is preserved so the folded layout joins the warm
+    * loop exactly like the original.
+    */
+  def foldDeltaIntoRankGraph(g: RankGraph, deltaNodes: DataFrame,
+      deltaEdges: DataFrame): RankGraph = {
+    val d0 = materializeInvariant(deltaEdges.select(col("gsrc"), col("gdst")))
+    withoutAqe(d0, Some(g.width)) {
+      val e = g.e.unionByName(d0)
+        .repartition(g.width, col("gsrc")).localCheckpoint()
+      val ddeg = d0.groupBy(col("gsrc").as("dgid"))
+        .agg(count(lit(1)).as("ddeg")).localCheckpoint()
+      // outdeg: null means dangling — stays null only if BOTH sides
+      // have no out-edges for the node
+      val adjusted = g.base0
+        .join(ddeg.hint("shuffle_hash"), col("gid") === col("dgid"), "left")
+        .select(col("gid"),
+          when(col("outdeg").isNull && col("ddeg").isNull,
+            lit(null).cast("long"))
+            .otherwise(coalesce(col("outdeg"), lit(0L)) +
+              coalesce(col("ddeg"), lit(0L))).as("outdeg"))
+      val fresh = deltaNodes.select(col("gid")).distinct()
+        .join(g.base0.select(col("gid").as("bgid")),
+          col("gid") === col("bgid"), "left_anti")
+        .join(ddeg, col("gid") === col("dgid"), "left")
+        .select(col("gid"), col("ddeg").as("outdeg"))
+      val base0 = adjusted.unionByName(fresh)
+        .repartition(g.width, col("gid")).localCheckpoint()
+      lazy val eDst = withoutAqe(d0, Some(g.width)) {
+        e.repartition(g.width, col("gdst")).localCheckpoint()
+      }
+      RankGraph(e, () => eDst, base0, base0.count().toDouble, g.width)
+    }
+  }
+
   /** Weighted-rank layout: same shape as [[prepareRankGraph]], but the
     * edge list carries each edge's contribution FRACTION `w / wout(src)`
     * precomputed — the fraction is a loop invariant (weights are
@@ -543,7 +600,8 @@ object Algorithms {
     */
   private def pageRankLoop(g: RankGraph, iters: Int,
       damping: Double, teleportOf: DataFrame => DataFrame,
-      contribExpr: Column = col("pr") / col("outdeg")): DataFrame = {
+      contribExpr: Column = col("pr") / col("outdeg"),
+      initPr: Option[DataFrame] = None): DataFrame = {
     val n = g.n
     val e = g.e
     // IMPORTANT: everything here runs (and checkpoints) INSIDE the
@@ -555,7 +613,19 @@ object Algorithms {
     // so no re-exchange happens here either.
     withoutAqe(g.e, Some(g.width)) {
     val base = teleportOf(g.base0).localCheckpoint()
-    var pr = base.withColumn("pr", col("tele"))
+    var pr = initPr match {
+      case None => base.withColumn("pr", col("tele"))
+      case Some(prev) =>
+        // warm start: prior vector where known, teleport mass for new
+        // nodes; one node-scale join before the loop
+        base.join(
+            prev.select(col("gid").as("pgid"), col("pr").as("ppr"))
+              .hint("shuffle_hash"),
+            col("gid") === col("pgid"), "left")
+          .select(col("gid"), col("outdeg"), col("tele"),
+            coalesce(col("ppr"), col("tele")).as("pr"))
+          .localCheckpoint()
+    }
     // the dangling-mass scalar for round i+1 is observed DURING round
     // i's checkpoint job (Dataset.observe piggybacks an agg on the same
     // pass) — no separate scan job per iteration; only round 1 pays an

@@ -75,6 +75,60 @@ object GraphOracleSql {
        FROM (SELECT gid, round(pr, 8) AS pr FROM r$iters ORDER BY pr DESC, gid LIMIT 100)"""
   }
 
+  /** Unrolled INCREMENTAL PageRank — the SQL mirror of the warm-start
+    * path ([[graft.queries.GraphOps.gPagerankIncr]]): `baseIters`
+    * rounds over the BASE graph (delta orders and their edges
+    * excluded), a seeded handoff (prior vector rounded at 10 dp where
+    * known, teleport mass for new nodes — the seal-before-compare
+    * float discipline applied at the state boundary), then `warmIters`
+    * rounds over the FULL graph. Round bodies are byte-identical to
+    * [[pageRankSql]]'s; only the edge/base tables and the r0 seed
+    * differ. Hash-green at the driver gate therefore proves the Spark
+    * warm-start computes exactly the claimed arithmetic — the
+    * g_cc_incr "incremental ≡ declared recurrence" discipline for rank
+    * state.
+    */
+  def pageRankIncrSql(baseIters: Int, warmIters: Int, damping: Double): String = {
+    def round(prev: String, cur: String, e: String, base: String) =
+      s""",
+       $cur AS MATERIALIZED (
+         SELECT b.gid, b.outdeg, b.tele,
+                (1.0 - $damping) * b.tele + $damping * (coalesce(c.contrib, 0.0) +
+                  (SELECT coalesce(sum(pr), 0.0) FROM $prev WHERE outdeg IS NULL) * b.tele) AS pr
+         FROM $base b LEFT JOIN (
+           SELECT e.gdst AS cgid, sum(r.pr / r.outdeg) AS contrib
+           FROM $e e JOIN $prev r ON e.gsrc = r.gid
+           GROUP BY e.gdst) c ON b.gid = c.cgid)"""
+    val baseRounds = (1 to baseIters)
+      .map(i => round(s"b${i - 1}", s"b$i", "e_b", "base_b")).mkString
+    val warmRounds = (1 to warmIters)
+      .map(i => round(s"r${i - 1}", s"r$i", "e", "base")).mkString
+    s"""WITH nodes_b AS MATERIALIZED (
+         SELECT gid FROM (${TpchGraph.gidSqlNodes})
+         WHERE NOT (gid // 4294967296 = 5 AND (gid % 4294967296) % 10 = 0)),
+       e_b AS MATERIALIZED (
+         SELECT gsrc, gdst FROM (${TpchGraph.gidSqlEdges})
+         WHERE NOT (gsrc // 4294967296 = 5 AND (gsrc % 4294967296) % 10 = 0)
+           AND NOT (gdst // 4294967296 = 5 AND (gdst % 4294967296) % 10 = 0)),
+       deg_b AS (SELECT gsrc, count(*) AS outdeg FROM e_b GROUP BY gsrc),
+       base_b AS MATERIALIZED (
+         SELECT n.gid, d.outdeg, 1.0 / (SELECT count(*) FROM nodes_b) AS tele
+         FROM nodes_b n LEFT JOIN deg_b d ON n.gid = d.gsrc),
+       b0 AS MATERIALIZED (SELECT gid, outdeg, tele, tele AS pr FROM base_b)$baseRounds,
+       nodes AS MATERIALIZED (${TpchGraph.gidSqlNodes}),
+       e AS MATERIALIZED (${TpchGraph.gidSqlEdges}),
+       deg AS (SELECT gsrc, count(*) AS outdeg FROM e GROUP BY gsrc),
+       base AS MATERIALIZED (
+         SELECT n.gid, d.outdeg, 1.0 / (SELECT count(*) FROM nodes) AS tele
+         FROM nodes n LEFT JOIN deg d ON n.gid = d.gsrc),
+       r0 AS MATERIALIZED (
+         SELECT b.gid, b.outdeg, b.tele,
+                coalesce(round(p.pr, 10), b.tele) AS pr
+         FROM base b LEFT JOIN b$baseIters p ON b.gid = p.gid)$warmRounds
+       SELECT ${TpchGraph.gidSqlLabel} AS label, gid % 4294967296 AS key, pr
+       FROM (SELECT gid, round(pr, 8) AS pr FROM r$warmIters ORDER BY pr DESC, gid LIMIT 100)"""
+  }
+
   /** Unrolled WEIGHTED PageRank — the SQL mirror of
     * [[graft.graph.Algorithms.weightedPageRank]]: identical round
     * structure to [[pageRankSql]], but rank distributes along out-edges

@@ -329,6 +329,51 @@ class RandomizedAlgSpec extends SparkSpec {
     }
   }
 
+  test("warm-start pagerank over a folded delta ≡ driver power iteration from the same init on random base/delta splits") {
+    import spark.implicits._
+    (141 to 146).foreach { seed =>
+      val rnd = new Random(seed)
+      val (baseNodes, baseEdges) = randomGraph(seed)
+      // delta: new edges among existing nodes + a couple of NEW nodes
+      // with edges in/out (the arriving-orders shape)
+      val newNodes = Seq(100L + seed, 200L + seed)
+      val allNodes = baseNodes ++ newNodes
+      val deltaEdges = Seq.fill(1 + rnd.nextInt(5))(
+        (allNodes(rnd.nextInt(allNodes.size)), allNodes(rnd.nextInt(allNodes.size))))
+        .filter { case (a, b) => newNodes.contains(a) || newNodes.contains(b) } ++
+        Seq.fill(rnd.nextInt(4))(
+          (baseNodes(rnd.nextInt(baseNodes.size)), baseNodes(rnd.nextInt(baseNodes.size))))
+      val (bndf, bedf) = toDf(baseNodes, baseEdges)
+      val gBase = Algorithms.prepareRankGraph(bndf, bedf)
+      val prev = Algorithms.pageRank(gBase, iters = 6, damping = 0.85)
+      // Spark warm start: fold the delta, 3 rounds from prev
+      val (dn, de) = toDf(newNodes, deltaEdges)
+      val folded = Algorithms.foldDeltaIntoRankGraph(gBase, dn, de)
+      val got = Algorithms.pageRankFrom(folded, prev, iters = 3, damping = 0.85)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      // driver model: SAME init (prev where known, 1/n_full for new
+      // nodes), 3 rounds of the identical recurrence on the FULL graph
+      val fullEdges = baseEdges ++ deltaEdges
+      val n = allNodes.size.toDouble
+      val d = 0.85
+      val out = fullEdges.groupBy(_._1).view.mapValues(_.size).toMap
+      val adj = fullEdges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val prevM = prev.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      var pr = allNodes.map(v => v -> prevM.getOrElse(v, 1.0 / n)).toMap
+      (1 to 3).foreach { _ =>
+        val dm = allNodes.filterNot(out.contains).map(pr).sum
+        val contrib = scala.collection.mutable.Map.empty[Long, Double].withDefaultValue(0.0)
+        adj.foreach { case (u, ts) => ts.foreach(t => contrib(t) += pr(u) / out(u)) }
+        pr = allNodes.map(v => v -> ((1 - d) / n + d * (contrib(v) + dm / n))).toMap
+      }
+      assert(got.keySet === pr.keySet, s"seed=$seed delta=$deltaEdges")
+      allNodes.foreach { v =>
+        assert(math.abs(got(v) - pr(v)) < 1e-9,
+          s"seed=$seed node=$v base=$baseEdges delta=$deltaEdges")
+      }
+    }
+  }
+
   test("weighted pagerank matches driver power iteration on random weighted digraphs") {
     import spark.implicits._
     (81 to 85).foreach { seed =>
