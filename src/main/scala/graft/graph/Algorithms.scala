@@ -81,9 +81,21 @@ object Algorithms {
     * scale `rows/50k` exceeds any cluster width and this is simply
     * `defaultParallelism`; the clamp only bites when state is small.
     */
+  /** Shuffle width for an iteration loop. Target rows/partition is the
+    * measured per-task fixed-cost floor: at 50k rows/task the rank
+    * loops spent more wall-clock scheduling 32 tasks/stage than
+    * computing (sf0.1, local[32]: g_hits 7.7 → 4.6 s, g_ppr 6.4 →
+    * 3.6 s, g_pagerank 5.7 → 4.2 s at 250k). At cluster scale the
+    * `defaultParallelism` cap dominates long before the target does —
+    * the knob only narrows SMALL loop states, where fewer, fuller
+    * tasks are strictly better.
+    */
   private[graph] def loopWidth(df: DataFrame, rows: Long): Int = {
     val para = df.sparkSession.sparkContext.defaultParallelism
-    math.max(1, math.min(para.toLong, rows / 50000L + 1L).toInt)
+    val target = sys.props.get("graft.loopTargetRows")
+      .orElse(sys.env.get("GRAFT_LOOP_TARGET_ROWS"))
+      .map(_.toLong).getOrElse(250000L)
+    math.max(1, math.min(para.toLong, rows / target + 1L).toInt)
   }
 
   /** Run `body` with AQE off and the loop's shuffle width pinned.
