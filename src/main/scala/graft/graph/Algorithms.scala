@@ -979,6 +979,32 @@ object Algorithms {
       .select(size(array_intersect(col("nu"), col("nw"))).cast("long").as("t"))
       .agg(coalesce(sum(col("t")), lit(0L)).as("triangles"))
 
+  /** DOULION sampled triangle estimate (Tsourakakis et al. KDD 2009)
+    * for the exact-infeasible regime: keep each canonical edge
+    * independently with probability p, count triangles EXACTLY on the
+    * sampled graph with the same degree-ordered edge-iterator, scale
+    * by 1/p³ — an unbiased estimator whose expected work drops by p in
+    * edges and p³ in wedge volume (the O(m^1.5) exact pass is fine
+    * here but painful at 100× on a denser graph; p is THE knob, with
+    * variance ∝ 1/p³ per triangle). The keep decision is a seeded
+    * hash of the canonical edge — derandomized, engine- and
+    * partitioning-independent, so the estimate is a pure function of
+    * (graph, p, seed); error bounds vs exact are pinned in
+    * RandomizedAlgSpec.
+    */
+  def triangleCountSampled(edges: DataFrame, p: Double,
+      seed: Long): DataFrame = {
+    require(p > 0.0 && p <= 1.0, s"sampling rate must be in (0,1], got $p")
+    val grain = 1L << 20
+    val keep = pmod(
+      xxhash64(least(col("gsrc"), col("gdst")),
+        greatest(col("gsrc"), col("gdst")), lit(seed)),
+      lit(grain)) < lit(math.round(p * grain))
+    triangleCount(edges.filter(keep))
+      .select(round(col("triangles") / lit(p * p * p), 1).as("triangles_est"),
+        lit(p).as("sample_p"))
+  }
+
   /** Per-node triangle participation + local clustering coefficient
     * cc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) — how close each node's
     * neighborhood is to a clique (community-density / spam-structure

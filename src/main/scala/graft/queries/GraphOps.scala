@@ -1092,6 +1092,16 @@ object GraphOps {
   def gTriangles(spark: SparkSession, dir: String): DataFrame =
     Algorithms.triangleCount(orientedCached(spark, dir))
 
+  /** DOULION sampled triangle estimate at p = 0.5 (rows-only: the
+    * estimator's contract — unbiasedness and error bounds vs exact —
+    * is pinned in RandomizedAlgSpec on planted graphs; the seeded-hash
+    * edge sample makes the estimate deterministic per (graph, p,
+    * seed)). The scale path for the exact-infeasible regime.
+    */
+  def gTrianglesApprox(spark: SparkSession, dir: String): DataFrame =
+    Algorithms.triangleCountSampled(
+      copurchaseGraph(spark, dir)._2, p = 0.5, seed = 7L)
+
   val gTrianglesSql: String =
     """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
        e AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
@@ -1578,6 +1588,7 @@ object GraphOps {
     QueryDef.sql("g_random_walks", gRandomWalks, gRandomWalksSql),
     QueryDef.sql("g_node2vec", gNode2vec, gNode2vecSql),
     QueryDef.sql("g_triangles", gTriangles, gTrianglesSql),
+    QueryDef.rowsOnly("g_triangles_approx", gTrianglesApprox),
     QueryDef.sql("g_clustering_coef", gClusteringCoef, gClusteringCoefSql),
     QueryDef.sql("g_adamic_adar", gAdamicAdar, gAdamicAdarSql),
     QueryDef.sql("g_jaccard", gJaccard, gJaccardSql),

@@ -46,6 +46,37 @@ class RandomizedAlgSpec extends SparkSpec {
     }
   }
 
+  test("DOULION sampled triangles: p=1 exact, bounded relative error and near-unbiased mean on planted graphs") {
+    import spark.implicits._
+    // planted: two 20-cliques bridged by a path — 2 * C(20,3) = 2280
+    // triangles, enough mass for the 1/p^3 estimator to concentrate
+    def clique(off: Long, n: Int) =
+      for (i <- 0 until n; j <- (i + 1) until n) yield (off + i, off + j)
+    val edges = (clique(0L, 20) ++ clique(100L, 20) ++
+      Seq((19L, 50L), (50L, 60L), (60L, 100L))).toDF("gsrc", "gdst")
+    val exact = 2280.0
+    assert(Algorithms.triangleCount(edges).first().getLong(0) === exact.toLong)
+    // p = 1 must reproduce the exact count bit-for-bit
+    assert(Algorithms.triangleCountSampled(edges, p = 1.0, seed = 1L)
+      .first().getDouble(0) === exact)
+    val ests = (1 to 6).map { seed =>
+      Algorithms.triangleCountSampled(edges, p = 0.7, seed = seed.toLong)
+        .first().getDouble(0)
+    }
+    ests.foreach { e =>
+      assert(math.abs(e - exact) / exact <= 0.35,
+        s"estimate $e strayed >35% from $exact (ests=$ests)")
+    }
+    val mean = ests.sum / ests.size
+    assert(math.abs(mean - exact) / exact <= 0.15,
+      s"seed-mean $mean strayed >15% from $exact (ests=$ests)")
+    // determinism: same (graph, p, seed) → same estimate
+    assert(Algorithms.triangleCountSampled(edges, p = 0.7, seed = 3L)
+      .first().getDouble(0) ===
+      Algorithms.triangleCountSampled(edges, p = 0.7, seed = 3L)
+        .first().getDouble(0))
+  }
+
   test("seed-anchored Jaccard matches driver set computation on random graphs") {
     import spark.implicits._
     (61 to 66).foreach { seed =>
