@@ -79,6 +79,50 @@ object Streaming {
        SELECT window_start, rank, event_id, value
        FROM ranked WHERE rank <= 3"""
 
+  private val funnelRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** STREAMING ordered funnel, gate-checked against the batch funnel's
+    * chained-CTE oracle (q_funnel's SQL): the face drives the REAL
+    * Structured Streaming operator — a file-source readStream over the
+    * same events parquet, [[Streams.funnelStream]]'s
+    * flatMapGroupsWithState with its CONSTANT per-user state (step
+    * index + one timestamp), a memory sink — then aggregates the
+    * emitted step completions to per-step user counts. Greedy-in-time
+    * order ≡ the batch earliest-completion recursion (StreamingSpec
+    * pins the multi-batch + decoy cases), so the streaming run must
+    * reproduce the batch oracle EXACTLY — the q_cdc_merge discipline
+    * of gating a streaming operator on a batch-SQL truth.
+    */
+  def sFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val steps = Seq("view", "click", "purchase")
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+    // the file source needs a DIRECTORY: stream the sf dir with a glob
+    // filter selecting only the events file
+    val raw = spark.readStream.schema(batch.schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    // same TIMESTAMP(NANOS)-as-long conversion as Tables.load
+    val events =
+      if (batch.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else raw
+    val qn = s"s_funnel_sink_${funnelRuns.incrementAndGet()}"
+    val q = Streams.funnelStream(events, steps).writeStream
+      .format("memory").queryName(qn).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val counts = spark.table(qn)
+      .groupBy(col("step").cast("long").as("step"))
+      .agg(count(lit(1)).as("users"))
+    steps.zipWithIndex.map { case (n, i) => ((i + 1).toLong, n) }
+      .toDF("step", "step_name")
+      .join(counts, Seq("step"), "left")
+      .select(col("step"), col("step_name"),
+        coalesce(col("users"), lit(0L)).as("users"))
+  }
+
+  val sFunnelSql: String = graft.queries.Relational.qFunnelSql
+
   def sSessionize(spark: SparkSession, dir: String): DataFrame =
     Streams.sessionize(Tables.load(spark, dir, "events"), gapSeconds = 1800L)
       .select(col("user_id"), col("session_idx").cast("long").as("session_idx"),
@@ -343,5 +387,6 @@ object Streaming {
     QueryDef.sql("s_enrich_agg", sEnrichAgg, sEnrichAggSql),
     QueryDef.sql("s_heavy_hitters", sHeavyHitters, sHeavyHittersSql),
     QueryDef.sql("s_rate_anomaly", sRateAnomaly, sRateAnomalySql),
-    QueryDef.sql("s_topk_window", sTopkWindow, sTopkWindowSql))
+    QueryDef.sql("s_topk_window", sTopkWindow, sTopkWindowSql),
+    QueryDef.sql("s_funnel", sFunnel, sFunnelSql))
 }
