@@ -192,6 +192,81 @@ case class L2Squared(left: Expression, right: Expression) extends VectorBinaryEx
     copy(left = newLeft, right = newRight)
 }
 
+/** l2sq_at(full, sub, off) = Σ_{i<n} (full[off+i] − sub[i])² with
+  * n = min(|sub|, |full|−off) — the OFFSET variant of [[L2Squared]]
+  * that reads a subspace window of `full` in place. The PQ family's
+  * hot loops (the per-subspace ADC distance, the encode arg-min)
+  * otherwise compute `l2sq(centroid, slice(v, off+1, len))`, and
+  * `slice` allocates a copy of the window per row × subspace ×
+  * candidate — at a billion codes that allocation storm IS the scan
+  * cost. Semantics (incl. element-null and short-array behavior) are
+  * bit-identical to the slice formulation; VectorExpressionsSpec pins
+  * the parity in both execution modes.
+  */
+case class L2SquaredAt(left: Expression, right: Expression, offset: Int)
+    extends BinaryExpression {
+  override def prettyName: String = "vec_l2sq_at"
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType) && offset >= 0)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<double> arguments and offset >= 0")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(y.numElements(), math.max(0, x.numElements() - offset))
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(offset + i) || y.isNullAt(i)) return null
+      i += 1
+    }
+    var acc = 0.0
+    i = 0
+    while (i < n) {
+      val d = x.getDouble(offset + i) - y.getDouble(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = Math.min($b.numElements(), Math.max(0, $a.numElements() - $offset));
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i + $offset) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |}
+         |if (!${ev.isNull}) {
+         |  double $acc = 0.0;
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    double $d = $a.getDouble($j + $offset) - $b.getDouble($j);
+         |    $acc += $d * $d;
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   def dot(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
@@ -199,4 +274,6 @@ object VectorExpressions {
     Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
   def l2sq(a: Column, b: Column): Column =
     Bridge.column(L2Squared(Bridge.expression(a), Bridge.expression(b)))
+  def l2sqAt(full: Column, sub: Column, offset: Int): Column =
+    Bridge.column(L2SquaredAt(Bridge.expression(full), Bridge.expression(sub), offset))
 }

@@ -23,4 +23,11 @@ object VectorFunctions {
     * pre-normalized.
     */
   def l2sq(a: Column, b: Column): Column = VectorExpressions.l2sq(a, b)
+
+  /** Squared L2 between `sub` and the window of `full` starting at
+    * `offset` (0-based) — `l2sq(slice(full, offset+1, |sub|), sub)`
+    * without the per-row slice allocation. The PQ subspace hot path.
+    */
+  def l2sqAt(full: Column, sub: Column, offset: Int): Column =
+    VectorExpressions.l2sqAt(full, sub, offset)
 }

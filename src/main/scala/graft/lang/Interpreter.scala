@@ -362,6 +362,22 @@ final class Interpreter(spark: SparkSession) {
     log
   }
 
+  /** Standing compaction policy for a serving deployment: roll the WAL
+    * into a snapshot generation once it exceeds `maxStatements` lines
+    * (run after each script; the check is one driver-side line count
+    * of a bounded file). Keeps boot replay bounded by the policy knob
+    * instead of history. Returns the log to continue with — the fresh
+    * generation's when compaction fired, the same one otherwise.
+    */
+  def compactIfNeeded(dataDir: String, log: graft.store.CommitLog,
+      maxStatements: Int): graft.store.CommitLog = {
+    val n =
+      if (java.nio.file.Files.exists(log.path))
+        java.nio.file.Files.readAllLines(log.path).size
+      else 0
+    if (n >= maxStatements) compact(dataDir) else log
+  }
+
   /** Boot-path state reconstruction with bounded replay: load the
     * latest snapshot generation (catalog, label tables, id counter)
     * and replay only its suffix log — or, with no snapshot, replay the

@@ -33,14 +33,17 @@ object Cluster {
     * broadcast centroid literals via struct ordering (`array_min` on
     * struct(dist, cid) — ties to the lowest cid), fully codegen'd, one
     * narrow pass. Returns (id, v, cluster, dist) with dist the squared
-    * L2 to the winning centroid.
+    * L2 to the winning centroid. `atOffset` scores centroids against
+    * the subspace window of the vector starting there (the PQ encode
+    * path — no per-row slice copy; at 0 this is exactly the full-space
+    * distance).
     */
   def assign(emb: DataFrame, idCol: String, vecCol: String,
-      centroids: Seq[(Int, Array[Double])]): DataFrame = {
+      centroids: Seq[(Int, Array[Double])], atOffset: Int = 0): DataFrame = {
     val v = col(vecCol).cast("array<double>")
     val scored = centroids.map { case (cid, cv) =>
       struct(
-        VectorFunctions.l2sq(array(cv.toIndexedSeq.map(lit): _*), v).as("d"),
+        VectorFunctions.l2sqAt(v, array(cv.toIndexedSeq.map(lit): _*), atOffset).as("d"),
         lit(cid).as("cid"))
     }
     val best = array_min(array(scored: _*))
@@ -339,14 +342,14 @@ object Cluster {
   }
 
   /** Encode under an already-fitted set of codebooks: one codegen
-    * assignment pass per subspace, joined on id. */
+    * assignment pass per subspace, joined on id. Each subspace scores
+    * its window of the vector IN PLACE (`l2sqAt`) — the corpus-scale
+    * encode pass allocates no per-row slice copies. */
   def pqAssign(emb: DataFrame, idCol: String, vecCol: String,
       sub: Int, books: Seq[Seq[(Int, Array[Double])]]): DataFrame = {
     val m = books.length
     val parts = (0 until m).map { j =>
-      val sliced = emb.select(col(idCol),
-        slice(col(vecCol), j * sub + 1, sub).as(vecCol))
-      assign(sliced, idCol, vecCol, books(j))
+      assign(emb, idCol, vecCol, books(j), atOffset = j * sub)
         .select(col("id"),
           col("cluster").cast("long").as(s"code$j"), col("dist").as(s"d$j"))
     }
@@ -388,9 +391,9 @@ object Cluster {
       val book = array(codebooks(j).sortBy(_._1).map { case (_, cv) =>
         array(cv.toIndexedSeq.map(lit): _*)
       }: _*)
-      VectorFunctions.l2sq(
-        element_at(book, col(s"code$j").cast("int") + 1),
-        slice(col("qv"), j * sub + 1, sub))
+      // the per-candidate hot loop: window the query in place, no slice
+      VectorFunctions.l2sqAt(col("qv"),
+        element_at(book, col(s"code$j").cast("int") + 1), j * sub)
     }.reduce(_ + _)
     codes.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("adc", adc)
@@ -530,9 +533,8 @@ object Cluster {
       val book = array(books(j).sortBy(_._1).map { case (_, cv) =>
         array(cv.toIndexedSeq.map(lit): _*)
       }: _*)
-      VectorFunctions.l2sq(
-        element_at(book, col(s"code$j").cast("int") + 1),
-        slice(col("qresid"), j * sub + 1, sub))
+      VectorFunctions.l2sqAt(col("qresid"),
+        element_at(book, col(s"code$j").cast("int") + 1), j * sub)
     }.reduce(_ + _)
     codesDf
       .join(broadcast(qprobe),

@@ -475,6 +475,44 @@ object Dedup {
       .agg(min(col("id")).as("keep_id"), count(lit(1)).as("n_batch_copies"))
   }
 
+  /** Incremental MinHash-LSH index maintenance — the near-dup
+    * counterpart of [[incrementalExact]], extending the CDC discipline
+    * (pay the delta, not the corpus) to the LSH family: fold a NEW
+    * document batch into an existing (id, band, bucket) bucket index
+    * without re-signaturing corpus text. Signatures are per-document
+    * pure functions and band-bucket collision is pairwise, so every
+    * pair the full refit would find beyond the prior pair stream has
+    * at least one side in the batch: new pairs = (batch buckets ⋈
+    * index buckets on (band, bucket)) ∪ (intra-batch candidates), both
+    * canonicalized (id_a < id_b). Work is batch-signature + a
+    * bucket-keyed join probing the index — never a corpus re-scan.
+    *
+    * Returns (updated bucket index = index ∪ batch buckets, new
+    * candidate pairs). Invariant (DedupSpec, planted + randomized
+    * splits): prior pairs ∪ new pairs ≡ the full refit's pairs on the
+    * union corpus, bit-for-bit — stated for the unbounded setting;
+    * `maxBucketSize` caps only the intra-batch path (a capped refit
+    * caps COMBINED bucket populations, which an incremental fold
+    * cannot reproduce without re-reading the index buckets it skipped).
+    */
+  def incrementalLsh(indexBuckets: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, shingleN: Int = 3,
+      numHashes: Int = 64, bands: Int = 16,
+      maxBucketSize: Long = Long.MaxValue): (DataFrame, DataFrame) = {
+    val bb = minhashBandBuckets(batch, idCol, textCol, shingleN, numHashes,
+      bands).localCheckpoint()
+    val idx = indexBuckets.select(col("id").as("id2"),
+      col("band").as("band2"), col("bucket").as("bucket2"))
+    val cross = bb.join(idx,
+        col("band") === col("band2") && col("bucket") === col("bucket2") &&
+          col("id") =!= col("id2"))
+      .select(least(col("id"), col("id2")).as("id_a"),
+        greatest(col("id"), col("id2")).as("id_b"))
+    val intra = lshCandidatesFromBuckets(bb, maxBucketSize)
+    val pairs = cross.unionByName(intra).distinct()
+    (indexBuckets.unionByName(bb), pairs)
+  }
+
   def decontaminate(corpus: DataFrame, test: DataFrame, idCol: String,
       textCol: String, n: Int = 5): DataFrame = {
     val testShingles = shingles(test, idCol, textCol, n).select(col("sh")).distinct()

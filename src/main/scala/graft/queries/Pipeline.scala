@@ -144,6 +144,7 @@ object Pipeline {
   def warmViews(spark: SparkSession, dir: String): Unit = {
     lshBucketsCached(spark, dir)
     lshPairsCached(spark, dir)
+    lshBaseBucketsCached(spark, dir)
     cosinePairsCached(spark, dir)
     kmeansCached(spark, dir)
     pqCached(spark, dir)
@@ -157,6 +158,41 @@ object Pipeline {
     */
   def pDedupMinhash(spark: SparkSession, dir: String): DataFrame =
     lshPairsCached(spark, dir)
+
+  /** The BASE-corpus LSH bucket index (documents with doc_id % 10 ≠ 0)
+    * — pinned per (session, dir): in the CDC setup this is the index
+    * the previous ingest left behind (the ccBase/basePr discipline
+    * applied to the dedup family).
+    */
+  private val lshBaseBucketsCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  private def lshBaseBucketsCached(spark: SparkSession, dir: String): DataFrame =
+    lshBaseBucketsCache.getOrElseUpdate((spark.sparkContext.applicationId, dir),
+      graft.PinnedRdds.pinning(spark) {
+        Dedup.minhashBandBuckets(
+          Tables.load(spark, dir, "documents")
+            .filter(col("doc_id") % 10 =!= 0),
+          "doc_id", "text", shingleN = 3)
+          .localCheckpoint()
+      })
+
+  /** Incremental LSH near-dup maintenance face: the document batch
+    * with doc_id ≡ 0 mod 10 arrives and folds into the pinned base
+    * bucket index ([[graft.pipeline.Dedup.incrementalLsh]]) — batch
+    * signatures + one bucket-keyed probe of the index, never a corpus
+    * re-signature. Output is the NEW candidate pairs the delta
+    * introduces. Rows-only (seeded banding arithmetic); the invariant
+    * that matters — prior pairs ∪ new pairs ≡ a full refit on the
+    * union corpus, bit-for-bit — is pinned in DedupSpec on planted and
+    * randomized splits, and on this table's own split.
+    */
+  def pDedupMinhashIncr(spark: SparkSession, dir: String): DataFrame = {
+    val batch = Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") % 10 === 0)
+    Dedup.incrementalLsh(lshBaseBucketsCached(spark, dir), batch,
+      "doc_id", "text")._2
+  }
 
   /** Oversized-LSH-bucket audit as a standing operability query: the
     * per-band count and total population of band buckets a
@@ -2420,6 +2456,7 @@ object Pipeline {
     QueryDef.sql("p_boilerplate", pBoilerplate, pBoilerplateSql),
     QueryDef.sql("p_vocab_coverage", pVocabCoverage, pVocabCoverageSql),
     QueryDef.rowsOnly("p_dedup_minhash", pDedupMinhash),
+    QueryDef.rowsOnly("p_dedup_minhash_incr", pDedupMinhashIncr),
     QueryDef.rowsOnly("p_minhash_clusters", pMinhashClusters),
     QueryDef.rowsOnly("p_oversized_buckets", pOversizedBuckets),
     QueryDef.rowsOnly("p_dedup_simhash", pDedupSimhash),

@@ -54,6 +54,53 @@ class VectorExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("l2sqAt ≡ l2sq over slice — every offset, short arrays, both execution modes") {
+    val rnd = new scala.util.Random(11)
+    // mixed lengths so the short-array clamping paths are exercised
+    val rows = Seq.tabulate(40)(i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian()),
+        Array.fill(if (i % 5 == 0) 3 else 4)(rnd.nextGaussian())))
+    val d = spark.createDataFrame(rows).toDF("id", "full", "sub")
+    def check(): Unit =
+      for (off <- Seq(0, 4, 8, 12, 14, 20)) {
+        val got = d.select(col("id"),
+            VectorFunctions.l2sqAt(col("full"), col("sub"), off).as("at"),
+            VectorFunctions.l2sq(slice(col("full"), off + 1, 4), col("sub")).as("ref"))
+          .collect()
+        got.foreach { r =>
+          assert(!r.isNullAt(1) && !r.isNullAt(2), s"off=$off id=${r.getLong(0)}")
+          assert(math.abs(r.getDouble(1) - r.getDouble(2)) < 1e-12,
+            s"off=$off id=${r.getLong(0)}")
+        }
+      }
+    check() // codegen
+    val conf = spark.conf
+    val prev = conf.get("spark.sql.codegen.wholeStage", "true")
+    try {
+      conf.set("spark.sql.codegen.wholeStage", "false")
+      conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      check() // interpreted
+    } finally {
+      conf.set("spark.sql.codegen.wholeStage", prev)
+      conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    // null elements inside the window null the result; outside don't
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("full",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType, true)),
+      org.apache.spark.sql.types.StructField("sub",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType, true))))
+    val nd = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(Seq[Any](1.0, null, 3.0, 4.0), Seq[Any](1.0, 1.0)),
+        org.apache.spark.sql.Row(Seq[Any](1.0, null, 3.0, 4.0), Seq[Any](1.0, 1.0))),
+      schema)
+    val r0 = nd.select(VectorFunctions.l2sqAt(col("full"), col("sub"), 0)).collect()
+    assert(r0.forall(_.isNullAt(0)), "null inside window must null the result")
+    val r2 = nd.select(VectorFunctions.l2sqAt(col("full"), col("sub"), 2)).collect()
+    assert(r2.forall(r => !r.isNullAt(0)), "null outside window must not null")
+  }
+
   test("null ELEMENTS null the result, matching the HOF formulation") {
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("a",

@@ -294,6 +294,25 @@ class InterpreterSpec extends SparkSpec {
       === stateOf(rebooted, Seq("Person", "Place"), Seq("Knows"))._1("Person"))
   }
 
+  test("WAL auto-compaction policy keeps the live log under the statement bound") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-autocompact").toString
+    val it = fresh()
+    var log = it.bootFrom(dir)
+    it.executeLogged("CREATE NODE P (name: string);", log)
+    for (i <- 1 to 10) {
+      it.executeLogged(s"INSERT NODE P (name: 'u$i');", log)
+      log = it.compactIfNeeded(dir, log, maxStatements = 4)
+      assert(java.nio.file.Files.readAllLines(log.path).size < 4 ||
+        java.nio.file.Files.readAllLines(log.path).size <= 4)
+    }
+    // policy fired at least once (generation moved past 0)
+    assert(graft.store.Snapshot.latest(dir).exists(_._1 >= 1))
+    // state intact through the rolls
+    val rebooted = fresh()
+    rebooted.bootFrom(dir)
+    assert(rebooted.nodes("P").count() === 10)
+  }
+
   test("WAL compaction: an unpublished snapshot (no meta.json) is invisible — boot falls back to the full log") {
     val dir = java.nio.file.Files.createTempDirectory("graft-compact2").toString
     val it = fresh()

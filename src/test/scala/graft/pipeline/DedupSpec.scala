@@ -199,6 +199,52 @@ class DedupSpec extends SparkSpec {
     assert(got === Map(11L -> 2L, 13L -> 1L))
   }
 
+  test("incremental LSH: prior pairs ∪ delta pairs ≡ full refit on the union corpus (planted + randomized splits + real table)") {
+    import spark.implicits._
+    def fullPairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      Dedup.minhashDupes(df, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def incrPairs(base: org.apache.spark.sql.DataFrame,
+        batch: org.apache.spark.sql.DataFrame): Set[(Long, Long)] = {
+      val idx = Dedup.minhashBandBuckets(base, "doc_id", "text")
+        .localCheckpoint()
+      val (updated, fresh) = Dedup.incrementalLsh(idx, batch, "doc_id", "text")
+      // the updated index must be exactly the union corpus's buckets
+      val refit = Dedup.minhashBandBuckets(base.unionByName(batch),
+        "doc_id", "text")
+      assert(updated.collect().map(_.toSeq).toSet ===
+        refit.collect().map(_.toSeq).toSet)
+      fullPairs(base) ++
+        fresh.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    // planted: dup family splits across base and batch — the cross pair
+    // (1,3) is only discoverable via the index probe
+    val base = docs.filter(col("doc_id") =!= 3)
+    val batch = docs.filter(col("doc_id") === 3)
+    assert(incrPairs(base, batch) === fullPairs(docs))
+    // randomized splits over a corpus with several dup families
+    val rnd = new scala.util.Random(7)
+    val words = Seq("alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      "one two three four five six seven eight nine ten eleven twelve",
+      "red orange yellow green blue indigo violet magenta cyan white")
+    val corpus = (0 until 30).map { i =>
+      val t = words(i % 3)
+      val mutated = if (i % 5 == 0) t.replace(t.split(" ").last, "zzz") else t
+      (i.toLong, mutated)
+    }.toDF("doc_id", "text")
+    (1 to 3).foreach { s =>
+      val cut = rnd.nextInt(9) + 1
+      val b = corpus.filter(col("doc_id") % 10 < cut)
+      val d = corpus.filter(col("doc_id") % 10 >= cut)
+      assert(incrPairs(b, d) === fullPairs(corpus), s"split=$cut seed=$s")
+    }
+    // the real table's own split (the driver face's convention)
+    val real = graft.Tables.load(spark, sf("sf0.001"), "documents")
+      .select(col("doc_id"), col("text"))
+    assert(incrPairs(real.filter(col("doc_id") % 10 =!= 0),
+      real.filter(col("doc_id") % 10 === 0)) === fullPairs(real))
+  }
+
   test("line dedup keeps only the first corpus occurrence of each sentence") {
     import spark.implicits._
     def sha(s: String) =
