@@ -36,6 +36,12 @@ object Ntile {
     *
     * Internal column names are `_nt_`-prefixed; the input must not use
     * that prefix. Output column order: input columns, then `out`.
+    *
+    * The per-partition rank offsets are collected to the driver — a
+    * PARTITION-COUNT-bounded array (the bounded-codebook discipline,
+    * not a data collect) — and inlined as literals together with the
+    * bucket arithmetic, so beyond the one range shuffle the plan adds
+    * a single tiny count job and ZERO extra joins.
     */
   def distributed(df: DataFrame, n: Int, order: Seq[Column], out: String,
       numPartitions: Int = 0): DataFrame = {
@@ -52,27 +58,30 @@ object Ntile {
     val base = ranged
       .withColumn("_nt_pid", shiftrightunsigned(col("_nt_mid"), 33))
       .withColumn("_nt_lrn", col("_nt_mid").bitwiseAND(lit((1L << 33) - 1)) + 1)
-    val counts = base.groupBy(col("_nt_pid")).agg(count(lit(1)).as("_nt_pc"))
-    val prior = counts.select(col("_nt_pid").as("_nt_cpid"),
-      col("_nt_pc").as("_nt_cpc"))
-    // offset(p) = Σ counts of partitions before p; N rides in the same
-    // broadcastable table (both partition-count-bounded)
-    val offsets = counts
-      .join(prior, col("_nt_cpid") < col("_nt_pid"), "left")
-      .groupBy(col("_nt_pid"))
-      .agg(coalesce(sum(col("_nt_cpc")), lit(0L)).as("_nt_off"))
-    val total = counts.agg(sum(col("_nt_pc")).as("_nt_n"))
-    base
-      .join(broadcast(offsets), Seq("_nt_pid"))
-      .crossJoin(broadcast(total))
-      .withColumn("_nt_grn", col("_nt_off") + col("_nt_lrn"))
-      .withColumn("_nt_q", expr(s"_nt_n DIV $n"))
-      .withColumn("_nt_rem", col("_nt_n") % n)
-      .withColumn("_nt_big", col("_nt_rem") * (col("_nt_q") + 1))
-      .withColumn(out,
-        when(col("_nt_grn") <= col("_nt_big"),
-          expr("(_nt_grn - 1) DIV (_nt_q + 1) + 1"))
-          .otherwise(expr("_nt_rem + (_nt_grn - _nt_big - 1) DIV _nt_q + 1")))
+    // per-partition counts: ≤ `parts` rows, driver-bounded by design
+    val byPid = base.groupBy(col("_nt_pid")).agg(count(lit(1)).as("_nt_pc"))
+      .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    val counts = (0 until parts).map(p => byPid.getOrElse(p, 0L))
+    val offsets = counts.scanLeft(0L)(_ + _) // offsets(p) = rows before p
+    val total = counts.sum
+    if (total == 0L)
+      return df.withColumn(out, lit(null).cast("long"))
+        .select((inputCols.map(col) :+ col(out)): _*)
+    // NTILE row-split arithmetic as literals: first `rem` buckets hold
+    // q+1 rows, the rest q
+    val q = total / n
+    val rem = total % n
+    val big = rem * (q + 1)
+    val offLit = array(offsets.take(parts).map(lit): _*)
+    val grn = element_at(offLit, col("_nt_pid").cast("int") + 1) + col("_nt_lrn")
+    // integer DIV keeps the arithmetic exact at any scale (a double
+    // quotient would lose exactness past 2^53 rows)
+    val bucket =
+      if (q == 0L) grn // N < n: every row its own bucket
+      else when(grn <= big, expr(s"(_nt_grn - 1) DIV ${q + 1} + 1"))
+        .otherwise(expr(s"$rem + (_nt_grn - $big - 1) DIV $q + 1"))
+    base.withColumn("_nt_grn", grn)
+      .withColumn(out, bucket)
       .select((inputCols.map(col) :+ col(out)): _*)
   }
 }
