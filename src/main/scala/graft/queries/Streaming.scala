@@ -81,6 +81,67 @@ object Streaming {
 
   private val funnelRuns = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Multi-file copy of the events table, written once per (session,
+    * dir) — the harness that lets a file-source stream deliver the
+    * change log as GENUINE multiple micro-batches
+    * (maxFilesPerTrigger=1): a single parquet file is always one
+    * batch, which would leave the cross-batch fold untested.
+    */
+  private val cdcSrcCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  private def cdcSourceDir(spark: SparkSession, dir: String): String =
+    cdcSrcCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      val out = java.nio.file.Files.createTempDirectory("graft_cdc_src").toString
+      Tables.load(spark, dir, "events")
+        .repartition(3).write.mode("overwrite").parquet(out)
+      out
+    })
+
+  private def toChanges(events: DataFrame): DataFrame =
+    events.select(col("user_id").as("c_custkey"),
+      round(col("value"), 2).as("balance"), col("ts"), col("event_id"),
+      when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"))
+
+  /** STREAMING CDC compaction — the stream face of q_cdc_merge, and
+    * the gate check of [[graft.store.CdcMerge.compact]]'s
+    * ASSOCIATIVITY claim: the change log arrives as three real
+    * micro-batches (file source, one file per trigger) and folds into
+    * the customer snapshot via `foreachBatch`; the state retains each
+    * key's winning order columns and keeps D tombstones, so the final
+    * visible face must equal the one-shot batch MERGE whatever the
+    * batch boundaries — hash-checked against the SAME oracle SQL as
+    * q_cdc_merge. This is the streaming-materialized-view maintenance
+    * pattern a lakehouse sink runs.
+    */
+  def sCdcMerge(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), round(col("c_acctbal"), 2).as("balance"))
+    val src = cdcSourceDir(spark, dir)
+    val batchSchema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(batchSchema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val orderCols = Seq("ts", "event_id")
+    var state = graft.store.CdcMerge
+      .initState(base, toChanges(spark.read.parquet(src)), "c_custkey",
+        orderCols, "op")
+      .localCheckpoint()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cdc_ckpt").toString
+    val q = toChanges(stream).writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        state = graft.store.CdcMerge
+          .compact(state, b, "c_custkey", orderCols, "op")
+          .localCheckpoint()
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    graft.store.CdcMerge.visible(state, orderCols, "op")
+  }
+
+  val sCdcMergeSql: String = graft.queries.Relational.qCdcMergeSql
+
   /** STREAMING ordered funnel, gate-checked against the batch funnel's
     * chained-CTE oracle (q_funnel's SQL): the face drives the REAL
     * Structured Streaming operator — a file-source readStream over the
@@ -388,5 +449,6 @@ object Streaming {
     QueryDef.sql("s_heavy_hitters", sHeavyHitters, sHeavyHittersSql),
     QueryDef.sql("s_rate_anomaly", sRateAnomaly, sRateAnomalySql),
     QueryDef.sql("s_topk_window", sTopkWindow, sTopkWindowSql),
-    QueryDef.sql("s_funnel", sFunnel, sFunnelSql))
+    QueryDef.sql("s_funnel", sFunnel, sFunnelSql),
+    QueryDef.sql("s_cdc_merge", sCdcMerge, sCdcMergeSql))
 }
