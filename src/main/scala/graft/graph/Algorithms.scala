@@ -571,6 +571,72 @@ object Algorithms {
       base.withColumn("tele", lit(1.0 / g.n)),
       contribExpr = col("pr") * col("frac"))
 
+  /** Warm-start WEIGHTED PageRank — [[pageRankFrom]] over the weighted
+    * layout (contribution pr·frac), completing the incremental rank
+    * family's weighted half.
+    */
+  def weightedPageRankFrom(g: RankGraph, prev: DataFrame, iters: Int,
+      damping: Double): DataFrame =
+    pageRankLoop(g, iters, damping, teleportOf = base =>
+      base.withColumn("tele", lit(1.0 / g.n)),
+      contribExpr = col("pr") * col("frac"), initPr = Some(prev))
+
+  /** Fold a delta of WEIGHTED edges into an existing weighted-rank
+    * layout. Unlike the classic fold, a touched source's per-edge
+    * contribution FRACTIONS w/wout all change when its weighted
+    * out-degree does — so the fold recomputes fracs for TOUCHED
+    * sources only (their raw edges re-read from `rawBaseEdges`, a
+    * delta-degree-bounded set) and keeps every untouched source's
+    * edges verbatim; out-degrees adjust via the same delta-scale
+    * aggregate as [[foldDeltaIntoRankGraph]]. Work: delta-scale
+    * recompute + one scan of the edge layout + the one co-partitioning
+    * shuffle the loop requires.
+    *
+    * @param rawBaseEdges the base graph's (gsrc, gdst, w) — the
+    *                     pre-frac weighted edge source the layout was
+    *                     prepared from
+    */
+  def foldDeltaIntoWeightedRankGraph(g: RankGraph, rawBaseEdges: DataFrame,
+      deltaNodes: DataFrame, deltaEdges: DataFrame): RankGraph = {
+    val d0 = materializeInvariant(
+      deltaEdges.select(col("gsrc"), col("gdst"), col("w")))
+    withoutAqe(d0, Some(g.width)) {
+      val dW = d0.groupBy(col("gsrc").as("dgid"))
+        .agg(sum(col("w")).as("dwout")).localCheckpoint()
+      val adjusted = g.base0
+        .join(dW.hint("shuffle_hash"), col("gid") === col("dgid"), "left")
+        .select(col("gid"),
+          when(col("outdeg").isNull && col("dwout").isNull,
+            lit(null).cast("double"))
+            .otherwise(coalesce(col("outdeg"), lit(0.0)) +
+              coalesce(col("dwout"), lit(0.0))).as("outdeg"))
+      val fresh = deltaNodes.select(col("gid")).distinct()
+        .join(g.base0.select(col("gid").as("bgid")),
+          col("gid") === col("bgid"), "left_anti")
+        .join(dW, col("gid") === col("dgid"), "left")
+        .select(col("gid"), col("dwout").as("outdeg"))
+      val base0 = adjusted.unionByName(fresh)
+        .repartition(g.width, col("gid")).localCheckpoint()
+      // frac re-bake for touched sources only; everyone else verbatim
+      val touched = dW.select(col("dgid").as("tsrc"))
+      val keep = g.e.join(broadcast(touched),
+        col("gsrc") === col("tsrc"), "left_anti")
+      val touchedRaw = rawBaseEdges.select(col("gsrc"), col("gdst"), col("w"))
+        .join(broadcast(touched), col("gsrc") === col("tsrc"), "left_semi")
+        .unionByName(d0)
+      val wAll = base0.select(col("gid").as("wgid"), col("outdeg").as("wout"))
+      val recomputed = touchedRaw
+        .join(wAll.hint("shuffle_hash"), col("gsrc") === col("wgid"))
+        .select(col("gsrc"), col("gdst"), (col("w") / col("wout")).as("frac"))
+      val e = keep.unionByName(recomputed)
+        .repartition(g.width, col("gsrc")).localCheckpoint()
+      lazy val eDst = withoutAqe(d0, Some(g.width)) {
+        e.repartition(g.width, col("gdst")).localCheckpoint()
+      }
+      RankGraph(e, () => eDst, base0, base0.count().toDouble, g.width)
+    }
+  }
+
   /** Personalized PageRank: teleport (and dangling mass) returns to the
     * seed set instead of uniformly — the standard seeded-relevance
     * variant. Nodes unreachable from the seeds converge to rank 0. Same

@@ -100,6 +100,7 @@ object GraphOps {
     wCopurchaseCached(spark, dir)
     ccBaseCached(spark, dir)
     basePrCached(spark, dir)
+    baseWPrCached(spark, dir)
     ()
   }
 
@@ -610,6 +611,66 @@ object GraphOps {
 
   val gPagerankIncrSql: String =
     GraphOracleSql.pageRankIncrSql(baseIters = 10, warmIters = 4, damping = 0.85)
+
+  private val rankWeightFn: String => org.apache.spark.sql.Column = {
+    case "CONTAINS" => col("l_quantity")
+    case _ => lit(1.0)
+  }
+
+  /** The WEIGHTED base-graph rank state (layout + raw weighted edge
+    * source + 10-round vector) — the weighted half of
+    * [[basePrCached]], pinned per (session, dir). The raw edge source
+    * stays pinned because the weighted delta fold must re-derive
+    * contribution fractions for touched sources.
+    */
+  private val baseWPrCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), (Algorithms.RankGraph, DataFrame, DataFrame)]
+
+  private def baseWPrCached(spark: SparkSession, dir: String)
+      : (Algorithms.RankGraph, DataFrame, DataFrame) =
+    baseWPrCache.getOrElseUpdate((spark.sparkContext.applicationId, dir),
+      graft.PinnedRdds.pinning(spark) {
+        val nodes = gidNodesCached(spark, dir, TpchGraph.nodeLabels)
+          .filter(not(expr(deltaOrderNode)))
+        val baseRaw = g(spark, dir)
+          .gidWeightedEdges(TpchGraph.edgeLabels, rankWeightFn)
+          .filter(not(expr(deltaEdgePred)))
+          .localCheckpoint()
+        val gw = Algorithms.prepareWeightedRankGraph(nodes, baseRaw)
+        val pr = Algorithms.weightedPageRank(gw, iters = 10, damping = 0.85)
+          .localCheckpoint()
+        (gw, baseRaw, pr)
+      })
+
+  /** INCREMENTAL weighted PageRank — [[gPagerankIncr]]'s weighted
+    * twin, completing the incremental family across both rank
+    * variants: the delta orders' weighted edges fold into the pinned
+    * base layout (fraction re-bake for TOUCHED sources only —
+    * delta-degree-bounded work), 4 warm rounds run from the previous
+    * 10-round weighted vector. Oracle: the identical computation
+    * unrolled (weighted rounds, 10 dp-sealed handoff).
+    */
+  def gPagerankWIncr(spark: SparkSession, dir: String): DataFrame = {
+    val gr = g(spark, dir)
+    val (gw, baseRaw, prevPr) = baseWPrCached(spark, dir)
+    val deltaRaw = gr.gidWeightedEdges(TpchGraph.edgeLabels, rankWeightFn)
+      .filter(expr(deltaEdgePred))
+    val deltaNodes = gidNodesCached(spark, dir, TpchGraph.nodeLabels)
+      .filter(expr(deltaOrderNode))
+    val folded = Algorithms.foldDeltaIntoWeightedRankGraph(gw, baseRaw,
+      deltaNodes, deltaRaw)
+    val pr = Algorithms.weightedPageRankFrom(folded,
+      prevPr.select(col("gid"), round(col("pr"), 10).as("pr")),
+      iters = 4, damping = 0.85)
+    gr.decode(
+      pr.select(col("gid"), round(col("pr"), 8).as("pr"))
+        .orderBy(col("pr").desc, col("gid")).limit(100), "gid")
+      .select(col("label"), col("key"), col("pr"))
+  }
+
+  val gPagerankWIncrSql: String =
+    GraphOracleSql.weightedPageRankIncrSql(baseIters = 10, warmIters = 4,
+      damping = 0.85)
 
   /** WEIGHTED PageRank: rank distributes along out-edges in proportion
     * to edge weight (CONTAINS weighted by l_quantity, as the SSSP
@@ -1578,6 +1639,7 @@ object GraphOps {
     QueryDef.sql("g_pagerank", gPagerank, gPagerankSql),
     QueryDef.sql("g_pagerank_incr", gPagerankIncr, gPagerankIncrSql),
     QueryDef.sql("g_pagerank_w", gPagerankW, gPagerankWSql),
+    QueryDef.sql("g_pagerank_w_incr", gPagerankWIncr, gPagerankWIncrSql),
     QueryDef.sql("g_ppr", gPpr, gPprSql),
     QueryDef.sql("g_hits", gHits, gHitsSql),
     QueryDef.sql("g_label_prop", gLabelProp, gLabelPropSql),

@@ -129,6 +129,61 @@ object GraphOracleSql {
        FROM (SELECT gid, round(pr, 8) AS pr FROM r$warmIters ORDER BY pr DESC, gid LIMIT 100)"""
   }
 
+  /** Unrolled INCREMENTAL WEIGHTED PageRank — [[pageRankIncrSql]]'s
+    * weighted twin: `baseIters` weighted rounds over the base graph
+    * (fractions from base-graph weighted out-degrees), the 10 dp-sealed
+    * handoff, `warmIters` weighted rounds over the full graph
+    * (fractions from FULL-graph out-degrees — exactly what the Spark
+    * fold's touched-source re-bake produces).
+    */
+  def weightedPageRankIncrSql(baseIters: Int, warmIters: Int,
+      damping: Double): String = {
+    def round(prev: String, cur: String, e: String, base: String) =
+      s""",
+       $cur AS MATERIALIZED (
+         SELECT b.gid, b.outdeg, b.tele,
+                (1.0 - $damping) * b.tele + $damping * (coalesce(c.contrib, 0.0) +
+                  (SELECT coalesce(sum(pr), 0.0) FROM $prev WHERE outdeg IS NULL) * b.tele) AS pr
+         FROM $base b LEFT JOIN (
+           SELECT e.gdst AS cgid, sum(r.pr * e.frac) AS contrib
+           FROM $e e JOIN $prev r ON e.gsrc = r.gid
+           GROUP BY e.gdst) c ON b.gid = c.cgid)"""
+    val baseRounds = (1 to baseIters)
+      .map(i => round(s"b${i - 1}", s"b$i", "e_b", "base_b")).mkString
+    val warmRounds = (1 to warmIters)
+      .map(i => round(s"r${i - 1}", s"r$i", "e", "base")).mkString
+    s"""WITH nodes_b AS MATERIALIZED (
+         SELECT gid FROM (${TpchGraph.gidSqlNodes})
+         WHERE NOT (gid // 4294967296 = 5 AND (gid % 4294967296) % 10 = 0)),
+       e0_b AS MATERIALIZED (
+         SELECT gsrc, gdst, w FROM (${TpchGraph.gidSqlWeightedEdges})
+         WHERE NOT (gsrc // 4294967296 = 5 AND (gsrc % 4294967296) % 10 = 0)
+           AND NOT (gdst // 4294967296 = 5 AND (gdst % 4294967296) % 10 = 0)),
+       wdeg_b AS MATERIALIZED (SELECT gsrc, sum(w) AS wout FROM e0_b GROUP BY gsrc),
+       e_b AS MATERIALIZED (
+         SELECT e0_b.gsrc, e0_b.gdst, e0_b.w / d.wout AS frac
+         FROM e0_b JOIN wdeg_b d USING (gsrc)),
+       base_b AS MATERIALIZED (
+         SELECT n.gid, d.wout AS outdeg, 1.0 / (SELECT count(*) FROM nodes_b) AS tele
+         FROM nodes_b n LEFT JOIN wdeg_b d ON n.gid = d.gsrc),
+       b0 AS MATERIALIZED (SELECT gid, outdeg, tele, tele AS pr FROM base_b)$baseRounds,
+       nodes AS MATERIALIZED (${TpchGraph.gidSqlNodes}),
+       e0 AS MATERIALIZED (${TpchGraph.gidSqlWeightedEdges}),
+       wdeg AS MATERIALIZED (SELECT gsrc, sum(w) AS wout FROM e0 GROUP BY gsrc),
+       e AS MATERIALIZED (
+         SELECT e0.gsrc, e0.gdst, e0.w / d.wout AS frac
+         FROM e0 JOIN wdeg d USING (gsrc)),
+       base AS MATERIALIZED (
+         SELECT n.gid, d.wout AS outdeg, 1.0 / (SELECT count(*) FROM nodes) AS tele
+         FROM nodes n LEFT JOIN wdeg d ON n.gid = d.gsrc),
+       r0 AS MATERIALIZED (
+         SELECT b.gid, b.outdeg, b.tele,
+                coalesce(round(p.pr, 10), b.tele) AS pr
+         FROM base b LEFT JOIN b$baseIters p ON b.gid = p.gid)$warmRounds
+       SELECT ${TpchGraph.gidSqlLabel} AS label, gid % 4294967296 AS key, pr
+       FROM (SELECT gid, round(pr, 8) AS pr FROM r$warmIters ORDER BY pr DESC, gid LIMIT 100)"""
+  }
+
   /** Unrolled WEIGHTED PageRank — the SQL mirror of
     * [[graft.graph.Algorithms.weightedPageRank]]: identical round
     * structure to [[pageRankSql]], but rank distributes along out-edges

@@ -405,6 +405,49 @@ class RandomizedAlgSpec extends SparkSpec {
     }
   }
 
+  test("weighted warm-start over a folded weighted delta ≡ driver power iteration from the same init") {
+    import spark.implicits._
+    (151 to 155).foreach { seed =>
+      val rnd = new Random(seed)
+      val (baseNodes, be0) = randomGraph(seed)
+      val baseEdges = be0.map { case (a, b) => (a, b, (1 + rnd.nextInt(5)).toDouble) }
+      val newNodes = Seq(300L + seed)
+      val allNodes = baseNodes ++ newNodes
+      val deltaEdges = (Seq.fill(2 + rnd.nextInt(4))(
+        (allNodes(rnd.nextInt(allNodes.size)), allNodes(rnd.nextInt(allNodes.size)),
+          (1 + rnd.nextInt(5)).toDouble)))
+      val bndf = baseNodes.toDF("gid")
+      val bedf = baseEdges.toDF("gsrc", "gdst", "w")
+      val gw = Algorithms.prepareWeightedRankGraph(bndf, bedf)
+      val prev = Algorithms.weightedPageRank(gw, iters = 5, damping = 0.85)
+      val folded = Algorithms.foldDeltaIntoWeightedRankGraph(gw, bedf,
+        newNodes.toDF("gid"), deltaEdges.toDF("gsrc", "gdst", "w"))
+      val got = Algorithms.weightedPageRankFrom(folded, prev, iters = 3,
+          damping = 0.85)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      // driver model on the FULL weighted graph from the same init
+      val full = baseEdges ++ deltaEdges
+      val n = allNodes.size.toDouble
+      val d = 0.85
+      val wout = full.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+      val adj = full.groupBy(_._1).view.mapValues(_.map(e => (e._2, e._3))).toMap
+      val prevM = prev.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      var pr = allNodes.map(v => v -> prevM.getOrElse(v, 1.0 / n)).toMap
+      (1 to 3).foreach { _ =>
+        val dm = allNodes.filterNot(wout.contains).map(pr).sum
+        val contrib = scala.collection.mutable.Map.empty[Long, Double].withDefaultValue(0.0)
+        adj.foreach { case (u, ts) =>
+          ts.foreach { case (t, w) => contrib(t) += pr(u) * (w / wout(u)) } }
+        pr = allNodes.map(v => v -> ((1 - d) / n + d * (contrib(v) + dm / n))).toMap
+      }
+      assert(got.keySet === pr.keySet, s"seed=$seed")
+      allNodes.foreach { v =>
+        assert(math.abs(got(v) - pr(v)) < 1e-9,
+          s"seed=$seed node=$v delta=$deltaEdges")
+      }
+    }
+  }
+
   test("weighted pagerank matches driver power iteration on random weighted digraphs") {
     import spark.implicits._
     (81 to 85).foreach { seed =>
