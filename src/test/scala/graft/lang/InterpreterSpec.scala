@@ -302,8 +302,8 @@ class InterpreterSpec extends SparkSpec {
     for (i <- 1 to 10) {
       it.executeLogged(s"INSERT NODE P (name: 'u$i');", log)
       log = it.compactIfNeeded(dir, log, maxStatements = 4)
-      assert(java.nio.file.Files.readAllLines(log.path).size < 4 ||
-        java.nio.file.Files.readAllLines(log.path).size <= 4)
+      // the policy bound: a just-checked log is always under the knob
+      assert(java.nio.file.Files.readAllLines(log.path).size < 4)
     }
     // policy fired at least once (generation moved past 0)
     assert(graft.store.Snapshot.latest(dir).exists(_._1 >= 1))
