@@ -1045,6 +1045,77 @@ object Algorithms {
       .select(size(array_intersect(col("nu"), col("nw"))).cast("long").as("t"))
       .agg(coalesce(sum(col("t")), lit(0L)).as("triangles"))
 
+  /** INCREMENTAL triangle maintenance — the cohesion member of the
+    * incremental family (CC labels, rank vectors, LSH indexes, and now
+    * triangle counts pay the DELTA, not the corpus): given the base
+    * graph's canonical pair set, its undirected adjacency arrays, and
+    * its exact triangle count, fold a batch of candidate new edges and
+    * return the exact FULL-graph count.
+    *
+    * Inclusion–exclusion over new-edge membership: a triangle with k
+    * new edges is counted k − C(k,2) + C(k,3) = 1 time by
+    * S1 − S2 + S3, where
+    *  - S1 = Σ over new edges (a,b) of |N_full(a) ∩ N_full(b)| — and
+    *    both endpoints of a new edge are TOUCHED vertices, so only the
+    *    delta-scale merged adjacency (base arrays ∪ new neighbors) is
+    *    ever built;
+    *  - S2 = new-edge pairs sharing a vertex whose closing third edge
+    *    exists (in base or among the new edges) — delta²-bounded
+    *    candidates, base membership via ONE broadcast-probed scan of
+    *    the base pair set (no corpus shuffle);
+    *  - S3 = triangles among the new edges alone (delta-scale exact
+    *    count).
+    * The candidate batch may overlap the base pair set — true new
+    * edges are extracted with the same broadcast-probe (the base is
+    * scanned, never shuffled). Exactness is provable at the gate: the
+    * driver face's oracle is the FULL-recount SQL, so hash-green means
+    * incremental ≡ full, bit-for-bit.
+    */
+  def triangleCountIncremental(basePairs: DataFrame, baseUndAdj: DataFrame,
+      baseTriangles: Long, deltaPairs: DataFrame): DataFrame = {
+    val delta = deltaPairs.select(col("a"), col("b")).distinct().localCheckpoint()
+    // overlap = base rows matching the (small, broadcast) delta —
+    // base pairs are SCANNED map-side, never shuffled
+    val overlap = basePairs
+      .join(broadcast(delta), Seq("a", "b"), "left_semi").localCheckpoint()
+    val ne = delta.join(broadcast(overlap), Seq("a", "b"), "left_anti")
+      .localCheckpoint()
+    // merged adjacency for touched vertices only (delta-scale)
+    val newNbrs = ne.select(col("a").as("v"), col("b").as("u"))
+      .unionByName(ne.select(col("b").as("v"), col("a").as("u")))
+      .groupBy(col("v")).agg(collect_set(col("u")).as("newn"))
+    val merged = newNbrs
+      .join(baseUndAdj.select(col("v").as("bv"), col("nbrs")),
+        col("v") === col("bv"), "left")
+      .select(col("v"),
+        array_sort(array_union(coalesce(col("nbrs"),
+          array().cast("array<long>")), col("newn"))).as("nbrs"))
+      .localCheckpoint()
+    val s1 = ne
+      .join(merged.select(col("v").as("va"), col("nbrs").as("na")), col("a") === col("va"))
+      .join(merged.select(col("v").as("vb"), col("nbrs").as("nb")), col("b") === col("vb"))
+      .agg(coalesce(sum(size(array_intersect(col("na"), col("nb"))).cast("long")),
+        lit(0L)).as("s1"))
+    // new-edge pairs sharing a vertex → closing third edge (u1 < u2)
+    val d1 = ne.select(col("a").as("v"), col("b").as("u"))
+      .unionByName(ne.select(col("b").as("v"), col("a").as("u")))
+    val d2 = d1.select(col("v").as("v2"), col("u").as("u2"))
+    val cand = d1.join(d2, col("v") === col("v2") && col("u") < col("u2"))
+      .select(col("u").as("a"), col("u2").as("b"))
+      .localCheckpoint()
+    val thirdInBase = basePairs
+      .join(broadcast(cand.distinct()), Seq("a", "b"), "left_semi")
+    val s2a = cand.join(broadcast(thirdInBase), Seq("a", "b"), "left_semi")
+      .agg(count(lit(1)).as("s2a"))
+    val s2b = cand.join(ne, Seq("a", "b"), "left_semi")
+      .agg(count(lit(1)).as("s2b"))
+    val s3 = triangleCount(ne.select(col("a").as("gsrc"), col("b").as("gdst")))
+      .select(col("triangles").as("s3"))
+    s1.crossJoin(s2a).crossJoin(s2b).crossJoin(s3)
+      .select((lit(baseTriangles) + col("s1") - col("s2a") - col("s2b") +
+        col("s3")).as("triangles"))
+  }
+
   /** DOULION sampled triangle estimate (Tsourakakis et al. KDD 2009)
     * for the exact-infeasible regime: keep each canonical edge
     * independently with probability p, count triangles EXACTLY on the

@@ -101,6 +101,7 @@ object GraphOps {
     ccBaseCached(spark, dir)
     basePrCached(spark, dir)
     baseWPrCached(spark, dir)
+    triBaseCached(spark, dir)
     ()
   }
 
@@ -1153,6 +1154,55 @@ object GraphOps {
   def gTriangles(spark: SparkSession, dir: String): DataFrame =
     Algorithms.triangleCount(orientedCached(spark, dir))
 
+  /** The BASE-graph triangle artifacts (canonical pair set, undirected
+    * adjacency arrays, exact count over orders with key % 10 ≠ 0) —
+    * pinned per (session, dir): the previous batch's state, as
+    * ccBaseCached / basePrCached.
+    */
+  private val triBaseCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), (DataFrame, DataFrame, Long)]
+
+  private def triBaseCached(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, Long) =
+    triBaseCache.getOrElseUpdate((spark.sparkContext.applicationId, dir),
+      graft.PinnedRdds.pinning(spark) {
+        val baseLi = Tables.load(spark, dir, "lineitem")
+          .filter(col("l_orderkey") % 10 =!= 0)
+        val pairs = ccPairEdges(baseLi)
+          .select(col("gsrc").as("a"), col("gdst").as("b")).localCheckpoint()
+        val adj = pairs.select(col("a").as("v"), col("b").as("u"))
+          .unionByName(pairs.select(col("b").as("v"), col("a").as("u")))
+          .groupBy(col("v"))
+          .agg(array_sort(collect_list(col("u"))).as("nbrs"))
+          .localCheckpoint()
+        val tri = Algorithms.triangleCount(
+            pairs.select(col("a").as("gsrc"), col("b").as("gdst")))
+          .first().getLong(0)
+        (pairs, adj, tri)
+      })
+
+  /** INCREMENTAL triangle maintenance: the delta orders' co-purchase
+    * pairs (which may overlap base pairs — the derivation dedups
+    * within a batch, not across) fold into the pinned base artifacts
+    * via [[graft.graph.Algorithms.triangleCountIncremental]] —
+    * inclusion–exclusion over new-edge membership, delta-scale merged
+    * adjacency, base pairs scanned (broadcast-probed) but never
+    * shuffled. Oracle: the SAME full-recount SQL as g_triangles, so
+    * hash-green proves incremental ≡ full recount exactly (the
+    * g_cc_incr discipline for cohesion state).
+    */
+  def gTrianglesIncr(spark: SparkSession, dir: String): DataFrame = {
+    val (pairs, adj, tri) = triBaseCached(spark, dir)
+    val deltaLi = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_orderkey") % 10 === 0)
+    Algorithms.triangleCountIncremental(pairs, adj, tri,
+      ccPairEdges(deltaLi).select(col("gsrc").as("a"), col("gdst").as("b")))
+  }
+
+  // def, not val: gTrianglesSql is declared later in the object and a
+  // val here would capture null at initialization order
+  def gTrianglesIncrSql: String = gTrianglesSql
+
   /** DOULION sampled triangle estimate at p = 0.5 (rows-only: the
     * estimator's contract — unbiasedness and error bounds vs exact —
     * is pinned in RandomizedAlgSpec on planted graphs; the seeded-hash
@@ -1650,6 +1700,7 @@ object GraphOps {
     QueryDef.sql("g_random_walks", gRandomWalks, gRandomWalksSql),
     QueryDef.sql("g_node2vec", gNode2vec, gNode2vecSql),
     QueryDef.sql("g_triangles", gTriangles, gTrianglesSql),
+    QueryDef.sql("g_triangles_incr", gTrianglesIncr, gTrianglesIncrSql),
     QueryDef.rowsOnly("g_triangles_approx", gTrianglesApprox),
     QueryDef.sql("g_clustering_coef", gClusteringCoef, gClusteringCoefSql),
     QueryDef.sql("g_adamic_adar", gAdamicAdar, gAdamicAdarSql),

@@ -46,6 +46,44 @@ class RandomizedAlgSpec extends SparkSpec {
     }
   }
 
+  test("incremental triangle maintenance ≡ full recount on random base/delta splits (incl. overlapping candidates)") {
+    import spark.implicits._
+    (171 to 178).foreach { seed =>
+      val rnd = new Random(seed)
+      val n = 8 + rnd.nextInt(8)
+      // random simple graph, canonical unique edges
+      val all = (for {
+        i <- 0 until n; j <- (i + 1) until n
+        if rnd.nextDouble() < 0.4
+      } yield (i.toLong, j.toLong)).toSeq
+      if (all.nonEmpty) {
+        val (base, deltaOnly) = all.partition(_ => rnd.nextDouble() < 0.6)
+        // candidate batch overlaps the base (the derivation dedups
+        // within a batch, not across) — the fold must ignore those
+        val overlap = base.filter(_ => rnd.nextDouble() < 0.3)
+        val basePairs = (if (base.isEmpty) Seq((0L, 1L)).take(0) else base)
+          .toDF("a", "b").localCheckpoint()
+        val adj = basePairs.select(col("a").as("v"), col("b").as("u"))
+          .unionByName(basePairs.select(col("b").as("v"), col("a").as("u")))
+          .groupBy(col("v"))
+          .agg(array_sort(collect_list(col("u"))).as("nbrs"))
+        val baseTri = Algorithms.triangleCount(
+            basePairs.select(col("a").as("gsrc"), col("b").as("gdst")))
+          .first().getLong(0)
+        val delta = (deltaOnly ++ overlap)
+        val deltaDf = (if (delta.isEmpty) Seq((0L, 1L)).take(0) else delta)
+          .toDF("a", "b")
+        val got = Algorithms.triangleCountIncremental(
+            basePairs, adj, baseTri, deltaDf)
+          .first().getLong(0)
+        val want = Algorithms.triangleCount(
+            all.toDF("gsrc", "gdst"))
+          .first().getLong(0)
+        assert(got === want, s"seed=$seed base=${base.size} delta=${delta.size}")
+      }
+    }
+  }
+
   test("DOULION sampled triangles: p=1 exact, bounded relative error and near-unbiased mean on planted graphs") {
     import spark.implicits._
     // planted: two 20-cliques bridged by a path — 2 * C(20,3) = 2280
