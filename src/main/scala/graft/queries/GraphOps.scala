@@ -102,6 +102,7 @@ object GraphOps {
     basePrCached(spark, dir)
     baseWPrCached(spark, dir)
     triBaseCached(spark, dir)
+    bflyBaseCached(spark, dir)
     ()
   }
 
@@ -175,18 +176,26 @@ object GraphOps {
   private val wCopurchaseCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
 
+  /** Support-weighted canonical co-purchase pairs of a lineitem slice:
+    * (gsrc < gdst, w = number of orders containing both). Orders
+    * partition across batches, so supports are ADDITIVE across slices
+    * — the property the incremental butterfly face folds on.
+    */
+  private def wPairEdges(li: DataFrame): DataFrame = {
+    val perOrder = li.groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
+    perOrder.select(explode(flatten(transform(col("ps"),
+        (x, i) => transform(slice(col("ps"), i + 2, size(col("ps"))),
+          y => struct(x.as("gsrc"), y.as("gdst")))))).as("e"))
+      .groupBy(col("e.gsrc").as("gsrc"), col("e.gdst").as("gdst"))
+      .agg(count(lit(1)).as("w"))
+  }
+
   private def wCopurchaseCached(spark: SparkSession, dir: String): DataFrame =
-    wCopurchaseCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
-      val li = Tables.load(spark, dir, "lineitem")
-      val perOrder = li.groupBy(col("l_orderkey"))
-        .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
-      val wedges = perOrder.select(explode(flatten(transform(col("ps"),
-          (x, i) => transform(slice(col("ps"), i + 2, size(col("ps"))),
-            y => struct(x.as("gsrc"), y.as("gdst")))))).as("e"))
-        .groupBy(col("e.gsrc").as("gsrc"), col("e.gdst").as("gdst"))
-        .agg(count(lit(1)).as("w"))
-      graft.PinnedRdds.pinning(spark) { wedges.localCheckpoint() }
-    })
+    wCopurchaseCache.getOrElseUpdate((spark.sparkContext.applicationId, dir),
+      graft.PinnedRdds.pinning(spark) {
+        wPairEdges(Tables.load(spark, dir, "lineitem")).localCheckpoint()
+      })
 
   /** The 5-round WEIGHTED label-propagation fit over the
     * support-weighted co-purchase graph (votes weighted by how many
@@ -1089,6 +1098,64 @@ object GraphOps {
               max(w) AS max_support
        FROM cew"""
 
+  /** The BASE-batch butterfly artifacts: the support-weighted pair
+    * table over base orders plus its census scalars — pinned per
+    * (session, dir), the previous batch's state.
+    */
+  private val bflyBaseCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), (DataFrame, (Long, Long, Long, Long))]
+
+  private def bflyBaseCached(spark: SparkSession, dir: String)
+      : (DataFrame, (Long, Long, Long, Long)) =
+    bflyBaseCache.getOrElseUpdate((spark.sparkContext.applicationId, dir),
+      graft.PinnedRdds.pinning(spark) {
+        val pairs = wPairEdges(Tables.load(spark, dir, "lineitem")
+          .filter(col("l_orderkey") % 10 =!= 0)).localCheckpoint()
+        val r = pairs.agg(
+          coalesce(sum(expr("w * (w - 1) DIV 2")), lit(0L)),
+          coalesce(sum(when(col("w") >= 2, 1L).otherwise(0L)), lit(0L)),
+          count(lit(1)),
+          coalesce(max(col("w")), lit(0L))).first()
+        (pairs, (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      })
+
+  /** INCREMENTAL butterfly census: supports are ADDITIVE across order
+    * batches (orders partition), so the delta folds as per-touched-pair
+    * support bumps — Δbutterflies = Σ C(w+dw, 2) − C(w, 2) over touched
+    * pairs only. The base pair table is broadcast-PROBED for the
+    * touched pairs' prior supports (one scan, no shuffle); everything
+    * else is delta-scale. Oracle: the SAME full-census SQL as
+    * g_butterflies — hash-green proves incremental ≡ full recount.
+    */
+  def gButterfliesIncr(spark: SparkSession, dir: String): DataFrame = {
+    val (basePairs, (bB, bM, bP, bMax)) = bflyBaseCached(spark, dir)
+    val deltaW = wPairEdges(Tables.load(spark, dir, "lineitem")
+        .filter(col("l_orderkey") % 10 === 0))
+      .select(col("gsrc"), col("gdst"), col("w").as("dw"))
+      .localCheckpoint()
+    val touchedBase = basePairs
+      .join(broadcast(deltaW.select(col("gsrc"), col("gdst"))),
+        Seq("gsrc", "gdst"), "left_semi")
+      .select(col("gsrc"), col("gdst"), col("w").as("bw"))
+    val joined = deltaW
+      .join(touchedBase, Seq("gsrc", "gdst"), "left")
+      .select(coalesce(col("bw"), lit(0L)).as("bw"),
+        (coalesce(col("bw"), lit(0L)) + col("dw")).as("nw"))
+    joined.agg(
+        coalesce(sum(expr("nw * (nw - 1) DIV 2 - bw * (bw - 1) DIV 2")),
+          lit(0L)).as("d_b"),
+        coalesce(sum(when(col("nw") >= 2, 1L).otherwise(0L) -
+          when(col("bw") >= 2, 1L).otherwise(0L)), lit(0L)).as("d_m"),
+        coalesce(sum(when(col("bw") === 0L, 1L).otherwise(0L)), lit(0L)).as("d_p"),
+        coalesce(max(col("nw")), lit(0L)).as("d_max"))
+      .select((lit(bB) + col("d_b")).as("n_butterflies"),
+        (lit(bM) + col("d_m")).as("n_multi_pairs"),
+        (lit(bP) + col("d_p")).as("n_pairs"),
+        greatest(lit(bMax), col("d_max")).as("max_support"))
+  }
+
+  def gButterfliesIncrSql: String = gButterfliesSql
+
   /** Rich-club coefficient at degree threshold 150 (~top decile of the
     * co-purchase degree distribution): edge density among the
     * high-degree "club" vs the whole graph's density — do hubs
@@ -1708,6 +1775,7 @@ object GraphOps {
     QueryDef.sql("g_swing", gSwing, gSwingSql),
     QueryDef.sql("g_rich_club", gRichClub, gRichClubSql),
     QueryDef.sql("g_butterflies", gButterflies, gButterfliesSql),
+    QueryDef.sql("g_butterflies_incr", gButterfliesIncr, gButterfliesIncrSql),
     QueryDef.sql("g_knn_degree", gKnnDegree, gKnnDegreeSql),
     QueryDef.sql("g_assortativity_w", gAssortativityW, gAssortativityWSql),
     QueryDef.sql("g_modularity_w", gModularityW, gModularityWSql),

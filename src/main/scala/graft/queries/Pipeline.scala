@@ -149,6 +149,7 @@ object Pipeline {
     kmeansCached(spark, dir)
     pqCached(spark, dir)
     ivfPqCached(spark, dir)
+    cardBaseCached(spark, dir)
     ()
   }
 
@@ -1759,6 +1760,102 @@ object Pipeline {
        FROM documents"""
   }
 
+  /** The BASE-corpus card state (docs with doc_id % 10 ≠ 0): the
+    * additive scalars (doc/char/token counts, the exact 4dp-integer
+    * quality sum, per-language counts), the distinct-digest index (the
+    * incrementalExact artifact — 32 bytes per unique text), and the
+    * tiny source set — pinned per (session, dir). This is the state a
+    * deployment keeps NEXT TO its datasheet so the card never needs a
+    * corpus re-scan.
+    */
+  private val cardBaseCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), (DataFrame, Array[Long], Set[String])]
+
+  private def cardBaseCached(spark: SparkSession, dir: String)
+      : (DataFrame, Array[Long], Set[String]) =
+    cardBaseCache.getOrElseUpdate((spark.sparkContext.applicationId, dir),
+      graft.PinnedRdds.pinning(spark) {
+        val base = Tables.load(spark, dir, "documents")
+          .filter(col("doc_id") % 10 =!= 0)
+        val digests = base.select(sha2(col("text"), 256).as("digest"))
+          .distinct().localCheckpoint()
+        val q4 = floor(TextAnalysis.qualityScore(col("text")) * 10000.0 +
+          lit(0.5)).cast("long")
+        val langCols = cardLangs.map(l =>
+          coalesce(sum(when(col("lang") === l, 1L).otherwise(0L)), lit(0L))) :+
+          coalesce(sum(when(!col("lang").isin(cardLangs.map(x => x: Any): _*),
+            1L).otherwise(0L)), lit(0L))
+        val aggCols = Seq(count(lit(1)),
+          coalesce(sum(col("n_chars")), lit(0L)),
+          coalesce(sum(TextAnalysis.wsTokens(col("text"))).cast("long"), lit(0L)),
+          coalesce(sum(q4), lit(0L))) ++ langCols
+        val r = base.agg(aggCols.head, aggCols.tail: _*).first()
+        val scalars = (0 until aggCols.size).map(r.getLong).toArray :+
+          digests.count()
+        val srcs = base.select(col("source")).distinct()
+          .collect().map(_.getString(0)).toSet
+        (digests, scalars, srcs)
+      })
+
+  /** INCREMENTAL dataset card: the delta batch folds into the pinned
+    * base card state without re-scanning the corpus — every scalar is
+    * an exact integer sum (additive by construction, including the
+    * 4dp-integerized quality sum: the same reason the card's mean is
+    * bit-stable is the reason it FOLDS), distinct texts fold via the
+    * digest index (delta digests probe it broadcast-side — the index
+    * is scanned, never shuffled), and the source set is
+    * release-bounded. Output schema and arithmetic are identical to
+    * [[pDatasetCard]]; the oracle is the SAME full-corpus card SQL, so
+    * hash-green proves fold ≡ re-scan.
+    */
+  def pDatasetCardIncr(spark: SparkSession, dir: String): DataFrame = {
+    val (digestIdx, s, baseSrcs) = cardBaseCached(spark, dir)
+    val nLang = cardLangs.size + 1
+    val (bDocs, bChars, bWs, bQ4) = (s(0), s(1), s(2), s(3))
+    val bLangs = (0 until nLang).map(i => s(4 + i))
+    val bUnique = s(4 + nLang)
+    val delta = Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") % 10 === 0)
+    val q4 = floor(TextAnalysis.qualityScore(col("text")) * 10000.0 +
+      lit(0.5)).cast("long")
+    val langCols = cardLangs.zipWithIndex.map { case (l, i) =>
+      coalesce(sum(when(col("lang") === l, 1L).otherwise(0L)), lit(0L))
+        .as(s"d_l$i") } :+
+      coalesce(sum(when(!col("lang").isin(cardLangs.map(x => x: Any): _*),
+        1L).otherwise(0L)), lit(0L)).as(s"d_l${cardLangs.size}")
+    val dCols = count(lit(1)).as("d_docs") +:
+      (Seq(coalesce(sum(col("n_chars")), lit(0L)).as("d_chars"),
+        coalesce(sum(TextAnalysis.wsTokens(col("text"))).cast("long"),
+          lit(0L)).as("d_ws"),
+        coalesce(sum(q4), lit(0L)).as("d_q4")) ++ langCols)
+    val dAgg = delta.agg(dCols.head, dCols.tail: _*)
+    val dd = delta.select(sha2(col("text"), 256).as("digest")).distinct()
+      .localCheckpoint()
+    // digests in BOTH base and delta: the index is scanned map-side
+    // against the broadcast delta set — never shuffled
+    val dOverlap = digestIdx.join(broadcast(dd), Seq("digest"), "left_semi")
+      .agg(count(lit(1)).as("d_overlap"))
+    val dUniq = dd.agg(count(lit(1)).as("d_distinct"))
+    val dSrcNew = delta.select(col("source")).distinct()
+      .filter(!col("source").isin(baseSrcs.toSeq.map(x => x: Any): _*))
+      .agg(count(lit(1)).as("d_src_new"))
+    val langOut = cardLangs.zipWithIndex.map { case (l, i) =>
+      (lit(bLangs(i)) + col(s"d_l$i")).as(s"n_$l") } :+
+      (lit(bLangs(cardLangs.size)) + col(s"d_l${cardLangs.size}")).as("n_other")
+    dAgg.crossJoin(dOverlap).crossJoin(dUniq).crossJoin(dSrcNew)
+      .select(Seq(
+        (lit(bDocs) + col("d_docs")).as("n_docs"),
+        (lit(baseSrcs.size.toLong) + col("d_src_new")).as("n_sources"),
+        (lit(bUnique) + col("d_distinct") - col("d_overlap")).as("n_unique_texts"),
+        (lit(bChars) + col("d_chars")).as("total_chars"),
+        (lit(bWs) + col("d_ws")).as("total_ws_tokens"),
+        round((lit(bQ4) + col("d_q4")).cast("double") /
+          (lit(bDocs) + col("d_docs")) / lit(10000.0), 4).as("mean_quality")) ++
+        langOut: _*)
+  }
+
+  def pDatasetCardIncrSql: String = pDatasetCardSql
+
   /** Per-source dataset cards — the grouped face of [[pDatasetCard]]:
     * one datasheet row per source (docs, unique texts, char/token mass,
     * exact-integer mean quality, English share), the release-notes
@@ -2512,6 +2609,7 @@ object Pipeline {
     QueryDef.rowsOnly("p_bpe_fertility", pBpeFertility),
     QueryDef.sql("p_curation_pipeline", pCurationPipeline, pCurationPipelineSql),
     QueryDef.sql("p_dataset_card", pDatasetCard, pDatasetCardSql),
+    QueryDef.sql("p_dataset_card_incr", pDatasetCardIncr, pDatasetCardIncrSql),
     QueryDef.sql("p_source_cards", pSourceCards, pSourceCardsSql),
     QueryDef.sql("p_source_leakage", pSourceLeakage, pSourceLeakageSql),
     QueryDef.sql("p_token_quantiles", pTokenQuantiles, pTokenQuantilesSql),
