@@ -1084,9 +1084,16 @@ object Algorithms {
     val newNbrs = ne.select(col("a").as("v"), col("b").as("u"))
       .unionByName(ne.select(col("b").as("v"), col("a").as("u")))
       .groupBy(col("v")).agg(collect_set(col("u")).as("newn"))
+      .localCheckpoint()
+    // broadcast-probe the node-scale adjacency for TOUCHED vertices
+    // first (one scan, no shuffle of the array table), then merge small
+    // against small
+    val touchedAdj = baseUndAdj
+      .join(broadcast(newNbrs.select(col("v").as("tv"))),
+        col("v") === col("tv"), "left_semi")
+      .select(col("v").as("bv"), col("nbrs"))
     val merged = newNbrs
-      .join(baseUndAdj.select(col("v").as("bv"), col("nbrs")),
-        col("v") === col("bv"), "left")
+      .join(broadcast(touchedAdj), col("v") === col("bv"), "left")
       .select(col("v"),
         array_sort(array_union(coalesce(col("nbrs"),
           array().cast("array<long>")), col("newn"))).as("nbrs"))

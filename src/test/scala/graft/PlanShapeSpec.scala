@@ -103,6 +103,13 @@ class PlanShapeSpec extends SparkSpec {
       s"p_knn_pq does not scan the pinned code table $c1 (scans $knn)")
   }
 
+  test("g_triangles_incr: the base pair set is broadcast-probed, never shuffle-joined") {
+    val df = queries.GraphOps.gTrianglesIncr(spark, sf())
+    val p = plan(df)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"incremental triangle fold shuffled a corpus-scale side:\n$p")
+  }
+
   test("p_knn_ivfpq scans the pinned IVF-PQ code table — one index fit per session") {
     def rddIds(df: org.apache.spark.sql.DataFrame): Set[Int] =
       df.queryExecution.analyzed.collect {
