@@ -224,8 +224,15 @@ object TextAnalysis {
       .crossJoin(broadcast(stats))
       .select(col("id"), floor(contrib * 1e6 + 0.5).as("c6"))
       .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_terms"),
-        round(sum(col("c6")).cast("double") / 1e6, 4).as("bm25"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("c6")).as("s6"))
+      // 4dp display via EXACT integer round-half-up of the 6dp integer
+      // sum: round(S/1e6, 4) lands on an exact .5 whenever S ≡ 50 mod
+      // 100, and engines split on halves (Spark HALF_UPs the shortest
+      // decimal repr, DuckDB rounds the raw binary double). Integer
+      // arithmetic has no halves; the final /10000.0 is one identical
+      // division of the same integer on both engines.
+      .select(col("id"), col("n_terms"),
+        (expr("(s6 + 50) DIV 100").cast("double") / 10000.0).as("bm25"))
   }
 
   /** The end-to-end curation verdict: first failing rule in a fixed

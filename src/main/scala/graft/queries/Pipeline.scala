@@ -2052,7 +2052,7 @@ object Pipeline {
                   * 1000000.0 + 0.5) AS BIGINT) AS c6
          FROM tf JOIN dfreq USING (term) CROSS JOIN stats)
        SELECT doc_id, count(*) AS n_terms,
-              round(CAST(CAST(sum(c6) AS BIGINT) AS DOUBLE) / 1000000.0, 4)
+              CAST((CAST(sum(c6) AS BIGINT) + 50) // 100 AS DOUBLE) / 10000.0
                 AS bm25
        FROM contrib GROUP BY 1"""
   }

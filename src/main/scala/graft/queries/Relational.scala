@@ -874,21 +874,41 @@ object Relational {
   def qNtileCume(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("c_nationkey"))
       .orderBy(col("c_acctbal"), col("c_custkey"))
+    val wp = Window.partitionBy(col("c_nationkey"))
+    // the ORDER is total (custkey tiebreak), so cume_dist ≡ rn/n and
+    // percent_rank ≡ (rn−1)/(n−1) with no peers — which lets both be
+    // 6dp-sealed by EXACT integer round-half-up ((2·k·10⁶ + n) DIV 2n):
+    // round(k/n, 6) lands on an exact .5 for unlucky (k, n) and the
+    // engines split on halves (sf0.1 hit cume_dist = 41/640)
     Tables.load(spark, dir, "customer")
       .select(col("c_custkey"), col("c_nationkey"),
         round(col("c_acctbal"), 2).as("c_acctbal"),
         ntile(4).over(w).cast("long").as("quartile"),
-        round(cume_dist().over(w), 6).as("cd"),
-        round(percent_rank().over(w), 6).as("pr"))
+        row_number().over(w).cast("long").as("rn"),
+        count(lit(1)).over(wp).as("n"))
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+        col("quartile"),
+        (expr("(rn * 2000000 + n) DIV (2 * n)").cast("double") / 1000000.0)
+          .as("cd"),
+        when(col("n") === 1, lit(0.0))
+          .otherwise(expr("((rn - 1) * 2000000 + (n - 1)) DIV (2 * (n - 1))")
+            .cast("double") / 1000000.0).as("pr"))
   }
 
   val qNtileCumeSql: String =
-    """SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS c_acctbal,
-              CAST(ntile(4) OVER w AS BIGINT) AS quartile,
-              round(cume_dist() OVER w, 6) AS cd,
-              round(percent_rank() OVER w, 6) AS pr
-       FROM customer
-       WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)"""
+    """WITH r AS (
+         SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS c_acctbal,
+                CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+                CAST(row_number() OVER w AS BIGINT) AS rn,
+                CAST(count(*) OVER (PARTITION BY c_nationkey) AS BIGINT) AS n
+         FROM customer
+         WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey))
+       SELECT c_custkey, c_nationkey, c_acctbal, quartile,
+              CAST((rn * 2000000 + n) // (2 * n) AS DOUBLE) / 1000000.0 AS cd,
+              CASE WHEN n = 1 THEN 0.0
+                   ELSE CAST(((rn - 1) * 2000000 + (n - 1)) // (2 * (n - 1))
+                        AS DOUBLE) / 1000000.0 END AS pr
+       FROM r"""
 
   /** GROUPING SETS with non-hierarchical sets — (flag, status), the
     * orthogonal (ship year), and the grand total in ONE Expand +
