@@ -1044,8 +1044,9 @@ object GraphOps {
       .groupBy(col("d").as("degree"))
       .agg(count(lit(1)).as("n_nodes"), sum(col("s")).as("snb"))
       .select(col("degree"), col("n_nodes"),
-        round(col("snb").cast("double") / (col("degree") * col("n_nodes")), 4)
-          .as("avg_neighbor_degree"))
+        // exact integer round-half-up (the half-rounding class)
+        (expr("(snb * 20000 + degree * n_nodes) DIV (2 * degree * n_nodes)")
+          .cast("double") / 10000.0).as("avg_neighbor_degree"))
   }
 
   val gKnnDegreeSql: String =
@@ -1062,8 +1063,8 @@ object GraphOps {
          SELECT u.a, CAST(sum(db.d) AS BIGINT) AS s
          FROM und u JOIN deg db ON u.b = db.a GROUP BY 1)
        SELECT deg.d AS degree, count(*) AS n_nodes,
-              round(CAST(sum(nbsum.s) AS BIGINT) /
-                    CAST(deg.d * count(*) AS DOUBLE), 4)
+              CAST((CAST(sum(nbsum.s) AS BIGINT) * 20000 + deg.d * count(*))
+                   // (2 * deg.d * count(*)) AS DOUBLE) / 10000.0
                 AS avg_neighbor_degree
        FROM deg JOIN nbsum ON deg.a = nbsum.a
        GROUP BY deg.d"""

@@ -991,8 +991,11 @@ object Pipeline {
       .agg(sum(col("n")).as("n_members"),
         max(struct(col("n"), (-col("label")).cast("long").as("negl"))).as("m"))
       .select(col("cluster"), col("n_members"),
-        (-col("m.negl")).as("top_label"), col("m.n").as("top_n"),
-        round(col("m.n").cast("double") / col("n_members"), 6).as("purity"))
+        (-col("m.negl")).as("top_label"), col("m.n").as("top_n"))
+      .select(col("cluster"), col("n_members"), col("top_label"), col("top_n"),
+        // exact integer round-half-up (the half-rounding class)
+        (expr("(top_n * 2000000 + n_members) DIV (2 * n_members)")
+          .cast("double") / 1000000.0).as("purity"))
   }
 
   val pClusterPuritySql: String =
@@ -1009,7 +1012,9 @@ object Pipeline {
                 CAST(sum(n) OVER (PARTITION BY cluster) AS BIGINT) AS total
          FROM cl)
        SELECT cluster, total AS n_members, CAST(label AS BIGINT) AS top_label,
-              n AS top_n, round(n / CAST(total AS DOUBLE), 6) AS purity
+              n AS top_n,
+              CAST((n * 2000000 + total) // (2 * total) AS DOUBLE) / 1000000.0
+                AS purity
        FROM best WHERE rn = 1"""
 
   /** Product-quantization codes + reconstruction error
@@ -1732,9 +1737,15 @@ object Pipeline {
       countDistinct(sha2(col("text"), 256)).as("n_unique_texts"),
       sum(col("n_chars")).as("total_chars"),
       sum(TextAnalysis.wsTokens(col("text"))).cast("long").as("total_ws_tokens"),
-      round(sum(q4).cast("double") / count(lit(1)) / lit(10000.0), 4)
-        .as("mean_quality")) ++ langCounts
+      sum(q4).as("_q4sum")) ++ langCounts
+    // mean = exact integer round-half-up of S/n at the 4dp grid (the
+    // half-rounding class), divided once
     docs.agg(cols.head, cols.tail: _*)
+      .withColumn("mean_quality",
+        expr("(_q4sum * 2 + n_docs) DIV (2 * n_docs)").cast("double") / 10000.0)
+      .select(Seq("n_docs", "n_sources", "n_unique_texts", "total_chars",
+        "total_ws_tokens", "mean_quality").map(col) ++
+        (cardLangs.map(l => col(s"n_$l")) :+ col("n_other")): _*)
   }
 
   val pDatasetCardSql: String = {
@@ -1753,8 +1764,9 @@ object Pipeline {
               count(DISTINCT sha256(text)) AS n_unique_texts,
               CAST(sum(n_chars) AS BIGINT) AS total_chars,
               CAST(sum($ws) AS BIGINT) AS total_ws_tokens,
-              round(CAST(sum(CAST(floor(($quality) * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE)
-                    / count(*) / 10000.0, 4) AS mean_quality,
+              CAST((sum(CAST(floor(($quality) * 10000.0 + 0.5) AS BIGINT)) * 2
+                    + count(*)) // (2 * count(*)) AS DOUBLE) / 10000.0
+                AS mean_quality,
               $langCounts,
               CAST(sum(CASE WHEN lang NOT IN ($inList) THEN 1 ELSE 0 END) AS BIGINT) AS n_other
        FROM documents"""
@@ -1843,14 +1855,17 @@ object Pipeline {
       (lit(bLangs(i)) + col(s"d_l$i")).as(s"n_$l") } :+
       (lit(bLangs(cardLangs.size)) + col(s"d_l${cardLangs.size}")).as("n_other")
     dAgg.crossJoin(dOverlap).crossJoin(dUniq).crossJoin(dSrcNew)
+      .withColumn("_s", lit(bQ4) + col("d_q4"))
+      .withColumn("_n", lit(bDocs) + col("d_docs"))
       .select(Seq(
         (lit(bDocs) + col("d_docs")).as("n_docs"),
         (lit(baseSrcs.size.toLong) + col("d_src_new")).as("n_sources"),
         (lit(bUnique) + col("d_distinct") - col("d_overlap")).as("n_unique_texts"),
         (lit(bChars) + col("d_chars")).as("total_chars"),
         (lit(bWs) + col("d_ws")).as("total_ws_tokens"),
-        round((lit(bQ4) + col("d_q4")).cast("double") /
-          (lit(bDocs) + col("d_docs")) / lit(10000.0), 4).as("mean_quality")) ++
+        // exact integer round-half-up — identical to pDatasetCard's seal
+        (expr("(_s * 2 + _n) DIV (2 * _n)").cast("double") / 10000.0)
+          .as("mean_quality")) ++
         langOut: _*)
   }
 
@@ -1875,9 +1890,13 @@ object Pipeline {
       countDistinct(sha2(col("text"), 256)).as("n_unique_texts"),
       sum(col("n_chars")).as("total_chars"),
       sum(TextAnalysis.wsTokens(col("text"))).cast("long").as("total_ws_tokens"),
-      round(sum(q4).cast("double") / count(lit(1)) / lit(10000.0), 4)
-        .as("mean_quality"),
+      sum(q4).as("_q4sum"),
       sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"))
+      // exact integer round-half-up (the half-rounding class)
+      .withColumn("mean_quality",
+        expr("(_q4sum * 2 + n_docs) DIV (2 * n_docs)").cast("double") / 10000.0)
+      .select("source", "n_docs", "n_unique_texts", "total_chars",
+        "total_ws_tokens", "mean_quality", "n_en")
   }
 
   val pSourceCardsSql: String = {
@@ -1892,8 +1911,9 @@ object Pipeline {
               count(DISTINCT sha256(text)) AS n_unique_texts,
               CAST(sum(n_chars) AS BIGINT) AS total_chars,
               CAST(sum($ws) AS BIGINT) AS total_ws_tokens,
-              round(CAST(sum(CAST(floor(($quality) * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE)
-                    / count(*) / 10000.0, 4) AS mean_quality,
+              CAST((sum(CAST(floor(($quality) * 10000.0 + 0.5) AS BIGINT)) * 2
+                    + count(*)) // (2 * count(*)) AS DOUBLE) / 10000.0
+                AS mean_quality,
               CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en
        FROM documents GROUP BY source"""
   }

@@ -1261,12 +1261,15 @@ object Relational {
           col("pts") <= col("vts") + expr("INTERVAL 1 HOUR"),
         "left_anti")
       .groupBy(col("user_id")).agg(count(lit(1)).as("n_abandoned"))
+    // rate sealed by EXACT integer round-half-up (the half-rounding
+    // class: round(k/n, 4) halves exactly when 2^5 | n)
     v.groupBy(col("user_id")).agg(count(lit(1)).as("n_views"))
       .join(abandoned, Seq("user_id"), "left")
       .select(col("user_id"), col("n_views"),
-        coalesce(col("n_abandoned"), lit(0L)).as("n_abandoned"),
-        round(coalesce(col("n_abandoned"), lit(0L)).cast("double") /
-          col("n_views"), 4).as("abandon_rate"))
+        coalesce(col("n_abandoned"), lit(0L)).as("n_abandoned"))
+      .select(col("user_id"), col("n_views"), col("n_abandoned"),
+        (expr("(n_abandoned * 20000 + n_views) DIV (2 * n_views)")
+          .cast("double") / 10000.0).as("abandon_rate"))
   }
 
   val qAbandonedSql: String =
@@ -1283,8 +1286,8 @@ object Relational {
          GROUP BY 1)
        SELECT v.user_id, count(*) AS n_views,
               coalesce(any_value(ab.n_abandoned), 0) AS n_abandoned,
-              round(coalesce(any_value(ab.n_abandoned), 0) /
-                    CAST(count(*) AS DOUBLE), 4) AS abandon_rate
+              CAST((coalesce(any_value(ab.n_abandoned), 0) * 20000 + count(*))
+                   // (2 * count(*)) AS DOUBLE) / 10000.0 AS abandon_rate
        FROM v LEFT JOIN ab ON v.user_id = ab.user_id
        GROUP BY v.user_id"""
 

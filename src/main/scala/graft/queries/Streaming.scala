@@ -220,8 +220,9 @@ object Streaming {
       .agg(count(lit(1)).as("n_sessions"),
         sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounces"))
       .select(col("user_id"), col("n_sessions"), col("n_bounces"),
-        round(col("n_bounces").cast("double") / col("n_sessions"), 4)
-          .as("bounce_rate"))
+        // exact integer round-half-up (the half-rounding class)
+        (expr("(n_bounces * 20000 + n_sessions) DIV (2 * n_sessions)")
+          .cast("double") / 10000.0).as("bounce_rate"))
 
   val sBounceSql: String =
     """WITH marked AS (
@@ -243,8 +244,9 @@ object Streaming {
        SELECT user_id, count(*) AS n_sessions,
               CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
                 AS n_bounces,
-              round(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) /
-                    CAST(count(*) AS DOUBLE), 4) AS bounce_rate
+              CAST((sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 20000
+                    + count(*)) // (2 * count(*)) AS DOUBLE) / 10000.0
+                AS bounce_rate
        FROM per_session GROUP BY user_id"""
 
   /** Batch face of the engine-native `session_window` sessionizer
