@@ -831,6 +831,76 @@ object Algorithms {
     * remaining subgraph. Isolated nodes peel in round one for any
     * k ≥ 1.
     */
+  /** Deterministic Luby-style MAXIMAL INDEPENDENT SET over an
+    * undirected graph: fixed node priority pri(gid) = md5(gid) — an
+    * engine-portable string that acts as a random permutation, the
+    * derandomized stand-in for Luby's per-round coin flips — and each
+    * round admits every still-undecided node whose priority is strictly
+    * below all of its undecided neighbors' (vacuously: undecided nodes
+    * with no undecided neighbor), then removes the admitted nodes and
+    * their neighbors from play. This converges to THE greedy MIS of the
+    * priority order — unique, layout-independent, a pure function of
+    * the graph (the parallel rounds compute exactly the sequential
+    * greedy; Blelloch, Fineman & Shun 2012) — in O(log n) expected
+    * rounds under a hash-random order. MIS is the standard distributed
+    * symmetry-breaking primitive (coloring seeds, landmark/coverage
+    * selection, scheduling) that a sequential in-memory engine never
+    * needs to parallelize; here each round is two keyed shuffles
+    * against the SHRINKING undecided set with the edge list as the
+    * loop invariant.
+    *
+    * @return (gid, mis_round) for MIS members, rounds starting at 1 —
+    *         the round attribution doubles as a convergence trace
+    */
+  def maximalIndependentSet(nodes: DataFrame, edges: DataFrame,
+      maxIter: Int = 100): DataFrame = {
+    val und0 = edges.select(col("gsrc").as("a"), col("gdst").as("b"))
+      .filter(col("a") =!= col("b"))
+      .unionByName(edges.select(col("gdst").as("a"), col("gsrc").as("b"))
+        .filter(col("a") =!= col("b")))
+      .distinct().localCheckpoint()
+    val width = loopWidth(edges, und0.count())
+    withoutAqe(edges, Some(width)) {
+      val e = und0.coalesce(width)
+      var undec = nodes.select(col("gid"),
+          md5(col("gid").cast("string")).as("pri"))
+        .localCheckpoint()
+      var undecRows = undec.count()
+      var mis: DataFrame = null
+      var round = 0
+      while (undecRows > 0 && round < maxIter) {
+        round += 1
+        // min priority over each node's UNDECIDED neighbors; decided
+        // neighbors no longer block, which is why the edge table can
+        // stay invariant (the state join filters them out)
+        val minNbr = e
+          .join(hintSmall(undec.select(col("gid").as("nb"),
+              col("pri").as("npri")), undecRows),
+            col("b") === col("nb"))
+          .groupBy(col("a")).agg(min(col("npri")).as("mp"))
+        val sel = undec
+          .join(hintSmall(minNbr, undecRows), undec("gid") === col("a"), "left")
+          .filter(col("mp").isNull || undec("pri") < col("mp"))
+          .select(undec("gid"), lit(round).as("mis_round"))
+          .localCheckpoint()
+        val selRows = sel.count()
+        val killed = e
+          .join(hintSmall(sel.select(col("gid").as("sa")), selRows),
+            col("a") === col("sa"), "left_semi")
+          .select(col("b").as("gid"))
+          .unionByName(sel.select(col("gid")))
+          .distinct()
+        undec = undec.join(killed, Seq("gid"), "left_anti").localCheckpoint()
+        undecRows = undec.count()
+        mis = if (mis == null) sel else mis.unionByName(sel)
+      }
+      require(undecRows == 0,
+        s"maximalIndependentSet: $maxIter rounds exhausted with $undecRows undecided")
+      if (mis == null) nodes.select(col("gid"), lit(0).as("mis_round")).limit(0)
+      else mis
+    } // withoutAqe
+  }
+
   def kCore(edges: DataFrame, k: Int, maxIter: Int = 100): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val und0 = edges.select(col("gsrc").as("a"), col("gdst").as("b"))

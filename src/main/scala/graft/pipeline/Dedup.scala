@@ -352,6 +352,65 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  // ------------------------------------------------------------ containment
+
+  /** Asymmetric n-gram CONTAINMENT (the containment coefficient of
+    * Broder 1997, "On the resemblance and containment of documents":
+    * C(A,B) = |A∩B| / |A|): detects sub-document inclusion — a short
+    * document quoted or embedded inside a longer one scores near 1 even
+    * though its symmetric Jaccard resemblance is tiny, the case every
+    * resemblance-based dedup face misses by construction (the curation
+    * failure mode: a license block, a canonical article, a chain letter
+    * republished inside larger pages survives MinHash-resemblance dedup
+    * in every copy).
+    *
+    * Semantics are defined over the distinct word n-gram sets RESTRICTED
+    * to grams with corpus document frequency ≤ `maxDf`: mega-common
+    * boilerplate grams would otherwise both blow up the inverted-index
+    * join (the scale hazard — one gram key carrying millions of docs)
+    * and inflate containment between unrelated documents (the quality
+    * hazard), so the cap is part of the semantics, applied identically
+    * by any engine, not merely a skew guard. A document whose every
+    * gram is capped away leaves the pair space entirely (size-0 sets
+    * have no containment).
+    *
+    * Shape: one shingling pass, one gram-keyed document-frequency
+    * aggregation (the cap filter), one inverted-index self-join on the
+    * gram key — shuffles on grams, never doc×doc — and one pair
+    * aggregation. Gram keys are md5 hex strings for engine portability
+    * (the winnowing precedent); the 100 TB path swaps 16-byte xxhash64
+    * keys in without changing the plan.
+    *
+    * Returns unordered pairs (id_a < id_b) with the intersection size,
+    * both capped-set sizes, and both directed containments — callers
+    * filter on the direction(s) they care about.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, maxDf: Long = 20L): DataFrame = {
+    val grams = df.select(col(idCol).as("id"),
+        explode(shingleArray(col(textCol), shingleN)).as("g"))
+      .select(col("id"), md5(col("g")).as("h"))
+    // shingleArray emits DISTINCT grams per doc, so the per-gram row
+    // count IS the document frequency
+    val dfc = grams.groupBy(col("h")).agg(count(lit(1)).as("__df"))
+    // checkpoint: three legs (sizes + both join sides) read the capped
+    // table and Catalyst treats them as independent subtrees
+    val capped = grams.join(dfc, "h").filter(col("__df") <= maxDf)
+      .select(col("id"), col("h")).localCheckpoint()
+    val sizes = capped.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val inter = capped
+      .join(capped.select(col("id").as("id2"), col("h").as("h2")),
+        col("h") === col("h2") && col("id") < col("id2"))
+      .groupBy(col("id").as("id_a"), col("id2").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .select(col("id_a"), col("id_b"), col("inter"), col("sz_a"), col("sz_b"),
+        (col("inter").cast("double") / col("sz_a")).as("c_a_in_b"),
+        (col("inter").cast("double") / col("sz_b")).as("c_b_in_a"))
+  }
+
   // -------------------------------------------------------- decontamination
 
   /** Benchmark decontamination: flag corpus documents sharing at least

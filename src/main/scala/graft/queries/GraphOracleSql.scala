@@ -296,6 +296,43 @@ object GraphOracleSql {
        SELECT size, count(*) AS n_components FROM sizes, converged GROUP BY size"""
   }
 
+  /** Unrolled deterministic Luby MIS over the co-purchase graph — the
+    * SQL mirror of [[graft.graph.Algorithms.maximalIndependentSet]],
+    * round for round: u_i is the undecided set, each round admits
+    * undecided nodes whose md5 priority is below every undecided
+    * neighbor's, then removes them and their neighbors. Same
+    * measured-fixpoint + margin discipline as [[ccSql]]: rounds past
+    * the fixpoint are vacuous (empty undecided set selects nothing),
+    * and the converged guard errors loudly if u_rounds is nonempty.
+    */
+  def misSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s""",
+       s$i AS MATERIALIZED (
+         SELECT u.gid FROM u${i - 1} u LEFT JOIN (
+           SELECT e.a, min(p.pri) AS mp
+           FROM und e JOIN u${i - 1} p ON e.b = p.gid GROUP BY e.a) m
+         ON u.gid = m.a
+         WHERE m.mp IS NULL OR u.pri < m.mp),
+       u$i AS MATERIALIZED (
+         SELECT u.gid, u.pri FROM u${i - 1} u
+         WHERE u.gid NOT IN (SELECT gid FROM s$i)
+           AND u.gid NOT IN (
+             SELECT e.b FROM und e JOIN s$i s ON e.a = s.gid))"""
+    }.mkString
+    val misUnion = (1 to rounds)
+      .map(i => s"SELECT gid, $i AS mis_round FROM s$i")
+      .mkString(" UNION ALL ")
+    s"""WITH $copurchase,
+       u0 AS MATERIALIZED (
+         SELECT gid, md5(CAST(gid AS VARCHAR)) AS pri FROM pnodes)$steps,
+       converged AS (
+         SELECT 1 AS ok WHERE CASE WHEN (SELECT count(*) FROM u$rounds) > 0
+           THEN error('mis oracle: $rounds unrolled rounds exhausted before fixpoint')
+           ELSE true END)
+       SELECT m.gid, m.mis_round FROM ($misUnion) m, converged"""
+  }
+
   /** Spanning-forest summary invariants of the support-weighted
     * co-purchase subgraph (parts < 2000) — the checkable face of the
     * iterative Borůvka MSF ([[graft.graph.Algorithms.minimumSpanningForest]]):

@@ -398,6 +398,55 @@ object Pipeline {
        FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
        GROUP BY 1, 2 HAVING count(*) >= 2"""
 
+  /** Asymmetric containment pairs ([[graft.pipeline.Dedup.containmentPairs]]):
+    * document pairs where either side's df-capped 3-gram set is ≥ 60%
+    * contained in the other — the sub-document-inclusion screen that
+    * resemblance dedup (Jaccard/MinHash) structurally misses. The 0.6
+    * gate compares the RAW containments (each a single IEEE double
+    * division of two integers — bit-identical across engines, no
+    * summation involved); the displayed containments are 4 dp-sealed by
+    * exact integer round-half-up, the standing integer-ratio treatment.
+    * The df ≤ 20 cap is live at sf0.1 (grams reach df 25) and a no-op
+    * at sf0.01 (max df 7) — both regimes gate-checked.
+    */
+  def pContainment(spark: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(Tables.load(spark, dir, "documents"), "doc_id", "text")
+      .filter(greatest(col("c_a_in_b"), col("c_b_in_a")) >= 0.6)
+      .select(col("id_a"), col("id_b"), col("inter"), col("sz_a"), col("sz_b"),
+        (expr("(inter * 20000 + sz_a) DIV (2 * sz_a)").cast("double") / 10000.0)
+          .as("c_a_in_b"),
+        (expr("(inter * 20000 + sz_b) DIV (2 * sz_b)").cast("double") / 10000.0)
+          .as("c_b_in_a"))
+
+  val pContainmentSql: String =
+    """WITH words AS (
+         SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+         FROM documents),
+       g AS (
+         SELECT doc_id, list_distinct(CASE WHEN len(tk) >= 3
+           THEN list_transform(range(len(tk) - 2),
+                  i -> array_to_string(tk[i + 1:i + 3], ' '))
+           ELSE [array_to_string(tk, ' ')] END) AS grams
+         FROM words),
+       e AS MATERIALIZED (SELECT doc_id, md5(unnest(grams)) AS h FROM g),
+       dfc AS (SELECT h, count(*) AS df FROM e GROUP BY h),
+       capped AS MATERIALIZED (
+         SELECT doc_id, h FROM e JOIN dfc USING (h) WHERE df <= 20),
+       sz AS (SELECT doc_id, count(*) AS sz FROM capped GROUP BY doc_id),
+       inter AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+         FROM capped a JOIN capped b ON a.h = b.h AND a.doc_id < b.doc_id
+         GROUP BY 1, 2)
+       SELECT id_a, id_b, i AS inter, sa.sz AS sz_a, sb.sz AS sz_b,
+              CAST((i * 20000 + sa.sz) // (2 * sa.sz) AS DOUBLE) / 10000.0
+                AS c_a_in_b,
+              CAST((i * 20000 + sb.sz) // (2 * sb.sz) AS DOUBLE) / 10000.0
+                AS c_b_in_a
+       FROM inter
+       JOIN sz sa ON sa.doc_id = id_a
+       JOIN sz sb ON sb.doc_id = id_b
+       WHERE greatest(i * 1.0 / sa.sz, i * 1.0 / sb.sz) >= 0.6"""
+
   /** Incremental ingest dedup: docs ≥ 250 are the new batch, docs < 250
     * the already-curated index — survivors are batch docs whose text
     * digest is unseen, exact-deduped within the batch.
@@ -1263,6 +1312,85 @@ object Pipeline {
       .select(col("query_id"), col("neighbor_id"),
         round(col("dist"), 4).as("dist"), col("rank").cast("long").as("rank"))
   }
+
+  /** Prefix-dimension recall curve (the Matryoshka-representation
+    * serving audit, Kusupati et al. 2022): top-5 cosine retrieval run
+    * on the d-dimensional PREFIX of the embedding for d ∈ {8, 16, 32,
+    * 64}, scored as recall against the full-dimension top-5. At corpus
+    * scale the first-stage scan is memory-bandwidth-bound, so serving
+    * from a d=16 prefix is a 4× scan-cost lever IF the recall holds —
+    * this face measures exactly that trade on the corpus at hand (the
+    * d=64 row is the identity and must read 1.0, a built-in sanity
+    * anchor). One broadcast queries×corpus pass computes all four
+    * prefix cosines (the dims ride in one exploded struct array), then
+    * one window ranks per (dim, query). Ranking compares the 6
+    * dp-ROUNDED cosine on both engines (seal-before-compare: a raw-ULP
+    * rank flip at a tie boundary would swap a top-5 member); recall is
+    * 4 dp-sealed by exact integer round-half-up.
+    */
+  def pDimCurve(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val dims = Seq(8, 16, 32, 64)
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("qv"))
+    val c = emb.select(col("vec_id").as("neighbor_id"),
+      col("embedding").cast("array<double>").as("cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        explode(array(dims.map(d => struct(lit(d).as("dim"),
+          round(graft.functions.VectorFunctions.cosine(
+            slice(col("qv"), 1, d), slice(col("cv"), 1, d)), 6).as("cos"))): _*))
+          .as("s"))
+      .select(col("s.dim").as("dim"), col("query_id"), col("neighbor_id"),
+        col("s.cos").as("cos"))
+    val top = scored.withColumn("rnk", row_number().over(
+        Window.partitionBy(col("dim"), col("query_id"))
+          .orderBy(col("cos").desc, col("neighbor_id"))))
+      .filter(col("rnk") <= 5)
+      .select(col("dim"), col("query_id"), col("neighbor_id"))
+      .localCheckpoint() // the full-dim leg and the per-dim legs both read it
+    val full = top.filter(col("dim") === 64)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = top.join(full, Seq("query_id", "neighbor_id"))
+      .groupBy(col("dim")).agg(count(lit(1)).as("__h"))
+    // left join from the dim grid: a truncation with ZERO overlap must
+    // still report its (dim, 0, …) row — the curve is the deliverable
+    import spark.implicits._
+    dims.toDF("dim").join(hits, Seq("dim"), "left")
+      .select(col("dim"), coalesce(col("__h"), lit(0L)).as("n_hits"),
+        lit(50L).as("n_total"),
+        (expr("(coalesce(__h, 0) * 20000 + 50) DIV 100").cast("double") / 10000.0)
+          .as("recall"))
+  }
+
+  val pDimCurveSql: String =
+    """WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                  FROM embeddings WHERE vec_id < 10),
+       c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       dims AS (SELECT unnest([8, 16, 32, 64]) AS dim),
+       scored AS (
+         SELECT d.dim, q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                round(list_cosine_similarity(q.v[1:d.dim], c.v[1:d.dim]), 6)
+                  AS cos
+         FROM q JOIN c ON c.vec_id != q.vec_id CROSS JOIN dims d),
+       ranked AS (
+         SELECT dim, query_id, neighbor_id,
+                row_number() OVER (PARTITION BY dim, query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rnk
+         FROM scored),
+       top AS MATERIALIZED (
+         SELECT dim, query_id, neighbor_id FROM ranked WHERE rnk <= 5),
+       fulltop AS (SELECT query_id, neighbor_id FROM top WHERE dim = 64),
+       hits AS (
+         SELECT t.dim, count(*) AS h
+         FROM top t JOIN fulltop f USING (query_id, neighbor_id)
+         GROUP BY t.dim)
+       SELECT d.dim, CAST(coalesce(h.h, 0) AS BIGINT) AS n_hits,
+              CAST(50 AS BIGINT) AS n_total,
+              CAST((coalesce(h.h, 0) * 20000 + 50) // 100 AS DOUBLE) / 10000.0
+                AS recall
+       FROM dims d LEFT JOIN hits h USING (dim)"""
 
   // ----------------------------------------------------- text analysis
 
@@ -2585,6 +2713,7 @@ object Pipeline {
     QueryDef.sql("p_decontam_embed", pDecontamEmbed, pDecontamEmbedSql),
     QueryDef.sql("p_dedup_incr", pDedupIncr, pDedupIncrSql),
     QueryDef.sql("p_winnow", pWinnow, pWinnowSql),
+    QueryDef.sql("p_containment", pContainment, pContainmentSql),
     QueryDef.sql("p_split_assign", pSplitAssign, pSplitAssignSql),
     QueryDef.sql("p_sample_mix", pSampleMix, pSampleMixSql),
     QueryDef.sql("p_sample_topn", pSampleTopN, pSampleTopNSql),
@@ -2648,6 +2777,7 @@ object Pipeline {
     QueryDef.rowsOnly("p_knn_lsh", pKnnLsh),
     QueryDef.rowsOnly("p_knn_ivf", pKnnIvf),
     QueryDef.rowsOnly("p_knn_ivfpq", pKnnIvfPq),
+    QueryDef.sql("p_dim_curve", pDimCurve, pDimCurveSql),
     QueryDef.sql("p_lang_id", pLangId, pLangIdSql),
     QueryDef.sql("p_quality_score", pQualityScore, pQualityScoreSql),
     QueryDef.sql("p_quality_norm", pQualityNorm, pQualityNormSql),

@@ -318,4 +318,48 @@ class DedupSpec extends SparkSpec {
       .filter(col("id") === 2L).collect()(0).getString(3)
     assert(sha == null, "no kept text must yield NULL sha")
   }
+
+  test("containment scores sub-document inclusion that Jaccard misses") {
+    import spark.implicits._
+    val big = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16"
+    val docs = Seq(
+      (1L, big),
+      (2L, "w5 w6 w7 w8 w9 w10"), // fully contained in 1
+      (3L, "x1 x2 x3 x4 x5 x6 x7")).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6))))
+      .toMap
+    // doc 2's 4 trigrams all occur in doc 1's 14 → c_b_in_a = 1 exactly,
+    // while Jaccard is only 4/14 — the asymmetric signal
+    assert(got((1L, 2L)) === ((4L, 14L, 4L, 4.0 / 14.0, 1.0)))
+    assert(!got.contains((1L, 3L)) && !got.contains((2L, 3L)),
+      "no shared gram → no pair row at all")
+  }
+
+  test("containment df-cap removes mega-common grams from the semantics") {
+    import spark.implicits._
+    // gram "c1 c2 c3" occurs in every doc; with maxDf = 2 it leaves the
+    // gram universe, so docs sharing ONLY it form no pair and set sizes
+    // shrink accordingly
+    val docs = Seq(
+      (1L, "c1 c2 c3"),
+      (2L, "c1 c2 c3"),
+      (3L, "c1 c2 c3"),
+      (4L, "c1 c2 c3 u1 u2"),
+      (5L, "c1 c2 c3 u1 u2")).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text", maxDf = 2L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // only 4↔5 survive: they share the df-2 grams "c2 c3 u1"/"c3 u1 u2";
+    // the df-5 gram "c1 c2 c3" is out of the universe entirely
+    assert(got.keySet === Set((4L, 5L)))
+    assert(got((4L, 5L)) === ((2L, 2L, 2L)))
+    // uncapped, the common gram pairs everyone
+    val all = Dedup.containmentPairs(docs, "doc_id", "text")
+      .collect().length
+    assert(all === 10, "5 docs sharing a gram → all 10 pairs uncapped")
+  }
 }
