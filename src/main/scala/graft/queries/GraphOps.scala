@@ -481,6 +481,24 @@ object GraphOps {
 
   val gCcSql: String = GraphOracleSql.ccSql(rounds = 12)
 
+  /** Deterministic Luby maximal independent set over the co-purchase
+    * graph ([[graft.graph.Algorithms.maximalIndependentSet]]): md5
+    * priorities, parallel greedy rounds, output (gid, mis_round) —
+    * the distributed symmetry-breaking primitive. Oracle: the same
+    * rounds unrolled ([[GraphOracleSql.misSql]]) with the
+    * measured-fixpoint + margin discipline (fixpoint in 8 rounds at
+    * both gate SFs; 12 unrolled; rounds past the fixpoint select
+    * nothing and the converged guard errors if undecided remain).
+    * Independence/maximality/greedy-equivalence are RandomizedAlgSpec
+    * properties.
+    */
+  def gMis(spark: SparkSession, dir: String): DataFrame = {
+    val (nodes, edges) = copurchaseGraph(spark, dir)
+    Algorithms.maximalIndependentSet(nodes, edges)
+  }
+
+  val gMisSql: String = GraphOracleSql.misSql(rounds = 12)
+
   /** Incremental CC maintenance face: the co-purchase graph arrives as
     * a base batch (orders with key % 10 ≠ 0) plus a delta batch (the
     * rest); the delta folds into the base labeling via
@@ -1758,6 +1776,7 @@ object GraphOps {
     QueryDef.sql("g_sssp", gSssp, gSsspSql),
     QueryDef.sql("g_sssp_paths", gSsspPaths, gSsspPathsSql),
     QueryDef.sql("g_cc", gCc, gCcSql),
+    QueryDef.sql("g_mis", gMis, gMisSql),
     QueryDef.sql("g_cc_incr", gCcIncr, gCcIncrSql),
     QueryDef.sql("g_pagerank", gPagerank, gPagerankSql),
     QueryDef.sql("g_pagerank_incr", gPagerankIncr, gPagerankIncrSql),
