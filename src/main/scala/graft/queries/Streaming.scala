@@ -142,6 +142,43 @@ object Streaming {
 
   val sCdcMergeSql: String = graft.queries.Relational.qCdcMergeSql
 
+  /** STREAMING Bloom first-seen dedup, gate-checked: the event stream
+    * arrives as three REAL micro-batches (the multi-file source, one
+    * file per trigger), [[Streams.bloomDedupStream]] keeps per-bucket
+    * Bloom state across batches via flatMapGroupsWithState, and the
+    * surviving first-seen keys aggregate to per-type distinct-user
+    * counts against the plain DISTINCT oracle. The probabilistic drop
+    * is provably absent at this sizing, which is what makes the face
+    * oracle-checkable: 10k-capacity/1e-6-fpp filters hold ≤ ~500 keys
+    * per bucket (7.5k keys / 16 buckets at sf0.1), a ≤ 3% fill whose
+    * per-test false-positive probability is ~0.03²⁰ ≈ 1e-30 — the
+    * deployment sizing rule (capacity ≥ expected keys) stated as a
+    * checkable gate bound, while the over-fill regime stays under
+    * StreamingSpec's planted tests. Key-set output is batch-order
+    * invariant (WHICH duplicate copy survives varies with file order;
+    * whether a key survives does not), so the multi-batch run is
+    * deterministic under any file enumeration.
+    */
+  def sDedupBloom(spark: SparkSession, dir: String): DataFrame = {
+    val src = cdcSourceDir(spark, dir)
+    val batchSchema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(batchSchema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val qn = s"s_dedup_bloom_sink_${funnelRuns.incrementAndGet()}"
+    val q = Streams.bloomDedupStream(stream,
+        struct(col("user_id"), col("event_type")),
+        buckets = 16, expectedPerBucket = 10000L, fpp = 1e-6)
+      .writeStream.format("memory").queryName(qn).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(qn)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_first_seen"))
+  }
+
+  val sDedupBloomSql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS n_first_seen
+       FROM events GROUP BY event_type"""
+
   /** STREAMING ordered funnel, gate-checked against the batch funnel's
     * chained-CTE oracle (q_funnel's SQL): the face drives the REAL
     * Structured Streaming operator — a file-source readStream over the
@@ -452,5 +489,6 @@ object Streaming {
     QueryDef.sql("s_rate_anomaly", sRateAnomaly, sRateAnomalySql),
     QueryDef.sql("s_topk_window", sTopkWindow, sTopkWindowSql),
     QueryDef.sql("s_funnel", sFunnel, sFunnelSql),
-    QueryDef.sql("s_cdc_merge", sCdcMerge, sCdcMergeSql))
+    QueryDef.sql("s_cdc_merge", sCdcMerge, sCdcMergeSql),
+    QueryDef.sql("s_dedup_bloom", sDedupBloom, sDedupBloomSql))
 }
