@@ -1113,6 +1113,66 @@ object Relational {
               round(c.n / t.tot, 6) AS p
        FROM c JOIN t USING (from_type)"""
 
+  /** Top-20 session navigation paths: gap-sessionize (1800 s, the
+    * s_sessionize cut), concatenate each session's event types in
+    * (ts, event_id) order into a path string, rank paths by session
+    * count with a lexicographic tiebreak — the "what do users actually
+    * do" product-analytics report that generalizes the single-step
+    * q_markov transition matrix to whole trajectories. Shape: the
+    * session window (one user-keyed shuffle), one groupBy per session
+    * (collect_list bounded by session length), one path-keyed count,
+    * and a 20-row global top-k — the final rank runs on the path-COUNT
+    * table (path-cardinality-bounded, already tiny), never the event
+    * stream. All-integer output; the path order inside a session is the
+    * unique (ts, event_id) total order, so the face is deterministic.
+    */
+  def qSessionPaths(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val marked = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        when(lag(col("ts"), 1).over(w).isNull ||
+            unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w)) > 1800,
+          1L).otherwise(0L).as("is_new"))
+    val sess = marked.withColumn("session_idx",
+      sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val paths = sess.groupBy(col("user_id"), col("session_idx"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("ts"), col("event_id"),
+          col("event_type")))),
+        _.getField("event_type")), ">").as("path"))
+    paths.groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n_sessions").desc, col("path"))))
+      .filter(col("rank") <= 20)
+      .select(col("rank").cast("long").as("rank"), col("path"),
+        col("n_sessions"))
+  }
+
+  val qSessionPathsSql: String =
+    """WITH marked AS (
+         SELECT user_id, ts, event_id, event_type,
+                CASE WHEN lag(epoch(ts)) OVER w IS NULL
+                       OR epoch(ts) - lag(epoch(ts)) OVER w > 1800
+                     THEN 1 ELSE 0 END AS is_new
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       sess AS (
+         SELECT user_id, ts, event_id, event_type,
+                sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS session_idx
+         FROM marked),
+       paths AS (
+         SELECT user_id, session_idx,
+                string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+         FROM sess GROUP BY 1, 2),
+       counts AS (SELECT path, count(*) AS n_sessions FROM paths GROUP BY 1)
+       SELECT CAST(rnk AS BIGINT) AS rank, path, n_sessions FROM (
+         SELECT path, n_sessions,
+                row_number() OVER (ORDER BY n_sessions DESC, path) AS rnk
+         FROM counts)
+       WHERE rnk <= 20"""
+
   /** Time-interval RANGE window frame — trailing-hour running aggregate
     * per user (the RATE/velocity feature behind fraud and engagement
     * scoring). Unlike a ROWS frame, the frame is bounded by the VALUE
@@ -1656,6 +1716,7 @@ object Relational {
     QueryDef.sql("q_json_extract", qJsonExtract, qJsonExtractSql),
     QueryDef.sql("q_scd2", qScd2, qScd2Sql),
     QueryDef.sql("q_markov", qMarkov, qMarkovSql),
+    QueryDef.sql("q_session_paths", qSessionPaths, qSessionPathsSql),
     QueryDef.sql("q_range_frame", qRangeFrame, qRangeFrameSql),
     QueryDef.sql("q_fuzzy_match", qFuzzyMatch, qFuzzyMatchSql),
     QueryDef.sql("q_entity_res", qEntityRes, qEntityResSql),
