@@ -499,6 +499,32 @@ object GraphOps {
 
   val gMisSql: String = GraphOracleSql.misSql(rounds = 12)
 
+  /** Speculative greedy coloring over the heterogeneous TPC-H graph
+    * ([[graft.graph.Algorithms.speculativeColoring]]): a proper,
+    * deterministic ≤ Δ+1 coloring in conflict-cascade-bounded rounds —
+    * the conflict-free update schedule of the property graph. The
+    * SUBSTRATE choice is part of the design: the clique-union
+    * co-purchase graph forces ANY greedy coloring into
+    * clique-sequential rounds, while the multipartite heterogeneous
+    * graph is triangle-free (no label pair closes one), so the
+    * speculative rounds stay bounded by conflict cascades (8 at
+    * sf0.01, 21 at sf0.1; 24 unrolled). Oracle: the same
+    * rounds unrolled ([[GraphOracleSql.coloringSql]], measured
+    * fixpoint + margin with the converged guard). Properness /
+    * determinism / Δ+1 / layout purity are RandomizedAlgSpec
+    * properties.
+    */
+  def gColoring(spark: SparkSession, dir: String): DataFrame = {
+    val gr = g(spark, dir)
+    val nodes = gidNodesCached(spark, dir, TpchGraph.nodeLabels)
+    val edges = gidEdgesCached(spark, dir, TpchGraph.edgeLabels)
+    gr.decode(Algorithms.speculativeColoring(nodes, edges), "gid")
+      .select(col("label"), col("key"), col("color"),
+        col("colored_round").cast("long").as("colored_round"))
+  }
+
+  val gColoringSql: String = GraphOracleSql.coloringSql(rounds = 24)
+
   /** Incremental CC maintenance face: the co-purchase graph arrives as
     * a base batch (orders with key % 10 ≠ 0) plus a delta batch (the
     * rest); the delta folds into the base labeling via
@@ -1777,6 +1803,7 @@ object GraphOps {
     QueryDef.sql("g_sssp_paths", gSsspPaths, gSsspPathsSql),
     QueryDef.sql("g_cc", gCc, gCcSql),
     QueryDef.sql("g_mis", gMis, gMisSql),
+    QueryDef.sql("g_coloring", gColoring, gColoringSql),
     QueryDef.sql("g_cc_incr", gCcIncr, gCcIncrSql),
     QueryDef.sql("g_pagerank", gPagerank, gPagerankSql),
     QueryDef.sql("g_pagerank_incr", gPagerankIncr, gPagerankIncrSql),

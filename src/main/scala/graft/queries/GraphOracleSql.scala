@@ -333,6 +333,60 @@ object GraphOracleSql {
        SELECT m.gid, m.mis_round FROM ($misUnion) m, converged"""
   }
 
+  /** Unrolled speculative greedy coloring over the heterogeneous gid
+    * graph — the SQL mirror of
+    * [[graft.graph.Algorithms.speculativeColoring]], round for round:
+    * every uncolored node proposes the mex of its colored neighbors'
+    * colors (list_filter over range(0, |colors|+1) — never empty by
+    * pigeonhole), same-color conflicts lose to the smaller md5
+    * priority, winners commit with the round index. Same
+    * measured-fixpoint + margin + converged-guard discipline as
+    * [[misSql]].
+    */
+  def coloringSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s""",
+       tent$i AS MATERIALIZED (
+         SELECT u.gid, u.pri,
+                CASE WHEN n.cs IS NULL THEN CAST(0 AS BIGINT)
+                     ELSE list_min(list_filter(range(0, len(n.cs) + 1),
+                            x -> NOT list_contains(n.cs, x))) END AS tent
+         FROM u${i - 1} u LEFT JOIN (
+           SELECT e.a, list(DISTINCT c.color) AS cs
+           FROM und e JOIN col${i - 1} c ON e.b = c.gid GROUP BY e.a) n
+         ON u.gid = n.a),
+       win$i AS MATERIALIZED (
+         SELECT t.gid, t.tent FROM tent$i t
+         WHERE NOT EXISTS (
+           SELECT 1 FROM und e JOIN tent$i o ON e.b = o.gid
+           WHERE e.a = t.gid AND o.tent = t.tent AND o.pri < t.pri)),
+       col$i AS MATERIALIZED (
+         SELECT gid, color, colored_round FROM col${i - 1}
+         UNION ALL SELECT gid, tent, $i FROM win$i),
+       u$i AS MATERIALIZED (
+         SELECT u.gid, u.pri FROM u${i - 1} u
+         WHERE u.gid NOT IN (SELECT gid FROM win$i))"""
+    }.mkString
+    s"""WITH ge AS (${TpchGraph.gidSqlEdges}),
+       und AS MATERIALIZED (
+         SELECT gsrc AS a, gdst AS b FROM ge WHERE gsrc <> gdst
+         UNION
+         SELECT gdst AS a, gsrc AS b FROM ge WHERE gsrc <> gdst),
+       gnodes AS MATERIALIZED (${TpchGraph.gidSqlNodes}),
+       u0 AS MATERIALIZED (
+         SELECT gid, md5(CAST(gid AS VARCHAR)) AS pri FROM gnodes),
+       col0 AS MATERIALIZED (
+         SELECT gid, CAST(0 AS BIGINT) AS color, 0 AS colored_round
+         FROM gnodes LIMIT 0)$steps,
+       converged AS (
+         SELECT 1 AS ok WHERE CASE WHEN (SELECT count(*) FROM u$rounds) > 0
+           THEN error('coloring oracle: $rounds unrolled rounds exhausted before fixpoint')
+           ELSE true END)
+       SELECT ${TpchGraph.gidSqlLabel} AS label, gid % 4294967296 AS key,
+              color, CAST(colored_round AS BIGINT) AS colored_round
+       FROM col$rounds, converged"""
+  }
+
   /** Spanning-forest summary invariants of the support-weighted
     * co-purchase subgraph (parts < 2000) — the checkable face of the
     * iterative Borůvka MSF ([[graft.graph.Algorithms.minimumSpanningForest]]):

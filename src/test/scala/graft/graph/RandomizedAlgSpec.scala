@@ -648,4 +648,57 @@ class RandomizedAlgSpec extends SparkSpec {
       assert(again === got, s"seed=$seed: MIS depends on layout")
     }
   }
+
+  test("speculative coloring is proper, complete, deterministic, and <= Δ+1 colors on random multigraphs") {
+    (401 to 410).foreach { seed =>
+      val (nodes, edges) = randomGraph(seed)
+      val (ndf, edf) = toDf(nodes, edges)
+      val got = Algorithms.speculativeColoring(ndf, edf)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val simple = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .filter { case (a, b) => a != b }.toSet
+      val nbrs = nodes.map(v => v -> simple.collect {
+        case (a, b) if a == v => b
+        case (a, b) if b == v => a
+      }.toSet).toMap
+      // completeness: every node colored exactly once
+      assert(got.keySet === nodes.toSet, s"seed=$seed: missing assignments")
+      // properness: no monochromatic edge
+      simple.foreach { case (a, b) =>
+        assert(got(a) !== got(b), s"seed=$seed: edge ($a,$b) monochromatic")
+      }
+      // Δ+1 bound (every committed color is a mex over ≤ deg colors)
+      val maxDeg = if (nodes.isEmpty) 0 else nodes.map(v => nbrs(v).size).max
+      assert(got.values.max <= maxDeg,
+        s"seed=$seed: ${got.values.max} exceeds Δ=$maxDeg")
+      // driver-side replay of the speculative rounds — the algorithm is
+      // a pure function of (graph, md5 order), so an independent
+      // sequential simulation must agree exactly
+      def md5hex(x: String): String = java.security.MessageDigest
+        .getInstance("MD5").digest(x.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val pri = nodes.map(v => v -> md5hex(v.toString)).toMap
+      val colored = scala.collection.mutable.Map.empty[Long, Long]
+      var uncol = nodes.toSet
+      while (uncol.nonEmpty) {
+        val tent = uncol.map { v =>
+          val used = nbrs(v).flatMap(colored.get)
+          v -> Iterator.from(0).map(_.toLong).find(!used.contains(_)).get
+        }.toMap
+        val losers = uncol.filter(v => nbrs(v).exists(w =>
+          uncol.contains(w) && tent.get(w) == tent.get(v).map(identity) &&
+            tent(w) == tent(v) && pri(w) < pri(v)))
+        val winners = uncol -- losers
+        winners.foreach(v => colored(v) = tent(v))
+        uncol = losers
+      }
+      assert(got === colored.toMap,
+        s"seed=$seed: distributed coloring != driver replay; edges=$simple")
+      // layout purity
+      val again = Algorithms.speculativeColoring(
+        ndf.repartition(5), edf.repartition(3, col("gsrc")))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(again === got, s"seed=$seed: coloring depends on layout")
+    }
+  }
 }
