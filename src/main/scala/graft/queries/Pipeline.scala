@@ -1392,6 +1392,88 @@ object Pipeline {
                 AS recall
        FROM dims d LEFT JOIN hits h USING (dim)"""
 
+  /** Mutual-kNN clustering of the embedding corpus: connect a ↔ b iff
+    * each is in the other's top-5 by cosine, then connected components
+    * over the mutual graph — the classic density-adaptive clustering
+    * (mutual edges require RECIPROCAL proximity, so hubs don't absorb
+    * unrelated points the way plain kNN chaining does) that needs no k
+    * choice per cluster, complementing the fixed-k k-means faces.
+    * Ranks compare 6 dp-rounded cosines (seal-before-compare, the
+    * p_dim_curve discipline); everything downstream of the rank is
+    * integer/id arithmetic. Output: (vec_id, cluster_id = component
+    * min id, cluster_size); singletons report their own id, size 1.
+    * At corpus scale the exact top-5 scan swaps for the IVF-PQ
+    * shortlist + re-rank path with the mutual join and CC unchanged —
+    * the composition is the point: both halves are already verified
+    * operators.
+    */
+  def pMutualKnn(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val a = v.select(col("vec_id").as("ida"), col("v").as("va"))
+    val b = v.select(col("vec_id").as("idb"), col("v").as("vb"))
+    val scored = a.join(b, col("ida") =!= col("idb"))
+      .select(col("ida"), col("idb"),
+        round(graft.functions.VectorFunctions.cosine(col("va"), col("vb")), 6)
+          .as("cos"))
+    val top = scored.withColumn("rnk", row_number().over(
+        Window.partitionBy(col("ida")).orderBy(col("cos").desc, col("idb"))))
+      .filter(col("rnk") <= 5)
+      .select(col("ida"), col("idb"))
+      .localCheckpoint() // both mutual-join legs read it
+    val mutual = top.join(
+      top.select(col("ida").as("rb"), col("idb").as("ra")),
+      col("ida") === col("ra") && col("idb") === col("rb"), "left_semi")
+    val comp = graft.graph.Algorithms.connectedComponents(
+      v.select(col("vec_id").as("gid")),
+      mutual.select(col("ida").as("gsrc"), col("idb").as("gdst")))
+    val sizes = comp.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
+    comp.join(sizes, "comp")
+      .select(col("gid").as("vec_id"), col("comp").as("cluster_id"),
+        col("cluster_size"))
+  }
+
+  private def mutualKnnCcSteps(rounds: Int): String =
+    (1 to rounds).map { i =>
+      s""",
+       c$i AS MATERIALIZED (
+         SELECT c.gid, least(c.comp, coalesce(m.nc, c.comp)) AS comp
+         FROM c${i - 1} c LEFT JOIN (
+           SELECT u.a, min(p.comp) AS nc
+           FROM mut u JOIN c${i - 1} p ON u.b = p.gid GROUP BY u.a) m
+         ON c.gid = m.a)"""
+    }.mkString
+
+  private val mutualKnnCcRounds = 20
+
+  val pMutualKnnSql: String = {
+    val r = mutualKnnCcRounds
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+       scored AS (
+         SELECT a.vec_id AS ida, b.vec_id AS idb,
+                round(list_cosine_similarity(a.v, b.v), 6) AS cos
+         FROM e a JOIN e b ON a.vec_id != b.vec_id),
+       topk AS MATERIALIZED (
+         SELECT ida, idb FROM (
+           SELECT ida, idb, row_number() OVER (
+             PARTITION BY ida ORDER BY cos DESC, idb) AS rnk
+           FROM scored) WHERE rnk <= 5),
+       mut AS MATERIALIZED (
+         SELECT t.ida AS a, t.idb AS b
+         FROM topk t JOIN topk s ON t.ida = s.idb AND t.idb = s.ida),
+       c0 AS MATERIALIZED (
+         SELECT vec_id AS gid, vec_id AS comp FROM e)${mutualKnnCcSteps(r)},
+       converged AS (
+         SELECT 1 AS ok WHERE CASE WHEN (SELECT count(*) FROM
+             ((SELECT * FROM c$r) EXCEPT (SELECT * FROM c${r - 1}))) > 0
+           THEN error('mutual-knn cc oracle: $r unrolled rounds exhausted before fixpoint')
+           ELSE true END),
+       sizes AS (SELECT comp, count(*) AS cluster_size FROM c$r GROUP BY comp)
+       SELECT c.gid AS vec_id, c.comp AS cluster_id, s.cluster_size
+       FROM c$r c JOIN sizes s USING (comp), converged"""
+  }
+
   // ----------------------------------------------------- text analysis
 
   def pLangId(spark: SparkSession, dir: String): DataFrame =
@@ -2778,6 +2860,7 @@ object Pipeline {
     QueryDef.rowsOnly("p_knn_ivf", pKnnIvf),
     QueryDef.rowsOnly("p_knn_ivfpq", pKnnIvfPq),
     QueryDef.sql("p_dim_curve", pDimCurve, pDimCurveSql),
+    QueryDef.sql("p_mutual_knn", pMutualKnn, pMutualKnnSql),
     QueryDef.sql("p_lang_id", pLangId, pLangIdSql),
     QueryDef.sql("p_quality_score", pQualityScore, pQualityScoreSql),
     QueryDef.sql("p_quality_norm", pQualityNorm, pQualityNormSql),
