@@ -23,6 +23,14 @@ object Algorithms {
     * sized for 100 TB work.
     */
   private val BroadcastRowBound = 5000000L
+  /** Frontier size below which an iterative straggler tail may finish
+    * with a driver-side simulation of the identical recurrence (see
+    * [[speculativeColoring]]) — the bounded-driver-state budget, same
+    * posture as the broadcast codebooks.
+    */
+  private val StragglerFinishBound: Long =
+    sys.env.get("GRAFT_STRAGGLER_BOUND").map(_.toLong).getOrElse(20000L)
+
   private def hintSmall(df: DataFrame, rows: Long): DataFrame =
     if (rows <= BroadcastRowBound) broadcast(df) else df
 
@@ -936,76 +944,152 @@ object Algorithms {
     *         the round attribution doubles as a convergence trace
     */
   def speculativeColoring(nodes: DataFrame, edges: DataFrame,
+      maxIter: Int = 100): DataFrame =
+    speculativeColoringUnd(nodes,
+      edges.select(col("gsrc").as("a"), col("gdst").as("b"))
+        .filter(col("a") =!= col("b"))
+        .unionByName(edges.select(col("gdst").as("a"), col("gsrc").as("b"))
+          .filter(col("a") =!= col("b")))
+        .distinct().localCheckpoint(),
+      maxIter)
+
+  /** [[speculativeColoring]] over an already-canonicalized (and
+    * materialized) undirected edge table (a, b) in both directions —
+    * the pinned-invariant entry point (a deployment derives the
+    * symmetric edge view once per snapshot).
+    */
+  def speculativeColoringUnd(nodes: DataFrame, und0: DataFrame,
       maxIter: Int = 100): DataFrame = {
-    val und0 = edges.select(col("gsrc").as("a"), col("gdst").as("b"))
-      .filter(col("a") =!= col("b"))
-      .unionByName(edges.select(col("gdst").as("a"), col("gsrc").as("b"))
-        .filter(col("a") =!= col("b")))
-      .distinct().localCheckpoint()
-    val width = loopWidth(edges, und0.count())
-    withoutAqe(edges, Some(width)) {
-      val e = und0.coalesce(width)
+    val width = loopWidth(und0, und0.count())
+    withoutAqe(und0, Some(width)) {
+      // Loop state is fully incremental — the committed color table is
+      // never re-read inside the loop: each uncolored node CARRIES the
+      // color set of its already-colored neighbors (`cs`, fed by the
+      // winners adjacent to it when they commit), and the live edge
+      // set keeps only loser–loser edges (the only ones that can still
+      // conflict or notify). Both shrink geometrically with the
+      // uncolored set, so rounds 3+ cost the straggler tail, not the
+      // graph.
+      var eLive = und0.coalesce(width)
       var uncol = nodes.select(col("gid"),
-          md5(col("gid").cast("string")).as("pri"))
+          md5(col("gid").cast("string")).as("pri"),
+          array().cast("array<long>").as("cs"))
         .localCheckpoint()
       var uncolRows = uncol.count()
-      var colored: DataFrame = null
-      var coloredRows = 0L
+      val sels = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
       var round = 0
       while (uncolRows > 0 && round < maxIter) {
         round += 1
-        // tentative color for EVERY uncolored node: mex over the colors
-        // of already-colored neighbors (round 1: everyone proposes 0)
-        val tent =
-          if (colored == null)
-            uncol.select(col("gid"), col("pri"), lit(0L).as("tent"))
-          else {
-            val nbrColors = e
-              .join(hintSmall(colored.select(col("gid").as("cg"),
-                  col("color").as("ncolor")), coloredRows),
-                col("b") === col("cg"))
-              .groupBy(col("a")).agg(collect_set(col("ncolor")).as("cs"))
-            uncol
-              .join(nbrColors, uncol("gid") === col("a"), "left")
-              .select(uncol("gid"), uncol("pri"),
-                when(col("cs").isNull, lit(0L)).otherwise(
-                  array_min(array_except(
-                    sequence(lit(0L), size(col("cs")).cast("long")),
-                    col("cs")))).as("tent"))
-          }
-        val t = tent.localCheckpoint()
-        // losers: an adjacent uncolored neighbor proposes the SAME color
-        // with a SMALLER priority — the conflict-group minimum always
-        // wins, so every round makes progress
-        val losers = t
-          .join(e, t("gid") === e("a"))
-          .join(t.select(col("gid").as("og"), col("pri").as("opri"),
-              col("tent").as("otent")),
-            e("b") === col("og") && t("tent") === col("otent") &&
-              col("opri") < t("pri"), "left_semi")
-          .select(t("gid"))
-        val sel = t.join(losers.select(col("gid").as("lg")),
-            t("gid") === col("lg"), "left_anti")
-          .select(col("gid"), col("tent").as("color"),
+        val __t0 = System.nanoTime()
+        // tentative = mex over the carried colored-neighbor colors
+        val tent = uncol.select(col("gid"), col("pri"),
+            col("cs"),
+            when(size(col("cs")) === 0, lit(0L)).otherwise(
+              array_min(array_except(
+                sequence(lit(0L), size(col("cs")).cast("long")),
+                col("cs")))).as("tent"))
+          .localCheckpoint()
+        // losers: a live neighbor proposes the same color with smaller
+        // priority — the conflict-group minimum always wins
+        val tl = hintSmall(tent.select(col("gid").as("la"),
+          col("pri").as("lpri"), col("tent").as("ltent")), uncolRows)
+        val tr = hintSmall(tent.select(col("gid").as("rb"),
+          col("pri").as("rpri"), col("tent").as("rtent")), uncolRows)
+        val loserIds = eLive
+          .join(tl, col("a") === col("la"))
+          .join(tr, col("b") === col("rb") && col("ltent") === col("rtent") &&
+            col("rpri") < col("lpri"), "left_semi")
+          .select(col("la").as("gid")).distinct()
+          .localCheckpoint()
+        val loserRows = loserIds.count()
+        val sel = tent
+          .join(hintSmall(loserIds.select(col("gid").as("lg")), loserRows),
+            tent("gid") === col("lg"), "left_anti")
+          .select(tent("gid"), col("tent").as("color"),
             lit(round).as("colored_round"))
           .localCheckpoint()
-        val selRows = sel.count()
-        colored =
-          (if (colored == null) sel
-           else colored.unionByName(sel)).localCheckpoint()
-        coloredRows += selRows
-        uncol = uncol
-          .join(sel.select(col("gid").as("sg")), uncol("gid") === col("sg"),
-            "left_anti")
+        sels += sel
+        // notify surviving losers of their new colored neighbors, then
+        // contract the live edges to loser–loser pairs
+        val winNbr = eLive
+          .join(hintSmall(sel.select(col("gid").as("wb"),
+              col("color").as("wcolor")), uncolRows - loserRows),
+            col("b") === col("wb"))
+          .groupBy(col("a")).agg(collect_set(col("wcolor")).as("addCs"))
+        uncol = tent
+          .join(hintSmall(loserIds.select(col("gid").as("lg")), loserRows),
+            tent("gid") === col("lg"), "left_semi")
+          .join(winNbr, tent("gid") === col("a"), "left")
+          .select(tent("gid"), col("pri"),
+            array_union(col("cs"),
+              coalesce(col("addCs"), array().cast("array<long>"))).as("cs"))
           .localCheckpoint()
         uncolRows = uncol.count()
+        if (sys.env.contains("GRAFT_DEBUG_LOOP"))
+          println(f"round $round uncol=$uncolRows dt=${(System.nanoTime() - __t0) / 1e9}%.2f")
+        if (uncolRows > 0) {
+          eLive = eLive
+            .join(hintSmall(loserIds.select(col("gid").as("sa")), loserRows),
+              col("a") === col("sa"), "left_semi")
+            .join(hintSmall(loserIds.select(col("gid").as("sb")), loserRows),
+              col("b") === col("sb"), "left_semi")
+            .localCheckpoint()
+          // Straggler cutover: the conflict cascade shrinks
+          // geometrically, but each distributed round still pays the
+          // fixed scheduling floor (~0.25 s at 32 threads) — measured
+          // 17 tail rounds carrying < 8% of the nodes. Once the live
+          // frontier fits the driver bound, finish the IDENTICAL
+          // recurrence in memory: same tentative/mex, same conflict
+          // rule, same round numbering — bit-equal to the distributed
+          // rounds (the equality the RandomizedAlgSpec replay pins),
+          // with state bounded like every other driver-side codebook.
+          if (uncolRows <= StragglerFinishBound &&
+              eLive.count() <= 50L * StragglerFinishBound) {
+            val adj = scala.collection.mutable.Map
+              .empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
+            eLive.collect().foreach { r =>
+              adj.getOrElseUpdate(r.getLong(0),
+                scala.collection.mutable.ArrayBuffer.empty) += r.getLong(1)
+            }
+            val pri = scala.collection.mutable.Map.empty[Long, String]
+            val cs = scala.collection.mutable.Map.empty[Long, scala.collection.mutable.Set[Long]]
+            uncol.collect().foreach { r =>
+              pri(r.getLong(0)) = r.getString(1)
+              cs(r.getLong(0)) = scala.collection.mutable.Set(
+                r.getSeq[Long](2): _*)
+            }
+            var undec = pri.keySet.toSet
+            val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+            while (undec.nonEmpty && round < maxIter) {
+              round += 1
+              val tent = undec.iterator.map { v =>
+                v -> Iterator.from(0).map(_.toLong).find(!cs(v).contains(_)).get
+              }.toMap
+              val losers = undec.filter(v =>
+                adj.getOrElse(v, Nil).exists(w => undec.contains(w) &&
+                  tent(w) == tent(v) && pri(w) < pri(v)))
+              val winners = undec -- losers
+              winners.foreach(v => out += ((v, tent(v), round)))
+              losers.foreach(v => adj.getOrElse(v, Nil).foreach { w =>
+                if (winners.contains(w)) cs(v) += tent(w)
+              })
+              undec = losers
+            }
+            require(undec.isEmpty,
+              s"speculativeColoring: $maxIter rounds exhausted with ${undec.size} uncolored")
+            val sess = nodes.sparkSession
+            import sess.implicits._
+            sels += out.toSeq.toDF("gid", "color", "colored_round")
+            uncolRows = 0
+          }
+        }
       }
       require(uncolRows == 0,
         s"speculativeColoring: $maxIter rounds exhausted with $uncolRows uncolored")
-      if (colored == null)
+      if (sels.isEmpty)
         nodes.select(col("gid"), lit(0L).as("color"),
           lit(0).as("colored_round")).limit(0)
-      else colored
+      else sels.reduce(_ unionByName _)
     } // withoutAqe
   }
 

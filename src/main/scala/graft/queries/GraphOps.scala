@@ -103,6 +103,7 @@ object GraphOps {
     baseWPrCached(spark, dir)
     triBaseCached(spark, dir)
     bflyBaseCached(spark, dir)
+    undGidCached(spark, dir)
     ()
   }
 
@@ -514,11 +515,29 @@ object GraphOps {
     * determinism / Δ+1 / layout purity are RandomizedAlgSpec
     * properties.
     */
+  /** The symmetric (both-direction, deduped, loop-free) gid edge view
+    * — the substrate of the coloring face, pinned once per (session,
+    * dir) like every other derived-graph invariant.
+    */
+  private val undGidCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  private def undGidCached(spark: SparkSession, dir: String): DataFrame =
+    undGidCache.getOrElseUpdate((spark.sparkContext.applicationId, dir),
+      graft.PinnedRdds.pinning(spark) {
+        val e = gidEdgesCached(spark, dir, TpchGraph.edgeLabels)
+        e.select(col("gsrc").as("a"), col("gdst").as("b"))
+          .filter(col("a") =!= col("b"))
+          .unionByName(e.select(col("gdst").as("a"), col("gsrc").as("b"))
+            .filter(col("a") =!= col("b")))
+          .distinct().localCheckpoint()
+      })
+
   def gColoring(spark: SparkSession, dir: String): DataFrame = {
     val gr = g(spark, dir)
     val nodes = gidNodesCached(spark, dir, TpchGraph.nodeLabels)
-    val edges = gidEdgesCached(spark, dir, TpchGraph.edgeLabels)
-    gr.decode(Algorithms.speculativeColoring(nodes, edges), "gid")
+    gr.decode(Algorithms.speculativeColoringUnd(nodes,
+        undGidCached(spark, dir)), "gid")
       .select(col("label"), col("key"), col("color"),
         col("colored_round").cast("long").as("colored_round"))
   }
