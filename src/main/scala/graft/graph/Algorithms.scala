@@ -1093,6 +1093,70 @@ object Algorithms {
     } // withoutAqe
   }
 
+  /** Deterministic greedy MAXIMAL MATCHING: fixed edge priority
+    * pri(a,b) = md5("a_b") over the canonical (a < b) simple edge list,
+    * each round admitting every live edge whose priority beats every
+    * edge sharing an endpoint (= the edge is the minimum at BOTH its
+    * endpoints), then removing the matched endpoints and their
+    * incident edges. This is [[maximalIndependentSet]] on the line
+    * graph — and unlike vertex coloring, line-graph cliques (stars)
+    * are harmless: a star resolves one edge per its whole clique in
+    * one round, so rounds stay O(log m) expected even on hub-heavy
+    * graphs. The result is THE sequential greedy matching of the
+    * priority order — unique, layout-independent — and its matched
+    * endpoints form the classic 2-approximate minimum vertex cover.
+    * Per round: one endpoint-exploded groupBy (each endpoint's minimum
+    * incident priority) and one double equi-join re-admitting the
+    * two-sided minima; the live edge set shrinks by every matched
+    * star.
+    *
+    * @return (a, b, match_round) for matched edges, rounds from 1
+    */
+  def maximalMatching(edges: DataFrame, maxIter: Int = 100): DataFrame = {
+    val canon0 = edges.select(
+        least(col("gsrc"), col("gdst")).as("a"),
+        greatest(col("gsrc"), col("gdst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .withColumn("pri", md5(concat_ws("_", col("a"), col("b"))))
+      .localCheckpoint()
+    val width = loopWidth(canon0, canon0.count())
+    withoutAqe(canon0, Some(width)) {
+      var live = canon0.coalesce(width)
+      var liveRows = canon0.count()
+      val sels = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      var round = 0
+      while (liveRows > 0 && round < maxIter) {
+        round += 1
+        val ends = live.select(col("a").as("v"), col("pri"))
+          .unionByName(live.select(col("b").as("v"), col("pri")))
+        val nodeMin = ends.groupBy(col("v")).agg(min(col("pri")).as("mp"))
+        val sel = live
+          .join(hintSmall(nodeMin.select(col("v").as("va"), col("mp").as("mpa")),
+            2 * liveRows), col("a") === col("va") && col("pri") === col("mpa"))
+          .join(hintSmall(nodeMin.select(col("v").as("vb"), col("mp").as("mpb")),
+            2 * liveRows), col("b") === col("vb") && col("pri") === col("mpb"))
+          .select(col("a"), col("b"), lit(round).as("match_round"))
+          .localCheckpoint()
+        sels += sel
+        val matchedNodes = sel.select(col("a").as("v"))
+          .unionByName(sel.select(col("b").as("v"))).distinct()
+        live = live
+          .join(matchedNodes.select(col("v").as("ma")),
+            col("a") === col("ma"), "left_anti")
+          .join(matchedNodes.select(col("v").as("mb")),
+            col("b") === col("mb"), "left_anti")
+          .localCheckpoint()
+        liveRows = live.count()
+      }
+      require(liveRows == 0,
+        s"maximalMatching: $maxIter rounds exhausted with $liveRows live edges")
+      if (sels.isEmpty)
+        canon0.select(col("a"), col("b"), lit(0).as("match_round")).limit(0)
+      else sels.reduce(_ unionByName _)
+    } // withoutAqe
+  }
+
   def kCore(edges: DataFrame, k: Int, maxIter: Int = 100): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val und0 = edges.select(col("gsrc").as("a"), col("gdst").as("b"))

@@ -500,6 +500,24 @@ object GraphOps {
 
   val gMisSql: String = GraphOracleSql.misSql(rounds = 12)
 
+  /** Greedy maximal matching over the co-purchase graph
+    * ([[graft.graph.Algorithms.maximalMatching]]): MIS on the line
+    * graph under md5 edge priorities — matched pairs (part_a, part_b,
+    * match_round); the matched endpoints are the classic 2-approximate
+    * minimum vertex cover. Oracle: the same rounds unrolled
+    * ([[GraphOracleSql.matchingSql]], measured fixpoint + margin,
+    * converged guard). Validity/maximality/greedy-equivalence/layout
+    * purity are RandomizedAlgSpec properties.
+    */
+  def gMatching(spark: SparkSession, dir: String): DataFrame = {
+    val (_, edges) = copurchaseGraph(spark, dir)
+    Algorithms.maximalMatching(edges)
+      .select(col("a").as("part_a"), col("b").as("part_b"),
+        col("match_round"))
+  }
+
+  val gMatchingSql: String = GraphOracleSql.matchingSql(rounds = 12)
+
   /** Speculative greedy coloring over the heterogeneous TPC-H graph
     * ([[graft.graph.Algorithms.speculativeColoring]]): a proper,
     * deterministic ≤ Δ+1 coloring in conflict-cascade-bounded rounds —
@@ -1822,6 +1840,7 @@ object GraphOps {
     QueryDef.sql("g_sssp_paths", gSsspPaths, gSsspPathsSql),
     QueryDef.sql("g_cc", gCc, gCcSql),
     QueryDef.sql("g_mis", gMis, gMisSql),
+    QueryDef.sql("g_matching", gMatching, gMatchingSql),
     QueryDef.sql("g_coloring", gColoring, gColoringSql),
     QueryDef.sql("g_cc_incr", gCcIncr, gCcIncrSql),
     QueryDef.sql("g_pagerank", gPagerank, gPagerankSql),

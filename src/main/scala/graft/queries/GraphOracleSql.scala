@@ -387,6 +387,46 @@ object GraphOracleSql {
        FROM col$rounds, converged"""
   }
 
+  /** Unrolled greedy maximal matching over the co-purchase graph — the
+    * SQL mirror of [[graft.graph.Algorithms.maximalMatching]], round
+    * for round: a live canonical edge is admitted when its md5
+    * priority is the minimum at BOTH endpoints, matched endpoints
+    * kill their incident edges. Same measured-fixpoint + margin +
+    * converged-guard discipline as [[misSql]].
+    */
+  def matchingSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s""",
+       nm$i AS (
+         SELECT v, min(pri) AS mp FROM (
+           SELECT a AS v, pri FROM l${i - 1}
+           UNION ALL SELECT b AS v, pri FROM l${i - 1})
+         GROUP BY v),
+       s$i AS MATERIALIZED (
+         SELECT l.a, l.b FROM l${i - 1} l
+         JOIN nm$i x ON l.a = x.v AND l.pri = x.mp
+         JOIN nm$i y ON l.b = y.v AND l.pri = y.mp),
+       l$i AS MATERIALIZED (
+         SELECT l.a, l.b, l.pri FROM l${i - 1} l
+         WHERE l.a NOT IN (SELECT a FROM s$i UNION ALL SELECT b FROM s$i)
+           AND l.b NOT IN (SELECT a FROM s$i UNION ALL SELECT b FROM s$i))"""
+    }.mkString
+    val matchedUnion = (1 to rounds)
+      .map(i => s"SELECT a, b, $i AS match_round FROM s$i")
+      .mkString(" UNION ALL ")
+    s"""WITH $copurchase,
+       l0 AS MATERIALIZED (
+         SELECT a, b,
+                md5(CAST(a AS VARCHAR) || '_' || CAST(b AS VARCHAR)) AS pri
+         FROM ce)$steps,
+       converged AS (
+         SELECT 1 AS ok WHERE CASE WHEN (SELECT count(*) FROM l$rounds) > 0
+           THEN error('matching oracle: $rounds unrolled rounds exhausted before fixpoint')
+           ELSE true END)
+       SELECT m.a AS part_a, m.b AS part_b, m.match_round
+       FROM ($matchedUnion) m, converged"""
+  }
+
   /** Spanning-forest summary invariants of the support-weighted
     * co-purchase subgraph (parts < 2000) — the checkable face of the
     * iterative Borůvka MSF ([[graft.graph.Algorithms.minimumSpanningForest]]):

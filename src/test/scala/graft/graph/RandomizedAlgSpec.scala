@@ -701,4 +701,43 @@ class RandomizedAlgSpec extends SparkSpec {
       assert(again === got, s"seed=$seed: coloring depends on layout")
     }
   }
+
+  test("maximal matching is valid, maximal, and equals the sequential greedy on random multigraphs") {
+    (501 to 510).foreach { seed =>
+      val (nodes, edges) = randomGraph(seed)
+      val (_, edf) = toDf(nodes, edges)
+      val got = Algorithms.maximalMatching(edf)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+      val simple = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .filter { case (a, b) => a != b }.toSet
+      // validity: no two matched edges share an endpoint
+      val eps = got.keys.toSeq.flatMap { case (a, b) => Seq(a, b) }
+      assert(eps.distinct.size === eps.size,
+        s"seed=$seed: matched edges share endpoints: ${got.keys}")
+      // maximality: every edge touches a matched endpoint
+      val covered = eps.toSet
+      simple.foreach { case (a, b) =>
+        assert(covered.contains(a) || covered.contains(b),
+          s"seed=$seed: edge ($a,$b) uncovered — matching not maximal")
+      }
+      // exact equality to the sequential greedy in md5 edge-priority order
+      def md5hex(x: String): String = java.security.MessageDigest
+        .getInstance("MD5").digest(x.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val order = simple.toSeq.sortBy { case (a, b) => md5hex(s"${a}_$b") }
+      val used = scala.collection.mutable.Set.empty[Long]
+      val greedy = scala.collection.mutable.Set.empty[(Long, Long)]
+      order.foreach { case (a, b) =>
+        if (!used.contains(a) && !used.contains(b)) {
+          greedy += ((a, b)); used += a; used += b
+        }
+      }
+      assert(got.keySet === greedy.toSet,
+        s"seed=$seed: parallel matching != sequential greedy; edges=$simple")
+      // layout purity
+      val again = Algorithms.maximalMatching(edf.repartition(3, col("gsrc")))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+      assert(again === got, s"seed=$seed: matching depends on layout")
+    }
+  }
 }
