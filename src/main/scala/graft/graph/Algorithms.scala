@@ -1093,6 +1093,63 @@ object Algorithms {
     } // withoutAqe
   }
 
+  /** HyperANF (Boldi, Rosa & Vigna, WWW 2011): the approximate
+    * neighborhood function N(h) = Σ_v |ball(v, h)| via per-node HLL
+    * sketches — THE way to profile distances on graphs where exact
+    * all-pairs BFS is infeasible (the neighborhood function yields
+    * effective diameter, average distance, and reachability mass).
+    * Each node starts as the singleton sketch of itself; one round
+    * unions every node's sketch with its neighbors' (register-wise
+    * max — commutative, associative, idempotent, so the state is a
+    * pure function of the ball CONTENTS, independent of layout,
+    * batching, or union order), and N(h) reads as the sum of
+    * per-node estimates. Per round: one edge⋈state join + one
+    * sketch-merging groupBy — the sketch (2^lgK registers, ~KBs)
+    * replaces the Θ(n)-bit reachable set that makes exact ANF
+    * quadratic; hop-h state stays n × sketch-size at any graph size.
+    * Small balls sit in the sketch's exact (coupon) regime, so on
+    * gate-scale graphs the estimates are exact-tracking; the ~1.6%
+    * (lgK = 12) relative σ applies to the large-ball regime —
+    * GraphAlgSpec pins both.
+    *
+    * @return (hop, n_reachable_pairs) for hop = 0..maxHops — hop 0 is
+    *         n (every node reaches itself), a built-in sanity row
+    */
+  def neighborhoodFunction(nodes: DataFrame, edges: DataFrame,
+      maxHops: Int, lgK: Int = 12): DataFrame = {
+    val und0 = edges.select(col("gsrc").as("a"), col("gdst").as("b"))
+      .filter(col("a") =!= col("b"))
+      .unionByName(edges.select(col("gdst").as("a"), col("gsrc").as("b"))
+        .filter(col("a") =!= col("b")))
+      .distinct().localCheckpoint()
+    val width = loopWidth(und0, und0.count())
+    withoutAqe(und0, Some(width)) {
+      val e = und0.coalesce(width)
+      var st = nodes.groupBy(col("gid"))
+        .agg(hll_sketch_agg(col("gid"), lgK).as("sk"))
+        .localCheckpoint()
+      // hll_sketch_estimate is integer-valued (LongType) in Spark, so
+      // the per-hop total is an exact integer sum — no float order
+      // sensitivity anywhere in the output
+      def total(s: DataFrame): Long =
+        s.agg(sum(hll_sketch_estimate(col("sk")))).first().getLong(0)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+      out += ((0, total(st)))
+      for (h <- 1 to maxHops) {
+        st = e.join(st.select(col("gid").as("bg"), col("sk")),
+            col("b") === col("bg"))
+          .select(col("a").as("gid"), col("sk"))
+          .unionByName(st)
+          .groupBy(col("gid")).agg(hll_union_agg(col("sk")).as("sk"))
+          .localCheckpoint()
+        out += ((h, total(st)))
+      }
+      val sess = nodes.sparkSession
+      import sess.implicits._
+      out.toSeq.toDF("hop", "n_reachable_pairs")
+    } // withoutAqe
+  }
+
   /** Deterministic greedy MAXIMAL MATCHING: fixed edge priority
     * pri(a,b) = md5("a_b") over the canonical (a < b) simple edge list,
     * each round admitting every live edge whose priority beats every

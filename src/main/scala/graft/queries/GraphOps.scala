@@ -518,6 +518,22 @@ object GraphOps {
 
   val gMatchingSql: String = GraphOracleSql.matchingSql(rounds = 12)
 
+  /** HyperANF neighborhood function over the co-purchase graph
+    * ([[graft.graph.Algorithms.neighborhoodFunction]]): N(h) for
+    * h = 0..4 — the distance profile (effective diameter, average
+    * distance, reachable mass) at sketch cost. Rows-only: the
+    * datasketches HLL has no SQL mirror; GraphAlgSpec pins the
+    * exact-tracking small-ball regime against per-source BFS and the
+    * hop-0 identity, and the gate graph's balls are small enough that
+    * the estimates track exact counts. All-integer output (Spark's
+    * sketch estimate is LongType, so the per-hop total is an exact
+    * integer sum — no order-sensitive float anywhere).
+    */
+  def gAnf(spark: SparkSession, dir: String): DataFrame = {
+    val (nodes, edges) = copurchaseGraph(spark, dir)
+    Algorithms.neighborhoodFunction(nodes, edges, maxHops = 4)
+  }
+
   /** Speculative greedy coloring over the heterogeneous TPC-H graph
     * ([[graft.graph.Algorithms.speculativeColoring]]): a proper,
     * deterministic ≤ Δ+1 coloring in conflict-cascade-bounded rounds —
@@ -1841,6 +1857,7 @@ object GraphOps {
     QueryDef.sql("g_cc", gCc, gCcSql),
     QueryDef.sql("g_mis", gMis, gMisSql),
     QueryDef.sql("g_matching", gMatching, gMatchingSql),
+    QueryDef.rowsOnly("g_anf", gAnf),
     QueryDef.sql("g_coloring", gColoring, gColoringSql),
     QueryDef.sql("g_cc_incr", gCcIncr, gCcIncrSql),
     QueryDef.sql("g_pagerank", gPagerank, gPagerankSql),

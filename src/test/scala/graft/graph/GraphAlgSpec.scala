@@ -397,4 +397,42 @@ class GraphAlgSpec extends SparkSpec {
     assert(labels(1L) === labels(2L))
     assert(labels(12L) === labels(13L))
   }
+
+  test("HyperANF neighborhood function tracks exact ball sums (small-ball exact regime) and hop-0 identity") {
+    // chain 1-2-3-4-5 (undirected balls): N(0)=5, N(1)=5+2*4-2... computed
+    // directly by a driver BFS below rather than by hand
+    import scala.util.Random
+    (601 to 606).foreach { seed =>
+      val rnd = new Random(seed)
+      val n = 4 + rnd.nextInt(9)
+      val nodes = (0L until n.toLong).toSeq
+      val m = rnd.nextInt(3 * n)
+      val edges = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val simple = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .filter { case (a, b) => a != b }.toSet
+      val nbrs = nodes.map(v => v -> simple.collect {
+        case (a, b) if a == v => b
+        case (a, b) if b == v => a
+      }.toSet).toMap
+      def ball(v: Long, h: Int): Set[Long] = {
+        var s = Set(v)
+        (1 to h).foreach(_ => s = s ++ s.flatMap(nbrs))
+        s
+      }
+      val maxH = 3
+      val exact = (0 to maxH).map(h => nodes.map(v => ball(v, h).size.toLong).sum)
+      import spark.implicits._
+      val ndf = nodes.toDF("gid")
+      val edf =
+        if (edges.isEmpty) Seq((0L, 0L)).toDF("gsrc", "gdst").limit(0)
+        else edges.toDF("gsrc", "gdst")
+      val got = Algorithms.neighborhoodFunction(ndf, edf, maxHops = maxH)
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      (0 to maxH).foreach { h =>
+        // balls of ≤ 12 nodes sit in the sketch's exact coupon regime
+        assert(got(h) === exact(h),
+          s"seed=$seed hop=$h got=${got(h)} exact=${exact(h)}")
+      }
+    }
+  }
 }
