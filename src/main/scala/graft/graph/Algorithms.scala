@@ -1116,12 +1116,19 @@ object Algorithms {
     *         n (every node reaches itself), a built-in sanity row
     */
   def neighborhoodFunction(nodes: DataFrame, edges: DataFrame,
+      maxHops: Int, lgK: Int = 12): DataFrame =
+    neighborhoodFunctionUnd(nodes,
+      edges.select(col("gsrc").as("a"), col("gdst").as("b"))
+        .filter(col("a") =!= col("b"))
+        .unionByName(edges.select(col("gdst").as("a"), col("gsrc").as("b"))
+          .filter(col("a") =!= col("b")))
+        .distinct().localCheckpoint(),
+      maxHops, lgK)
+
+  /** [[neighborhoodFunction]] over an already-symmetric materialized
+    * undirected edge view — the pinned-invariant entry point. */
+  def neighborhoodFunctionUnd(nodes: DataFrame, und0: DataFrame,
       maxHops: Int, lgK: Int = 12): DataFrame = {
-    val und0 = edges.select(col("gsrc").as("a"), col("gdst").as("b"))
-      .filter(col("a") =!= col("b"))
-      .unionByName(edges.select(col("gdst").as("a"), col("gsrc").as("b"))
-        .filter(col("a") =!= col("b")))
-      .distinct().localCheckpoint()
     val width = loopWidth(und0, und0.count())
     withoutAqe(und0, Some(width)) {
       val e = und0.coalesce(width)

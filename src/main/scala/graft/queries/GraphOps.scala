@@ -524,14 +524,20 @@ object GraphOps {
     * distance, reachable mass) at sketch cost. Rows-only: the
     * datasketches HLL has no SQL mirror; GraphAlgSpec pins the
     * exact-tracking small-ball regime against per-source BFS and the
+    * (lgK = 10 here: per-hop shuffle volume is m × sketch bytes, the
+    * one real cost of HyperANF — 512 registers halve it twice over
+    * lgK 12 for ~3% large-ball σ, exactness below ~hundreds
+    * unchanged) plus
     * hop-0 identity, and the gate graph's balls are small enough that
     * the estimates track exact counts. All-integer output (Spark's
     * sketch estimate is LongType, so the per-hop total is an exact
     * integer sum — no order-sensitive float anywhere).
     */
   def gAnf(spark: SparkSession, dir: String): DataFrame = {
-    val (nodes, edges) = copurchaseGraph(spark, dir)
-    Algorithms.neighborhoodFunction(nodes, edges, maxHops = 4)
+    val (nodes, _) = copurchaseGraph(spark, dir)
+    Algorithms.neighborhoodFunctionUnd(nodes,
+      adjGraphCached(spark, dir).und.select(col("a"), col("b")),
+      maxHops = 4, lgK = 10)
   }
 
   /** Speculative greedy coloring over the heterogeneous TPC-H graph
