@@ -901,6 +901,45 @@ object Algorithms {
         undec = undec.join(killed, Seq("gid"), "left_anti").localCheckpoint()
         undecRows = undec.count()
         mis = if (mis == null) sel else mis.unionByName(sel)
+        // Straggler cutover (the speculativeColoring pattern): finish
+        // the identical recurrence driver-side once the undecided
+        // frontier and its induced edges fit the bounded-state budget
+        // — the tail rounds are scheduling floor.
+        if (undecRows > 0 && undecRows <= StragglerFinishBound) {
+          val liveE = e
+            .join(hintSmall(undec.select(col("gid").as("ua")), undecRows),
+              col("a") === col("ua"), "left_semi")
+            .join(hintSmall(undec.select(col("gid").as("ub")), undecRows),
+              col("b") === col("ub"), "left_semi")
+            .localCheckpoint()
+          if (liveE.count() <= 8L * StragglerFinishBound) {
+            val adj = scala.collection.mutable.Map
+              .empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
+            liveE.collect().foreach { r =>
+              adj.getOrElseUpdate(r.getLong(0),
+                scala.collection.mutable.ArrayBuffer.empty) += r.getLong(1)
+            }
+            val pri = scala.collection.mutable.Map.empty[Long, String]
+            undec.collect().foreach(r => pri(r.getLong(0)) = r.getString(1))
+            var u = pri.keySet.toSet
+            val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+            while (u.nonEmpty && round < maxIter) {
+              round += 1
+              val selLocal = u.filter(v => !adj.getOrElse(v, Nil)
+                .exists(w => u.contains(w) && pri(w) < pri(v)))
+              selLocal.foreach(v => out += ((v, round)))
+              val killedLocal = selLocal ++
+                selLocal.flatMap(v => adj.getOrElse(v, Nil))
+              u = u -- killedLocal
+            }
+            require(u.isEmpty,
+              s"maximalIndependentSet: $maxIter rounds exhausted with ${u.size} undecided")
+            val sess = nodes.sparkSession
+            import sess.implicits._
+            mis = mis.unionByName(out.toSeq.toDF("gid", "mis_round"))
+            undecRows = 0
+          }
+        }
       }
       require(undecRows == 0,
         s"maximalIndependentSet: $maxIter rounds exhausted with $undecRows undecided")
@@ -1212,6 +1251,37 @@ object Algorithms {
             col("b") === col("mb"), "left_anti")
           .localCheckpoint()
         liveRows = live.count()
+        // Straggler cutover (the speculativeColoring pattern): once the
+        // live edge set fits the driver bound, finish the identical
+        // recurrence in memory — the tail rounds are scheduling floor,
+        // and the in-memory rounds are the same recurrence the
+        // RandomizedAlgSpec sequential-greedy equality pins.
+        if (liveRows > 0 && liveRows <= 8L * StragglerFinishBound) {
+          val rows = live.collect().map(r =>
+            (r.getLong(0), r.getLong(1), r.getString(2)))
+          var liveSeq = rows.toSeq
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+          while (liveSeq.nonEmpty && round < maxIter) {
+            round += 1
+            val minAt = scala.collection.mutable.Map.empty[Long, String]
+            liveSeq.foreach { case (a, b, pri) =>
+              if (!minAt.get(a).exists(_ <= pri)) minAt(a) = pri
+              if (!minAt.get(b).exists(_ <= pri)) minAt(b) = pri
+            }
+            val won = liveSeq.filter { case (a, b, pri) =>
+              minAt(a) == pri && minAt(b) == pri }
+            won.foreach { case (a, b, _) => out += ((a, b, round)) }
+            val matched = won.flatMap { case (a, b, _) => Seq(a, b) }.toSet
+            liveSeq = liveSeq.filter { case (a, b, _) =>
+              !matched.contains(a) && !matched.contains(b) }
+          }
+          require(liveSeq.isEmpty,
+            s"maximalMatching: $maxIter rounds exhausted with ${liveSeq.size} live edges")
+          val sess = live.sparkSession
+          import sess.implicits._
+          sels += out.toSeq.toDF("a", "b", "match_round")
+          liveRows = 0
+        }
       }
       require(liveRows == 0,
         s"maximalMatching: $maxIter rounds exhausted with $liveRows live edges")
