@@ -1416,9 +1416,12 @@ object Pipeline {
       .select(col("ida"), col("idb"),
         round(graft.functions.VectorFunctions.cosine(col("va"), col("vb")), 6)
           .as("cos"))
-    val top = scored.withColumn("rnk", row_number().over(
-        Window.partitionBy(col("ida")).orderBy(col("cos").desc, col("idb"))))
-      .filter(col("rnk") <= 5)
+    // top-5 per vector via the k-bounded TopK partial aggregate (§2.4
+    // row 36b: ≡ the window formulation, which is what the oracle runs)
+    // — the exchange carries ≤ 5 entries per (vector, map partition)
+    // instead of every scored pair
+    val top = graft.operators.TopK.topKPerGroup(
+        scored, "ida", "cos", "idb", k = 5)
       .select(col("ida"), col("idb"))
       .localCheckpoint() // both mutual-join legs read it
     val mutual = top.join(
