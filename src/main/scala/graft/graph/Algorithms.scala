@@ -995,7 +995,9 @@ object Algorithms {
   /** [[speculativeColoring]] over an already-canonicalized (and
     * materialized) undirected edge table (a, b) in both directions —
     * the pinned-invariant entry point (a deployment derives the
-    * symmetric edge view once per snapshot).
+    * symmetric edge view once per snapshot). `und0` must be
+    * self-loop-free and symmetric; endpoints must be drawn from
+    * `nodes`.
     */
   def speculativeColoringUnd(nodes: DataFrame, und0: DataFrame,
       maxIter: Int = 100): DataFrame = {
@@ -1165,7 +1167,10 @@ object Algorithms {
       maxHops, lgK)
 
   /** [[neighborhoodFunction]] over an already-symmetric materialized
-    * undirected edge view — the pinned-invariant entry point. */
+    * undirected edge view — the pinned-invariant entry point. Edge
+    * endpoints must be drawn from `nodes` (the standing contract of
+    * this module): an endpoint absent from `nodes` would materialize
+    * as phantom state after one union round. */
   def neighborhoodFunctionUnd(nodes: DataFrame, und0: DataFrame,
       maxHops: Int, lgK: Int = 12): DataFrame = {
     val width = loopWidth(und0, und0.count())

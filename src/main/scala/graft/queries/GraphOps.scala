@@ -104,6 +104,7 @@ object GraphOps {
     triBaseCached(spark, dir)
     bflyBaseCached(spark, dir)
     undGidCached(spark, dir)
+    anfCached(spark, dir)
     ()
   }
 
@@ -533,11 +534,56 @@ object GraphOps {
     * sketch estimate is LongType, so the per-hop total is an exact
     * integer sum — no order-sensitive float anywhere).
     */
-  def gAnf(spark: SparkSession, dir: String): DataFrame = {
-    val (nodes, _) = copurchaseGraph(spark, dir)
-    Algorithms.neighborhoodFunctionUnd(nodes,
-      adjGraphCached(spark, dir).und.select(col("a"), col("b")),
-      maxHops = 4, lgK = 10)
+  private val anfCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  /** The 5-row (hop, N(h)) HyperANF table, pinned per (session, dir):
+    * one sketch sweep serves both the profile face and its derived
+    * diameter/distance summary.
+    */
+  private def anfCached(spark: SparkSession, dir: String): DataFrame =
+    anfCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      val (nodes, _) = copurchaseGraph(spark, dir)
+      val anf = Algorithms.neighborhoodFunctionUnd(nodes,
+        adjGraphCached(spark, dir).und.select(col("a"), col("b")),
+        maxHops = 4, lgK = 10)
+      graft.PinnedRdds.pinning(spark) { anf.localCheckpoint() }
+    })
+
+  def gAnf(spark: SparkSession, dir: String): DataFrame =
+    anfCached(spark, dir)
+
+  /** Effective diameter + mean distance, derived from the PINNED ANF
+    * table (zero new sweeps — the pinned-dividend discipline): the
+    * neighborhood curve is first MONOTONIZED by running max (HLL
+    * estimates of nested balls can wobble ±ε non-monotonically; the
+    * running max is the standard ANF postprocessing), then
+    * eff_diameter = the smallest h with M(h) ≥ 0.9·M(max) (compared in
+    * exact integer arithmetic, M·10 ≥ Mmax·9) and mean_distance =
+    * Σ h·ΔM / (M(max) − M(0)) over the reach-bounded horizon — all
+    * integer sums, one 4 dp integer-sealed division at the end. The
+    * windows run over the FIVE-row hop table (bounded by maxHops
+    * forever), never graph-scale data.
+    */
+  def gEffDiameter(spark: SparkSession, dir: String): DataFrame = {
+    val anf = anfCached(spark, dir)
+    val byHop = Window.orderBy(col("hop"))
+    val m = anf.select(col("hop"),
+        max(col("n_reachable_pairs"))
+          .over(byHop.rowsBetween(Window.unboundedPreceding, 0)).as("m"))
+      .withColumn("dm", col("m") - coalesce(lag(col("m"), 1).over(byHop),
+        col("m")))
+    val tot = m.agg(max(col("m")).as("m_max"),
+      min(col("m")).as("m_0"),
+      sum(col("hop") * col("dm")).as("wsum"))
+    val eff = m.crossJoin(broadcast(tot.select(col("m_max").as("__mm"))))
+      .filter(col("m") * 10 >= col("__mm") * 9)
+      .agg(min(col("hop")).as("eff_diameter"))
+    eff.crossJoin(broadcast(tot))
+      .select(col("eff_diameter"),
+        (expr("(wsum * 20000 + (m_max - m_0)) DIV (2 * (m_max - m_0))")
+          .cast("double") / 10000.0).as("mean_distance"),
+        col("m_max").as("n_reachable_max"))
   }
 
   /** Speculative greedy coloring over the heterogeneous TPC-H graph
@@ -1864,6 +1910,7 @@ object GraphOps {
     QueryDef.sql("g_mis", gMis, gMisSql),
     QueryDef.sql("g_matching", gMatching, gMatchingSql),
     QueryDef.rowsOnly("g_anf", gAnf),
+    QueryDef.rowsOnly("g_eff_diameter", gEffDiameter),
     QueryDef.sql("g_coloring", gColoring, gColoringSql),
     QueryDef.sql("g_cc_incr", gCcIncr, gCcIncrSql),
     QueryDef.sql("g_pagerank", gPagerank, gPagerankSql),
