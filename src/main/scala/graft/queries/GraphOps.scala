@@ -534,6 +534,68 @@ object GraphOps {
     * sketch estimate is LongType, so the per-hop total is an exact
     * integer sum — no order-sensitive float anywhere).
     */
+  /** Item-item collaborative-filtering recommendations: for each
+    * anchor customer (custkey < 100), the top-3 parts they have NOT
+    * bought, scored by Σ over their basket of the co-purchase support
+    * w(i, j) (number of orders containing both parts) — the classic
+    * item-kNN recommender served straight from the pinned
+    * support-weighted co-purchase table. All-integer scores (support
+    * sums — no float anywhere), deterministic (score desc, part asc)
+    * tiebreak, and the top-3 runs through the verified k-bounded TopK
+    * partial aggregate (row 36b: ≡ the window formulation the oracle
+    * runs) so the exchange carries 3 rows per (customer, map
+    * partition), never the full candidate table. Shape at scale: the
+    * basket⋈co-pair join shuffles on the part key, candidates bound by
+    * basket size × co-neighbor count; the owned-part screen is one
+    * anti-join on the (customer, part) key.
+    */
+  def gRecommend(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val ord = Tables.load(spark, dir, "orders")
+    val ub = ord.join(li, ord("o_orderkey") === li("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .distinct().localCheckpoint() // anchor leg + owned-screen leg
+    val w = wCopurchaseCached(spark, dir)
+    val sym = w.select(col("gsrc").as("i"), col("gdst").as("j"), col("w"))
+      .unionByName(w.select(col("gdst").as("i"), col("gsrc").as("j"), col("w")))
+    val scores = ub.filter(col("c") < 100)
+      .join(sym, col("p") === col("i"))
+      .groupBy(col("c"), col("j")).agg(sum(col("w")).as("score"))
+    val fresh = scores.join(
+      ub.select(col("c").as("c2"), col("p").as("p2")),
+      col("c") === col("c2") && col("j") === col("p2"), "left_anti")
+    graft.operators.TopK.topKPerGroup(fresh, "c", "score", "j", k = 3)
+      .select(col("c").as("custkey"), col("rank"), col("j").as("partkey"),
+        col("score").cast("long").as("score"))
+  }
+
+  val gRecommendSql: String =
+    """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       ce AS MATERIALIZED (
+         SELECT a.l_partkey AS i, b.l_partkey AS j, count(*) AS w
+         FROM op a JOIN op b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         GROUP BY 1, 2),
+       sym AS (SELECT i, j, w FROM ce
+               UNION ALL SELECT j AS i, i AS j, w FROM ce),
+       ub AS MATERIALIZED (
+         SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+         FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+       sc AS (
+         SELECT u.c, s.j, CAST(sum(s.w) AS BIGINT) AS score
+         FROM ub u JOIN sym s ON u.p = s.i
+         WHERE u.c < 100
+         GROUP BY 1, 2),
+       fresh AS (
+         SELECT sc.c, sc.j, sc.score FROM sc
+         WHERE NOT EXISTS (SELECT 1 FROM ub o
+                           WHERE o.c = sc.c AND o.p = sc.j))
+       SELECT c AS custkey, CAST(rnk AS BIGINT) AS rank, j AS partkey, score
+       FROM (SELECT c, j, score, row_number() OVER (
+               PARTITION BY c ORDER BY score DESC, j) AS rnk
+             FROM fresh)
+       WHERE rnk <= 3"""
+
   private val anfCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
 
@@ -1909,6 +1971,7 @@ object GraphOps {
     QueryDef.sql("g_cc", gCc, gCcSql),
     QueryDef.sql("g_mis", gMis, gMisSql),
     QueryDef.sql("g_matching", gMatching, gMatchingSql),
+    QueryDef.sql("g_recommend", gRecommend, gRecommendSql),
     QueryDef.rowsOnly("g_anf", gAnf),
     QueryDef.rowsOnly("g_eff_diameter", gEffDiameter),
     QueryDef.sql("g_coloring", gColoring, gColoringSql),
