@@ -411,6 +411,108 @@ object Dedup {
         (col("inter").cast("double") / col("sz_b")).as("c_b_in_a"))
   }
 
+  /** The pinned-index artifacts of a containment corpus: full postings
+    * (id, h) — UNCAPPED, the df is a view — plus the per-gram document
+    * frequencies and per-doc capped set sizes under `maxDf`. A
+    * deployment materializes these once per corpus snapshot; the
+    * incremental fold reads them without re-shingling the corpus.
+    */
+  final case class ContainmentIndex(post: DataFrame, dfc: DataFrame,
+      sizes: DataFrame)
+
+  /** Build the [[ContainmentIndex]] for [[incrementalContainment]] —
+    * the same shingling/md5/df derivation as [[containmentPairs]].
+    */
+  def containmentIndex(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, maxDf: Long = 20L): ContainmentIndex = {
+    val post = df.select(col(idCol).as("id"),
+        explode(shingleArray(col(textCol), shingleN)).as("g"))
+      .select(col("id"), md5(col("g")).as("h"))
+      .localCheckpoint()
+    val dfc = post.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .localCheckpoint()
+    val sizes = post.join(dfc, "h").filter(col("df") <= maxDf)
+      .groupBy(col("id")).agg(count(lit(1)).as("sz"))
+      .localCheckpoint()
+    ContainmentIndex(post, dfc, sizes)
+  }
+
+  /** INCREMENTAL containment maintenance: fold a document batch into a
+    * pinned [[ContainmentIndex]] and emit exactly the batch-involving
+    * pairs of the UNION-corpus containment semantics — bit-identical
+    * to running [[containmentPairs]] on base ∪ batch and keeping pairs
+    * with ≥ 1 batch side (the standing fold ≡ recompute discipline).
+    *
+    * The delta argument: a gram's document frequency only GROWS via
+    * the batch, so every gram whose df crosses the cap is a batch gram
+    * — the crossing set C is computed from the batch-gram df table
+    * joined once against the pinned per-gram dfs (delta-scale), base
+    * doc set sizes adjust by one broadcast-C probe of the pinned
+    * postings (a narrow index scan, no corpus re-shingle), and the
+    * candidate join probes the index on the batch's capped gram keys
+    * only. Base–base pairs cannot gain grams (dfs only grow), but a
+    * base–base pair CAN lose a crossing gram — those pairs are outside
+    * this fold's contract (they have no batch side); the crossing-gram
+    * count is the re-audit signal a deployment monitors.
+    *
+    * @return same shape as [[containmentPairs]], restricted to pairs
+    *         with at least one batch-side document
+    */
+  def incrementalContainment(idx: ContainmentIndex, batch: DataFrame,
+      idCol: String, textCol: String, shingleN: Int = 3,
+      maxDf: Long = 20L): DataFrame = {
+    val bPost = batch.select(col(idCol).as("id"),
+        explode(shingleArray(col(textCol), shingleN)).as("g"))
+      .select(col("id"), md5(col("g")).as("h"))
+      .localCheckpoint()
+    // full-corpus df for BATCH grams only (all a fold needs): base df
+    // via one join of the (small) batch-gram table against the pinned
+    // df table
+    val bDf = bPost.groupBy(col("h")).agg(count(lit(1)).as("dfb"))
+      .join(idx.dfc.select(col("h"), col("df").as("dfbase")), Seq("h"), "left")
+      .select(col("h"), coalesce(col("dfbase"), lit(0L)).as("dfbase"),
+        (coalesce(col("dfbase"), lit(0L)) + col("dfb")).as("dffull"))
+      .localCheckpoint()
+    // crossing grams: were in the capped universe, leave it now
+    val crossing = bDf
+      .filter(col("dfbase") <= maxDf && col("dffull") > maxDf)
+      .select(col("h"))
+    val cappedBatch = bPost.join(bDf.filter(col("dffull") <= maxDf)
+      .select(col("h")), "h").localCheckpoint()
+    // other-side postings under the union universe: base grams keep
+    // their df unless they crossed (crossed ⊆ batch grams); batch side
+    // is the capped batch postings
+    val otherBase = idx.post
+      .join(broadcast(idx.dfc.filter(col("df") > maxDf).select(col("h"))
+        .unionByName(crossing)), Seq("h"), "left_anti")
+    val other = otherBase.unionByName(cappedBatch)
+    // batch-involving shared grams, canonicalized; distinct kills the
+    // double count when both sides are batch docs
+    val shared = cappedBatch.select(col("id").as("bid"), col("h"))
+      .join(other.select(col("id").as("oid"), col("h")), "h")
+      .filter(col("bid") =!= col("oid"))
+      .select(least(col("bid"), col("oid")).as("id_a"),
+        greatest(col("bid"), col("oid")).as("id_b"), col("h"))
+      .distinct()
+    val inter = shared.groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    // union-universe set sizes: batch docs from their capped postings,
+    // base docs = pinned size − crossing-gram hits (one broadcast-C
+    // probe of the pinned postings)
+    val szBatch = cappedBatch.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val adj = idx.post.join(broadcast(crossing), "h")
+      .groupBy(col("id")).agg(count(lit(1)).as("__lost"))
+    val szBase = idx.sizes.join(adj, Seq("id"), "left")
+      .select(col("id"), (col("sz") - coalesce(col("__lost"), lit(0L))).as("sz"))
+    val sizes = szBase.unionByName(szBatch)
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .select(col("id_a"), col("id_b"), col("inter"), col("sz_a"), col("sz_b"),
+        (col("inter").cast("double") / col("sz_a")).as("c_a_in_b"),
+        (col("inter").cast("double") / col("sz_b")).as("c_b_in_a"))
+  }
+
   // -------------------------------------------------------- decontamination
 
   /** Benchmark decontamination: flag corpus documents sharing at least

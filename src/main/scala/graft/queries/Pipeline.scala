@@ -447,6 +447,51 @@ object Pipeline {
        JOIN sz sb ON sb.doc_id = id_b
        WHERE greatest(i * 1.0 / sa.sz, i * 1.0 / sb.sz) >= 0.6"""
 
+  /** The pinned containment index of the BASE corpus (doc_id % 10 ≠ 0)
+    * — postings, per-gram dfs, capped set sizes — the artifact the
+    * previous ingest left behind (the lshBaseBuckets discipline applied
+    * to the containment family).
+    */
+  private val containmentIdxCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), Dedup.ContainmentIndex]
+
+  private def containmentIdxCached(spark: SparkSession,
+      dir: String): Dedup.ContainmentIndex =
+    containmentIdxCache.getOrElseUpdate(
+      (spark.sparkContext.applicationId, dir),
+      graft.PinnedRdds.pinning(spark) {
+        Dedup.containmentIndex(
+          Tables.load(spark, dir, "documents").filter(col("doc_id") % 10 =!= 0),
+          "doc_id", "text")
+      })
+
+  /** INCREMENTAL containment face: the doc_id ≡ 0 mod 10 batch folds
+    * into the pinned base index ([[graft.pipeline.Dedup.incrementalContainment]])
+    * — batch grams probe the pinned postings/df tables, never a corpus
+    * re-shingle — and the output is the batch-involving slice of the
+    * FULL-corpus containment semantics. The oracle is p_containment's
+    * full-corpus SQL restricted to pairs with a batch side: hash-green
+    * PROVES fold ≡ recompute (the g_cc_incr discipline), including the
+    * cap-crossing adjustment (grams whose df crosses 20 only when the
+    * batch lands — C is delta-scale because dfs only grow via the
+    * batch).
+    */
+  def pContainmentIncr(spark: SparkSession, dir: String): DataFrame = {
+    val batch = Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") % 10 === 0)
+    Dedup.incrementalContainment(containmentIdxCached(spark, dir), batch,
+        "doc_id", "text")
+      .filter(greatest(col("c_a_in_b"), col("c_b_in_a")) >= 0.6)
+      .select(col("id_a"), col("id_b"), col("inter"), col("sz_a"), col("sz_b"),
+        (expr("(inter * 20000 + sz_a) DIV (2 * sz_a)").cast("double") / 10000.0)
+          .as("c_a_in_b"),
+        (expr("(inter * 20000 + sz_b) DIV (2 * sz_b)").cast("double") / 10000.0)
+          .as("c_b_in_a"))
+  }
+
+  val pContainmentIncrSql: String =
+    pContainmentSql + " AND (id_a % 10 = 0 OR id_b % 10 = 0)"
+
   /** Incremental ingest dedup: docs ≥ 250 are the new batch, docs < 250
     * the already-curated index — survivors are batch docs whose text
     * digest is unseen, exact-deduped within the batch.
@@ -2799,6 +2844,7 @@ object Pipeline {
     QueryDef.sql("p_dedup_incr", pDedupIncr, pDedupIncrSql),
     QueryDef.sql("p_winnow", pWinnow, pWinnowSql),
     QueryDef.sql("p_containment", pContainment, pContainmentSql),
+    QueryDef.sql("p_containment_incr", pContainmentIncr, pContainmentIncrSql),
     QueryDef.sql("p_split_assign", pSplitAssign, pSplitAssignSql),
     QueryDef.sql("p_sample_mix", pSampleMix, pSampleMixSql),
     QueryDef.sql("p_sample_topn", pSampleTopN, pSampleTopNSql),

@@ -362,4 +362,33 @@ class DedupSpec extends SparkSpec {
       .collect().length
     assert(all === 10, "5 docs sharing a gram → all 10 pairs uncapped")
   }
+
+  test("incremental containment ≡ full recompute on batch-involving pairs, incl. cap crossings") {
+    import spark.implicits._
+    import scala.util.Random
+    (701 to 706).foreach { seed =>
+      val rnd = new Random(seed)
+      // small vocabulary forces shared grams AND df-cap crossings once
+      // the batch lands (cap 3 on up to 14 docs)
+      val vocab = Vector("a1", "a2", "a3", "b1", "b2", "c1")
+      val docs = (0L until (8 + rnd.nextInt(7)).toLong).map { i =>
+        val words = Seq.fill(3 + rnd.nextInt(6))(vocab(rnd.nextInt(vocab.size)))
+        (i, words.mkString(" "))
+      }
+      val ddf = docs.toDF("doc_id", "text").localCheckpoint()
+      val base = ddf.filter(col("doc_id") % 3 =!= 0)
+      val batch = ddf.filter(col("doc_id") % 3 === 0)
+      val cap = 3L
+      val idx = Dedup.containmentIndex(base, "doc_id", "text", maxDf = cap)
+      val got = Dedup.incrementalContainment(idx, batch, "doc_id", "text",
+          maxDf = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      val want = Dedup.containmentPairs(ddf, "doc_id", "text", maxDf = cap)
+        .filter(col("id_a") % 3 === 0 || col("id_b") % 3 === 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      assert(got === want, s"seed=$seed docs=$docs")
+    }
+  }
 }
