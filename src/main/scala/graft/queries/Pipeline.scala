@@ -1522,6 +1522,39 @@ object Pipeline {
        FROM c$r c JOIN sizes s USING (comp), converged"""
   }
 
+  /** IVF-PQ recall-vs-budget curve: the pinned index searched at
+    * shortlist budgets {10, 20, 40} (nProbe 4), each exactly re-ranked
+    * to top-5 and scored against the brute-force truth — the serving
+    * knob an ANN deployment tunes (how much candidate budget buys how
+    * much recall ON THIS CORPUS), read entirely from the pinned fit
+    * and the broadcast query anchor. Rows-only (seeded fit); recall is
+    * 4 dp integer-sealed. Complements AnnSpec's fixed-budget recall
+    * floor with the full curve as a standing gate artifact.
+    */
+  def pRerankEval(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Ann.bruteKnn(queries, emb, "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint()
+    val (coarse, sub, books, codes) = ivfPqCached(spark, dir)
+    Seq(10, 20, 40).map { budget =>
+      val cand = graft.pipeline.Cluster.ivfPqShortlistFrom(codes, sub, books,
+          coarse, queries, "vec_id", "embedding", nProbe = 4,
+          shortlist = budget)
+        .select(col("query_id"), col("neighbor_id"))
+      val top5 = graft.pipeline.Cluster.rerankExact(cand, emb, "vec_id",
+          "embedding", queries, topK = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      top5.join(exact, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(budget).as("budget"), col("n_hits"),
+          lit(50L).as("n_total"),
+          (expr("(n_hits * 20000 + 50) DIV 100").cast("double") / 10000.0)
+            .as("recall"))
+    }.reduce(_ unionByName _)
+  }
+
   // ----------------------------------------------------- text analysis
 
   def pLangId(spark: SparkSession, dir: String): DataFrame =
@@ -2910,6 +2943,7 @@ object Pipeline {
     QueryDef.rowsOnly("p_knn_ivfpq", pKnnIvfPq),
     QueryDef.sql("p_dim_curve", pDimCurve, pDimCurveSql),
     QueryDef.sql("p_mutual_knn", pMutualKnn, pMutualKnnSql),
+    QueryDef.rowsOnly("p_rerank_eval", pRerankEval),
     QueryDef.sql("p_lang_id", pLangId, pLangIdSql),
     QueryDef.sql("p_quality_score", pQualityScore, pQualityScoreSql),
     QueryDef.sql("p_quality_norm", pQualityNorm, pQualityNormSql),
