@@ -2086,4 +2086,173 @@ object Algorithms {
     labels
     } // withoutAqe
   }
+
+  /** Exact strongly connected components of a DIRECTED (gsrc, gdst)
+    * edge set, by forward–backward min-label peeling — the distributed
+    * SCC scheme (FW-BW / coloring family, cf. Hong et al. "On Fast
+    * Parallel Detection of Strongly Connected Components"): each phase
+    * propagates, over the still-unsettled subgraph, the minimum node id
+    * reachable FORWARD from each node (F) and BACKWARD (B) to fixpoint;
+    * a node with F(v) = B(v) = m reaches m and is reached by m, so it
+    * lies in SCC(m) — and m is that SCC's minimum (any smaller mutual
+    * reacher would have lowered F). Settled nodes leave the subgraph
+    * and the phase repeats. Progress is guaranteed: the remaining
+    * subgraph's global-minimum id always settles its own SCC, so phases
+    * ≤ #SCCs (in practice a handful — each phase also settles every
+    * node whose F and B happen to agree, which sweeps all sources/sinks
+    * of the condensation reachable from their own minimum).
+    *
+    * Output (gid, scc) with scc = the SCC's minimum member id — the
+    * CANONICAL labeling, a pure function of the graph independent of
+    * algorithm, phase batching, or layout (which is what makes the face
+    * oracle-checkable against a closure-based SQL definition).
+    *
+    * Each inner fixpoint round is one join + groupBy-min on the live
+    * edge set (same shape as [[connectedComponents]], directed); rounds
+    * are bounded by the longest min-label chain. Straggler cutover: once
+    * the unsettled frontier fits the bounded-driver-state budget, finish
+    * with a driver-side Tarjan — legitimate here BECAUSE the output is
+    * canonical (SccSpec pins distributed ≡ driver on random digraphs).
+    */
+  def stronglyConnectedComponents(nodes: DataFrame, edges: DataFrame,
+      maxRounds: Int = 500,
+      cutoverBelow: Long = StragglerFinishBound): DataFrame = {
+    val dirE = edges.select(col("gsrc").as("a"), col("gdst").as("b"))
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+    val width = loopWidth(edges, dirE.count())
+    withoutAqe(edges, Some(width)) {
+      var remaining = nodes.select(col("gid")).distinct().localCheckpoint()
+      var remRows = remaining.count()
+      var result: DataFrame = null
+      var liveE = dirE.coalesce(width).localCheckpoint()
+      var rounds = 0
+      var phase = 0
+      while (remRows > cutoverBelow) {
+        phase += 1
+        require(phase <= maxRounds,
+          s"stronglyConnectedComponents: $maxRounds phases exhausted with $remRows unsettled")
+        // min-label fixpoint along out-edges (F) and in-edges (B) on
+        // the live subgraph; both run the connectedComponents loop
+        // shape with the state broadcast/shuffle crossover
+        def minLabel(e: DataFrame): DataFrame = {
+          val small = remRows <= BroadcastStateBound
+          var lab = remaining.select(col("gid"), col("gid").as("m"))
+          lab = (if (small) lab else lab.repartition(width, col("gid")))
+            .localCheckpoint()
+          var converged = false
+          while (!converged) {
+            rounds += 1
+            require(rounds <= maxRounds,
+              s"stronglyConnectedComponents: $maxRounds rounds exhausted")
+            val nbrMin = e
+              .join(stateHint(lab.select(col("gid").as("nb"), col("m").as("nm")), small),
+                col("b") === col("nb"))
+              .groupBy(col("a")).agg(min(col("nm")).as("nmin"))
+            val next = lab.join(stateHint(nbrMin, small), lab("gid") === col("a"), "left")
+              .select(lab("gid"),
+                least(lab("m"), coalesce(col("nmin"), lab("m"))).as("m"),
+                (least(lab("m"), coalesce(col("nmin"), lab("m"))) =!= lab("m"))
+                  .as("changed"))
+              .localCheckpoint()
+            converged = next.filter(col("changed")).isEmpty
+            lab = next.select(col("gid"), col("m"))
+          }
+          lab
+        }
+        val fwd = minLabel(liveE)
+        val bwd = minLabel(liveE.select(col("b").as("a"), col("a").as("b")))
+        val settled = fwd.join(bwd.select(col("gid"), col("m").as("bm")), Seq("gid"))
+          .filter(col("m") === col("bm"))
+          .select(col("gid"), col("m").as("scc"))
+          .localCheckpoint()
+        result = if (result == null) settled else result.unionByName(settled)
+        remaining = remaining
+          .join(settled.select(col("gid")), Seq("gid"), "left_anti")
+          .localCheckpoint()
+        remRows = remaining.count()
+        if (remRows > cutoverBelow) {
+          liveE = liveE
+            .join(hintSmall(remaining.select(col("gid").as("ra")), remRows),
+              col("a") === col("ra"), "left_semi")
+            .join(hintSmall(remaining.select(col("gid").as("rb")), remRows),
+              col("b") === col("rb"), "left_semi")
+            .localCheckpoint()
+        }
+      }
+      if (remRows > 0) {
+        // driver-side Tarjan on the unsettled remainder: the canonical
+        // min-member labeling is algorithm-independent, so this is the
+        // identical FUNCTION, not merely the identical recurrence
+        val remSet = remaining.collect().map(_.getLong(0)).toSet
+        val adj = scala.collection.mutable.Map
+          .empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
+        liveE.collect().foreach { r =>
+          val (s, d) = (r.getLong(0), r.getLong(1))
+          if (remSet.contains(s) && remSet.contains(d))
+            adj.getOrElseUpdate(s, scala.collection.mutable.ArrayBuffer.empty) += d
+        }
+        val out = tarjanSccMin(remSet, adj)
+        val sess = nodes.sparkSession
+        import sess.implicits._
+        val local = out.toSeq.toDF("gid", "scc")
+        result = if (result == null) local else result.unionByName(local)
+      }
+      if (result == null)
+        nodes.select(col("gid"), col("gid").as("scc")).limit(0)
+      else result
+    } // withoutAqe
+  }
+
+  /** Iterative Tarjan over a driver-local adjacency, returning the
+    * canonical (node → min SCC member) map. Used by the SCC straggler
+    * cutover and by SccSpec as the independent reference.
+    */
+  private[graph] def tarjanSccMin(nodes: scala.collection.Set[Long],
+      adj: scala.collection.Map[Long, scala.collection.Seq[Long]])
+      : Map[Long, Long] = {
+    val index = scala.collection.mutable.Map.empty[Long, Int]
+    val low = scala.collection.mutable.Map.empty[Long, Int]
+    val onStack = scala.collection.mutable.Set.empty[Long]
+    val st = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val out = scala.collection.mutable.Map.empty[Long, Long]
+    var counter = 0
+    for (root <- nodes.toSeq.sorted if !index.contains(root)) {
+      // explicit-stack DFS: (node, iterator over remaining neighbors)
+      val stack = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Iterator[Long])]
+      def push(v: Long): Unit = {
+        index(v) = counter; low(v) = counter; counter += 1
+        st += v; onStack += v
+        stack += ((v, adj.getOrElse(v, Nil).iterator))
+      }
+      push(root)
+      while (stack.nonEmpty) {
+        val (v, it) = stack.last
+        var descended = false
+        while (!descended && it.hasNext) {
+          val w = it.next()
+          if (!index.contains(w)) { push(w); descended = true }
+          else if (onStack.contains(w)) low(v) = math.min(low(v), index(w))
+        }
+        if (!descended) {
+          stack.remove(stack.length - 1)
+          if (stack.nonEmpty) {
+            val p = stack.last._1
+            low(p) = math.min(low(p), low(v))
+          }
+          if (low(v) == index(v)) {
+            val comp = scala.collection.mutable.ArrayBuffer.empty[Long]
+            var done = false
+            while (!done) {
+              val w = st.remove(st.length - 1); onStack -= w; comp += w
+              done = w == v
+            }
+            val m = comp.min
+            comp.foreach(w => out(w) = m)
+          }
+        }
+      }
+    }
+    out.toMap
+  }
 }

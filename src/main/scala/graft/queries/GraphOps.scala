@@ -105,6 +105,8 @@ object GraphOps {
     bflyBaseCached(spark, dir)
     undGidCached(spark, dir)
     anfCached(spark, dir)
+    followedByCached(spark, dir)
+    followedByCached(spark, dir, cap = 500L)
     ()
   }
 
@@ -1957,6 +1959,117 @@ object GraphOps {
                 part_a, part_b
        LIMIT 100"""
 
+  /** DIRECTED "followed-by" graph over parts: an edge a→b whenever part
+    * b appears at the next line number after part a within one order —
+    * the sequential-basket counterpart of the undirected co-purchase
+    * view (order lines carry a position; the direction is real signal:
+    * accessories follow mains, refills follow devices). `cap`: the SCC
+    * face studies the induced subgraph on a bounded id range so its
+    * closure-based oracle stays polynomial at EVERY scale factor — the
+    * df-capped-universe discipline of p_containment (the cap is part of
+    * the face's semantics, not a sampling shortcut). Derivation is one
+    * order-groupBy + an in-place adjacent-pair expansion (no window, no
+    * self-join); deduped directed pairs, self-loops dropped.
+    */
+  private val followedByCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String, Long), DataFrame]
+
+  private def followedByCached(spark: SparkSession, dir: String,
+      cap: Long = Long.MaxValue): DataFrame =
+    followedByCache.getOrElseUpdate((spark.sparkContext.applicationId, dir, cap), {
+      val li0 = Tables.load(spark, dir, "lineitem")
+      val li = if (cap == Long.MaxValue) li0 else li0.filter(col("l_partkey") < cap)
+      val perOrder = li.groupBy(col("l_orderkey"))
+        .agg(array_sort(collect_list(struct(col("l_linenumber"), col("l_partkey"))))
+          .as("seq"))
+      val edges = perOrder.select(explode(expr(
+          """transform(slice(seq, 1, size(seq) - 1),
+             (x, i) -> struct(x.l_partkey AS gsrc,
+                              element_at(seq, i + 2).l_partkey AS gdst))"""))
+          .as("e"))
+        .select(col("e.gsrc").as("gsrc"), col("e.gdst").as("gdst"))
+        .filter(col("gsrc") =!= col("gdst"))
+        .distinct()
+      graft.PinnedRdds.pinning(spark) { edges.localCheckpoint() }
+    })
+
+  /** Edge reciprocity of the directed followed-by graph: the share of
+    * a→b edges whose reverse b→a also occurs — the standard directed-
+    * graph statistic separating genuinely ordered relations (low
+    * reciprocity) from symmetric co-occurrence (high). One left-semi
+    * self-join on the reversed key; the ratio is 6dp-sealed by exact
+    * integer round-half-up (the q_ntile_cume half-rounding discipline).
+    */
+  def gReciprocity(spark: SparkSession, dir: String): DataFrame = {
+    val e = followedByCached(spark, dir)
+    val recip = e.join(
+      e.select(col("gdst").as("rs"), col("gsrc").as("rd")),
+      col("gsrc") === col("rs") && col("gdst") === col("rd"), "left_semi")
+    e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(recip.agg(count(lit(1)).as("n_reciprocal")))
+      .select(col("n_edges"), col("n_reciprocal"),
+        (expr("(n_reciprocal * 2000000 + n_edges) DIV (2 * n_edges)")
+          .cast("double") / 1000000.0).as("reciprocity"))
+  }
+
+  val gReciprocitySql: String =
+    """WITH f AS (SELECT l_orderkey, l_partkey,
+              row_number() OVER (PARTITION BY l_orderkey
+                                 ORDER BY l_linenumber, l_partkey) AS rn
+            FROM lineitem),
+       e AS (SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+             FROM f a JOIN f b
+               ON a.l_orderkey = b.l_orderkey AND b.rn = a.rn + 1
+             WHERE a.l_partkey <> b.l_partkey),
+       r AS (SELECT count(*) AS n_reciprocal FROM e x
+             WHERE EXISTS (SELECT 1 FROM e y WHERE y.s = x.d AND y.d = x.s)),
+       n AS (SELECT count(*) AS n_edges FROM e)
+       SELECT n_edges, n_reciprocal,
+              CAST((n_reciprocal * 2000000 + n_edges) // (2 * n_edges)
+                   AS DOUBLE) / 1000000.0 AS reciprocity
+       FROM n, r"""
+
+  /** Strongly connected components of the followed-by graph restricted
+    * to parts < 500 ([[followedByCached]]'s capped view) — the directed
+    * completion of the connectivity family (g_cc is undirected; SCC is
+    * what "connected" MEANS on an ordered relation: parts that lead to
+    * each other through purchase sequences). Spark runs the distributed
+    * forward–backward min-label peeling ([[Algorithms
+    * .stronglyConnectedComponents]]); the oracle DEFINES the answer
+    * independently — transitive closure by recursive CTE, scc_id(v) =
+    * min over mutually-reachable u — which is exactly why the face
+    * outputs the canonical min-member labeling.
+    */
+  def gScc(spark: SparkSession, dir: String): DataFrame = {
+    val e = followedByCached(spark, dir, cap = 500L)
+    val nodes = e.select(col("gsrc").as("gid"))
+      .unionByName(e.select(col("gdst").as("gid"))).distinct()
+    Algorithms.stronglyConnectedComponents(nodes, e)
+      .select(col("gid").as("part"), col("scc").as("scc_id"))
+  }
+
+  val gSccSql: String =
+    """WITH RECURSIVE f AS (
+         SELECT l_orderkey, l_partkey,
+                row_number() OVER (PARTITION BY l_orderkey
+                                   ORDER BY l_linenumber, l_partkey) AS rn
+         FROM lineitem WHERE l_partkey < 500),
+       e AS (SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+             FROM f a JOIN f b
+               ON a.l_orderkey = b.l_orderkey AND b.rn = a.rn + 1
+             WHERE a.l_partkey <> b.l_partkey),
+       nodes AS (SELECT s AS v FROM e UNION SELECT d FROM e),
+       reach(s, d) AS (
+         SELECT s, d FROM e
+         UNION
+         SELECT r.s, e2.d FROM reach r JOIN e e2 ON e2.s = r.d),
+       mutual AS (
+         SELECT r1.s AS v, r1.d AS u
+         FROM reach r1 JOIN reach r2 ON r1.s = r2.d AND r1.d = r2.s)
+       SELECT n.v AS part, least(n.v, coalesce(min(m.u), n.v)) AS scc_id
+       FROM nodes n LEFT JOIN mutual m ON m.v = n.v
+       GROUP BY n.v"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("g_match_node", gMatchNode, gMatchNodeSql),
     QueryDef.sql("g_match_1hop", gMatch1Hop, gMatch1HopSql),
@@ -2011,5 +2124,7 @@ object GraphOps {
     QueryDef.sql("g_basket", gBasket, gBasketSql),
     QueryDef.sql("g_mst", gMst, gMstSql),
     QueryDef.sql("g_truss", gTruss, gTrussSql),
-    QueryDef.sql("g_wal_replay", gWalReplay, gWalReplaySql))
+    QueryDef.sql("g_wal_replay", gWalReplay, gWalReplaySql),
+    QueryDef.sql("g_reciprocity", gReciprocity, gReciprocitySql),
+    QueryDef.sql("g_scc", gScc, gSccSql))
 }

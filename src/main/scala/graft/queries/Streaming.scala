@@ -221,6 +221,57 @@ object Streaming {
 
   val sFunnelSql: String = graft.queries.Relational.qFunnelSql
 
+  /** STREAMING CEP pattern detection, gate-checked against a batch-SQL
+    * truth (the s_funnel discipline): drive the REAL
+    * [[Streams.cepStream]] — readStream over the events parquet,
+    * flatMapGroupsWithState with the bounded per-user click-window
+    * state, a memory sink — then aggregate the per-purchase verdicts to
+    * per-user (n_purchases, n_matches). The oracle DEFINES the pattern
+    * independently: a purchase matches iff ∃ (view, click) with
+    * view < click < purchase on the (µs, event_id) total order,
+    * consecutive gaps ≤ 24 h, and no error strictly between the view
+    * and the purchase.
+    */
+  def sPatternDetect(spark: SparkSession, dir: String): DataFrame = {
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+    val raw = spark.readStream.schema(batch.schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val events =
+      if (batch.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else raw
+    val qn = s"s_pattern_detect_sink_${funnelRuns.incrementAndGet()}"
+    val q = Streams.cepStream(events, windowSec = 86400L).toDF().writeStream
+      .format("memory").queryName(qn).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(qn)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_purchases"),
+        count(when(col("matched"), 1)).as("n_matches"))
+  }
+
+  val sPatternDetectSql: String =
+    """WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS s
+                   FROM events)
+       SELECT p.user_id, count(*) AS n_purchases,
+              count(*) FILTER (WHERE EXISTS (
+                SELECT 1 FROM ev c, ev v
+                WHERE c.user_id = p.user_id AND v.user_id = p.user_id
+                  AND c.event_type = 'click' AND v.event_type = 'view'
+                  AND (c.s < p.s OR (c.s = p.s AND c.event_id < p.event_id))
+                  AND p.s - c.s <= 86400000000
+                  AND (v.s < c.s OR (v.s = c.s AND v.event_id < c.event_id))
+                  AND c.s - v.s <= 86400000000
+                  AND NOT EXISTS (
+                    SELECT 1 FROM ev x
+                    WHERE x.user_id = p.user_id AND x.event_type = 'error'
+                      AND (x.s > v.s OR (x.s = v.s AND x.event_id > v.event_id))
+                      AND (x.s < p.s OR (x.s = p.s AND x.event_id < p.event_id)))))
+                AS n_matches
+       FROM ev p WHERE p.event_type = 'purchase'
+       GROUP BY p.user_id"""
+
   def sSessionize(spark: SparkSession, dir: String): DataFrame =
     Streams.sessionize(Tables.load(spark, dir, "events"), gapSeconds = 1800L)
       .select(col("user_id"), col("session_idx").cast("long").as("session_idx"),
@@ -489,6 +540,7 @@ object Streaming {
     QueryDef.sql("s_rate_anomaly", sRateAnomaly, sRateAnomalySql),
     QueryDef.sql("s_topk_window", sTopkWindow, sTopkWindowSql),
     QueryDef.sql("s_funnel", sFunnel, sFunnelSql),
+    QueryDef.sql("s_pattern_detect", sPatternDetect, sPatternDetectSql),
     QueryDef.sql("s_cdc_merge", sCdcMerge, sCdcMergeSql),
     QueryDef.sql("s_dedup_bloom", sDedupBloom, sDedupBloomSql))
 }

@@ -21,6 +21,12 @@ final case class FunnelInput(user_id: Long, event_type: String,
 final case class FunnelState(step: Int, lastTsUs: Long)
 final case class FunnelHit(user_id: Long, step: Int, ts: java.sql.Timestamp)
 
+/** Row shapes for the streaming CEP pattern matcher. */
+final case class CepClick(tsUs: Long, id: Long, vTsUs: Long, vId: Long, hasV: Boolean)
+final case class CepState(clicks: Seq[CepClick], vTsUs: Long, vId: Long, hasV: Boolean,
+    eTsUs: Long, eId: Long, hasE: Boolean)
+final case class CepHit(user_id: Long, event_id: Long, matched: Boolean)
+
 /** Streaming analytics (SURVEY §2.5) — the Structured-Streaming
   * re-expression of the reference's WAL tailing (server/commitlog.go).
   *
@@ -340,6 +346,83 @@ object Streams {
               st = FunnelState(st.step + 1, tUs)
               out += FunnelHit(userId, st.step, e.ts)
             }
+          }
+        }
+      state.update(st)
+      out.result().iterator
+    }
+
+    src.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(update)
+  }
+
+  /** Streaming complex-event-processing: classify every purchase by
+    * whether a view → click → purchase chain completes it — consecutive
+    * steps within `windowSec` of each other and NO error event strictly
+    * between the chain's view and the purchase (the negative condition
+    * is what separates CEP from the funnel: the funnel only advances on
+    * wanted types; a pattern with an absence guard must WATCH the
+    * unwanted type). Emits one (user, purchase event_id, matched) row
+    * per purchase.
+    *
+    * Exact under EXISTS semantics (a purchase matches iff ANY valid
+    * (view, click) pair completes it): per user the state keeps the
+    * clicks of the last `windowSec` — each carrying the best (latest)
+    * view that preceded it within the window — plus the latest view and
+    * the latest error. A pair survives the absence guard iff its view
+    * is ≥ the latest error before the purchase (all comparisons on the
+    * (µs, event_id) total order, mirrored exactly by the oracle), so
+    * "some valid pair survives" ≡ "the MAX view over in-window clicks
+    * survives" — one max, no pair enumeration. State is bounded by the
+    * click rate × window (the standard CEP state bound), pruned as
+    * events arrive; the one-hot-user pathology costs its own window,
+    * never its history.
+    *
+    * Like [[funnelStream]], each micro-batch sorts its group by
+    * (ts, event_id) before folding, so the transport guarantee needed
+    * is per-user in-order BATCHES (StreamingSpec drives time-split
+    * multi-batch streams against the batch-SQL truth).
+    */
+  def cepStream(events: DataFrame, windowSec: Long): Dataset[CepHit] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val wUs = windowSec * 1000000L
+    val src = events.select(col("user_id").cast("long").as("user_id"),
+        col("event_type"), col("ts"), col("event_id").cast("long").as("event_id"))
+      .as[FunnelInput]
+
+    def le(aTs: Long, aId: Long, bTs: Long, bId: Long): Boolean =
+      aTs < bTs || (aTs == bTs && aId <= bId)
+
+    def update(userId: Long, it: Iterator[FunnelInput],
+        state: GroupState[CepState]): Iterator[CepHit] = {
+      var st = state.getOption.getOrElse(
+        CepState(Nil, 0L, 0L, hasV = false, 0L, 0L, hasE = false))
+      val out = Seq.newBuilder[CepHit]
+      it.toSeq.sortBy(e => (e.ts.getTime * 1000 + e.ts.getNanos / 1000 % 1000,
+          e.event_id))
+        .foreach { e =>
+          val tUs = e.ts.getTime * 1000 + e.ts.getNanos / 1000 % 1000
+          e.event_type match {
+            case "view" =>
+              st = st.copy(vTsUs = tUs, vId = e.event_id, hasV = true)
+            case "error" =>
+              st = st.copy(eTsUs = tUs, eId = e.event_id, hasE = true)
+            case "click" =>
+              val ok = st.hasV && tUs - st.vTsUs <= wUs
+              val c = CepClick(tUs, e.event_id, st.vTsUs, st.vId, ok)
+              st = st.copy(clicks =
+                (st.clicks :+ c).filter(_.tsUs >= tUs - wUs))
+            case "purchase" =>
+              val valid = st.clicks.filter(c =>
+                c.hasV && tUs - c.tsUs <= wUs)
+              val best = valid.sortBy(c => (c.vTsUs, c.vId)).lastOption
+              val matched = best.exists(b =>
+                !st.hasE || le(st.eTsUs, st.eId, b.vTsUs, b.vId))
+              out += CepHit(userId, e.event_id, matched)
+              st = st.copy(clicks = st.clicks.filter(_.tsUs >= tUs - wUs))
+            case _ => ()
           }
         }
       state.update(st)

@@ -1,0 +1,67 @@
+package graft.graph
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Strongly connected components: the distributed forward–backward
+  * min-label peeling must equal the canonical (min-member) labeling —
+  * checked against an independent driver-side Tarjan on planted and
+  * randomized digraphs, with the straggler cutover BOTH forced off
+  * (cutoverBelow = 0: the distributed loop runs to empty) and forced on
+  * (cutoverBelow = huge: pure Tarjan path) to pin their identity.
+  */
+class SccSpec extends SparkSpec {
+
+  private def run(edges: Seq[(Long, Long)], cutover: Long): Map[Long, Long] = {
+    import spark.implicits._
+    val e = edges.toDF("gsrc", "gdst")
+    val n = e.select(col("gsrc").as("gid"))
+      .unionByName(e.select(col("gdst").as("gid"))).distinct()
+    Algorithms.stronglyConnectedComponents(n, e, cutoverBelow = cutover)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  private def reference(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSet
+    val adj = edges.filter(e => e._1 != e._2).groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).distinct }
+    Algorithms.tarjanSccMin(nodes, adj.map { case (k, v) => k -> v.toSeq })
+  }
+
+  test("planted: a 3-cycle, a 2-cycle, a chain, and an isolated pair of arcs") {
+    // 1→2→3→1 (SCC {1,2,3}), 10⇄11 (SCC {10,11}), 20→21→22 (singletons),
+    // 3→10 bridges the cycles one-way
+    val edges = Seq[(Long, Long)](
+      (1, 2), (2, 3), (3, 1), (10, 11), (11, 10), (20, 21), (21, 22), (3, 10))
+    val want = Map[Long, Long](1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 21L, 22L -> 22L)
+    assert(run(edges, cutover = 0L) == want)
+    assert(run(edges, cutover = 1000000L) == want)
+  }
+
+  test("distributed path ≡ driver Tarjan on random digraphs (both cutover regimes)") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 4) {
+      val n = 30 + trial * 20
+      val m = n * 3
+      val edges = Seq.fill(m)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).filter(e => e._1 != e._2)
+      val want = reference(edges)
+      assert(run(edges, cutover = 0L) == want, s"distributed, trial $trial")
+      assert(run(edges, cutover = 1000000L) == want, s"cutover, trial $trial")
+    }
+  }
+
+  test("acyclic graph: every node its own SCC") {
+    val edges = Seq[(Long, Long)]((1, 2), (1, 3), (2, 4), (3, 4), (4, 5))
+    val want = (1L to 5L).map(v => v -> v).toMap
+    assert(run(edges, cutover = 0L) == want)
+  }
+
+  test("one giant cycle settles in a single phase") {
+    val n = 40L
+    val edges = (1L to n).map(i => (i, i % n + 1))
+    val want = (1L to n).map(v => v -> 1L).toMap
+    assert(run(edges, cutover = 0L) == want)
+  }
+}

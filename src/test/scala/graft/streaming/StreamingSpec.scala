@@ -476,4 +476,91 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === oneShot)
     assert(streamed === Map(1L -> 12.0, 3L -> 30.0, 4L -> 40.0))
   }
+
+  test("streaming CEP classifies purchases: chains, absence guard, windows, multi-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // window 600 s (10 min); ts(m) = minute m
+    val evs = Seq(
+      // user 1: clean chain → matched
+      Ev(10, ts(0), 1, "view", 0.0), Ev(11, ts(2), 1, "click", 0.0),
+      Ev(12, ts(4), 1, "purchase", 0.0),
+      // user 2: error BETWEEN view and purchase → unmatched
+      Ev(20, ts(0), 2, "view", 0.0), Ev(21, ts(1), 2, "error", 0.0),
+      Ev(22, ts(2), 2, "click", 0.0), Ev(23, ts(4), 2, "purchase", 0.0),
+      // user 3: error BEFORE the view → matched
+      Ev(30, ts(0), 3, "error", 0.0), Ev(31, ts(1), 3, "view", 0.0),
+      Ev(32, ts(2), 3, "click", 0.0), Ev(33, ts(4), 3, "purchase", 0.0),
+      // user 4: view→click gap exceeds the window → unmatched
+      Ev(40, ts(0), 4, "view", 0.0), Ev(41, ts(25), 4, "click", 0.0),
+      Ev(42, ts(27), 4, "purchase", 0.0),
+      // user 5: click→purchase gap exceeds the window → unmatched
+      Ev(50, ts(0), 5, "view", 0.0), Ev(51, ts(2), 5, "click", 0.0),
+      Ev(52, ts(20), 5, "purchase", 0.0),
+      // user 6: an error splits two views; the LATER view rescues the
+      // chain (max-view selection) → matched
+      Ev(60, ts(0), 6, "view", 0.0), Ev(61, ts(1), 6, "error", 0.0),
+      Ev(62, ts(3), 6, "view", 0.0), Ev(63, ts(5), 6, "click", 0.0),
+      Ev(64, ts(7), 6, "purchase", 0.0),
+      // user 7: bare purchase → emitted, unmatched
+      Ev(70, ts(0), 7, "purchase", 0.0))
+    val source = MemoryStream[Ev]
+    val q = Streams.cepStream(source.toDF(), windowSec = 600L).toDF()
+      .writeStream.format("memory").queryName("cep_out")
+      .outputMode("append").start()
+    try {
+      // split micro-batches at minute 3 — state (views, errors, clicks)
+      // must carry across the boundary for every user
+      source.addData(evs.filter(_.ts.before(ts(3))): _*)
+      q.processAllAvailable()
+      source.addData(evs.filterNot(_.ts.before(ts(3))): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("cep_out")
+      .collect().map(r => r.getLong(1) -> r.getBoolean(2)).toMap
+    assert(got === Map(12L -> true, 23L -> false, 33L -> true,
+      42L -> false, 52L -> false, 64L -> true, 70L -> false))
+  }
+
+  test("streaming CEP equals the brute-force EXISTS evaluation on random streams") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(7)
+    val types = Seq("view", "click", "purchase", "error", "signup")
+    val wSec = 600L
+    val evs = (1 to 400).map { i =>
+      Ev(i.toLong, ts(rnd.nextInt(60)), rnd.nextInt(8).toLong + 1,
+        types(rnd.nextInt(types.length)), 0.0)
+    }
+    // driver brute force over the (µs, id) total order
+    def us(e: Ev): Long = e.ts.getTime * 1000
+    def lt(a: (Long, Long), b: (Long, Long)): Boolean =
+      a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)
+    val want = evs.filter(_.event_type == "purchase").map { p =>
+      val pk = (us(p), p.event_id)
+      val m = evs.exists { c =>
+        c.event_type == "click" && c.user_id == p.user_id &&
+        lt((us(c), c.event_id), pk) && us(p) - us(c) <= wSec * 1000000L &&
+        evs.exists { v =>
+          v.event_type == "view" && v.user_id == p.user_id &&
+          lt((us(v), v.event_id), (us(c), c.event_id)) &&
+          us(c) - us(v) <= wSec * 1000000L &&
+          !evs.exists { x =>
+            x.event_type == "error" && x.user_id == p.user_id &&
+            lt((us(v), v.event_id), (us(x), x.event_id)) &&
+            lt((us(x), x.event_id), pk)
+          }
+        }
+      }
+      p.event_id -> m
+    }.toMap
+    val source = MemoryStream[Ev]
+    val q = Streams.cepStream(source.toDF(), windowSec = wSec).toDF()
+      .writeStream.format("memory").queryName("cep_rand_out")
+      .outputMode("append").start()
+    try { source.addData(evs: _*); q.processAllAvailable() } finally q.stop()
+    val got = spark.table("cep_rand_out")
+      .collect().map(r => r.getLong(1) -> r.getBoolean(2)).toMap
+    assert(got === want)
+  }
 }
