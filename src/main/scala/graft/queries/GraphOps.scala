@@ -107,6 +107,7 @@ object GraphOps {
     anfCached(spark, dir)
     followedByCached(spark, dir)
     followedByCached(spark, dir, cap = 500L)
+    landmarkBfsCached(spark, dir)
     ()
   }
 
@@ -1993,6 +1994,95 @@ object GraphOps {
       graft.PinnedRdds.pinning(spark) { edges.localCheckpoint() }
     })
 
+  /** Landmark BFS fit for the distance-oracle face: hop-bounded
+    * multi-source BFS from the 8 highest-degree co-purchase nodes
+    * (degree-desc, gid-asc tiebreak — a total order, so the landmark
+    * set is deterministic), pinned per (session, dir) like the seed
+    * BFS sample. Landmark selection by degree is the standard
+    * distance-sketch heuristic (cf. Potamias et al., "Fast Shortest
+    * Path Distance Estimation in Large Networks"): high-degree nodes
+    * sit on many shortest paths, so d(u,l)+d(l,v) is tight more often.
+    */
+  private val landmarkBfsCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  private def landmarkBfsCached(spark: SparkSession, dir: String): DataFrame =
+    landmarkBfsCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      val und = adjGraphCached(spark, dir).und
+        .select(col("a").as("gsrc"), col("b").as("gdst"))
+      val landmarks = adjGraphCached(spark, dir).und
+        .groupBy(col("a")).agg(count(lit(1)).as("deg"))
+        .orderBy(col("deg").desc, col("a").asc).limit(8)
+        .select(col("a").as("src"))
+      val d = Algorithms.bfsMulti(und, landmarks, maxHops = 4)
+      graft.PinnedRdds.pinning(spark) { d.localCheckpoint() }
+    })
+
+  /** Landmark distance oracle, evaluated: estimate pairwise co-purchase
+    * distances as d̂(u,v) = min over landmarks l of d(u,l) + d(l,v)
+    * (triangle-inequality upper bound — 8 BFS sweeps replace all-pairs,
+    * THE way pairwise distance queries are served at 100 TB), and
+    * report d̂ NEXT TO the exact hop distance for every sample pair so
+    * the face IS the sketch's error profile. Both sides are hop-bounded
+    * multi-source BFS reads: exact from the sample sweep, estimate from
+    * the pinned landmark sweep; the oracle replays both with recursive
+    * CTEs. d̂ ≥ d_exact always (every estimate is a real walk through
+    * its landmark), so err = d̂ − d_exact is the per-pair sketch cost.
+    */
+  def gDistOracle(spark: SparkSession, dir: String): DataFrame = {
+    val und = adjGraphCached(spark, dir).und
+      .select(col("a").as("gsrc"), col("b").as("gdst"))
+    val seeds = adjGraphCached(spark, dir).und
+      .select(col("a")).distinct().filter(col("a") < 40)
+      .select(col("a").as("src"))
+    val exact = Algorithms.bfsMulti(und, seeds, maxHops = 4)
+      .filter(col("hop") > 0 && col("gid") < 40 && col("src") < col("gid"))
+      .select(col("src").as("part_a"), col("gid").as("part_b"),
+        col("hop").cast("long").as("d_exact"))
+    val lb = landmarkBfsCached(spark, dir).filter(col("gid") < 40)
+    val est = lb.select(col("src"), col("gid").as("u"), col("hop").as("du"))
+      .join(lb.select(col("src"), col("gid").as("v"), col("hop").as("dv")), "src")
+      .filter(col("u") < col("v"))
+      .groupBy(col("u").as("part_a"), col("v").as("part_b"))
+      .agg(min(col("du") + col("dv")).cast("long").as("d_est"))
+    exact.join(est, Seq("part_a", "part_b"))
+      .select(col("part_a"), col("part_b"), col("d_exact"), col("d_est"),
+        (col("d_est") - col("d_exact")).as("err"))
+  }
+
+  val gDistOracleSql: String =
+    """WITH RECURSIVE op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       ce AS MATERIALIZED (
+         SELECT a.l_partkey AS a, b.l_partkey AS b
+         FROM op a JOIN op b
+         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         GROUP BY 1, 2),
+       und AS MATERIALIZED (SELECT a, b FROM ce UNION ALL SELECT b AS a, a AS b FROM ce),
+       lm AS (SELECT a AS src FROM und GROUP BY a ORDER BY count(*) DESC, a ASC LIMIT 8),
+       lwalk(src, gid, hop) AS (
+         SELECT src, src, 0 FROM lm
+         UNION
+         SELECT w.src, u.b, w.hop + 1
+         FROM lwalk w JOIN und u ON u.a = w.gid WHERE w.hop < 4),
+       ld AS MATERIALIZED (
+         SELECT src, gid, min(hop) AS hop FROM lwalk WHERE gid < 40 GROUP BY 1, 2),
+       swalk(src, gid, hop) AS (
+         SELECT a, a, 0 FROM (SELECT DISTINCT a FROM und WHERE a < 40)
+         UNION
+         SELECT w.src, u.b, w.hop + 1
+         FROM swalk w JOIN und u ON u.a = w.gid WHERE w.hop < 4),
+       sd AS (SELECT src, gid, min(hop) AS hop FROM swalk GROUP BY 1, 2),
+       exact AS (SELECT src AS pa, gid AS pb, hop AS d_exact FROM sd
+                 WHERE hop > 0 AND gid < 40 AND src < gid),
+       est AS (SELECT x.gid AS pa, y.gid AS pb, min(x.hop + y.hop) AS d_est
+               FROM ld x JOIN ld y ON x.src = y.src AND x.gid < y.gid
+               GROUP BY 1, 2)
+       SELECT e.pa AS part_a, e.pb AS part_b,
+              CAST(e.d_exact AS BIGINT) AS d_exact,
+              CAST(s.d_est AS BIGINT) AS d_est,
+              CAST(s.d_est - e.d_exact AS BIGINT) AS err
+       FROM exact e JOIN est s ON s.pa = e.pa AND s.pb = e.pb"""
+
   /** Edge reciprocity of the directed followed-by graph: the share of
     * a→b edges whose reverse b→a also occurs — the standard directed-
     * graph statistic separating genuinely ordered relations (low
@@ -2126,5 +2216,6 @@ object GraphOps {
     QueryDef.sql("g_truss", gTruss, gTrussSql),
     QueryDef.sql("g_wal_replay", gWalReplay, gWalReplaySql),
     QueryDef.sql("g_reciprocity", gReciprocity, gReciprocitySql),
-    QueryDef.sql("g_scc", gScc, gSccSql))
+    QueryDef.sql("g_scc", gScc, gSccSql),
+    QueryDef.sql("g_dist_oracle", gDistOracle, gDistOracleSql))
 }
