@@ -2203,6 +2203,193 @@ object Algorithms {
     } // withoutAqe
   }
 
+  /** Distributed Louvain community detection (Blondel et al. 2008,
+    * distributed-memory formulation à la Grappolo/Spark-Louvain):
+    * repeated LOCAL-MOVE rounds — every node evaluates the modularity
+    * gain of adopting each neighbor community and the positive-gain
+    * winners move — followed by graph CONTRACTION (communities become
+    * super-nodes carrying self-loop weight), for `levels` levels.
+    *
+    * Determinism and correctness of simultaneous moves:
+    * - Gains compare in EXACT integer arithmetic: the float ΔQ is
+    *   scaled by 2m² → gain2 = 2m·(w_{v→B} − w_{v→A∖v}) −
+    *   k_v·(Σtot(B) − Σtot(A) + k_v), every term an integer (unit/
+    *   summed edge weights) — no ULP ties, so the argmax with the
+    *   (gain2 desc, community asc) tie-break is a pure function of the
+    *   graph.
+    * - Every positive-gain winner OF THE ROUND'S PARITY CLASS moves
+    *   simultaneously each round (the
+    *   parallel Louvain sweep — one-mover-per-neighborhood schemes were
+    *   measured to starve dense graphs: 8 rounds moved <10% of the
+    *   co-purchase nodes). Simultaneity admits one persistent
+    *   oscillator — two adjacent SINGLETON communities adopting each
+    *   other's label forever — broken by the Grappolo min-label rule
+    *   (singleton→singleton moves only toward the smaller community
+    *   id; Lu, Halappanavar & Kalyanaraman 2015). Other stale-gain
+    *   interactions are second-order and damped by re-evaluation next
+    *   round; rounds are FIXED-count so the algorithm is a
+    *   deterministic fold regardless.
+    *
+    * Self-loops (contracted intra-community mass) ride along: they
+    * never affect move gains (a node's self-loop moves with it and
+    * stays intra) but contribute to strengths and to m, which is where
+    * the level-2 arithmetic needs them.
+    *
+    * Returns (gid, community) on the ORIGINAL node ids, community =
+    * min member id (canonical labeling). One shuffle per round (the
+    * neighbor-community weight groupBy) — label-prop cost with a
+    * modularity objective; contraction is one groupBy on community
+    * pairs. LouvainSpec pins planted recovery, determinism, and
+    * modularity ≥ the label-prop partition on the real graph.
+    */
+  def louvain(nodes: DataFrame, edges: DataFrame, levels: Int = 2,
+      rounds: Int = 8): DataFrame = {
+    val canon0 = edges.select(
+        least(col("gsrc"), col("gdst")).as("a"),
+        greatest(col("gsrc"), col("gdst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .select(col("a"), col("b"), lit(1L).as("w"))
+      .localCheckpoint()
+    val width = loopWidth(edges, canon0.count())
+    // every loop-state checkpoint is stats-clamped (see LoopCheckpoint:
+    // this loop joins state-derived frames against each other, the shape
+    // that compounds carried size estimates geometrically)
+    def ck(df: DataFrame): DataFrame =
+      org.apache.spark.sql.graftbridge.LoopCheckpoint.clampStats(df.localCheckpoint())
+    withoutAqe(edges, Some(width)) {
+      // level-local state: canon (a<b, w), selfW (gid, sw), projection
+      // from original gid to current-level node
+      var canon = ck(canon0.coalesce(width))
+      var selfW = ck(nodes.select(col("gid"), lit(0L).as("sw")))
+      var proj = nodes.select(col("gid"), col("gid").as("node"))
+      for (level <- 1 to levels) {
+        val und = ck(canon.select(col("a"), col("b"), col("w"))
+          .unionByName(canon.select(col("b").as("a"), col("a").as("b"), col("w"))))
+        // strength k(v) = Σ incident w + 2·selfW; m = Σ w + Σ selfW
+        val strength = selfW
+          .join(und.groupBy(col("a").as("gid")).agg(sum(col("w")).as("iw")),
+            Seq("gid"), "left")
+          .select(col("gid"),
+            (coalesce(col("iw"), lit(0L)) + lit(2L) * col("sw")).as("k"))
+          .transform(ck)
+        val mRow = canon.agg(sum(col("w")).as("ew")).collect()(0)
+        val swRow = selfW.agg(sum(col("sw")).as("sw")).collect()(0)
+        val m = (if (mRow.isNullAt(0)) 0L else mRow.getLong(0)) +
+          (if (swRow.isNullAt(0)) 0L else swRow.getLong(0))
+        var lab = ck(strength.select(col("gid"), col("gid").as("community")))
+        val nRows = lab.count()
+        val small = nRows <= BroadcastStateBound
+        var moved = true
+        var r = 0
+        while (moved && r < rounds) {
+          r += 1
+          val tot = lab.join(stateHint(strength, small), Seq("gid"))
+            .groupBy(col("community")).agg(sum(col("k")).as("tot"))
+          // w(v → C) for every neighbor community C, own community
+          // included — the round's ONE edge-sized join, checkpointed so
+          // the own-community split and the candidate scoring both read
+          // the materialized node×community table instead of re-running
+          // the edge join
+          val nbrW = ck(und
+            .join(stateHint(lab.select(col("gid").as("b"), col("community").as("cb")),
+              small), Seq("b"))
+            .groupBy(col("a").as("gid"), col("cb"))
+            .agg(sum(col("w")).as("wvc")))
+          // own-community neighbor weight (0 when v has no intra edge)
+          val scored = nbrW.join(stateHint(
+            lab.select(col("gid"), col("community").as("ca")), small), Seq("gid"))
+          val wOwn = scored.filter(col("cb") === col("ca"))
+            .select(col("gid"), col("wvc").as("wva"))
+          val cand = scored
+            .filter(col("cb") =!= col("ca"))
+            .join(stateHint(wOwn, small), Seq("gid"), "left")
+            .join(stateHint(strength, small), Seq("gid"))
+            .join(stateHint(tot.select(col("community").as("ca"),
+              col("tot").as("totA")), small), Seq("ca"))
+            .join(stateHint(tot.select(col("community").as("cb"),
+              col("tot").as("totB")), small), Seq("cb"))
+            .select(col("gid"), col("ca"), col("cb"),
+              (lit(2L) * lit(m) * (col("wvc") - coalesce(col("wva"), lit(0L))) -
+                col("k") * (col("totB") - col("totA") + col("k"))).as("gain2"))
+            .filter(col("gain2") > 0L)
+          // per node: best target by (gain2 desc, community asc); every
+          // positive-gain winner moves simultaneously (the parallel
+          // Louvain sweep), EXCEPT the classic oscillator — two adjacent
+          // SINGLETON communities each adopting the other's label swap
+          // forever — which the Grappolo min-label rule breaks: a
+          // singleton may join another singleton only toward the
+          // SMALLER community id (Lu, Halappanavar & Kalyanaraman,
+          // "Parallel heuristics for scalable community detection").
+          val csize = lab.groupBy(col("community")).agg(count(lit(1)).as("cs"))
+          val movers = cand
+            .groupBy(col("gid"))
+            .agg(max(struct(col("gain2"), (-col("cb")).as("negc"),
+              col("ca"))).as("mx"))
+            .select(col("gid"), (-col("mx.negc")).as("target"),
+              col("mx.ca").as("ca"))
+            .join(stateHint(csize.select(col("community").as("ca"),
+              col("cs").as("sizeA")), small), Seq("ca"))
+            .join(stateHint(csize.select(col("community").as("target"),
+              col("cs").as("sizeB")), small), Seq("target"))
+            .filter(col("sizeA") > 1L || col("sizeB") > 1L ||
+              col("target") < col("ca"))
+            // parity-alternating sweep (round r moves only gids ≡ r mod
+            // 2): the standard distributed-Louvain damping — halves the
+            // simultaneous-move set so stale-gain churn can't sustain
+            // itself. A/B at sf0.1: modularity 0.048 → 0.058 and the
+            // mover count finally CONTRACTS (268-per-round plateau →
+            // monotone decline) at the same wall-clock.
+            .filter(pmod(col("gid"), lit(2L)) === lit(r % 2))
+            .select(col("gid"), col("target"))
+            .transform(ck)
+          val nMovers = movers.count()
+          if (nMovers == 0) moved = false
+          else {
+            lab = ck(lab.join(hintSmall(movers, nMovers), Seq("gid"), "left")
+              .select(col("gid"),
+                coalesce(col("target"), col("community")).as("community")))
+          }
+        }
+        // canonicalize community ids as min member (stable across levels)
+        val cmin = lab.groupBy(col("community"))
+          .agg(min(col("gid")).as("cmin"))
+        lab = ck(lab.join(stateHint(cmin, small), Seq("community"))
+          .select(col("gid"), col("cmin").as("community")))
+        proj = ck(proj.join(lab.select(col("gid").as("node"), col("community")),
+            Seq("node"))
+          .select(col("gid"), col("community").as("node")))
+        if (level < levels) {
+          // contract: communities → nodes; intra mass (incl. member
+          // self-loops) becomes the super-node self-loop
+          val labA = lab.select(col("gid").as("a"), col("community").as("ca"))
+          val labB = lab.select(col("gid").as("b"), col("community").as("cb"))
+          val mapped = canon.join(stateHint(labA, small), Seq("a"))
+            .join(stateHint(labB, small), Seq("b"))
+            .select(col("ca"), col("cb"), col("w"))
+          val inter = mapped.filter(col("ca") =!= col("cb"))
+            .select(least(col("ca"), col("cb")).as("a"),
+              greatest(col("ca"), col("cb")).as("b"), col("w"))
+            .groupBy(col("a"), col("b")).agg(sum(col("w")).as("w"))
+            .transform(ck)
+          val intra = mapped.filter(col("ca") === col("cb"))
+            .groupBy(col("ca").as("gid")).agg(sum(col("w")).as("iw"))
+          val memberSelf = selfW
+            .join(stateHint(lab.select(col("gid"), col("community")), small), Seq("gid"))
+            .groupBy(col("community").as("gid")).agg(sum(col("sw")).as("msw"))
+          selfW = lab.select(col("community").as("gid")).distinct()
+            .join(intra, Seq("gid"), "left")
+            .join(memberSelf, Seq("gid"), "left")
+            .select(col("gid"),
+              (coalesce(col("iw"), lit(0L)) + coalesce(col("msw"), lit(0L))).as("sw"))
+            .transform(ck)
+          canon = inter
+        }
+      }
+      proj.select(col("gid"), col("node").as("community"))
+    } // withoutAqe
+  }
+
   /** Iterative Tarjan over a driver-local adjacency, returning the
     * canonical (node → min SCC member) map. Used by the SCC straggler
     * cutover and by SccSpec as the independent reference.

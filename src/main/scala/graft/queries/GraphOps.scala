@@ -108,6 +108,7 @@ object GraphOps {
     followedByCached(spark, dir)
     followedByCached(spark, dir, cap = 500L)
     landmarkBfsCached(spark, dir)
+    louvainCached(spark, dir)
     ()
   }
 
@@ -1994,6 +1995,35 @@ object GraphOps {
       graft.PinnedRdds.pinning(spark) { edges.localCheckpoint() }
     })
 
+  /** The pinned Louvain fit over the co-purchase graph — two levels of
+    * local-move + contraction ([[Algorithms.louvain]]), once per
+    * (session, dir), like the label-prop fit it upgrades.
+    */
+  private val louvainCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  private def louvainCached(spark: SparkSession, dir: String): DataFrame =
+    louvainCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      val (nodes, edges) = copurchaseGraph(spark, dir)
+      graft.PinnedRdds.pinning(spark) {
+        Algorithms.louvain(nodes, edges, levels = 2).localCheckpoint()
+      }
+    })
+
+  /** Louvain community detection over the co-purchase graph — the
+    * modularity-objective upgrade of g_label_prop (label propagation
+    * follows majority votes and can collapse to giant components;
+    * Louvain moves only on positive modularity gain and contracts, so
+    * its partition SCORES at least as well by construction — LouvainSpec
+    * asserts it on this very graph). Rows-only by design: the two-level
+    * move/contract recursion is not ANSI-SQL-expressible; exactness is
+    * spec-carried (planted-clique recovery, determinism, modularity
+    * dominance, contraction no-regression).
+    */
+  def gLouvain(spark: SparkSession, dir: String): DataFrame =
+    louvainCached(spark, dir)
+      .select(col("gid").as("part"), col("community"))
+
   /** Landmark BFS fit for the distance-oracle face: hop-bounded
     * multi-source BFS from the 8 highest-degree co-purchase nodes
     * (degree-desc, gid-asc tiebreak — a total order, so the landmark
@@ -2217,5 +2247,6 @@ object GraphOps {
     QueryDef.sql("g_wal_replay", gWalReplay, gWalReplaySql),
     QueryDef.sql("g_reciprocity", gReciprocity, gReciprocitySql),
     QueryDef.sql("g_scc", gScc, gSccSql),
-    QueryDef.sql("g_dist_oracle", gDistOracle, gDistOracleSql))
+    QueryDef.sql("g_dist_oracle", gDistOracle, gDistOracleSql),
+    QueryDef.rowsOnly("g_louvain", gLouvain))
 }
