@@ -272,6 +272,98 @@ object Streaming {
        FROM ev p WHERE p.event_type = 'purchase'
        GROUP BY p.user_id"""
 
+  /** Derived time-INTERLEAVED file source for the late-data face: the
+    * events table split into three files by event_id mod 3 — each file
+    * spans the whole time range, so replaying them as micro-batches
+    * makes the second and third batches arrive with event times far
+    * behind the advanced watermark (real late data, unlike the
+    * time-ordered single-file replay every other stream face uses) —
+    * plus two far-future '__flush' sentinel files that advance the
+    * watermark past every real window and then give the engine a batch
+    * to evict them in. File modification times are staggered so the
+    * file source's oldest-first ordering equals the batch design.
+    */
+  private val lateSrcCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  private def lateSourceDir(spark: SparkSession, dir: String): String =
+    lateSrcCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      import java.nio.file.{Files, Paths}
+      val out = Files.createTempDirectory("graft_late_src").toString
+      val ev = Tables.load(spark, dir, "events")
+      val maxTs = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+      def writeOne(df: DataFrame, name: String, mtime: Long): Unit = {
+        val staging = Files.createTempDirectory("graft_late_stage").toString
+        df.coalesce(1).write.mode("overwrite").parquet(staging)
+        val part = new java.io.File(staging).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        Files.move(part.toPath, Paths.get(out, name))
+        new java.io.File(out, name).setLastModified(mtime)
+        ()
+      }
+      val base = System.currentTimeMillis() - 3600000L
+      for (b <- 0 to 2)
+        writeOne(ev.filter(pmod(col("event_id"), lit(3L)) === b.toLong),
+          s"b$b.parquet", base + b * 2000L)
+      def sentinel(plusDays: Int, id: Long) = ev.limit(1).select(
+        lit(id).as("event_id"),
+        (col("ts") - col("ts") + lit(new java.sql.Timestamp(
+          maxTs.getTime + plusDays * 86400000L))).as("ts"),
+        lit(0L).as("user_id"), lit("__flush").as("event_type"),
+        lit(0.0).as("value"), lit("").as("props"))
+      writeOne(sentinel(30, -1L), "f0.parquet", base + 6000L)
+      writeOne(sentinel(60, -2L), "f1.parquet", base + 8000L)
+      out
+    })
+
+  /** STREAMING windowed aggregation under REAL late data: the events
+    * table replayed as three time-interleaved micro-batches (file
+    * source, one file per trigger) through
+    * [[Streams.lateDataAgg]]'s watermarked day-window count — the
+    * watermark advanced by batch 1 genuinely DISCARDS late rows of
+    * batch 3. The oracle replays the exact drop rule in SQL
+    * (WatermarkProbeSpec pins the boundary; the batch-lag was measured
+    * on this very pipeline): Spark keeps TWO watermarks (SPARK-42376) —
+    * late-event FILTERING uses the previous micro-batch's value, i.e.
+    * max(ts over batches ≤ i−2) − 1 h for batch i, while state EVICTION
+    * uses the current one (max over ≤ i−1). A row survives iff its
+    * day-window end > the late-event watermark of its batch; the
+    * filter/eviction split can never double-emit a group (eviction at
+    * batch i requires end ≤ currentWm(i), and batch-(i+1) late rows
+    * pass the filter only if end > that same value). This face is the
+    * deployment
+    * question "what did the watermark cost me" made checkable: the
+    * per-window counts ARE the post-drop truth.
+    */
+  def sLateData(spark: SparkSession, dir: String): DataFrame = {
+    val src = lateSourceDir(spark, dir)
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val qn = s"s_late_data_sink_${funnelRuns.incrementAndGet()}"
+    val q = Streams.lateDataAgg(stream).writeStream
+      .format("memory").queryName(qn).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(qn).filter(col("event_type") =!= "__flush")
+      .select(col("window_start"), col("event_type"), col("n"))
+  }
+
+  val sLateDataSql: String =
+    """WITH ev AS (SELECT event_id, ts, event_type, event_id % 3 AS b
+                   FROM events),
+       bm AS (SELECT b, max(ts) AS mt FROM ev GROUP BY b),
+       wm AS (SELECT b, max(mt) OVER (ORDER BY b
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - INTERVAL 1 HOUR AS w
+              FROM bm),
+       keep AS (SELECT e.ts, e.event_type FROM ev e
+                LEFT JOIN wm ON wm.b = e.b - 2
+                WHERE wm.w IS NULL
+                   OR date_trunc('day', e.ts) + INTERVAL 1 DAY > wm.w)
+       SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+              event_type, count(*) AS n
+       FROM keep GROUP BY 1, 2"""
+
   def sSessionize(spark: SparkSession, dir: String): DataFrame =
     Streams.sessionize(Tables.load(spark, dir, "events"), gapSeconds = 1800L)
       .select(col("user_id"), col("session_idx").cast("long").as("session_idx"),
@@ -541,6 +633,7 @@ object Streaming {
     QueryDef.sql("s_topk_window", sTopkWindow, sTopkWindowSql),
     QueryDef.sql("s_funnel", sFunnel, sFunnelSql),
     QueryDef.sql("s_pattern_detect", sPatternDetect, sPatternDetectSql),
+    QueryDef.sql("s_late_data", sLateData, sLateDataSql),
     QueryDef.sql("s_cdc_merge", sCdcMerge, sCdcMergeSql),
     QueryDef.sql("s_dedup_bloom", sDedupBloom, sDedupBloomSql))
 }

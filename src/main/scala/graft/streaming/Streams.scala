@@ -434,6 +434,28 @@ object Streams {
         GroupStateTimeout.NoTimeout)(update)
   }
 
+  /** Watermarked tumbling-window aggregation with REAL late-data drops —
+    * the operator s_late_data gate-checks. Unlike [[tumblingAgg]] (whose
+    * gate face sees in-order data and drops nothing), this one is driven
+    * with time-interleaved batches so the watermark actually discards
+    * rows, and the face's oracle replays the drop rule in SQL
+    * (WatermarkProbeSpec pins the semantics: a row drops iff its window
+    * end ≤ the watermark in force during its batch, inclusive).
+    *
+    * Deliberately NO pre-agg filter on the flush sentinels: Catalyst
+    * pushes filters below the EventTimeWatermark node, and filtered
+    * sentinels would never advance the watermark (measured: the whole
+    * output stayed withheld). Sentinels flow into the aggregation and
+    * the CALLER filters them from the sink table.
+    */
+  def lateDataAgg(events: DataFrame, delay: String = "1 hour",
+      windowLen: String = "1 day"): DataFrame =
+    events.withWatermark("ts", delay)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"))
+
   def bloomDedupStream(events: DataFrame, key: org.apache.spark.sql.Column,
       buckets: Int = 64, expectedPerBucket: Long = 1000000L,
       fpp: Double = 0.01): DataFrame = {
