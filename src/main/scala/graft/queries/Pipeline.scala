@@ -2855,7 +2855,63 @@ object Pipeline {
       .orderBy(round(abs(col("score")), 4).desc, col("vec_id"))
       .limit(50)
 
+  /** Curriculum-learning stage assignment: the corpus ordered by the
+    * 4dp-integerized quality score (the engine-equal quantity every
+    * card face aggregates — INTEGER ordering keys, no float comparisons
+    * anywhere) with doc_id tiebreak, split into 4 curriculum stages by
+    * the distributed exact NTILE (operators/Ntile.distributed — no
+    * single-partition window sort at 100 TB), reported as the per-stage
+    * datasheet a training scheduler consumes: doc/token budgets and
+    * sealed quality bounds per stage. Stage 1 = highest quality (train
+    * first on the cleanest shard — the curriculum convention).
+    */
+  def pCurriculum(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val q4 = floor(TextAnalysis.qualityScore(col("text")) * 10000.0 + lit(0.5))
+      .cast("long")
+    val scored = docs.select(col("doc_id"), q4.as("q4"),
+      TextAnalysis.wsTokens(col("text")).cast("long").as("toks"))
+    graft.operators.Ntile.distributed(scored, 4,
+        Seq(col("q4").desc, col("doc_id").asc), "stage")
+      .groupBy(col("stage").cast("long").as("stage"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("n_tokens"),
+        sum(col("q4")).as("_s"),
+        min(col("q4")).as("_min"), max(col("q4")).as("_max"))
+      .select(col("stage"), col("n_docs"), col("n_tokens"),
+        (expr("(_s * 2 + n_docs) DIV (2 * n_docs)").cast("double") / 10000.0)
+          .as("mean_quality"),
+        (col("_min").cast("double") / 10000.0).as("min_quality"),
+        (col("_max").cast("double") / 10000.0).as("max_quality"))
+  }
+
+  val pCurriculumSql: String = {
+    val ws = "len(regexp_split_to_array(trim(text), '\\s+'))"
+    val punct = s"(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / greatest(length(text), 1))"
+    val stop = s"(CAST(${sqlLangScore("en")} AS DOUBLE) / greatest($ws, 1))"
+    val quality = s"""least(CAST($ws AS DOUBLE) / 100.0, 1.0) * 0.4 +
+                    (1.0 - least($punct * 10.0, 1.0)) * 0.3 +
+                    least($stop * 4.0, 1.0) * 0.3"""
+    s"""WITH q AS (
+         SELECT doc_id,
+                CAST(floor(($quality) * 10000.0 + 0.5) AS BIGINT) AS q4,
+                CAST($ws AS BIGINT) AS toks
+         FROM documents),
+       st AS (
+         SELECT q4, toks,
+                ntile(4) OVER (ORDER BY q4 DESC, doc_id) AS stage
+         FROM q)
+       SELECT CAST(stage AS BIGINT) AS stage, count(*) AS n_docs,
+              CAST(sum(toks) AS BIGINT) AS n_tokens,
+              CAST((CAST(sum(q4) AS BIGINT) * 2 + count(*))
+                   // (2 * count(*)) AS DOUBLE) / 10000.0 AS mean_quality,
+              CAST(min(q4) AS DOUBLE) / 10000.0 AS min_quality,
+              CAST(max(q4) AS DOUBLE) / 10000.0 AS max_quality
+       FROM st GROUP BY 1"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("p_curriculum", pCurriculum, pCurriculumSql),
     QueryDef.sql("p_winsorize", pWinsorize, pWinsorizeSql),
     QueryDef.sql("p_var_profile", pVarProfile, pVarProfileSql),
     QueryDef.rowsOnly("p_pca_project", pPcaProject),
