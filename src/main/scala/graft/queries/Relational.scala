@@ -864,6 +864,38 @@ object Relational {
                 AS BIGINT) AS z
        FROM events"""
 
+  /** Hilbert-curve position of (user_id, event_id) on the 2¹⁶ grid —
+    * [[graft.functions.HilbertEncode]], the better-locality layout
+    * sibling of q_zorder (HilbertSpec proves the unit-step adjacency
+    * property Morton order lacks and measures the locality win). Oracle
+    * replays the identical xy2d recurrence as a recursive CTE over the
+    * 16 bit levels, carrying the rotated frame per row.
+    */
+  def qHilbert(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .select(col("event_id"),
+        graft.functions.HilbertEncode(col("user_id"), col("event_id")).as("h"))
+
+  val qHilbertSql: String =
+    """WITH RECURSIVE hw(event_id, x, y, d, s) AS (
+         SELECT event_id, user_id & 65535, event_id & 65535,
+                CAST(0 AS BIGINT), CAST(32768 AS BIGINT)
+         FROM events
+         UNION ALL
+         SELECT event_id,
+                CASE WHEN (y & s) > 0 THEN x
+                     WHEN (x & s) > 0 THEN 65535 - y
+                     ELSE y END,
+                CASE WHEN (y & s) > 0 THEN y
+                     WHEN (x & s) > 0 THEN 65535 - x
+                     ELSE x END,
+                d + s * s * (CASE WHEN (x & s) > 0 AND (y & s) > 0 THEN 2
+                                  WHEN (x & s) > 0 THEN 3
+                                  WHEN (y & s) > 0 THEN 1 ELSE 0 END),
+                s // 2
+         FROM hw WHERE s > 0)
+       SELECT event_id, d AS h FROM hw WHERE s = 0"""
+
   /** Distribution window functions (ntile / cume_dist / percent_rank)
     * over customer balances within nation — quartile bucketing and
     * relative standing, the analyst scorecard trio. The ORDER BY is made
@@ -1688,6 +1720,7 @@ object Relational {
     QueryDef.sql("q_funnel", qFunnel, qFunnelSql),
     QueryDef.sql("q_cdc_merge", qCdcMerge, qCdcMergeSql),
     QueryDef.sql("q_zorder", qZorder, qZorderSql),
+    QueryDef.sql("q_hilbert", qHilbert, qHilbertSql),
     QueryDef.sql("q_asof_operator", qAsofOperator, qAsofOperatorSql),
     QueryDef.sql("q_range_join", qRangeJoin, qRangeJoinSql),
     QueryDef.sql("q_skew_join", qSkewJoin, qSkewJoinSql),
