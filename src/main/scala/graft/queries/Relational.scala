@@ -896,6 +896,89 @@ object Relational {
          FROM hw WHERE s > 0)
        SELECT event_id, d AS h FROM hw WHERE s = 0"""
 
+  /** Zone-map data skipping MEASURED across three write layouts —
+    * natural (event_id order), Morton (37e), Hilbert (37o): rows are
+    * bucketed into 64 "files" by the distributed exact NTILE over each
+    * layout's total sort order, per-bucket min/max of user_id form the
+    * zone map, and every probe user_id ≤ 100 counts the buckets whose
+    * zone interval admits it — the average buckets-scanned per point
+    * query IS the layout's skip quality. The natural layout spreads
+    * every user across every file (no pruning); the curves cluster both
+    * dimensions, Hilbert at least as tightly as Morton. This face turns
+    * the §5 layout claim into a hash-checked number.
+    */
+  def qLayoutSkip(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        graft.functions.ZOrder(col("user_id"), col("event_id")).as("z"),
+        graft.functions.HilbertEncode(col("user_id"), col("event_id")).as("h"))
+      .localCheckpoint()
+    def zones(order: Seq[org.apache.spark.sql.Column], layout: String): DataFrame =
+      graft.operators.Ntile.distributed(base, 64, order, "bucket")
+        .groupBy(col("bucket"))
+        .agg(min(col("user_id")).as("lo"), max(col("user_id")).as("hi"))
+        .select(lit(layout).as("layout"), col("lo"), col("hi"))
+    val allZones = zones(Seq(col("event_id")), "natural")
+      .unionByName(zones(Seq(col("z"), col("event_id")), "zorder"))
+      .unionByName(zones(Seq(col("h"), col("event_id")), "hilbert"))
+    val probes = base.select(col("user_id")).distinct()
+      .filter(col("user_id") <= 100)
+    allZones.join(broadcast(probes),
+        col("user_id").between(col("lo"), col("hi")))
+      .groupBy(col("layout"))
+      .agg(count(lit(1)).as("buckets_scanned"))
+      .crossJoin(broadcast(probes.agg(count(lit(1)).as("n_probes"))))
+      .select(col("layout"), col("buckets_scanned"), col("n_probes"),
+        (expr("(buckets_scanned * 20000 + n_probes) DIV (2 * n_probes)")
+          .cast("double") / 10000.0).as("avg_buckets"))
+  }
+
+  val qLayoutSkipSql: String =
+    """WITH RECURSIVE hw(event_id, x, y, d, s) AS (
+         SELECT event_id, user_id & 65535, event_id & 65535,
+                CAST(0 AS BIGINT), CAST(32768 AS BIGINT)
+         FROM events
+         UNION ALL
+         SELECT event_id,
+                CASE WHEN (y & s) > 0 THEN x
+                     WHEN (x & s) > 0 THEN 65535 - y
+                     ELSE y END,
+                CASE WHEN (y & s) > 0 THEN y
+                     WHEN (x & s) > 0 THEN 65535 - x
+                     ELSE x END,
+                d + s * s * (CASE WHEN (x & s) > 0 AND (y & s) > 0 THEN 2
+                                  WHEN (x & s) > 0 THEN 3
+                                  WHEN (y & s) > 0 THEN 1 ELSE 0 END),
+                s // 2
+         FROM hw WHERE s > 0),
+       base AS (
+         SELECT e.event_id, e.user_id,
+                CAST(list_sum(list_transform(range(31), i ->
+                  (((e.user_id & 2147483647) >> i & 1) << (2 * i)) +
+                  (((e.event_id & 2147483647) >> i & 1) << (2 * i + 1))))
+                  AS BIGINT) AS z,
+                hv.d AS h
+         FROM events e JOIN hw hv ON hv.event_id = e.event_id AND hv.s = 0),
+       nat AS (SELECT user_id, ntile(64) OVER (ORDER BY event_id) AS bucket FROM base),
+       zb AS (SELECT user_id, ntile(64) OVER (ORDER BY z, event_id) AS bucket FROM base),
+       hb AS (SELECT user_id, ntile(64) OVER (ORDER BY h, event_id) AS bucket FROM base),
+       zones AS (
+         SELECT 'natural' AS layout, bucket, min(user_id) AS lo, max(user_id) AS hi
+         FROM nat GROUP BY 2
+         UNION ALL
+         SELECT 'zorder', bucket, min(user_id), max(user_id) FROM zb GROUP BY 2
+         UNION ALL
+         SELECT 'hilbert', bucket, min(user_id), max(user_id) FROM hb GROUP BY 2),
+       probes AS (SELECT DISTINCT user_id FROM events WHERE user_id <= 100),
+       hits AS (SELECT layout, count(*) AS buckets_scanned
+                FROM zones zz JOIN probes p ON p.user_id BETWEEN zz.lo AND zz.hi
+                GROUP BY 1),
+       np AS (SELECT count(*) AS n_probes FROM probes)
+       SELECT layout, buckets_scanned, n_probes,
+              CAST((buckets_scanned * 20000 + n_probes) // (2 * n_probes)
+                   AS DOUBLE) / 10000.0 AS avg_buckets
+       FROM hits, np"""
+
   /** Distribution window functions (ntile / cume_dist / percent_rank)
     * over customer balances within nation — quartile bucketing and
     * relative standing, the analyst scorecard trio. The ORDER BY is made
@@ -1721,6 +1804,7 @@ object Relational {
     QueryDef.sql("q_cdc_merge", qCdcMerge, qCdcMergeSql),
     QueryDef.sql("q_zorder", qZorder, qZorderSql),
     QueryDef.sql("q_hilbert", qHilbert, qHilbertSql),
+    QueryDef.sql("q_layout_skip", qLayoutSkip, qLayoutSkipSql),
     QueryDef.sql("q_asof_operator", qAsofOperator, qAsofOperatorSql),
     QueryDef.sql("q_range_join", qRangeJoin, qRangeJoinSql),
     QueryDef.sql("q_skew_join", qSkewJoin, qSkewJoinSql),
