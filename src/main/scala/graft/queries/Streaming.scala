@@ -242,7 +242,8 @@ object Streaming {
         raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       else raw
     val qn = s"s_pattern_detect_sink_${funnelRuns.incrementAndGet()}"
-    val q = Streams.cepStream(events, windowSec = 86400L).toDF().writeStream
+    val q = Streams.cepStream(events, Seq("view", "click", "purchase"),
+        guard = "error", windowSec = 86400L).toDF().writeStream
       .format("memory").queryName(qn).outputMode("append").start()
     try q.processAllAvailable() finally q.stop()
     spark.table(qn)

@@ -21,10 +21,13 @@ final case class FunnelInput(user_id: Long, event_type: String,
 final case class FunnelState(step: Int, lastTsUs: Long)
 final case class FunnelHit(user_id: Long, step: Int, ts: java.sql.Timestamp)
 
-/** Row shapes for the streaming CEP pattern matcher. */
-final case class CepClick(tsUs: Long, id: Long, vTsUs: Long, vId: Long, hasV: Boolean)
-final case class CepState(clicks: Seq[CepClick], vTsUs: Long, vId: Long, hasV: Boolean,
-    eTsUs: Long, eId: Long, hasE: Boolean)
+/** Row shapes for the streaming CEP pattern matcher. `CepComp` is one
+  * step completion: its own (µs, id) position plus the best (latest)
+  * chain HEAD reachable through valid predecessors.
+  */
+final case class CepComp(tsUs: Long, id: Long, hTsUs: Long, hId: Long, hasH: Boolean)
+final case class CepState(levels: Seq[Seq[CepComp]], vTsUs: Long, vId: Long,
+    hasV: Boolean, eTsUs: Long, eId: Long, hasE: Boolean)
 final case class CepHit(user_id: Long, event_id: Long, matched: Boolean)
 
 /** Streaming analytics (SURVEY §2.5) — the Structured-Streaming
@@ -357,37 +360,45 @@ object Streams {
         GroupStateTimeout.NoTimeout)(update)
   }
 
-  /** Streaming complex-event-processing: classify every purchase by
-    * whether a view → click → purchase chain completes it — consecutive
-    * steps within `windowSec` of each other and NO error event strictly
-    * between the chain's view and the purchase (the negative condition
-    * is what separates CEP from the funnel: the funnel only advances on
-    * wanted types; a pattern with an absence guard must WATCH the
-    * unwanted type). Emits one (user, purchase event_id, matched) row
-    * per purchase.
+  /** Streaming complex-event-processing: classify every occurrence of
+    * the FINAL step type by whether a full `steps` chain completes it —
+    * strictly ordered occurrences of each step type, consecutive steps
+    * within `windowSec` of each other, and NO `guard` event strictly
+    * between the chain's HEAD (first step) and its final event. The
+    * negative condition is what separates CEP from the funnel: the
+    * funnel only advances on wanted types; a pattern with an absence
+    * guard must WATCH the unwanted type. Emits one (user, final
+    * event_id, matched) row per final-step event.
     *
-    * Exact under EXISTS semantics (a purchase matches iff ANY valid
-    * (view, click) pair completes it): per user the state keeps the
-    * clicks of the last `windowSec` — each carrying the best (latest)
-    * view that preceded it within the window — plus the latest view and
-    * the latest error. A pair survives the absence guard iff its view
-    * is ≥ the latest error before the purchase (all comparisons on the
-    * (µs, event_id) total order, mirrored exactly by the oracle), so
-    * "some valid pair survives" ≡ "the MAX view over in-window clicks
-    * survives" — one max, no pair enumeration. State is bounded by the
-    * click rate × window (the standard CEP state bound), pruned as
-    * events arrive; the one-hot-user pathology costs its own window,
-    * never its history.
+    * Exact under EXISTS semantics (a final event matches iff ANY valid
+    * chain completes it), with no chain enumeration: for each step-i
+    * completion the state keeps only the MAX chain head reachable
+    * through valid predecessors — heads(e_i) is the union over
+    * in-window predecessors p of heads(p), so max-of-union is the
+    * per-predecessor max, level by level; and a chain survives the
+    * absence guard iff its head ≥ the latest guard event before the
+    * final (all comparisons on the (µs, event_id) total order, mirrored
+    * exactly by the oracle), so "some chain survives" ≡ "the max head
+    * survives". Per-user state is one completion list per INTERMEDIATE
+    * step, each pruned to the last `windowSec` — the standard CEP state
+    * bound (the one-hot-user pathology costs its window, never its
+    * history).
     *
     * Like [[funnelStream]], each micro-batch sorts its group by
     * (ts, event_id) before folding, so the transport guarantee needed
     * is per-user in-order BATCHES (StreamingSpec drives time-split
     * multi-batch streams against the batch-SQL truth).
     */
-  def cepStream(events: DataFrame, windowSec: Long): Dataset[CepHit] = {
+  def cepStream(events: DataFrame, steps: Seq[String], guard: String,
+      windowSec: Long): Dataset[CepHit] = {
+    require(steps.size >= 2, "CEP pattern needs at least two steps")
+    require(steps.distinct.size == steps.size && !steps.contains(guard),
+      "CEP step types must be distinct and disjoint from the guard type")
     val spark = events.sparkSession
     import spark.implicits._
     val wUs = windowSec * 1000000L
+    val k = steps.size
+    val stepIdx = steps.zipWithIndex.toMap
     val src = events.select(col("user_id").cast("long").as("user_id"),
         col("event_type"), col("ts"), col("event_id").cast("long").as("event_id"))
       .as[FunnelInput]
@@ -397,31 +408,46 @@ object Streams {
 
     def update(userId: Long, it: Iterator[FunnelInput],
         state: GroupState[CepState]): Iterator[CepHit] = {
+      // levels(i) holds completions of step i for 1 <= i <= k-2
       var st = state.getOption.getOrElse(
-        CepState(Nil, 0L, 0L, hasV = false, 0L, 0L, hasE = false))
+        CepState(Seq.fill(math.max(k - 2, 0))(Nil), 0L, 0L, hasV = false,
+          0L, 0L, hasE = false))
       val out = Seq.newBuilder[CepHit]
+
+      def preds(i: Int, tUs: Long): Option[CepComp] =
+        if (i == 1) {
+          if (st.hasV && tUs - st.vTsUs <= wUs)
+            Some(CepComp(st.vTsUs, st.vId, st.vTsUs, st.vId, hasH = true))
+          else None
+        } else {
+          val valid = st.levels(i - 2).filter(c =>
+            c.hasH && tUs - c.tsUs <= wUs)
+          if (valid.isEmpty) None
+          else Some(valid.maxBy(c => (c.hTsUs, c.hId)))
+        }
+
       it.toSeq.sortBy(e => (e.ts.getTime * 1000 + e.ts.getNanos / 1000 % 1000,
           e.event_id))
         .foreach { e =>
           val tUs = e.ts.getTime * 1000 + e.ts.getNanos / 1000 % 1000
-          e.event_type match {
-            case "view" =>
+          if (e.event_type == guard)
+            st = st.copy(eTsUs = tUs, eId = e.event_id, hasE = true)
+          else stepIdx.get(e.event_type) match {
+            case Some(0) =>
               st = st.copy(vTsUs = tUs, vId = e.event_id, hasV = true)
-            case "error" =>
-              st = st.copy(eTsUs = tUs, eId = e.event_id, hasE = true)
-            case "click" =>
-              val ok = st.hasV && tUs - st.vTsUs <= wUs
-              val c = CepClick(tUs, e.event_id, st.vTsUs, st.vId, ok)
-              st = st.copy(clicks =
-                (st.clicks :+ c).filter(_.tsUs >= tUs - wUs))
-            case "purchase" =>
-              val valid = st.clicks.filter(c =>
-                c.hasV && tUs - c.tsUs <= wUs)
-              val best = valid.sortBy(c => (c.vTsUs, c.vId)).lastOption
+            case Some(i) if i < k - 1 =>
+              val best = preds(i, tUs)
+              val comp = CepComp(tUs, e.event_id,
+                best.map(_.hTsUs).getOrElse(0L), best.map(_.hId).getOrElse(0L),
+                best.isDefined)
+              st = st.copy(levels = st.levels.updated(i - 1,
+                (st.levels(i - 1) :+ comp).filter(_.tsUs >= tUs - wUs)))
+            case Some(i) if i == k - 1 =>
+              val best = preds(i, tUs)
               val matched = best.exists(b =>
-                !st.hasE || le(st.eTsUs, st.eId, b.vTsUs, b.vId))
+                !st.hasE || le(st.eTsUs, st.eId, b.hTsUs, b.hId))
               out += CepHit(userId, e.event_id, matched)
-              st = st.copy(clicks = st.clicks.filter(_.tsUs >= tUs - wUs))
+              st = st.copy(levels = st.levels.map(_.filter(_.tsUs >= tUs - wUs)))
             case _ => ()
           }
         }
@@ -440,7 +466,8 @@ object Streams {
     * with time-interleaved batches so the watermark actually discards
     * rows, and the face's oracle replays the drop rule in SQL
     * (WatermarkProbeSpec pins the semantics: a row drops iff its window
-    * end ≤ the watermark in force during its batch, inclusive).
+    * end ≤ the late-event watermark in force during its batch —
+    * SPARK-42376's previous-batch value — inclusive boundary).
     *
     * Deliberately NO pre-agg filter on the flush sentinels: Catalyst
     * pushes filters below the EventTimeWatermark node, and filtered

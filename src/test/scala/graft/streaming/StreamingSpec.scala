@@ -505,7 +505,8 @@ class StreamingSpec extends SparkSpec {
       // user 7: bare purchase → emitted, unmatched
       Ev(70, ts(0), 7, "purchase", 0.0))
     val source = MemoryStream[Ev]
-    val q = Streams.cepStream(source.toDF(), windowSec = 600L).toDF()
+    val q = Streams.cepStream(source.toDF(), Seq("view", "click", "purchase"),
+        guard = "error", windowSec = 600L).toDF()
       .writeStream.format("memory").queryName("cep_out")
       .outputMode("append").start()
     try {
@@ -520,6 +521,63 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => r.getLong(1) -> r.getBoolean(2)).toMap
     assert(got === Map(12L -> true, 23L -> false, 33L -> true,
       42L -> false, 52L -> false, 64L -> true, 70L -> false))
+  }
+
+  test("4-step CEP chain with guard equals brute force on random streams") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val steps = Seq("view", "click", "signup", "purchase")
+    val rnd = new scala.util.Random(13)
+    val types = steps :+ "error"
+    val wSec = 600L
+    val evs = (1 to 500).map { i =>
+      Ev(i.toLong, ts(rnd.nextInt(60)), rnd.nextInt(6).toLong + 1,
+        types(rnd.nextInt(types.length)), 0.0)
+    }
+    def us(e: Ev): Long = e.ts.getTime * 1000
+    def lt(a: (Long, Long), b: (Long, Long)): Boolean =
+      a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)
+    // brute force: enumerate all chains (v < c < g < p, consecutive gaps
+    // within the window, no error strictly between v and p)
+    val want = evs.filter(_.event_type == "purchase").map { pEv =>
+      val pk = (us(pEv), pEv.event_id)
+      val user = evs.filter(_.user_id == pEv.user_id)
+      def oft(t: String) = user.filter(_.event_type == t)
+      val m = oft("signup").exists { g =>
+        val gk = (us(g), g.event_id)
+        lt(gk, pk) && us(pEv) - us(g) <= wSec * 1000000L &&
+        oft("click").exists { c =>
+          val ck = (us(c), c.event_id)
+          lt(ck, gk) && us(g) - us(c) <= wSec * 1000000L &&
+          oft("view").exists { v =>
+            val vk = (us(v), v.event_id)
+            lt(vk, ck) && us(c) - us(v) <= wSec * 1000000L &&
+            !oft("error").exists { x =>
+              val xk = (us(x), x.event_id)
+              lt(vk, xk) && lt(xk, pk)
+            }
+          }
+        }
+      }
+      pEv.event_id -> m
+    }.toMap
+    val source = MemoryStream[Ev]
+    val q = Streams.cepStream(source.toDF(), steps, guard = "error",
+        windowSec = wSec).toDF()
+      .writeStream.format("memory").queryName("cep4_out")
+      .outputMode("append").start()
+    try {
+      // three batches split at time boundaries
+      source.addData(evs.filter(_.ts.before(ts(20))): _*)
+      q.processAllAvailable()
+      source.addData(evs.filter(e => !e.ts.before(ts(20)) && e.ts.before(ts(40))): _*)
+      q.processAllAvailable()
+      source.addData(evs.filterNot(_.ts.before(ts(40))): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("cep4_out")
+      .collect().map(r => r.getLong(1) -> r.getBoolean(2)).toMap
+    assert(got === want)
   }
 
   test("streaming CEP equals the brute-force EXISTS evaluation on random streams") {
@@ -555,7 +613,8 @@ class StreamingSpec extends SparkSpec {
       p.event_id -> m
     }.toMap
     val source = MemoryStream[Ev]
-    val q = Streams.cepStream(source.toDF(), windowSec = wSec).toDF()
+    val q = Streams.cepStream(source.toDF(), Seq("view", "click", "purchase"),
+        guard = "error", windowSec = wSec).toDF()
       .writeStream.format("memory").queryName("cep_rand_out")
       .outputMode("append").start()
     try { source.addData(evs: _*); q.processAllAvailable() } finally q.stop()
