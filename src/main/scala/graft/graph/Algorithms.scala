@@ -2390,6 +2390,47 @@ object Algorithms {
     } // withoutAqe
   }
 
+  /** Longest-path level of every node in a DAG (level(v) = length of
+    * the longest path ENDING at v): iterative relaxation — one
+    * edge ⋈ level join + groupBy-max per round, rounds = DAG depth.
+    * Diverges on a cyclic input by construction, so the round budget is
+    * a cycle detector: exceeding it throws rather than returning wrong
+    * levels (callers feed condensation DAGs, which are acyclic by
+    * definition).
+    */
+  def dagLevels(edges: DataFrame, maxIter: Int = 200): DataFrame = {
+    val dirE = edges.select(col("a"), col("b"))
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+    val nodes = dirE.select(col("a").as("gid"))
+      .unionByName(dirE.select(col("b").as("gid"))).distinct()
+    val width = loopWidth(edges, dirE.count())
+    withoutAqe(edges, Some(width)) {
+      var lev = nodes.select(col("gid"), lit(0L).as("lev")).localCheckpoint()
+      val nRows = lev.count()
+      val small = nRows <= BroadcastStateBound
+      var converged = false
+      var iter = 0
+      while (!converged) {
+        iter += 1
+        require(iter <= maxIter,
+          s"dagLevels: $maxIter rounds exhausted — input has a cycle?")
+        val push = dirE
+          .join(stateHint(lev.select(col("gid").as("a"), col("lev").as("la")),
+            small), Seq("a"))
+          .groupBy(col("b").as("gid")).agg(max(col("la") + 1L).as("nl"))
+        val next = lev.join(stateHint(push, small), Seq("gid"), "left")
+          .select(col("gid"),
+            greatest(col("lev"), coalesce(col("nl"), col("lev"))).as("lev"),
+            (greatest(col("lev"), coalesce(col("nl"), col("lev"))) =!= col("lev"))
+              .as("changed"))
+          .localCheckpoint()
+        converged = next.filter(col("changed")).isEmpty
+        lev = next.select(col("gid"), col("lev"))
+      }
+      lev
+    } // withoutAqe
+  }
+
   /** Iterative Tarjan over a driver-local adjacency, returning the
     * canonical (node → min SCC member) map. Used by the SCC straggler
     * cutover and by SccSpec as the independent reference.

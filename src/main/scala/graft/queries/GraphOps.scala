@@ -109,6 +109,7 @@ object GraphOps {
     followedByCached(spark, dir, cap = 500L)
     landmarkBfsCached(spark, dir)
     louvainCached(spark, dir)
+    sccCached(spark, dir)
     ()
   }
 
@@ -2160,13 +2161,100 @@ object GraphOps {
     * min over mutually-reachable u — which is exactly why the face
     * outputs the canonical min-member labeling.
     */
-  def gScc(spark: SparkSession, dir: String): DataFrame = {
-    val e = followedByCached(spark, dir, cap = 500L)
-    val nodes = e.select(col("gsrc").as("gid"))
-      .unionByName(e.select(col("gdst").as("gid"))).distinct()
-    Algorithms.stronglyConnectedComponents(nodes, e)
+  private val sccCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  private def sccCached(spark: SparkSession, dir: String): DataFrame =
+    sccCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      val e = followedByCached(spark, dir, cap = 500L)
+      val nodes = e.select(col("gsrc").as("gid"))
+        .unionByName(e.select(col("gdst").as("gid"))).distinct()
+      graft.PinnedRdds.pinning(spark) {
+        Algorithms.stronglyConnectedComponents(nodes, e).localCheckpoint()
+      }
+    })
+
+  def gScc(spark: SparkSession, dir: String): DataFrame =
+    sccCached(spark, dir)
       .select(col("gid").as("part"), col("scc").as("scc_id"))
+
+  /** CONDENSATION of the followed-by SCC fit — contract each SCC to one
+    * node and describe the resulting DAG: component counts, inter-SCC
+    * edge count, source/sink components, and the longest chain of
+    * components (the DAG's depth — how many purchase-sequence "stages"
+    * the catalog's order flow actually has). Reads the pinned SCC fit;
+    * the level sweep is [[Algorithms.dagLevels]] (round budget doubles
+    * as a cycle detector — a wrong SCC fit could not slip through as a
+    * plausible depth). Oracle rebuilds closure-SCC, the contracted
+    * edge set, and the longest path via a recursive CTE.
+    */
+  def gCondensation(spark: SparkSession, dir: String): DataFrame = {
+    val e = followedByCached(spark, dir, cap = 500L)
+    val scc = sccCached(spark, dir)
+    val mapped = e
+      .join(scc.select(col("gid").as("gsrc"), col("scc").as("ca")), Seq("gsrc"))
+      .join(scc.select(col("gid").as("gdst"), col("scc").as("cb")), Seq("gdst"))
+      .filter(col("ca") =!= col("cb"))
+      .select(col("ca").as("a"), col("cb").as("b")).distinct()
+      .localCheckpoint()
+    val comps = scc.select(col("scc")).distinct()
+    val sizes = scc.groupBy(col("scc")).agg(count(lit(1)).as("sz"))
+    val levels = Algorithms.dagLevels(mapped)
+    val sources = comps.join(mapped.select(col("b").as("scc")).distinct(),
+      Seq("scc"), "left_anti")
+    val sinks = comps.join(mapped.select(col("a").as("scc")).distinct(),
+      Seq("scc"), "left_anti")
+    comps.agg(count(lit(1)).as("n_sccs"))
+      .crossJoin(broadcast(sizes.filter(col("sz") >= 2)
+        .agg(count(lit(1)).as("n_nontrivial_sccs"))))
+      .crossJoin(broadcast(mapped.agg(count(lit(1)).as("n_dag_edges"))))
+      .crossJoin(broadcast(sources.agg(count(lit(1)).as("n_sources"))))
+      .crossJoin(broadcast(sinks.agg(count(lit(1)).as("n_sinks"))))
+      .crossJoin(broadcast(levels
+        .agg(coalesce(max(col("lev")), lit(0L)).as("longest_chain"))))
   }
+
+  val gCondensationSql: String =
+    """WITH RECURSIVE f AS (
+         SELECT l_orderkey, l_partkey,
+                row_number() OVER (PARTITION BY l_orderkey
+                                   ORDER BY l_linenumber, l_partkey) AS rn
+         FROM lineitem WHERE l_partkey < 500),
+       e AS (SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+             FROM f a JOIN f b
+               ON a.l_orderkey = b.l_orderkey AND b.rn = a.rn + 1
+             WHERE a.l_partkey <> b.l_partkey),
+       nodes AS (SELECT s AS v FROM e UNION SELECT d FROM e),
+       reach(s, d) AS (
+         SELECT s, d FROM e
+         UNION
+         SELECT r.s, e2.d FROM reach r JOIN e e2 ON e2.s = r.d),
+       mutual AS (
+         SELECT r1.s AS v, r1.d AS u
+         FROM reach r1 JOIN reach r2 ON r1.s = r2.d AND r1.d = r2.s),
+       scc AS (SELECT n.v AS part, least(n.v, coalesce(min(m.u), n.v)) AS scc_id
+               FROM nodes n LEFT JOIN mutual m ON m.v = n.v
+               GROUP BY n.v),
+       dag AS (SELECT DISTINCT sa.scc_id AS a, sb.scc_id AS b
+               FROM e JOIN scc sa ON sa.part = e.s
+                      JOIN scc sb ON sb.part = e.d
+               WHERE sa.scc_id <> sb.scc_id),
+       comps AS (SELECT DISTINCT scc_id FROM scc),
+       lp(v, l) AS (
+         SELECT scc_id, CAST(0 AS BIGINT) FROM comps
+         UNION
+         SELECT dag.b, lp.l + 1 FROM lp JOIN dag ON dag.a = lp.v),
+       sizes AS (SELECT scc_id, count(*) AS sz FROM scc GROUP BY 1)
+       SELECT (SELECT count(*) FROM comps) AS n_sccs,
+              (SELECT count(*) FROM sizes WHERE sz >= 2) AS n_nontrivial_sccs,
+              (SELECT count(*) FROM dag) AS n_dag_edges,
+              (SELECT count(*) FROM comps c
+               WHERE NOT EXISTS (SELECT 1 FROM dag WHERE dag.b = c.scc_id))
+                AS n_sources,
+              (SELECT count(*) FROM comps c
+               WHERE NOT EXISTS (SELECT 1 FROM dag WHERE dag.a = c.scc_id))
+                AS n_sinks,
+              (SELECT coalesce(max(l), 0) FROM lp) AS longest_chain"""
 
   val gSccSql: String =
     """WITH RECURSIVE f AS (
@@ -2248,5 +2336,6 @@ object GraphOps {
     QueryDef.sql("g_reciprocity", gReciprocity, gReciprocitySql),
     QueryDef.sql("g_scc", gScc, gSccSql),
     QueryDef.sql("g_dist_oracle", gDistOracle, gDistOracleSql),
+    QueryDef.sql("g_condensation", gCondensation, gCondensationSql),
     QueryDef.rowsOnly("g_louvain", gLouvain))
 }

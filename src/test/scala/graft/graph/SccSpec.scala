@@ -65,3 +65,49 @@ class SccSpec extends SparkSpec {
     assert(run(edges, cutover = 0L) == want)
   }
 }
+
+/** DAG level sweep used by the condensation face: level(v) = longest
+  * path ending at v; the round budget doubles as a cycle detector.
+  */
+class DagLevelsSpec extends SparkSpec {
+  import org.apache.spark.sql.DataFrame
+
+  private def levels(edges: Seq[(Long, Long)], maxIter: Int = 200): Map[Long, Long] = {
+    import spark.implicits._
+    val e: DataFrame = edges.toDF("a", "b")
+    Algorithms.dagLevels(e, maxIter)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("diamond + tail: longest path wins over the short arm") {
+    // 1→2→4, 1→3, 3→5→4, 4→6: level(4)=3 via 1-3-5-4, level(6)=4
+    val edges = Seq[(Long, Long)]((1, 2), (2, 4), (1, 3), (3, 5), (5, 4), (4, 6))
+    assert(levels(edges) == Map(1L -> 0L, 2L -> 1L, 3L -> 1L,
+      5L -> 2L, 4L -> 3L, 6L -> 4L))
+  }
+
+  test("randomized: levels equal a driver-side longest-path DP on random DAGs") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 40 + trial * 20
+      // random DAG: only forward edges i < j
+      val edges = Seq.fill(n * 3) {
+        val i = rnd.nextInt(n - 1); val j = i + 1 + rnd.nextInt(n - 1 - i)
+        (i.toLong, j.toLong)
+      }.distinct
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      val byDst = edges.groupBy(_._2)
+      val dp = scala.collection.mutable.Map.empty[Long, Long]
+      for (v <- nodes) // nodes sorted = topological for forward edges
+        dp(v) = byDst.getOrElse(v, Seq.empty)
+          .map(e => dp.getOrElse(e._1, 0L) + 1L).foldLeft(0L)(math.max)
+      assert(levels(edges) == dp.toMap, s"trial $trial")
+    }
+  }
+
+  test("cycle input exhausts the round budget and throws") {
+    val edges = Seq[(Long, Long)]((1, 2), (2, 3), (3, 1))
+    val ex = intercept[Exception](levels(edges, maxIter = 10))
+    assert(ex.getMessage.contains("cycle"))
+  }
+}
