@@ -2150,6 +2150,65 @@ object GraphOps {
                    AS DOUBLE) / 1000000.0 AS reciprocity
        FROM n, r"""
 
+  /** Directed-triangle census of the followed-by graph (the 3-edge
+    * rows of the Holland–Leinhardt triad census; Milo et al. 2002 call
+    * these THE network motifs): counts of CYCLIC closures (a→b→c→a —
+    * feedback loops in the purchase order) and TRANSITIVE closures
+    * (a→b→c with the shortcut a→c — consistent ordering), plus the
+    * cyclic share. Two joins over the pinned edge table: one wedge
+    * join (gdst=gsrc) feeds both closure probes, so the quadratic
+    * wedge stream is materialized once. Ordered cyclic triples come in
+    * rotation classes of exactly 3 (no self-loops ⇒ a,b,c pairwise
+    * distinct), so `DIV 3` is exact; transitive instances are uniquely
+    * identified by their (source, mid, sink) roles and counted
+    * directly. All-integer until the final 6dp-sealed share. At 100 TB
+    * the wedge stream is the cost (Σ out·in per node) — the DOULION
+    * face (g_triangles_approx) is the documented sampled fallback.
+    */
+  def gTriadCensus(spark: SparkSession, dir: String): DataFrame = {
+    val e = followedByCached(spark, dir)
+    val wedges = e.select(col("gsrc").as("wa"), col("gdst").as("wb"))
+      .join(e.select(col("gsrc").as("wb2"), col("gdst").as("wc")),
+        col("wb") === col("wb2"))
+      .select(col("wa"), col("wb"), col("wc"))
+      .localCheckpoint()
+    val cyc = wedges.join(e,
+      col("gsrc") === col("wc") && col("gdst") === col("wa"), "left_semi")
+    val trans = wedges.join(e,
+      col("gsrc") === col("wa") && col("gdst") === col("wc"), "left_semi")
+    cyc.agg(expr("count(1) DIV 3").as("n_cyclic"))
+      .crossJoin(broadcast(trans.agg(count(lit(1)).as("n_transitive"))))
+      .select(col("n_cyclic"), col("n_transitive"),
+        (expr("""CASE WHEN n_cyclic + n_transitive > 0 THEN
+                   (n_cyclic * 2000000 + (n_cyclic + n_transitive))
+                   DIV (2 * (n_cyclic + n_transitive)) END""")
+          .cast("double") / 1000000.0).as("pct_cyclic"))
+  }
+
+  val gTriadCensusSql: String =
+    """WITH f AS (SELECT l_orderkey, l_partkey,
+              row_number() OVER (PARTITION BY l_orderkey
+                                 ORDER BY l_linenumber, l_partkey) AS rn
+            FROM lineitem),
+       e AS (SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+             FROM f a JOIN f b
+               ON a.l_orderkey = b.l_orderkey AND b.rn = a.rn + 1
+             WHERE a.l_partkey <> b.l_partkey),
+       w AS (SELECT x.s AS wa, x.d AS wb, y.d AS wc
+             FROM e x JOIN e y ON y.s = x.d),
+       cyc AS (SELECT CAST(count(*) // 3 AS BIGINT) AS n_cyclic FROM w
+               WHERE EXISTS (SELECT 1 FROM e
+                             WHERE e.s = w.wc AND e.d = w.wa)),
+       tr AS (SELECT CAST(count(*) AS BIGINT) AS n_transitive FROM w
+              WHERE EXISTS (SELECT 1 FROM e
+                            WHERE e.s = w.wa AND e.d = w.wc))
+       SELECT n_cyclic, n_transitive,
+              CAST(CASE WHEN n_cyclic + n_transitive > 0 THEN
+                     (n_cyclic * 2000000 + (n_cyclic + n_transitive))
+                     // (2 * (n_cyclic + n_transitive)) END AS DOUBLE)
+                / 1000000.0 AS pct_cyclic
+       FROM cyc, tr"""
+
   /** Strongly connected components of the followed-by graph restricted
     * to parts < 500 ([[followedByCached]]'s capped view) — the directed
     * completion of the connectivity family (g_cc is undirected; SCC is
@@ -2337,5 +2396,6 @@ object GraphOps {
     QueryDef.sql("g_scc", gScc, gSccSql),
     QueryDef.sql("g_dist_oracle", gDistOracle, gDistOracleSql),
     QueryDef.sql("g_condensation", gCondensation, gCondensationSql),
+    QueryDef.sql("g_triad_census", gTriadCensus, gTriadCensusSql),
     QueryDef.rowsOnly("g_louvain", gLouvain))
 }
