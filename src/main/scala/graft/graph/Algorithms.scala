@@ -2431,6 +2431,58 @@ object Algorithms {
     } // withoutAqe
   }
 
+  /** Temporal earliest-arrival reachability (Wu et al., VLDB 2014):
+    * over edges (a, b, t) a path is TIME-RESPECTING iff its edge times
+    * are non-decreasing, and arr(v) = the minimum last-edge time over
+    * all time-respecting paths from the seed set. Label-correcting
+    * relaxation: each round joins the temporal edge table against the
+    * current arrival state (t ≥ arr(src) — the one filter that
+    * distinguishes this from plain BFS), takes min(t) per destination,
+    * and folds improvements into the state. Arrivals only ever
+    * DECREASE and the (node, time) domain is finite, so the fold is a
+    * monotone fixpoint — convergence is guaranteed and partition-order
+    * independent (min is commutative); rounds are bounded by the
+    * longest time-respecting path, `maxIter` is a safety valve. ONE
+    * edges ⋈ state shuffle per round, state is node-scale — the SSSP
+    * loop discipline with time as the distance metric.
+    */
+  def temporalEarliestArrival(edges: DataFrame, seeds: DataFrame,
+      t0: Column, maxIter: Int = 100): DataFrame = {
+    val e = edges.select(col("a"), col("b"), col("t"))
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+    val eCnt = e.count()
+    val width = loopWidth(edges, eCnt)
+    withoutAqe(edges, Some(width)) {
+      var arr = seeds.select(col("gid"), t0.as("arr")).localCheckpoint()
+      // state grows toward the reached set; bound it by dst-count + seeds,
+      // not the seed count, so the broadcast decision survives growth
+      val small = (eCnt + arr.count()) <= BroadcastStateBound
+      var converged = false
+      var iter = 0
+      while (!converged) {
+        iter += 1
+        require(iter <= maxIter,
+          s"temporalEarliestArrival: $maxIter rounds exhausted")
+        val prop = e
+          .join(stateHint(arr.select(col("gid").as("a"), col("arr").as("aa")),
+            small), Seq("a"))
+          .filter(col("t") >= col("aa"))
+          .groupBy(col("b").as("gid")).agg(min(col("t")).as("cand"))
+        val next = arr.join(stateHint(prop, small), Seq("gid"), "full")
+          .select(col("gid"),
+            least(coalesce(col("arr"), col("cand")),
+              coalesce(col("cand"), col("arr"))).as("arr"),
+            (col("arr").isNull ||
+              (col("cand").isNotNull && col("cand") < col("arr")))
+              .as("changed"))
+          .localCheckpoint()
+        converged = next.filter(col("changed")).isEmpty
+        arr = next.select(col("gid"), col("arr"))
+      }
+      arr
+    } // withoutAqe
+  }
+
   /** Iterative Tarjan over a driver-local adjacency, returning the
     * canonical (node → min SCC member) map. Used by the SCC straggler
     * cutover and by SccSpec as the independent reference.

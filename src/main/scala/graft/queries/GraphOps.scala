@@ -2150,6 +2150,82 @@ object GraphOps {
                    AS DOUBLE) / 1000000.0 AS reciprocity
        FROM n, r"""
 
+  /** Temporal purchase-diffusion edges: part A (in some order) → part B
+    * (in the customer's NEXT order), stamped with the LATER order's
+    * date — the time at which the influence could have acted. Built
+    * with one customer-keyed window (consecutive orders) and two
+    * order-keyed lineitem joins (partkey < 500 pushed to the scans);
+    * distinct (a, b, t) triples, pinned per (session, dir) like the
+    * followed-by view it temporalizes.
+    */
+  private val temporalEdgeCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  private def temporalEdgesCached(spark: SparkSession, dir: String): DataFrame =
+    temporalEdgeCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      val o = Tables.load(spark, dir, "orders")
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val pairs = o.select(col("o_orderkey").as("k1"),
+          lead(struct(col("o_orderkey"), col("o_orderdate")), 1).over(w).as("nxt"))
+        .filter(col("nxt").isNotNull)
+        .select(col("k1"), col("nxt.o_orderkey").as("k2"),
+          col("nxt.o_orderdate").as("t"))
+      val li = Tables.load(spark, dir, "lineitem")
+        .filter(col("l_partkey") < 500)
+      val e = pairs
+        .join(li.select(col("l_orderkey").as("k1"), col("l_partkey").as("a")),
+          Seq("k1"))
+        .join(li.select(col("l_orderkey").as("k2"), col("l_partkey").as("b")),
+          Seq("k2"))
+        .filter(col("a") =!= col("b"))
+        .select(col("a"), col("b"), col("t")).distinct()
+      graft.PinnedRdds.pinning(spark) { e.localCheckpoint() }
+    })
+
+  /** Temporal earliest-arrival reachability from the seed parts
+    * (p_partkey < 10): WHEN each part first becomes reachable through
+    * a chain of same-customer consecutive purchases whose dates never
+    * decrease — the diffusion-front question ("how fast could adoption
+    * spread") that static reachability overstates, because a
+    * hop-shorter path whose edges run backward in time is NOT a
+    * diffusion path ([[Algorithms.temporalEarliestArrival]];
+    * TemporalReachSpec plants exactly that trap). Oracle: recursive
+    * CTE enumerating reachable (node, arrival) pairs under the t ≥
+    * arr constraint, min per node — it DEFINES the semantics rather
+    * than replaying the relaxation schedule.
+    */
+  def gReachTemporal(spark: SparkSession, dir: String): DataFrame = {
+    val e = temporalEdgesCached(spark, dir)
+    val seeds = Tables.load(spark, dir, "part")
+      .filter(col("p_partkey") < 10).select(col("p_partkey").as("gid"))
+    Algorithms.temporalEarliestArrival(e, seeds,
+      lit("1990-01-01 00:00:00").cast("timestamp"))
+      .select(col("gid").as("part"), col("arr").as("first_seen"))
+  }
+
+  val gReachTemporalSql: String =
+    """WITH RECURSIVE o2 AS (
+         SELECT o_orderkey, o_custkey, o_orderdate,
+                row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey) AS rn
+         FROM orders),
+       cp AS (SELECT a.o_orderkey AS k1, b.o_orderkey AS k2,
+                     b.o_orderdate AS t
+              FROM o2 a JOIN o2 b
+                ON a.o_custkey = b.o_custkey AND b.rn = a.rn + 1),
+       e AS (SELECT DISTINCT la.l_partkey AS s, lb.l_partkey AS d, cp.t
+             FROM cp JOIN lineitem la ON la.l_orderkey = cp.k1
+                     JOIN lineitem lb ON lb.l_orderkey = cp.k2
+             WHERE la.l_partkey < 500 AND lb.l_partkey < 500
+               AND la.l_partkey <> lb.l_partkey),
+       reach(v, t) AS (
+         SELECT p_partkey, TIMESTAMP '1990-01-01 00:00:00'
+         FROM part WHERE p_partkey < 10
+         UNION
+         SELECT e.d, e.t FROM reach r JOIN e ON e.s = r.v AND e.t >= r.t)
+       SELECT v AS part, min(t) AS first_seen FROM reach GROUP BY v"""
+
   /** Directed-triangle census of the followed-by graph (the 3-edge
     * rows of the Holland–Leinhardt triad census; Milo et al. 2002 call
     * these THE network motifs): counts of CYCLIC closures (a→b→c→a —
@@ -2397,5 +2473,6 @@ object GraphOps {
     QueryDef.sql("g_dist_oracle", gDistOracle, gDistOracleSql),
     QueryDef.sql("g_condensation", gCondensation, gCondensationSql),
     QueryDef.sql("g_triad_census", gTriadCensus, gTriadCensusSql),
+    QueryDef.sql("g_reach_temporal", gReachTemporal, gReachTemporalSql),
     QueryDef.rowsOnly("g_louvain", gLouvain))
 }
