@@ -2495,6 +2495,37 @@ object Pipeline {
              FROM documents)
        GROUP BY source"""
 
+  /** Document-length quantiles through the HDR sketch ([[graft
+    * .operators.HdrSketch]]) — the DEPLOYED form of the
+    * approx-percentile swap p_token_quantiles documents in prose: one
+    * map-side-combining shuffle onto ≤ ~1000 integer bucket keys, rank
+    * extraction over the bounded bucket table, 6.25% worst-case
+    * relative error. Unlike GK/KLL/t-digest this sketch is
+    * deterministic and merge-order invariant (exact long counts, pure
+    * integer bucketing), so the face is HASH-checkable against a SQL
+    * mirror of the same buckets — HdrSketchSpec additionally proves
+    * estimate ≡ rep(exact quantile) and partition-layout invariance.
+    */
+  def pQuantileSketch(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.HdrSketch.quantiles(
+      Tables.load(spark, dir, "documents").select(col("n_chars")),
+      "n_chars", Seq((1, 2, "p50"), (9, 10, "p90"), (99, 100, "p99")))
+
+  val pQuantileSketchSql: String = {
+    val rep = graft.operators.HdrSketch.repSql("n_chars")
+    s"""WITH b AS (SELECT $rep AS rep, CAST(count(*) AS BIGINT) AS cnt
+                   FROM documents GROUP BY 1),
+        c AS (SELECT rep, CAST(sum(cnt) OVER (ORDER BY rep) AS BIGINT) AS cum
+              FROM b),
+        t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+                     CAST(count(*) AS BIGINT) AS n_buckets FROM b)
+        SELECT n, n_buckets,
+               (SELECT min(rep) FROM c WHERE cum >= (1*n + 1) // 2) AS p50,
+               (SELECT min(rep) FROM c WHERE cum >= (9*n + 9) // 10) AS p90,
+               (SELECT min(rep) FROM c WHERE cum >= (99*n + 99) // 100) AS p99
+        FROM t"""
+  }
+
   /** Greedy context-window packing of the corpus by whitespace token
     * count: 512-token packs, 100-doc shards (the sequential chain is
     * bounded per shard; shards scale out).
@@ -2982,6 +3013,7 @@ object Pipeline {
     QueryDef.sql("p_source_cards", pSourceCards, pSourceCardsSql),
     QueryDef.sql("p_source_leakage", pSourceLeakage, pSourceLeakageSql),
     QueryDef.sql("p_token_quantiles", pTokenQuantiles, pTokenQuantilesSql),
+    QueryDef.sql("p_quantile_sketch", pQuantileSketch, pQuantileSketchSql),
     QueryDef.sql("p_ngram_freq", pNgramFreq, pNgramFreqSql),
     QueryDef.sql("p_novelty", pNovelty, pNoveltySql),
     QueryDef.sql("p_kmeans", pKmeans, pKmeansSql),

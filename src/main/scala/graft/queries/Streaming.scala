@@ -79,6 +79,37 @@ object Streaming {
        SELECT window_start, rank, event_id, value
        FROM ranked WHERE rank <= 3"""
 
+  /** Hourly p50/p90/p99 of transaction value (in exact cents) through
+    * the HDR quantile window ([[Streams.windowedQuantiles]]) — the
+    * streaming latency-percentile dashboard. Hash-green: the sketch's
+    * integer bucketing mirrors into SQL, and the rank-extraction
+    * identity (estimate ≡ bucket of the exact quantile) is proved in
+    * HdrSketchSpec; StreamingSpec pins stream ≡ batch bit-identity
+    * across real micro-batch boundaries.
+    */
+  def sQuantile(spark: SparkSession, dir: String): DataFrame =
+    Streams.windowedQuantiles(Tables.load(spark, dir, "events"),
+      round(col("value") * 100, 0).cast("long"))
+
+  val sQuantileSql: String = {
+    val rep = graft.operators.HdrSketch.repSql("cents")
+    s"""WITH v AS (SELECT date_trunc('hour', ts) AS ws,
+                          CAST(round(value * 100) AS BIGINT) AS cents
+                   FROM events),
+        b AS (SELECT ws, $rep AS rep, CAST(count(*) AS BIGINT) AS cnt
+              FROM v GROUP BY 1, 2),
+        c AS (SELECT ws, rep,
+                     CAST(sum(cnt) OVER (PARTITION BY ws ORDER BY rep)
+                          AS BIGINT) AS cum,
+                     CAST(sum(cnt) OVER (PARTITION BY ws) AS BIGINT) AS n
+              FROM b)
+        SELECT CAST(ws AS TIMESTAMP) AS window_start, n AS n_events,
+               min(CASE WHEN cum >= (1*n + 1) // 2 THEN rep END) AS p50,
+               min(CASE WHEN cum >= (9*n + 9) // 10 THEN rep END) AS p90,
+               min(CASE WHEN cum >= (99*n + 99) // 100 THEN rep END) AS p99
+        FROM c GROUP BY ws, n"""
+  }
+
   private val funnelRuns = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Multi-file copy of the events table, written once per (session,
@@ -620,6 +651,7 @@ object Streaming {
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("s_tumbling_agg", sTumblingAgg, sTumblingAggSql),
     QueryDef.rowsOnly("s_distinct_kmv", sDistinctKmv),
+    QueryDef.sql("s_quantile", sQuantile, sQuantileSql),
     QueryDef.sql("q_concurrency", qConcurrency, qConcurrencySql),
     QueryDef.sql("s_sessionize", sSessionize, sSessionizeSql),
     QueryDef.sql("s_session_native", sSessionNative, sSessionNativeSql),

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -122,6 +122,30 @@ object Streams {
       .select(col("w.start").as("window_start"),
         round(graft.operators.Kmv.estimateDistinct(col("sketch"), k), 2)
           .as("est_distinct"))
+  }
+
+  /** Per-window latency-style quantiles via the HDR sketch aggregate
+    * ([[graft.operators.HdrSketch.HdrQuantileAggregator]]) — "p50/p90/
+    * p99 per hour" with ONE agg (streaming-legal), ≤ ~1000-entry
+    * bucket-map state per window expiring with the watermark, and
+    * map-side partials that merge by exact integer addition — so the
+    * stream answer is BIT-IDENTICAL to batch whatever the micro-batch
+    * boundaries, and the batch face hash-matches a SQL bucket mirror
+    * (the property no GK/KLL/t-digest window could offer).
+    */
+  def windowedQuantiles(events: DataFrame, valueCol: Column,
+      withWatermark: Boolean = false): DataFrame = {
+    val src = if (withWatermark) events.withWatermark("ts", "1 hour") else events
+    val agg = graft.operators.HdrSketch.quantileAgg(
+      Seq((1, 2), (9, 10), (99, 100)))
+    src.select(col("ts"), valueCol.as("__v"))
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(agg(col("__v")).as("q"))
+      .select(col("w.start").as("window_start"),
+        element_at(col("q"), 1).as("n_events"),
+        element_at(col("q"), 2).as("p50"),
+        element_at(col("q"), 3).as("p90"),
+        element_at(col("q"), 4).as("p99"))
   }
 
   /** Per-window top-k records by value via the k-bounded TopK partial

@@ -67,6 +67,33 @@ class StreamingSpec extends SparkSpec {
     assert(batch.map(_._2).toSeq === Seq(2.0, 1.0)) // users {1,2} then {2}
   }
 
+  test("windowed HDR quantiles over a stream equal the batch sketch bit-identically") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Ev]
+    // three micro-batches so bucket-map partials merge across batches
+    source.addData(events.take(2): _*)
+    source.addData(events.slice(2, 4): _*)
+    source.addData(events.drop(4): _*)
+    def cents = round(col("value") * 100, 0).cast("long")
+    val agg = Streams.windowedQuantiles(source.toDF(), cents,
+      withWatermark = true)
+    val q = agg.writeStream
+      .format("memory").queryName("hdrq_out").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("window_start").collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSeq
+    val streamed = rows(spark.table("hdrq_out"))
+    val batch = rows(Streams.windowedQuantiles(events.toDF(), cents))
+    assert(streamed === batch)
+    // hour 10 values (cents): 100,200,300,400 → ceil-rank p50 = 200,
+    // p90/p99 = 400; all < 3200 so the sketch is in its exact regime
+    assert(batch.head._2 === 4L)
+    assert((batch.head._3, batch.head._4, batch.head._5) === ((200L, 400L, 400L)))
+  }
+
   test("windowed top-k over a stream matches the batch plan and evicts correctly") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
