@@ -2495,6 +2495,59 @@ object Pipeline {
              FROM documents)
        GROUP BY source"""
 
+  /** Vocabulary-growth (Heaps' law) curve: cumulative distinct tokens
+    * vs cumulative token occurrences over ten id-range prefixes of the
+    * corpus — the "how fast does new vocabulary appear" audit that
+    * sizes tokenizer vocab and predicts dedup head-room (a flattening
+    * curve means the corpus is rehashing itself; Zipf's static rank
+    * profile p_zipf cannot see that). No 10-pass scan: each token's
+    * FIRST stage is min(stage) (stage is monotone in doc_id, one
+    * token-keyed shuffle), per-stage occurrence/new-vocab/doc counts
+    * fold cumulatively over the 10-row stage table. All-integer
+    * outputs.
+    */
+  def pHeaps(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val mx = docs.agg(max(col("doc_id")).as("mx"))
+    val staged = docs.crossJoin(broadcast(mx))
+      .select(expr("doc_id * 10 DIV (mx + 1) + 1").as("stage"), col("text"))
+    val tok = staged.select(col("stage"),
+      explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+    val occ = tok.groupBy(col("stage")).agg(count(lit(1)).as("occ"))
+    val nv = tok.groupBy(col("tok")).agg(min(col("stage")).as("fs"))
+      .groupBy(col("fs").as("stage")).agg(count(lit(1)).as("nv"))
+    val dc = staged.groupBy(col("stage")).agg(count(lit(1)).as("nd"))
+    val w = Window.orderBy(col("stage"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    occ.join(nv, Seq("stage"), "left").join(dc, Seq("stage"), "left")
+      .select(col("stage"),
+        sum(coalesce(col("nd"), lit(0L))).over(w).as("n_docs"),
+        sum(col("occ")).over(w).as("n_tokens"),
+        sum(coalesce(col("nv"), lit(0L))).over(w).as("vocab"))
+  }
+
+  val pHeapsSql: String =
+    """WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+       st AS (SELECT doc_id * 10 // (m + 1) + 1 AS stage, text
+              FROM documents, mx),
+       tok AS (SELECT stage,
+                      unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+                        AS tok
+               FROM st),
+       occ AS (SELECT stage, CAST(count(*) AS BIGINT) AS occ
+               FROM tok GROUP BY 1),
+       fv AS (SELECT tok, min(stage) AS fs FROM tok GROUP BY 1),
+       nv AS (SELECT fs AS stage, CAST(count(*) AS BIGINT) AS nv
+              FROM fv GROUP BY 1),
+       dc AS (SELECT stage, CAST(count(*) AS BIGINT) AS nd
+              FROM st GROUP BY 1)
+       SELECT o.stage,
+              CAST(sum(coalesce(nd, 0)) OVER w AS BIGINT) AS n_docs,
+              CAST(sum(occ) OVER w AS BIGINT) AS n_tokens,
+              CAST(sum(coalesce(nv, 0)) OVER w AS BIGINT) AS vocab
+       FROM occ o LEFT JOIN nv USING (stage) LEFT JOIN dc USING (stage)
+       WINDOW w AS (ORDER BY o.stage)"""
+
   /** Document-length quantiles through the HDR sketch ([[graft
     * .operators.HdrSketch]]) — the DEPLOYED form of the
     * approx-percentile swap p_token_quantiles documents in prose: one
@@ -3014,6 +3067,7 @@ object Pipeline {
     QueryDef.sql("p_source_leakage", pSourceLeakage, pSourceLeakageSql),
     QueryDef.sql("p_token_quantiles", pTokenQuantiles, pTokenQuantilesSql),
     QueryDef.sql("p_quantile_sketch", pQuantileSketch, pQuantileSketchSql),
+    QueryDef.sql("p_heaps", pHeaps, pHeapsSql),
     QueryDef.sql("p_ngram_freq", pNgramFreq, pNgramFreqSql),
     QueryDef.sql("p_novelty", pNovelty, pNoveltySql),
     QueryDef.sql("p_kmeans", pKmeans, pKmeansSql),
