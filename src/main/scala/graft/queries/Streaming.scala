@@ -44,6 +44,33 @@ object Streaming {
        WHERE n > 1 AND h.c > s / CAST(n AS DOUBLE) +
              3.0 * sqrt((ss - s * s / CAST(n AS DOUBLE)) / (n - 1))"""
 
+  /** Seasonality-adjusted rate anomalies ([[Streams
+    * .seasonalAnomalies]]): the s_rate_anomaly detector conditioned on
+    * hour-of-day — the baseline a real ops screen uses, because traffic
+    * has a daily cycle: a quiet-hour spike flags even though it is
+    * below the busy-hour mean, and the busy-hour peak stops flagging.
+    * Exact integer moments per (type, hour-of-day) cell.
+    */
+  def sSeasonalAnomaly(spark: SparkSession, dir: String): DataFrame =
+    Streams.seasonalAnomalies(Tables.load(spark, dir, "events"))
+
+  val sSeasonalAnomalySql: String =
+    """WITH hourly AS (
+         SELECT date_trunc('hour', ts) AS window_start, event_type,
+                CAST(extract(hour FROM ts) AS INT) AS hod, count(*) AS c
+         FROM events GROUP BY 1, 2, 3),
+       st AS (
+         SELECT event_type AS et, hod AS h, count(*) AS n,
+                CAST(sum(c) AS BIGINT) AS s, CAST(sum(c * c) AS BIGINT) AS ss
+         FROM hourly GROUP BY 1, 2)
+       SELECT hy.window_start, hy.event_type, hy.hod, hy.c AS n_events,
+              round(s / CAST(n AS DOUBLE), 4) AS mean_rate,
+              round(sqrt((ss - s * s / CAST(n AS DOUBLE)) / (n - 1)), 4)
+                AS sd_rate
+       FROM hourly hy JOIN st ON hy.event_type = st.et AND hy.hod = st.h
+       WHERE n > 1 AND hy.c > s / CAST(n AS DOUBLE) +
+             3.0 * sqrt((ss - s * s / CAST(n AS DOUBLE)) / (n - 1))"""
+
   /** Per-hour heavy hitters over the event stream — the windowed face
     * of the Misra-Gries sketch. Capacity 64 exceeds the event-type
     * domain, so the sketch runs in its exact regime and the plain
@@ -652,6 +679,7 @@ object Streaming {
     QueryDef.sql("s_tumbling_agg", sTumblingAgg, sTumblingAggSql),
     QueryDef.rowsOnly("s_distinct_kmv", sDistinctKmv),
     QueryDef.sql("s_quantile", sQuantile, sQuantileSql),
+    QueryDef.sql("s_seasonal_anomaly", sSeasonalAnomaly, sSeasonalAnomalySql),
     QueryDef.sql("q_concurrency", qConcurrency, qConcurrencySql),
     QueryDef.sql("s_sessionize", sSessionize, sSessionizeSql),
     QueryDef.sql("s_session_native", sSessionNative, sSessionNativeSql),

@@ -81,6 +81,36 @@ object Streams {
         round(mean, 4).as("mean_rate"), round(sd, 4).as("sd_rate"))
   }
 
+  /** Seasonality-adjusted event-rate anomalies: the [[rateAnomalies]]
+    * detector with the baseline CONDITIONED on hour-of-day — each
+    * (type, hour-of-day) cell gets its own exact-integer moments, so a
+    * 3 a.m. spike that sits below the daily-peak mean still flags, and
+    * the daily peak itself stops flagging (the two failure modes of the
+    * global screen). Moment table is domain-bounded (types × 24),
+    * broadcast back onto hourly counts; same bit-identical flag
+    * arithmetic (one sqrt on identical doubles), sample variance,
+    * single-observation cells can't flag.
+    */
+  def seasonalAnomalies(events: DataFrame, sigmas: Double = 3.0): DataFrame = {
+    val hourly = events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("c"),
+        hour(col("w.start")).as("hod"))
+    val stats = hourly.groupBy(col("event_type").as("et"), col("hod").as("h"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
+        sum(col("c") * col("c")).as("ss"))
+    val mean = col("s").cast("double") / col("n")
+    val sd = sqrt((col("ss") - col("s") * col("s") / col("n").cast("double"))
+      / (col("n") - 1))
+    hourly.join(broadcast(stats),
+        col("event_type") === col("et") && col("hod") === col("h"))
+      .filter(col("n") > 1 && col("c") > mean + lit(sigmas) * sd)
+      .select(col("window_start"), col("event_type"), col("hod"),
+        col("c").as("n_events"),
+        round(mean, 4).as("mean_rate"), round(sd, 4).as("sd_rate"))
+  }
+
   /** Per-window Misra-Gries heavy hitters: the frequency sketch
     * ([[graft.operators.FreqSketch]]) keyed by tumbling window — "what
     * dominated each hour" with k-bounded state per window, the form the
