@@ -2226,6 +2226,82 @@ object GraphOps {
          SELECT e.d, e.t FROM reach r JOIN e ON e.s = r.v AND e.t >= r.t)
        SELECT v AS part, min(t) AS first_seen FROM reach GROUP BY v"""
 
+  /** Temporal triangle-motif census (Paranjape et al., WSDM 2017) over
+    * the purchase-diffusion edges: instances of the cyclic (u→v→w→u)
+    * and transitive (u→v→w with shortcut u→w LAST) triangles whose
+    * edge times are non-decreasing AND whose whole span fits a Δ
+    * window — counted along a Δ curve (7/30/90/365 days), which is the
+    * actual question temporal motifs answer ("at what timescale does
+    * feedback happen") and which a static census provably cannot see
+    * (g_triad_census counts the same shapes with time erased). One
+    * time-filtered wedge join feeds both closure probes; instances are
+    * edge-triples (multi-edges across dates each count — the standard
+    * temporal-motif semantics), so no rotation division is needed:
+    * the time ordering picks the rotation. All-integer outputs.
+    */
+  def gMotifTemporal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = temporalEdgesCached(spark, dir)
+    val wed = e.select(col("a").as("u"), col("b").as("v"), col("t").as("t1"))
+      .join(e.select(col("a").as("v"), col("b").as("wn"), col("t").as("t2")),
+        Seq("v"))
+      .filter(col("t2") >= col("t1"))
+      .localCheckpoint()
+    val cyc = wed.join(
+        e.select(col("a").as("wn"), col("b").as("u"), col("t").as("t3")),
+        Seq("u", "wn"))
+      .filter(col("t3") >= col("t2"))
+      .select(datediff(col("t3"), col("t1")).as("span"))
+      .withColumn("motif", lit("cyclic"))
+    val tr = wed.join(
+        e.select(col("a").as("u"), col("b").as("wn"), col("t").as("t3")),
+        Seq("u", "wn"))
+      .filter(col("t3") >= col("t2"))
+      .select(datediff(col("t3"), col("t1")).as("span"))
+      .withColumn("motif", lit("transitive"))
+    val deltas = Seq(7, 30, 90, 365).toDF("delta_days")
+    broadcast(deltas)
+      .join(cyc.unionByName(tr), col("span") <= col("delta_days"), "left")
+      .groupBy(col("delta_days"))
+      .agg(sum(when(col("motif") === "cyclic", 1L).otherwise(0L)).as("n_cyclic"),
+        sum(when(col("motif") === "transitive", 1L).otherwise(0L))
+          .as("n_transitive"))
+  }
+
+  val gMotifTemporalSql: String =
+    """WITH o2 AS (
+         SELECT o_orderkey, o_custkey, o_orderdate,
+                row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey) AS rn
+         FROM orders),
+       cp AS (SELECT a.o_orderkey AS k1, b.o_orderkey AS k2,
+                     b.o_orderdate AS t
+              FROM o2 a JOIN o2 b
+                ON a.o_custkey = b.o_custkey AND b.rn = a.rn + 1),
+       e AS (SELECT DISTINCT la.l_partkey AS s, lb.l_partkey AS d, cp.t
+             FROM cp JOIN lineitem la ON la.l_orderkey = cp.k1
+                     JOIN lineitem lb ON lb.l_orderkey = cp.k2
+             WHERE la.l_partkey < 500 AND lb.l_partkey < 500
+               AND la.l_partkey <> lb.l_partkey),
+       wg AS (SELECT x.s AS u, x.d AS v, x.t AS t1, y.d AS wn, y.t AS t2
+              FROM e x JOIN e y ON y.s = x.d AND y.t >= x.t),
+       cyc AS (SELECT date_diff('day', t1, z.t) AS span
+               FROM wg JOIN e z
+                 ON z.s = wg.wn AND z.d = wg.u AND z.t >= wg.t2),
+       tr AS (SELECT date_diff('day', t1, z.t) AS span
+              FROM wg JOIN e z
+                ON z.s = wg.u AND z.d = wg.wn AND z.t >= wg.t2),
+       inst AS (SELECT span, 'cyclic' AS motif FROM cyc
+                UNION ALL SELECT span, 'transitive' AS motif FROM tr),
+       deltas AS (SELECT unnest([7, 30, 90, 365]) AS delta_days)
+       SELECT delta_days,
+              CAST(sum(CASE WHEN motif = 'cyclic' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_cyclic,
+              CAST(sum(CASE WHEN motif = 'transitive' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_transitive
+       FROM deltas LEFT JOIN inst ON span <= delta_days
+       GROUP BY 1"""
+
   /** Directed-triangle census of the followed-by graph (the 3-edge
     * rows of the Holland–Leinhardt triad census; Milo et al. 2002 call
     * these THE network motifs): counts of CYCLIC closures (a→b→c→a —
@@ -2474,5 +2550,6 @@ object GraphOps {
     QueryDef.sql("g_condensation", gCondensation, gCondensationSql),
     QueryDef.sql("g_triad_census", gTriadCensus, gTriadCensusSql),
     QueryDef.sql("g_reach_temporal", gReachTemporal, gReachTemporalSql),
+    QueryDef.sql("g_motif_temporal", gMotifTemporal, gMotifTemporalSql),
     QueryDef.rowsOnly("g_louvain", gLouvain))
 }
