@@ -221,15 +221,17 @@ object GraphOps {
     })
 
   /** The 4-hop batched multi-source BFS from the pinned seed sample
-    * (gid < 10) over the co-purchase graph — the distance table both
-    * g_harmonic and g_eccentricity report over (Σ 1/d vs max d): a
-    * deployment runs the k-source sweep ONCE and derives every
-    * centrality/diameter report from it. The 4-hop cap subsumes
-    * harmonic's 3-hop semantics exactly: extending the cap never
-    * changes a min-distance, so `hop <= 3` of this table IS the 3-hop
-    * BFS. Pinning only the final (src, gid, hop) result keeps the
-    * per-hop intermediate checkpoints droppable, as with the
-    * label-prop fit.
+    * (gid < 40) over the co-purchase graph — ONE sweep serving six
+    * faces: the centrality family (harmonic / closeness / path counts /
+    * betweenness / eccentricity) reads its src < 10 slice, the distance
+    * oracle's exact side reads the full 40-source width (each (src,
+    * gid) row is independent of every other source, so slicing is
+    * exact — batching sources can only ADD rows, never change one).
+    * The 4-hop cap subsumes harmonic's 3-hop semantics exactly:
+    * extending the cap never changes a min-distance, so `hop <= 3` of
+    * this table IS the 3-hop BFS. Pinning only the final (src, gid,
+    * hop, sigma) result keeps the per-hop intermediate checkpoints
+    * droppable, as with the label-prop fit.
     */
   private val bfsSampleCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
@@ -239,7 +241,7 @@ object GraphOps {
       val (nodes, _) = copurchaseGraph(spark, dir)
       val und = adjGraphCached(spark, dir).und
         .select(col("a").as("gsrc"), col("b").as("gdst"))
-      val seeds = nodes.filter(col("gid") < 10).select(col("gid").as("src"))
+      val seeds = nodes.filter(col("gid") < 40).select(col("gid").as("src"))
       val d = Algorithms.bfsMulti(und, seeds, maxHops = 4)
       graft.PinnedRdds.pinning(spark) { d.localCheckpoint() }
     })
@@ -1665,7 +1667,7 @@ object GraphOps {
     // hop <= 3 of the shared 4-hop sweep IS the 3-hop BFS (extending
     // the cap never changes a min-distance)
     bfsSampleCached(spark, dir)
-      .filter(col("hop") > 0 && col("hop") <= 3)
+      .filter(col("src") < 10 && col("hop") > 0 && col("hop") <= 3)
       .groupBy(col("gid").as("part"))
       .agg(round(sum(lit(1.0) / col("hop")), 6).as("harmonic"),
         count(lit(1)).as("reached_from"))
@@ -1698,7 +1700,7 @@ object GraphOps {
     */
   def gCloseness(spark: SparkSession, dir: String): DataFrame =
     bfsSampleCached(spark, dir)
-      .filter(col("hop") > 0 && col("hop") <= 3)
+      .filter(col("src") < 10 && col("hop") > 0 && col("hop") <= 3)
       .groupBy(col("gid").as("part"))
       .agg(
         round(count(lit(1)).cast("double") / sum(col("hop")), 6)
@@ -1749,7 +1751,7 @@ object GraphOps {
     */
   def gPathCounts(spark: SparkSession, dir: String): DataFrame =
     bfsSampleCached(spark, dir)
-      .filter(col("hop") > 0 && col("hop") <= 3)
+      .filter(col("src") < 10 && col("hop") > 0 && col("hop") <= 3)
       .select(col("src"), col("gid"), col("hop").cast("long").as("hop"),
         col("sigma"))
 
@@ -1785,7 +1787,8 @@ object GraphOps {
     * positive terms can't cancel.
     */
   def gBetweenness(spark: SparkSession, dir: String): DataFrame = {
-    val fit = bfsSampleCached(spark, dir).filter(col("hop") <= 3)
+    val fit = bfsSampleCached(spark, dir)
+      .filter(col("src") < 10 && col("hop") <= 3)
     val und = adjGraphCached(spark, dir).und
       .select(col("a").as("gsrc"), col("b").as("gdst"))
     Algorithms.betweenness(fit, und, maxHop = 3)
@@ -1821,7 +1824,7 @@ object GraphOps {
 
   def gEccentricity(spark: SparkSession, dir: String): DataFrame = {
     val ecc = bfsSampleCached(spark, dir)
-      .filter(col("hop") > 0)
+      .filter(col("src") < 10 && col("hop") > 0)
       .groupBy(col("src"))
       .agg(max(col("hop")).cast("long").as("ecc"),
         count(lit(1)).as("n_reached"))
@@ -2061,12 +2064,9 @@ object GraphOps {
     * its landmark), so err = d̂ − d_exact is the per-pair sketch cost.
     */
   def gDistOracle(spark: SparkSession, dir: String): DataFrame = {
-    val und = adjGraphCached(spark, dir).und
-      .select(col("a").as("gsrc"), col("b").as("gdst"))
-    val seeds = adjGraphCached(spark, dir).und
-      .select(col("a")).distinct().filter(col("a") < 40)
-      .select(col("a").as("src"))
-    val exact = Algorithms.bfsMulti(und, seeds, maxHops = 4)
+    // the exact side is the full 40-source width of the SAME pinned
+    // sweep the centrality family slices (src < 10) — no second BFS
+    val exact = bfsSampleCached(spark, dir)
       .filter(col("hop") > 0 && col("gid") < 40 && col("src") < col("gid"))
       .select(col("src").as("part_a"), col("gid").as("part_b"),
         col("hop").cast("long").as("d_exact"))
