@@ -138,4 +138,48 @@ class PlanShapeSpec extends SparkSpec {
     assert(lp1.subsetOf(mod),
       s"g_modularity does not scan the pinned fit $lp1 (scans $mod)")
   }
+
+  private def rddIdsOf(df: org.apache.spark.sql.DataFrame): Set[Int] =
+    df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+    }.toSet
+
+  test("g_dist_oracle's exact side reads the SAME pinned sweep the centrality family slices") {
+    // the r8 consolidation: one 40-source 4-hop sweep, six faces —
+    // a re-run second BFS would show as a disjoint checkpoint scan
+    val harm = rddIdsOf(queries.GraphOps.gHarmonic(spark, sf()))
+    val dist = rddIdsOf(queries.GraphOps.gDistOracle(spark, sf()))
+    assert(harm.nonEmpty && (harm intersect dist).nonEmpty,
+      s"g_dist_oracle does not scan the shared sweep $harm (scans $dist)")
+  }
+
+  test("temporal motif census reads a pinned edge substrate and avoids products") {
+    // loop faces (g_reach_temporal) checkpoint internally, so the pin
+    // shows as build-to-build identity of the substrate scan instead
+    val m1 = rddIdsOf(queries.GraphOps.gMotifTemporal(spark, sf()))
+    val m2 = rddIdsOf(queries.GraphOps.gMotifTemporal(spark, sf()))
+    assert((m1 intersect m2).nonEmpty,
+      s"two motif builds scan disjoint substrates (no pin): $m1 vs $m2")
+    val p = plan(queries.GraphOps.gMotifTemporal(spark, sf()))
+    assert(!p.contains("CartesianProduct"),
+      s"temporal motif census degenerated to a product:\n$p")
+  }
+
+  test("g_condensation reads the SAME pinned SCC fit as g_scc — one FW-BW peel per session") {
+    val scc = rddIdsOf(queries.GraphOps.gScc(spark, sf()))
+    val cond = rddIdsOf(queries.GraphOps.gCondensation(spark, sf()))
+    assert(scc.nonEmpty && (scc intersect cond).nonEmpty,
+      s"g_condensation does not scan the pinned SCC fit $scc (scans $cond)")
+  }
+
+  test("p_quantile_sketch: the rank window sits ABOVE the bucket aggregation, never the data") {
+    val df = queries.Pipeline.pQuantileSketch(spark, sf())
+    val p = plan(df)
+    val wi = p.indexOf("Window")
+    assert(wi >= 0, s"no rank window found:\n$p")
+    assert(p.substring(wi).contains("HashAggregate"),
+      s"the window's input is not the bucket aggregate — it sorts the corpus:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"scalar total joined by sort-merge instead of broadcast:\n$p")
+  }
 }
