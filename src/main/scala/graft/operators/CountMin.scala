@@ -94,4 +94,27 @@ object CountMin {
       .agg(count(lit(1)).as("exact_count"))
       .filter(col("exact_count") >= threshold)
   }
+
+  /** Equi-join SIZE estimation by CMS inner product (Cormode &
+    * Muthukrishnan §4.2 — the AMS F₂ use case when both sides are the
+    * same stream): |A ⋈ B on k| = Σ_k f_A(k)·f_B(k), and the per-row
+    * bucket dot product Σ_b c_A(i,b)·c_B(i,b) only ever ADDS collision
+    * mass, so `min` over the depth rows is an upper bound within
+    * (e/width)·N_A·N_B in expectation. This is optimizer-grade
+    * statistics at 100 TB: the broadcast-vs-shuffle and skew-salting
+    * decisions read two kilobyte-scale bucket tables instead of
+    * counting the join — both sketches shuffle ≤ depth·width rows
+    * whatever the corpus, and the dot product runs over the bucket
+    * space. Returns one row: (est, the depth-row estimates folded).
+    */
+  def joinSizeEstimate(a: DataFrame, aCol: String, b: DataFrame, bCol: String,
+      depth: Int = 4, width: Int = 8192): DataFrame = {
+    val s1 = sketch(a, aCol, depth, width)
+      .select(col("i"), col("b"), col("c").as("c1"))
+    val s2 = sketch(b, bCol, depth, width)
+      .select(col("i"), col("b"), col("c").as("c2"))
+    s1.join(s2, Seq("i", "b"))
+      .groupBy(col("i")).agg(sum(col("c1") * col("c2")).as("dot"))
+      .agg(min(col("dot")).as("est_join_size"))
+  }
 }

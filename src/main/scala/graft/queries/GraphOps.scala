@@ -2150,6 +2150,53 @@ object GraphOps {
                    AS DOUBLE) / 1000000.0 AS reciprocity
        FROM n, r"""
 
+  /** Flow hierarchy of the followed-by graph (Luo & Magee 2011): the
+    * fraction of edges on NO cycle — an edge is cyclic iff both
+    * endpoints share an SCC, so the whole statistic is two broadcast
+    * probes of the pinned SCC fit against the pinned capped edge table
+    * (zero new traversals; the condensation face's scalar sibling).
+    * 1.0 = a pure hierarchy (DAG), 0.0 = one big feedback loop.
+    */
+  def gFlowHierarchy(spark: SparkSession, dir: String): DataFrame = {
+    val e = followedByCached(spark, dir, cap = 500L)
+    val scc = sccCached(spark, dir)
+    val cls = e
+      .join(broadcast(scc.select(col("gid").as("gsrc"), col("scc").as("ca"))),
+        Seq("gsrc"))
+      .join(broadcast(scc.select(col("gid").as("gdst"), col("scc").as("cb"))),
+        Seq("gdst"))
+    cls.agg(count(lit(1)).as("n_edges"),
+        sum(when(col("ca") === col("cb"), 1L).otherwise(0L)).as("n_cyclic"))
+      .select(col("n_edges"), col("n_cyclic"),
+        (expr("""((n_edges - n_cyclic) * 2000000 + n_edges)
+                 DIV (2 * n_edges)""").cast("double") / 1000000.0)
+          .as("flow_hierarchy"))
+  }
+
+  val gFlowHierarchySql: String =
+    """WITH RECURSIVE f AS (
+         SELECT l_orderkey, l_partkey,
+                row_number() OVER (PARTITION BY l_orderkey
+                                   ORDER BY l_linenumber, l_partkey) AS rn
+         FROM lineitem WHERE l_partkey < 500),
+       e AS (SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+             FROM f a JOIN f b
+               ON a.l_orderkey = b.l_orderkey AND b.rn = a.rn + 1
+             WHERE a.l_partkey <> b.l_partkey),
+       reach(s, d) AS (
+         SELECT s, d FROM e
+         UNION
+         SELECT r.s, e2.d FROM reach r JOIN e e2 ON e2.s = r.d),
+       cyc AS (SELECT CAST(count(*) AS BIGINT) AS n_cyclic
+               FROM e WHERE EXISTS (SELECT 1 FROM reach r
+                                    WHERE r.s = e.d AND r.d = e.s)),
+       n AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
+       SELECT n_edges, n_cyclic,
+              CAST(((n_edges - n_cyclic) * 2000000 + n_edges)
+                   // (2 * n_edges) AS DOUBLE) / 1000000.0
+                AS flow_hierarchy
+       FROM n, cyc"""
+
   /** Temporal purchase-diffusion edges: part A (in some order) → part B
     * (in the customer's NEXT order), stamped with the LATER order's
     * date — the time at which the influence could have acted. Built
@@ -2551,5 +2598,6 @@ object GraphOps {
     QueryDef.sql("g_triad_census", gTriadCensus, gTriadCensusSql),
     QueryDef.sql("g_reach_temporal", gReachTemporal, gReachTemporalSql),
     QueryDef.sql("g_motif_temporal", gMotifTemporal, gMotifTemporalSql),
+    QueryDef.sql("g_flow_hierarchy", gFlowHierarchy, gFlowHierarchySql),
     QueryDef.rowsOnly("g_louvain", gLouvain))
 }

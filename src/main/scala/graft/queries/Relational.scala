@@ -1785,7 +1785,40 @@ object Relational {
        FROM anc a JOIN customer c ON a.node = c.c_custkey
        GROUP BY 1"""
 
+  /** Join-size estimation from CMS statistics ([[graft.operators
+    * .CountMin.joinSizeEstimate]]) — the optimizer-grade question
+    * behind every broadcast-vs-shuffle and salting decision at 100 TB:
+    * self-join sizes (Σ f(k)², the AMS F₂ / skew barometer) for the
+    * two skewed key domains, estimated from kilobyte bucket tables and
+    * reported NEXT TO the exact moment so the face is the estimator's
+    * error profile (est ≥ exact always; overcount_frac is the
+    * collision mass). Rows-only by design (the bucket hash has no SQL
+    * mirror); the bound and tightness live in CountMinSpec.
+    */
+  def qJoinSize(spark: SparkSession, dir: String): DataFrame = {
+    def one(df: DataFrame, c: String, name: String): DataFrame = {
+      val exact = df.groupBy(col(c)).agg(count(lit(1)).as("f"))
+        .agg(sum(col("f") * col("f")).as("exact_size"))
+      // width is THE accuracy knob: expected collision mass is
+      // (e/width)·N_a·N_b, so size it to the row-count product — 2^16
+      // holds the overcount to single-digit percent at gate scale and
+      // is still a half-megabyte bucket table
+      graft.operators.CountMin.joinSizeEstimate(df, c, df, c, width = 65536)
+        .crossJoin(broadcast(exact))
+        .select(lit(name).as("join_key"), col("exact_size"),
+          col("est_join_size"),
+          round((col("est_join_size") - col("exact_size")).cast("double")
+            / col("exact_size"), 6).as("overcount_frac"))
+    }
+    one(Tables.load(spark, dir, "lineitem").select(col("l_partkey")),
+      "l_partkey", "lineitem_selfjoin_partkey")
+      .unionByName(
+        one(Tables.load(spark, dir, "events").select(col("user_id")),
+          "user_id", "events_selfjoin_user"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef.rowsOnly("q_join_size", qJoinSize),
     QueryDef.sql("q1_agg", q1Agg, q1AggSql),
     QueryDef.sql("q_hier_rollup", qHierRollup, qHierRollupSql),
     QueryDef.sql("q_attribution", qAttribution, qAttributionSql),

@@ -42,6 +42,34 @@ class CountMinSpec extends SparkSpec {
     assert(est === truth)
   }
 
+  test("joinSizeEstimate upper-bounds the exact join size, tightly at sane widths") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    // zipf-ish key frequencies on both sides — the case that matters:
+    // a uniform-assumption optimizer underestimates skewed joins badly
+    def side(n: Int, seed: Int): Seq[Long] = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(n)((math.pow(r.nextDouble(), 3) * 50).toLong)
+    }
+    val a = side(4000, 1); val b = side(3000, 2)
+    val fa = a.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val fb = b.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val exact = fa.map { case (k, c) => c * fb.getOrElse(k, 0L) }.sum
+    val est = CountMin.joinSizeEstimate(
+      a.toDF("k").repartition(5), "k", b.toDF("k").repartition(3), "k")
+      .collect()(0).getLong(0)
+    assert(est >= exact, s"CMS inner product under-counted: $est < $exact")
+    // expected collision mass ≤ (e/width)·Na·Nb ≈ 4000·3000·e/8192 ≈ 4000;
+    // allow 3× the expectation for the min over 4 rows
+    assert(est <= exact + 3L * 4000L, s"estimate too loose: $est vs $exact")
+    // degenerate width forces collisions; the bound must still hold
+    val loose = CountMin.joinSizeEstimate(
+      a.toDF("k"), "k", b.toDF("k"), "k", depth = 2, width = 4)
+      .collect()(0).getLong(0)
+    assert(loose >= exact)
+    val _ = rnd
+  }
+
   test("sketch is layout-invariant and bounded by the bucket space") {
     import spark.implicits._
     val items = (1 to 5000).map(i => s"t${i % 97}").toDF("item")
