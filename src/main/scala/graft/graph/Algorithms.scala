@@ -2446,14 +2446,25 @@ object Algorithms {
     * edges ⋈ state shuffle per round, state is node-scale — the SSSP
     * loop discipline with time as the distance metric.
     */
+  /** `init`: a prior (gid, arr) state to WARM-START from — every entry
+    * must be witnessed by a real time-respecting path over some subset
+    * of `edges` (e.g. the fixpoint over yesterday's edge set). Edge
+    * ADDITIONS only ever improve arrivals and the seeds ride in the
+    * state, so relaxation from a sound prior reaches the identical
+    * minimal fixpoint while paying only the NEW diffusion depth —
+    * TemporalReachSpec asserts warm ≡ cold on random splits.
+    */
   def temporalEarliestArrival(edges: DataFrame, seeds: DataFrame,
-      t0: Column, maxIter: Int = 100): DataFrame = {
+      t0: Column, maxIter: Int = 100,
+      init: Option[DataFrame] = None): DataFrame = {
     val e = edges.select(col("a"), col("b"), col("t"))
       .filter(col("a") =!= col("b")).distinct().localCheckpoint()
     val eCnt = e.count()
     val width = loopWidth(edges, eCnt)
     withoutAqe(edges, Some(width)) {
-      var arr = seeds.select(col("gid"), t0.as("arr")).localCheckpoint()
+      var arr = init
+        .getOrElse(seeds.select(col("gid"), t0.as("arr")))
+        .select(col("gid"), col("arr")).localCheckpoint()
       // state grows toward the reached set; bound it by dst-count + seeds,
       // not the seed count, so the broadcast decision survives growth
       val small = (eCnt + arr.count()) <= BroadcastStateBound

@@ -58,6 +58,29 @@ class TemporalReachSpec extends SparkSpec {
     assert(run(edges, Seq(1L)) == Map(1L -> T0, 4L -> 3L, 5L -> 7L))
   }
 
+  test("warm-start from the base-window fixpoint ≡ cold full fixpoint on random splits") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    for (trial <- 1 to 3) {
+      val n = 30 + trial * 10
+      val edges = Seq.fill(n * 4)((rnd.nextInt(n).toLong,
+        rnd.nextInt(n).toLong, rnd.nextInt(60).toLong + 1L))
+        .filter(e => e._1 != e._2).distinct
+      val cut = 40L // base: t < cut; delta: the late edges
+      val seeds = Seq(0L, 1L)
+      def df(es: Seq[(Long, Long, Long)]) = es.toDF("a", "b", "tsec")
+        .select(col("a"), col("b"), timestamp_seconds(col("tsec")).as("t"))
+      val s = seeds.toDF("gid")
+      val base = Algorithms.temporalEarliestArrival(
+        df(edges.filter(_._3 < cut)), s, timestamp_seconds(lit(T0)))
+      val warm = Algorithms.temporalEarliestArrival(
+        df(edges), s, timestamp_seconds(lit(T0)), init = Some(base))
+        .select(col("gid"), unix_timestamp(col("arr")).as("sec"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(warm == reference(edges, seeds), s"trial $trial")
+    }
+  }
+
   test("randomized: distributed relaxation ≡ driver fixpoint") {
     val rnd = new scala.util.Random(11)
     for (trial <- 1 to 4) {
