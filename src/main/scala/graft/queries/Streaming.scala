@@ -71,6 +71,45 @@ object Streaming {
        WHERE n > 1 AND hy.c > s / CAST(n AS DOUBLE) +
              3.0 * sqrt((ss - s * s / CAST(n AS DOUBLE)) / (n - 1))"""
 
+  /** CUSUM drift detection ([[Streams.cusumDrift]]) — the SUSTAINED-
+    * shift member of the ops screen family: 39j/39t flag single-hour
+    * spikes; CUSUM accumulates small excesses over the reference rate
+    * and fires when the cumulative drift crosses 3k, catching slow
+    * ramps no point threshold sees. The sequential max(0, ·)
+    * recurrence compiles to two windows via the running-sum −
+    * running-min identity; all-integer, bit-identical flags.
+    */
+  def sCusum(spark: SparkSession, dir: String): DataFrame =
+    Streams.cusumReport(Tables.load(spark, dir, "events"))
+
+  val sCusumSql: String =
+    """WITH hourly AS (
+         SELECT date_trunc('hour', ts) AS window_start, event_type,
+                CAST(count(*) AS BIGINT) AS c
+         FROM events GROUP BY 1, 2),
+       kk AS (SELECT event_type AS et,
+                     (2 * CAST(sum(c) AS BIGINT) + count(*))
+                       // (2 * count(*))
+                       + 1 + (CAST(sum(c) AS BIGINT) // count(*)) // 10 AS k
+              FROM hourly GROUP BY 1),
+       r AS (SELECT h.window_start, h.event_type, h.c, kk.k,
+                    CAST(sum(h.c - kk.k) OVER
+                      (PARTITION BY h.event_type ORDER BY h.window_start)
+                      AS BIGINT) AS r
+             FROM hourly h JOIN kk ON h.event_type = kk.et),
+       s AS (SELECT window_start, event_type, c, k,
+                    r - least(CAST(0 AS BIGINT), CAST(min(r) OVER
+                      (PARTITION BY event_type ORDER BY window_start)
+                      AS BIGINT)) AS cusum
+             FROM r)
+       SELECT event_type, any_value(k) AS ref_rate,
+              CAST(max(cusum) AS BIGINT) AS max_cusum,
+              CAST(sum(CASE WHEN cusum > 3 * k THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_hours_flagged,
+              min(CASE WHEN cusum > 3 * k THEN window_start END)
+                AS first_flag
+       FROM s GROUP BY event_type"""
+
   /** Per-hour heavy hitters over the event stream — the windowed face
     * of the Misra-Gries sketch. Capacity 64 exceeds the event-type
     * domain, so the sketch runs in its exact regime and the plain
@@ -680,6 +719,7 @@ object Streaming {
     QueryDef.rowsOnly("s_distinct_kmv", sDistinctKmv),
     QueryDef.sql("s_quantile", sQuantile, sQuantileSql),
     QueryDef.sql("s_seasonal_anomaly", sSeasonalAnomaly, sSeasonalAnomalySql),
+    QueryDef.sql("s_cusum", sCusum, sCusumSql),
     QueryDef.sql("q_concurrency", qConcurrency, qConcurrencySql),
     QueryDef.sql("s_sessionize", sSessionize, sSessionizeSql),
     QueryDef.sql("s_session_native", sSessionNative, sSessionNativeSql),

@@ -111,6 +111,54 @@ object Streams {
         round(mean, 4).as("mean_rate"), round(sd, 4).as("sd_rate"))
   }
 
+  /** One-sided CUSUM change-point detection on hourly event rates
+    * (Page 1954): S_t = max(0, S_{t-1} + c_t − k) flags SUSTAINED
+    * drifts a point-threshold screen (39j/39t) misses, because small
+    * excesses accumulate. The recurrence looks inherently sequential,
+    * but it has a prefix-scan identity — S_t = R_t − min(0, min_{j≤t}
+    * R_j) where R is the running sum of (c − k) — so it compiles to
+    * TWO windows over the per-type hourly series (≤ hours rows per
+    * type, time-ordered within the type partition — never a global
+    * sort). Reference k = per-type round-half-up mean (exact integer),
+    * decision threshold h = 3k; every quantity stays an exact long, so
+    * the flag set is bit-identical across engines and partitionings.
+    */
+  def cusumDrift(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("c"))
+    // reference = round-half-up mean PLUS a 10%+1 allowance: with k at
+    // the bare mean the statistic is a zero-drift random walk and
+    // flags noise; the slack makes in-control drift strictly negative
+    // (Page's k = μ + δ/2 with δ ≈ 20% of rate)
+    val k = hourly.groupBy(col("event_type").as("et"))
+      .agg(expr("""(2 * sum(c) + count(1)) DIV (2 * count(1))
+                   + 1 + (sum(c) DIV count(1)) DIV 10""").as("k"))
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("window_start"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hourly.join(broadcast(k), col("event_type") === col("et"))
+      .withColumn("r", sum(col("c") - col("k")).over(wOrd))
+      .withColumn("cusum",
+        col("r") - least(lit(0L), min(col("r")).over(wOrd)))
+      .withColumn("flagged", col("cusum") > lit(3L) * col("k"))
+  }
+
+  /** The CUSUM detector's per-type report card: reference rate, the
+    * maximum drift statistic the series ever accumulated, how many
+    * hours crossed the 3k decision threshold, and when the first
+    * crossing happened (null = the series stayed in control — itself
+    * the informative answer on a stationary stream; StreamingSpec's
+    * planted slow ramp proves the detector fires when drift is real).
+    */
+  def cusumReport(events: DataFrame): DataFrame =
+    cusumDrift(events)
+      .groupBy(col("event_type"))
+      .agg(first(col("k")).as("ref_rate"),
+        max(col("cusum")).as("max_cusum"),
+        sum(when(col("flagged"), 1L).otherwise(0L)).as("n_hours_flagged"),
+        min(when(col("flagged"), col("window_start"))).as("first_flag"))
+
   /** Per-window Misra-Gries heavy hitters: the frequency sketch
     * ([[graft.operators.FreqSketch]]) keyed by tumbling window — "what
     * dominated each hour" with k-bounded state per window, the form the

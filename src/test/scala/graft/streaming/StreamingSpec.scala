@@ -225,6 +225,42 @@ class StreamingSpec extends SparkSpec {
     assert(r.getDouble(4) === 12.0)
   }
 
+  test("cusumDrift's two-window form equals the sequential max(0,·) recurrence") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    // randomized hourly series per type, including a planted slow ramp
+    val rows = (for {
+      (tpe, drift) <- Seq(("click", 0), ("view", 1)) // view ramps slowly
+      h <- 0 until 120
+    } yield {
+      val c = 5 + rnd.nextInt(4) + (if (h > 60) drift * 5 else 0)
+      (tpe, h, c)
+    })
+    val evs = rows.flatMap { case (tpe, h, c) =>
+      Seq.fill(c)(Ev(1, java.sql.Timestamp.valueOf(
+        f"2024-01-${h / 24 + 1}%02d ${h % 24}%02d:30:00"), 1, tpe, 1.0))
+    }
+    val got = Streams.cusumDrift(evs.toDF()).filter(col("flagged"))
+      .select(col("event_type"), col("window_start"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1))).toSet
+    // driver reference: the literal sequential recurrence
+    val want = rows.groupBy(_._1).toSeq.flatMap { case (tpe, rs) =>
+      val ordered = rs.sortBy(_._2)
+      val n = ordered.size
+      val s = ordered.map(_._3.toLong).sum
+      val k = (2 * s + n) / (2 * n) + 1 + (s / n) / 10
+      var st = 0L
+      ordered.flatMap { case (_, h, c) =>
+        st = math.max(0L, st + c - k)
+        if (st > 3 * k) Some((tpe, java.sql.Timestamp.valueOf(
+          f"2024-01-${h / 24 + 1}%02d ${h % 24}%02d:00:00"))) else None
+      }
+    }.toSet
+    assert(got === want)
+    assert(want.exists(_._1 == "view") && !want.exists(_._1 == "click"),
+      "the planted slow ramp should flag and the flat series should not")
+  }
+
   test("left-outer stream-stream join emits null rows only after watermark eviction") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
