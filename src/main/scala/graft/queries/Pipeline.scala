@@ -3,7 +3,7 @@ package graft.queries
 import graft.{QueryDef, Tables}
 import graft.functions.FnvHash64
 import graft.pipeline.{Ann, Dedup, Importance, Multimodal, TextAnalysis}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -2368,6 +2368,45 @@ object Pipeline {
        FROM contrib GROUP BY 1"""
   }
 
+  /** Reciprocal-rank-fusion curation ensemble (Cormack et al. 2009 —
+    * THE way incomparable rankers combine without score calibration,
+    * and the fusion step of every hybrid lexical+semantic retrieval
+    * stack): three verified rankers — BM25 relevance to the domain
+    * query mix, heuristic quality, character information density —
+    * each contribute floor(10⁹/(60+rank)) for their top-100 list, and
+    * the corpus is re-ranked by the exact integer sum. Rank-based
+    * fusion is deliberately scale-free: a ranker's score DISTRIBUTION
+    * never leaks into the ensemble, only its order. Scale shape: each
+    * top-100 list comes from the k-bounded TopK partial aggregate
+    * (map-side k-buffers, NO global sort — the q_pareto discipline),
+    * the fusion joins three 100-row lists, and the final re-rank runs
+    * over ≤ 300 candidates.
+    */
+  def pRankFusion(spark: SparkSession, dir: String): DataFrame = {
+    def top100(df: DataFrame, s: String): DataFrame =
+      graft.operators.TopK.topKPerGroup(
+        df.select(col("doc_id"), col(s).as("s")).withColumn("g", lit(1)),
+        "g", "s", "doc_id", k = 100)
+        .select(col("doc_id"), col("rank"))
+    val r1 = top100(pBm25(spark, dir), "bm25")
+    val r2 = top100(pQualityScore(spark, dir), "quality")
+    val r3 = top100(pCharEntropy(spark, dir), "char_entropy")
+    def c(r: Column): Column =
+      coalesce(call_function("div", lit(1000000000L), lit(60L) + r), lit(0L))
+    val fused = r1.select(col("doc_id"), col("rank").as("r1"))
+      .join(r2.select(col("doc_id"), col("rank").as("r2")), Seq("doc_id"), "full")
+      .join(r3.select(col("doc_id"), col("rank").as("r3")), Seq("doc_id"), "full")
+      .select(col("doc_id"),
+        (col("r1").isNotNull.cast("long") + col("r2").isNotNull.cast("long")
+          + col("r3").isNotNull.cast("long")).as("in_lists"),
+        (c(col("r1")) + c(col("r2")) + c(col("r3"))).as("rrf"))
+    graft.operators.TopK.topKPerGroup(
+        fused.withColumn("g", lit(1)), "g", "rrf", "doc_id", k = 50)
+      .select(col("doc_id"), col("rank").as("fused_rank"))
+      .join(fused.select(col("doc_id"), col("in_lists"),
+        col("rrf").as("rrf_score")), Seq("doc_id"))
+  }
+
   def pQualityScore(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
       .select(col("doc_id"), round(TextAnalysis.qualityScore(col("text")), 4).as("quality"))
@@ -2393,6 +2432,44 @@ object Pipeline {
     * the keep flag compares the unrounded rank (a count ratio, exact in
     * both engines), the reported percentile is rounded for display.
     */
+  val pRankFusionSql: String =
+    s"""WITH bm AS (SELECT doc_id, bm25 FROM (${pBm25Sql}) tb),
+        qs AS (SELECT doc_id, quality FROM (${pQualityScoreSql}) tq),
+        en AS (SELECT doc_id, char_entropy FROM (${pCharEntropySql}) te),
+        r1 AS (SELECT doc_id, r FROM (
+                 SELECT doc_id, row_number() OVER
+                   (ORDER BY bm25 DESC, doc_id) AS r FROM bm)
+               WHERE r <= 100),
+        r2 AS (SELECT doc_id, r FROM (
+                 SELECT doc_id, row_number() OVER
+                   (ORDER BY quality DESC, doc_id) AS r FROM qs)
+               WHERE r <= 100),
+        r3 AS (SELECT doc_id, r FROM (
+                 SELECT doc_id, row_number() OVER
+                   (ORDER BY char_entropy DESC, doc_id) AS r FROM en)
+               WHERE r <= 100),
+        ids AS (SELECT doc_id FROM r1 UNION SELECT doc_id FROM r2
+                UNION SELECT doc_id FROM r3),
+        f AS (SELECT ids.doc_id,
+                     CAST((CASE WHEN r1.r IS NOT NULL THEN 1 ELSE 0 END)
+                        + (CASE WHEN r2.r IS NOT NULL THEN 1 ELSE 0 END)
+                        + (CASE WHEN r3.r IS NOT NULL THEN 1 ELSE 0 END)
+                       AS BIGINT) AS in_lists,
+                     CAST(coalesce(1000000000 // (60 + r1.r), 0)
+                        + coalesce(1000000000 // (60 + r2.r), 0)
+                        + coalesce(1000000000 // (60 + r3.r), 0)
+                       AS BIGINT) AS rrf
+              FROM ids LEFT JOIN r1 USING (doc_id)
+                       LEFT JOIN r2 USING (doc_id)
+                       LEFT JOIN r3 USING (doc_id))
+        SELECT doc_id, fused_rank, in_lists, rrf AS rrf_score FROM (
+          SELECT doc_id, in_lists, rrf,
+                 CAST(row_number() OVER (ORDER BY rrf DESC, doc_id)
+                      AS BIGINT) AS fused_rank
+          FROM f)
+        WHERE fused_rank <= 50"""
+
+
   def pQualityNorm(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("source")).orderBy(col("quality"))
     Tables.load(spark, dir, "documents")
@@ -3068,6 +3145,7 @@ object Pipeline {
     QueryDef.sql("p_token_quantiles", pTokenQuantiles, pTokenQuantilesSql),
     QueryDef.sql("p_quantile_sketch", pQuantileSketch, pQuantileSketchSql),
     QueryDef.sql("p_heaps", pHeaps, pHeapsSql),
+    QueryDef.sql("p_rank_fusion", pRankFusion, pRankFusionSql),
     QueryDef.sql("p_ngram_freq", pNgramFreq, pNgramFreqSql),
     QueryDef.sql("p_novelty", pNovelty, pNoveltySql),
     QueryDef.sql("p_kmeans", pKmeans, pKmeansSql),
