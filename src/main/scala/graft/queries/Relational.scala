@@ -1817,8 +1817,78 @@ object Relational {
           "user_id", "events_selfjoin_user"))
   }
 
+  /** Partition-skew audit of the four join-key domains — the numbers
+    * behind every salt-or-broadcast decision (q_skew_join executes the
+    * salted plan; this face tells you WHEN you need it): per domain
+    * the key cardinality, the heaviest key's share, the top-10 share
+    * (both via the k-bounded TopK aggregate — no global sort), the
+    * coefficient of variation from exact integer moments, and the
+    * self-join skew factor F₂·K/N² (= 1 for uniform keys, grows with
+    * concentration — the exact form of what q_join_size estimates by
+    * sketch). Everything reduces over the KEY-frequency table, never
+    * ranks it; all ratios 6dp-sealed from exact longs.
+    */
+  def qSkewAudit(spark: SparkSession, dir: String): DataFrame = {
+    def one(df: DataFrame, c: String, name: String): DataFrame = {
+      val freq = df.groupBy(col(c).as("k")).agg(count(lit(1)).as("f"))
+      val top = graft.operators.TopK.topKPerGroup(
+        freq.withColumn("g", lit(1)), "g", "f", "k", k = 10)
+        .agg(sum(when(col("rank") === 1, col("f"))).cast("long").as("top1"),
+          sum(col("f")).cast("long").as("top10"))
+      freq.agg(count(lit(1)).as("n_keys"), sum(col("f")).as("n_rows"),
+          sum(col("f") * col("f")).as("f2"))
+        .crossJoin(broadcast(top))
+        .select(lit(name).as("key_domain"), col("n_rows"), col("n_keys"),
+          round(col("top1").cast("double") / col("n_rows"), 6)
+            .as("top1_share"),
+          round(col("top10").cast("double") / col("n_rows"), 6)
+            .as("top10_share"),
+          round(sqrt((col("f2").cast("double")
+              - col("n_rows").cast("double") * col("n_rows") / col("n_keys"))
+              / col("n_keys"))
+            / (col("n_rows").cast("double") / col("n_keys")), 6).as("cv"),
+          round(col("f2").cast("double") * col("n_keys")
+            / (col("n_rows").cast("double") * col("n_rows")), 6)
+            .as("skew_factor"))
+    }
+    one(Tables.load(spark, dir, "lineitem"), "l_partkey", "lineitem.partkey")
+      .unionByName(one(Tables.load(spark, dir, "lineitem"), "l_suppkey",
+        "lineitem.suppkey"))
+      .unionByName(one(Tables.load(spark, dir, "orders"), "o_custkey",
+        "orders.custkey"))
+      .unionByName(one(Tables.load(spark, dir, "events"), "user_id",
+        "events.user"))
+  }
+
+  val qSkewAuditSql: String = {
+    def one(tbl: String, c: String, name: String): String =
+      s"""SELECT '$name' AS key_domain,
+                 CAST(sum(f) AS BIGINT) AS n_rows,
+                 CAST(count(*) AS BIGINT) AS n_keys,
+                 round((SELECT CAST(max(f) AS DOUBLE) FROM
+                          (SELECT count(*) AS f FROM $tbl GROUP BY $c))
+                       / sum(f), 6) AS top1_share,
+                 round((SELECT CAST(sum(f) AS DOUBLE) FROM
+                          (SELECT f FROM
+                             (SELECT count(*) AS f FROM $tbl GROUP BY $c)
+                           ORDER BY f DESC LIMIT 10))
+                       / sum(f), 6) AS top10_share,
+                 round(sqrt((CAST(sum(f * f) AS DOUBLE)
+                     - CAST(sum(f) AS DOUBLE) * sum(f) / count(*))
+                     / count(*))
+                   / (CAST(sum(f) AS DOUBLE) / count(*)), 6) AS cv,
+                 round(CAST(sum(f * f) AS DOUBLE) * count(*)
+                   / (CAST(sum(f) AS DOUBLE) * sum(f)), 6) AS skew_factor
+          FROM (SELECT count(*) AS f FROM $tbl GROUP BY $c)"""
+    Seq(one("lineitem", "l_partkey", "lineitem.partkey"),
+      one("lineitem", "l_suppkey", "lineitem.suppkey"),
+      one("orders", "o_custkey", "orders.custkey"),
+      one("events", "user_id", "events.user")).mkString("\nUNION ALL\n")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.rowsOnly("q_join_size", qJoinSize),
+    QueryDef.sql("q_skew_audit", qSkewAudit, qSkewAuditSql),
     QueryDef.sql("q1_agg", q1Agg, q1AggSql),
     QueryDef.sql("q_hier_rollup", qHierRollup, qHierRollupSql),
     QueryDef.sql("q_attribution", qAttribution, qAttributionSql),
