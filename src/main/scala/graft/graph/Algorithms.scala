@@ -2398,7 +2398,7 @@ object Algorithms {
     * levels (callers feed condensation DAGs, which are acyclic by
     * definition).
     */
-  def dagLevels(edges: DataFrame, maxIter: Int = 200): DataFrame = {
+  def dagLevels(edges: DataFrame, maxIter: Int = 2000): DataFrame = {
     val dirE = edges.select(col("a"), col("b"))
       .filter(col("a") =!= col("b")).distinct().localCheckpoint()
     val nodes = dirE.select(col("a").as("gid"))
@@ -2455,7 +2455,7 @@ object Algorithms {
     * TemporalReachSpec asserts warm ≡ cold on random splits.
     */
   def temporalEarliestArrival(edges: DataFrame, seeds: DataFrame,
-      t0: Column, maxIter: Int = 100,
+      t0: Column, maxIter: Int = 500,
       init: Option[DataFrame] = None): DataFrame = {
     val e = edges.select(col("a"), col("b"), col("t"))
       .filter(col("a") =!= col("b")).distinct().localCheckpoint()
