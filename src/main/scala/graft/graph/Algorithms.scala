@@ -469,6 +469,37 @@ object Algorithms {
       damping: Double = 0.85): DataFrame =
     pageRank(prepareRankGraph(nodes, edges), iters, damping)
 
+  /** Katz centrality (Katz 1953), fixed rounds: x₀ = 1,
+    * xᵢ = 1 + α·Aᵀxᵢ₋₁ — the truncated path series Σⱼ α^j·(#paths of
+    * length j ending at v). The attenuation-weighted completion of the
+    * centrality family: unlike PageRank it does not normalize by
+    * out-degree (a prolific source passes FULL mass to every target),
+    * and unlike HITS there is no per-round normalization scan, so each
+    * round is exactly one edge⋈state shuffle-hash join + one
+    * neighbor-sum aggregation over the pinned co-partitioned layout —
+    * the classic rank-loop plan shape with its cheapest possible body.
+    * Deterministic given (layout, α, rounds); callers keep α below
+    * 1/λ_max (λ_max ≤ max in-degree) so the series contracts.
+    */
+  def katz(g: RankGraph, iters: Int, alpha: Double): DataFrame =
+    withoutAqe(g.e, Some(g.width)) {
+      var x = g.base0.select(col("gid"), lit(1.0).as("x")).localCheckpoint()
+      for (_ <- 1 to iters) {
+        val contribs = g.e
+          .join(x.hint("shuffle_hash"), g.e("gsrc") === col("gid"))
+          .groupBy(g.e("gdst").as("cgid"))
+          .agg(sum(col("x")).as("contrib"))
+        x = g.base0.select(col("gid"))
+          .join(contribs.hint("shuffle_hash"), col("gid") === col("cgid"),
+            "left")
+          .select(col("gid"),
+            (lit(1.0) + lit(alpha) * coalesce(col("contrib"), lit(0.0)))
+              .as("x"))
+          .localCheckpoint()
+      }
+      x
+    }
+
   def pageRank(g: RankGraph, iters: Int, damping: Double): DataFrame =
     pageRankLoop(g, iters, damping, teleportOf = base =>
       base.withColumn("tele", lit(1.0 / g.n)))

@@ -564,4 +564,55 @@ object Cluster {
       .select(col("query_id"), col("neighbor_id"))
     rerankExact(cand, emb, idCol, vecCol, queries, topK)
   }
+
+  /** DBSCAN (Ester et al. KDD'96) from a precomputed ε-neighbor pair
+    * set, deterministic variant: core = ≥ minPts neighbors, clusters =
+    * connected components over core–core edges, border points attach
+    * to the MINIMUM-id cluster among their core neighbors (classic
+    * DBSCAN leaves border assignment scan-order-dependent; min-id
+    * makes the output a pure function of the neighbor graph), the
+    * rest is noise. The pair set is the pluggable scale knob: exact
+    * all-pairs at audit scale, LSH-bucketed at corpus scale — core/CC/
+    * border logic identical. Unlike plain CC clustering, a low-degree
+    * bridge pair cannot fuse two dense regions (the bridge endpoints
+    * never become core), and stragglers are explicit noise rather
+    * than singleton clusters.
+    *
+    * @param nodes  one `id` column — the full point set (noise rows
+    *               are emitted for points with no neighbors at all)
+    * @param pairs  canonical ε-neighbor pairs (id_a < id_b), one row
+    *               per unordered pair
+    * @return (id, role ∈ core|border|noise, cluster_id — null iff noise)
+    */
+  def dbscanFromPairs(nodes: DataFrame, pairs: DataFrame,
+      minPts: Int): DataFrame = {
+    val und = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+      .unionByName(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
+      .localCheckpoint() // degree agg + core edges + border attach all read it
+    val deg = und.groupBy(col("a")).agg(count(lit(1)).as("d"))
+    val core = deg.filter(col("d") >= minPts).select(col("a"))
+      .localCheckpoint()
+    val coreEdges = und
+      .join(core.select(col("a").as("ca")), col("a") === col("ca"), "left_semi")
+      .join(core.select(col("a").as("cb")), col("b") === col("cb"), "left_semi")
+    val comp = graft.graph.Algorithms.connectedComponents(
+        core.select(col("a").as("gid")),
+        coreEdges.select(col("a").as("gsrc"), col("b").as("gdst")))
+      .localCheckpoint() // core output + border attach
+    val coreRows = comp.select(col("gid").as("id"),
+      lit("core").as("role"), col("comp").as("cluster_id"))
+    val border = und
+      .join(comp.select(col("gid").as("b"), col("comp")), "b")
+      .join(core.select(col("a").as("na")), col("a") === col("na"), "left_anti")
+      .groupBy(col("a"))
+      .agg(min(col("comp")).as("cluster_id"))
+      .select(col("a").as("id"), lit("border").as("role"), col("cluster_id"))
+      .localCheckpoint() // output leg + noise anti-join leg
+    val noise = nodes.select(col("id"))
+      .join(comp.select(col("gid").as("id")), Seq("id"), "left_anti")
+      .join(border.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), lit("noise").as("role"),
+        lit(null).cast("long").as("cluster_id"))
+    coreRows.unionByName(border).unionByName(noise)
+  }
 }

@@ -682,6 +682,101 @@ object Dedup {
       .groupBy(col("id")).agg(count(lit(1)).as("n_shared"))
   }
 
+  // ------------------------------------------- exact set-similarity join
+
+  /** EXACT Jaccard-threshold self-join via AllPairs/PPJoin prefix
+    * filtering (Bayardo et al. WWW'07; Xiao et al. WWW'08) — the
+    * deterministic counterpart of the MinHash-LSH candidate path:
+    * every pair with shingle-set Jaccard ≥ tNum/tDen is returned, with
+    * NO probabilistic recall loss, yet the pairwise work is bounded by
+    * prefix collisions instead of all token-sharing pairs.
+    *
+    * Canonical token order = ascending document frequency (token text
+    * tiebreak), so each document's prefix consists of its RAREST
+    * tokens. Two consequences at 100 TB: (a) the prefix self-join
+    * joins only rare-token postings — the hot keys that make a naive
+    * token self-join quadratic are exactly the ones prefix filtering
+    * excludes; (b) no global rank is ever materialized — (df, tok) IS
+    * the total order, so ordering is a per-document window, not a
+    * vocabulary-wide sort.
+    *
+    * Losslessness (the AllPairs prefix theorem): if J(x,y) ≥ t then
+    * the overlap i satisfies i·(1+t) ≥ t·(|x|+|y|) and i ≤ min size,
+    * hence i ≥ ⌈t·|x|⌉ on both sides; the FIRST common token under the
+    * canonical order has at most |x| − i non-common predecessors in x,
+    * so it sits within the first |x| − ⌈t·|x|⌉ + 1 positions of BOTH
+    * documents — prefix ⋈ prefix finds every qualifying pair. The
+    * threshold is an exact integer rational: candidate length filter
+    * (tNum·max ≤ tDen·min) and the final gate (tDen·i ≥ tNum·(union))
+    * are integer comparisons — no float discipline needed anywhere.
+    */
+  def ssjoinPrefix(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, tNum: Int = 1, tDen: Int = 2): DataFrame = {
+    require(tNum > 0 && tNum <= tDen, s"threshold $tNum/$tDen not in (0,1]")
+    // one exploded (id, tok) table feeds the df count, sizes, the
+    // prefix window, and both verify legs
+    val toks = df.select(col(idCol).as("id"),
+        explode(shingleArray(col(textCol), shingleN)).as("tok"))
+      .localCheckpoint()
+    val dfc = toks.groupBy(col("tok")).agg(count(lit(1)).as("tdf"))
+    val sizes = toks.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("tdf"), col("tok"))
+    // prefix length |x| − ⌈t·|x|⌉ + 1, all integer arithmetic
+    val pref = toks.join(dfc, "tok").join(sizes, "id")
+      .withColumn("pos", row_number().over(w))
+      .filter(col("pos") <=
+        col("sz") - expr(s"(sz * $tNum + ${tDen - 1}) DIV $tDen") + 1)
+      .select(col("id"), col("tok"), col("sz"))
+      .localCheckpoint()
+    val cand = pref.select(col("id").as("id_a"), col("tok"), col("sz").as("sa"))
+      .join(pref.select(col("id").as("id_b"), col("tok"), col("sz").as("sb")),
+        Seq("tok"))
+      .filter(col("id_a") < col("id_b") &&
+        greatest(col("sa"), col("sb")) * tNum <=
+          least(col("sa"), col("sb")) * tDen)
+      .select(col("id_a"), col("id_b")).distinct()
+      .localCheckpoint()
+    // exact verification, candidate-bounded: candidates × |tokens(a)|
+    // probe rows, never the all-sharing-pairs volume
+    val inter = cand
+      .join(toks.select(col("id").as("id_a"), col("tok")), "id_a")
+      .join(toks.select(col("id").as("id_b"), col("tok")), Seq("id_b", "tok"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .filter(col("inter") * tDen >=
+        (col("sz_a") + col("sz_b") - col("inter")) * tNum)
+      .select(col("id_a"), col("id_b"), col("inter"), col("sz_a"), col("sz_b"))
+  }
+
+  /** The candidate pairs the prefix filter admits (before exact
+    * verification) — exposed so specs and audits can measure the prune
+    * against the all-token-sharing-pairs volume.
+    */
+  def ssjoinCandidates(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, tNum: Int = 1, tDen: Int = 2): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+        explode(shingleArray(col(textCol), shingleN)).as("tok"))
+    val dfc = toks.groupBy(col("tok")).agg(count(lit(1)).as("tdf"))
+    val sizes = toks.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("tdf"), col("tok"))
+    val pref = toks.join(dfc, "tok").join(sizes, "id")
+      .withColumn("pos", row_number().over(w))
+      .filter(col("pos") <=
+        col("sz") - expr(s"(sz * $tNum + ${tDen - 1}) DIV $tDen") + 1)
+      .select(col("id"), col("tok"), col("sz"))
+    pref.select(col("id").as("id_a"), col("tok"), col("sz").as("sa"))
+      .join(pref.select(col("id").as("id_b"), col("tok"), col("sz").as("sb")),
+        Seq("tok"))
+      .filter(col("id_a") < col("id_b") &&
+        greatest(col("sa"), col("sb")) * tNum <=
+          least(col("sa"), col("sb")) * tDen)
+      .select(col("id_a"), col("id_b")).distinct()
+  }
+
   // ------------------------------------------------------------- embedding
 
   /** Embedding-cosine near-dup pairs over a bounded pair set. `pairs`

@@ -773,6 +773,26 @@ object GraphOps {
   val gPagerankSql: String =
     GraphOracleSql.pageRankSql(iters = 10, damping = 0.85, seedSql = None)
 
+  /** Katz centrality over the pinned rank layout, 8 rounds at
+    * α = 0.01 (safely below 1/λ_max on this graph — max in-degree is
+    * the order fan-in, well under 100): the attenuated-path-count
+    * member of the centrality family ([[graft.graph.Algorithms.katz]]).
+    * Top-100 by the 8 dp-sealed value, gid tiebreak (the PageRank
+    * cutoff discipline). Oracle: 8 unrolled SQL rounds, byte-identical
+    * recurrence.
+    */
+  def gKatz(spark: SparkSession, dir: String): DataFrame = {
+    val gr = g(spark, dir)
+    val x = Algorithms.katz(rankGraphCached(spark, dir), iters = 8,
+      alpha = 0.01)
+    gr.decode(
+      x.select(col("gid"), round(col("x"), 8).as("katz"))
+        .orderBy(col("katz").desc, col("gid")).limit(100), "gid")
+      .select(col("label"), col("key"), col("katz"))
+  }
+
+  val gKatzSql: String = GraphOracleSql.katzSql(iters = 8, alpha = 0.01)
+
   // ------------------------------------------- incremental PageRank
 
   /** Delta split for the incremental rank face, expressed on the gid
@@ -2597,6 +2617,7 @@ object GraphOps {
     QueryDef.sql("g_coloring", gColoring, gColoringSql),
     QueryDef.sql("g_cc_incr", gCcIncr, gCcIncrSql),
     QueryDef.sql("g_pagerank", gPagerank, gPagerankSql),
+    QueryDef.sql("g_katz", gKatz, gKatzSql),
     QueryDef.sql("g_pagerank_incr", gPagerankIncr, gPagerankIncrSql),
     QueryDef.sql("g_pagerank_w", gPagerankW, gPagerankWSql),
     QueryDef.sql("g_pagerank_w_incr", gPagerankWIncr, gPagerankWIncrSql),

@@ -75,6 +75,30 @@ object GraphOracleSql {
        FROM (SELECT gid, round(pr, 8) AS pr FROM r$iters ORDER BY pr DESC, gid LIMIT 100)"""
   }
 
+  /** Unrolled Katz centrality — round bodies mirror
+    * [[graft.graph.Algorithms.katz]] exactly: x₀ = 1,
+    * xᵢ = 1 + α·Σ_{u→v} xᵢ₋₁(u); top-100 by the 8 dp-sealed value.
+    */
+  def katzSql(iters: Int, alpha: Double): String = {
+    val rounds = (1 to iters).map { i =>
+      s""",
+       k$i AS MATERIALIZED (
+         SELECT n.gid, 1.0 + $alpha * coalesce(c.contrib, 0.0) AS x
+         FROM nodes n LEFT JOIN (
+           SELECT e.gdst AS cgid, sum(k.x) AS contrib
+           FROM e JOIN k${i - 1} k ON e.gsrc = k.gid
+           GROUP BY e.gdst) c ON n.gid = c.cgid)"""
+    }.mkString
+    s"""WITH nodes AS MATERIALIZED (${TpchGraph.gidSqlNodes}),
+       e AS MATERIALIZED (${TpchGraph.gidSqlEdges}),
+       k0 AS MATERIALIZED (
+         SELECT gid, CAST(1.0 AS DOUBLE) AS x FROM nodes)$rounds
+       SELECT ${TpchGraph.gidSqlLabel} AS label, gid % 4294967296 AS key,
+              x AS katz
+       FROM (SELECT gid, round(x, 8) AS x FROM k$iters
+             ORDER BY x DESC, gid LIMIT 100)"""
+  }
+
   /** Unrolled INCREMENTAL PageRank — the SQL mirror of the warm-start
     * path ([[graft.queries.GraphOps.gPagerankIncr]]): `baseIters`
     * rounds over the BASE graph (delta orders and their edges

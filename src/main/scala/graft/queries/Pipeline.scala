@@ -447,6 +447,49 @@ object Pipeline {
        JOIN sz sb ON sb.doc_id = id_b
        WHERE greatest(i * 1.0 / sa.sz, i * 1.0 / sb.sz) >= 0.6"""
 
+  /** EXACT Jaccard ≥ 1/2 self-join via AllPairs/PPJoin prefix
+    * filtering ([[graft.pipeline.Dedup.ssjoinPrefix]]) — the
+    * deterministic twin of the MinHash-LSH candidate path: every
+    * qualifying pair, zero recall loss, pairwise work bounded by
+    * rare-token prefix collisions instead of all 11.5k token-sharing
+    * pairs (sf0.01; the prune factor is SsJoinSpec's assertion). The
+    * threshold rides as the exact integer rational 2i ≥ (sa+sb−i), so
+    * the gate needs no float discipline at all; the displayed jaccard
+    * is 4 dp integer-sealed (standing half-rounding treatment). The
+    * oracle is the set-theoretic DEFINITION — brute-force all sharing
+    * pairs — so hash-green proves the prefix filter lost nothing.
+    */
+  def pSsjoin(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ssjoinPrefix(Tables.load(spark, dir, "documents"), "doc_id", "text")
+      .select(col("id_a"), col("id_b"), col("inter"), col("sz_a"), col("sz_b"),
+        (expr("(inter * 20000 + (sz_a + sz_b - inter)) DIV " +
+            "(2 * (sz_a + sz_b - inter))").cast("double") / 10000.0)
+          .as("jaccard"))
+
+  val pSsjoinSql: String =
+    """WITH words AS (
+         SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+         FROM documents),
+       g AS (
+         SELECT doc_id, CASE WHEN len(tk) >= 3
+           THEN list_distinct(list_transform(range(len(tk) - 2),
+                  i -> array_to_string(tk[i + 1:i + 3], ' ')))
+           ELSE [array_to_string(tk, ' ')] END AS grams
+         FROM words),
+       e AS MATERIALIZED (SELECT doc_id, unnest(grams) AS tok FROM g),
+       sz AS (SELECT doc_id, count(*) AS sz FROM e GROUP BY doc_id),
+       inter AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+         FROM e a JOIN e b ON a.tok = b.tok AND a.doc_id < b.doc_id
+         GROUP BY 1, 2)
+       SELECT id_a, id_b, i AS inter, sa.sz AS sz_a, sb.sz AS sz_b,
+              CAST((i * 20000 + (sa.sz + sb.sz - i)) //
+                   (2 * (sa.sz + sb.sz - i)) AS DOUBLE) / 10000.0 AS jaccard
+       FROM inter
+       JOIN sz sa ON sa.doc_id = id_a
+       JOIN sz sb ON sb.doc_id = id_b
+       WHERE 2 * i >= sa.sz + sb.sz - i"""
+
   /** The pinned containment index of the BASE corpus (doc_id % 10 ≠ 0)
     * — postings, per-gram dfs, capped set sizes — the artifact the
     * previous ingest left behind (the lshBaseBuckets discipline applied
@@ -1520,6 +1563,83 @@ object Pipeline {
        sizes AS (SELECT comp, count(*) AS cluster_size FROM c$r GROUP BY comp)
        SELECT c.gid AS vec_id, c.comp AS cluster_id, s.cluster_size
        FROM c$r c JOIN sizes s USING (comp), converged"""
+  }
+
+  /** DBSCAN density clustering over the embedding corpus (Ester et al.
+    * KDD'96), deterministic variant: neighbor relation = the pinned
+    * ≥ 0.4 cosine pair stream (the SAME artifact p_dedup_embed /
+    * p_dedup_clusters read — one all-pairs verify per corpus
+    * snapshot), core = ≥ 3 neighbors, clusters = connected components
+    * over CORE–CORE edges (the verified CC loop), border points join
+    * the MINIMUM-id cluster among their core neighbors (classic DBSCAN
+    * leaves border assignment scan-order-dependent; min-id makes it a
+    * pure function of the graph), everything else is noise. Differs
+    * from p_dedup_clusters (plain CC) exactly where DBSCAN should: a
+    * low-degree bridge pair cannot fuse two dense regions, and
+    * stragglers become explicit noise instead of singleton clusters.
+    * At 100 TB the pair stream swaps to the LSH-bucketed path
+    * (embedCosineLsh) with core/CC/border unchanged. Oracle: the
+    * set-theoretic composition — brute-force pair CTE, degree filter,
+    * unrolled min-label CC with a converged guard, min-over-core-
+    * neighbor border attach.
+    */
+  def pDbscan(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Cluster.dbscanFromPairs(
+        Tables.load(spark, dir, "embeddings")
+          .select(col("vec_id").as("id")),
+        cosinePairsCached(spark, dir), minPts = 3)
+      .select(col("id").as("vec_id"), col("role"), col("cluster_id"))
+
+  private def dbscanCcSteps(rounds: Int): String =
+    (1 to rounds).map { i =>
+      s""",
+       dc$i AS MATERIALIZED (
+         SELECT c.gid, least(c.comp, coalesce(m.nc, c.comp)) AS comp
+         FROM dc${i - 1} c LEFT JOIN (
+           SELECT u.a, min(p.comp) AS nc
+           FROM ce u JOIN dc${i - 1} p ON u.b = p.gid GROUP BY u.a) m
+         ON c.gid = m.a)"""
+    }.mkString
+
+  private val dbscanCcRounds = 12
+
+  val pDbscanSql: String = {
+    val r = dbscanCcRounds
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+       pr AS (
+         SELECT a.vec_id AS ia, b.vec_id AS ib
+         FROM e a JOIN e b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.v, b.v) >= 0.4),
+       und AS MATERIALIZED (
+         SELECT ia AS a, ib AS b FROM pr
+         UNION ALL SELECT ib AS a, ia AS b FROM pr),
+       deg AS (SELECT a, count(*) AS d FROM und GROUP BY a),
+       core AS MATERIALIZED (SELECT a FROM deg WHERE d >= 3),
+       ce AS MATERIALIZED (
+         SELECT u.a, u.b FROM und u
+         WHERE u.a IN (SELECT a FROM core) AND u.b IN (SELECT a FROM core)),
+       dc0 AS MATERIALIZED (
+         SELECT a AS gid, a AS comp FROM core)${dbscanCcSteps(r)},
+       converged AS (
+         SELECT 1 AS ok WHERE CASE WHEN (SELECT count(*) FROM
+             ((SELECT * FROM dc$r) EXCEPT (SELECT * FROM dc${r - 1}))) > 0
+           THEN error('dbscan cc oracle: $r unrolled rounds exhausted before fixpoint')
+           ELSE true END),
+       border AS MATERIALIZED (
+         SELECT u.a AS vec_id, min(c.comp) AS cluster_id
+         FROM und u JOIN dc$r c ON u.b = c.gid
+         WHERE u.a NOT IN (SELECT a FROM core)
+         GROUP BY u.a)
+       SELECT gid AS vec_id, 'core' AS role, comp AS cluster_id
+       FROM dc$r, converged
+       UNION ALL
+       SELECT vec_id, 'border' AS role, cluster_id FROM border
+       UNION ALL
+       SELECT vec_id, 'noise' AS role, CAST(NULL AS BIGINT) AS cluster_id
+       FROM embeddings
+       WHERE vec_id NOT IN (SELECT a FROM core)
+         AND vec_id NOT IN (SELECT vec_id FROM border)"""
   }
 
   /** IVF-PQ recall-vs-budget curve: the pinned index searched at
@@ -3094,6 +3214,7 @@ object Pipeline {
     QueryDef.sql("p_dedup_incr", pDedupIncr, pDedupIncrSql),
     QueryDef.sql("p_winnow", pWinnow, pWinnowSql),
     QueryDef.sql("p_containment", pContainment, pContainmentSql),
+    QueryDef.sql("p_ssjoin", pSsjoin, pSsjoinSql),
     QueryDef.sql("p_containment_incr", pContainmentIncr, pContainmentIncrSql),
     QueryDef.sql("p_split_assign", pSplitAssign, pSplitAssignSql),
     QueryDef.sql("p_sample_mix", pSampleMix, pSampleMixSql),
@@ -3163,6 +3284,7 @@ object Pipeline {
     QueryDef.rowsOnly("p_knn_ivfpq", pKnnIvfPq),
     QueryDef.sql("p_dim_curve", pDimCurve, pDimCurveSql),
     QueryDef.sql("p_mutual_knn", pMutualKnn, pMutualKnnSql),
+    QueryDef.sql("p_dbscan", pDbscan, pDbscanSql),
     QueryDef.rowsOnly("p_rerank_eval", pRerankEval),
     QueryDef.sql("p_lang_id", pLangId, pLangIdSql),
     QueryDef.sql("p_quality_score", pQualityScore, pQualityScoreSql),

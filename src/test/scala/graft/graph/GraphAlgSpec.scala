@@ -216,6 +216,25 @@ class GraphAlgSpec extends SparkSpec {
     assert(math.abs(pr(1L) - pr(4L)) < 1e-12)
   }
 
+  test("katz matches the driver power series and ranks the star center highest") {
+    val edges = edgeDf(1L -> 5L, 2L -> 5L, 3L -> 5L, 4L -> 5L, 5L -> 1L)
+    val nodes = nodeDf(1L, 2L, 3L, 4L, 5L)
+    val alpha = 0.1
+    val iters = 12
+    val got = Algorithms.katz(
+        Algorithms.prepareRankGraph(nodes, edges), iters, alpha)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // driver reference: x_i = 1 + alpha * A^T x_{i-1}, same recurrence
+    val adjIn = Map(5L -> Seq(1L, 2L, 3L, 4L), 1L -> Seq(5L))
+      .withDefaultValue(Seq.empty)
+    var x = Map(1L -> 1.0, 2L -> 1.0, 3L -> 1.0, 4L -> 1.0, 5L -> 1.0)
+    for (_ <- 1 to iters)
+      x = x.keys.map(v => v -> (1.0 + alpha * adjIn(v).map(x).sum)).toMap
+    got.foreach { case (v, g) => assert(math.abs(g - x(v)) < 1e-12, s"node $v") }
+    assert(got(5L) > got(1L) && got(1L) > got(2L))
+    assert(got(2L) === got(3L) && got(3L) === got(4L)) // symmetric leaves
+  }
+
   test("weighted label propagation degrades to mode on unit weights and follows the heavy tie") {
     import spark.implicits._
     // path 1-2-3 plus pendant 4 on 2: with unit weights node 2 adopts

@@ -1,0 +1,108 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Cluster.dbscanFromPairs]]: the density semantics plain CC lacks
+  * (bridges don't fuse, stragglers are noise), deterministic border
+  * attachment, and a randomized cross-check against a driver-side
+  * reference DBSCAN.
+  */
+class DbscanSpec extends SparkSpec {
+
+  private def run(pairs: Seq[(Long, Long)], n: Long, minPts: Int)
+      : Map[Long, (String, Option[Long])] = {
+    import spark.implicits._
+    val nodes = (1L to n).toDF("id")
+    Cluster.dbscanFromPairs(nodes, pairs.toDF("id_a", "id_b"), minPts)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .toMap
+  }
+
+  /** Driver reference: same deterministic semantics, independent code. */
+  private def reference(pairs: Seq[(Long, Long)], n: Long, minPts: Int)
+      : Map[Long, (String, Option[Long])] = {
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      .withDefaultValue(Set.empty)
+    pairs.foreach { case (a, b) =>
+      adj(a) = adj(a) + b; adj(b) = adj(b) + a
+    }
+    val core = (1L to n).filter(v => adj(v).size >= minPts).toSet
+    // CC over core-core edges, min-label to fixpoint
+    val comp = scala.collection.mutable.Map.empty[Long, Long]
+    core.foreach(v => comp(v) = v)
+    var changed = true
+    while (changed) {
+      changed = false
+      for (v <- core; u <- adj(v) if core(u) && comp(u) < comp(v)) {
+        comp(v) = comp(u); changed = true
+      }
+    }
+    (1L to n).map { v =>
+      if (core(v)) v -> ("core", Some(comp(v)))
+      else {
+        val coreNbr = adj(v).filter(core)
+        if (coreNbr.nonEmpty) v -> ("border", Some(coreNbr.map(comp).min))
+        else v -> ("noise", None)
+      }
+    }.toMap
+  }
+
+  test("a sparse bridge through a non-core node does NOT fuse dense blobs; plain CC fuses them") {
+    // blob A: 1-2-3-4 complete; blob B: 5-6-7-8 complete; bridge
+    // 4-11-5 through node 11 (degree 2 < minPts — never core, so
+    // density-connectivity cannot pass through it)
+    val k4a = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val k4b = for (a <- 5L to 8L; b <- (a + 1) to 8L) yield (a, b)
+    val pairs = k4a ++ k4b ++ Seq((4L, 11L), (11L, 5L)) ++
+      Seq((9L, 10L)) // 9-10: stragglers
+    val got = run(pairs, 11L, minPts = 3)
+    assert((1L to 8L).forall(got(_)._1 == "core"))
+    val clusterA = got(1L)._2.get
+    val clusterB = got(5L)._2.get
+    assert(clusterA != clusterB,
+      "bridge fused the blobs — density semantics lost")
+    assert(got(4L)._2.get === clusterA && got(8L)._2.get === clusterB)
+    // the bridge node is border of the min-id cluster among {A, B}
+    assert(got(11L)._1 === "border")
+    assert(got(11L)._2.get === math.min(clusterA, clusterB))
+    // the 9-10 pair: degree 1 each — noise, not a singleton cluster
+    assert(got(9L) === ("noise", None) && got(10L) === ("noise", None))
+    // contrast: plain CC over the same pairs puts 1..8 in ONE component
+    import spark.implicits._
+    val cc = graft.graph.Algorithms.connectedComponents(
+        (1L to 11L).toDF("gid"), pairs.toDF("gsrc", "gdst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc(1L) === cc(8L), "sanity: plain CC must fuse through the bridge")
+  }
+
+  test("border points attach to the min-id cluster among core neighbors") {
+    // two triangles-with-hub cores sharing border node 100
+    val k4a = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val k4b = for (a <- 5L to 8L; b <- (a + 1) to 8L) yield (a, b)
+    val pairs = k4a ++ k4b ++ Seq((1L, 100L), (5L, 100L))
+    val got = run(pairs, 100L, minPts = 3)
+    assert(got(100L)._1 === "border")
+    assert(got(100L)._2 === got(1L)._2, "border must take the MIN cluster id")
+    // isolated nodes (11..99) are all noise
+    assert((11L to 99L).forall(got(_) == ("noise", None)))
+  }
+
+  test("randomized graphs ≡ driver reference across minPts") {
+    val rnd = new scala.util.Random(8150L)
+    for (trial <- 0 until 4) {
+      val n = 40L
+      val pairs = (for {
+        a <- 1L to n; b <- (a + 1) to n
+        if rnd.nextDouble() < 0.08
+      } yield (a, b)).toSeq
+      for (minPts <- Seq(2, 3, 5)) {
+        val got = run(pairs, n, minPts)
+        val want = reference(pairs, n, minPts)
+        assert(got === want, s"trial=$trial minPts=$minPts")
+      }
+    }
+  }
+}
