@@ -744,6 +744,70 @@ object Relational {
        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
          ON p.user_id = c.user_id AND c.ts <= p.ts"""
 
+  /** FORWARD as-of ([[graft.operators.AsOf.forward]]): for every
+    * purchase, the EARLIEST same-user click at or after it — the
+    * "what did the buyer do next" enrichment (pandas merge_asof
+    * direction='forward'). Same one-shuffle union-sort-carry plan as
+    * the backward face with the window order reversed; ties among
+    * same-(user, ts) clicks take the smallest payload (the documented
+    * mirror of backward's largest — no duplicates exist in this data,
+    * the rule is determinism insurance). Oracle: correlated min-after
+    * subquery with the same tie order.
+    */
+  def qAsofForward(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value"))
+    graft.operators.AsOf.forward(purchases, clicks, "user_id", "ts",
+        Seq("value"))
+      .select(col("purchase_id"), col("user_id"),
+        round(col("asof_value"), 4).as("next_click"))
+  }
+
+  val qAsofForwardSql: String =
+    """SELECT p.event_id AS purchase_id, p.user_id,
+              round((SELECT c.value FROM events c
+                     WHERE c.event_type = 'click' AND c.user_id = p.user_id
+                       AND c.ts >= p.ts
+                     ORDER BY c.ts ASC, c.value ASC LIMIT 1), 4) AS next_click
+       FROM events p
+       WHERE p.event_type = 'purchase'"""
+
+  /** NEAREST as-of within a ±10-minute tolerance
+    * ([[graft.operators.AsOf.nearest]]): the closest same-user click on
+    * either side of each purchase, backward preferred on equal
+    * distance (the pandas nearest/kdb wj pick). Distances compare as
+    * identically-derived epoch-second doubles on both engines (µs ÷
+    * 1e6, one IEEE op — seal-before-compare by construction); the
+    * matched timestamp is emitted so the face audits its own distance.
+    * Two window carries over one union — still no pairwise join.
+    */
+  def qAsofNearest(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value"))
+    graft.operators.AsOf.nearest(purchases, clicks, "user_id", "ts",
+        Seq("value"), toleranceSeconds = 600.0)
+      .select(col("purchase_id"), col("user_id"), col("asof_ts"),
+        round(col("asof_value"), 4).as("asof_value"))
+  }
+
+  val qAsofNearestSql: String =
+    """SELECT p.event_id AS purchase_id, p.user_id,
+              m.ts AS asof_ts, round(m.value, 4) AS asof_value
+       FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+       LEFT JOIN LATERAL (
+         SELECT c.ts, c.value FROM events c
+         WHERE c.event_type = 'click' AND c.user_id = p.user_id
+           AND abs(epoch(c.ts) - epoch(p.ts)) <= 600
+         ORDER BY abs(epoch(c.ts) - epoch(p.ts)) ASC, c.ts ASC,
+                  CASE WHEN c.ts <= p.ts THEN -c.value ELSE c.value END ASC
+         LIMIT 1) m ON true"""
+
   /** Attribution-window range join via [[graft.operators.RangeJoin]]:
     * every click within the 30 minutes before a same-user purchase.
     */
@@ -1909,6 +1973,8 @@ object Relational {
     QueryDef.sql("q_hilbert", qHilbert, qHilbertSql),
     QueryDef.sql("q_layout_skip", qLayoutSkip, qLayoutSkipSql),
     QueryDef.sql("q_asof_operator", qAsofOperator, qAsofOperatorSql),
+    QueryDef.sql("q_asof_fwd", qAsofForward, qAsofForwardSql),
+    QueryDef.sql("q_asof_near", qAsofNearest, qAsofNearestSql),
     QueryDef.sql("q_range_join", qRangeJoin, qRangeJoinSql),
     QueryDef.sql("q_skew_join", qSkewJoin, qSkewJoinSql),
     QueryDef.sql("q3_shipping", q3Shipping, q3ShippingSql),

@@ -36,6 +36,48 @@ class OperatorsSpec extends SparkSpec {
     assert(got === Map(100L -> Some(1.0), 101L -> Some(2.0), 200L -> Some(9.0)))
   }
 
+  test("asof forward carries the earliest following payload per key, inclusive") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val probes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100L),
+      (1L, ts("2024-01-01 11:00:00"), 101L),
+      (2L, ts("2024-01-01 10:30:00"), 200L),
+      (3L, ts("2024-01-01 10:00:00"), 300L)).toDF("k", "ts", "probe_id")
+    val refs = Seq(
+      (1L, ts("2024-01-01 10:15:00"), 1.0),
+      (1L, ts("2024-01-01 12:00:00"), 2.0),
+      (2L, ts("2024-01-01 10:30:00"), 9.0), // equal ts → visible (inclusive)
+      (3L, ts("2024-01-01 09:00:00"), 7.0)).toDF("k", "ts", "v") // only BEFORE
+    val got = AsOf.forward(probes, refs, "k", "ts", Seq("v"))
+      .collect().map(r => r.getLong(2) -> Option(r.get(3))).toMap
+    assert(got === Map(100L -> Some(1.0), 101L -> Some(2.0),
+      200L -> Some(9.0), 300L -> None))
+  }
+
+  test("asof nearest picks the closer side within tolerance, backward on ties") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val probes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100L), // back 9:58 (2m) vs fwd 10:05 (5m)
+      (2L, ts("2024-01-01 10:00:00"), 200L), // equidistant ±3m → backward wins
+      (3L, ts("2024-01-01 10:00:00"), 300L), // only match outside tolerance
+      (4L, ts("2024-01-01 10:00:00"), 400L)  // forward only, inside
+    ).toDF("k", "ts", "probe_id")
+    val refs = Seq(
+      (1L, ts("2024-01-01 09:58:00"), 1.0),
+      (1L, ts("2024-01-01 10:05:00"), 2.0),
+      (2L, ts("2024-01-01 09:57:00"), 3.0),
+      (2L, ts("2024-01-01 10:03:00"), 4.0),
+      (3L, ts("2024-01-01 10:20:00"), 5.0),
+      (4L, ts("2024-01-01 10:08:00"), 6.0)).toDF("k", "ts", "v")
+    val got = AsOf.nearest(probes, refs, "k", "ts", Seq("v"),
+        toleranceSeconds = 600.0)
+      .collect().map(r => r.getLong(2) -> Option(r.get(4))).toMap
+    assert(got === Map(100L -> Some(1.0), 200L -> Some(3.0),
+      300L -> None, 400L -> Some(6.0)))
+  }
+
   test("asof never matches null reference keys (SQL equality semantics)") {
     val probes = spark.createDataFrame(java.util.Arrays.asList(
         org.apache.spark.sql.Row(null, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L),
