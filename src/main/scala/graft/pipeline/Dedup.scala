@@ -751,6 +751,104 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("inter"), col("sz_a"), col("sz_b"))
   }
 
+  /** The pinned artifacts of a prefix-filtered similarity corpus:
+    * postings, token document frequencies (which FIX the canonical
+    * order), per-doc prefixes and sizes. A deployment materializes
+    * these once per corpus snapshot; [[incrementalSsjoin]] folds
+    * batches against them without touching the base corpus again.
+    */
+  final case class SsjoinIndex(toks: DataFrame, dfs: DataFrame,
+      prefix: DataFrame, sizes: DataFrame, shingleN: Int, tNum: Int,
+      tDen: Int)
+
+  /** Build the [[SsjoinIndex]] — the same shingling/order/prefix
+    * derivation as [[ssjoinPrefix]], with every artifact checkpointed
+    * for reuse.
+    */
+  def ssjoinIndex(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, tNum: Int = 1, tDen: Int = 2): SsjoinIndex = {
+    val toks = df.select(col(idCol).as("id"),
+        explode(shingleArray(col(textCol), shingleN)).as("tok"))
+      .localCheckpoint()
+    val dfs = toks.groupBy(col("tok")).agg(count(lit(1)).as("tdf"))
+      .localCheckpoint()
+    val sizes = toks.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+      .localCheckpoint()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("tdf"), col("tok"))
+    val prefix = toks.join(dfs, "tok").join(sizes, "id")
+      .withColumn("pos", row_number().over(w))
+      .filter(col("pos") <=
+        col("sz") - expr(s"(sz * $tNum + ${tDen - 1}) DIV $tDen") + 1)
+      .select(col("id"), col("tok"), col("sz"))
+      .localCheckpoint()
+    SsjoinIndex(toks, dfs, prefix, sizes, shingleN, tNum, tDen)
+  }
+
+  /** INCREMENTAL prefix-filtered similarity join: every J ≥ t pair
+    * INVOLVING a batch document, at delta cost against the pinned
+    * base index. The enabling fact: the AllPairs prefix theorem holds
+    * under ANY fixed total token order — ascending-df is only the
+    * performance heuristic — so the order is PINNED at index-build
+    * time and batch prefixes are computed under it (unseen tokens get
+    * df 0: rarest, which is also the right heuristic — a token new in
+    * the batch is globally rare by construction). Base prefixes are
+    * therefore reusable AS-IS: no base re-shingle, no re-rank, no
+    * prefix rebuild. Candidates = batch prefixes ⋈ (base ∪ batch)
+    * prefixes — delta × prefix-collision bounded; exact verification
+    * touches only candidate pairs. Base–base pairs are the standing
+    * index's contract, not the fold's (the p_containment_incr
+    * discipline).
+    */
+  def incrementalSsjoin(idx: SsjoinIndex, batch: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val (tNum, tDen) = (idx.tNum, idx.tDen)
+    val btoks = batch.select(col(idCol).as("id"),
+        explode(shingleArray(col(textCol), idx.shingleN)).as("tok"))
+      .localCheckpoint()
+    val bsizes = btoks.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("tdf"), col("tok"))
+    // batch prefixes under the PINNED base order (df 0 when unseen)
+    val bpref = btoks
+      .join(idx.dfs, Seq("tok"), "left")
+      .withColumn("tdf", coalesce(col("tdf"), lit(0L)))
+      .join(bsizes, "id")
+      .withColumn("pos", row_number().over(w))
+      .filter(col("pos") <=
+        col("sz") - expr(s"(sz * $tNum + ${tDen - 1}) DIV $tDen") + 1)
+      .select(col("id"), col("tok"), col("sz"))
+      .localCheckpoint()
+    val allPref = idx.prefix.unionByName(bpref)
+    val cand = bpref.select(col("id").as("ib"), col("tok"),
+        col("sz").as("sb"))
+      .join(allPref.select(col("id").as("io"), col("tok"),
+        col("sz").as("so")), Seq("tok"))
+      .filter(col("ib") =!= col("io") &&
+        greatest(col("sb"), col("so")) * tNum <=
+          least(col("sb"), col("so")) * tDen)
+      .select(least(col("ib"), col("io")).as("id_a"),
+        greatest(col("ib"), col("io")).as("id_b"))
+      .distinct()
+      .localCheckpoint()
+    val allToks = idx.toks.unionByName(btoks)
+    val allSizes = idx.sizes.unionByName(bsizes)
+    val inter = cand
+      .join(allToks.select(col("id").as("id_a"), col("tok")), "id_a")
+      .join(allToks.select(col("id").as("id_b"), col("tok")),
+        Seq("id_b", "tok"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(allSizes.select(col("id").as("id_a"), col("sz").as("sz_a")),
+        "id_a")
+      .join(allSizes.select(col("id").as("id_b"), col("sz").as("sz_b")),
+        "id_b")
+      .filter(col("inter") * tDen >=
+        (col("sz_a") + col("sz_b") - col("inter")) * tNum)
+      .select(col("id_a"), col("id_b"), col("inter"), col("sz_a"),
+        col("sz_b"))
+  }
+
   /** The candidate pairs the prefix filter admits (before exact
     * verification) — exposed so specs and audits can measure the prune
     * against the all-token-sharing-pairs volume.

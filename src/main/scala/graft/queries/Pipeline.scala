@@ -490,6 +490,47 @@ object Pipeline {
        JOIN sz sb ON sb.doc_id = id_b
        WHERE 2 * i >= sa.sz + sb.sz - i"""
 
+  private val ssjoinIdxCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), Dedup.SsjoinIndex]
+
+  private def ssjoinIdxCached(spark: SparkSession,
+      dir: String): Dedup.SsjoinIndex =
+    ssjoinIdxCache.getOrElseUpdate(
+      (spark.sparkContext.applicationId, dir),
+      graft.PinnedRdds.pinning(spark) {
+        Dedup.ssjoinIndex(
+          Tables.load(spark, dir, "documents")
+            .filter(col("doc_id") % 10 =!= 0),
+          "doc_id", "text")
+      })
+
+  /** INCREMENTAL prefix-join maintenance (the incremental-family
+    * discipline on the newest dedup member): the doc_id ≡ 0 mod 10
+    * batch folds against the pinned base prefix index — no base
+    * re-shingle, no re-rank, no prefix rebuild. The enabling fact: the
+    * AllPairs prefix theorem holds under ANY fixed total token order
+    * (ascending-df is only the heuristic), so the order is PINNED at
+    * index-build time and stays valid as the corpus grows; batch-new
+    * tokens enter at df 0 (rarest — also the right heuristic, since a
+    * token unseen in the base is globally rare by construction).
+    * Oracle: the FULL-corpus brute-force definition restricted to
+    * batch-involving pairs — hash-green proves fold ≡ recompute, and
+    * since the brute force never sees the pinned order at all, it
+    * also proves the stale-order prefixes lost nothing.
+    */
+  def pSsjoinIncr(spark: SparkSession, dir: String): DataFrame =
+    Dedup.incrementalSsjoin(ssjoinIdxCached(spark, dir),
+        Tables.load(spark, dir, "documents")
+          .filter(col("doc_id") % 10 === 0),
+        "doc_id", "text")
+      .select(col("id_a"), col("id_b"), col("inter"), col("sz_a"), col("sz_b"),
+        (expr("(inter * 20000 + (sz_a + sz_b - inter)) DIV " +
+            "(2 * (sz_a + sz_b - inter))").cast("double") / 10000.0)
+          .as("jaccard"))
+
+  val pSsjoinIncrSql: String = pSsjoinSql +
+    "\n         AND (id_a % 10 = 0 OR id_b % 10 = 0)"
+
   /** The pinned containment index of the BASE corpus (doc_id % 10 ≠ 0)
     * — postings, per-gram dfs, capped set sizes — the artifact the
     * previous ingest left behind (the lshBaseBuckets discipline applied
@@ -3215,6 +3256,7 @@ object Pipeline {
     QueryDef.sql("p_winnow", pWinnow, pWinnowSql),
     QueryDef.sql("p_containment", pContainment, pContainmentSql),
     QueryDef.sql("p_ssjoin", pSsjoin, pSsjoinSql),
+    QueryDef.sql("p_ssjoin_incr", pSsjoinIncr, pSsjoinIncrSql),
     QueryDef.sql("p_containment_incr", pContainmentIncr, pContainmentIncrSql),
     QueryDef.sql("p_split_assign", pSplitAssign, pSplitAssignSql),
     QueryDef.sql("p_sample_mix", pSampleMix, pSampleMixSql),

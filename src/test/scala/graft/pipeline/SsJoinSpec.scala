@@ -91,6 +91,47 @@ class SsJoinSpec extends SparkSpec {
     }
   }
 
+  test("incremental fold ≡ full recompute restricted to batch-involving pairs (randomized splits)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(314159L)
+    val vocab = (0 until 30).map(i => s"w$i")
+    for (trial <- 0 until 3) {
+      val docs = (1L to 50L).map { id =>
+        val n = 5 + rnd.nextInt(15)
+        (id, Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "text")
+      val base = df.filter(col("doc_id") % 5 =!= 0)
+      val batch = df.filter(col("doc_id") % 5 === 0)
+      val idx = Dedup.ssjoinIndex(base, "doc_id", "text", shingleN = 2)
+      val got = asSet(Dedup.incrementalSsjoin(idx, batch, "doc_id", "text"))
+      val want = asSet(brute(df, 2, 1, 2))
+        .filter { case (a, b, _, _, _) => a % 5 == 0 || b % 5 == 0 }
+      assert(got === want, s"trial=$trial")
+    }
+  }
+
+  test("stale pinned order stays lossless: batch floods a base-rare token") {
+    import spark.implicits._
+    // base: token "zz" appears once (rare → front of base prefixes);
+    // the batch makes "zz" the most frequent token in the corpus. The
+    // pinned order still treats it as rare — losslessness must not
+    // depend on the order being fresh.
+    val base = Seq(
+      (1L, "zz aa bb cc"),
+      (2L, "aa bb cc dd"),
+      (3L, "dd ee ff gg")).toDF("doc_id", "text")
+    val batch = (10L to 20L).map(i => (i, s"zz aa bb x$i")).toSeq
+      .toDF("doc_id", "text")
+    val all = base.unionByName(batch)
+    val idx = Dedup.ssjoinIndex(base, "doc_id", "text", shingleN = 1)
+    val got = asSet(Dedup.incrementalSsjoin(idx, batch, "doc_id", "text"))
+    val want = asSet(brute(all, 1, 1, 2))
+      .filter { case (a, b, _, _, _) => a >= 10L || b >= 10L }
+    assert(got === want)
+    assert(want.nonEmpty, "planted flood must produce batch pairs")
+  }
+
   test("prefix filter prunes: candidates < all token-sharing pairs on the gate corpus") {
     val docs = graft.Tables.load(spark, sf(), "documents")
     val toks = docs.select(col("doc_id").as("id"),
