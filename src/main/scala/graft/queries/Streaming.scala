@@ -82,6 +82,40 @@ object Streaming {
   def sCusum(spark: SparkSession, dir: String): DataFrame =
     Streams.cusumReport(Tables.load(spark, dir, "events"))
 
+  /** EWMA control chart over the per-type hourly series
+    * ([[graft.streaming.Streams.ewmaChart]]): moving-baseline spike
+    * screen, α = 1/4. Oracle: the SAME sequential recurrence as a
+    * recursive CTE — both engines fold the identical double operations
+    * in hour order, so the trajectory (and every flag) is
+    * bit-identical; the displayed ewma is 6 dp-rounded on both sides.
+    */
+  def sEwma(spark: SparkSession, dir: String): DataFrame =
+    Streams.ewmaChart(Tables.load(spark, dir, "events"))
+
+  val sEwmaSql: String =
+    """WITH RECURSIVE hourly AS (
+         SELECT date_trunc('hour', ts) AS window_start, event_type,
+                CAST(count(*) AS BIGINT) AS c
+         FROM events GROUP BY 1, 2),
+       ord AS (
+         SELECT *, row_number() OVER (
+           PARTITION BY event_type ORDER BY window_start) AS rn
+         FROM hourly),
+       rec AS (
+         SELECT event_type, window_start, c, rn,
+                CAST(c AS DOUBLE) AS s, CAST(NULL AS DOUBLE) AS sp
+         FROM ord WHERE rn = 1
+         UNION ALL
+         SELECT o.event_type, o.window_start, o.c, o.rn,
+                CAST(0.25 AS DOUBLE) * o.c + CAST(0.75 AS DOUBLE) * r.s,
+                r.s
+         FROM ord o JOIN rec r
+           ON o.event_type = r.event_type AND o.rn = r.rn + 1)
+       SELECT event_type, window_start, c, round(s, 6) AS ewma,
+              CASE WHEN sp IS NULL THEN false
+                   ELSE c > CAST(2.0 AS DOUBLE) * sp END AS flagged
+       FROM rec"""
+
   val sCusumSql: String =
     """WITH hourly AS (
          SELECT date_trunc('hour', ts) AS window_start, event_type,
@@ -720,6 +754,7 @@ object Streaming {
     QueryDef.sql("s_quantile", sQuantile, sQuantileSql),
     QueryDef.sql("s_seasonal_anomaly", sSeasonalAnomaly, sSeasonalAnomalySql),
     QueryDef.sql("s_cusum", sCusum, sCusumSql),
+    QueryDef.sql("s_ewma", sEwma, sEwmaSql),
     QueryDef.sql("q_concurrency", qConcurrency, qConcurrencySql),
     QueryDef.sql("s_sessionize", sSessionize, sSessionizeSql),
     QueryDef.sql("s_session_native", sSessionNative, sSessionNativeSql),

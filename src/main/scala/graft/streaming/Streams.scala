@@ -144,6 +144,50 @@ object Streams {
       .withColumn("flagged", col("cusum") > lit(3L) * col("k"))
   }
 
+  /** EWMA control chart (Roberts 1959) — the SMOOTHED member of the
+    * ops-screen family (rate/seasonal flag single hours against a
+    * static baseline, CUSUM accumulates drift; EWMA tracks a MOVING
+    * baseline, so a spike against recent history flags even where the
+    * global mean would absorb it): s₁ = c₁, sₜ = α·cₜ + (1−α)·sₜ₋₁
+    * at α = 1/4 (exact binary), flag when cₜ > 2·sₜ₋₁.
+    *
+    * The recurrence is inherently sequential and — unlike CUSUM's
+    * max-walk — has no exact prefix-identity compilation (the closed
+    * form needs (1−α)^(t−j) weights spanning hundreds of orders of
+    * magnitude; a window sum over those is numeric garbage). It also
+    * never needs one: the per-type hourly series is DOMAIN-bounded
+    * (types × hours), so the fold runs as one `aggregate` HOF over
+    * each type's collected, sorted series — deterministic operation
+    * order, bit-identical trajectory across engines and
+    * partitionings. The shuffle is the hourly pre-aggregation of the
+    * event stream; the fold touches only the bounded series (the
+    * s_rate_anomaly moment-table discipline, applied to state).
+    */
+  def ewmaChart(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("c"))
+    val series = hourly.groupBy(col("event_type"))
+      .agg(array_sort(collect_list(
+        struct(col("window_start").as("h"), col("c").as("c")))).as("arr"))
+    // s-trajectory in one fold; prior-state lookup by position
+    series
+      .withColumn("sm", expr(
+        """aggregate(arr, cast(array() as array<double>),
+             (acc, e) -> acc || array(
+               CASE WHEN size(acc) = 0 THEN cast(e.c AS double)
+                    ELSE 0.25D * e.c + 0.75D * element_at(acc, -1) END))"""))
+      .select(col("event_type"), posexplode(col("arr")).as(Seq("pos", "e")),
+        col("sm"))
+      .select(col("event_type"),
+        col("e.h").as("window_start"), col("e.c").as("c"),
+        round(element_at(col("sm"), col("pos") + 1), 6).as("ewma"),
+        when(col("pos") > 0,
+          col("e.c") > lit(2.0) * element_at(col("sm"), col("pos")))
+          .otherwise(lit(false)).as("flagged"))
+  }
+
   /** The CUSUM detector's per-type report card: reference rate, the
     * maximum drift statistic the series ever accumulated, how many
     * hours crossed the 3k decision threshold, and when the first

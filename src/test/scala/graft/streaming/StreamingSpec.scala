@@ -261,6 +261,40 @@ class StreamingSpec extends SparkSpec {
       "the planted slow ramp should flag and the flat series should not")
   }
 
+  test("ewmaChart's bounded fold equals the literal sequential recurrence; spikes flag, first hour never does") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(59)
+    // flat series with one planted 4x spike per type at hour 80
+    val rows = (for {
+      tpe <- Seq("click", "view")
+      h <- 0 until 120
+    } yield (tpe, h, 5 + rnd.nextInt(4) + (if (h == 80) 20 else 0)))
+    val evs = rows.flatMap { case (tpe, h, c) =>
+      Seq.fill(c)(Ev(1, java.sql.Timestamp.valueOf(
+        f"2024-01-${h / 24 + 1}%02d ${h % 24}%02d:30:00"), 1, tpe, 1.0))
+    }
+    val got = Streams.ewmaChart(evs.toDF())
+      .collect().map(r => (r.getString(0), r.getTimestamp(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    // driver reference: the literal recurrence, identical op order
+    val want = rows.groupBy(_._1).toSeq.flatMap { case (tpe, rs) =>
+      var s = 0.0
+      rs.sortBy(_._2).zipWithIndex.map { case ((_, h, c), i) =>
+        val sp = s
+        s = if (i == 0) c.toDouble else 0.25 * c + 0.75 * s
+        val ts = java.sql.Timestamp.valueOf(
+          f"2024-01-${h / 24 + 1}%02d ${h % 24}%02d:00:00")
+        (tpe, ts) -> (c.toLong,
+          BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          i > 0 && c > 2.0 * sp)
+      }
+    }.toMap
+    assert(got === want)
+    val flagged = got.filter(_._2._3).keys.toSeq
+    assert(flagged.size === 2 && flagged.forall(_._2.getHours == 8),
+      s"exactly the two planted hour-80 spikes should flag: $flagged")
+  }
+
   test("left-outer stream-stream join emits null rows only after watermark eviction") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
