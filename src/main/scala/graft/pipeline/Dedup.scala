@@ -713,39 +713,64 @@ object Dedup {
   def ssjoinPrefix(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, tNum: Int = 1, tDen: Int = 2): DataFrame = {
     require(tNum > 0 && tNum <= tDen, s"threshold $tNum/$tDen not in (0,1]")
-    // one exploded (id, tok) table feeds the df count, sizes, the
-    // prefix window, and both verify legs
+    // one exploded (id, tok) table feeds the df count, the per-doc
+    // token arrays, and the prefix window
     val toks = df.select(col(idCol).as("id"),
         explode(shingleArray(col(textCol), shingleN)).as("tok"))
       .localCheckpoint()
     val dfc = toks.groupBy(col("tok")).agg(count(lit(1)).as("tdf"))
-    val sizes = toks.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    // whole token sets as per-doc arrays: the verify stage intersects
+    // arrays instead of re-shuffling exploded tokens — candidate-
+    // bounded rows carrying ~|doc| tokens each, with the build side
+    // broadcastable at audit scale and a plain pair-keyed shuffle at
+    // corpus scale
+    val docsArr = toks.groupBy(col("id"))
+      .agg(collect_list(col("tok")).as("ta"), count(lit(1)).as("sz"))
+      .localCheckpoint()
+    val sizes = docsArr.select(col("id"), col("sz"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("tdf"), col("tok"))
-    // prefix length |x| − ⌈t·|x|⌉ + 1, all integer arithmetic
+    // prefix length |x| − ⌈t·|x|⌉ + 1, all integer arithmetic; the
+    // position rides along for the PPJoin bound below
     val pref = toks.join(dfc, "tok").join(sizes, "id")
       .withColumn("pos", row_number().over(w))
       .filter(col("pos") <=
         col("sz") - expr(s"(sz * $tNum + ${tDen - 1}) DIV $tDen") + 1)
-      .select(col("id"), col("tok"), col("sz"))
+      .select(col("id"), col("tok"), col("sz"), col("pos"))
       .localCheckpoint()
-    val cand = pref.select(col("id").as("id_a"), col("tok"), col("sz").as("sa"))
-      .join(pref.select(col("id").as("id_b"), col("tok"), col("sz").as("sb")),
-        Seq("tok"))
+    // candidate generation with the PPJoin positional upper bound
+    // (Xiao et al.): a shared prefix token at positions (pa, pb) caps
+    // the overlap at 1 + min(sa − pa, sb − pb) — sound for the FIRST
+    // shared token (nothing common precedes it in either doc), and
+    // max over all shared tokens dominates that sound bound, so
+    // requiring max ≥ α = ⌈t(sa+sb)/(1+t)⌉ never drops a true pair.
+    // On low-entropy corpora this is the filter that bites: the
+    // length/prefix filters alone admit every pair sharing a mid-df
+    // token, the positional bound kills the ones that share it LATE.
+    val cand = pref.select(col("id").as("id_a"), col("tok"),
+        col("sz").as("sa"), col("pos").as("pa"))
+      .join(pref.select(col("id").as("id_b"), col("tok"),
+        col("sz").as("sb"), col("pos").as("pb")), Seq("tok"))
       .filter(col("id_a") < col("id_b") &&
         greatest(col("sa"), col("sb")) * tNum <=
           least(col("sa"), col("sb")) * tDen)
-      .select(col("id_a"), col("id_b")).distinct()
-      .localCheckpoint()
-    // exact verification, candidate-bounded: candidates × |tokens(a)|
-    // probe rows, never the all-sharing-pairs volume
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(lit(1) + least(col("sa") - col("pa"),
+        col("sb") - col("pb"))).as("ub"),
+        first(col("sa")).as("sa"), first(col("sb")).as("sb"))
+      .filter(col("ub") * (tNum + tDen) >= (col("sa") + col("sb")) * tNum)
+      .select(col("id_a"), col("id_b"))
+    // exact verification: array intersection per candidate pair
     val inter = cand
-      .join(toks.select(col("id").as("id_a"), col("tok")), "id_a")
-      .join(toks.select(col("id").as("id_b"), col("tok")), Seq("id_b", "tok"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+      .join(docsArr.select(col("id").as("id_a"), col("ta").as("tka"),
+        col("sz").as("sz_a")), "id_a")
+      .join(docsArr.select(col("id").as("id_b"), col("ta").as("tkb"),
+        col("sz").as("sz_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("tka"), col("tkb"))).cast("long")
+          .as("inter"),
+        col("sz_a"), col("sz_b"))
     inter
-      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
       .filter(col("inter") * tDen >=
         (col("sz_a") + col("sz_b") - col("inter")) * tNum)
       .select(col("id_a"), col("id_b"), col("inter"), col("sz_a"), col("sz_b"))
@@ -757,13 +782,13 @@ object Dedup {
     * these once per corpus snapshot; [[incrementalSsjoin]] folds
     * batches against them without touching the base corpus again.
     */
-  final case class SsjoinIndex(toks: DataFrame, dfs: DataFrame,
-      prefix: DataFrame, sizes: DataFrame, shingleN: Int, tNum: Int,
-      tDen: Int)
+  final case class SsjoinIndex(docs: DataFrame, dfs: DataFrame,
+      prefix: DataFrame, shingleN: Int, tNum: Int, tDen: Int)
 
   /** Build the [[SsjoinIndex]] — the same shingling/order/prefix
     * derivation as [[ssjoinPrefix]], with every artifact checkpointed
-    * for reuse.
+    * for reuse: per-doc token arrays + sizes (`docs`), the ORDER-FIXING
+    * token dfs, and the positional prefix table.
     */
   def ssjoinIndex(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, tNum: Int = 1, tDen: Int = 2): SsjoinIndex = {
@@ -772,17 +797,19 @@ object Dedup {
       .localCheckpoint()
     val dfs = toks.groupBy(col("tok")).agg(count(lit(1)).as("tdf"))
       .localCheckpoint()
-    val sizes = toks.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val docs = toks.groupBy(col("id"))
+      .agg(collect_list(col("tok")).as("ta"), count(lit(1)).as("sz"))
       .localCheckpoint()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("tdf"), col("tok"))
-    val prefix = toks.join(dfs, "tok").join(sizes, "id")
+    val prefix = toks.join(dfs, "tok")
+      .join(docs.select(col("id"), col("sz")), "id")
       .withColumn("pos", row_number().over(w))
       .filter(col("pos") <=
         col("sz") - expr(s"(sz * $tNum + ${tDen - 1}) DIV $tDen") + 1)
-      .select(col("id"), col("tok"), col("sz"))
+      .select(col("id"), col("tok"), col("sz"), col("pos"))
       .localCheckpoint()
-    SsjoinIndex(toks, dfs, prefix, sizes, shingleN, tNum, tDen)
+    SsjoinIndex(docs, dfs, prefix, shingleN, tNum, tDen)
   }
 
   /** INCREMENTAL prefix-filtered similarity join: every J ≥ t pair
@@ -806,47 +833,51 @@ object Dedup {
     val btoks = batch.select(col(idCol).as("id"),
         explode(shingleArray(col(textCol), idx.shingleN)).as("tok"))
       .localCheckpoint()
-    val bsizes = btoks.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val bdocs = btoks.groupBy(col("id"))
+      .agg(collect_list(col("tok")).as("ta"), count(lit(1)).as("sz"))
+      .localCheckpoint()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("tdf"), col("tok"))
     // batch prefixes under the PINNED base order (df 0 when unseen)
     val bpref = btoks
       .join(idx.dfs, Seq("tok"), "left")
       .withColumn("tdf", coalesce(col("tdf"), lit(0L)))
-      .join(bsizes, "id")
+      .join(bdocs.select(col("id"), col("sz")), "id")
       .withColumn("pos", row_number().over(w))
       .filter(col("pos") <=
         col("sz") - expr(s"(sz * $tNum + ${tDen - 1}) DIV $tDen") + 1)
-      .select(col("id"), col("tok"), col("sz"))
+      .select(col("id"), col("tok"), col("sz"), col("pos"))
       .localCheckpoint()
     val allPref = idx.prefix.unionByName(bpref)
+    // PPJoin positional bound, as in the full join: positions are
+    // ranks under the SAME pinned order on both sides, so the
+    // first-common-token soundness argument carries over verbatim
     val cand = bpref.select(col("id").as("ib"), col("tok"),
-        col("sz").as("sb"))
+        col("sz").as("sb"), col("pos").as("pb"))
       .join(allPref.select(col("id").as("io"), col("tok"),
-        col("sz").as("so")), Seq("tok"))
+        col("sz").as("so"), col("pos").as("po")), Seq("tok"))
       .filter(col("ib") =!= col("io") &&
         greatest(col("sb"), col("so")) * tNum <=
           least(col("sb"), col("so")) * tDen)
-      .select(least(col("ib"), col("io")).as("id_a"),
+      .groupBy(least(col("ib"), col("io")).as("id_a"),
         greatest(col("ib"), col("io")).as("id_b"))
-      .distinct()
-      .localCheckpoint()
-    val allToks = idx.toks.unionByName(btoks)
-    val allSizes = idx.sizes.unionByName(bsizes)
-    val inter = cand
-      .join(allToks.select(col("id").as("id_a"), col("tok")), "id_a")
-      .join(allToks.select(col("id").as("id_b"), col("tok")),
-        Seq("id_b", "tok"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
-    inter
-      .join(allSizes.select(col("id").as("id_a"), col("sz").as("sz_a")),
-        "id_a")
-      .join(allSizes.select(col("id").as("id_b"), col("sz").as("sz_b")),
-        "id_b")
+      .agg(max(lit(1) + least(col("sb") - col("pb"),
+        col("so") - col("po"))).as("ub"),
+        first(col("sb") + col("so")).as("szsum"))
+      .filter(col("ub") * (tNum + tDen) >= col("szsum") * tNum)
+      .select(col("id_a"), col("id_b"))
+    val allDocs = idx.docs.unionByName(bdocs)
+    cand
+      .join(allDocs.select(col("id").as("id_a"), col("ta").as("tka"),
+        col("sz").as("sz_a")), "id_a")
+      .join(allDocs.select(col("id").as("id_b"), col("ta").as("tkb"),
+        col("sz").as("sz_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("tka"), col("tkb"))).cast("long")
+          .as("inter"),
+        col("sz_a"), col("sz_b"))
       .filter(col("inter") * tDen >=
         (col("sz_a") + col("sz_b") - col("inter")) * tNum)
-      .select(col("id_a"), col("id_b"), col("inter"), col("sz_a"),
-        col("sz_b"))
   }
 
   /** The candidate pairs the prefix filter admits (before exact
@@ -865,14 +896,20 @@ object Dedup {
       .withColumn("pos", row_number().over(w))
       .filter(col("pos") <=
         col("sz") - expr(s"(sz * $tNum + ${tDen - 1}) DIV $tDen") + 1)
-      .select(col("id"), col("tok"), col("sz"))
-    pref.select(col("id").as("id_a"), col("tok"), col("sz").as("sa"))
-      .join(pref.select(col("id").as("id_b"), col("tok"), col("sz").as("sb")),
-        Seq("tok"))
+      .select(col("id"), col("tok"), col("sz"), col("pos"))
+    pref.select(col("id").as("id_a"), col("tok"), col("sz").as("sa"),
+        col("pos").as("pa"))
+      .join(pref.select(col("id").as("id_b"), col("tok"),
+        col("sz").as("sb"), col("pos").as("pb")), Seq("tok"))
       .filter(col("id_a") < col("id_b") &&
         greatest(col("sa"), col("sb")) * tNum <=
           least(col("sa"), col("sb")) * tDen)
-      .select(col("id_a"), col("id_b")).distinct()
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(lit(1) + least(col("sa") - col("pa"),
+        col("sb") - col("pb"))).as("ub"),
+        first(col("sa") + col("sb")).as("szsum"))
+      .filter(col("ub") * (tNum + tDen) >= col("szsum") * tNum)
+      .select(col("id_a"), col("id_b"))
   }
 
   // ------------------------------------------------------------- embedding
