@@ -121,6 +121,37 @@ class PlanShapeSpec extends SparkSpec {
       s"two p_knn_ivfpq builds scan different pinned fits: $s1 vs $s2")
   }
 
+  test("p_dbscan never rescans embeddings for pairs — one scan (the node list), pairs via checkpoint") {
+    // the ≥0.4 pair stream arrives as the pinned checkpoint; a second
+    // FileSourceScan of embeddings would mean the all-pairs verify ran
+    // again inside this query (dbscan's own eager checkpoints truncate
+    // lineage, so the scan COUNT is the observable invariant)
+    val df = queries.Pipeline.pDbscan(spark, sf())
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.size <= 1,
+      s"p_dbscan re-scanned parquet ${scans.size} times — pair stream not pinned")
+  }
+
+  test("p_ssjoin_incr reads the SAME pinned index artifacts across builds — no base refit") {
+    // each build re-checkpoints its own batch-side frames (different
+    // ids), but the base index artifacts visible at the plan's surface
+    // (docs arrays + prefix; dfs hides behind the eager batch-prefix
+    // checkpoint) must be the SAME checkpoints both times
+    def rddIds(d: org.apache.spark.sql.DataFrame): Set[Int] =
+      d.queryExecution.analyzed.collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+      }.toSet
+    val s1 = rddIds(queries.Pipeline.pSsjoinIncr(spark, sf()))
+    val s2 = rddIds(queries.Pipeline.pSsjoinIncr(spark, sf()))
+    val shared = s1 intersect s2
+    assert(shared.size >= 2,
+      s"builds share ${shared.size} pinned RDDs (need docs+prefix ≥ 2): $s1 vs $s2")
+    assert((s1 -- shared).nonEmpty,
+      "batch-side frames should be per-build checkpoints, not pinned")
+  }
+
   test("g_modularity rides g_label_prop's pinned fit — one iterative fit per session") {
     // the 5-round fit ends as a pinned localCheckpoint; both queries'
     // plans must scan the SAME checkpoint RDD, proving the fit is a
