@@ -388,6 +388,55 @@ object Relational {
         count(lit(1)).as("n"))
   }
 
+  /** Winsorized robust preprocessing per event type: cap values at the
+    * exact p05/p95 group percentiles and report the cap rates plus
+    * raw-vs-winsorized means — the heavy-tail treatment a feature
+    * pipeline applies BEFORE normalization (the capping complement of
+    * the MAD screen, which flags; this one repairs). Two group-keyed
+    * passes (percentile fit + capped re-aggregation), no global sort;
+    * `approx_percentile` is the 100 TB swap with the identical plan
+    * shape (the q_mad_outliers note applies verbatim). Percentile
+    * interpolation parity Spark `percentile` ≡ DuckDB `quantile_cont`
+    * is the proven q_mad_outliers contract; means ride the standing
+    * round(·, 4) seal.
+    */
+  def qWinsorize(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_type"), col("value"))
+    val q = ev.groupBy(col("event_type"))
+      .agg(percentile(col("value"), lit(0.05)).as("lo"),
+        percentile(col("value"), lit(0.95)).as("hi"))
+    ev.join(q, "event_type")
+      .groupBy(col("event_type"))
+      .agg(round(first(col("lo")), 4).as("lo"),
+        round(first(col("hi")), 4).as("hi"),
+        count(lit(1)).as("n"),
+        sum(when(col("value") < col("lo"), 1L).otherwise(0L))
+          .as("n_capped_low"),
+        sum(when(col("value") > col("hi"), 1L).otherwise(0L))
+          .as("n_capped_high"),
+        round(avg(col("value")), 4).as("raw_mean"),
+        round(avg(least(greatest(col("value"), col("lo")), col("hi"))), 4)
+          .as("wins_mean"))
+  }
+
+  val qWinsorizeSql: String =
+    """WITH q AS (
+         SELECT event_type, quantile_cont(value, 0.05) AS lo,
+                quantile_cont(value, 0.95) AS hi
+         FROM events GROUP BY 1)
+       SELECT e.event_type, round(min(q.lo), 4) AS lo,
+              round(min(q.hi), 4) AS hi, count(*) AS n,
+              CAST(sum(CASE WHEN e.value < q.lo THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_capped_low,
+              CAST(sum(CASE WHEN e.value > q.hi THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_capped_high,
+              round(avg(e.value), 4) AS raw_mean,
+              round(avg(least(greatest(e.value, q.lo), q.hi)), 4)
+                AS wins_mean
+       FROM events e JOIN q USING (event_type)
+       GROUP BY 1"""
+
   val qMadOutliersSql: String =
     """WITH med AS (
          SELECT event_type, median(value) AS med
@@ -1990,6 +2039,7 @@ object Relational {
     QueryDef.sql("q_corr_matrix", qCorrMatrix, qCorrMatrixSql),
     QueryDef.sql("q_funnel_latency", qFunnelLatency, qFunnelLatencySql),
     QueryDef.sql("q_mad_outliers", qMadOutliers, qMadOutliersSql),
+    QueryDef.sql("q_winsorize", qWinsorize, qWinsorizeSql),
     QueryDef.sql("q_custdist", qCustDist, qCustDistSql),
     QueryDef.sql("q_moving_avg", qMovingAvg, qMovingAvgSql),
     QueryDef.sql("q_topk_per_group", qTopkPerGroup, qTopkPerGroupSql),
