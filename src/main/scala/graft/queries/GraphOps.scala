@@ -862,6 +862,71 @@ object GraphOps {
   val gPagerankIncrSql: String =
     GraphOracleSql.pageRankIncrSql(baseIters = 10, warmIters = 4, damping = 0.85)
 
+  /** STREAMING PageRank maintenance — the stream face of
+    * g_pagerank_incr, and the gate check of
+    * [[graft.graph.Algorithms.foldDeltaIntoRankGraph]]'s ASSOCIATIVITY
+    * claim (the s_cdc_merge discipline applied to rank state): the
+    * delta edges arrive as three REAL micro-batches (file source, one
+    * file per trigger), each batch folds into the pinned base layout
+    * via `foreachBatch` — degree bumps are additive and fresh-node
+    * appends idempotent against the growing base, so fold(fold(g, d₁),
+    * d₂) ≡ fold(g, d₁ ∪ d₂) whatever the batch boundaries — and the
+    * FOUR warm rounds run once from the prior vector after the stream
+    * drains. Hash-checked against the SAME oracle as g_pagerank_incr:
+    * green proves the chunked folds reconstruct the one-shot layout
+    * exactly. Candidate delta nodes are derived per batch from the
+    * batch's own edge endpoints (the fold's anti-join keeps only the
+    * genuinely new ones), so the stream needs no side channel.
+    */
+  def sPagerankIncr(spark: SparkSession, dir: String): DataFrame = {
+    val gr = g(spark, dir)
+    val (gBase, prevPr) = basePrCached(spark, dir)
+    val src = prDeltaSourceDir(spark, dir)
+    val batchSchema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(batchSchema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    var folded = gBase
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_pr_ckpt").toString
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val edges = b.localCheckpoint()
+        val nodes = edges.select(col("gsrc").as("gid"))
+          .unionByName(edges.select(col("gdst").as("gid"))).distinct()
+        folded = Algorithms.foldDeltaIntoRankGraph(folded, nodes, edges)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val pr = Algorithms.pageRankFrom(folded,
+      prevPr.select(col("gid"), round(col("pr"), 10).as("pr")),
+      iters = 4, damping = 0.85)
+    gr.decode(
+      pr.select(col("gid"), round(col("pr"), 8).as("pr"))
+        .orderBy(col("pr").desc, col("gid")).limit(100), "gid")
+      .select(col("label"), col("key"), col("pr"))
+  }
+
+  val sPagerankIncrSql: String = gPagerankIncrSql
+
+  /** The delta edge set split into three parquet files (pinned per
+    * session, dir) so the file-source stream delivers GENUINE multiple
+    * micro-batches — one file would fold in a single batch and leave
+    * the cross-batch associativity untested.
+    */
+  private val prDeltaSrcCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  private def prDeltaSourceDir(spark: SparkSession, dir: String): String =
+    prDeltaSrcCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      val out = java.nio.file.Files.createTempDirectory("graft_pr_src").toString
+      gidEdgesCached(spark, dir, TpchGraph.edgeLabels)
+        .filter(expr(deltaEdgePred))
+        .select(col("gsrc"), col("gdst"))
+        .repartition(3).write.mode("overwrite").parquet(out)
+      out
+    })
+
   private val rankWeightFn: String => org.apache.spark.sql.Column = {
     case "CONTAINS" => col("l_quantity")
     case _ => lit(1.0)
@@ -2618,6 +2683,7 @@ object GraphOps {
     QueryDef.sql("g_cc_incr", gCcIncr, gCcIncrSql),
     QueryDef.sql("g_pagerank", gPagerank, gPagerankSql),
     QueryDef.sql("g_katz", gKatz, gKatzSql),
+    QueryDef.sql("s_pagerank_incr", sPagerankIncr, sPagerankIncrSql),
     QueryDef.sql("g_pagerank_incr", gPagerankIncr, gPagerankIncrSql),
     QueryDef.sql("g_pagerank_w", gPagerankW, gPagerankWSql),
     QueryDef.sql("g_pagerank_w_incr", gPagerankWIncr, gPagerankWIncrSql),

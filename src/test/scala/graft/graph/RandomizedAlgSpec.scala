@@ -443,6 +443,37 @@ class RandomizedAlgSpec extends SparkSpec {
     }
   }
 
+  test("rank-layout delta folds are associative: chunked folds ≡ one-shot fold (random splits)") {
+    // the s_pagerank_incr contract — a stream may deliver the delta in
+    // any number of batches; the folded layout (degrees + edge set +
+    // node set) must not depend on the boundaries
+    (161 to 164).foreach { seed =>
+      val rnd = new Random(seed)
+      val (baseNodes, baseEdges) = randomGraph(seed)
+      val newNodes = Seq(300L + seed, 400L + seed)
+      val allNodes = baseNodes ++ newNodes
+      val deltaEdges = Seq.fill(4 + rnd.nextInt(6))(
+        (allNodes(rnd.nextInt(allNodes.size)), allNodes(rnd.nextInt(allNodes.size))))
+      val (bndf, bedf) = toDf(baseNodes, baseEdges)
+      val cut = 1 + rnd.nextInt(deltaEdges.size - 1)
+      val (d1, d2) = deltaEdges.splitAt(cut)
+      def nodesOf(es: Seq[(Long, Long)]) = es.flatMap(e => Seq(e._1, e._2)).distinct
+      def layout(g: Algorithms.RankGraph): (Set[(Long, Long)], Map[Long, Option[Long]]) = (
+        g.e.collect().map(r => (r.getLong(0), r.getLong(1))).toSet,
+        g.base0.collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap)
+      val oneShot = layout(Algorithms.foldDeltaIntoRankGraph(
+        Algorithms.prepareRankGraph(bndf, bedf),
+        toDf(nodesOf(deltaEdges), Seq.empty)._1, toDf(Seq.empty, deltaEdges)._2))
+      val chunked = layout(Algorithms.foldDeltaIntoRankGraph(
+        Algorithms.foldDeltaIntoRankGraph(
+          Algorithms.prepareRankGraph(bndf, bedf),
+          toDf(nodesOf(d1), Seq.empty)._1, toDf(Seq.empty, d1)._2),
+        toDf(nodesOf(d2), Seq.empty)._1, toDf(Seq.empty, d2)._2))
+      assert(chunked === oneShot, s"seed=$seed cut=$cut delta=$deltaEdges")
+    }
+  }
+
   test("weighted warm-start over a folded weighted delta ≡ driver power iteration from the same init") {
     import spark.implicits._
     (151 to 155).foreach { seed =>
