@@ -586,33 +586,118 @@ object Cluster {
     */
   def dbscanFromPairs(nodes: DataFrame, pairs: DataFrame,
       minPts: Int): DataFrame = {
+    val (und, _, labels) = dbscanFit(pairs, minPts)
+    dbscanAssign(nodes, und, labels)
+  }
+
+  /** The DBSCAN STATE of a corpus — the artifacts a deployment pins
+    * per snapshot and [[dbscanIncremental]] folds batches against:
+    * the symmetrized neighbor list, the degree table, and the core
+    * labels (cluster id = component-min gid; isolated cores are their
+    * own singleton clusters).
+    */
+  def dbscanFit(pairs: DataFrame,
+      minPts: Int): (DataFrame, DataFrame, DataFrame) = {
     val und = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
       .unionByName(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
       .localCheckpoint() // degree agg + core edges + border attach all read it
     val deg = und.groupBy(col("a")).agg(count(lit(1)).as("d"))
+      .localCheckpoint()
     val core = deg.filter(col("d") >= minPts).select(col("a"))
       .localCheckpoint()
     val coreEdges = und
       .join(core.select(col("a").as("ca")), col("a") === col("ca"), "left_semi")
       .join(core.select(col("a").as("cb")), col("b") === col("cb"), "left_semi")
-    val comp = graft.graph.Algorithms.connectedComponents(
+    val labels = graft.graph.Algorithms.connectedComponents(
         core.select(col("a").as("gid")),
         coreEdges.select(col("a").as("gsrc"), col("b").as("gdst")))
       .localCheckpoint() // core output + border attach
-    val coreRows = comp.select(col("gid").as("id"),
+    (und, deg, labels)
+  }
+
+  /** Roles from a neighbor list + core labels: core rows from the
+    * labels, borders = non-core with a core neighbor (min-id cluster),
+    * noise = the rest of `nodes`.
+    */
+  def dbscanAssign(nodes: DataFrame, und: DataFrame,
+      labels: DataFrame): DataFrame = {
+    val coreRows = labels.select(col("gid").as("id"),
       lit("core").as("role"), col("comp").as("cluster_id"))
     val border = und
-      .join(comp.select(col("gid").as("b"), col("comp")), "b")
-      .join(core.select(col("a").as("na")), col("a") === col("na"), "left_anti")
+      .join(labels.select(col("gid").as("b"), col("comp")), "b")
+      .join(labels.select(col("gid").as("na")), col("a") === col("na"),
+        "left_anti")
       .groupBy(col("a"))
       .agg(min(col("comp")).as("cluster_id"))
       .select(col("a").as("id"), lit("border").as("role"), col("cluster_id"))
       .localCheckpoint() // output leg + noise anti-join leg
     val noise = nodes.select(col("id"))
-      .join(comp.select(col("gid").as("id")), Seq("id"), "left_anti")
+      .join(labels.select(col("gid").as("id")), Seq("id"), "left_anti")
       .join(border.select(col("id")), Seq("id"), "left_anti")
       .select(col("id"), lit("noise").as("role"),
         lit(null).cast("long").as("cluster_id"))
     coreRows.unionByName(border).unionByName(noise)
+  }
+
+  /** INCREMENTAL DBSCAN under ARRIVING points — density-state
+    * maintenance at delta cost, exact. The monotonicity argument:
+    * arrivals only ADD ε-pairs, so degrees only grow, the core set
+    * only grows, and clusters only MERGE — never split — which is
+    * precisely the regime [[graft.graph.Algorithms.ccIncremental]]'s
+    * label contraction handles bit-identically to a refit.
+    *
+    * Per batch: (1) degree bumps from the new pairs fold into the
+    * pinned degree table (full-outer, additive); (2) the delta
+    * core-core edge set = new pairs with both endpoints core' PLUS
+    * pinned base pairs touching a NEWLY-core endpoint (a base pair
+    * between u core and v newly-core was never a core-core edge
+    * before — the one subtlety; newly-core nodes are batch-pair
+    * endpoints, so this probe is delta-keyed against the pinned
+    * neighbor list); (3) prior labels contract through the delta
+    * edges; isolated new cores append as singletons; (4) roles
+    * re-derive node-scale. Output ≡ [[dbscanFromPairs]] on the full
+    * corpus — the oracle is the SAME full-recompute SQL.
+    *
+    * @param baseUnd    pinned symmetrized base neighbor list (a, b)
+    * @param baseDeg    pinned base degree table (a, d)
+    * @param baseLabels pinned base core labels (gid, comp)
+    * @param newPairs   canonical new ε-pairs (id_a < id_b), every one
+    *                   involving ≥ 1 batch point
+    */
+  def dbscanIncremental(nodes: DataFrame, baseUnd: DataFrame,
+      baseDeg: DataFrame, baseLabels: DataFrame, newPairs: DataFrame,
+      minPts: Int): DataFrame = {
+    val nu = newPairs.select(col("id_a").as("a"), col("id_b").as("b"))
+      .unionByName(newPairs.select(col("id_b").as("a"), col("id_a").as("b")))
+      .localCheckpoint() // bump agg + core-core filter + assign read it
+    val bump = nu.groupBy(col("a")).agg(count(lit(1)).as("bd"))
+    val deg = baseDeg.join(bump, Seq("a"), "full")
+      .select(col("a"),
+        (coalesce(col("d"), lit(0L)) + coalesce(col("bd"), lit(0L))).as("d"))
+    val core = deg.filter(col("d") >= minPts).select(col("a"))
+      .localCheckpoint()
+    val newlyCore = core
+      .join(baseLabels.select(col("gid").as("a")), Seq("a"), "left_anti")
+      .localCheckpoint()
+    val nuCC = nu
+      .join(core.select(col("a").as("ca")), col("a") === col("ca"), "left_semi")
+      .join(core.select(col("a").as("cb")), col("b") === col("cb"), "left_semi")
+    // base pairs that BECOME core-core because one endpoint crossed the
+    // threshold: probe the pinned neighbor list on the newly-core side
+    // (und carries both directions, so anchoring on `a` sees them all)
+    val baseTouch = baseUnd
+      .join(newlyCore, Seq("a"), "left_semi")
+      .join(core.select(col("a").as("cb2")), col("b") === col("cb2"),
+        "left_semi")
+    val deltaEdges = nuCC.unionByName(baseTouch)
+      .select(col("a").as("gsrc"), col("b").as("gdst"))
+    val merged = graft.graph.Algorithms.ccIncremental(baseLabels, deltaEdges)
+    // isolated NEW cores (no core-core edge anywhere) are their own
+    // singleton clusters — exactly what the full fit's CC would emit
+    val singletons = core.select(col("a").as("gid"))
+      .join(merged.select(col("gid")), Seq("gid"), "left_anti")
+      .select(col("gid"), col("gid").as("comp"))
+    val labels = merged.unionByName(singletons).localCheckpoint()
+    dbscanAssign(nodes, baseUnd.unionByName(nu), labels)
   }
 }

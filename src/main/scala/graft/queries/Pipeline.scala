@@ -1683,6 +1683,60 @@ object Pipeline {
          AND vec_id NOT IN (SELECT vec_id FROM border)"""
   }
 
+  /** The pinned DBSCAN state of the BASE embedding corpus (vec_id % 10
+    * ≠ 0): base ε-pairs + neighbor list + degrees + core labels — the
+    * previous snapshot's density state, as ccBaseCached/basePrCached.
+    */
+  private val dbscanBaseCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), (DataFrame, DataFrame, DataFrame)]
+
+  private def dbscanBaseCached(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame, DataFrame) =
+    dbscanBaseCache.getOrElseUpdate(
+      (spark.sparkContext.applicationId, dir),
+      graft.PinnedRdds.pinning(spark) {
+        val basePairs = Dedup.embedCosineAllPairs(
+          Tables.load(spark, dir, "embeddings")
+            .filter(col("vec_id") % 10 =!= 0),
+          "vec_id", "embedding", threshold = 0.4)
+        graft.pipeline.Cluster.dbscanFit(basePairs.localCheckpoint(),
+          minPts = 3)
+      })
+
+  /** INCREMENTAL DBSCAN: the vec_id ≡ 0 mod 10 batch arrives and folds
+    * into the pinned base density state
+    * ([[graft.pipeline.Cluster.dbscanIncremental]]) — arrivals only add
+    * ε-pairs, so degrees grow, the core set grows, and clusters only
+    * MERGE, the regime the verified CC label contraction handles
+    * bit-identically to a refit. New pairs are the batch × corpus
+    * probe (delta-scale; the LSH-bucketed probe substitutes at corpus
+    * scale), base pairs are read ONLY from the pinned state. Oracle =
+    * the SAME full-recompute SQL as p_dbscan: hash-green at both SFs
+    * proves fold ≡ refit across the core-promotion subtlety (a base
+    * pair whose endpoint crosses the threshold becomes a core-core
+    * edge the base state never saw).
+    */
+  def pDbscanIncr(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val (baseUnd, baseDeg, baseLabels) = dbscanBaseCached(spark, dir)
+    val batchIds = emb.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("id_a"))
+    val cand = batchIds
+      .crossJoin(emb.select(col("vec_id").as("id_b")))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+      .distinct()
+    val newPairs = Dedup.embedCosinePairs(emb, "vec_id", "embedding",
+      cand, threshold = 0.4)
+    graft.pipeline.Cluster.dbscanIncremental(
+        emb.select(col("vec_id").as("id")), baseUnd, baseDeg, baseLabels,
+        newPairs.select(col("id_a"), col("id_b")), minPts = 3)
+      .select(col("id").as("vec_id"), col("role"), col("cluster_id"))
+  }
+
+  val pDbscanIncrSql: String = pDbscanSql
+
   /** IVF-PQ recall-vs-budget curve: the pinned index searched at
     * shortlist budgets {10, 20, 40} (nProbe 4), each exactly re-ranked
     * to top-5 and scored against the brute-force truth — the serving
@@ -3327,6 +3381,7 @@ object Pipeline {
     QueryDef.sql("p_dim_curve", pDimCurve, pDimCurveSql),
     QueryDef.sql("p_mutual_knn", pMutualKnn, pMutualKnnSql),
     QueryDef.sql("p_dbscan", pDbscan, pDbscanSql),
+    QueryDef.sql("p_dbscan_incr", pDbscanIncr, pDbscanIncrSql),
     QueryDef.rowsOnly("p_rerank_eval", pRerankEval),
     QueryDef.sql("p_lang_id", pLangId, pLangIdSql),
     QueryDef.sql("p_quality_score", pQualityScore, pQualityScoreSql),

@@ -90,6 +90,59 @@ class DbscanSpec extends SparkSpec {
     assert((11L to 99L).forall(got(_) == ("noise", None)))
   }
 
+  private def runIncr(basePairs: Seq[(Long, Long)],
+      newPairs: Seq[(Long, Long)], n: Long, minPts: Int)
+      : Map[Long, (String, Option[Long])] = {
+    import spark.implicits._
+    val nodes = (1L to n).toDF("id")
+    val (und, deg, labels) =
+      Cluster.dbscanFit(basePairs.toDF("id_a", "id_b"), minPts)
+    Cluster.dbscanIncremental(nodes, und, deg, labels,
+        newPairs.toDF("id_a", "id_b"), minPts)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .toMap
+  }
+
+  test("planted core promotion: a base pair becomes a core-core edge and merges clusters") {
+    // base: K4 {1-4} and a chain 4-9, 9-10 (9 has base degree 2 — NOT
+    // core) plus K4 {5-8} with 8-9; batch adds 9-11, promoting 9 to
+    // core: base pairs (4,9) and (8,9) become core-core edges and the
+    // two K4 clusters MERGE through 9
+    val k4a = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val k4b = for (a <- 5L to 8L; b <- (a + 1) to 8L) yield (a, b)
+    val basePairs = k4a ++ k4b ++ Seq((4L, 9L), (8L, 9L))
+    val newPairs = Seq((9L, 11L))
+    val got = runIncr(basePairs, newPairs, 11L, minPts = 3)
+    val want = run(basePairs ++ newPairs, 11L, minPts = 3)
+    assert(got === want)
+    assert(got(9L)._1 === "core", "batch pair must promote node 9")
+    assert(got(1L)._2 === got(5L)._2, "promotion must merge the two K4 clusters")
+    // and before the batch they were separate
+    val before = run(basePairs, 11L, minPts = 3)
+    assert(before(1L)._2 !== before(5L)._2)
+  }
+
+  test("incremental fold ≡ full refit on random node splits") {
+    val rnd = new scala.util.Random(2718L)
+    for (trial <- 0 until 4) {
+      val n = 36L
+      val pairs = (for {
+        a <- 1L to n; b <- (a + 1) to n
+        if rnd.nextDouble() < 0.10
+      } yield (a, b)).toSeq
+      val isBatch = (v: Long) => v % 5 == 0
+      val basePairs = pairs.filter { case (a, b) => !isBatch(a) && !isBatch(b) }
+      val newPairs = pairs.filter { case (a, b) => isBatch(a) || isBatch(b) }
+      for (minPts <- Seq(2, 3)) {
+        val got = runIncr(basePairs, newPairs, n, minPts)
+        val want = run(pairs, n, minPts)
+        assert(got === want, s"trial=$trial minPts=$minPts")
+      }
+    }
+  }
+
   test("randomized graphs ≡ driver reference across minPts") {
     val rnd = new scala.util.Random(8150L)
     for (trial <- 0 until 4) {
