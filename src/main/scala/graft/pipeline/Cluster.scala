@@ -536,16 +536,29 @@ object Cluster {
       VectorFunctions.l2sqAt(col("qresid"),
         element_at(book, col(s"code$j").cast("int") + 1), j * sub)
     }.reduce(_ + _)
-    codesDf
+    val scored = codesDf
       .join(broadcast(qprobe),
         col("cid") === col("qcid") && col("query_id") =!= col("id"))
       .withColumn("adc", adc)
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
-          .orderBy(col("adc"), col("id"))))
-      .filter(col("rank") <= shortlist)
-      .select(col("query_id"), col("id").as("neighbor_id"), col("adc"),
-        col("rank"))
+    // rank (adc asc, id asc) ≡ TopK's (value desc, id asc) on the
+    // NEGATED adc: the k-bounded partial aggregate keeps the exchange
+    // at ≤ shortlist rows per (query, map partition) instead of
+    // sort-shuffling every ADC-scored candidate (the window shape).
+    // Unbounded callers (spec-side volume audits) keep the window.
+    if (shortlist <= 1024)
+      graft.operators.TopK.topKPerGroup(
+          scored.withColumn("nadc", -col("adc")), "query_id", "nadc", "id",
+          shortlist)
+        .select(col("query_id"), col("id").as("neighbor_id"),
+          (-col("nadc")).as("adc"), col("rank").cast("int").as("rank"))
+    else
+      scored
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+            .orderBy(col("adc"), col("id"))))
+        .filter(col("rank") <= shortlist)
+        .select(col("query_id"), col("id").as("neighbor_id"), col("adc"),
+          col("rank"))
   }
 
   /** The deployed IVF-PQ search: coarse probe → residual-ADC shortlist
@@ -563,6 +576,166 @@ object Cluster {
         queries, idCol, vecCol, nProbe, shortlist)
       .select(col("query_id"), col("neighbor_id"))
     rerankExact(cand, emb, idCol, vecCol, queries, topK)
+  }
+
+  /** EXACT cosine top-k over the corpus with triangle-inequality list
+    * pruning on the pinned IVF layout — the lossless counterpart of
+    * [[ivfPqKnn]], for callers whose DOWNSTREAM semantics (mutual-kNN
+    * graphs, dedup verdicts) need the true top-k, not a recall-bounded
+    * approximation. Output is provably identical to the brute-force
+    * scan at EVERY corpus size; the IVF layout only decides how much
+    * of the corpus is actually scanned. (The PQ half of the pinned
+    * index deliberately does NOT participate: quantized distances
+    * carry unbounded per-point error, so an ADC rank can seed but
+    * never CERTIFY an exact result — and measuring it showed the ADC
+    * machinery costs as much as the scan it would save.)
+    *
+    * Two phases over the fit-time list assignment:
+    *  1. OWN-LIST SCAN → THRESHOLD: each query exactly scores the
+    *     members of its own coarse list (1/nLists of the corpus); its
+    *     k-th best cosine t(q) is a floor any true neighbor must beat.
+    *  2. BOUNDED SCAN of the other lists: with q̂,x̂ unit-normalized,
+    *     cos(q,x) = 1 − ‖q̂−x̂‖²/2, and by the triangle inequality
+    *     ‖q̂−x̂‖ ≥ ‖q̂−c_L‖ − r_L for any list centroid c_L with member
+    *     radius r_L = max_{x∈L} ‖x̂−c_L‖. So ub(q,L) = 1 −
+    *     max(0, ‖q̂−c_L‖ − r_L)²/2 caps every member's cosine, and
+    *     lists with ub < t(q) − ε are skipped WITHOUT recall loss
+    *     (ε = 1e-6 covers the 6-dp seal's rounding slack, keeping
+    *     id-tie-break candidates at the boundary). The surviving
+    *     lists (own list included) are scanned exactly, and t(q) also
+    *     PRE-FILTERS the scored rows per row — cos < t(q) − ε can
+    *     never displace the k own-list rows that define t — so the
+    *     k-bounded rank aggregate sees ~k rows per query, not the
+    *     scan (the filter is a codegen comparison; the aggregate's
+    *     per-row typed decode is what actually costs).
+    *
+    * Exactness: every neighbor x of q is either in q's own list
+    * (always scanned) or in some other list L; if cos(q,x) ≥ t(q) − ε
+    * then ub(q,L) ≥ cos(q,x) ≥ t(q) − ε, so L survives and x is
+    * scored — and the true top-k all score ≥ t(q) by t's definition,
+    * so the pre-filter keeps them. Pruning effectiveness is a pure
+    * data property: on clustered corpora most lists fail the bound
+    * (measured in ClusterSpec); on adversarially uniform vectors
+    * ub ≈ 1 everywhere and the scan degrades to the brute cost — the
+    * information-theoretic floor for exact kNN on structureless data.
+    * Works for arbitrary input norms: the BOUND runs on normalized
+    * copies, the returned cosine on the raw vectors (cosine is
+    * norm-invariant).
+    *
+    * Execution shape of both scans: (query, list) pairs and the query
+    * vectors BROADCAST onto the member table, so cosines stream
+    * through one map-side codegen stage straight into the k-bounded
+    * TopK partial aggregate — the exchange carries ≤ k rows per
+    * (query, partition), never the scored pairs (the brute-scan
+    * shape, minus the pruned lists). When the query side outgrows the
+    * broadcast budget, `broadcastQueries=false` switches to the
+    * salted-shuffle variant: the list key has only nLists values —
+    * the textbook skew join — so the pairs explode across a
+    * member-side salt before the equi-join and vectors attach by id
+    * downstream.
+    *
+    * @return (query_id, neighbor_id, cos — 6-dp sealed, rank) with
+    *         rank by (cos desc, neighbor_id asc), self excluded
+    */
+  def exactCosineKnnPruned(codesDf: DataFrame,
+      coarse: Seq[(Int, Array[Double])], emb: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      broadcastQueries: Boolean = true,
+      saltBuckets: Int = 8): DataFrame =
+    exactCosineKnnPrunedWithSurvivors(codesDf, coarse, emb, idCol, vecCol,
+      k, broadcastQueries, saltBuckets)._2
+
+  /** [[exactCosineKnnPruned]] plus the surviving (query, list) pair
+    * table, so the prune fraction is measurable (ClusterSpec pins it
+    * on clustered vs uniform corpora).
+    */
+  private[graft] def exactCosineKnnPrunedWithSurvivors(codesDf: DataFrame,
+      coarse: Seq[(Int, Array[Double])], emb: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      broadcastQueries: Boolean = true,
+      saltBuckets: Int = 8): (DataFrame, DataFrame) = {
+    val raw = emb.select(col(idCol).as("vid"),
+      col(vecCol).cast("array<double>").as("rv"))
+    val unit = raw.select(col("vid"),
+      transform(col("rv"), x => x / VectorFunctions.norm(col("rv"))).as("uv"))
+    val cents = centroidArrayLit(coarse)
+    // per-list member radius over NORMALIZED members (codes carry the
+    // fit-time list assignment; nLists rows total)
+    val radii = codesDf.select(col("id").as("vid"), col("cid"))
+      .join(unit, Seq("vid"))
+      .select(col("cid"),
+        sqrt(VectorFunctions.l2sq(col("uv"), element_at(cents, col("cid") + 1)))
+          .as("d"))
+      .groupBy(col("cid")).agg(max(col("d")).as("r"))
+    val memberVec = codesDf.select(col("id").as("mid"), col("cid"))
+      .join(raw.select(col("vid").as("mid"), col("rv").as("mrv")), Seq("mid"))
+    // exact cosines of every (query, member-of-list) pair in `qlist`
+    // (columns qid, cid, t), pre-filtered to cos ≥ t − ε row-side
+    def listScore(qlist: DataFrame): DataFrame = {
+      val scored =
+        if (broadcastQueries)
+          memberVec
+            .join(broadcast(qlist), Seq("cid"))
+            .filter(col("qid") =!= col("mid"))
+            .join(broadcast(raw.select(col("vid").as("qid"),
+              col("rv").as("qrv"))), Seq("qid"))
+            .select(col("qid"), col("t"),
+              round(VectorFunctions.cosine(col("qrv"), col("mrv")), 6).as("cos"),
+              col("mid"))
+        else {
+          // salted list join: the list key has only nLists values, so
+          // qlist explodes across a member-side salt first
+          val members = codesDf.select(col("id").as("mid"), col("cid"),
+            pmod(hash(col("id")), lit(saltBuckets)).as("salt"))
+          qlist
+            .select(col("qid"), col("cid"), col("t"),
+              explode(sequence(lit(0), lit(saltBuckets - 1))).as("salt"))
+            .join(members, Seq("cid", "salt"))
+            .filter(col("qid") =!= col("mid"))
+            .select(col("qid"), col("t"), col("mid"))
+            .join(raw.select(col("vid").as("qid"), col("rv").as("qrv")), Seq("qid"))
+            .join(raw.select(col("vid").as("mid"), col("rv").as("mrv")), Seq("mid"))
+            .select(col("qid"), col("t"),
+              round(VectorFunctions.cosine(col("qrv"), col("mrv")), 6).as("cos"),
+              col("mid"))
+        }
+      scored.filter(col("cos") >= col("t") - 1e-6)
+        .select(col("qid"), col("cos"), col("mid"))
+    }
+    // phase 1: own-list exact scan (unfiltered: t = −1) → per-query
+    // k-th best as the threshold
+    val queryCid = codesDf.select(col("id").as("qid"), col("cid"))
+    val thresh = graft.operators.TopK.topKPerGroup(
+        listScore(queryCid.withColumn("t", lit(-1.0))), "qid", "cos", "mid", k)
+      .filter(col("rank") === k)
+      .select(col("qid").as("vid"), col("cos").as("t"))
+    // phase 2: (query × list) bound table — nLists·|queries| rows; the
+    // own list always survives (its mex-defining rows must re-enter
+    // the rank), other lists pass the centroid bound
+    val qLists = unit
+      .join(queryCid.select(col("qid").as("vid"), col("cid").as("ownCid")),
+        Seq("vid"))
+      .join(thresh, Seq("vid"), "left")
+      .select(col("vid").as("qid"), col("ownCid"),
+        coalesce(col("t"), lit(-1.0)).as("t"),
+        explode(array(coarse.map { case (cid, cv) =>
+          struct(lit(cid).as("cid"),
+            sqrt(VectorFunctions.l2sq(array(cv.toIndexedSeq.map(lit): _*),
+              col("uv"))).as("dqc"))
+        }: _*)).as("p"))
+      .select(col("qid"), col("ownCid"), col("t"), col("p.cid").as("cid"),
+        col("p.dqc"))
+    val survivors = qLists.join(broadcast(radii), Seq("cid"))
+      .filter(col("cid") === col("ownCid") ||
+        when(col("dqc") <= col("r"), lit(1.0))
+          .otherwise(lit(1.0) - (col("dqc") - col("r")) * (col("dqc") - col("r"))
+            / 2.0) >= col("t") - 1e-6)
+      .select(col("qid"), col("cid"), col("t"))
+    val out = graft.operators.TopK.topKPerGroup(listScore(survivors), "qid",
+        "cos", "mid", k)
+      .select(col("qid").as("query_id"), col("mid").as("neighbor_id"),
+        col("cos"), col("rank"))
+    (survivors, out)
   }
 
   /** DBSCAN (Ester et al. KDD'96) from a precomputed ε-neighbor pair

@@ -100,6 +100,19 @@ object Pipeline {
     * table) — pinned per (session, dir) like the full-space k-means:
     * the encode face and the ADC search face read ONE fit.
     */
+  /** Evaluate `body` (which must MATERIALIZE its result — e.g. end in
+    * a localCheckpoint) with AQE off: for statically-shaped plans the
+    * adaptive per-exchange stage materialization is pure scheduling
+    * overhead, and its coalescing can shrink a compute-bound exchange
+    * below the core count.
+    */
+  private def noAqe[T](spark: SparkSession)(body: => T): T = {
+    val conf = spark.conf
+    val prev = conf.get("spark.sql.adaptive.enabled", "true")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try body finally conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   private val pqCache = scala.collection.concurrent.TrieMap
     .empty[(String, String), (Int, Seq[Seq[(Int, Array[Double])]], DataFrame)]
 
@@ -125,6 +138,10 @@ object Pipeline {
   private val ivfPqCache = scala.collection.concurrent.TrieMap
     .empty[(String, String),
       (Seq[(Int, Array[Double])], Int, Seq[Seq[(Int, Array[Double])]], DataFrame)]
+
+  def ivfPqCachedPublic(spark: SparkSession, dir: String)
+      : (Seq[(Int, Array[Double])], Int, Seq[Seq[(Int, Array[Double])]], DataFrame) =
+    ivfPqCached(spark, dir)
 
   private def ivfPqCached(spark: SparkSession, dir: String)
       : (Seq[(Int, Array[Double])], Int, Seq[Seq[(Int, Array[Double])]], DataFrame) =
@@ -1531,27 +1548,24 @@ object Pipeline {
     * p_dim_curve discipline); everything downstream of the rank is
     * integer/id arithmetic. Output: (vec_id, cluster_id = component
     * min id, cluster_size); singletons report their own id, size 1.
-    * At corpus scale the exact top-5 scan swaps for the IVF-PQ
-    * shortlist + re-rank path with the mutual join and CC unchanged —
-    * the composition is the point: both halves are already verified
-    * operators.
+    *
+    * The top-5 comes from [[graft.pipeline.Cluster.exactCosineKnnPruned]]
+    * over the PINNED IVF fit: each query exactly scans its own coarse
+    * list for a per-query threshold, then only OTHER lists whose
+    * triangle-inequality centroid bound can still beat it are scanned
+    * — provably the TRUE top-5 at every corpus size (the r8 containment
+    * measurement showed a recall-bounded ADC shortlist caps out at
+    * 0.93 on this near-uniform corpus, so that swap could never stay
+    * hash-green; the bounded-scan path is lossless by construction
+    * instead). Mutual join + CC are unchanged downstream.
     */
   def pMutualKnn(spark: SparkSession, dir: String): DataFrame = {
-    val v = Tables.load(spark, dir, "embeddings")
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val a = v.select(col("vec_id").as("ida"), col("v").as("va"))
-    val b = v.select(col("vec_id").as("idb"), col("v").as("vb"))
-    val scored = a.join(b, col("ida") =!= col("idb"))
-      .select(col("ida"), col("idb"),
-        round(graft.functions.VectorFunctions.cosine(col("va"), col("vb")), 6)
-          .as("cos"))
-    // top-5 per vector via the k-bounded TopK partial aggregate (§2.4
-    // row 36b: ≡ the window formulation, which is what the oracle runs)
-    // — the exchange carries ≤ 5 entries per (vector, map partition)
-    // instead of every scored pair
-    val top = graft.operators.TopK.topKPerGroup(
-        scored, "ida", "cos", "idb", k = 5)
-      .select(col("ida"), col("idb"))
+    val emb = Tables.load(spark, dir, "embeddings")
+    val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val (coarse, _, _, codes) = ivfPqCached(spark, dir)
+    val top = graft.pipeline.Cluster.exactCosineKnnPruned(codes, coarse,
+        emb, "vec_id", "embedding", k = 5)
+      .select(col("query_id").as("ida"), col("neighbor_id").as("idb"))
       .localCheckpoint() // both mutual-join legs read it
     val mutual = top.join(
       top.select(col("ida").as("rb"), col("idb").as("ra")),

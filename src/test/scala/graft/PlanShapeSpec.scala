@@ -213,4 +213,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       s"scalar total joined by sort-merge instead of broadcast:\n$p")
   }
+
+  test("p_mutual_knn's top-5: bounded list scans, never a cartesian (the r8 weak face cured)") {
+    val (coarse, _, _, codes) =
+      queries.Pipeline.ivfPqCachedPublic(spark, sf())
+    val emb = Tables.load(spark, sf(), "embeddings")
+    val df = pipeline.Cluster.exactCosineKnnPruned(codes, coarse, emb,
+      "vec_id", "embedding", k = 5)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pruned exact knn degenerated to a product:\n$p")
+  }
 }

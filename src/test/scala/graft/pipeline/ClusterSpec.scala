@@ -189,4 +189,123 @@ class ClusterSpec extends SparkSpec {
       .toDF("vec_id", "embedding", "label")
     assert(Cluster.labelMargins(one, "vec_id", "embedding", "label").isEmpty)
   }
+
+  // ---- exact pruned kNN: zero recall loss + measurable pruning ----
+
+  private def bruteTopK(df: org.apache.spark.sql.DataFrame, k: Int) = {
+    val a = df.select(col("vec_id").as("qid"),
+      col("embedding").cast("array<double>").as("qv"))
+    val b = df.select(col("vec_id").as("mid"),
+      col("embedding").cast("array<double>").as("mv"))
+    val scored = a.join(b, col("qid") =!= col("mid"))
+      .select(col("qid"),
+        round(graft.functions.VectorFunctions.cosine(col("qv"), col("mv")), 6)
+          .as("cos"),
+        col("mid"))
+    graft.operators.TopK.topKPerGroup(scored, "qid", "cos", "mid", k)
+      .select(col("qid"), col("rank"), col("mid"))
+  }
+
+  private def fitFor(df: org.apache.spark.sql.DataFrame, nLists: Int) = {
+    val coarse = Cluster.kmeansFit(df, "vec_id", "embedding", nLists, rounds = 2)
+    val codes = Cluster.ivfAssignL2(df, "vec_id", "embedding", coarse, nProbe = 1)
+      .select(col("id"), col("cid"))
+    (coarse, codes)
+  }
+
+  test("exact pruned knn ≡ brute top-k on randomized corpora of arbitrary norms — zero recall loss") {
+    import spark.implicits._
+    for (seed <- Seq(11, 23, 47)) {
+      val rnd = new scala.util.Random(seed)
+      // mixed norms on purpose: the bound must normalize internally
+      val rows = (0L until 60L).map { i =>
+        val v = Array.fill(8)((rnd.nextDouble() - 0.5).toFloat)
+        val scale = (1 + rnd.nextInt(5)).toFloat
+        (i, v.map(_ * scale))
+      }
+      val df = rows.toDF("vec_id", "embedding")
+      val (coarse, codes) = fitFor(df, nLists = 4)
+      val want = bruteTopK(df, k = 5).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val got = Cluster.exactCosineKnnPruned(codes, coarse, df,
+          "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === want, s"pruned knn diverged from brute at seed $seed")
+    }
+  }
+
+  test("exact pruned knn: salted-shuffle variant (queries beyond broadcast budget) is identical") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 40L).map(i =>
+      (i, Array.fill(6)((rnd.nextDouble() - 0.5).toFloat)))
+    val df = rows.toDF("vec_id", "embedding")
+    val (coarse, codes) = fitFor(df, nLists = 4)
+    def norm(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("query_id"), col("rank"), col("neighbor_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val bc = norm(Cluster.exactCosineKnnPruned(codes, coarse, df,
+      "vec_id", "embedding", k = 3, broadcastQueries = true))
+    val salted = norm(Cluster.exactCosineKnnPruned(codes, coarse, df,
+      "vec_id", "embedding", k = 3, broadcastQueries = false))
+    assert(bc === salted)
+    assert(bc === norm(bruteTopK(df, k = 3)
+      .select(col("qid").as("query_id"), col("rank"), col("mid").as("neighbor_id"))))
+  }
+
+  test("exact pruned knn: clustered corpus prunes most lists; uniform corpus degrades to the full scan") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    // 4 tight clusters far apart: own-list thresholds are near 1.0 and
+    // every other list's centroid bound fails
+    val centers = Seq(
+      Array(10.0, 0.0, 0.0, 0.0), Array(0.0, 10.0, 0.0, 0.0),
+      Array(0.0, 0.0, 10.0, 0.0), Array(0.0, 0.0, 0.0, 10.0))
+    val clustered = (0L until 80L).map { i =>
+      val c = centers((i % 4).toInt)
+      (i, c.map(x => (x + (rnd.nextDouble() - 0.5) * 0.2).toFloat).toArray)
+    }.toDF("vec_id", "embedding")
+    val (cc, ccodes) = fitFor(clustered, nLists = 4)
+    val (survC, outC) = Cluster.exactCosineKnnPrunedWithSurvivors(ccodes, cc,
+      clustered, "vec_id", "embedding", k = 5)
+    val nC = 80L
+    val survCount = survC.count()
+    info(s"clustered survivors: $survCount of ${nC * 4} (query,list) pairs")
+    assert(survCount <= nC * 2,
+      s"clustered corpus should prune most non-own lists, kept $survCount")
+    // the pruned scan still returns the true top-5
+    val wantC = bruteTopK(clustered, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val gotC = outC.select(col("query_id"), col("rank"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gotC === wantC)
+    // uniform corpus: bounds can't separate anything — survivors ≈ all
+    val uniform = (0L until 80L).map(i =>
+      (i, Array.fill(8)((rnd.nextDouble() - 0.5).toFloat)))
+      .toDF("vec_id", "embedding")
+    val (cu, ucodes) = fitFor(uniform, nLists = 4)
+    val (survU, _) = Cluster.exactCosineKnnPrunedWithSurvivors(ucodes, cu,
+      uniform, "vec_id", "embedding", k = 5)
+    val uCount = survU.count()
+    info(s"uniform survivors: $uCount of ${80 * 4}")
+    assert(uCount >= 80L * 3,
+      "uniform corpus unexpectedly pruned — the bound would be unsound")
+  }
+
+  test("exact pruned knn: corpus smaller than k yields full (short) rankings, still ≡ brute") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val (coarse, codes) = fitFor(df, nLists = 2)
+    val got = Cluster.exactCosineKnnPruned(codes, coarse, df,
+        "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = bruteTopK(df, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === want)
+    assert(got.size === 6) // 3 queries × 2 neighbors each
+  }
 }
