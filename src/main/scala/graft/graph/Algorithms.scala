@@ -2141,24 +2141,35 @@ object Algorithms {
     * Each inner fixpoint round is one join + groupBy-min on the live
     * edge set (same shape as [[connectedComponents]], directed); rounds
     * are bounded by the longest min-label chain. Straggler cutover: once
-    * the unsettled frontier fits the bounded-driver-state budget, finish
-    * with a driver-side Tarjan — legitimate here BECAUSE the output is
+    * the unsettled frontier fits the bounded-driver-state budget AND the
+    * remainder-INDUCED edge set fits the edge budget (50× the node
+    * bound — a ≤20k-node remainder can still carry a dense million-edge
+    * subgraph, the MIS/matching edge-guard lesson), finish with a
+    * driver-side Tarjan — legitimate here BECAUSE the output is
     * canonical (SccSpec pins distributed ≡ driver on random digraphs).
+    * The collected edge set is always the remainder-induced one; over
+    * the edge budget the distributed phases simply continue.
     */
   def stronglyConnectedComponents(nodes: DataFrame, edges: DataFrame,
       maxRounds: Int = 500,
       cutoverBelow: Long = StragglerFinishBound): DataFrame = {
     val dirE = edges.select(col("gsrc").as("a"), col("gdst").as("b"))
       .filter(col("a") =!= col("b")).distinct().localCheckpoint()
-    val width = loopWidth(edges, dirE.count())
+    val dirECount = dirE.count()
+    val width = loopWidth(edges, dirECount)
+    val edgeBound = 50L * cutoverBelow
     withoutAqe(edges, Some(width)) {
       var remaining = nodes.select(col("gid")).distinct().localCheckpoint()
       var remRows = remaining.count()
       var result: DataFrame = null
       var liveE = dirE.coalesce(width).localCheckpoint()
+      // invariant from here: liveE is induced on `remaining` after every
+      // phase, and liveECount tracks it — at entry the remainder is all
+      // of `nodes`, so dirE is trivially induced
+      var liveECount = dirECount
       var rounds = 0
       var phase = 0
-      while (remRows > cutoverBelow) {
+      while (remRows > cutoverBelow || (remRows > 0 && liveECount > edgeBound)) {
         phase += 1
         require(phase <= maxRounds,
           s"stronglyConnectedComponents: $maxRounds phases exhausted with $remRows unsettled")
@@ -2201,19 +2212,25 @@ object Algorithms {
           .join(settled.select(col("gid")), Seq("gid"), "left_anti")
           .localCheckpoint()
         remRows = remaining.count()
-        if (remRows > cutoverBelow) {
+        if (remRows > 0) {
           liveE = liveE
             .join(hintSmall(remaining.select(col("gid").as("ra")), remRows),
               col("a") === col("ra"), "left_semi")
             .join(hintSmall(remaining.select(col("gid").as("rb")), remRows),
               col("b") === col("rb"), "left_semi")
             .localCheckpoint()
-        }
+          liveECount = liveE.count()
+        } else liveECount = 0L
       }
       if (remRows > 0) {
         // driver-side Tarjan on the unsettled remainder: the canonical
         // min-member labeling is algorithm-independent, so this is the
-        // identical FUNCTION, not merely the identical recurrence
+        // identical FUNCTION, not merely the identical recurrence. The
+        // loop condition guarantees the collected set is the
+        // remainder-induced edge set within the edge budget — never the
+        // raw edge table (the r8 latent-OOM finding)
+        require(liveECount <= edgeBound,
+          s"scc cutover: $liveECount induced edges exceed budget $edgeBound")
         val remSet = remaining.collect().map(_.getLong(0)).toSet
         val adj = scala.collection.mutable.Map
           .empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
@@ -2311,9 +2328,13 @@ object Algorithms {
         var lab = ck(strength.select(col("gid"), col("gid").as("community")))
         val nRows = lab.count()
         val small = nRows <= BroadcastStateBound
-        var moved = true
+        // convergence is parity-aware: round r only admits movers of
+        // parity r mod 2, so a single zero-mover round proves nothing
+        // about the OTHER class — stop only after two consecutive zero
+        // rounds (one per parity), with `rounds` as the outer bound
+        var zeroStreak = 0
         var r = 0
-        while (moved && r < rounds) {
+        while (zeroStreak < 2 && r < rounds) {
           r += 1
           val tot = lab.join(stateHint(strength, small), Seq("gid"))
             .groupBy(col("community")).agg(sum(col("k")).as("tot"))
@@ -2375,8 +2396,9 @@ object Algorithms {
             .select(col("gid"), col("target"))
             .transform(ck)
           val nMovers = movers.count()
-          if (nMovers == 0) moved = false
+          if (nMovers == 0) zeroStreak += 1
           else {
+            zeroStreak = 0
             lab = ck(lab.join(hintSmall(movers, nMovers), Seq("gid"), "left")
               .select(col("gid"),
                 coalesce(col("target"), col("community")).as("community")))

@@ -113,8 +113,17 @@ object CountMin {
       .select(col("i"), col("b"), col("c").as("c1"))
     val s2 = sketch(b, bCol, depth, width)
       .select(col("i"), col("b"), col("c").as("c2"))
-    s1.join(s2, Seq("i", "b"))
+    // zero-fill the depth rows: a depth row whose two sketches share no
+    // (i, b) bucket has dot = 0 — it must CONTRIBUTE that zero to the
+    // min (disjoint key domains estimate 0), not silently drop out and
+    // hand the min to a looser row
+    val spark = a.sparkSession
+    import spark.implicits._
+    val allRows = (0 until depth).toDF("i")
+    val dots = s1.join(s2, Seq("i", "b"))
       .groupBy(col("i")).agg(sum(col("c1") * col("c2")).as("dot"))
+    allRows.join(dots, Seq("i"), "left")
+      .select(coalesce(col("dot"), lit(0L)).as("dot"))
       .agg(min(col("dot")).as("est_join_size"))
   }
 }

@@ -64,6 +64,25 @@ class SccSpec extends SparkSpec {
     val want = (1L to n).map(v => v -> 1L).toMap
     assert(run(edges, cutover = 0L) == want)
   }
+
+  test("edge-budget guard: a dense sub-node-bound remainder stays distributed, and the driver collect is remainder-induced") {
+    // complete digraph on 56 nodes (3,080 edges) + a 5-node chain:
+    // with cutoverBelow = 61 the node count is already at the cutover
+    // bound at ENTRY, but the edge set exceeds 50×61 — the r8 latent
+    // hazard shape, where the old code collected the FULL edge table.
+    // Now the loop must run a distributed phase first (settling the
+    // dense SCC and the chain head), leaving a 4-node / 3-edge
+    // remainder for the driver — the in-loop require asserts the
+    // collected set is remainder-induced-bounded.
+    val dense = for { a <- 100L to 155L; b <- 100L to 155L; if a != b }
+      yield (a, b)
+    val chain = Seq[(Long, Long)]((1, 2), (2, 3), (3, 4), (4, 5))
+    val edges = dense ++ chain
+    val want = reference(edges)
+    assert(run(edges, cutover = 61L) == want, "edge-budget-forced phase")
+    // plain within-budget cutover unchanged
+    assert(run(edges, cutover = 1000000L) == want, "immediate cutover")
+  }
 }
 
 /** DAG level sweep used by the condensation face: level(v) = longest

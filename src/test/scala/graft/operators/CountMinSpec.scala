@@ -70,6 +70,18 @@ class CountMinSpec extends SparkSpec {
     val _ = rnd
   }
 
+  test("joinSizeEstimate of disjoint key domains is 0, not NULL") {
+    import spark.implicits._
+    // wide sketch → no cross-domain bucket collisions: every depth row
+    // has zero overlapping buckets and must still contribute its zero
+    val a = (1 to 50).map(i => s"left_$i").toDF("k")
+    val b = (1 to 50).map(i => s"right_$i").toDF("k")
+    val row = CountMin.joinSizeEstimate(a, "k", b, "k", width = 65536)
+      .collect()(0)
+    assert(!row.isNullAt(0), "disjoint-domain estimate came back NULL")
+    assert(row.getLong(0) === 0L)
+  }
+
   test("sketch is layout-invariant and bounded by the bucket space") {
     import spark.implicits._
     val items = (1 to 5000).map(i => s"t${i % 97}").toDF("item")
