@@ -115,7 +115,19 @@ object Bench {
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"value":$total,"failed":$failedJson}""")
+    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"value":$total,"failed":$failedJson}"""
+    println(line)
+    // the driver artifact persists only the tail of stdout, which
+    // truncates the per-query map to the slow tail — ALSO write the
+    // full map to a file so cross-round regression diffs (and
+    // tools/bench_diff.py against BENCH_BASELINE.json) see every query
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
+      "/root/repo/bench_full.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $fullPath: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

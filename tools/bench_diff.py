@@ -1,0 +1,62 @@
+#!/usr/bin/env python3
+"""Mechanical bench-regression gate: compare a bench run (the JSON line
+graft.Bench prints / writes to bench_full.json) against the checked-in
+BENCH_BASELINE.json and fail on per-query regressions.
+
+Usage: tools/bench_diff.py <bench_full.json> [baseline.json]
+
+Exit 1 if any query regresses by more than THRESHOLD x vs its baseline
+time (absolute floor ABS_FLOOR seconds, so scheduling jitter on
+sub-second queries never trips the gate), or if a baseline query is
+missing from the run. New queries (absent from the baseline) are
+reported informationally.
+"""
+import json
+import sys
+
+THRESHOLD = 2.0     # x baseline
+ABS_FLOOR = 0.75    # s: ignore regressions that stay under this wall time
+
+
+def load(path):
+    with open(path) as f:
+        doc = json.load(f)
+    return doc.get("queries", {}), doc
+
+
+def main():
+    if len(sys.argv) < 2:
+        print(__doc__)
+        return 2
+    run, run_doc = load(sys.argv[1])
+    base_path = sys.argv[2] if len(sys.argv) > 2 else "BENCH_BASELINE.json"
+    base, _ = load(base_path)
+
+    bad, missing = [], []
+    for name, b in sorted(base.items()):
+        if name not in run:
+            missing.append(name)
+            continue
+        r = run[name]
+        if r > max(b * THRESHOLD, ABS_FLOOR):
+            bad.append((name, b, r))
+    new = sorted(set(run) - set(base))
+
+    for name, b, r in sorted(bad, key=lambda x: x[2] / max(x[1], 1e-9),
+                             reverse=True):
+        print(f"REGRESSED {name}: {b:.2f}s -> {r:.2f}s ({r / max(b, 1e-9):.1f}x)")
+    for name in missing:
+        print(f"MISSING   {name}: in baseline, absent from run")
+    if new:
+        print(f"new queries (not in baseline): {', '.join(new)}")
+    if run_doc.get("failed"):
+        print(f"FAILED queries in run: {run_doc['failed']}")
+
+    n_ok = len(base) - len(bad) - len(missing)
+    print(f"{n_ok}/{len(base)} baseline queries within {THRESHOLD}x "
+          f"(abs floor {ABS_FLOOR}s); {len(new)} new")
+    return 1 if (bad or missing or run_doc.get("failed")) else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
