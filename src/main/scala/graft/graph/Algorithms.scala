@@ -2443,6 +2443,88 @@ object Algorithms {
     } // withoutAqe
   }
 
+  /** INCREMENTAL SCC maintenance: fold a batch of new directed edges
+    * into a previous canonical (min-member) SCC labeling without
+    * re-peeling the graph. Edge arrivals can only MERGE SCCs, and a
+    * merge happens exactly when new edges close a cycle through the
+    * base CONDENSATION — so the fold works entirely on the contracted
+    * graph H = base DAG edges ∪ delta edges mapped to component labels
+    * (unseen endpoints act as their own singleton components, the
+    * [[ccIncremental]] convention):
+    *
+    *  1. Delta edges whose endpoints map to the SAME component are
+    *     no-ops and drop out.
+    *  2. AFFECTED REGION: every node of a ≥2-node SCC of H lies on a
+    *     cycle through some delta edge (the base DAG is acyclic), so
+    *     it is forward-reachable from a delta target AND
+    *     backward-reachable from a delta source. Two frontier BFS
+    *     sweeps over H ([[bfs]]) intersect to the affected component
+    *     set — delta-anchored, not condensation-wide.
+    *  3. SCCs of the affected-induced subgraph of H are exactly the
+    *     merge groups (the induced subgraph contains every merged SCC
+    *     whole, and a subgraph can't merge what H doesn't). Component
+    *     ids ARE min member gids, so the merged label (min contracted
+    *     id) is the min member gid — canonical labels are preserved
+    *     through contraction, exactly as in the CC fold.
+    *  4. Remap: previous labels route through the merge map (untouched
+    *     components pass through); delta-only nodes take their merge
+    *     label or themselves.
+    *
+    * Work is delta-anchored: the BFS sweeps and the inner SCC touch
+    * only components reachable to/from the batch on the PINNED
+    * condensation — never the node-scale base labeling (that table is
+    * touched once, by the final remap join).
+    *
+    * @param prevLabels (gid, scc) canonical base labeling
+    * @param baseDag    (a, b) base inter-component edges — the pinned
+    *                   condensation view (a ≠ b, deduped)
+    * @param deltaEdges (gsrc, gdst) the arriving batch
+    */
+  def sccIncremental(prevLabels: DataFrame, baseDag: DataFrame,
+      deltaEdges: DataFrame): DataFrame = {
+    val lab = prevLabels.select(col("gid"), col("scc")).localCheckpoint()
+    val d0 = deltaEdges.select(col("gsrc"), col("gdst"))
+      .filter(col("gsrc") =!= col("gdst")).distinct().localCheckpoint()
+    val rel = d0
+      .join(lab.select(col("gid").as("gsrc"), col("scc").as("cs")),
+        Seq("gsrc"), "left")
+      .join(lab.select(col("gid").as("gdst"), col("scc").as("cd")),
+        Seq("gdst"), "left")
+      .select(coalesce(col("cs"), col("gsrc")).as("cs"),
+        coalesce(col("cd"), col("gdst")).as("cd"))
+      .filter(col("cs") =!= col("cd"))
+      .distinct().localCheckpoint()
+    val h = baseDag.select(col("a"), col("b"))
+      .unionByName(rel.select(col("cs").as("a"), col("cd").as("b")))
+      .distinct().localCheckpoint()
+    val fwd = bfs(h.select(col("a").as("gsrc"), col("b").as("gdst")),
+      rel.select(col("cd").as("gid")).distinct(), maxHops = Int.MaxValue)
+    val bwd = bfs(h.select(col("b").as("gsrc"), col("a").as("gdst")),
+      rel.select(col("cs").as("gid")).distinct(), maxHops = Int.MaxValue)
+    val affected = fwd.select(col("gid"))
+      .join(bwd.select(col("gid")), Seq("gid"), "left_semi")
+      .localCheckpoint()
+    val induced = h
+      .join(affected.select(col("gid").as("ia")), col("a") === col("ia"),
+        "left_semi")
+      .join(affected.select(col("gid").as("ib")), col("b") === col("ib"),
+        "left_semi")
+    val merged = stronglyConnectedComponents(affected,
+        induced.select(col("a").as("gsrc"), col("b").as("gdst")))
+      .filter(col("gid") =!= col("scc"))
+      .select(col("gid").as("c"), col("scc").as("nc"))
+      .localCheckpoint()
+    val prevMapped = lab
+      .join(merged.select(col("c").as("scc"), col("nc")), Seq("scc"), "left")
+      .select(col("gid"), coalesce(col("nc"), col("scc")).as("scc"))
+    val deltaOnly = d0.select(col("gsrc").as("gid"))
+      .unionByName(d0.select(col("gdst").as("gid"))).distinct()
+      .join(lab.select(col("gid")), Seq("gid"), "left_anti")
+      .join(merged.select(col("c").as("gid"), col("nc")), Seq("gid"), "left")
+      .select(col("gid"), coalesce(col("nc"), col("gid")).as("scc"))
+    prevMapped.unionByName(deltaOnly)
+  }
+
   /** Longest-path level of every node in a DAG (level(v) = length of
     * the longest path ENDING at v): iterative relaxation — one
     * edge ⋈ level join + groupBy-max per round, rounds = DAG depth.

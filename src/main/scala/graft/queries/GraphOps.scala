@@ -110,6 +110,7 @@ object GraphOps {
     landmarkBfsCached(spark, dir)
     louvainCached(spark, dir)
     sccCached(spark, dir)
+    sccIncrBaseCached(spark, dir)
     temporalEdgesCached(spark, dir)
     reachBaseCached(spark, dir)
     ()
@@ -2067,23 +2068,26 @@ object GraphOps {
   private val followedByCache =
     scala.collection.concurrent.TrieMap.empty[(String, String, Long), DataFrame]
 
+  private def followedByEdges(li: DataFrame): DataFrame = {
+    val perOrder = li.groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_list(struct(col("l_linenumber"), col("l_partkey"))))
+        .as("seq"))
+    perOrder.select(explode(expr(
+        """transform(slice(seq, 1, size(seq) - 1),
+           (x, i) -> struct(x.l_partkey AS gsrc,
+                            element_at(seq, i + 2).l_partkey AS gdst))"""))
+        .as("e"))
+      .select(col("e.gsrc").as("gsrc"), col("e.gdst").as("gdst"))
+      .filter(col("gsrc") =!= col("gdst"))
+      .distinct()
+  }
+
   private def followedByCached(spark: SparkSession, dir: String,
       cap: Long = Long.MaxValue): DataFrame =
     followedByCache.getOrElseUpdate((spark.sparkContext.applicationId, dir, cap), {
       val li0 = Tables.load(spark, dir, "lineitem")
       val li = if (cap == Long.MaxValue) li0 else li0.filter(col("l_partkey") < cap)
-      val perOrder = li.groupBy(col("l_orderkey"))
-        .agg(array_sort(collect_list(struct(col("l_linenumber"), col("l_partkey"))))
-          .as("seq"))
-      val edges = perOrder.select(explode(expr(
-          """transform(slice(seq, 1, size(seq) - 1),
-             (x, i) -> struct(x.l_partkey AS gsrc,
-                              element_at(seq, i + 2).l_partkey AS gdst))"""))
-          .as("e"))
-        .select(col("e.gsrc").as("gsrc"), col("e.gdst").as("gdst"))
-        .filter(col("gsrc") =!= col("gdst"))
-        .distinct()
-      graft.PinnedRdds.pinning(spark) { edges.localCheckpoint() }
+      graft.PinnedRdds.pinning(spark) { followedByEdges(li).localCheckpoint() }
     })
 
   /** The pinned Louvain fit over the co-purchase graph — two levels of
@@ -2562,6 +2566,60 @@ object GraphOps {
     sccCached(spark, dir)
       .select(col("gid").as("part"), col("scc").as("scc_id"))
 
+  /** The BASE-batch SCC state for the incremental face — labeling +
+    * condensation DAG over the followed-by edges of orders with
+    * key % 10 ≠ 0 (the g_cc_incr delta convention), pinned per
+    * (session, dir): in the CDC setup this IS what the previous batch
+    * left behind, so the face pays only the delta fold.
+    */
+  private val sccIncrBaseCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), (DataFrame, DataFrame)]
+
+  private def sccIncrBaseCached(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) =
+    sccIncrBaseCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      val li = Tables.load(spark, dir, "lineitem")
+        .filter(col("l_partkey") < 500 && col("l_orderkey") % 10 =!= 0)
+      val e = followedByEdges(li)
+      val nodes = e.select(col("gsrc").as("gid"))
+        .unionByName(e.select(col("gdst").as("gid"))).distinct()
+      graft.PinnedRdds.pinning(spark) {
+        val labels = Algorithms.stronglyConnectedComponents(nodes, e)
+          .localCheckpoint()
+        val dag = e
+          .join(labels.select(col("gid").as("gsrc"), col("scc").as("ca")),
+            Seq("gsrc"))
+          .join(labels.select(col("gid").as("gdst"), col("scc").as("cb")),
+            Seq("gdst"))
+          .filter(col("ca") =!= col("cb"))
+          .select(col("ca").as("a"), col("cb").as("b")).distinct()
+          .localCheckpoint()
+        (labels, dag)
+      }
+    })
+
+  /** Incremental SCC maintenance face: the followed-by graph arrives
+    * as a base batch plus a delta batch (orders with key ≡ 0 mod 10 —
+    * the g_cc_incr split applied to the DIRECTED substrate); the delta
+    * folds into the pinned base labeling via
+    * [[graft.graph.Algorithms.sccIncremental]] — cycle detection on
+    * the pinned condensation DAG, merge-group contraction, one remap
+    * join; never a full re-peel. The oracle is the SAME closure-defined
+    * full-graph SCC SQL as g_scc: hash-green PROVES fold ≡ full FW-BW
+    * refit (canonical min-member labels preserved through the
+    * contraction), the directed completion of the incremental family.
+    */
+  def gSccIncr(spark: SparkSession, dir: String): DataFrame = {
+    val (baseLabels, baseDag) = sccIncrBaseCached(spark, dir)
+    val deltaE = followedByEdges(Tables.load(spark, dir, "lineitem")
+      .filter(col("l_partkey") < 500 && col("l_orderkey") % 10 === 0))
+    Algorithms.sccIncremental(baseLabels, baseDag, deltaE)
+      .select(col("gid").as("part"), col("scc").as("scc_id"))
+  }
+
+  // def, not val: gSccSql is declared further down the object body
+  def gSccIncrSql: String = gSccSql
+
   /** CONDENSATION of the followed-by SCC fit — contract each SCC to one
     * node and describe the resulting DAG: component counts, inter-SCC
     * edge count, source/sink components, and the longest chain of
@@ -2721,6 +2779,7 @@ object GraphOps {
     QueryDef.sql("g_wal_replay", gWalReplay, gWalReplaySql),
     QueryDef.sql("g_reciprocity", gReciprocity, gReciprocitySql),
     QueryDef.sql("g_scc", gScc, gSccSql),
+    QueryDef.sql("g_scc_incr", gSccIncr, gSccIncrSql),
     QueryDef.sql("g_dist_oracle", gDistOracle, gDistOracleSql),
     QueryDef.sql("g_condensation", gCondensation, gCondensationSql),
     QueryDef.sql("g_triad_census", gTriadCensus, gTriadCensusSql),

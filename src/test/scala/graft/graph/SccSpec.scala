@@ -83,6 +83,66 @@ class SccSpec extends SparkSpec {
     // plain within-budget cutover unchanged
     assert(run(edges, cutover = 1000000L) == want, "immediate cutover")
   }
+
+  private def foldVsRefit(edges: Seq[(Long, Long)], isBase: ((Long, Long)) => Boolean): Unit = {
+    import spark.implicits._
+    val base = edges.filter(isBase)
+    val delta = edges.filterNot(isBase)
+    val be = base.toDF("gsrc", "gdst")
+    val bn = be.select(col("gsrc").as("gid"))
+      .unionByName(be.select(col("gdst").as("gid"))).distinct()
+    val baseLabels = Algorithms.stronglyConnectedComponents(bn, be)
+      .localCheckpoint()
+    val baseDag = be
+      .join(baseLabels.select(col("gid").as("gsrc"), col("scc").as("ca")), Seq("gsrc"))
+      .join(baseLabels.select(col("gid").as("gdst"), col("scc").as("cb")), Seq("gdst"))
+      .filter(col("ca") =!= col("cb"))
+      .select(col("ca").as("a"), col("cb").as("b")).distinct()
+    val got = Algorithms.sccIncremental(baseLabels, baseDag,
+        delta.toDF("gsrc", "gdst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == reference(edges),
+      s"fold diverged from refit (|base|=${base.size}, |delta|=${delta.size})")
+  }
+
+  test("incremental fold ≡ full refit: planted cycle-closing, DAG-path merge, and delta-only shapes") {
+    // base: 1→2→3 chain + SCC {10,11}; delta closes 3→1 (merges 1,2,3),
+    // adds a DAG-path merge 20→10 … 11→20 via base path, and a pure
+    // delta cycle on unseen nodes 30⇄31
+    val base = Seq[(Long, Long)]((1, 2), (2, 3), (10, 11), (11, 10), (11, 20))
+    val delta = Seq[(Long, Long)]((3, 1), (20, 10), (30, 31), (31, 30), (3, 30))
+    foldVsRefit(base ++ delta, base.contains)
+  }
+
+  test("incremental fold ≡ full refit on randomized base/delta splits") {
+    val rnd = new scala.util.Random(1234)
+    for (trial <- 1 to 4) {
+      val n = 30 + trial * 15
+      val m = n * 3
+      val edges = Seq.fill(m)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2).distinct
+      // random ~30% delta; membership decided per edge, deterministically
+      foldVsRefit(edges, e => (e._1 * 31 + e._2 * 17) % 10 < 7)
+    }
+  }
+
+  test("incremental fold with an empty or no-op delta returns the base labeling unchanged") {
+    import spark.implicits._
+    val base = Seq[(Long, Long)]((1, 2), (2, 1), (2, 3))
+    // delta edge inside an existing SCC is a no-op
+    foldVsRefit(base :+ (1L, 1L), base.contains)
+    val be = base.toDF("gsrc", "gdst")
+    val bn = be.select(col("gsrc").as("gid"))
+      .unionByName(be.select(col("gdst").as("gid"))).distinct()
+    val labels = Algorithms.stronglyConnectedComponents(bn, be).localCheckpoint()
+    val empty = Seq.empty[(Long, Long)].toDF("gsrc", "gdst")
+    val got = Algorithms.sccIncremental(labels,
+        spark.emptyDataFrame.select(lit(0L).as("a"), lit(0L).as("b")).limit(0),
+        empty)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == reference(base))
+  }
 }
 
 /** DAG level sweep used by the condensation face: level(v) = longest
