@@ -1031,7 +1031,8 @@ object Algorithms {
     * `nodes`.
     */
   def speculativeColoringUnd(nodes: DataFrame, und0: DataFrame,
-      maxIter: Int = 100): DataFrame = {
+      maxIter: Int = 100,
+      finishBelow: Long = StragglerFinishBound): DataFrame = {
     val width = loopWidth(und0, und0.count())
     withoutAqe(und0, Some(width)) {
       // Loop state is fully incremental — the committed color table is
@@ -1115,8 +1116,8 @@ object Algorithms {
           // rule, same round numbering — bit-equal to the distributed
           // rounds (the equality the RandomizedAlgSpec replay pins),
           // with state bounded like every other driver-side codebook.
-          if (uncolRows <= StragglerFinishBound &&
-              eLive.count() <= 50L * StragglerFinishBound) {
+          if (uncolRows <= finishBelow &&
+              eLive.count() <= 50L * finishBelow) {
             val adj = scala.collection.mutable.Map
               .empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
             eLive.collect().foreach { r =>

@@ -695,7 +695,9 @@ object GraphOps {
     val gr = g(spark, dir)
     val nodes = gidNodesCached(spark, dir, TpchGraph.nodeLabels)
     gr.decode(Algorithms.speculativeColoringUnd(nodes,
-        undGidCached(spark, dir)), "gid")
+        undGidCached(spark, dir),
+        finishBelow = sys.env.get("GRAFT_COLOR_FINISH").map(_.toLong)
+          .getOrElse(64000L)), "gid")
       .select(col("label"), col("key"), col("color"),
         col("colored_round").cast("long").as("colored_round"))
   }
