@@ -531,13 +531,24 @@ object Algorithms {
     * loop exactly like the original.
     */
   def foldDeltaIntoRankGraph(g: RankGraph, deltaNodes: DataFrame,
-      deltaEdges: DataFrame): RankGraph = {
+      deltaEdges: DataFrame): RankGraph =
+    foldDeltaIntoRankGraph(g, deltaNodes, deltaEdges, None)
+
+  /** As [[foldDeltaIntoRankGraph]], but accepting the touched-source
+    * degree-bump aggregate already computed (the streaming path folds
+    * it per micro-batch via [[foldRankDeltaBatch]] — recomputing it
+    * from the unioned delta here would discard those folds). `ddegPre`
+    * must equal `deltaEdges.groupBy(gsrc).count` — additive-integer
+    * folds over any batching of the delta satisfy this exactly.
+    */
+  def foldDeltaIntoRankGraph(g: RankGraph, deltaNodes: DataFrame,
+      deltaEdges: DataFrame, ddegPre: Option[DataFrame]): RankGraph = {
     val d0 = materializeInvariant(deltaEdges.select(col("gsrc"), col("gdst")))
     withoutAqe(d0, Some(g.width)) {
       val e = g.e.unionByName(d0)
         .repartition(g.width, col("gsrc")).localCheckpoint()
-      val ddeg = d0.groupBy(col("gsrc").as("dgid"))
-        .agg(count(lit(1)).as("ddeg")).localCheckpoint()
+      val ddeg = ddegPre.getOrElse(d0.groupBy(col("gsrc").as("dgid"))
+        .agg(count(lit(1)).as("ddeg")).localCheckpoint())
       // outdeg: null means dangling — stays null only if BOTH sides
       // have no out-edges for the node
       val adjusted = g.base0
@@ -558,6 +569,36 @@ object Algorithms {
         e.repartition(g.width, col("gdst")).localCheckpoint()
       }
       RankGraph(e, () => eDst, base0, base0.count().toDouble, g.width)
+    }
+  }
+
+  /** Fold ONE streaming micro-batch of delta edges into a pending
+    * (edges, degree-bump) accumulator at pure DELTA scale — no corpus
+    * repartition, no node-scale base rebuild (each trigger previously
+    * paid both via a full [[foldDeltaIntoRankGraph]]; at n batches
+    * that is n corpus edge rewrites for one drain). The batch's
+    * out-degree counts merge into the pending aggregate by integer
+    * SUM — associative and commutative, so the drained accumulator is
+    * a pure function of the delta edge SET, independent of batch
+    * boundaries (the s_pagerank_incr contract, now exercised where
+    * the per-batch work actually happens). Apply once after the drain
+    * with `foldDeltaIntoRankGraph(g, nodes, edges, Some(ddeg))` —
+    * one corpus co-partitioning shuffle total.
+    *
+    * @param pending (unioned checkpointed batch edges, folded ddeg)
+    *                from prior triggers, or None on the first
+    * @return the accumulator including this batch
+    */
+  def foldRankDeltaBatch(pending: Option[(DataFrame, DataFrame)],
+      batchEdges: DataFrame): (DataFrame, DataFrame) = {
+    val b = batchEdges.select(col("gsrc"), col("gdst")).localCheckpoint()
+    val bd = b.groupBy(col("gsrc").as("dgid")).agg(count(lit(1)).as("ddeg"))
+    pending match {
+      case None => (b, bd.localCheckpoint())
+      case Some((pe, pd)) =>
+        val merged = pd.unionByName(bd).groupBy(col("dgid"))
+          .agg(sum(col("ddeg")).cast("long").as("ddeg")).localCheckpoint()
+        (pe.unionByName(b), merged)
     }
   }
 

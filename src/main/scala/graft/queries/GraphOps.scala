@@ -866,20 +866,25 @@ object GraphOps {
     GraphOracleSql.pageRankIncrSql(baseIters = 10, warmIters = 4, damping = 0.85)
 
   /** STREAMING PageRank maintenance — the stream face of
-    * g_pagerank_incr, and the gate check of
-    * [[graft.graph.Algorithms.foldDeltaIntoRankGraph]]'s ASSOCIATIVITY
-    * claim (the s_cdc_merge discipline applied to rank state): the
-    * delta edges arrive as three REAL micro-batches (file source, one
-    * file per trigger), each batch folds into the pinned base layout
-    * via `foreachBatch` — degree bumps are additive and fresh-node
-    * appends idempotent against the growing base, so fold(fold(g, d₁),
-    * d₂) ≡ fold(g, d₁ ∪ d₂) whatever the batch boundaries — and the
-    * FOUR warm rounds run once from the prior vector after the stream
-    * drains. Hash-checked against the SAME oracle as g_pagerank_incr:
-    * green proves the chunked folds reconstruct the one-shot layout
-    * exactly. Candidate delta nodes are derived per batch from the
-    * batch's own edge endpoints (the fold's anti-join keeps only the
-    * genuinely new ones), so the stream needs no side channel.
+    * g_pagerank_incr, and the gate check of the rank-delta fold's
+    * ASSOCIATIVITY claim (the s_cdc_merge discipline applied to rank
+    * state): the delta edges arrive as three REAL micro-batches (file
+    * source, one file per trigger), and each trigger does DELTA-scale
+    * work only — [[graft.graph.Algorithms.foldRankDeltaBatch]] merges
+    * the batch's out-degree counts into a pending aggregate by integer
+    * sum (associative + commutative, so the drained accumulator is a
+    * pure function of the delta edge set whatever the batch
+    * boundaries) and buffers the batch's checkpointed edges. The
+    * corpus-scale layout application (one co-partitioning shuffle +
+    * node-scale base adjust) and the FOUR warm rounds run ONCE after
+    * the stream drains — previously every trigger re-paid the corpus
+    * edge rewrite (3 rewrites per drain; at 100× that is the
+    * difference between a CDC fold and three corpus scans).
+    * Hash-checked against the SAME oracle as g_pagerank_incr: green
+    * proves the per-batch folds reconstruct the one-shot layout
+    * exactly. Candidate delta nodes are derived from the buffered
+    * edges' endpoints (the fold's anti-join keeps only the genuinely
+    * new ones), so the stream needs no side channel.
     */
   def sPagerankIncr(spark: SparkSession, dir: String): DataFrame = {
     val gr = g(spark, dir)
@@ -888,19 +893,23 @@ object GraphOps {
     val batchSchema = spark.read.parquet(src).schema
     val stream = spark.readStream.schema(batchSchema)
       .option("maxFilesPerTrigger", "1").parquet(src)
-    var folded = gBase
+    var pending: Option[(DataFrame, DataFrame)] = None
     val ckpt = java.nio.file.Files.createTempDirectory("graft_pr_ckpt").toString
     val q = stream.writeStream
       .option("checkpointLocation", ckpt)
       .foreachBatch { (b: DataFrame, _: Long) =>
-        val edges = b.localCheckpoint()
-        val nodes = edges.select(col("gsrc").as("gid"))
-          .unionByName(edges.select(col("gdst").as("gid"))).distinct()
-        folded = Algorithms.foldDeltaIntoRankGraph(folded, nodes, edges)
+        pending = Some(Algorithms.foldRankDeltaBatch(pending, b))
         ()
       }
       .start()
     try q.processAllAvailable() finally q.stop()
+    val folded = pending match {
+      case None => gBase
+      case Some((pe, pd)) =>
+        val nodes = pe.select(col("gsrc").as("gid"))
+          .unionByName(pe.select(col("gdst").as("gid"))).distinct()
+        Algorithms.foldDeltaIntoRankGraph(gBase, nodes, pe, Some(pd))
+    }
     val pr = Algorithms.pageRankFrom(folded,
       prevPr.select(col("gid"), round(col("pr"), 10).as("pr")),
       iters = 4, damping = 0.85)

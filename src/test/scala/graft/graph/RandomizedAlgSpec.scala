@@ -471,6 +471,18 @@ class RandomizedAlgSpec extends SparkSpec {
           toDf(nodesOf(d1), Seq.empty)._1, toDf(Seq.empty, d1)._2),
         toDf(nodesOf(d2), Seq.empty)._1, toDf(Seq.empty, d2)._2))
       assert(chunked === oneShot, s"seed=$seed cut=$cut delta=$deltaEdges")
+      // the streaming accumulator path (per-batch DELTA-scale ddeg
+      // folds + one layout application after the drain — the shape
+      // s_pagerank_incr actually runs) must land on the same layout
+      val batches = Seq(d1, d2).map(es => toDf(Seq.empty, es)._2)
+      val pending = batches.foldLeft(Option.empty[(org.apache.spark.sql.DataFrame,
+          org.apache.spark.sql.DataFrame)]) {
+        (p, b) => Some(Algorithms.foldRankDeltaBatch(p, b))
+      }.get
+      val streamed = layout(Algorithms.foldDeltaIntoRankGraph(
+        Algorithms.prepareRankGraph(bndf, bedf),
+        toDf(nodesOf(deltaEdges), Seq.empty)._1, pending._1, Some(pending._2)))
+      assert(streamed === oneShot, s"seed=$seed cut=$cut delta=$deltaEdges (accumulator path)")
     }
   }
 
