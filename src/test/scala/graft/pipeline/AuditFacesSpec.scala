@@ -82,4 +82,102 @@ class AuditFacesSpec extends SparkSpec {
       assert(nPairs >= 1L && nFps >= 2L * nPairs, s"($a,$b): $nPairs pairs, $nFps fps")
     }
   }
+
+  test("LSH-bucketed pair stream substitutes for the exact stream across the pair-consumer faces (measured recall floors)") {
+    // The scale posture of p_dbscan / p_dbscan_incr / p_decontam_embed /
+    // p_dedup_curve is "the exact ≥0.4 pair stream swaps for
+    // embedCosineLsh with everything downstream unchanged". This leg
+    // RUNS that swap on gate data and pins the measured recall — the
+    // AnnSpec recall-floor precedent applied to every face reading the
+    // pinned pair stream. Floors sit below the measured values (noted
+    // inline) by a small margin; a bucketing regression trips them.
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions._
+    val dir = sf("sf0.01")
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+    val exact = Dedup.embedCosineAllPairs(emb, "vec_id", "embedding",
+      threshold = 0.4).localCheckpoint()
+    // bits/tables tuned for the 0.4-threshold regime: a 0.4 cosine is a
+    // WEAK similarity (collision prob 0.63/bit), so fewer bits + more
+    // tables is the operating point — 4x8 (the tight-threshold default)
+    // measures 0.73 pair recall here, 3x16 measures 1.0 (sweep in the
+    // round-9 SURVEY notes)
+    val lsh = Dedup.embedCosineLsh(emb, "vec_id", "embedding", dim = 64,
+      threshold = 0.4, bitsPerTable = 3, numTables = 16).localCheckpoint()
+    def pairSet(df: DataFrame) = df.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactPairs = pairSet(exact)
+    val lshPairs = pairSet(lsh)
+    assert(lshPairs.subsetOf(exactPairs)) // precision exact by construction
+    val pairRecall = lshPairs.size.toDouble / exactPairs.size
+    info(f"pair recall: $pairRecall%.4f (${lshPairs.size}/${exactPairs.size})")
+    assert(pairRecall >= 0.90, f"pair recall $pairRecall%.4f under floor")
+
+    // p_dbscan swap: same fit over the degraded stream. Degrees only
+    // drop under a pair subset, so LSH cores are a subset of exact
+    // cores; role agreement and core recall are the quality readout.
+    val ids = emb.select(col("vec_id").as("id"))
+    def roles(pairs: DataFrame): Map[Long, String] =
+      Cluster.dbscanFromPairs(ids, pairs.select("id_a", "id_b"), minPts = 3)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val exRoles = roles(exact)
+    val lshRoles = roles(lsh)
+    val lshCore = lshRoles.filter(_._2 == "core").keySet
+    val exCore = exRoles.filter(_._2 == "core").keySet
+    assert(lshCore.subsetOf(exCore))
+    val coreRecall = lshCore.size.toDouble / exCore.size
+    val roleAgree = exRoles.keys.count(k => exRoles(k) == lshRoles(k))
+      .toDouble / exRoles.size
+    info(f"dbscan core recall: $coreRecall%.4f role agreement: $roleAgree%.4f")
+    assert(coreRecall >= 0.90, f"core recall $coreRecall%.4f under floor")
+    assert(roleAgree >= 0.95, f"role agreement $roleAgree%.4f under floor")
+
+    // p_dbscan_incr swap: incremental maintenance must commute with the
+    // pair-stream choice — folding the batch's LSH pairs into the LSH
+    // base state lands exactly where a full refit over the LSH stream
+    // does (hyperplanes are data-independent, so the base-subset LSH
+    // stream IS the full stream restricted to base×base).
+    val isBatchA = col("id_a") % 10 === 0
+    val isBatchB = col("id_b") % 10 === 0
+    val basePairs = lsh.filter(!isBatchA && !isBatchB)
+    val newPairs = lsh.filter(isBatchA || isBatchB)
+    val (bu, bd, bl) = Cluster.dbscanFit(
+      basePairs.select("id_a", "id_b").localCheckpoint(), minPts = 3)
+    def asMap(df: DataFrame) = df.collect().map(r => r.getLong(0) ->
+      (r.getString(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    val folded = asMap(Cluster.dbscanIncremental(ids, bu, bd, bl,
+      newPairs.select("id_a", "id_b"), minPts = 3))
+    val refit = asMap(Cluster.dbscanFromPairs(ids,
+      lsh.select("id_a", "id_b"), minPts = 3))
+    assert(folded === refit, "incremental fold over the LSH stream diverged from refit")
+
+    // p_decontam_embed swap: flagged-corpus-vector recall
+    val evalA = (col("id_a") % 50) === 0
+    val evalB = (col("id_b") % 50) === 0
+    def flagged(pairs: DataFrame): Set[Long] = pairs
+      .select(when(evalA && !evalB, col("id_b"))
+        .when(evalB && !evalA, col("id_a")).as("v"))
+      .where(col("v").isNotNull).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val exFlag = flagged(exact)
+    val lshFlag = flagged(lsh)
+    assert(lshFlag.subsetOf(exFlag))
+    val decontamRecall = lshFlag.size.toDouble / exFlag.size
+    info(f"decontam flagged recall: $decontamRecall%.4f (${lshFlag.size}/${exFlag.size})")
+    assert(decontamRecall >= 0.90, f"decontam recall $decontamRecall%.4f under floor")
+
+    // p_dedup_curve swap: per-threshold pair counts under the degraded
+    // stream stay within a recall band of the exact counts (6dp-sealed
+    // grid compare, as the face itself)
+    val grid = Seq(0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
+    grid.foreach { t =>
+      val nE = exact.filter(round(col("cosine"), 6) >= t).count()
+      val nL = lsh.filter(round(col("cosine"), 6) >= t).count()
+      assert(nL <= nE, s"t=$t: LSH emitted a pair the exact stream lacks")
+      if (nE >= 20)
+        assert(nL >= (nE * 0.85).toLong,
+          s"t=$t: curve recall ${nL.toDouble / nE} under floor ($nL/$nE)")
+      info(s"curve t=$t: exact=$nE lsh=$nL")
+    }
+  }
 }
