@@ -1977,6 +1977,48 @@ object Algorithms {
     (forest, comp)
   }
 
+  /** INCREMENTAL minimum spanning forest under edge insertions and
+    * weight DECREASES — the sparsification identity (Eppstein et al.'s
+    * certificate lineage) applied as CDC maintenance: the new MSF is
+    * contained in (base forest ∪ updated edges), so one MSF run over a
+    * node-scale + delta-scale candidate set replaces the corpus
+    * re-peel.
+    *
+    * Correctness (cut/cycle property under the lexicographic total
+    * order (w, a, b) that makes the MSF unique): take any old edge f
+    * outside both the base forest and the update set. f ∉ MSF(G_old)
+    * means f is the strict maximum on some cycle C under the total
+    * order. In G', every other edge of C either kept its weight or
+    * DECREASED (the only update this fold admits — insertions are
+    * decreases from +∞), and f's weight is unchanged, so f is still
+    * the maximum on C and stays outside MSF(G'). Hence MSF(G') ⊆
+    * baseForest ∪ updated, and because the candidate set spans the
+    * same components as G', the unique MSF of the candidate set IS
+    * MSF(G') — bit-identical to a full refit, which is what the
+    * shared-oracle gate and the randomized spec assert. A weight
+    * INCREASE or deletion breaks the argument (an evicted edge must
+    * re-enter) — callers with non-monotone updates re-run the full
+    * fit; the co-purchase substrate (w = 1/support, support only
+    * grows) is decrease-only by construction.
+    *
+    * @param baseForest (a, b, w) — the pinned previous fit, a < b
+    * @param updated    (a, b, w) — delta-touched edges carrying their
+    *                   NEW weights (new edges included); a < b
+    * @return (forest edges, component labels) as
+    *         [[minimumSpanningForestWithComponents]]
+    */
+  def msfIncremental(nodes: DataFrame, baseForest: DataFrame,
+      updated: DataFrame, maxRounds: Int = 20): (DataFrame, DataFrame) = {
+    val upd = updated.select(col("a"), col("b"), col("w")).localCheckpoint()
+    val keep = baseForest
+      .join(upd.select(col("a").as("ua"), col("b").as("ub")),
+        col("a") === col("ua") && col("b") === col("ub"), "left_anti")
+    minimumSpanningForestWithComponents(nodes,
+      keep.unionByName(upd)
+        .select(col("a").as("gsrc"), col("b").as("gdst"), col("w")),
+      maxRounds)
+  }
+
   /** Seed-anchored neighborhood Jaccard — the set-overlap
     * link-prediction score: J(s,y) = |N(s)∩N(y)| / |N(s)∪N(y)| for
     * non-adjacent pairs with s ∈ seeds. Same anchored-wedge shape (and

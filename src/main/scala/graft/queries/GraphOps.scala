@@ -1963,17 +1963,30 @@ object GraphOps {
     * SQL mirror; it stays under RandomizedAlgSpec's Kruskal cross-check
     * (forced ties included).
     */
-  def gMst(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.load(spark, dir, "lineitem")
+  /** Co-purchase pair SUPPORT counts of a lineitem slice (a < b, one
+    * row per part pair, cnt = number of orders containing both) — the
+    * integer substrate both gMst (w = 1/cnt) and the incremental fold
+    * (counts are the foldable quantity; weights are derived) read.
+    */
+  private def copurchaseCounts(li: DataFrame): DataFrame = {
     val op = li.filter(col("l_partkey") < 2000)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
     val perOrder = op.groupBy(col("l_orderkey"))
       .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
-    val pairs = perOrder.select(explode(flatten(transform(col("ps"),
+    perOrder.select(explode(flatten(transform(col("ps"),
         (x, i) => transform(slice(col("ps"), i + 2, size(col("ps"))),
           y => struct(x.as("a"), y.as("b")))))).as("e"))
-      .groupBy(col("e.a").as("gsrc"), col("e.b").as("gdst"))
-      .agg((lit(1.0) / count(lit(1))).as("w"))
+      .groupBy(col("e.a").as("a"), col("e.b").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  def gMst(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val op = li.filter(col("l_partkey") < 2000)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val pairs = copurchaseCounts(li)
+      .select(col("a").as("gsrc"), col("b").as("gdst"),
+        (lit(1.0) / col("cnt")).as("w"))
     val nodes = op.select(col("l_partkey").as("gid")).distinct()
     // the forest's component labels fall out of Borůvka's contraction —
     // no second CC fit over the forest we just built
@@ -1986,6 +1999,66 @@ object GraphOps {
   }
 
   val gMstSql: String = GraphOracleSql.msfSummarySql(rounds = 12)
+
+  /** The pinned MSF state of the BASE co-purchase graph (orders with
+    * key % 10 ≠ 0): integer pair-support counts, the base forest, and
+    * the base node set — the previous snapshot's fit, as
+    * ccBaseCached/basePrCached/sccIncrBaseCached.
+    */
+  private val msfBaseCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), (DataFrame, DataFrame, DataFrame)]
+
+  private def msfBaseCached(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame, DataFrame) =
+    msfBaseCache.getOrElseUpdate((spark.sparkContext.applicationId, dir),
+      graft.PinnedRdds.pinning(spark) {
+        val li = Tables.load(spark, dir, "lineitem")
+          .filter(col("l_orderkey") % 10 =!= 0)
+        val cnts = copurchaseCounts(li).localCheckpoint()
+        val nodes = li.filter(col("l_partkey") < 2000)
+          .select(col("l_partkey").as("gid")).distinct().localCheckpoint()
+        val (forest, _) = Algorithms.minimumSpanningForestWithComponents(
+          nodes, cnts.select(col("a").as("gsrc"), col("b").as("gdst"),
+            (lit(1.0) / col("cnt")).as("w")))
+        (cnts, forest.localCheckpoint(), nodes)
+      })
+
+  /** INCREMENTAL MSF maintenance — the incremental family's THIRD
+    * mechanism (CC/SCC contract-and-merge; rank/card additive folds;
+    * here SPARSIFICATION: the certificate is the forest itself). The
+    * delta orders' co-purchases only GROW pair supports, so w = 1/cnt
+    * only DECREASES — exactly the monotone regime
+    * [[graft.graph.Algorithms.msfIncremental]] proves exact: the new
+    * MSF is contained in (pinned base forest ∪ delta-touched pairs
+    * re-weighted), a node-scale + delta-scale candidate set. Touched
+    * pairs re-derive their support by a delta-keyed probe of the
+    * PINNED base count table (delta-bounded work, never a corpus
+    * re-pair). Oracle = the SAME full-graph summary SQL as g_mst
+    * (component structure catches under-spanning or cyclic output);
+    * forest-level fold ≡ refit bit-identity is RandomizedAlgSpec's
+    * randomized-split leg, minimality rides the existing Kruskal
+    * cross-check.
+    */
+  def gMstIncr(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val (baseCnt, baseForest, baseNodes) = msfBaseCached(spark, dir)
+    val deltaLi = li.filter(col("l_orderkey") % 10 === 0)
+    val touched = copurchaseCounts(deltaLi)
+      .select(col("a"), col("b"), col("cnt").as("dcnt"))
+      .join(baseCnt, Seq("a", "b"), "left")
+      .select(col("a"), col("b"),
+        (lit(1.0) / (coalesce(col("cnt"), lit(0L)) + col("dcnt"))).as("w"))
+    val deltaNodes = deltaLi.filter(col("l_partkey") < 2000)
+      .select(col("l_partkey").as("gid")).distinct()
+    val nodes = baseNodes.unionByName(deltaNodes).distinct()
+    val (forest, comps) = Algorithms.msfIncremental(nodes, baseForest, touched)
+    comps.agg(count(lit(1)).as("n_nodes"),
+        countDistinct(col("comp")).as("n_components"))
+      .crossJoin(broadcast(forest.agg(count(lit(1)).as("n_edges"))))
+      .select(col("n_nodes"), col("n_components"), col("n_edges"))
+  }
+
+  def gMstIncrSql: String = gMstSql
 
   /** 4-truss of the bounded co-purchase graph (every surviving edge in
     * ≥ 2 triangles among survivors — the edge-cohesion community
@@ -2786,6 +2859,7 @@ object GraphOps {
     QueryDef.sql("g_assortativity", gAssortativity, gAssortativitySql),
     QueryDef.sql("g_basket", gBasket, gBasketSql),
     QueryDef.sql("g_mst", gMst, gMstSql),
+    QueryDef.sql("g_mst_incr", gMstIncr, gMstIncrSql),
     QueryDef.sql("g_truss", gTruss, gTrussSql),
     QueryDef.sql("g_wal_replay", gWalReplay, gWalReplaySql),
     QueryDef.sql("g_reciprocity", gReciprocity, gReciprocitySql),

@@ -179,6 +179,42 @@ class RandomizedAlgSpec extends SparkSpec {
     }
   }
 
+  test("incremental MSF fold ≡ full refit under support growth (random count splits)") {
+    // the g_mst_incr contract: pair supports only grow (w = 1/cnt only
+    // decreases, insertions are decreases from +∞), so the new MSF is
+    // contained in (base forest ∪ touched pairs re-weighted) and the
+    // fold is BIT-identical to a refit under the unique (w, a, b) order
+    import spark.implicits._
+    (171 to 176).foreach { seed =>
+      val rnd = new Random(seed)
+      val n = 5 + rnd.nextInt(10)
+      val nodes = (0L until n.toLong).toSeq
+      // base: random pair supports; delta: bump a random subset + new pairs
+      val allPairs = (for (a <- nodes; b <- nodes if a < b) yield (a, b))
+      val baseCnt = rnd.shuffle(allPairs).take(2 * n)
+        .map(p => p -> (1L + rnd.nextInt(4))).toMap
+      val deltaCnt = rnd.shuffle(allPairs).take(n)
+        .map(p => p -> (1L + rnd.nextInt(3))).toMap
+      val fullCnt = (baseCnt.keySet ++ deltaCnt.keySet).map(p =>
+        p -> (baseCnt.getOrElse(p, 0L) + deltaCnt.getOrElse(p, 0L))).toMap
+      def wdf(m: Map[(Long, Long), Long]) =
+        m.toSeq.map { case ((a, b), c) => (a, b, 1.0 / c) }
+          .toDF("gsrc", "gdst", "w")
+      val ndf = nodes.toDF("gid")
+      val refit = Algorithms.minimumSpanningForest(ndf, wdf(fullCnt))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val baseForest = Algorithms.minimumSpanningForest(ndf, wdf(baseCnt))
+        .select(col("a"), col("b"), col("w"))
+      val touched = deltaCnt.toSeq.map { case ((a, b), d) =>
+        (a, b, 1.0 / (baseCnt.getOrElse((a, b), 0L) + d))
+      }.toDF("a", "b", "w")
+      val (folded, _) = Algorithms.msfIncremental(ndf, baseForest, touched)
+      val got = folded.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got === refit, s"seed=$seed base=$baseCnt delta=$deltaCnt")
+    }
+  }
+
   test("connected components match union-find on random multigraphs") {
     (11 to 18).foreach { seed =>
       val (nodes, edges) = randomGraph(seed)
