@@ -2060,6 +2060,79 @@ object GraphOps {
 
   def gMstIncrSql: String = gMstSql
 
+  /** The delta lineitem slice split into three parquet files BY ORDER
+    * (orderkey mod 3) — pairs are within-order, so keeping each order
+    * whole makes per-batch pair counts COMPLETE per order and the
+    * cross-batch count fold a genuine integer sum (an order split
+    * across batches would silently drop its cross-batch pairs).
+    */
+  private val mstDeltaSrcCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  private def mstDeltaSourceDir(spark: SparkSession, dir: String): String =
+    mstDeltaSrcCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      val out = java.nio.file.Files.createTempDirectory("graft_mst_src").toString
+      Tables.load(spark, dir, "lineitem")
+        .filter(col("l_orderkey") % 10 === 0 && col("l_partkey") < 2000)
+        .select(col("l_orderkey"), col("l_partkey"))
+        .repartition(3, col("l_orderkey"))
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+
+  /** STREAMING MSF maintenance — the stream face of g_mst_incr,
+    * completing batch + incremental + streaming for the sparsification
+    * mechanism exactly as the rank family (28e/28h): delta co-purchases
+    * arrive as three REAL micro-batches (file source, one file per
+    * trigger, orders kept whole per file), each trigger folds the
+    * batch's pair-support counts into a pending aggregate by integer
+    * SUM (associative + commutative — the drained accumulator is a
+    * pure function of the delta row set whatever the batch
+    * boundaries) at pure DELTA scale, and the ONE sparsification MSF
+    * run ([[graft.graph.Algorithms.msfIncremental]] over the pinned
+    * base fit) executes after the drain. Oracle = the SAME full-graph
+    * summary SQL as g_mst/g_mst_incr: hash-green proves the chunked
+    * count folds reconstruct the one-shot fold exactly.
+    */
+  def sMstIncr(spark: SparkSession, dir: String): DataFrame = {
+    val (baseCnt, baseForest, baseNodes) = msfBaseCached(spark, dir)
+    val src = mstDeltaSourceDir(spark, dir)
+    val batchSchema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(batchSchema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    var pendCnt: Option[DataFrame] = None
+    var pendNodes: Option[DataFrame] = None
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_mst_ckpt").toString
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val bc = copurchaseCounts(b).localCheckpoint()
+        pendCnt = Some(pendCnt match {
+          case None => bc
+          case Some(p) => p.unionByName(bc).groupBy(col("a"), col("b"))
+            .agg(sum(col("cnt")).cast("long").as("cnt")).localCheckpoint()
+        })
+        val bn = b.select(col("l_partkey").as("gid")).distinct().localCheckpoint()
+        pendNodes = Some(pendNodes.fold(bn)(_.unionByName(bn)))
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val touched = pendCnt.get
+      .select(col("a"), col("b"), col("cnt").as("dcnt"))
+      .join(baseCnt, Seq("a", "b"), "left")
+      .select(col("a"), col("b"),
+        (lit(1.0) / (coalesce(col("cnt"), lit(0L)) + col("dcnt"))).as("w"))
+    val nodes = baseNodes.unionByName(pendNodes.get).distinct()
+    val (forest, comps) = Algorithms.msfIncremental(nodes, baseForest, touched)
+    comps.agg(count(lit(1)).as("n_nodes"),
+        countDistinct(col("comp")).as("n_components"))
+      .crossJoin(broadcast(forest.agg(count(lit(1)).as("n_edges"))))
+      .select(col("n_nodes"), col("n_components"), col("n_edges"))
+  }
+
+  val sMstIncrSql: String = gMstSql
+
   /** 4-truss of the bounded co-purchase graph (every surviving edge in
     * ≥ 2 triangles among survivors — the edge-cohesion community
     * backbone, one level up from k-core): [[Algorithms.kTruss]] peeling
@@ -2860,6 +2933,7 @@ object GraphOps {
     QueryDef.sql("g_basket", gBasket, gBasketSql),
     QueryDef.sql("g_mst", gMst, gMstSql),
     QueryDef.sql("g_mst_incr", gMstIncr, gMstIncrSql),
+    QueryDef.sql("s_mst_incr", sMstIncr, sMstIncrSql),
     QueryDef.sql("g_truss", gTruss, gTrussSql),
     QueryDef.sql("g_wal_replay", gWalReplay, gWalReplaySql),
     QueryDef.sql("g_reciprocity", gReciprocity, gReciprocitySql),

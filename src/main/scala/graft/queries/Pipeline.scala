@@ -381,10 +381,14 @@ object Pipeline {
     * `p_dedup_embed` (rows-only: the hyperplane bucketing has no SQL
     * mirror; recall vs the all-pairs formulation asserted in DedupSpec,
     * and the all-pairs query above stays as the small-SF oracle anchor).
+    * Operating point: 3 bits × 16 tables — a 0.4 cosine is a WEAK
+    * similarity (hyperplane collision 0.63/bit), so the tight-threshold
+    * 4×8 default recalls only 0.73 of the gate pairs where 3×16
+    * measures 1.0 (sweep in AuditFacesSpec / SURVEY §16).
     */
   def pDedupEmbedLsh(spark: SparkSession, dir: String): DataFrame =
     Dedup.embedCosineLsh(Tables.load(spark, dir, "embeddings"), "vec_id", "embedding",
-        dim = 64, threshold = 0.4)
+        dim = 64, threshold = 0.4, bitsPerTable = 3, numTables = 16)
       .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"),
         round(col("cosine"), 4).as("cosine"))
 

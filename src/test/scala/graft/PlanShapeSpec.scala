@@ -224,4 +224,32 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"pruned exact knn degenerated to a product:\n$p")
   }
+
+  test("NO product join anywhere in the relational/pipeline surface (global inventory, empty whitelist)") {
+    // The per-face pins above guard faces that once regressed; this is
+    // the GLOBAL closure: every q_*/p_* driver plan, walked for
+    // CartesianProductExec / BroadcastNestedLoopJoinExec. The
+    // inventory is EMPTY by design — the brute all-pairs anchors do
+    // their quadratic work at PIN time behind a checkpoint, so no face
+    // plan may carry a product node. A new face sneaking one in (the
+    // r8 p_mutual_knn shape) fails here by name, and an accepted
+    // exception would have to be added to the whitelist VISIBLY.
+    // g_*/s_* faces are excluded: their constructors RUN iterative
+    // loops / streams (minutes of build time); their join shapes are
+    // pinned by the loop-body audits and dedicated tests above.
+    val whitelist = Set.empty[String]
+    val dir = sf()
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => n.startsWith("q") || n.startsWith("p_"))
+      .flatMap { n =>
+        val phys = SparkEntry.queries(n)(spark, dir)
+          .queryExecution.executedPlan.collect {
+            case _: org.apache.spark.sql.execution.joins.CartesianProductExec => "cartesian"
+            case _: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => "bnlj"
+          }
+        if (phys.nonEmpty) Some(n -> phys.mkString(",")) else None
+      }.toMap
+    assert(offenders.keySet === whitelist,
+      s"product joins outside the whitelist: $offenders")
+  }
 }
