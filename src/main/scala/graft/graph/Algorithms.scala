@@ -482,8 +482,32 @@ object Algorithms {
     * 1/λ_max (λ_max ≤ max in-degree) so the series contracts.
     */
   def katz(g: RankGraph, iters: Int, alpha: Double): DataFrame =
+    katzLoop(g, iters, alpha,
+      g.base0.select(col("gid"), lit(1.0).as("x")))
+
+  /** Warm-start Katz — [[pageRankFrom]]'s discipline for the
+    * attenuated-path-count member: iterate x = 1 + α·Aᵀx from the
+    * previous vector over the folded layout (fresh nodes seed at 1.0,
+    * the cold x₀ — their own path mass accrues in the warm rounds).
+    * Katz passes FULL mass along out-edges (no degree normalization),
+    * so the delta fold needs NO degree re-bake — the layout fold's
+    * outdeg adjustment is simply unread by this loop; only the edge
+    * union matters. Deterministic given (layout, prev, iters, α) —
+    * oracle-replicable as unrolled SQL seeded with the same prior
+    * state.
+    */
+  def katzFrom(g: RankGraph, prev: DataFrame, iters: Int,
+      alpha: Double): DataFrame =
+    katzLoop(g, iters, alpha,
+      g.base0.select(col("gid"))
+        .join(prev.select(col("gid").as("pgid"), col("x").as("px")),
+          col("gid") === col("pgid"), "left")
+        .select(col("gid"), coalesce(col("px"), lit(1.0)).as("x")))
+
+  private def katzLoop(g: RankGraph, iters: Int, alpha: Double,
+      init: DataFrame): DataFrame =
     withoutAqe(g.e, Some(g.width)) {
-      var x = g.base0.select(col("gid"), lit(1.0).as("x")).localCheckpoint()
+      var x = init.localCheckpoint()
       for (_ <- 1 to iters) {
         val contribs = g.e
           .join(x.hint("shuffle_hash"), g.e("gsrc") === col("gid"))

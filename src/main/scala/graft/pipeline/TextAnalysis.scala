@@ -339,12 +339,17 @@ object TextAnalysis {
       .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("tf"))
     val total = counts.agg(sum(col("tf")).as("total_tf"))
+    // distributed top-k FIRST (TakeOrdered — per-partition heads, one
+    // k-bounded merge), THEN the rank/cumsum window over the ≤ topK
+    // cut: rank r's cumsum reads only rows ranked ≤ r, all inside the
+    // cut, so the output is row-identical to windowing the full vocab —
+    // without the single-partition vocabulary sort (vocab at web scale
+    // is hundreds of millions of tokens; topK is the bound)
     val w = Window.orderBy(col("tf").desc, col("word"))
-    counts
+    counts.orderBy(col("tf").desc, col("word")).limit(topK)
       .withColumn("rank", row_number().over(w))
       .withColumn("cum_tf", sum(col("tf")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .filter(col("rank") <= topK)
       .crossJoin(broadcast(total))
       .select(col("rank").cast("long").as("rank"), col("word"), col("tf"),
         round(col("cum_tf").cast("double") / col("total_tf"), 8).as("cum_frac"))

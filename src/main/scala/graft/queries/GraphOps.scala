@@ -796,6 +796,50 @@ object GraphOps {
 
   val gKatzSql: String = GraphOracleSql.katzSql(iters = 8, alpha = 0.01)
 
+  /** The pinned base-graph Katz vector (8 rounds at α = 0.01 over
+    * basePrCached's layout) — the previous snapshot's state the warm
+    * face folds against.
+    */
+  private val baseKatzCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  private def baseKatzCached(spark: SparkSession, dir: String): DataFrame =
+    baseKatzCache.getOrElseUpdate((spark.sparkContext.applicationId, dir),
+      graft.PinnedRdds.pinning(spark) {
+        Algorithms.katz(basePrCached(spark, dir)._1, iters = 8, alpha = 0.01)
+          .localCheckpoint()
+      })
+
+  /** INCREMENTAL Katz — the warm-start discipline completing the rank
+    * family's fourth member (classic/weighted/streaming already fold):
+    * the delta orders fold into the pinned base layout (Katz passes
+    * FULL mass along out-edges, so the fold needs no degree re-bake —
+    * only the edge union matters) and THREE warm rounds run from the
+    * previous 8-round vector, 10 dp-sealed at the handoff; fresh
+    * nodes seed at the cold x₀ = 1.0. Oracle replays the identical
+    * computation unrolled ([[GraphOracleSql.katzIncrSql]]).
+    */
+  def gKatzIncr(spark: SparkSession, dir: String): DataFrame = {
+    val gr = g(spark, dir)
+    val (gBase, _) = basePrCached(spark, dir)
+    val prevX = baseKatzCached(spark, dir)
+    val deltaEdges = gidEdgesCached(spark, dir, TpchGraph.edgeLabels)
+      .filter(expr(deltaEdgePred))
+    val deltaNodes = gidNodesCached(spark, dir, TpchGraph.nodeLabels)
+      .filter(expr(deltaOrderNode))
+    val folded = Algorithms.foldDeltaIntoRankGraph(gBase, deltaNodes, deltaEdges)
+    val x = Algorithms.katzFrom(folded,
+      prevX.select(col("gid"), round(col("x"), 10).as("x")),
+      iters = 3, alpha = 0.01)
+    gr.decode(
+      x.select(col("gid"), round(col("x"), 8).as("katz"))
+        .orderBy(col("katz").desc, col("gid")).limit(100), "gid")
+      .select(col("label"), col("key"), col("katz"))
+  }
+
+  val gKatzIncrSql: String =
+    GraphOracleSql.katzIncrSql(baseIters = 8, warmIters = 3, alpha = 0.01)
+
   // ------------------------------------------- incremental PageRank
 
   /** Delta split for the incremental rank face, expressed on the gid
@@ -2898,6 +2942,7 @@ object GraphOps {
     QueryDef.sql("g_cc_incr", gCcIncr, gCcIncrSql),
     QueryDef.sql("g_pagerank", gPagerank, gPagerankSql),
     QueryDef.sql("g_katz", gKatz, gKatzSql),
+    QueryDef.sql("g_katz_incr", gKatzIncr, gKatzIncrSql),
     QueryDef.sql("s_pagerank_incr", sPagerankIncr, sPagerankIncrSql),
     QueryDef.sql("g_pagerank_incr", gPagerankIncr, gPagerankIncrSql),
     QueryDef.sql("g_pagerank_w", gPagerankW, gPagerankWSql),

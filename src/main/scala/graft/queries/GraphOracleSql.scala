@@ -99,6 +99,45 @@ object GraphOracleSql {
              ORDER BY x DESC, gid LIMIT 100)"""
   }
 
+  /** Unrolled INCREMENTAL Katz — [[katzSql]]'s round body over the
+    * base/full table split of [[pageRankIncrSql]]: `baseIters` rounds
+    * on the base graph (delta orders excluded), the 10 dp-sealed
+    * handoff (fresh nodes seed at the cold x₀ = 1.0, DOUBLE-cast —
+    * the decimal-literal trap), `warmIters` rounds on the full graph.
+    */
+  def katzIncrSql(baseIters: Int, warmIters: Int, alpha: Double): String = {
+    def round(prev: String, cur: String, e: String, nodes: String) =
+      s""",
+       $cur AS MATERIALIZED (
+         SELECT n.gid, 1.0 + $alpha * coalesce(c.contrib, 0.0) AS x
+         FROM $nodes n LEFT JOIN (
+           SELECT e.gdst AS cgid, sum(k.x) AS contrib
+           FROM $e e JOIN $prev k ON e.gsrc = k.gid
+           GROUP BY e.gdst) c ON n.gid = c.cgid)"""
+    val baseRounds = (1 to baseIters)
+      .map(i => round(s"b${i - 1}", s"b$i", "e_b", "nodes_b")).mkString
+    val warmRounds = (1 to warmIters)
+      .map(i => round(s"r${i - 1}", s"r$i", "e", "nodes")).mkString
+    s"""WITH nodes_b AS MATERIALIZED (
+         SELECT gid FROM (${TpchGraph.gidSqlNodes})
+         WHERE NOT (gid // 4294967296 = 5 AND (gid % 4294967296) % 10 = 0)),
+       e_b AS MATERIALIZED (
+         SELECT gsrc, gdst FROM (${TpchGraph.gidSqlEdges})
+         WHERE NOT (gsrc // 4294967296 = 5 AND (gsrc % 4294967296) % 10 = 0)
+           AND NOT (gdst // 4294967296 = 5 AND (gdst % 4294967296) % 10 = 0)),
+       b0 AS MATERIALIZED (
+         SELECT gid, CAST(1.0 AS DOUBLE) AS x FROM nodes_b)$baseRounds,
+       nodes AS MATERIALIZED (${TpchGraph.gidSqlNodes}),
+       e AS MATERIALIZED (${TpchGraph.gidSqlEdges}),
+       r0 AS MATERIALIZED (
+         SELECT n.gid, coalesce(round(p.x, 10), CAST(1.0 AS DOUBLE)) AS x
+         FROM nodes n LEFT JOIN b$baseIters p ON n.gid = p.gid)$warmRounds
+       SELECT ${TpchGraph.gidSqlLabel} AS label, gid % 4294967296 AS key,
+              x AS katz
+       FROM (SELECT gid, round(x, 8) AS x FROM r$warmIters
+             ORDER BY x DESC, gid LIMIT 100)"""
+  }
+
   /** Unrolled INCREMENTAL PageRank — the SQL mirror of the warm-start
     * path ([[graft.queries.GraphOps.gPagerankIncr]]): `baseIters`
     * rounds over the BASE graph (delta orders and their edges

@@ -2176,10 +2176,11 @@ object Pipeline {
     val counts = Tables.load(spark, dir, "documents")
       .select(explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("tf"))
-    val ranked = counts
+    // distributed top-1000 cut before the rank window (TakeOrdered, no
+    // single-partition vocab sort — the vocabCoverage discipline)
+    val ranked = counts.orderBy(col("tf").desc, col("word")).limit(1000)
       .withColumn("rank",
         row_number().over(Window.orderBy(col("tf").desc, col("word"))))
-      .filter(col("rank") <= 1000)
       .select(log(col("tf").cast("double")).as("lnf"),
         log(col("rank").cast("double")).as("lnr"))
     ranked.agg(

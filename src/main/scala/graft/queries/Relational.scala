@@ -1368,10 +1368,12 @@ object Relational {
         array_sort(collect_list(struct(col("ts"), col("event_id"),
           col("event_type")))),
         _.getField("event_type")), ">").as("path"))
+    // distributed top-20 cut before the rank window (TakeOrdered — the
+    // distinct-path table is unbounded at corpus scale; 20 is not)
     paths.groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path")).limit(20)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("n_sessions").desc, col("path"))))
-      .filter(col("rank") <= 20)
       .select(col("rank").cast("long").as("rank"), col("path"),
         col("n_sessions"))
   }

@@ -409,6 +409,42 @@ class RandomizedAlgSpec extends SparkSpec {
     }
   }
 
+  test("warm-start Katz over a folded delta ≡ driver recurrence from the same init") {
+    // the g_katz_incr contract: fold delta edges into the base layout
+    // (no degree re-bake — Katz passes full mass), warm 3 rounds from
+    // the base 4-round vector, fresh nodes seeded at the cold x₀ = 1.0
+    import spark.implicits._
+    (181 to 184).foreach { seed =>
+      val rnd = new Random(seed)
+      val (baseNodes, baseEdges) = randomGraph(seed)
+      val newNodes = Seq(300L + seed)
+      val allNodes = baseNodes ++ newNodes
+      val deltaEdges = Seq.fill(3 + rnd.nextInt(5))(
+        (allNodes(rnd.nextInt(allNodes.size)), allNodes(rnd.nextInt(allNodes.size))))
+      val (bndf, bedf) = toDf(baseNodes, baseEdges)
+      val gBase = Algorithms.prepareRankGraph(bndf, bedf)
+      val prev = Algorithms.katz(gBase, iters = 4, alpha = 0.05)
+      val folded = Algorithms.foldDeltaIntoRankGraph(gBase,
+        newNodes.toDF("gid"), deltaEdges.toDF("gsrc", "gdst"))
+      val got = Algorithms.katzFrom(folded, prev, iters = 3, alpha = 0.05)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      // driver recurrence on the full graph from the same init
+      val full = baseEdges ++ deltaEdges
+      val prevM = prev.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      var x = allNodes.map(v => v -> prevM.getOrElse(v, 1.0)).toMap
+      (1 to 3).foreach { _ =>
+        val contrib = scala.collection.mutable.Map.empty[Long, Double].withDefaultValue(0.0)
+        full.foreach { case (u, t) => contrib(t) += x(u) }
+        x = allNodes.map(v => v -> (1.0 + 0.05 * contrib(v))).toMap
+      }
+      assert(got.keySet === x.keySet, s"seed=$seed delta=$deltaEdges")
+      allNodes.foreach { v =>
+        assert(math.abs(got(v) - x(v)) < 1e-9,
+          s"seed=$seed node=$v delta=$deltaEdges")
+      }
+    }
+  }
+
   test("pagerank matches driver power iteration on random digraphs") {
     (31 to 35).foreach { seed =>
       val (nodes, edges) = randomGraph(seed)
