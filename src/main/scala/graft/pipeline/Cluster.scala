@@ -641,9 +641,10 @@ object Cluster {
       coarse: Seq[(Int, Array[Double])], emb: DataFrame,
       idCol: String, vecCol: String, k: Int,
       broadcastQueries: Boolean = true,
-      saltBuckets: Int = 8): DataFrame =
+      saltBuckets: Int = 8,
+      queryIds: Option[DataFrame] = None): DataFrame =
     exactCosineKnnPrunedWithSurvivors(codesDf, coarse, emb, idCol, vecCol,
-      k, broadcastQueries, saltBuckets)._2
+      k, broadcastQueries, saltBuckets, queryIds)._2
 
   /** [[exactCosineKnnPruned]] plus the surviving (query, list) pair
     * table, so the prune fraction is measurable (ClusterSpec pins it
@@ -653,7 +654,8 @@ object Cluster {
       coarse: Seq[(Int, Array[Double])], emb: DataFrame,
       idCol: String, vecCol: String, k: Int,
       broadcastQueries: Boolean = true,
-      saltBuckets: Int = 8): (DataFrame, DataFrame) = {
+      saltBuckets: Int = 8,
+      queryIds: Option[DataFrame] = None): (DataFrame, DataFrame) = {
     val raw = emb.select(col(idCol).as("vid"),
       col(vecCol).cast("array<double>").as("rv"))
     val unit = raw.select(col("vid"),
@@ -703,8 +705,14 @@ object Cluster {
         .select(col("qid"), col("cos"), col("mid"))
     }
     // phase 1: own-list exact scan (unfiltered: t = −1) → per-query
-    // k-th best as the threshold
-    val queryCid = codesDf.select(col("id").as("qid"), col("cid"))
+    // k-th best as the threshold. `queryIds` (one `qid` column)
+    // restricts the QUERY side to a serving subset — both phases key
+    // off this table, so a 10-query micro-batch scans 10 own-lists +
+    // their surviving lists, never the all-queries matrix; the member
+    // side is untouched (results stay exact vs the full corpus).
+    val queryCid0 = codesDf.select(col("id").as("qid"), col("cid"))
+    val queryCid = queryIds.fold(queryCid0)(ids =>
+      queryCid0.join(broadcast(ids.select(col("qid"))), Seq("qid"), "left_semi"))
     val thresh = graft.operators.TopK.topKPerGroup(
         listScore(queryCid.withColumn("t", lit(-1.0))), "qid", "cos", "mid", k)
       .filter(col("rank") === k)

@@ -1392,6 +1392,76 @@ object Pipeline {
          WHERE q.vec_id < 10)
        WHERE rank <= 5"""
 
+  /** The serving query stream: vec_id < 30 split into three parquet
+    * files (queries are independent, so any split exercises the
+    * batching), pinned per (session, dir) as the other stream sources.
+    */
+  private val knnQuerySrcCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  private def knnQuerySourceDir(spark: SparkSession, dir: String): String =
+    knnQuerySrcCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      val out = java.nio.file.Files.createTempDirectory("graft_knn_src").toString
+      Tables.load(spark, dir, "embeddings").filter(col("vec_id") < 30)
+        .select(col("vec_id"))
+        .repartition(3, col("vec_id"))
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+
+  /** STREAMING exact-kNN serving — the serving half of the ANN family
+    * as a stream face: query ids arrive in three REAL micro-batches
+    * (file source, one file per trigger) and each batch is answered by
+    * [[graft.pipeline.Cluster.exactCosineKnnPruned]] restricted to the
+    * batch's queries over the PINNED IVF layout — per-trigger work is
+    * |batch| own-list scans + their surviving lists, never the
+    * all-queries matrix, and the index is fit once per session, not
+    * per trigger. Results accumulate and union at drain. Oracle: the
+    * brute-force top-5 definition for the same query set (6 dp-sealed
+    * rank, id tiebreak — the pruned path's exactness claim), so
+    * hash-green proves BOTH the streamed batching and the
+    * triangle-inequality pruning return the true top-k.
+    */
+  def sKnn(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val (coarse, _, _, codes) = ivfPqCached(spark, dir)
+    val src = knnQuerySourceDir(spark, dir)
+    val batchSchema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(batchSchema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    var outs: List[DataFrame] = Nil
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_knn_ckpt").toString
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val ids = b.select(col("vec_id").as("qid")).localCheckpoint()
+        outs = graft.pipeline.Cluster.exactCosineKnnPruned(codes, coarse,
+            emb, "vec_id", "embedding", k = 5, queryIds = Some(ids))
+          .localCheckpoint() :: outs
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    outs.reduce(_ unionByName _)
+      .select(col("query_id"), col("neighbor_id"), col("cos").as("cosine"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  val sKnnSql: String =
+    """SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+       FROM (
+         SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                             CAST(e.embedding AS DOUBLE[])), 6) AS cosine,
+                row_number() OVER (
+                  PARTITION BY q.vec_id
+                  ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                        CAST(e.embedding AS DOUBLE[])), 6) DESC,
+                           e.vec_id) AS rank
+         FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
+         WHERE q.vec_id < 30)
+       WHERE rank <= 5"""
+
   /** Hard-negative mining: per query vector (vec_id < 10), the 5
     * most-similar corpus vectors with a different label.
     */
@@ -3393,6 +3463,7 @@ object Pipeline {
     QueryDef.sql("p_label_margin", pLabelMargin, pLabelMarginSql),
     QueryDef.sql("p_quantize", pQuantize, pQuantizeSql),
     QueryDef.sql("p_knn_brute", pKnnBrute, pKnnBruteSql),
+    QueryDef.sql("s_knn", sKnn, sKnnSql),
     QueryDef.sql("p_hard_negatives", pHardNegatives, pHardNegativesSql),
     QueryDef.rowsOnly("p_knn_lsh", pKnnLsh),
     QueryDef.rowsOnly("p_knn_ivf", pKnnIvf),
