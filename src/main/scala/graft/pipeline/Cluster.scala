@@ -578,6 +578,61 @@ object Cluster {
     rerankExact(cand, emb, idCol, vecCol, queries, topK)
   }
 
+  /** Persist a fitted IVF-PQ index as four parquet tables under
+    * `path` — the serving deployment step: at corpus scale the index
+    * is fit ONCE (hours of k-means over billions of vectors) and every
+    * serving session [[loadIvfPqIndex]]s it; refitting per session is
+    * the anti-pattern the per-(session, dir) pin only mitigates.
+    * Layout: `codes/` (the per-vector table — corpus-scale, stays
+    * distributed), `coarse/` (nLists centroids), `books/` (m·k
+    * codebook rows), `meta/` (subspace width). Doubles round-trip
+    * parquet bit-exactly, so load ≡ fit is BIT-identity — every
+    * search path (ADC shortlist, re-rank, pruned exact) returns the
+    * same rows from a loaded index as from the in-session fit
+    * (ClusterSpec asserts all three).
+    */
+  def saveIvfPqIndex(path: String, coarse: Seq[(Int, Array[Double])],
+      sub: Int, books: Seq[Seq[(Int, Array[Double])]],
+      codes: DataFrame): Unit = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    codes.write.mode("overwrite").parquet(s"$path/codes")
+    coarse.map { case (cid, v) => (cid, v.toSeq) }
+      .toDF("cid", "vec").repartition(1)
+      .write.mode("overwrite").parquet(s"$path/coarse")
+    books.zipWithIndex.flatMap { case (book, j) =>
+      book.map { case (code, v) => (j, code, v.toSeq) }
+    }.toDF("subspace", "code", "vec").repartition(1)
+      .write.mode("overwrite").parquet(s"$path/books")
+    Seq(sub).toDF("sub").repartition(1)
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load an index persisted by [[saveIvfPqIndex]]. The small tables
+    * (centroids, codebooks, meta) collect to driver arrays — they are
+    * nLists and m·k sized, codebook-bounded like every broadcast fit;
+    * `codes` stays a distributed DataFrame exactly as the in-session
+    * pin.
+    */
+  def loadIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path: String)
+      : (Seq[(Int, Array[Double])], Int, Seq[Seq[(Int, Array[Double])]], DataFrame) = {
+    val coarse = spark.read.parquet(s"$path/coarse")
+      .select(col("cid"), col("vec")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).toSeq
+    val sub = spark.read.parquet(s"$path/meta")
+      .select(col("sub")).collect().head.getInt(0)
+    val books = spark.read.parquet(s"$path/books")
+      .select(col("subspace"), col("code"), col("vec")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, rows) =>
+        rows.map(t => (t._2, t._3)).sortBy(_._1).toSeq
+      }
+    val codes = spark.read.parquet(s"$path/codes")
+    (coarse, sub, books, codes)
+  }
+
   /** EXACT cosine top-k over the corpus with triangle-inequality list
     * pruning on the pinned IVF layout — the lossless counterpart of
     * [[ivfPqKnn]], for callers whose DOWNSTREAM semantics (mutual-kNN

@@ -308,4 +308,46 @@ class ClusterSpec extends SparkSpec {
     assert(got === want)
     assert(got.size === 6) // 3 queries × 2 neighbors each
   }
+
+  test("IVF-PQ index save/load round-trips bit-identically: every search path ≡ the in-session fit") {
+    // the serving deployment step: fit once, load everywhere — doubles
+    // round-trip parquet exactly, so load ≡ fit must be BIT-identity,
+    // not approximate agreement
+    val emb = graft.Tables.load(spark, sf(), "embeddings")
+    val coarse = Cluster.kmeansFit(emb, "vec_id", "embedding", k = 8, rounds = 2)
+    val (sub, books, codes0) = Cluster.ivfPqFit(
+      emb, "vec_id", "embedding", coarse, m = 4, k = 8, rounds = 2)
+    val codes = codes0.localCheckpoint()
+    val path = java.nio.file.Files.createTempDirectory("graft_idx").toString
+    Cluster.saveIvfPqIndex(path, coarse, sub, books, codes)
+    val (lc, ls, lb, lcodes) = Cluster.loadIvfPqIndex(spark, path)
+    // artifact-level bit identity
+    assert(ls === sub)
+    assert(lc.map { case (i, v) => (i, v.toSeq) } ===
+      coarse.map { case (i, v) => (i, v.toSeq) })
+    assert(lb.map(_.map { case (i, v) => (i, v.toSeq) }) ===
+      books.map(_.map { case (i, v) => (i, v.toSeq) }))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map {
+        case s: Seq[_] => s.toList
+        case x => x
+      }.toList).toSet
+    assert(rows(lcodes) === rows(codes))
+    // search-level identity across all three paths
+    val queries = emb.filter(col("vec_id") < 10)
+    def shortlist(c: Seq[(Int, Array[Double])], s: Int,
+        b: Seq[Seq[(Int, Array[Double])]], cd: org.apache.spark.sql.DataFrame) =
+      Cluster.rerankExact(
+        Cluster.ivfPqShortlistFrom(cd, s, b, c, queries, "vec_id", "embedding",
+            nProbe = 2, shortlist = 20)
+          .select(col("query_id"), col("neighbor_id")),
+        emb, "vec_id", "embedding", queries, topK = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    assert(rows(shortlist(lc, ls, lb, lcodes)) ===
+      rows(shortlist(coarse, sub, books, codes)))
+    def pruned(c: Seq[(Int, Array[Double])], cd: org.apache.spark.sql.DataFrame) =
+      Cluster.exactCosineKnnPruned(cd, c, emb, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    assert(rows(pruned(lc, lcodes)) === rows(pruned(coarse, codes)))
+  }
 }
