@@ -237,19 +237,34 @@ class PlanShapeSpec extends SparkSpec {
     // g_*/s_* faces are excluded: their constructors RUN iterative
     // loops / streams (minutes of build time); their join shapes are
     // pinned by the loop-body audits and dedicated tests above.
+    // Same pass, second global invariant: COLUMN PRUNING reaches every
+    // wide-table scan — no face may read a full-width lineitem/orders/
+    // documents/events/part/customer schema (a scan that decodes all
+    // columns for a narrow projection is the 100 TB I/O anti-pattern).
+    val fullWidth = Map("lineitem" -> 16, "orders" -> 9, "documents" -> 6,
+      "events" -> 6, "part" -> 9, "customer" -> 8)
     val whitelist = Set.empty[String]
     val dir = sf()
-    val offenders = SparkEntry.queries.keys.toSeq.sorted
+    val offenders = scala.collection.mutable.Map.empty[String, String]
+    SparkEntry.queries.keys.toSeq.sorted
       .filter(n => n.startsWith("q") || n.startsWith("p_"))
-      .flatMap { n =>
-        val phys = SparkEntry.queries(n)(spark, dir)
-          .queryExecution.executedPlan.collect {
-            case _: org.apache.spark.sql.execution.joins.CartesianProductExec => "cartesian"
-            case _: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => "bnlj"
-          }
-        if (phys.nonEmpty) Some(n -> phys.mkString(",")) else None
-      }.toMap
-    assert(offenders.keySet === whitelist,
-      s"product joins outside the whitelist: $offenders")
+      .foreach { n =>
+        val plan = SparkEntry.queries(n)(spark, dir).queryExecution.executedPlan
+        val prods = plan.collect {
+          case _: org.apache.spark.sql.execution.joins.CartesianProductExec => "cartesian"
+          case _: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => "bnlj"
+        }
+        val unpruned = plan.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+            val t = s.relation.location.rootPaths.headOption
+              .map(_.getName.stripSuffix(".parquet")).getOrElse("?")
+            if (fullWidth.get(t).exists(s.requiredSchema.fields.length >= _))
+              Some(s"full-width:$t") else None
+        }.flatten
+        val bad = prods ++ unpruned
+        if (bad.nonEmpty) offenders(n) = bad.mkString(",")
+      }
+    assert(offenders.keySet.toSet === whitelist,
+      s"plan-hygiene offenders outside the whitelist: $offenders")
   }
 }
