@@ -757,6 +757,66 @@ object GraphOps {
 
   val gCcIncrSql: String = GraphOracleSql.ccSql(rounds = 12)
 
+  /** Delta lineitems split into three parquet files BY ORDER (the
+    * s_mst_incr convention: co-purchase pairs are within-order, so
+    * orders kept whole make per-batch pair derivation complete).
+    */
+  private val ccDeltaSrcCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  private def ccDeltaSourceDir(spark: SparkSession, dir: String): String =
+    ccDeltaSrcCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      val out = java.nio.file.Files.createTempDirectory("graft_cc_src").toString
+      Tables.load(spark, dir, "lineitem")
+        .filter(col("l_orderkey") % 10 === 0)
+        .select(col("l_orderkey"), col("l_partkey"))
+        .repartition(3, col("l_orderkey"))
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+
+  /** STREAMING CC maintenance — the stream face of g_cc_incr, and the
+    * one whose per-trigger fold is GENUINELY incremental rather than
+    * buffered: component labels under edge arrivals form a
+    * min-semilattice (labels only MERGE, merge = pointwise min —
+    * commutative, associative, idempotent), so folding each
+    * micro-batch through [[graft.graph.Algorithms.ccIncremental]]
+    * lands on the same labeling as one fold of the union, whatever
+    * the batch boundaries. Per-trigger work is the batch's touched
+    * components + one node-scale remap join (the labeling IS the
+    * serving state a CDC deployment keeps current per trigger —
+    * unlike rank state there is no corpus-layout rebuild to defer,
+    * which is why this face folds eagerly where s_pagerank_incr /
+    * s_mst_incr buffer). Oracle = the SAME full-graph ccSql:
+    * hash-green proves chunked folds ≡ full refit.
+    */
+  def sCcIncr(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val src = ccDeltaSourceDir(spark, dir)
+    val batchSchema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(batchSchema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    var labels = ccBaseCached(spark, dir)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cc_ckpt").toString
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        labels = Algorithms.ccIncremental(labels, ccPairEdges(b))
+          .localCheckpoint()
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val missing = li.select(col("l_partkey").as("gid")).distinct()
+      .join(labels.select(col("gid")), Seq("gid"), "left_anti")
+      .select(col("gid"), col("gid").as("comp"))
+    labels.unionByName(missing)
+      .groupBy(col("comp")).agg(count(lit(1)).as("size"))
+      .groupBy(col("size")).agg(count(lit(1)).as("n_components"))
+  }
+
+  val sCcIncrSql: String = gCcIncrSql
+
   /** PageRank over the directed heterogeneous graph, 10 iterations.
     * Top-100 ordered by the ROUNDED rank (8 dp) with gid tiebreak: the
     * oracle re-runs the same 10 rounds in SQL, and summation-order ULP
@@ -2940,6 +3000,7 @@ object GraphOps {
     QueryDef.rowsOnly("g_eff_diameter", gEffDiameter),
     QueryDef.sql("g_coloring", gColoring, gColoringSql),
     QueryDef.sql("g_cc_incr", gCcIncr, gCcIncrSql),
+    QueryDef.sql("s_cc_incr", sCcIncr, sCcIncrSql),
     QueryDef.sql("g_pagerank", gPagerank, gPagerankSql),
     QueryDef.sql("g_katz", gKatz, gKatzSql),
     QueryDef.sql("g_katz_incr", gKatzIncr, gKatzIncrSql),

@@ -330,6 +330,19 @@ class RandomizedAlgSpec extends SparkSpec {
       val prev = Algorithms.connectedComponents(bn, be)
       val incr = Algorithms.ccIncremental(prev, de)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // semilattice fold (the s_cc_incr contract): chaining the delta
+      // through two ccIncremental calls in any split lands on the same
+      // labeling — label merge is pointwise min, associative/commutative
+      if (deltaE.size >= 2) {
+        val cut = 1 + rnd.nextInt(deltaE.size - 1)
+        val (d1, d2) = deltaE.splitAt(cut)
+        val chained = Algorithms.ccIncremental(
+            Algorithms.ccIncremental(prev, d1.toDF("gsrc", "gdst"))
+              .localCheckpoint(),
+            d2.toDF("gsrc", "gdst"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(chained === incr, s"seed=$seed cut=$cut")
+      }
       // nodes never reaching either batch stay out of the incremental
       // view (the face adds them as isolates) — compare on its domain,
       // then check the domain is exactly base nodes ∪ delta endpoints
