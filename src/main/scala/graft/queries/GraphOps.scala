@@ -1273,6 +1273,47 @@ object GraphOps {
 
   val gRandomWalksSql: String = GraphOracleSql.randomWalksSql(steps = 3)
 
+  /** Skip-gram training-pair extraction from the walk corpus — the
+    * step that turns walks into graph-embedding TRAINING DATA
+    * (DeepWalk/word2vec: each walk is a sentence, co-occurrences
+    * within a window are the positive pairs): explode walk positions,
+    * pair centers with contexts at distance ≤ 2, aggregate exact
+    * integer pair counts (n_adjacent = the distance-1 sub-count, the
+    * weighting a trainer typically applies). Volume is walkLen²-bounded
+    * per walk — corpus-linear, shuffle only on the final count
+    * aggregate. Deterministic because the walk corpus itself is
+    * (md5-derandomized), so the full pair table hash-checks against
+    * the unrolled walk SQL wrapped in a pair-join mirror.
+    */
+  def gWalkPairs(spark: SparkSession, dir: String): DataFrame = {
+    val walks = gRandomWalks(spark, dir)
+    def pos(alias: String, i: String, n: String) = walks
+      .select(col("walk_id").as(alias),
+        posexplode(split(col("path"), "->")).as(Seq(i, n)))
+    pos("wa", "i", "center")
+      .join(pos("wb", "j", "context"),
+        col("wa") === col("wb") && col("i") =!= col("j") &&
+          abs(col("i") - col("j")) <= 2)
+      .groupBy(col("center").cast("long").as("center"),
+        col("context").cast("long").as("context"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(abs(col("i") - col("j")) === 1, 1L).otherwise(0L))
+          .as("n_adjacent"))
+  }
+
+  val gWalkPairsSql: String =
+    s"""WITH walks AS (${GraphOracleSql.randomWalksSql(steps = 3)}),
+       tok AS (SELECT walk_id, string_split(path, '->') AS arr FROM walks),
+       pos AS (SELECT walk_id, i, CAST(arr[i] AS BIGINT) AS node
+               FROM tok, unnest(generate_series(1, len(arr))) AS s(i))
+       SELECT a.node AS center, b.node AS context,
+              CAST(count(*) AS BIGINT) AS n_pairs,
+              CAST(sum(CASE WHEN abs(a.i - b.i) = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_adjacent
+       FROM pos a JOIN pos b
+         ON a.walk_id = b.walk_id AND a.i != b.i AND abs(a.i - b.i) <= 2
+       GROUP BY 1, 2"""
+
   /** node2vec-biased walk corpus over the co-purchase graph: p=4
     * discourages immediate backtracking, q=0.25 favors outward (DFS-ish)
     * exploration — the Grover-Leskovec bias, derandomized with the same
@@ -3016,6 +3057,7 @@ object GraphOps {
     QueryDef.sql("g_kcore", gKcore, gKcoreSql),
     QueryDef.sql("g_kcore_w", gKcoreW, gKcoreWSql),
     QueryDef.sql("g_random_walks", gRandomWalks, gRandomWalksSql),
+    QueryDef.sql("g_walk_pairs", gWalkPairs, gWalkPairsSql),
     QueryDef.sql("g_node2vec", gNode2vec, gNode2vecSql),
     QueryDef.sql("g_triangles", gTriangles, gTrianglesSql),
     QueryDef.sql("g_triangles_incr", gTrianglesIncr, gTrianglesIncrSql),
