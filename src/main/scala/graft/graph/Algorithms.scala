@@ -2589,7 +2589,21 @@ object Algorithms {
     * @param deltaEdges (gsrc, gdst) the arriving batch
     */
   def sccIncremental(prevLabels: DataFrame, baseDag: DataFrame,
-      deltaEdges: DataFrame): DataFrame = {
+      deltaEdges: DataFrame): DataFrame =
+    sccIncrementalWithDag(prevLabels, baseDag, deltaEdges)._1
+
+  /** [[sccIncremental]] plus the UPDATED condensation DAG — the state
+    * pair a streaming maintainer chains fold-to-fold: the next fold's
+    * `baseDag` must be the condensation of everything folded so far,
+    * and it falls out of this fold for free (relabel the working edge
+    * set `h` through the merge map, drop now-intra edges). Each fold
+    * is exact given consistent (labels, dag) inputs, so chained folds
+    * are exact on the union by induction — the s_scc_incr contract.
+    */
+  def sccIncrementalWithDag(prevLabels: DataFrame, baseDag: DataFrame,
+      deltaEdges: DataFrame,
+      reachCutoverBelow: Long = 8L * StragglerFinishBound)
+      : (DataFrame, DataFrame) = {
     val lab = prevLabels.select(col("gid"), col("scc")).localCheckpoint()
     val d0 = deltaEdges.select(col("gsrc"), col("gdst"))
       .filter(col("gsrc") =!= col("gdst")).distinct().localCheckpoint()
@@ -2605,13 +2619,38 @@ object Algorithms {
     val h = baseDag.select(col("a"), col("b"))
       .unionByName(rel.select(col("cs").as("a"), col("cd").as("b")))
       .distinct().localCheckpoint()
-    val fwd = bfs(h.select(col("a").as("gsrc"), col("b").as("gdst")),
-      rel.select(col("cd").as("gid")).distinct(), maxHops = Int.MaxValue)
-    val bwd = bfs(h.select(col("b").as("gsrc"), col("a").as("gdst")),
-      rel.select(col("cs").as("gid")).distinct(), maxHops = Int.MaxValue)
-    val affected = fwd.select(col("gid"))
-      .join(bwd.select(col("gid")), Seq("gid"), "left_semi")
-      .localCheckpoint()
+    // the frontier sweeps run over COMPONENT edges (condensation +
+    // delta images), never corpus edges — when that table fits the
+    // bounded-driver budget, two in-memory reachability sweeps replace
+    // 2×(DAG-depth) scheduling-floor rounds (the straggler-cutover
+    // discipline; set is exact either way, SccSpec runs both paths)
+    val affected = (if (h.count() <= reachCutoverBelow) {
+      val es = h.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val starts = rel.select(col("cs"), col("cd")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      def reach(adj: Map[Long, Seq[Long]], from: Iterable[Long]): Set[Long] = {
+        val seen = scala.collection.mutable.Set(from.toSeq: _*)
+        var frontier = from.toSeq
+        while (frontier.nonEmpty)
+          frontier = frontier.flatMap(v => adj.getOrElse(v, Nil))
+            .filter(seen.add)
+        seen.toSet
+      }
+      val fwdSet = reach(es.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap,
+        starts.map(_._2).distinct)
+      val bwdSet = reach(es.groupBy(_._2).view.mapValues(_.map(_._1).toSeq).toMap,
+        starts.map(_._1).distinct)
+      val sess = h.sparkSession
+      import sess.implicits._
+      (fwdSet & bwdSet).toSeq.toDF("gid")
+    } else {
+      val fwd = bfs(h.select(col("a").as("gsrc"), col("b").as("gdst")),
+        rel.select(col("cd").as("gid")).distinct(), maxHops = Int.MaxValue)
+      val bwd = bfs(h.select(col("b").as("gsrc"), col("a").as("gdst")),
+        rel.select(col("cs").as("gid")).distinct(), maxHops = Int.MaxValue)
+      fwd.select(col("gid"))
+        .join(bwd.select(col("gid")), Seq("gid"), "left_semi")
+    }).localCheckpoint()
     val induced = h
       .join(affected.select(col("gid").as("ia")), col("a") === col("ia"),
         "left_semi")
@@ -2630,7 +2669,18 @@ object Algorithms {
       .join(lab.select(col("gid")), Seq("gid"), "left_anti")
       .join(merged.select(col("c").as("gid"), col("nc")), Seq("gid"), "left")
       .select(col("gid"), coalesce(col("nc"), col("gid")).as("scc"))
-    prevMapped.unionByName(deltaOnly)
+    // updated condensation: relabel the working component-edge set
+    // through the merge map, drop edges that became intra-SCC
+    val newDag = h
+      .join(merged.select(col("c").as("a"), col("nc").as("na")),
+        Seq("a"), "left")
+      .join(merged.select(col("c").as("b"), col("nc").as("nb")),
+        Seq("b"), "left")
+      .select(coalesce(col("na"), col("a")).as("a"),
+        coalesce(col("nb"), col("b")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    (prevMapped.unionByName(deltaOnly), newDag)
   }
 
   /** Longest-path level of every node in a DAG (level(v) = length of

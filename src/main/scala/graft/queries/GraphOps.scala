@@ -2922,6 +2922,64 @@ object GraphOps {
   // def, not val: gSccSql is declared further down the object body
   def gSccIncrSql: String = gSccSql
 
+  /** Delta lineitems of the followed-by substrate split into three
+    * parquet files BY ORDER (line sequences are within-order, so
+    * orders kept whole make per-batch edge derivation complete — the
+    * s_mst_incr/s_cc_incr convention).
+    */
+  private val sccDeltaSrcCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  private def sccDeltaSourceDir(spark: SparkSession, dir: String): String =
+    sccDeltaSrcCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      val out = java.nio.file.Files.createTempDirectory("graft_scc_src").toString
+      Tables.load(spark, dir, "lineitem")
+        .filter(col("l_partkey") < 500 && col("l_orderkey") % 10 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+        .repartition(3, col("l_orderkey"))
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+
+  /** STREAMING SCC maintenance — the stream face of g_scc_incr,
+    * completing the contract-and-merge mechanism's streaming tier
+    * (beside s_cc_incr's semilattice folds and the rank/MSF buffered
+    * folds): each micro-batch folds through
+    * [[graft.graph.Algorithms.sccIncrementalWithDag]], which returns
+    * the updated labels AND the updated condensation DAG — the state
+    * pair the next trigger needs (a new edge merges SCCs iff it
+    * closes a cycle on the CURRENT condensation, so the DAG must be
+    * maintained fold-to-fold; it falls out of each fold for free by
+    * relabeling the working edge set through the merge map). Each
+    * fold is exact given consistent state, so chained folds are exact
+    * on the union by induction — gate-proven by the SAME
+    * closure-defined SCC SQL as g_scc/g_scc_incr.
+    */
+  def sSccIncr(spark: SparkSession, dir: String): DataFrame = {
+    val (baseLabels, baseDag) = sccIncrBaseCached(spark, dir)
+    val src = sccDeltaSourceDir(spark, dir)
+    val batchSchema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(batchSchema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    var labels = baseLabels
+    var dag = baseDag
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sccs_ckpt").toString
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val (nl, nd) = Algorithms.sccIncrementalWithDag(labels, dag,
+          followedByEdges(b))
+        labels = nl.localCheckpoint()
+        dag = nd.localCheckpoint()
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    labels.select(col("gid").as("part"), col("scc").as("scc_id"))
+  }
+
+  def sSccIncrSql: String = gSccSql
+
   /** CONDENSATION of the followed-by SCC fit — contract each SCC to one
     * node and describe the resulting DAG: component counts, inter-SCC
     * edge count, source/sink components, and the longest chain of
@@ -3087,6 +3145,7 @@ object GraphOps {
     QueryDef.sql("g_reciprocity", gReciprocity, gReciprocitySql),
     QueryDef.sql("g_scc", gScc, gSccSql),
     QueryDef.sql("g_scc_incr", gSccIncr, gSccIncrSql),
+    QueryDef.sql("s_scc_incr", sSccIncr, sSccIncrSql),
     QueryDef.sql("g_dist_oracle", gDistOracle, gDistOracleSql),
     QueryDef.sql("g_condensation", gCondensation, gCondensationSql),
     QueryDef.sql("g_triad_census", gTriadCensus, gTriadCensusSql),

@@ -103,6 +103,27 @@ class SccSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == reference(edges),
       s"fold diverged from refit (|base|=${base.size}, |delta|=${delta.size})")
+    // the distributed frontier-sweep path (cutover forced off) computes
+    // the identical labeling — both reachability regimes stay covered
+    val gotDist = Algorithms.sccIncrementalWithDag(baseLabels, baseDag,
+        delta.toDF("gsrc", "gdst"), reachCutoverBelow = 0L)._1
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotDist == got, "distributed reachability path diverged")
+    // chained folds with DAG maintenance (the s_scc_incr contract):
+    // splitting the delta across two sccIncrementalWithDag calls —
+    // feeding fold 2 the labels AND condensation fold 1 returned —
+    // must land on the same labeling as the one-shot fold
+    if (delta.size >= 2) {
+      import spark.implicits._
+      val (d1, d2) = delta.splitAt(delta.size / 2)
+      val (l1, dag1) = Algorithms.sccIncrementalWithDag(baseLabels, baseDag,
+        d1.toDF("gsrc", "gdst"))
+      val chained = Algorithms.sccIncremental(l1.localCheckpoint(),
+          dag1.localCheckpoint(), d2.toDF("gsrc", "gdst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(chained == got,
+        s"chained folds diverged (|d1|=${d1.size}, |d2|=${d2.size})")
+    }
   }
 
   test("incremental fold ≡ full refit: planted cycle-closing, DAG-path merge, and delta-only shapes") {
