@@ -2586,6 +2586,31 @@ object Pipeline {
         FROM documents"""
   }
 
+  /** k-ANONYMITY audit over the corpus quasi-identifiers (Sweeney
+    * 2002) — the governance face beside PII scrubbing: a document
+    * whose (source, lang, length-bucket) combination is shared by
+    * fewer than k corpus documents is re-identifiable from metadata
+    * alone even after the text is scrubbed. Reports every under-k
+    * equivalence class with its population and the smallest member id
+    * (the audit handle) — the inventory a release review walks before
+    * publishing per-document metadata. One groupBy shuffle on the
+    * quasi-key; all integer/string, hash-trivial.
+    */
+  def pKanon(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .groupBy(col("source"), col("lang"),
+        (col("n_chars") - pmod(col("n_chars"), lit(100))).as("len_bucket"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc_id"))
+      .filter(col("n_docs") < 5)
+
+  val pKanonSql: String =
+    """SELECT source, lang, n_chars - n_chars % 100 AS len_bucket,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              min(doc_id) AS min_doc_id
+       FROM documents
+       GROUP BY 1, 2, 3
+       HAVING count(*) < 5"""
+
   /** Phrase-blocklist audit: per-doc hit counts for a (bounded) phrase
     * list + the keep verdict — spam/boilerplate phrase filtering.
     */
@@ -3431,6 +3456,7 @@ object Pipeline {
     QueryDef.sql("p_normalize", pNormalize, pNormalizeSql),
     QueryDef.rowsOnly("p_approx_distinct", pApproxDistinct),
     QueryDef.sql("p_pii_scrub", pPiiScrub, pPiiScrubSql),
+    QueryDef.sql("p_kanon", pKanon, pKanonSql),
     QueryDef.sql("p_blocklist", pBlocklist, pBlocklistSql),
     QueryDef.sql("p_tfidf", pTfidf, pTfidfSql),
     QueryDef.sql("p_bm25", pBm25, pBm25Sql),
