@@ -122,7 +122,7 @@ object Bench {
     // full map to a file so cross-round regression diffs (and
     // tools/bench_diff.py against BENCH_BASELINE.json) see every query
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
-      "/root/repo/bench_full.json")
+      "bench_full.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
       (line + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>

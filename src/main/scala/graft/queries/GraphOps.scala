@@ -1638,9 +1638,9 @@ object GraphOps {
       .join(rich.select(col("z").as("ra")), col("gsrc") === col("ra"), "left_semi")
       .join(rich.select(col("z").as("rb")), col("gdst") === col("rb"), "left_semi")
     val stats = rich.agg(count(lit(1)).as("n_rich"))
-      .crossJoin(within.agg(count(lit(1)).as("e_rich")))
-      .crossJoin(deg.agg(count(lit(1)).as("n_all")))
-      .crossJoin(edges.agg(count(lit(1)).as("e_all")))
+      .crossJoin(broadcast(within.agg(count(lit(1)).as("e_rich"))))
+      .crossJoin(broadcast(deg.agg(count(lit(1)).as("n_all"))))
+      .crossJoin(broadcast(edges.agg(count(lit(1)).as("e_all"))))
     // degenerate-club guard: with 0 or 1 rich nodes the density
     // denominator is 0 — report NULL (both engines) instead of NaN/Inf
     val clubD = when(col("n_rich") >= 2,
@@ -2520,7 +2520,7 @@ object GraphOps {
       e.select(col("gdst").as("rs"), col("gsrc").as("rd")),
       col("gsrc") === col("rs") && col("gdst") === col("rd"), "left_semi")
     e.agg(count(lit(1)).as("n_edges"))
-      .crossJoin(recip.agg(count(lit(1)).as("n_reciprocal")))
+      .crossJoin(broadcast(recip.agg(count(lit(1)).as("n_reciprocal"))))
       .select(col("n_edges"), col("n_reciprocal"),
         (expr("(n_reciprocal * 2000000 + n_edges) DIV (2 * n_edges)")
           .cast("double") / 1000000.0).as("reciprocity"))

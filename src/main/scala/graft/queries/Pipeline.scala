@@ -100,19 +100,6 @@ object Pipeline {
     * table) — pinned per (session, dir) like the full-space k-means:
     * the encode face and the ADC search face read ONE fit.
     */
-  /** Evaluate `body` (which must MATERIALIZE its result — e.g. end in
-    * a localCheckpoint) with AQE off: for statically-shaped plans the
-    * adaptive per-exchange stage materialization is pure scheduling
-    * overhead, and its coalescing can shrink a compute-bound exchange
-    * below the core count.
-    */
-  private def noAqe[T](spark: SparkSession)(body: => T): T = {
-    val conf = spark.conf
-    val prev = conf.get("spark.sql.adaptive.enabled", "true")
-    conf.set("spark.sql.adaptive.enabled", "false")
-    try body finally conf.set("spark.sql.adaptive.enabled", prev)
-  }
-
   private val pqCache = scala.collection.concurrent.TrieMap
     .empty[(String, String), (Int, Seq[Seq[(Int, Array[Double])]], DataFrame)]
 
@@ -309,7 +296,7 @@ object Pipeline {
       val docs = p.select(col("id_a").as("id"))
         .unionByName(p.select(col("id_b").as("id"))).distinct()
       p.agg(lit(t).as("threshold"), count(lit(1)).as("n_pairs"))
-        .crossJoin(docs.agg(count(lit(1)).as("n_docs_affected")))
+        .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_docs_affected"))))
     }.reduce(_ unionByName _)
   }
 
@@ -1791,29 +1778,59 @@ object Pipeline {
           minPts = 3)
       })
 
+  /** The pinned hyperplane-bucket index of the embedding corpus —
+    * (id, table, bucket) at the 3-bit × 16-table operating point
+    * AuditFacesSpec measures at 1.000 pair recall for the τ = 0.4
+    * regime (vectors do NOT ride in the index: the probe re-attaches
+    * them by id for the exact verify, so the pinned artifact stays
+    * 3 longs wide however fat the embeddings are). The incremental
+    * faces probe it with batch-side keys — the [[Dedup.incrementalLsh]]
+    * discipline applied to the embedding family.
+    */
+  private val embedLshKeysCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  private def embedLshKeysCached(spark: SparkSession, dir: String): DataFrame =
+    embedLshKeysCache.getOrElseUpdate(
+      (spark.sparkContext.applicationId, dir),
+      graft.PinnedRdds.pinning(spark) {
+        Ann.lshKeys(Tables.load(spark, dir, "embeddings"), "vec_id",
+            "embedding", dim = 64, bitsPerTable = 3, numTables = 16,
+            seed = 42L)
+          .select(col("id"), col("table"), col("bucket"))
+          .localCheckpoint()
+      })
+
   /** INCREMENTAL DBSCAN: the vec_id ≡ 0 mod 10 batch arrives and folds
     * into the pinned base density state
     * ([[graft.pipeline.Cluster.dbscanIncremental]]) — arrivals only add
     * ε-pairs, so degrees grow, the core set grows, and clusters only
     * MERGE, the regime the verified CC label contraction handles
-    * bit-identically to a refit. New pairs are the batch × corpus
-    * probe (delta-scale; the LSH-bucketed probe substitutes at corpus
-    * scale), base pairs are read ONLY from the pinned state. Oracle =
-    * the SAME full-recompute SQL as p_dbscan: hash-green at both SFs
-    * proves fold ≡ refit across the core-promotion subtlety (a base
-    * pair whose endpoint crosses the threshold becomes a core-core
-    * edge the base state never saw).
+    * bit-identically to a refit. New-pair candidates come from the
+    * pinned hyperplane-bucket index ([[embedLshKeysCached]]): batch
+    * keys probe the corpus keys on (table, bucket) — work is bucket
+    * collisions, never a batch × corpus product — and every candidate
+    * passes the EXACT cosine verify ([[Dedup.embedCosinePairs]]), so
+    * emitted pairs are exact-precision and recall is the bucketing's,
+    * measured 1.000 at this operating point (AuditFacesSpec, both the
+    * pair stream and the fold ≡ refit identity). Base pairs are read
+    * ONLY from the pinned state. Oracle = the SAME full-recompute SQL
+    * as p_dbscan: hash-green at both SFs proves fold ≡ refit across
+    * the core-promotion subtlety (a base pair whose endpoint crosses
+    * the threshold becomes a core-core edge the base state never saw).
     */
   def pDbscanIncr(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
     val (baseUnd, baseDeg, baseLabels) = dbscanBaseCached(spark, dir)
-    val batchIds = emb.filter(col("vec_id") % 10 === 0)
-      .select(col("vec_id").as("id_a"))
-    val cand = batchIds
-      .crossJoin(emb.select(col("vec_id").as("id_b")))
-      .filter(col("id_a") =!= col("id_b"))
-      .select(least(col("id_a"), col("id_b")).as("id_a"),
-        greatest(col("id_a"), col("id_b")).as("id_b"))
+    val keys = embedLshKeysCached(spark, dir)
+    val batchKeys = keys.filter(col("id") % 10 === 0)
+      .select(col("id").as("bid"), col("table"), col("bucket"))
+    val cand = batchKeys
+      .join(keys.select(col("id").as("oid"), col("table"), col("bucket")),
+        Seq("table", "bucket"))
+      .filter(col("bid") =!= col("oid"))
+      .select(least(col("bid"), col("oid")).as("id_a"),
+        greatest(col("bid"), col("oid")).as("id_b"))
       .distinct()
     val newPairs = Dedup.embedCosinePairs(emb, "vec_id", "embedding",
       cand, threshold = 0.4)
@@ -2449,7 +2466,8 @@ object Pipeline {
     val langOut = cardLangs.zipWithIndex.map { case (l, i) =>
       (lit(bLangs(i)) + col(s"d_l$i")).as(s"n_$l") } :+
       (lit(bLangs(cardLangs.size)) + col(s"d_l${cardLangs.size}")).as("n_other")
-    dAgg.crossJoin(dOverlap).crossJoin(dUniq).crossJoin(dSrcNew)
+    dAgg.crossJoin(broadcast(dOverlap)).crossJoin(broadcast(dUniq))
+      .crossJoin(broadcast(dSrcNew))
       .withColumn("_s", lit(bQ4) + col("d_q4"))
       .withColumn("_n", lit(bDocs) + col("d_docs"))
       .select(Seq(
