@@ -411,11 +411,12 @@ object Algorithms {
       // carry the changed flag inside the checkpointed state: the
       // convergence probe is then a scan of cached rows, not a re-join
       // of two checkpointed frames
-      val next = comp.join(stateHint(neighborMin, small), comp("gid") === col("a"), "left")
-        .select(comp("gid"),
-          least(comp("comp"), coalesce(col("ncomp"), comp("comp"))).as("comp"),
-          (least(comp("comp"), coalesce(col("ncomp"), comp("comp"))) =!= comp("comp"))
-            .as("changed"))
+      val next = graft.PlanAudit.tap("frontier.round",
+        comp.join(stateHint(neighborMin, small), comp("gid") === col("a"), "left")
+          .select(comp("gid"),
+            least(comp("comp"), coalesce(col("ncomp"), comp("comp"))).as("comp"),
+            (least(comp("comp"), coalesce(col("ncomp"), comp("comp"))) =!= comp("comp"))
+              .as("changed")))
         .localCheckpoint()
       converged = next.filter(col("changed")).isEmpty
       comp = next.select(col("gid"), col("comp"))
@@ -842,7 +843,7 @@ object Algorithms {
       // checkpoint every round: pr feeds three branches of the next
       // iteration's plan — lazy chaining recomputes the subtree
       // exponentially
-      pr = observed.localCheckpoint()
+      pr = graft.PlanAudit.tap("rank.round", observed).localCheckpoint()
       nextDm = Some(() =>
         observed.queryExecution.observedMetrics(metricName).getDouble(0))
       if (sys.env.contains("GRAFT_DEBUG_TIMING"))
@@ -1420,11 +1421,11 @@ object Algorithms {
       aliveRows = n
       alive = survivors
       if (!converged && n > 0) {
-        e = e
+        e = graft.PlanAudit.tap("peel.contract", e
           .join(hintSmall(survivors.select(col("gid").as("sa")), n),
             col("a") === col("sa"), "left_semi")
           .join(hintSmall(survivors.select(col("gid").as("sb")), n),
-            col("b") === col("sb"), "left_semi")
+            col("b") === col("sb"), "left_semi"))
           .localCheckpoint()
       } else if (n == 0) converged = true
     }

@@ -801,7 +801,8 @@ object GraphOps {
     val q = stream.writeStream
       .option("checkpointLocation", ckpt)
       .foreachBatch { (b: DataFrame, _: Long) =>
-        labels = Algorithms.ccIncremental(labels, ccPairEdges(b))
+        labels = graft.PlanAudit.tap("stream.fold",
+            Algorithms.ccIncremental(labels, ccPairEdges(b)))
           .localCheckpoint()
         ()
       }

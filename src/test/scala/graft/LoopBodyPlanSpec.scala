@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.execution.QueryExecution
+
+/** Per-round plan hygiene for the iterative loop families (rank / peel /
+  * frontier / stream-fold) — the faces the global PlanShapeSpec sweep
+  * excludes because their CONSTRUCTORS run the loops. The loops already
+  * checkpoint a representative DataFrame per round; [[PlanAudit.tap]]
+  * hands those QueryExecutions out, and this spec runs the same
+  * structural walker ([[PlanWalk]]) over every captured round: no
+  * product join (modulo the one-row-aggregate exemption), no full-width
+  * wide-table scan. A de-optimized Spark upgrade that degrades a loop
+  * join to a cartesian — or un-prunes a scan feeding a loop — fails
+  * here by family even though the face-level result stays correct.
+  */
+class LoopBodyPlanSpec extends SparkSpec with PlanWalk {
+
+  private def captured(run: => Unit): Seq[(String, QueryExecution)] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, QueryExecution)]
+    PlanAudit.hook = (t, qe) => buf.synchronized { buf += ((t, qe)) }
+    try run finally PlanAudit.hook = null
+    buf.synchronized(buf.toList)
+  }
+
+  private def assertClean(family: String,
+      rounds: Seq[(String, QueryExecution)]): Unit = {
+    assert(rounds.nonEmpty, s"$family: no round plans captured — tap lost")
+    for ((tag, qe) <- rounds) {
+      val plan = qe.executedPlan
+      val bad = productOffenders(plan) ++ unprunedScans(plan)
+      assert(bad.isEmpty, s"$tag round plan offends: $bad\n$plan")
+    }
+    info(s"$family: ${rounds.size} round plans walked, clean")
+  }
+
+  test("rank family: every pagerank round plan is product-free and pruned") {
+    val rounds = captured {
+      queries.GraphOps.gPagerank(spark, sf()).collect() }
+    assertClean("rank", rounds.filter(_._1 == "rank.round"))
+  }
+
+  test("peel family: every k-core contraction plan is product-free and pruned") {
+    val rounds = captured {
+      queries.GraphOps.gKcore(spark, sf()).collect() }
+    assertClean("peel", rounds.filter(_._1 == "peel.contract"))
+  }
+
+  test("frontier family: every CC round plan is product-free and pruned") {
+    val rounds = captured {
+      queries.GraphOps.gCc(spark, sf()).collect() }
+    assertClean("frontier", rounds.filter(_._1 == "frontier.round"))
+  }
+
+  test("stream-fold family: every per-trigger incremental fold plan is product-free and pruned") {
+    val rounds = captured {
+      queries.GraphOps.sCcIncr(spark, sf()).collect() }
+    assertClean("stream-fold", rounds.filter(_._1 == "stream.fold"))
+  }
+}
