@@ -682,12 +682,16 @@ object Cluster {
     * through one map-side codegen stage straight into the k-bounded
     * TopK partial aggregate — the exchange carries ≤ k rows per
     * (query, partition), never the scored pairs (the brute-scan
-    * shape, minus the pruned lists). When the query side outgrows the
-    * broadcast budget, `broadcastQueries=false` switches to the
-    * salted-shuffle variant: the list key has only nLists values —
-    * the textbook skew join — so the pairs explode across a
-    * member-side salt before the equi-join and vectors attach by id
-    * downstream.
+    * shape, minus the pruned lists). `broadcastQueries=true` is the
+    * SERVING operating point: the broadcast query-vector build is
+    * semi-joined down to `queryIds`, so it ships |queries| rows.
+    * When the query side is the corpus itself (the mutual-kNN face)
+    * or otherwise outgrows the broadcast budget,
+    * `broadcastQueries=false` switches to the salted-shuffle variant:
+    * the list key has only nLists values — the textbook skew join —
+    * so the pairs explode across a member-side salt before the
+    * equi-join and vectors attach by id downstream (ClusterSpec pins
+    * salted ≡ broadcast bit-equality).
     *
     * @return (query_id, neighbor_id, cos — 6-dp sealed, rank) with
     *         rank by (cos desc, neighbor_id asc), self excluded
@@ -726,6 +730,14 @@ object Cluster {
       .groupBy(col("cid")).agg(max(col("d")).as("r"))
     val memberVec = codesDf.select(col("id").as("mid"), col("cid"))
       .join(raw.select(col("vid").as("mid"), col("rv").as("mrv")), Seq("mid"))
+    // the query-vector table the broadcast branch ships to executors:
+    // restricted to the serving subset when `queryIds` is given, so the
+    // broadcast build is |queries| rows — NEVER the full corpus unless
+    // the caller both queries the full corpus AND opted into the
+    // broadcast path (the all-queries faces use the salted branch)
+    val qVecsAll = raw.select(col("vid").as("qid"), col("rv").as("qrv"))
+    val qVecs = queryIds.fold(qVecsAll)(ids =>
+      qVecsAll.join(broadcast(ids.select(col("qid"))), Seq("qid"), "left_semi"))
     // exact cosines of every (query, member-of-list) pair in `qlist`
     // (columns qid, cid, t), pre-filtered to cos ≥ t − ε row-side
     def listScore(qlist: DataFrame): DataFrame = {
@@ -734,8 +746,7 @@ object Cluster {
           memberVec
             .join(broadcast(qlist), Seq("cid"))
             .filter(col("qid") =!= col("mid"))
-            .join(broadcast(raw.select(col("vid").as("qid"),
-              col("rv").as("qrv"))), Seq("qid"))
+            .join(broadcast(qVecs), Seq("qid"))
             .select(col("qid"), col("t"),
               round(VectorFunctions.cosine(col("qrv"), col("mrv")), 6).as("cos"),
               col("mid"))

@@ -1624,8 +1624,11 @@ object Pipeline {
     val emb = Tables.load(spark, dir, "embeddings")
     val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val (coarse, _, _, codes) = ivfPqCached(spark, dir)
+    // the query side IS the corpus — the salted-shuffle path, never a
+    // corpus-scale broadcast build (the serving faces with bounded
+    // queryIds keep the broadcast branch)
     val top = graft.pipeline.Cluster.exactCosineKnnPruned(codes, coarse,
-        emb, "vec_id", "embedding", k = 5)
+        emb, "vec_id", "embedding", k = 5, broadcastQueries = false)
       .select(col("query_id").as("ida"), col("neighbor_id").as("idb"))
       .localCheckpoint() // both mutual-join legs read it
     val mutual = top.join(
