@@ -1520,6 +1520,49 @@ object Pipeline {
         round(col("dist"), 4).as("dist"), col("rank").cast("long").as("rank"))
   }
 
+  /** Where this session SAVED the pinned IVF-PQ index
+    * ([[graft.pipeline.Cluster.saveIvfPqIndex]]) — written once per
+    * (session, dir), the fit-once half of the fit-once /
+    * serve-everywhere loop [[pKnnIvfPqLoaded]] gates.
+    */
+  private val ivfPqSavedCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  private def ivfPqSavedDir(spark: SparkSession, dir: String): String =
+    ivfPqSavedCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      val (coarse, sub, books, codes) = ivfPqCached(spark, dir)
+      val out = java.nio.file.Files.createTempDirectory("graft_ivfpq_idx")
+        .toString
+      graft.pipeline.Cluster.saveIvfPqIndex(out, coarse, sub, books, codes)
+      out
+    })
+
+  /** The SERVING path of the persisted index, gated end-to-end in the
+    * driver artifact (SURVEY 48c): the pinned fit is saved once per
+    * session ([[ivfPqSavedDir]]), every call answers the s_knn query
+    * set (vec_id < 30) from the LOADED index —
+    * [[graft.pipeline.Cluster.loadIvfPqIndex]] round-trips centroids /
+    * codebooks / meta / codes through parquet and the shortlist +
+    * exact re-rank read ONLY those loaded tables (plus raw vectors for
+    * the re-rank, as in production). Rows-only (seeded fit, like
+    * p_knn_ivfpq); ClusterSpec pins load ≡ fit bit-identity for all
+    * three search paths, and this face makes the driver run the loaded
+    * half every round instead of trusting the spec alone.
+    */
+  def pKnnIvfPqLoaded(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val (coarse, sub, books, codes) = graft.pipeline.Cluster.loadIvfPqIndex(
+      spark, ivfPqSavedDir(spark, dir))
+    val queries = emb.filter(col("vec_id") < 30)
+    val cand = graft.pipeline.Cluster.ivfPqShortlistFrom(codes, sub, books,
+        coarse, queries, "vec_id", "embedding", nProbe = 4, shortlist = 40)
+      .select(col("query_id"), col("neighbor_id"))
+    graft.pipeline.Cluster.rerankExact(cand, emb, "vec_id", "embedding",
+        queries, topK = 5)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("dist"), 4).as("dist"), col("rank").cast("long").as("rank"))
+  }
+
   /** Prefix-dimension recall curve (the Matryoshka-representation
     * serving audit, Kusupati et al. 2022): top-5 cosine retrieval run
     * on the d-dimensional PREFIX of the embedding for d ∈ {8, 16, 32,
@@ -3515,6 +3558,7 @@ object Pipeline {
     QueryDef.rowsOnly("p_knn_lsh", pKnnLsh),
     QueryDef.rowsOnly("p_knn_ivf", pKnnIvf),
     QueryDef.rowsOnly("p_knn_ivfpq", pKnnIvfPq),
+    QueryDef.rowsOnly("p_knn_ivfpq_loaded", pKnnIvfPqLoaded),
     QueryDef.sql("p_dim_curve", pDimCurve, pDimCurveSql),
     QueryDef.sql("p_mutual_knn", pMutualKnn, pMutualKnnSql),
     QueryDef.sql("p_dbscan", pDbscan, pDbscanSql),

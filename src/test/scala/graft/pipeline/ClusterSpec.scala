@@ -350,4 +350,31 @@ class ClusterSpec extends SparkSpec {
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     assert(rows(pruned(lc, lcodes)) === rows(pruned(coarse, codes)))
   }
+
+  test("p_knn_ivfpq_loaded face ≡ the same search from the in-session pinned fit") {
+    // the driver face serves the s_knn query set from the SAVED index;
+    // its rows must be exactly what the pinned in-session fit returns
+    // for the same (nProbe, shortlist, topK) operating point
+    val dir = sf()
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+    val (coarse, sub, books, codes) =
+      graft.queries.Pipeline.ivfPqCachedPublic(spark, dir)
+    val queries = emb.filter(col("vec_id") < 30)
+    val fitSide = Cluster.rerankExact(
+        Cluster.ivfPqShortlistFrom(codes, sub, books, coarse, queries,
+            "vec_id", "embedding", nProbe = 4, shortlist = 40)
+          .select(col("query_id"), col("neighbor_id")),
+        emb, "vec_id", "embedding", queries, topK = 5)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue))
+      .toSet
+    val loaded = graft.queries.Pipeline.pKnnIvfPqLoaded(spark, dir)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue))
+      .toSet
+    assert(loaded === fitSide)
+    assert(loaded.nonEmpty)
+  }
 }
