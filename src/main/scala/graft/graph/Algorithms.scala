@@ -31,6 +31,21 @@ object Algorithms {
   private val StragglerFinishBound: Long =
     sys.env.get("GRAFT_STRAGGLER_BOUND").map(_.toLong).getOrElse(20000L)
 
+  /** Coloring's straggler cutover runs at a DELIBERATE 3.2× of
+    * [[StragglerFinishBound]] (A/B-measured at sf0.1: the conflict
+    * cascade's tail is ~17 rounds carrying < 8% of the nodes, so each
+    * skipped distributed round saves the ~0.25 s scheduling floor —
+    * 64k beat 20k by ~0.7 s isolated, r9 SURVEY §5). The driver state
+    * stays HARD-bounded by the cutover guard itself (≤ finishBelow
+    * uncolored rows plus ≤ 50× finishBelow live edges ≈ 55 MB worst
+    * case — the same bounded-driver-codebook envelope, just with its
+    * own measured constant). GRAFT_COLOR_FINISH overrides for A/Bs.
+    */
+  private[graft] val ColoringFinishBound: Long =
+    sys.env.get("GRAFT_COLOR_FINISH").map(_.toLong)
+      .getOrElse(sys.env.get("GRAFT_STRAGGLER_BOUND")
+        .map(_.toLong * 32 / 10).getOrElse(64000L))
+
   private def hintSmall(df: DataFrame, rows: Long): DataFrame =
     if (rows <= BroadcastRowBound) broadcast(df) else df
 
@@ -1095,10 +1110,27 @@ object Algorithms {
     * symmetric edge view once per snapshot). `und0` must be
     * self-loop-free and symmetric; endpoints must be drawn from
     * `nodes`.
+    *
+    * `round1Palette` (the r10 A/B WINNER, shipped by the driver face):
+    * round 1 proposes (first 8 md5-priority hex digits as an integer)
+    * mod (deg+1) instead of the uniform mex(∅)=0, so neighbors usually
+    * propose DIFFERENT colors and ~99.7% of the graph commits in ONE
+    * round instead of only the priority-local-minima independent set —
+    * measured 6.9 → 2.8 s at sf0.1 (round count 21 → 3). Properness,
+    * ≤ Δ+1 and determinism all survive (round-1 winners ≤ deg; later
+    * rounds are the unchanged mex recurrence — RandomizedAlgSpec pins
+    * the variant); what it trades is color-count tightness (palette
+    * colors are scattered ≤ deg, not dense-from-0). Drawing the
+    * palette from the SAME md5 string the conflict rule orders by is
+    * what makes the oracle mirror exact:
+    * ('0x' || substring(md5(gid), 1, 8))::BIGINT in DuckDB ≡
+    * conv(substring(md5(gid), 1, 8), 16, 10) here. Default false =
+    * the classic Jones–Plassmann-style recurrence for library callers.
     */
   def speculativeColoringUnd(nodes: DataFrame, und0: DataFrame,
       maxIter: Int = 100,
-      finishBelow: Long = StragglerFinishBound): DataFrame = {
+      finishBelow: Long = ColoringFinishBound,
+      round1Palette: Boolean = false): DataFrame = {
     val width = loopWidth(und0, und0.count())
     withoutAqe(und0, Some(width)) {
       // Loop state is fully incremental — the committed color table is
@@ -1110,9 +1142,24 @@ object Algorithms {
       // uncolored set, so rounds 3+ cost the straggler tail, not the
       // graph.
       var eLive = und0.coalesce(width)
-      var uncol = nodes.select(col("gid"),
-          md5(col("gid").cast("string")).as("pri"),
-          array().cast("array<long>").as("cs"))
+      val uncol0 = nodes.select(col("gid"),
+        md5(col("gid").cast("string")).as("pri"),
+        array().cast("array<long>").as("cs"))
+      var uncol = (if (!round1Palette) uncol0
+        else {
+          // the speculation palette: one degree aggregation, used only
+          // by round 1's tentative. Drawn from the SAME md5 priority
+          // string the conflict rule already orders by (first 8 hex
+          // digits as an integer, mod deg+1 — ≤ deg keeps the Δ+1
+          // bound), so the oracle mirrors it exactly:
+          // ('0x' || substring(md5(gid), 1, 8))::BIGINT % (deg + 1)
+          val deg = und0.groupBy(col("a").as("dgid"))
+            .agg(count(lit(1)).cast("long").as("__deg"))
+          uncol0.join(deg, col("gid") === col("dgid"), "left")
+            .select(col("gid"), col("pri"), col("cs"),
+              pmod(conv(substring(col("pri"), 1, 8), 16, 10).cast("long"),
+                coalesce(col("__deg"), lit(0L)) + 1L).as("palette"))
+        })
         .localCheckpoint()
       var uncolRows = uncol.count()
       val sels = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
@@ -1121,12 +1168,16 @@ object Algorithms {
         round += 1
         val __t0 = System.nanoTime()
         // tentative = mex over the carried colored-neighbor colors
+        // (round 1 under the A/B knob: the hash palette instead of the
+        // uniform 0 — cs is empty, so there is nothing to mex around)
+        val mex = when(size(col("cs")) === 0, lit(0L)).otherwise(
+          array_min(array_except(
+            sequence(lit(0L), size(col("cs")).cast("long")),
+            col("cs"))))
         val tent = uncol.select(col("gid"), col("pri"),
             col("cs"),
-            when(size(col("cs")) === 0, lit(0L)).otherwise(
-              array_min(array_except(
-                sequence(lit(0L), size(col("cs")).cast("long")),
-                col("cs")))).as("tent"))
+            (if (round1Palette && round == 1) col("palette") else mex)
+              .as("tent"))
           .localCheckpoint()
         // losers: a live neighbor proposes the same color with smaller
         // priority — the conflict-group minimum always wins

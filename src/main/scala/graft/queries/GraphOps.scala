@@ -666,12 +666,14 @@ object GraphOps {
     * co-purchase graph forces ANY greedy coloring into
     * clique-sequential rounds, while the multipartite heterogeneous
     * graph is triangle-free (no label pair closes one), so the
-    * speculative rounds stay bounded by conflict cascades (8 at
-    * sf0.01, 21 at sf0.1; 24 unrolled). Oracle: the same
-    * rounds unrolled ([[GraphOracleSql.coloringSql]], measured
-    * fixpoint + margin with the converged guard). Properness /
+    * speculative rounds stay bounded by conflict cascades — and with
+    * the r10 round-1 palette the cascade all but vanishes: 3 rounds at
+    * BOTH sf0.01 and sf0.1 (was 8 / 21 under the uniform-mex round 1),
+    * 6 unrolled in the oracle. Oracle: the same rounds unrolled with
+    * the same md5-derived palette ([[GraphOracleSql.coloringSql]],
+    * measured fixpoint + margin with the converged guard). Properness /
     * determinism / Δ+1 / layout purity are RandomizedAlgSpec
-    * properties.
+    * properties, for both the palette and classic recurrences.
     */
   /** The symmetric (both-direction, deduped, loop-free) gid edge view
     * — the substrate of the coloring face, pinned once per (session,
@@ -694,15 +696,23 @@ object GraphOps {
   def gColoring(spark: SparkSession, dir: String): DataFrame = {
     val gr = g(spark, dir)
     val nodes = gidNodesCached(spark, dir, TpchGraph.nodeLabels)
+    // round-1 palette ON (the r10 A/B winner: one speculative round
+    // colors ~99.7% of the graph, 6.9 → 2.8 s at sf0.1) — the palette
+    // is drawn from the md5 priority so the
+    // oracle mirrors it bit-exactly; GRAFT_COLOR_CLASSIC reinstates
+    // the uniform-mex round 1 for A/Bs (output differs, gate off)
     gr.decode(Algorithms.speculativeColoringUnd(nodes,
         undGidCached(spark, dir),
-        finishBelow = sys.env.get("GRAFT_COLOR_FINISH").map(_.toLong)
-          .getOrElse(64000L)), "gid")
+        round1Palette = !sys.env.contains("GRAFT_COLOR_CLASSIC")), "gid")
       .select(col("label"), col("key"), col("color"),
         col("colored_round").cast("long").as("colored_round"))
   }
 
-  val gColoringSql: String = GraphOracleSql.coloringSql(rounds = 24)
+  // measured fixpoint with the round-1 palette: 3 rounds at sf0.01 AND
+  // sf0.1 (was 8 / 21 under the uniform-mex round 1) + margin, with the
+  // converged guard erroring if ever exhausted
+  val gColoringSql: String =
+    GraphOracleSql.coloringSql(rounds = 6, round1Palette = true)
 
   /** Incremental CC maintenance face: the co-purchase graph arrives as
     * a base batch (orders with key % 10 ≠ 0) plus a delta batch (the

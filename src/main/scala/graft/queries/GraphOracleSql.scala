@@ -406,14 +406,23 @@ object GraphOracleSql {
     * measured-fixpoint + margin + converged-guard discipline as
     * [[misSql]].
     */
-  def coloringSql(rounds: Int): String = {
+  def coloringSql(rounds: Int, round1Palette: Boolean = false): String = {
     val steps = (1 to rounds).map { i =>
+      // round 1 under the palette: tent = first 8 hex digits of the md5
+      // priority as an integer, mod (deg + 1) — the exact mirror of the
+      // Spark face's conv(substring(pri, 1, 8), 16, 10) % (deg + 1)
+      // (cs is empty in round 1, so there is nothing to mex around)
+      val tentExpr =
+        if (round1Palette && i == 1)
+          "CAST(('0x' || substring(u.pri, 1, 8)) AS BIGINT) % (u.deg + 1)"
+        else
+          """CASE WHEN n.cs IS NULL THEN CAST(0 AS BIGINT)
+                     ELSE list_min(list_filter(range(0, len(n.cs) + 1),
+                            x -> NOT list_contains(n.cs, x))) END"""
       s""",
        tent$i AS MATERIALIZED (
          SELECT u.gid, u.pri,
-                CASE WHEN n.cs IS NULL THEN CAST(0 AS BIGINT)
-                     ELSE list_min(list_filter(range(0, len(n.cs) + 1),
-                            x -> NOT list_contains(n.cs, x))) END AS tent
+                $tentExpr AS tent
          FROM u${i - 1} u LEFT JOIN (
            SELECT e.a, list(DISTINCT c.color) AS cs
            FROM und e JOIN col${i - 1} c ON e.b = c.gid GROUP BY e.a) n
@@ -437,7 +446,11 @@ object GraphOracleSql {
          SELECT gdst AS a, gsrc AS b FROM ge WHERE gsrc <> gdst),
        gnodes AS MATERIALIZED (${TpchGraph.gidSqlNodes}),
        u0 AS MATERIALIZED (
-         SELECT gid, md5(CAST(gid AS VARCHAR)) AS pri FROM gnodes),
+         SELECT g.gid, md5(CAST(g.gid AS VARCHAR)) AS pri,
+                coalesce(d.deg, 0) AS deg
+         FROM gnodes g LEFT JOIN (
+           SELECT a, count(*) AS deg FROM und GROUP BY a) d
+         ON g.gid = d.a),
        col0 AS MATERIALIZED (
          SELECT gid, CAST(0 AS BIGINT) AS color, 0 AS colored_round
          FROM gnodes LIMIT 0)$steps,

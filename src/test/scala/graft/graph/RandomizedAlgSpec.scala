@@ -830,6 +830,45 @@ class RandomizedAlgSpec extends SparkSpec {
     }
   }
 
+  test("round-1 palette coloring (the A/B knob) stays proper, complete, deterministic, <= Δ+1") {
+    // the variant the g_coloring face SHIPS (r10): round 1 proposes
+    // md5-hex(gid) mod (deg+1) instead of mex(∅)=0. Output differs
+    // from the classic recurrence (the face's oracle mirrors the
+    // palette), and every correctness property must hold identically.
+    (421 to 426).foreach { seed =>
+      val (nodes, edges) = randomGraph(seed)
+      val (ndf, edf) = toDf(nodes, edges)
+      def und(e: org.apache.spark.sql.DataFrame) =
+        e.select(col("gsrc").as("a"), col("gdst").as("b"))
+          .filter(col("a") =!= col("b"))
+          .unionByName(e.select(col("gdst").as("a"), col("gsrc").as("b"))
+            .filter(col("a") =!= col("b")))
+          .distinct().localCheckpoint()
+      val got = Algorithms.speculativeColoringUnd(ndf, und(edf),
+          round1Palette = true)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val simple = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .filter { case (a, b) => a != b }.toSet
+      val nbrs = nodes.map(v => v -> simple.collect {
+        case (a, b) if a == v => b
+        case (a, b) if b == v => a
+      }.toSet).toMap
+      assert(got.keySet === nodes.toSet, s"seed=$seed: missing assignments")
+      simple.foreach { case (a, b) =>
+        assert(got(a) !== got(b), s"seed=$seed: edge ($a,$b) monochromatic")
+      }
+      val maxDeg = if (nodes.isEmpty) 0 else nodes.map(v => nbrs(v).size).max
+      assert(got.values.max <= maxDeg,
+        s"seed=$seed: ${got.values.max} exceeds Δ=$maxDeg")
+      // determinism + layout purity
+      val again = Algorithms.speculativeColoringUnd(
+          ndf.repartition(5), und(edf.repartition(3, col("gsrc"))),
+          round1Palette = true)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(again === got, s"seed=$seed: palette coloring depends on layout")
+    }
+  }
+
   test("maximal matching is valid, maximal, and equals the sequential greedy on random multigraphs") {
     (501 to 510).foreach { seed =>
       val (nodes, edges) = randomGraph(seed)
