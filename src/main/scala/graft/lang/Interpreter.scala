@@ -286,8 +286,9 @@ final class Interpreter(spark: SparkSession) {
     * the serving-path pairing of [[replayLog]]. MATCH statements are
     * not logged (reads don't mutate state, reference server.go appends
     * mutating commands only). Ordering per statement: render first
-    * (loggability check — the text WAL is line-based, so a raw newline
-    * inside a string literal is rejected BEFORE any state change), then
+    * (loggability check — the TEXT WAL is line-based, so a raw newline
+    * inside a string literal is rejected BEFORE any state change; the
+    * BINARY format frames by length and represents it fine), then
     * execute, then append — a statement that fails execution never
     * reaches the log, so replay cannot be poisoned.
     */
@@ -299,10 +300,12 @@ final class Interpreter(spark: SparkSession) {
         case _: Ast.Match | _: Ast.Show | _: Ast.Describe => execute(s).orElse(acc)
         case _ =>
           val line = Ast.render(s)
-          if (line.exists(c => c == '\n' || c == '\r'))
+          if (log.format == graft.store.CommitLog.Text &&
+              line.exists(c => c == '\n' || c == '\r'))
             throw ExecError(
               "statement contains a raw newline in a string literal; " +
-                "the line-based commit log cannot represent it")
+                "the line-based text commit log cannot represent it " +
+                "(use the binary log format)")
           val out = execute(s)
           log.append(line)
           out.orElse(acc)
@@ -321,9 +324,14 @@ final class Interpreter(spark: SparkSession) {
     * authoritative.
     *
     * Returns the new generation's (empty) commit log; the caller
-    * continues with `executeLogged(script, newLog)`.
+    * continues with `executeLogged(script, newLog)`. `format` sets the
+    * fresh generation's WAL encoding (a deployment flag, reference
+    * cmd/server/main.go:43 — compaction is the natural point to switch
+    * formats, since the new log starts empty).
     */
-  def compact(dataDir: String): graft.store.CommitLog = {
+  def compact(dataDir: String,
+      format: graft.store.CommitLog.Format = graft.store.CommitLog.Text)
+      : graft.store.CommitLog = {
     import graft.store.Snapshot
     val gen = Snapshot.latest(dataDir).map(_._1).getOrElse(0L) + 1
     val dir = Snapshot.snapDir(dataDir, gen)
@@ -343,7 +351,7 @@ final class Interpreter(spark: SparkSession) {
     }
     Snapshot.publishMeta(dir,
       Snapshot.Meta(gen, nextId, nodeLabels, edgeLabels))
-    val log = Snapshot.openLog(dataDir, gen)
+    val log = Snapshot.openLog(dataDir, gen, format)
     // eager empty log file: the generation's WAL exists from birth
     if (!java.nio.file.Files.exists(log.path))
       java.nio.file.Files.createFile(log.path)
@@ -367,24 +375,25 @@ final class Interpreter(spark: SparkSession) {
     * (run after each script; the check is one driver-side line count
     * of a bounded file). Keeps boot replay bounded by the policy knob
     * instead of history. Returns the log to continue with — the fresh
-    * generation's when compaction fired, the same one otherwise.
+    * generation's when compaction fired (same format), the same one
+    * otherwise. `entryCount` is the format-independent unit (text
+    * lines ≡ binary frames).
     */
   def compactIfNeeded(dataDir: String, log: graft.store.CommitLog,
-      maxStatements: Int): graft.store.CommitLog = {
-    val n =
-      if (java.nio.file.Files.exists(log.path))
-        java.nio.file.Files.readAllLines(log.path).size
-      else 0
-    if (n >= maxStatements) compact(dataDir) else log
-  }
+      maxStatements: Int): graft.store.CommitLog =
+    if (log.entryCount >= maxStatements) compact(dataDir, log.format) else log
 
   /** Boot-path state reconstruction with bounded replay: load the
     * latest snapshot generation (catalog, label tables, id counter)
     * and replay only its suffix log — or, with no snapshot, replay the
     * full generation-0 log (the reference's plain replay-on-boot).
-    * Returns the live generation's commit log for serving.
+    * Returns the live generation's commit log for serving. `format`
+    * must match what the deployment wrote with — a flag, exactly as in
+    * the reference (cmd/server/main.go:43), not file magic.
     */
-  def bootFrom(dataDir: String): graft.store.CommitLog = {
+  def bootFrom(dataDir: String,
+      format: graft.store.CommitLog.Format = graft.store.CommitLog.Text)
+      : graft.store.CommitLog = {
     import graft.store.Snapshot
     Snapshot.latest(dataDir) match {
       case Some((gen, meta)) =>
@@ -405,11 +414,11 @@ final class Interpreter(spark: SparkSession) {
             .parquet(dir.resolve("edges").resolve(l).toString))
           edgeState(l) = st
         }
-        val log = Snapshot.openLog(dataDir, gen)
+        val log = Snapshot.openLog(dataDir, gen, format)
         replayLog(log)
         log
       case None =>
-        val log = graft.store.CommitLog.open(dataDir)
+        val log = graft.store.CommitLog.open(dataDir, format)
         replayLog(log)
         log
     }

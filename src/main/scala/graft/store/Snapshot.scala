@@ -42,9 +42,10 @@ object Snapshot {
     else Paths.get(dataDir).resolve(s"commit.$gen.log")
 
   /** The commit log of generation `gen` (creating the data dir). */
-  def openLog(dataDir: String, gen: Long): CommitLog = {
+  def openLog(dataDir: String, gen: Long,
+      format: CommitLog.Format = CommitLog.Text): CommitLog = {
     Files.createDirectories(Paths.get(dataDir))
-    new CommitLog(logPath(dataDir, gen))
+    new CommitLog(logPath(dataDir, gen), format)
   }
 
   /** Highest COMPLETE generation (meta.json present), if any. */

@@ -330,4 +330,107 @@ class InterpreterSpec extends SparkSpec {
     assert(rebooted.nodes("P").collect().map(_.getAs[String]("name")).toSeq
       === Seq("a"))
   }
+
+  test("binary commit log: frames replay to the same state as the text log") {
+    import graft.store.CommitLog
+    val script =
+      """CREATE NODE Person (name: string, age: int);
+        |INSERT NODE Person (name: 'John', age: 30);
+        |INSERT NODE Person (name: 'Jane', age: 25);
+        |UPDATE NODE Person SET age: 31 WHERE name: 'John';
+        |MATCH Person WHERE name: 'John';""".stripMargin
+    val tDir = java.nio.file.Files.createTempDirectory("graft-wal-t").toString
+    val bDir = java.nio.file.Files.createTempDirectory("graft-wal-b").toString
+    val tLog = CommitLog.open(tDir)
+    val bLog = CommitLog.open(bDir, CommitLog.Binary)
+    fresh().executeLogged(script, tLog)
+    fresh().executeLogged(script, bLog)
+    // same replayable entry sequence under both encodings (reads skipped)
+    assert(bLog.entryCount === 4)
+    var tEntries = Vector.empty[String]; tLog.replay(tEntries :+= _)
+    var bEntries = Vector.empty[String]; bLog.replay(bEntries :+= _)
+    assert(bEntries === tEntries)
+    // the on-disk bytes really are length-prefixed frames: first header
+    // = byte length of the first rendered statement
+    val bytes = java.nio.file.Files.readAllBytes(bLog.path)
+    val firstLen = java.nio.ByteBuffer.wrap(bytes, 0, 4).getInt
+    assert(firstLen === bEntries.head.getBytes("UTF-8").length)
+    assert(new String(bytes, 4, firstLen, "UTF-8") === bEntries.head)
+    // boot path from the binary log reconstructs identical state
+    val rebooted = fresh()
+    rebooted.replayLog(bLog)
+    val rows = rebooted.nodes("Person").collect()
+      .map(r => r.getAs[String]("name") -> r.getAs[Long]("age")).toMap
+    assert(rows === Map("John" -> 31L, "Jane" -> 25L))
+  }
+
+  test("binary commit log: represents the multi-line statement the text format rejects") {
+    import graft.store.CommitLog
+    val script = "CREATE NODE D (t: string);\n" +
+      "INSERT NODE D (t: 'line one\nline two');"
+    val tDir = java.nio.file.Files.createTempDirectory("graft-wal-ml-t").toString
+    val bDir = java.nio.file.Files.createTempDirectory("graft-wal-ml-b").toString
+    // text: rejected BEFORE any state change (replay poisoning guard)
+    val itT = fresh()
+    itT.executeScript("CREATE NODE D (t: string);")
+    intercept[ExecError] {
+      itT.executeLogged("INSERT NODE D (t: 'a\nb');", CommitLog.open(tDir))
+    }
+    // binary: framed, replayed, and the interior newline survives intact
+    val bLog = CommitLog.open(bDir, CommitLog.Binary)
+    fresh().executeLogged(script, bLog)
+    val rebooted = fresh()
+    rebooted.replayLog(bLog)
+    assert(rebooted.nodes("D").collect().map(_.getAs[String]("t")).toSeq
+      === Seq("line one\nline two"))
+  }
+
+  test("binary commit log: torn header ends replay cleanly; torn body and bad length are corruption") {
+    import graft.store.CommitLog
+    val dir = java.nio.file.Files.createTempDirectory("graft-wal-torn")
+    def logWith(bytes: Array[Byte]): CommitLog = {
+      val p = java.nio.file.Files.createTempFile(dir, "log", ".bin")
+      java.nio.file.Files.write(p, bytes)
+      new CommitLog(p, CommitLog.Binary)
+    }
+    def frame(s: String): Array[Byte] = {
+      val b = s.getBytes("UTF-8")
+      java.nio.ByteBuffer.allocate(4 + b.length).putInt(b.length).put(b).array()
+    }
+    val good = frame("CREATE NODE P (name: string);")
+    // a crash mid-header append: entries before the tear replay, then stop
+    var seen = Vector.empty[String]
+    logWith(good ++ Array[Byte](0, 0)).replay(seen :+= _)
+    assert(seen === Vector("CREATE NODE P (name: string);"))
+    // a partial BODY is corruption, not a clean end (reference
+    // commitlog.go:181 errors on ReadFull of the body)
+    intercept[java.io.EOFException] {
+      logWith(good ++ frame("INSERT NODE P (name: 'x');").dropRight(3))
+        .replay(_ => ())
+    }
+    // a length past the 10 MB record guard is corruption
+    intercept[IllegalStateException] {
+      logWith(java.nio.ByteBuffer.allocate(4).putInt(64 << 20).array())
+        .replay(_ => ())
+    }
+  }
+
+  test("binary commit log: auto-compaction counts frames and the rolled generation keeps the format") {
+    import graft.store.CommitLog
+    val dir = java.nio.file.Files.createTempDirectory("graft-autocompact-b").toString
+    val it = fresh()
+    var log = it.bootFrom(dir, CommitLog.Binary)
+    assert(log.format === CommitLog.Binary)
+    it.executeLogged("CREATE NODE P (name: string);", log)
+    for (i <- 1 to 10) {
+      it.executeLogged(s"INSERT NODE P (name: 'u$i');", log)
+      log = it.compactIfNeeded(dir, log, maxStatements = 4)
+      assert(log.format === CommitLog.Binary)
+      assert(log.entryCount < 4)
+    }
+    assert(graft.store.Snapshot.latest(dir).exists(_._1 >= 1))
+    val rebooted = fresh()
+    rebooted.bootFrom(dir, CommitLog.Binary)
+    assert(rebooted.nodes("P").count() === 10)
+  }
 }
