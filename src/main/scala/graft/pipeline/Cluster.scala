@@ -751,18 +751,26 @@ object Cluster {
               round(VectorFunctions.cosine(col("qrv"), col("mrv")), 6).as("cos"),
               col("mid"))
         else {
-          // salted list join: the list key has only nLists values, so
-          // qlist explodes across a member-side salt first
-          val members = codesDf.select(col("id").as("mid"), col("cid"),
-            pmod(hash(col("id")), lit(saltBuckets)).as("salt"))
+          // salted list join: the list key has only nLists values — the
+          // textbook skew join — so the query side explodes across a
+          // member-side salt before the equi-join. Vectors ride the JOIN
+          // INPUTS (qrv attached to the |qlist|-row query side, mrv on
+          // the member side via memberVec), NEVER the pair stream: the
+          // join output flows straight into the cosine + threshold
+          // filter + k-bounded aggregate. Attaching by id downstream
+          // instead would join the O(|q|·listSize) scored-pair stream
+          // twice — two pair-scale shuffles once the corpus outgrows a
+          // broadcastable `raw`, i.e. exactly the regime this branch
+          // exists for.
+          val members = memberVec.withColumn("salt",
+            pmod(hash(col("mid")), lit(saltBuckets)))
           qlist
-            .select(col("qid"), col("cid"), col("t"),
+            .join(raw.select(col("vid").as("qid"), col("rv").as("qrv")),
+              Seq("qid"))
+            .select(col("qid"), col("cid"), col("t"), col("qrv"),
               explode(sequence(lit(0), lit(saltBuckets - 1))).as("salt"))
             .join(members, Seq("cid", "salt"))
             .filter(col("qid") =!= col("mid"))
-            .select(col("qid"), col("t"), col("mid"))
-            .join(raw.select(col("vid").as("qid"), col("rv").as("qrv")), Seq("qid"))
-            .join(raw.select(col("vid").as("mid"), col("rv").as("mrv")), Seq("mid"))
             .select(col("qid"), col("t"),
               round(VectorFunctions.cosine(col("qrv"), col("mrv")), 6).as("cos"),
               col("mid"))
