@@ -1484,6 +1484,103 @@ object Algorithms {
     } // withoutAqe
   }
 
+  /** INCREMENTAL fixed-k core maintenance under edge ARRIVALS — the
+    * cohesion-state member of the incremental family (beside CC labels,
+    * triangles, MSF, SCC). k-core membership is MONOTONE under
+    * insertion: the old core's induced subgraph is unchanged-or-denser,
+    * so old members never leave, and the EXACT joiner set is a cascade
+    * the base fit's maximality pins to a bounded region. A non-core
+    * node with no new edge and no joining neighbor would need ≥ k OLD
+    * edges into the old core — but then (old core ∪ {v}) was already a
+    * k-core subgraph, contradicting the base peel's maximality. So
+    * every joiner lies in R = nodes reachable from the delta endpoints
+    * through {non-core, post-batch degree ≥ k} nodes — a
+    * frontier-bounded BFS — and the joiner set is exactly the fixed-k
+    * peel on R with PERMANENT degree credits for old-core neighbors
+    * (old-core nodes are never peeled: they cannot leave). Per-batch
+    * cost is the cascade region's edges, never the corpus — the
+    * g_cc_incr discipline applied to cohesion state.
+    *
+    * @param baseCore pinned old-core membership, one `gid` column
+    * @param und      POST-batch undirected symmetric DEDUPED edge list
+    *                 (a, b) — base ∪ delta pairs distinct'd before
+    *                 symmetrization (a base pair re-observed in the
+    *                 delta must not double a degree)
+    * @param seeds    delta-pair endpoints, one `gid` column
+    */
+  def kCoreIncremental(baseCore: DataFrame, und: DataFrame, seeds: DataFrame,
+      k: Int, maxIter: Int = 100): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val core = baseCore.select(col("gid")).localCheckpoint()
+    // candidate universe: non-core nodes that post-batch COULD have k
+    // core-or-candidate neighbors (degree < k disqualifies outright)
+    val cand = und.groupBy(col("a")).agg(count(lit(1)).as("d"))
+      .filter(col("d") >= k).select(col("a").as("gid"))
+      .join(core, Seq("gid"), "left_anti")
+      .localCheckpoint()
+    // reach: BFS from the delta endpoints through the candidate set
+    var visited = seeds.select(col("gid")).distinct()
+      .join(cand, Seq("gid"), "left_semi").localCheckpoint()
+    var frontier = visited
+    var frontierN = frontier.count()
+    var iter = 0
+    while (frontierN > 0 && iter < maxIter) {
+      iter += 1
+      frontier = graft.PlanAudit.tap("frontier.round", und
+          .join(hintSmall(frontier.select(col("gid").as("a")), frontierN),
+            Seq("a"), "left_semi")
+          .select(col("b").as("gid")).distinct()
+          .join(cand, Seq("gid"), "left_semi")
+          .join(visited, Seq("gid"), "left_anti"))
+        .localCheckpoint()
+      frontierN = frontier.count()
+      if (frontierN > 0) visited = visited.unionByName(frontier).localCheckpoint()
+    }
+    require(frontierN == 0,
+      s"kCoreIncremental reach: $maxIter BFS rounds exhausted before fixpoint")
+    // peel R with permanent credits for old-core neighbors
+    val rEdges = und
+      .join(visited.select(col("gid").as("a")), Seq("a"), "left_semi")
+      .localCheckpoint() // a ∈ R, b anywhere — read by credits + region legs
+    val credits = rEdges
+      .join(core.select(col("gid").as("b")), Seq("b"), "left_semi")
+      .groupBy(col("a")).agg(count(lit(1)).as("cr"))
+      .localCheckpoint()
+    var alive = visited
+    var aliveEdges = rEdges
+      .join(visited.select(col("gid").as("b")), Seq("b"), "left_semi")
+      .localCheckpoint()
+    var aliveN = -1L
+    var converged = false
+    iter = 0
+    while (!converged && iter < maxIter) {
+      iter += 1
+      val survivors = alive.select(col("gid").as("a"))
+        .join(credits, Seq("a"), "left")
+        .join(aliveEdges.groupBy(col("a")).agg(count(lit(1)).as("rd")),
+          Seq("a"), "left")
+        .filter(coalesce(col("cr"), lit(0L)) +
+          coalesce(col("rd"), lit(0L)) >= k)
+        .select(col("a").as("gid"))
+        .localCheckpoint()
+      val n = survivors.count()
+      converged = n == aliveN
+      aliveN = n
+      alive = survivors
+      if (!converged && n > 0) {
+        aliveEdges = graft.PlanAudit.tap("peel.contract", aliveEdges
+            .join(hintSmall(survivors.select(col("gid").as("sa")), n),
+              col("a") === col("sa"), "left_semi")
+            .join(hintSmall(survivors.select(col("gid").as("sb")), n),
+              col("b") === col("sb"), "left_semi"))
+          .localCheckpoint()
+      } else if (n == 0) converged = true
+    }
+    require(converged,
+      s"kCoreIncremental peel: $maxIter rounds exhausted before fixpoint")
+    core.unionByName(alive)
+  }
+
   /** Incremental connected-components maintenance: fold a batch of NEW
     * edges into an existing (gid, comp) labeling with DELTA-SCALE work —
     * the incremental-view-maintenance face of [[connectedComponents]].

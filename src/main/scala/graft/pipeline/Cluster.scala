@@ -922,13 +922,35 @@ object Cluster {
   def dbscanIncremental(nodes: DataFrame, baseUnd: DataFrame,
       baseDeg: DataFrame, baseLabels: DataFrame, newPairs: DataFrame,
       minPts: Int): DataFrame = {
+    val (und, _, labels) =
+      dbscanFold(baseUnd, baseDeg, baseLabels, newPairs, minPts)
+    dbscanAssign(nodes, und, labels)
+  }
+
+  /** One STATE fold of [[dbscanIncremental]]: the pinned
+    * (neighbor-list, degree, core-label) triple absorbs a batch of new
+    * ε-pairs and returns the updated triple — the same shape
+    * [[dbscanFit]] produces, so folds CHAIN (the streaming face feeds
+    * each trigger's output state into the next trigger's fold, and the
+    * merge-only monotonicity argument applies round by round). The
+    * node-scale legs (degrees, labels) are checkpointed per fold; the
+    * returned neighbor list is the LAZY union of the pinned base and
+    * the checkpointed per-batch deltas — re-materializing the
+    * corpus-scale pair list every trigger is exactly the rewrite the
+    * fold exists to avoid, and a k-trigger union of checkpointed legs
+    * is bounded-depth lineage.
+    */
+  def dbscanFold(baseUnd: DataFrame, baseDeg: DataFrame,
+      baseLabels: DataFrame, newPairs: DataFrame,
+      minPts: Int): (DataFrame, DataFrame, DataFrame) = {
     val nu = newPairs.select(col("id_a").as("a"), col("id_b").as("b"))
       .unionByName(newPairs.select(col("id_b").as("a"), col("id_a").as("b")))
-      .localCheckpoint() // bump agg + core-core filter + assign read it
+      .localCheckpoint() // bump agg + core-core filter + union leg read it
     val bump = nu.groupBy(col("a")).agg(count(lit(1)).as("bd"))
     val deg = baseDeg.join(bump, Seq("a"), "full")
       .select(col("a"),
         (coalesce(col("d"), lit(0L)) + coalesce(col("bd"), lit(0L))).as("d"))
+      .localCheckpoint()
     val core = deg.filter(col("d") >= minPts).select(col("a"))
       .localCheckpoint()
     val newlyCore = core
@@ -952,7 +974,8 @@ object Cluster {
     val singletons = core.select(col("a").as("gid"))
       .join(merged.select(col("gid")), Seq("gid"), "left_anti")
       .select(col("gid"), col("gid").as("comp"))
-    val labels = merged.unionByName(singletons).localCheckpoint()
-    dbscanAssign(nodes, baseUnd.unionByName(nu), labels)
+    val labels = graft.PlanAudit.tap("stream.fold",
+      merged.unionByName(singletons)).localCheckpoint()
+    (baseUnd.unionByName(nu), deg, labels)
   }
 }

@@ -1352,6 +1352,48 @@ object GraphOps {
 
   val gKcoreSql: String = GraphOracleSql.kcoreSql(k = 4, rounds = 4)
 
+  /** The BASE-graph 4-core membership (orders with key % 10 ≠ 0) —
+    * pinned per (session, dir): the previous snapshot's cohesion state,
+    * as ccBaseCached / triBaseCached.
+    */
+  private val kcoreBaseCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  private def kcoreBaseCached(spark: SparkSession, dir: String): DataFrame =
+    kcoreBaseCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      val baseLi = Tables.load(spark, dir, "lineitem")
+        .filter(col("l_orderkey") % 10 =!= 0)
+      graft.PinnedRdds.pinning(spark) {
+        Algorithms.kCore(ccPairEdges(baseLi), k = 4).localCheckpoint()
+      }
+    })
+
+  /** INCREMENTAL 4-core maintenance: the delta orders' co-purchase
+    * pairs fold into the pinned base core via
+    * [[graft.graph.Algorithms.kCoreIncremental]] — k-core membership is
+    * monotone under arrivals, so the fold is a frontier-bounded reach
+    * from the delta endpoints plus a credit-peel of the cascade region,
+    * never a full re-peel. The post-batch deduped pair set is the
+    * SHARED pinned co-purchase view (a delta pair re-observing a base
+    * pair must not double a degree). Oracle: the SAME full-graph peel
+    * SQL as g_kcore — hash-green proves fold ≡ refit exactly, the
+    * g_cc_incr discipline applied to cohesion state.
+    */
+  def gKcoreIncr(spark: SparkSession, dir: String): DataFrame = {
+    val (_, pairs) = copurchaseGraph(spark, dir)
+    val und = pairs.select(col("gsrc").as("a"), col("gdst").as("b"))
+      .unionByName(pairs.select(col("gdst").as("a"), col("gsrc").as("b")))
+    val deltaPairs = ccPairEdges(Tables.load(spark, dir, "lineitem")
+      .filter(col("l_orderkey") % 10 === 0))
+    val seeds = deltaPairs.select(col("gsrc").as("gid"))
+      .unionByName(deltaPairs.select(col("gdst").as("gid")))
+      .distinct()
+    Algorithms.kCoreIncremental(kcoreBaseCached(spark, dir), und, seeds, k = 4)
+      .agg(count(lit(1)).as("core_size"))
+  }
+
+  val gKcoreIncrSql: String = gKcoreSql
+
   /** WEIGHTED core of the support-weighted co-purchase graph: peel
     * nodes whose incident support sum (orders containing both parts) is
     * < 80 — the strength-of-ties core, completing the weighted family
@@ -3124,6 +3166,7 @@ object GraphOps {
     QueryDef.sql("g_label_prop_w", gLabelPropW, gLabelPropWSql),
     QueryDef.sql("g_modularity", gModularity, gModularitySql),
     QueryDef.sql("g_kcore", gKcore, gKcoreSql),
+    QueryDef.sql("g_kcore_incr", gKcoreIncr, gKcoreIncrSql),
     QueryDef.sql("g_kcore_w", gKcoreW, gKcoreWSql),
     QueryDef.sql("g_random_walks", gRandomWalks, gRandomWalksSql),
     QueryDef.sql("g_walk_pairs", gWalkPairs, gWalkPairsSql),

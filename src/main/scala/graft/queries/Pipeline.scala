@@ -1888,6 +1888,96 @@ object Pipeline {
 
   val pDbscanIncrSql: String = pDbscanSql
 
+  /** The arriving-points stream for the DBSCAN maintenance face: the
+    * vec_id ≡ 0 mod 10 batch split into three parquet files (the
+    * s_cc_incr / s_mst_incr delta-source convention), pinned per
+    * (session, dir).
+    */
+  private val dbscanDeltaSrcCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  private def dbscanDeltaSourceDir(spark: SparkSession, dir: String): String =
+    dbscanDeltaSrcCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      val out = java.nio.file.Files.createTempDirectory("graft_dbscan_src").toString
+      Tables.load(spark, dir, "embeddings")
+        .filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id"))
+        .repartition(3, col("vec_id"))
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+
+  /** STREAMING DBSCAN maintenance — the density-state member of the
+    * streaming-fold family (beside s_cc_incr's semilattice labels and
+    * s_mst_incr's sparsified forest): points arrive in three real
+    * micro-batches and each trigger folds into the evolving
+    * (neighbor-list, degree, core-label) state via
+    * [[graft.pipeline.Cluster.dbscanFold]] — the merge-only
+    * monotonicity argument (arrivals only add ε-pairs ⇒ degrees grow,
+    * cores grow, clusters merge) applies round by round, so chained
+    * folds land on the refit state whatever the batch boundaries.
+    *
+    * Per-trigger candidates come from the pinned hyperplane-bucket
+    * index ([[embedLshKeysCached]]): batch keys probe on
+    * (table, bucket), and the collision stream is semi-joined down to
+    * endpoints that have ARRIVED (base ∪ earlier batches ∪ this batch)
+    * — the arrived filter makes each unordered pair emerge in exactly
+    * one trigger (the later endpoint's), which the additive degree fold
+    * requires, and keeps the stream causally honest: a trigger never
+    * sees pairs against points the deployment hasn't ingested. Every
+    * collision passes the exact cosine verify before folding. Eager
+    * per-trigger folding is correct here for the s_cc_incr reason:
+    * the density state IS the serving state — there is no corpus
+    * layout rebuild to defer to drain. Oracle = the SAME
+    * full-recompute SQL as p_dbscan: hash-green proves chained folds ≡
+    * refit across trigger-spanning pair streams and the core-promotion
+    * subtlety in every round.
+    */
+  def sDbscanIncr(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val keys = embedLshKeysCached(spark, dir)
+    val src = dbscanDeltaSourceDir(spark, dir)
+    val batchSchema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(batchSchema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    var state = dbscanBaseCached(spark, dir)
+    var arrived = emb.filter(col("vec_id") % 10 =!= 0)
+      .select(col("vec_id").as("oid")).localCheckpoint()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_dbscan_ckpt").toString
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val bids = b.select(col("vec_id").as("bid")).localCheckpoint()
+        val batchKeys = keys
+          .join(bids, col("id") === col("bid"), "left_semi")
+          .select(col("id").as("bid"), col("table"), col("bucket"))
+        val seen = arrived
+          .unionByName(bids.select(col("bid").as("oid")))
+          .localCheckpoint()
+        val cand = batchKeys
+          .join(keys.select(col("id").as("oid"), col("table"), col("bucket")),
+            Seq("table", "bucket"))
+          .filter(col("bid") =!= col("oid"))
+          .join(seen, Seq("oid"), "left_semi")
+          .select(least(col("bid"), col("oid")).as("id_a"),
+            greatest(col("bid"), col("oid")).as("id_b"))
+          .distinct()
+        val newPairs = Dedup.embedCosinePairs(emb, "vec_id", "embedding",
+          cand, threshold = 0.4)
+        state = graft.pipeline.Cluster.dbscanFold(state._1, state._2,
+          state._3, newPairs.select(col("id_a"), col("id_b")), minPts = 3)
+        arrived = seen
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    graft.pipeline.Cluster.dbscanAssign(
+        emb.select(col("vec_id").as("id")), state._1, state._3)
+      .select(col("id").as("vec_id"), col("role"), col("cluster_id"))
+  }
+
+  val sDbscanIncrSql: String = pDbscanSql
+
   /** IVF-PQ recall-vs-budget curve: the pinned index searched at
     * shortlist budgets {10, 20, 40} (nProbe 4), each exactly re-ranked
     * to top-5 and scored against the brute-force truth — the serving
@@ -3563,6 +3653,7 @@ object Pipeline {
     QueryDef.sql("p_mutual_knn", pMutualKnn, pMutualKnnSql),
     QueryDef.sql("p_dbscan", pDbscan, pDbscanSql),
     QueryDef.sql("p_dbscan_incr", pDbscanIncr, pDbscanIncrSql),
+    QueryDef.sql("s_dbscan_incr", sDbscanIncr, sDbscanIncrSql),
     QueryDef.rowsOnly("p_rerank_eval", pRerankEval),
     QueryDef.sql("p_lang_id", pLangId, pLangIdSql),
     QueryDef.sql("p_quality_score", pQualityScore, pQualityScoreSql),

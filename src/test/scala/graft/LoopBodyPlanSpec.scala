@@ -56,4 +56,10 @@ class LoopBodyPlanSpec extends SparkSpec with PlanWalk {
       queries.GraphOps.sCcIncr(spark, sf()).collect() }
     assertClean("stream-fold", rounds.filter(_._1 == "stream.fold"))
   }
+
+  test("stream-fold family: every DBSCAN density-fold plan is product-free and pruned") {
+    val rounds = captured {
+      queries.Pipeline.sDbscanIncr(spark, sf()).collect() }
+    assertClean("stream-fold(dbscan)", rounds.filter(_._1 == "stream.fold"))
+  }
 }

@@ -308,6 +308,36 @@ class RandomizedAlgSpec extends SparkSpec {
     }
   }
 
+  test("incremental k-core fold ≡ full re-peel on random base/delta splits") {
+    import spark.implicits._
+    (61 to 66).foreach { seed =>
+      val rnd = new Random(seed)
+      val (nodes, edges) = randomGraph(seed)
+      val (_, edf) = toDf(nodes, edges)
+      // random split; delta may re-observe base pairs (the dedup-before-
+      // symmetrize contract) and may touch unseen nodes
+      val (base, delta) = edges.partition(_ => rnd.nextBoolean())
+      val (_, bdf) = toDf(nodes, base)
+      val canon = edges.filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      val und =
+        if (canon.isEmpty) Seq((0L, 0L)).toDF("a", "b").limit(0)
+        else (canon ++ canon.map(_.swap)).toDF("a", "b")
+      val seedIds = delta.flatMap { case (a, b) => Seq(a, b) }.distinct
+      val seedDf =
+        if (seedIds.isEmpty) Seq(0L).toDF("gid").limit(0)
+        else seedIds.toDF("gid")
+      (1 to 3).foreach { k =>
+        val baseCore = Algorithms.kCore(bdf, k)
+        val got = Algorithms.kCoreIncremental(baseCore, und, seedDf, k)
+          .collect().map(_.getLong(0)).toSet
+        val want = Algorithms.kCore(edf, k)
+          .collect().map(_.getLong(0)).toSet
+        assert(got === want, s"seed=$seed k=$k base=$base delta=$delta")
+      }
+    }
+  }
+
   test("incremental cc equals full recompute on random edge splits") {
     (81 to 88).foreach { seed =>
       val rnd = new Random(seed)

@@ -143,6 +143,43 @@ class DbscanSpec extends SparkSpec {
     }
   }
 
+  test("chained folds ≡ one fold ≡ full refit across arrival waves") {
+    // points arrive in three waves; each unordered pair belongs to the
+    // wave of its LATER-arriving endpoint (the streaming face's arrived
+    // filter), so the chained state folds see exactly the per-trigger
+    // pair streams s_dbscan_incr feeds them
+    import spark.implicits._
+    val rnd = new scala.util.Random(3141L)
+    for (trial <- 0 until 3) {
+      val n = 36L
+      val pairs = (for {
+        a <- 1L to n; b <- (a + 1) to n
+        if rnd.nextDouble() < 0.10
+      } yield (a, b)).toSeq
+      val wave = (v: Long) => if (v % 5 != 0) 0 else 1 + ((v / 5) % 3).toInt
+      val basePairs = pairs.filter { case (a, b) => wave(a) == 0 && wave(b) == 0 }
+      val byWave = (1 to 3).map { w =>
+        pairs.filter { case (a, b) =>
+          math.max(wave(a), wave(b)) == w }
+      }
+      for (minPts <- Seq(2, 3)) {
+        var st = Cluster.dbscanFit(basePairs.toDF("id_a", "id_b"), minPts)
+        for (wp <- byWave)
+          st = Cluster.dbscanFold(st._1, st._2, st._3,
+            wp.toDF("id_a", "id_b"), minPts)
+        val got = Cluster.dbscanAssign((1L to n).toDF("id"), st._1, st._3)
+          .collect()
+          .map(r => r.getLong(0) ->
+            (r.getString(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+          .toMap
+        val oneFold = runIncr(basePairs, byWave.flatten, n, minPts)
+        val want = run(pairs, n, minPts)
+        assert(got === want, s"chained != refit: trial=$trial minPts=$minPts")
+        assert(oneFold === want, s"one-fold != refit: trial=$trial minPts=$minPts")
+      }
+    }
+  }
+
   test("randomized graphs ≡ driver reference across minPts") {
     val rnd = new scala.util.Random(8150L)
     for (trial <- 0 until 4) {
