@@ -1507,14 +1507,19 @@ object Algorithms {
     *                 symmetrization (a base pair re-observed in the
     *                 delta must not double a degree)
     * @param seeds    delta-pair endpoints, one `gid` column
+    * @param degOpt   post-batch degree table (a, d) over the deduped
+    *                 edge view, when the caller maintains it
+    *                 incrementally (the streaming face folds additive
+    *                 bumps per trigger); None recomputes from `und`
     */
   def kCoreIncremental(baseCore: DataFrame, und: DataFrame, seeds: DataFrame,
-      k: Int, maxIter: Int = 100): DataFrame = {
+      k: Int, maxIter: Int = 100, degOpt: Option[DataFrame] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val core = baseCore.select(col("gid")).localCheckpoint()
     // candidate universe: non-core nodes that post-batch COULD have k
     // core-or-candidate neighbors (degree < k disqualifies outright)
-    val cand = und.groupBy(col("a")).agg(count(lit(1)).as("d"))
+    val cand = degOpt
+      .getOrElse(und.groupBy(col("a")).agg(count(lit(1)).as("d")))
       .filter(col("d") >= k).select(col("a").as("gid"))
       .join(core, Seq("gid"), "left_anti")
       .localCheckpoint()

@@ -1352,19 +1352,27 @@ object GraphOps {
 
   val gKcoreSql: String = GraphOracleSql.kcoreSql(k = 4, rounds = 4)
 
-  /** The BASE-graph 4-core membership (orders with key % 10 ≠ 0) —
-    * pinned per (session, dir): the previous snapshot's cohesion state,
-    * as ccBaseCached / triBaseCached.
+  /** The BASE-graph cohesion state (orders with key % 10 ≠ 0) — the
+    * canonical pair set, the degree table, and the 4-core membership,
+    * pinned per (session, dir): the previous snapshot's state, as
+    * ccBaseCached / triBaseCached.
     */
-  private val kcoreBaseCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+  private val kcoreBaseCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), (DataFrame, DataFrame, DataFrame)]
 
-  private def kcoreBaseCached(spark: SparkSession, dir: String): DataFrame =
+  private def kcoreBaseCached(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) =
     kcoreBaseCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
       val baseLi = Tables.load(spark, dir, "lineitem")
         .filter(col("l_orderkey") % 10 =!= 0)
       graft.PinnedRdds.pinning(spark) {
-        Algorithms.kCore(ccPairEdges(baseLi), k = 4).localCheckpoint()
+        val pairs = ccPairEdges(baseLi).localCheckpoint()
+        val deg = pairs.select(col("gsrc").as("a"))
+          .unionByName(pairs.select(col("gdst").as("a")))
+          .groupBy(col("a")).agg(count(lit(1)).as("d"))
+          .localCheckpoint()
+        val core = Algorithms.kCore(pairs, k = 4).localCheckpoint()
+        (pairs, deg, core)
       }
     })
 
@@ -1388,11 +1396,71 @@ object GraphOps {
     val seeds = deltaPairs.select(col("gsrc").as("gid"))
       .unionByName(deltaPairs.select(col("gdst").as("gid")))
       .distinct()
-    Algorithms.kCoreIncremental(kcoreBaseCached(spark, dir), und, seeds, k = 4)
+    Algorithms.kCoreIncremental(kcoreBaseCached(spark, dir)._3, und, seeds,
+        k = 4)
       .agg(count(lit(1)).as("core_size"))
   }
 
   val gKcoreIncrSql: String = gKcoreSql
+
+  /** STREAMING k-core maintenance — the cohesion member of the
+    * streaming-fold family: delta co-purchases arrive as three real
+    * micro-batches (the s_cc_incr delta source: orders kept whole per
+    * file, so per-batch pair derivation is complete) and each trigger
+    * folds the evolving (pair-set, degree, core) state through
+    * [[graft.graph.Algorithms.kCoreIncremental]]. Monotonicity chains:
+    * each fold's input core is the exact core of the pairs seen so far
+    * (fold ≡ refit, inductively), so the maximality argument that
+    * bounds the joiner cascade holds at every trigger. Per-trigger
+    * pair dedup is the arrived-filter discipline: batch pairs
+    * anti-join the pairs-so-far (a pair re-observed across triggers
+    * must not double a degree), degrees fold additively (node-scale
+    * full-outer, never a corpus re-aggregation), and the pair set
+    * stays the lazy union of the pinned base + checkpointed per-batch
+    * deltas. Eager folding is correct for the s_cc_incr reason: core
+    * membership IS the serving state. Oracle = the SAME full-graph
+    * peel SQL as g_kcore: hash-green proves chained folds ≡ refit.
+    */
+  def sKcoreIncr(spark: SparkSession, dir: String): DataFrame = {
+    val (basePairs, baseDeg, baseCore) = kcoreBaseCached(spark, dir)
+    val src = ccDeltaSourceDir(spark, dir)
+    val batchSchema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(batchSchema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    var pairs = basePairs
+    var deg = baseDeg
+    var core = baseCore
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_kcore_ckpt").toString
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val newPairs = ccPairEdges(b)
+          .join(pairs, Seq("gsrc", "gdst"), "left_anti")
+          .localCheckpoint()
+        val bump = newPairs.select(col("gsrc").as("a"))
+          .unionByName(newPairs.select(col("gdst").as("a")))
+          .groupBy(col("a")).agg(count(lit(1)).as("bd"))
+        deg = deg.join(bump, Seq("a"), "full")
+          .select(col("a"), (coalesce(col("d"), lit(0L)) +
+            coalesce(col("bd"), lit(0L))).as("d"))
+          .localCheckpoint()
+        val seeds = newPairs.select(col("gsrc").as("gid"))
+          .unionByName(newPairs.select(col("gdst").as("gid")))
+          .distinct()
+        pairs = pairs.unionByName(newPairs)
+        val und = pairs.select(col("gsrc").as("a"), col("gdst").as("b"))
+          .unionByName(pairs.select(col("gdst").as("a"), col("gsrc").as("b")))
+        core = Algorithms.kCoreIncremental(core, und, seeds, k = 4,
+            degOpt = Some(deg))
+          .localCheckpoint()
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    core.agg(count(lit(1)).as("core_size"))
+  }
+
+  val sKcoreIncrSql: String = gKcoreSql
 
   /** WEIGHTED core of the support-weighted co-purchase graph: peel
     * nodes whose incident support sum (orders containing both parts) is
@@ -3167,6 +3235,7 @@ object GraphOps {
     QueryDef.sql("g_modularity", gModularity, gModularitySql),
     QueryDef.sql("g_kcore", gKcore, gKcoreSql),
     QueryDef.sql("g_kcore_incr", gKcoreIncr, gKcoreIncrSql),
+    QueryDef.sql("s_kcore_incr", sKcoreIncr, sKcoreIncrSql),
     QueryDef.sql("g_kcore_w", gKcoreW, gKcoreWSql),
     QueryDef.sql("g_random_walks", gRandomWalks, gRandomWalksSql),
     QueryDef.sql("g_walk_pairs", gWalkPairs, gWalkPairsSql),

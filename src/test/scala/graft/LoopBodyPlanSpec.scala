@@ -62,4 +62,11 @@ class LoopBodyPlanSpec extends SparkSpec with PlanWalk {
       queries.Pipeline.sDbscanIncr(spark, sf()).collect() }
     assertClean("stream-fold(dbscan)", rounds.filter(_._1 == "stream.fold"))
   }
+
+  test("stream-fold family: k-core maintenance reach/peel round plans are product-free and pruned") {
+    val rounds = captured {
+      queries.GraphOps.sKcoreIncr(spark, sf()).collect() }
+    assertClean("stream-fold(kcore)", rounds.filter(t =>
+      t._1 == "frontier.round" || t._1 == "peel.contract"))
+  }
 }

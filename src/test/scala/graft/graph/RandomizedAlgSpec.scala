@@ -334,6 +334,32 @@ class RandomizedAlgSpec extends SparkSpec {
         val want = Algorithms.kCore(edf, k)
           .collect().map(_.getLong(0)).toSet
         assert(got === want, s"seed=$seed k=$k base=$base delta=$delta")
+        // chained folds (the streaming face): split the delta into two
+        // waves; each fold's und is the pairs-so-far, deduped — the
+        // arrived-pair discipline — with the maintained degree table
+        val baseCanon = base.filter { case (a, b) => a != b }
+          .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+        val (d1, d2) = delta.zipWithIndex.partition(_._2 % 2 == 0)
+        var soFar = baseCanon
+        var core = baseCore
+        for (wave <- Seq(d1.map(_._1), d2.map(_._1))) {
+          val wCanon = wave.filter { case (a, b) => a != b }
+            .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+            .distinct.filterNot(soFar.contains)
+          soFar = soFar ++ wCanon
+          val undW =
+            if (soFar.isEmpty) Seq((0L, 0L)).toDF("a", "b").limit(0)
+            else (soFar ++ soFar.map(_.swap)).toDF("a", "b")
+          val degW = undW.groupBy(col("a")).agg(count(lit(1)).as("d"))
+          val seedsW = wCanon.flatMap { case (a, b) => Seq(a, b) }.distinct
+          val sdf =
+            if (seedsW.isEmpty) Seq(0L).toDF("gid").limit(0)
+            else seedsW.toDF("gid")
+          core = Algorithms.kCoreIncremental(core, undW, sdf, k,
+            degOpt = Some(degW))
+        }
+        val chained = core.collect().map(_.getLong(0)).toSet
+        assert(chained === want, s"chained: seed=$seed k=$k delta=$delta")
       }
     }
   }
