@@ -1859,6 +1859,66 @@ object GraphOps {
   // val here would capture null at initialization order
   def gTrianglesIncrSql: String = gTrianglesSql
 
+  /** The 1% delta (orders ≡ 0 mod 100) split into three parquet files —
+    * the arriving-edges stream for the triangle maintenance face (the
+    * s_cc_incr convention at the g_triangles_incr delta rate; orders
+    * kept whole per file so per-batch pair derivation is complete).
+    */
+  private val triDeltaSrcCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  private def triDeltaSourceDir(spark: SparkSession, dir: String): String =
+    triDeltaSrcCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      val out = java.nio.file.Files.createTempDirectory("graft_tri_src").toString
+      Tables.load(spark, dir, "lineitem")
+        .filter(col("l_orderkey") % 100 === 0)
+        .select(col("l_orderkey"), col("l_partkey"))
+        .repartition(3, col("l_orderkey"))
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+
+  /** STREAMING triangle maintenance — the BUFFERED member of the
+    * streaming-fold family for cohesion counts, and the state-algebra
+    * contrast to s_cc_incr / s_kcore_incr / s_dbscan_incr's eager
+    * folds: a triangle count does NOT fold per trigger without the
+    * post-batch adjacency (two triggers' pairs can close a wedge
+    * neither sees alone), and rebuilding the merged adjacency every
+    * trigger would be the per-trigger corpus rewrite the buffered
+    * discipline exists to avoid (s_pagerank_incr's drain-time layout
+    * application, s_mst_incr's one MSF after drain). So each trigger
+    * pays only its own pair DERIVATION (order-group → intra-order
+    * pairs, delta-scale, checkpointed), and the drain runs ONE
+    * inclusion–exclusion fold of the accumulated delta against the
+    * pinned base artifacts — cross-trigger duplicate pairs collapse in
+    * the fold's own distinct. Oracle: the SAME full-recount SQL as
+    * g_triangles — hash-green proves buffered chunking ≡ the one-shot
+    * incremental fold ≡ the full recount.
+    */
+  def sTrianglesIncr(spark: SparkSession, dir: String): DataFrame = {
+    val (pairs, adj, tri) = triBaseCached(spark, dir)
+    val src = triDeltaSourceDir(spark, dir)
+    val batchSchema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(batchSchema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    var buffered: List[DataFrame] = Nil
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_tri_ckpt").toString
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        buffered = ccPairEdges(b)
+          .select(col("gsrc").as("a"), col("gdst").as("b"))
+          .localCheckpoint() :: buffered
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    Algorithms.triangleCountIncremental(pairs, adj, tri,
+      buffered.reduce(_ unionByName _))
+  }
+
+  def sTrianglesIncrSql: String = gTrianglesSql
+
   /** DOULION sampled triangle estimate at p = 0.5 (rows-only: the
     * estimator's contract — unbiasedness and error bounds vs exact —
     * is pinned in RandomizedAlgSpec on planted graphs; the seeded-hash
@@ -3242,6 +3302,7 @@ object GraphOps {
     QueryDef.sql("g_node2vec", gNode2vec, gNode2vecSql),
     QueryDef.sql("g_triangles", gTriangles, gTrianglesSql),
     QueryDef.sql("g_triangles_incr", gTrianglesIncr, gTrianglesIncrSql),
+    QueryDef.sql("s_triangles_incr", sTrianglesIncr, sTrianglesIncrSql),
     QueryDef.rowsOnly("g_triangles_approx", gTrianglesApprox),
     QueryDef.sql("g_clustering_coef", gClusteringCoef, gClusteringCoefSql),
     QueryDef.sql("g_adamic_adar", gAdamicAdar, gAdamicAdarSql),
