@@ -1958,6 +1958,119 @@ object Algorithms {
     } // withoutAqe
   }
 
+  /** INCREMENTAL fixed-k truss maintenance under edge ARRIVALS — the
+    * edge-cohesion member of the incremental family, completing the
+    * cohesion ladder (CC labels → core membership → triangle counts →
+    * truss backbone) at delta cost. Truss membership is MONOTONE under
+    * insertion (the old truss's supporting triangles are intact), and
+    * the base peel's MAXIMALITY pins the joiner cascade exactly as for
+    * k-core, one level up: a triangle-adjacency component of joining
+    * edges with no delta edge attached would have every supporting
+    * triangle inside (old truss ∪ component) using only OLD edges —
+    * i.e. the base graph already contained a larger k-truss,
+    * contradicting maximality. So joiners live in R = edges reachable
+    * from the (non-base) delta edges through triangles of the
+    * post-batch graph whose stepped-onto edge is VIABLE (post-batch
+    * support ≥ k−2 — checked lazily per touched edge as
+    * |N(u) ∩ N(v)|, never a corpus support pass), and the exact joiner
+    * set is the support peel on R where a triangle credits an R-edge
+    * iff its other two edges are in (old truss ∪ R-alive) — old-truss
+    * edges are permanent members and are never peeled. Per-round
+    * membership checks broadcast-PROBE the pinned truss (map-side scan
+    * keyed by the round's candidate edges), never shuffle it.
+    *
+    * @param baseTruss pinned old-truss canonical edge list (a, b)
+    * @param adj       POST-batch undirected adjacency arrays (v, nbrs)
+    *                  over the deduped simple graph
+    * @param deltaEdges new canonical edges (a, b), a < b (may
+    *                  re-observe base edges — they are dropped)
+    */
+  def kTrussIncremental(baseTruss: DataFrame, adj: DataFrame,
+      deltaEdges: DataFrame, k: Int, maxIter: Int = 50): DataFrame = {
+    require(k >= 3, s"k must be >= 3, got $k")
+    val minSup = k - 2
+    val truss = baseTruss.select(col("a"), col("b")).localCheckpoint()
+    // viability + triangle steps both read two adjacency arrays per edge
+    def withNbrs(e: DataFrame): DataFrame = e
+      .join(adj.select(col("v").as("a"), col("nbrs").as("na")), Seq("a"))
+      .join(adj.select(col("v").as("b"), col("nbrs").as("nb")), Seq("b"))
+    def viable(e: DataFrame): DataFrame = withNbrs(e)
+      .filter(size(array_intersect(col("na"), col("nb"))) >= minSup)
+      .select(col("a"), col("b"))
+    // the two non-frontier edges of each triangle on a frontier edge
+    def triStep(e: DataFrame): DataFrame = withNbrs(e)
+      .select(col("a"), col("b"),
+        explode(array_intersect(col("na"), col("nb"))).as("x"))
+      .select(explode(array(
+        struct(least(col("a"), col("x")).as("a"),
+          greatest(col("a"), col("x")).as("b")),
+        struct(least(col("b"), col("x")).as("a"),
+          greatest(col("b"), col("x")).as("b")))).as("te"))
+      .select(col("te.a").as("a"), col("te.b").as("b"))
+      .distinct()
+    // reach: BFS from the genuinely-new delta edges through viable edges
+    var visited = viable(
+        deltaEdges.select(col("a"), col("b")).distinct()
+          .join(truss, Seq("a", "b"), "left_anti"))
+      .localCheckpoint()
+    var frontier = visited
+    var frontierN = frontier.count()
+    var iter = 0
+    while (frontierN > 0 && iter < maxIter) {
+      iter += 1
+      frontier = graft.PlanAudit.tap("frontier.round", viable(
+          triStep(frontier)
+            .join(truss, Seq("a", "b"), "left_anti")
+            .join(visited, Seq("a", "b"), "left_anti")))
+        .localCheckpoint()
+      frontierN = frontier.count()
+      if (frontierN > 0) visited = visited.unionByName(frontier).localCheckpoint()
+    }
+    require(frontierN == 0,
+      s"kTrussIncremental reach: $maxIter BFS rounds exhausted before fixpoint")
+    // peel R: a triangle credits an alive edge iff BOTH other edges are
+    // old-truss or alive
+    var alive = visited
+    var aliveN = -1L
+    var converged = false
+    iter = 0
+    while (!converged && iter < maxIter) {
+      iter += 1
+      val tris = withNbrs(alive)
+        .select(col("a"), col("b"),
+          explode(array_intersect(col("na"), col("nb"))).as("x"))
+        .select(col("a"), col("b"),
+          least(col("a"), col("x")).as("e1a"), greatest(col("a"), col("x")).as("e1b"),
+          least(col("b"), col("x")).as("e2a"), greatest(col("b"), col("x")).as("e2b"))
+        .localCheckpoint()
+      val ce = tris.select(col("e1a").as("a"), col("e1b").as("b"))
+        .unionByName(tris.select(col("e2a").as("a"), col("e2b").as("b")))
+        .distinct()
+      // membership subset: one map-side probe of the corpus-scale truss
+      // (build side = the round's bounded candidate-edge set) + alive
+      val members = truss.join(broadcast(ce), Seq("a", "b"), "left_semi")
+        .unionByName(alive.join(broadcast(ce), Seq("a", "b"), "left_semi"))
+        .localCheckpoint()
+      val survivors = graft.PlanAudit.tap("peel.contract", tris
+          .join(members.select(col("a").as("e1a"), col("b").as("e1b")),
+            Seq("e1a", "e1b"), "left_semi")
+          .join(members.select(col("a").as("e2a"), col("b").as("e2b")),
+            Seq("e2a", "e2b"), "left_semi")
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("sup"))
+          .filter(col("sup") >= minSup)
+          .select(col("a"), col("b")))
+        .localCheckpoint()
+      val n = survivors.count()
+      converged = n == aliveN
+      aliveN = n
+      alive = survivors
+      if (n == 0) converged = true
+    }
+    require(converged,
+      s"kTrussIncremental peel: $maxIter rounds exhausted before fixpoint")
+    truss.unionByName(alive)
+  }
+
   /** Adamic-Adar link prediction over an undirected simple graph:
     * score(x,y) = Σ_{z ∈ N(x)∩N(y)} 1/ln(deg z) for NON-adjacent pairs
     * sharing at least one neighbor — the classic common-neighbor signal

@@ -2469,22 +2469,76 @@ object GraphOps {
     * kcore-style fixpoint assertion (measured fixpoint: round 3 at
     * both sf0.01 and sf0.1).
     */
-  def gTruss(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.load(spark, dir, "lineitem")
+  /** Bounded co-purchase pairs (l_partkey < 2000), canonical a < b,
+    * deduped — the truss substrate shared by the batch face and the
+    * incremental fold.
+    */
+  private def trussPairs(li: DataFrame): DataFrame = {
     val op = li.filter(col("l_partkey") < 2000)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
     val perOrder = op.groupBy(col("l_orderkey"))
       .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
-    val pairs = perOrder.select(explode(flatten(transform(col("ps"),
+    perOrder.select(explode(flatten(transform(col("ps"),
         (x, i) => transform(slice(col("ps"), i + 2, size(col("ps"))),
           y => struct(x.as("a"), y.as("b")))))).as("e"))
       .select(col("e.a").as("gsrc"), col("e.b").as("gdst")).distinct()
-    Algorithms.kTruss(pairs, k = 4)
-      .select(col("a").as("part_a"), col("b").as("part_b"))
   }
+
+  def gTruss(spark: SparkSession, dir: String): DataFrame =
+    Algorithms.kTruss(trussPairs(Tables.load(spark, dir, "lineitem")), k = 4)
+      .select(col("a").as("part_a"), col("b").as("part_b"))
 
   val gTrussSql: String =
     GraphOracleSql.trussSql(k = 4, rounds = 5, partBound = 2000)
+
+  /** The BASE-graph truss state (orders with key % 10 ≠ 0): the pinned
+    * base 4-truss plus the POST-batch adjacency arrays of the full
+    * bounded graph (both the viability check and the triangle steps of
+    * the incremental fold read post-batch neighborhoods).
+    */
+  private val trussBaseCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), (DataFrame, DataFrame)]
+
+  private def trussBaseCached(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) =
+    trussBaseCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      val li = Tables.load(spark, dir, "lineitem")
+      graft.PinnedRdds.pinning(spark) {
+        val full = trussPairs(li).localCheckpoint()
+        val adj = full.select(col("gsrc").as("v"), col("gdst").as("u"))
+          .unionByName(full.select(col("gdst").as("v"), col("gsrc").as("u")))
+          .groupBy(col("v"))
+          .agg(array_sort(collect_set(col("u"))).as("nbrs"))
+          .localCheckpoint()
+        val base = Algorithms.kTruss(
+            trussPairs(li.filter(col("l_orderkey") % 10 =!= 0)), k = 4)
+          .localCheckpoint()
+        (adj, base)
+      }
+    })
+
+  /** INCREMENTAL 4-truss maintenance: the delta orders' bounded
+    * co-purchase pairs fold into the pinned base truss via
+    * [[graft.graph.Algorithms.kTrussIncremental]] — truss membership is
+    * monotone under arrivals and the base peel's maximality bounds the
+    * joiner cascade (the k-core argument one level up, on
+    * triangle-adjacency of edges), so the fold pays a reach BFS from
+    * the delta edges plus a credit-peel of the cascade region, never a
+    * full re-peel. Completes the cohesion ladder's incremental tier:
+    * CC labels, core membership, triangle counts, truss backbone.
+    * Oracle: the SAME full-peel SQL as g_truss — hash-green proves
+    * fold ≡ refit edge-for-edge.
+    */
+  def gTrussIncr(spark: SparkSession, dir: String): DataFrame = {
+    val (adj, base) = trussBaseCached(spark, dir)
+    val deltaPairs = trussPairs(Tables.load(spark, dir, "lineitem")
+        .filter(col("l_orderkey") % 10 === 0))
+      .select(col("gsrc").as("a"), col("gdst").as("b"))
+    Algorithms.kTrussIncremental(base, adj, deltaPairs, k = 4)
+      .select(col("a").as("part_a"), col("b").as("part_b"))
+  }
+
+  def gTrussIncrSql: String = gTrussSql
 
   /** Market-basket association mining over orders: pair support (how
     * many orders contain both parts) and lift (support over the
@@ -3325,6 +3379,7 @@ object GraphOps {
     QueryDef.sql("g_mst_incr", gMstIncr, gMstIncrSql),
     QueryDef.sql("s_mst_incr", sMstIncr, sMstIncrSql),
     QueryDef.sql("g_truss", gTruss, gTrussSql),
+    QueryDef.sql("g_truss_incr", gTrussIncr, gTrussIncrSql),
     QueryDef.sql("g_wal_replay", gWalReplay, gWalReplaySql),
     QueryDef.sql("g_reciprocity", gReciprocity, gReciprocitySql),
     QueryDef.sql("g_scc", gScc, gSccSql),

@@ -364,6 +364,38 @@ class RandomizedAlgSpec extends SparkSpec {
     }
   }
 
+  test("incremental k-truss fold ≡ full re-peel on random base/delta splits") {
+    import spark.implicits._
+    (71 to 76).foreach { seed =>
+      val rnd = new Random(seed)
+      // denser than randomGraph so trusses actually exist
+      val n = 8 + rnd.nextInt(5)
+      val nodes = (0L until n.toLong).toSeq
+      val edges = (for {
+        a <- 0L until n.toLong; b <- (a + 1) until n.toLong
+        if rnd.nextDouble() < 0.45
+      } yield (a, b)).toSeq
+      val (base, delta) = edges.partition(_ => rnd.nextBoolean())
+      val (_, edf) = toDf(nodes, edges)
+      val (_, bdf) = toDf(nodes, base)
+      val adj = (edges ++ edges.map(_.swap))
+        .groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted).toSeq
+        .map { case (v, us) => (v, us) }
+        .toDF("v", "nbrs")
+      val deltaDf =
+        if (delta.isEmpty) Seq((0L, 0L)).toDF("a", "b").limit(0)
+        else delta.toDF("a", "b")
+      for (k <- Seq(3, 4)) {
+        val baseTruss = Algorithms.kTruss(bdf, k)
+        val got = Algorithms.kTrussIncremental(baseTruss, adj, deltaDf, k)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val want = Algorithms.kTruss(edf, k)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(got === want, s"seed=$seed k=$k base=$base delta=$delta")
+      }
+    }
+  }
+
   test("incremental cc equals full recompute on random edge splits") {
     (81 to 88).foreach { seed =>
       val rnd = new Random(seed)
