@@ -2540,6 +2540,64 @@ object GraphOps {
 
   def gTrussIncrSql: String = gTrussSql
 
+  /** The truss delta stream: delta orders (key % 10 ≡ 0) split into
+    * three parquet files, orders whole per file (the s_cc_incr
+    * convention), pinned per (session, dir).
+    */
+  private val trussDeltaSrcCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  private def trussDeltaSourceDir(spark: SparkSession, dir: String): String =
+    trussDeltaSrcCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      val out = java.nio.file.Files.createTempDirectory("graft_truss_src").toString
+      Tables.load(spark, dir, "lineitem")
+        .filter(col("l_orderkey") % 10 === 0 && col("l_partkey") < 2000)
+        .select(col("l_orderkey"), col("l_partkey"))
+        .repartition(3, col("l_orderkey"))
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+
+  /** STREAMING truss maintenance — the second BUFFERED member of the
+    * streaming cohesion tier (with s_triangles_incr), and for the same
+    * state-algebra reason: the truss fold's viability checks and
+    * triangle steps read POST-batch neighborhoods (two triggers' edges
+    * can co-support a triangle neither trigger sees alone), and a
+    * per-trigger adjacency rebuild would rewrite corpus-scale state.
+    * Each trigger pays its own bounded pair derivation (delta-scale,
+    * checkpointed); the drain runs ONE reach-BFS + credit-peel fold of
+    * the accumulated delta against the pinned base truss and the
+    * pinned post-batch adjacency. The eager members (s_cc_incr,
+    * s_kcore_incr, s_dbscan_incr) fold per trigger because their state
+    * algebra is node-local; the buffered members defer because theirs
+    * is neighborhood-joint — the split the family documents. Oracle:
+    * the SAME full-peel SQL as g_truss.
+    */
+  def sTrussIncr(spark: SparkSession, dir: String): DataFrame = {
+    val (adj, base) = trussBaseCached(spark, dir)
+    val src = trussDeltaSourceDir(spark, dir)
+    val batchSchema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(batchSchema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    var buffered: List[DataFrame] = Nil
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_truss_ckpt").toString
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        buffered = trussPairs(b)
+          .select(col("gsrc").as("a"), col("gdst").as("b"))
+          .localCheckpoint() :: buffered
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    Algorithms.kTrussIncremental(base, adj,
+        buffered.reduce(_ unionByName _).distinct(), k = 4)
+      .select(col("a").as("part_a"), col("b").as("part_b"))
+  }
+
+  def sTrussIncrSql: String = gTrussSql
+
   /** Market-basket association mining over orders: pair support (how
     * many orders contain both parts) and lift (support over the
     * independence expectation). The co-purchase pair generation reuses
@@ -3380,6 +3438,7 @@ object GraphOps {
     QueryDef.sql("s_mst_incr", sMstIncr, sMstIncrSql),
     QueryDef.sql("g_truss", gTruss, gTrussSql),
     QueryDef.sql("g_truss_incr", gTrussIncr, gTrussIncrSql),
+    QueryDef.sql("s_truss_incr", sTrussIncr, sTrussIncrSql),
     QueryDef.sql("g_wal_replay", gWalReplay, gWalReplaySql),
     QueryDef.sql("g_reciprocity", gReciprocity, gReciprocitySql),
     QueryDef.sql("g_scc", gScc, gSccSql),
