@@ -1834,7 +1834,10 @@ object Algorithms {
       .agg(count(lit(1)).as("s2b"))
     val s3 = triangleCount(ne.select(col("a").as("gsrc"), col("b").as("gdst")))
       .select(col("triangles").as("s3"))
-    s1.crossJoin(s2a).crossJoin(s2b).crossJoin(s3)
+    // every side is a one-row aggregate: hint them so a cold planner
+    // never shuffles a scalar (the sibling faces' discipline)
+    s1.crossJoin(broadcast(s2a)).crossJoin(broadcast(s2b))
+      .crossJoin(broadcast(s3))
       .select((lit(baseTriangles) + col("s1") - col("s2a") - col("s2b") +
         col("s3")).as("triangles"))
   }

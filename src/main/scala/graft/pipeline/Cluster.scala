@@ -953,9 +953,9 @@ object Cluster {
       .localCheckpoint()
     val core = deg.filter(col("d") >= minPts).select(col("a"))
       .localCheckpoint()
+    // consumed once (the baseTouch probe) — no checkpoint needed
     val newlyCore = core
       .join(baseLabels.select(col("gid").as("a")), Seq("a"), "left_anti")
-      .localCheckpoint()
     val nuCC = nu
       .join(core.select(col("a").as("ca")), col("a") === col("ca"), "left_semi")
       .join(core.select(col("a").as("cb")), col("b") === col("cb"), "left_semi")
