@@ -911,6 +911,54 @@ object GraphOps {
   val gKatzIncrSql: String =
     GraphOracleSql.katzIncrSql(baseIters = 8, warmIters = 3, alpha = 0.01)
 
+  /** STREAMING Katz maintenance — the rank family's second streaming
+    * member (with s_pagerank_incr), BUFFERED for the same layout-bound
+    * reason: per-trigger work is the associative delta fold
+    * ([[graft.graph.Algorithms.foldRankDeltaBatch]] — delta-scale edge
+    * and degree accumulation), and the ONE corpus co-partitioning plus
+    * the three warm rounds from the pinned 8-round vector run at
+    * drain. Katz needs no degree re-bake (full mass rides out-edges),
+    * so the drain fold is the edge union alone. Oracle: the SAME
+    * unrolled base+warm recurrence as g_katz_incr — hash-green proves
+    * chunked delta folds reconstruct the one-shot fold exactly.
+    */
+  def sKatzIncr(spark: SparkSession, dir: String): DataFrame = {
+    val gr = g(spark, dir)
+    val (gBase, _) = basePrCached(spark, dir)
+    val prevX = baseKatzCached(spark, dir)
+    val src = prDeltaSourceDir(spark, dir)
+    val batchSchema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(batchSchema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    var pending: Option[(DataFrame, DataFrame)] = None
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_katz_ckpt").toString
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        pending = Some(Algorithms.foldRankDeltaBatch(pending, b))
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val folded = pending match {
+      case None => gBase
+      case Some((pe, _)) =>
+        val nodes = pe.select(col("gsrc").as("gid"))
+          .unionByName(pe.select(col("gdst").as("gid"))).distinct()
+        Algorithms.foldDeltaIntoRankGraph(gBase, nodes, pe)
+    }
+    val x = Algorithms.katzFrom(folded,
+      prevX.select(col("gid"), round(col("x"), 10).as("x")),
+      iters = 3, alpha = 0.01)
+    gr.decode(
+      x.select(col("gid"), round(col("x"), 8).as("katz"))
+        .orderBy(col("katz").desc, col("gid")).limit(100), "gid")
+      .select(col("label"), col("key"), col("katz"))
+  }
+
+  val sKatzIncrSql: String =
+    GraphOracleSql.katzIncrSql(baseIters = 8, warmIters = 3, alpha = 0.01)
+
   // ------------------------------------------- incremental PageRank
 
   /** Delta split for the incremental rank face, expressed on the gid
@@ -3396,6 +3444,7 @@ object GraphOps {
     QueryDef.sql("g_pagerank", gPagerank, gPagerankSql),
     QueryDef.sql("g_katz", gKatz, gKatzSql),
     QueryDef.sql("g_katz_incr", gKatzIncr, gKatzIncrSql),
+    QueryDef.sql("s_katz_incr", sKatzIncr, sKatzIncrSql),
     QueryDef.sql("s_pagerank_incr", sPagerankIncr, sPagerankIncrSql),
     QueryDef.sql("g_pagerank_incr", gPagerankIncr, gPagerankIncrSql),
     QueryDef.sql("g_pagerank_w", gPagerankW, gPagerankWSql),
