@@ -716,13 +716,21 @@ object Algorithms {
     *                     pre-frac weighted edge source the layout was
     *                     prepared from
     */
+  /** @param dwOpt pre-folded per-source delta weight sums
+    *              (dgid, dwout), when the caller maintains them
+    *              incrementally (the streaming face folds additive
+    *              chunks per trigger — exact in any chunking because
+    *              edge weights are integral doubles); None recomputes
+    *              from the delta edges
+    */
   def foldDeltaIntoWeightedRankGraph(g: RankGraph, rawBaseEdges: DataFrame,
-      deltaNodes: DataFrame, deltaEdges: DataFrame): RankGraph = {
+      deltaNodes: DataFrame, deltaEdges: DataFrame,
+      dwOpt: Option[DataFrame] = None): RankGraph = {
     val d0 = materializeInvariant(
       deltaEdges.select(col("gsrc"), col("gdst"), col("w")))
     withoutAqe(d0, Some(g.width)) {
-      val dW = d0.groupBy(col("gsrc").as("dgid"))
-        .agg(sum(col("w")).as("dwout")).localCheckpoint()
+      val dW = dwOpt.getOrElse(d0.groupBy(col("gsrc").as("dgid"))
+        .agg(sum(col("w")).as("dwout")).localCheckpoint())
       val adjusted = g.base0
         .join(dW.hint("shuffle_hash"), col("gid") === col("dgid"), "left")
         .select(col("gid"),

@@ -1162,6 +1162,82 @@ object GraphOps {
     GraphOracleSql.weightedPageRankIncrSql(baseIters = 10, warmIters = 4,
       damping = 0.85)
 
+  /** The weighted delta edge stream: raw weighted delta edges split
+    * into three parquet files, pinned per (session, dir).
+    */
+  private val wprDeltaSrcCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  private def wprDeltaSourceDir(spark: SparkSession, dir: String): String =
+    wprDeltaSrcCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      val out = java.nio.file.Files.createTempDirectory("graft_wpr_src").toString
+      g(spark, dir).gidWeightedEdges(TpchGraph.edgeLabels, rankWeightFn)
+        .filter(expr(deltaEdgePred))
+        .select(col("gsrc"), col("gdst"), col("w"))
+        .repartition(3).write.mode("overwrite").parquet(out)
+      out
+    })
+
+  /** STREAMING weighted PageRank maintenance — completes the rank
+    * matrix (classic / weighted / Katz × batch / incremental /
+    * streaming). Buffered like its siblings: per trigger the weighted
+    * delta folds associatively (edge legs + per-source weight sums —
+    * EXACT in any chunking because edge weights are integral doubles),
+    * and the drain pays the ONE fraction re-bake for touched sources
+    * plus four warm rounds from the pinned 10-round weighted vector.
+    * The pre-folded weight sums feed the drain fold directly (the
+    * dwOpt hook), so the per-trigger work is consumed, not redone.
+    * Oracle: the SAME unrolled weighted base+warm recurrence as
+    * g_pagerank_w_incr — hash-green proves chunked weighted folds
+    * reconstruct the one-shot fold exactly.
+    */
+  def sPagerankWIncr(spark: SparkSession, dir: String): DataFrame = {
+    val gr = g(spark, dir)
+    val (gw, baseRaw, prevPr) = baseWPrCached(spark, dir)
+    val src = wprDeltaSourceDir(spark, dir)
+    val batchSchema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(batchSchema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    var pending: Option[(DataFrame, DataFrame)] = None
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_wpr_ckpt").toString
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val be = b.select(col("gsrc"), col("gdst"), col("w")).localCheckpoint()
+        val bw = be.groupBy(col("gsrc").as("dgid"))
+          .agg(sum(col("w")).as("dwout"))
+        pending = Some(pending match {
+          case None => (be, bw.localCheckpoint())
+          case Some((pe, pw)) =>
+            (pe.unionByName(be),
+              pw.unionByName(bw).groupBy(col("dgid"))
+                .agg(sum(col("dwout")).as("dwout")).localCheckpoint())
+        })
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val folded = pending match {
+      case None => gw
+      case Some((pe, pw)) =>
+        val nodes = pe.select(col("gsrc").as("gid"))
+          .unionByName(pe.select(col("gdst").as("gid"))).distinct()
+        Algorithms.foldDeltaIntoWeightedRankGraph(gw, baseRaw, nodes, pe,
+          Some(pw))
+    }
+    val pr = Algorithms.weightedPageRankFrom(folded,
+      prevPr.select(col("gid"), round(col("pr"), 10).as("pr")),
+      iters = 4, damping = 0.85)
+    gr.decode(
+      pr.select(col("gid"), round(col("pr"), 8).as("pr"))
+        .orderBy(col("pr").desc, col("gid")).limit(100), "gid")
+      .select(col("label"), col("key"), col("pr"))
+  }
+
+  val sPagerankWIncrSql: String =
+    GraphOracleSql.weightedPageRankIncrSql(baseIters = 10, warmIters = 4,
+      damping = 0.85)
+
   /** WEIGHTED PageRank: rank distributes along out-edges in proportion
     * to edge weight (CONTAINS weighted by l_quantity, as the SSSP
     * family) instead of uniformly — the analytics face of the typed
@@ -3449,6 +3525,7 @@ object GraphOps {
     QueryDef.sql("g_pagerank_incr", gPagerankIncr, gPagerankIncrSql),
     QueryDef.sql("g_pagerank_w", gPagerankW, gPagerankWSql),
     QueryDef.sql("g_pagerank_w_incr", gPagerankWIncr, gPagerankWIncrSql),
+    QueryDef.sql("s_pagerank_w_incr", sPagerankWIncr, sPagerankWIncrSql),
     QueryDef.sql("g_ppr", gPpr, gPprSql),
     QueryDef.sql("g_hits", gHits, gHitsSql),
     QueryDef.sql("g_label_prop", gLabelProp, gLabelPropSql),
