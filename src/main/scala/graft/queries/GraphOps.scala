@@ -1558,8 +1558,15 @@ object GraphOps {
     val q = stream.writeStream
       .option("checkpointLocation", ckpt)
       .foreachBatch { (b: DataFrame, _: Long) =>
-        val newPairs = ccPairEdges(b)
-          .join(pairs, Seq("gsrc", "gdst"), "left_anti")
+        // dedup vs pairs-so-far WITHOUT shuffling the corpus: scan the
+        // pair set map-side against the broadcast batch (the
+        // triangleCountIncremental probe discipline), then anti-join
+        // small against small
+        val batchPairs = ccPairEdges(b).localCheckpoint()
+        val dupes = pairs
+          .join(broadcast(batchPairs), Seq("gsrc", "gdst"), "left_semi")
+        val newPairs = batchPairs
+          .join(broadcast(dupes), Seq("gsrc", "gdst"), "left_anti")
           .localCheckpoint()
         val bump = newPairs.select(col("gsrc").as("a"))
           .unionByName(newPairs.select(col("gdst").as("a")))

@@ -1948,13 +1948,15 @@ object Pipeline {
       .option("checkpointLocation", ckpt)
       .foreachBatch { (b: DataFrame, _: Long) =>
         val bids = b.select(col("vec_id").as("bid")).localCheckpoint()
+        // both probes of the corpus-scale key table ride a broadcast
+        // batch side — map-side scans, never a shuffle of the index
         val batchKeys = keys
-          .join(bids, col("id") === col("bid"), "left_semi")
+          .join(broadcast(bids), col("id") === col("bid"), "left_semi")
           .select(col("id").as("bid"), col("table"), col("bucket"))
         val seen = arrived
           .unionByName(bids.select(col("bid").as("oid")))
           .localCheckpoint()
-        val cand = batchKeys
+        val cand = broadcast(batchKeys)
           .join(keys.select(col("id").as("oid"), col("table"), col("bucket")),
             Seq("table", "bucket"))
           .filter(col("bid") =!= col("oid"))
