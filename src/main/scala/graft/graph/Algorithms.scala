@@ -561,6 +561,22 @@ object Algorithms {
     pageRankLoop(g, iters, damping, teleportOf = base =>
       base.withColumn("tele", lit(1.0 / g.n)), initPr = Some(prev))
 
+  /** Warm-start personalized PageRank: the seeded-teleport twin of
+    * [[pageRankFrom]] — prior vector where known, seed-concentrated
+    * teleport mass for fresh nodes (0 for non-seeds, exactly the cold
+    * r0 a fresh node would get).
+    */
+  def personalizedPageRankFrom(g: RankGraph, seeds: DataFrame,
+      prev: DataFrame, iters: Int, damping: Double): DataFrame =
+    pageRankLoop(g, iters, damping, teleportOf = { base =>
+      val s = seeds.select(col("gid").as("sgid")).distinct().localCheckpoint()
+      val nS = s.count().toDouble
+      require(nS > 0, "personalized pagerank requires a non-empty seed set")
+      base.join(broadcast(s), col("gid") === col("sgid"), "left")
+        .select(col("gid"), col("outdeg"),
+          when(col("sgid").isNotNull, lit(1.0 / nS)).otherwise(lit(0.0)).as("tele"))
+    }, initPr = Some(prev))
+
   /** Fold a delta edge batch into an existing classic-rank layout at
     * DELTA cost plus one corpus repartition (the loop needs the edge
     * union co-partitioned — that single shuffle is the floor):

@@ -1280,6 +1280,63 @@ object GraphOps {
   val gPprSql: String = GraphOracleSql.pageRankSql(iters = 10, damping = 0.85,
     seedSql = Some("SELECT 2*4294967296 + c_custkey AS gid FROM customer WHERE c_custkey <= 10"))
 
+  private val pprSeedSql =
+    "SELECT 2*4294967296 + c_custkey AS gid FROM customer WHERE c_custkey <= 10"
+
+  private def pprSeeds(spark: SparkSession, dir: String): DataFrame = {
+    val gr = g(spark, dir)
+    gr.nodes("customer").df.filter(col("_id") <= 10)
+      .select(gr.gid("customer", col("_id")).as("gid"))
+  }
+
+  /** The pinned base-graph PPR vector (10 seeded rounds over
+    * basePrCached's layout) — the previous snapshot's seeded-relevance
+    * state the warm face folds against.
+    */
+  private val basePprCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  private def basePprCached(spark: SparkSession, dir: String): DataFrame =
+    basePprCache.getOrElseUpdate((spark.sparkContext.applicationId, dir),
+      graft.PinnedRdds.pinning(spark) {
+        Algorithms.personalizedPageRank(basePrCached(spark, dir)._1,
+            pprSeeds(spark, dir), iters = 10, damping = 0.85)
+          .localCheckpoint()
+      })
+
+  /** INCREMENTAL personalized PageRank — the warm-start discipline
+    * extended to the SEEDED-teleport variant (the serving shape of a
+    * recommendation deployment: per-snapshot seeded relevance kept
+    * current at delta cost): the delta orders fold into the pinned
+    * base layout (the same foldDeltaIntoRankGraph as classic — the
+    * teleport vector is orthogonal to the layout) and four warm
+    * seeded rounds run from the previous 10-round PPR vector; fresh
+    * nodes seed at their cold teleport mass (0 off-seed). The seed
+    * set lives in the static dimension nodes, so both phases share
+    * one seed table. Oracle: the identical computation unrolled
+    * (pageRankIncrSql with the teleport concentrated on the seeds).
+    */
+  def gPprIncr(spark: SparkSession, dir: String): DataFrame = {
+    val gr = g(spark, dir)
+    val (gBase, _) = basePrCached(spark, dir)
+    val prev = basePprCached(spark, dir)
+    val deltaEdges = gidEdgesCached(spark, dir, TpchGraph.edgeLabels)
+      .filter(expr(deltaEdgePred))
+    val deltaNodes = gidNodesCached(spark, dir, TpchGraph.nodeLabels)
+      .filter(expr(deltaOrderNode))
+    val folded = Algorithms.foldDeltaIntoRankGraph(gBase, deltaNodes, deltaEdges)
+    val pr = Algorithms.personalizedPageRankFrom(folded, pprSeeds(spark, dir),
+      prev.select(col("gid"), round(col("pr"), 10).as("pr")),
+      iters = 4, damping = 0.85)
+    gr.decode(
+      pr.select(col("gid"), round(col("pr"), 8).as("pr"))
+        .orderBy(col("pr").desc, col("gid")).limit(100), "gid")
+      .select(col("label"), col("key"), col("pr"))
+  }
+
+  val gPprIncrSql: String = GraphOracleSql.pageRankIncrSql(baseIters = 10,
+    warmIters = 4, damping = 0.85, seedSql = Some(pprSeedSql))
+
   /** HITS hubs & authorities over the heterogeneous gid graph, 8 rounds,
     * top-100 by rounded authority (ULP-stable cutoff, as [[gPagerank]]).
     * Shares the pinned RankGraph invariants with the PageRank family.
@@ -3534,6 +3591,7 @@ object GraphOps {
     QueryDef.sql("g_pagerank_w_incr", gPagerankWIncr, gPagerankWIncrSql),
     QueryDef.sql("s_pagerank_w_incr", sPagerankWIncr, sPagerankWIncrSql),
     QueryDef.sql("g_ppr", gPpr, gPprSql),
+    QueryDef.sql("g_ppr_incr", gPprIncr, gPprIncrSql),
     QueryDef.sql("g_hits", gHits, gHitsSql),
     QueryDef.sql("g_label_prop", gLabelProp, gLabelPropSql),
     QueryDef.sql("g_label_prop_w", gLabelPropW, gLabelPropWSql),

@@ -151,7 +151,22 @@ object GraphOracleSql {
     * g_cc_incr "incremental ≡ declared recurrence" discipline for rank
     * state.
     */
-  def pageRankIncrSql(baseIters: Int, warmIters: Int, damping: Double): String = {
+  def pageRankIncrSql(baseIters: Int, warmIters: Int, damping: Double,
+      seedSql: Option[String] = None): String = {
+    // seeded teleport (the PPR variant): the seed set lives entirely in
+    // the base graph (customers are never delta order nodes), so ONE
+    // seeds CTE concentrates the teleport vector in both phases
+    val (seedCte, teleB, joinB, tele, join) = seedSql match {
+      case Some(q) => (
+        s"seeds AS MATERIALIZED ($q),",
+        "CASE WHEN s.gid IS NOT NULL THEN 1.0 / (SELECT count(*) FROM seeds) ELSE 0.0 END",
+        "LEFT JOIN seeds s ON n.gid = s.gid",
+        "CASE WHEN s.gid IS NOT NULL THEN 1.0 / (SELECT count(*) FROM seeds) ELSE 0.0 END",
+        "LEFT JOIN seeds s ON n.gid = s.gid")
+      case None => ("",
+        "1.0 / (SELECT count(*) FROM nodes_b)", "",
+        "1.0 / (SELECT count(*) FROM nodes)", "")
+    }
     def round(prev: String, cur: String, e: String, base: String) =
       s""",
        $cur AS MATERIALIZED (
@@ -173,17 +188,18 @@ object GraphOracleSql {
          SELECT gsrc, gdst FROM (${TpchGraph.gidSqlEdges})
          WHERE NOT (gsrc // 4294967296 = 5 AND (gsrc % 4294967296) % 10 = 0)
            AND NOT (gdst // 4294967296 = 5 AND (gdst % 4294967296) % 10 = 0)),
+       $seedCte
        deg_b AS (SELECT gsrc, count(*) AS outdeg FROM e_b GROUP BY gsrc),
        base_b AS MATERIALIZED (
-         SELECT n.gid, d.outdeg, 1.0 / (SELECT count(*) FROM nodes_b) AS tele
-         FROM nodes_b n LEFT JOIN deg_b d ON n.gid = d.gsrc),
+         SELECT n.gid, d.outdeg, $teleB AS tele
+         FROM nodes_b n LEFT JOIN deg_b d ON n.gid = d.gsrc $joinB),
        b0 AS MATERIALIZED (SELECT gid, outdeg, tele, tele AS pr FROM base_b)$baseRounds,
        nodes AS MATERIALIZED (${TpchGraph.gidSqlNodes}),
        e AS MATERIALIZED (${TpchGraph.gidSqlEdges}),
        deg AS (SELECT gsrc, count(*) AS outdeg FROM e GROUP BY gsrc),
        base AS MATERIALIZED (
-         SELECT n.gid, d.outdeg, 1.0 / (SELECT count(*) FROM nodes) AS tele
-         FROM nodes n LEFT JOIN deg d ON n.gid = d.gsrc),
+         SELECT n.gid, d.outdeg, $tele AS tele
+         FROM nodes n LEFT JOIN deg d ON n.gid = d.gsrc $join),
        r0 AS MATERIALIZED (
          SELECT b.gid, b.outdeg, b.tele,
                 coalesce(round(p.pr, 10), b.tele) AS pr
