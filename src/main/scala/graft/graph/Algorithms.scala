@@ -731,8 +731,7 @@ object Algorithms {
     * @param rawBaseEdges the base graph's (gsrc, gdst, w) — the
     *                     pre-frac weighted edge source the layout was
     *                     prepared from
-    */
-  /** @param dwOpt pre-folded per-source delta weight sums
+    * @param dwOpt pre-folded per-source delta weight sums
     *              (dgid, dwout), when the caller maintains them
     *              incrementally (the streaming face folds additive
     *              chunks per trigger — exact in any chunking because
@@ -2009,8 +2008,12 @@ object Algorithms {
     * @param baseTruss pinned old-truss canonical edge list (a, b)
     * @param adj       POST-batch undirected adjacency arrays (v, nbrs)
     *                  over the deduped simple graph
-    * @param deltaEdges new canonical edges (a, b), a < b (may
-    *                  re-observe base edges — they are dropped)
+    * @param deltaEdges new canonical edges (a, b), a < b. Re-observed
+    *                  base-TRUSS edges are dropped here; callers
+    *                  should anti-join other base re-observations
+    *                  (they change nothing — the graph is simple — but
+    *                  would seed the reach BFS and inflate the cascade
+    *                  region under heavy base-overlapping deltas)
     */
   def kTrussIncremental(baseTruss: DataFrame, adj: DataFrame,
       deltaEdges: DataFrame, k: Int, maxIter: Int = 50): DataFrame = {
@@ -2072,11 +2075,15 @@ object Algorithms {
         .localCheckpoint()
       val ce = tris.select(col("e1a").as("a"), col("e1b").as("b"))
         .unionByName(tris.select(col("e2a").as("a"), col("e2b").as("b")))
-        .distinct()
+        .distinct().localCheckpoint()
+      val ceN = ce.count()
       // membership subset: one map-side probe of the corpus-scale truss
-      // (build side = the round's bounded candidate-edge set) + alive
-      val members = truss.join(broadcast(ce), Seq("a", "b"), "left_semi")
-        .unionByName(alive.join(broadcast(ce), Seq("a", "b"), "left_semi"))
+      // (build side = the round's bounded candidate-edge set) + alive;
+      // the cascade region is usually tiny but is NOT bounded a priori,
+      // so the broadcast goes through the same size gate as the k-core
+      // sibling's frontier/survivor probes
+      val members = truss.join(hintSmall(ce, ceN), Seq("a", "b"), "left_semi")
+        .unionByName(alive.join(hintSmall(ce, ceN), Seq("a", "b"), "left_semi"))
         .localCheckpoint()
       val survivors = graft.PlanAudit.tap("peel.contract", tris
           .join(members.select(col("a").as("e1a"), col("b").as("e1b")),

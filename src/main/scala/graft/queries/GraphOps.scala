@@ -942,10 +942,10 @@ object GraphOps {
     try q.processAllAvailable() finally q.stop()
     val folded = pending match {
       case None => gBase
-      case Some((pe, _)) =>
+      case Some((pe, pd)) =>
         val nodes = pe.select(col("gsrc").as("gid"))
           .unionByName(pe.select(col("gdst").as("gid"))).distinct()
-        Algorithms.foldDeltaIntoRankGraph(gBase, nodes, pe)
+        Algorithms.foldDeltaIntoRankGraph(gBase, nodes, pe, Some(pd))
     }
     val x = Algorithms.katzFrom(folded,
       prevX.select(col("gid"), round(col("x"), 10).as("x")),
@@ -2101,8 +2101,14 @@ object GraphOps {
       }
       .start()
     try q.processAllAvailable() finally q.stop()
-    Algorithms.triangleCountIncremental(pairs, adj, tri,
-      buffered.reduce(_ unionByName _))
+    // no-batch fallback mirrors the rank faces' None branch: an empty
+    // delta stream means the full-graph count IS the base count
+    buffered.reduceOption(_ unionByName _) match {
+      case None =>
+        spark.range(1).select(lit(tri).as("triangles"))
+      case Some(delta) =>
+        Algorithms.triangleCountIncremental(pairs, adj, tri, delta)
+    }
   }
 
   def sTrianglesIncrSql: String = gTrianglesSql
@@ -2680,15 +2686,19 @@ object GraphOps {
     GraphOracleSql.trussSql(k = 4, rounds = 5, partBound = 2000)
 
   /** The BASE-graph truss state (orders with key % 10 ≠ 0): the pinned
-    * base 4-truss plus the POST-batch adjacency arrays of the full
-    * bounded graph (both the viability check and the triangle steps of
-    * the incremental fold read post-batch neighborhoods).
+    * base 4-truss, the POST-batch adjacency arrays of the full bounded
+    * graph (both the viability check and the triangle steps of the
+    * incremental fold read post-batch neighborhoods), and the pinned
+    * base EDGE set — the fold's seeds anti-join it so a delta order
+    * re-observing a base co-purchase pair (the graph is simple; the
+    * union dedups it) never seeds the reach BFS and the cascade region
+    * stays delta-scale even under heavy base-overlapping deltas.
     */
   private val trussBaseCache = scala.collection.concurrent.TrieMap
-    .empty[(String, String), (DataFrame, DataFrame)]
+    .empty[(String, String), (DataFrame, DataFrame, DataFrame)]
 
   private def trussBaseCached(spark: SparkSession, dir: String)
-      : (DataFrame, DataFrame) =
+      : (DataFrame, DataFrame, DataFrame) =
     trussBaseCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
       val li = Tables.load(spark, dir, "lineitem")
       graft.PinnedRdds.pinning(spark) {
@@ -2698,10 +2708,13 @@ object GraphOps {
           .groupBy(col("v"))
           .agg(array_sort(collect_set(col("u"))).as("nbrs"))
           .localCheckpoint()
-        val base = Algorithms.kTruss(
-            trussPairs(li.filter(col("l_orderkey") % 10 =!= 0)), k = 4)
+        val basePairs = trussPairs(li.filter(col("l_orderkey") % 10 =!= 0))
+          .select(col("gsrc").as("a"), col("gdst").as("b"))
           .localCheckpoint()
-        (adj, base)
+        val base = Algorithms.kTruss(
+            basePairs.select(col("a").as("gsrc"), col("b").as("gdst")), k = 4)
+          .localCheckpoint()
+        (adj, base, basePairs)
       }
     })
 
@@ -2718,10 +2731,11 @@ object GraphOps {
     * fold ≡ refit edge-for-edge.
     */
   def gTrussIncr(spark: SparkSession, dir: String): DataFrame = {
-    val (adj, base) = trussBaseCached(spark, dir)
+    val (adj, base, basePairs) = trussBaseCached(spark, dir)
     val deltaPairs = trussPairs(Tables.load(spark, dir, "lineitem")
         .filter(col("l_orderkey") % 10 === 0))
       .select(col("gsrc").as("a"), col("gdst").as("b"))
+      .join(basePairs, Seq("a", "b"), "left_anti")
     Algorithms.kTrussIncremental(base, adj, deltaPairs, k = 4)
       .select(col("a").as("part_a"), col("b").as("part_b"))
   }
@@ -2762,7 +2776,7 @@ object GraphOps {
     * the SAME full-peel SQL as g_truss.
     */
   def sTrussIncr(spark: SparkSession, dir: String): DataFrame = {
-    val (adj, base) = trussBaseCached(spark, dir)
+    val (adj, base, basePairs) = trussBaseCached(spark, dir)
     val src = trussDeltaSourceDir(spark, dir)
     val batchSchema = spark.read.parquet(src).schema
     val stream = spark.readStream.schema(batchSchema)
@@ -2779,9 +2793,17 @@ object GraphOps {
       }
       .start()
     try q.processAllAvailable() finally q.stop()
-    Algorithms.kTrussIncremental(base, adj,
-        buffered.reduce(_ unionByName _).distinct(), k = 4)
-      .select(col("a").as("part_a"), col("b").as("part_b"))
+    // no-batch fallback mirrors the rank faces' None branch: an empty
+    // delta stream leaves the base truss unchanged (reduce on an empty
+    // buffer would throw)
+    buffered.reduceOption(_ unionByName _) match {
+      case None => base.select(col("a").as("part_a"), col("b").as("part_b"))
+      case Some(delta) =>
+        Algorithms.kTrussIncremental(base, adj,
+            delta.distinct().join(basePairs, Seq("a", "b"), "left_anti"),
+            k = 4)
+          .select(col("a").as("part_a"), col("b").as("part_b"))
+    }
   }
 
   def sTrussIncrSql: String = gTrussSql
