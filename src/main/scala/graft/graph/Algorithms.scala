@@ -601,8 +601,8 @@ object Algorithms {
       deltaEdges: DataFrame, ddegPre: Option[DataFrame]): RankGraph = {
     val d0 = materializeInvariant(deltaEdges.select(col("gsrc"), col("gdst")))
     withoutAqe(d0, Some(g.width)) {
-      val e = g.e.unionByName(d0)
-        .repartition(g.width, col("gsrc")).localCheckpoint()
+      val e = graft.PlanAudit.tap("drain.fold", g.e.unionByName(d0)
+        .repartition(g.width, col("gsrc"))).localCheckpoint()
       val ddeg = ddegPre.getOrElse(d0.groupBy(col("gsrc").as("dgid"))
         .agg(count(lit(1)).as("ddeg")).localCheckpoint())
       // outdeg: null means dangling — stays null only if BOTH sides
@@ -619,8 +619,8 @@ object Algorithms {
           col("gid") === col("bgid"), "left_anti")
         .join(ddeg, col("gid") === col("dgid"), "left")
         .select(col("gid"), col("ddeg").as("outdeg"))
-      val base0 = adjusted.unionByName(fresh)
-        .repartition(g.width, col("gid")).localCheckpoint()
+      val base0 = graft.PlanAudit.tap("drain.fold", adjusted.unionByName(fresh)
+        .repartition(g.width, col("gid"))).localCheckpoint()
       lazy val eDst = withoutAqe(d0, Some(g.width)) {
         e.repartition(g.width, col("gdst")).localCheckpoint()
       }
@@ -758,8 +758,8 @@ object Algorithms {
           col("gid") === col("bgid"), "left_anti")
         .join(dW, col("gid") === col("dgid"), "left")
         .select(col("gid"), col("dwout").as("outdeg"))
-      val base0 = adjusted.unionByName(fresh)
-        .repartition(g.width, col("gid")).localCheckpoint()
+      val base0 = graft.PlanAudit.tap("drain.fold", adjusted.unionByName(fresh)
+        .repartition(g.width, col("gid"))).localCheckpoint()
       // frac re-bake for touched sources only; everyone else verbatim
       val touched = dW.select(col("dgid").as("tsrc"))
       val keep = g.e.join(broadcast(touched),
@@ -771,8 +771,8 @@ object Algorithms {
       val recomputed = touchedRaw
         .join(wAll.hint("shuffle_hash"), col("gsrc") === col("wgid"))
         .select(col("gsrc"), col("gdst"), (col("w") / col("wout")).as("frac"))
-      val e = keep.unionByName(recomputed)
-        .repartition(g.width, col("gsrc")).localCheckpoint()
+      val e = graft.PlanAudit.tap("drain.fold", keep.unionByName(recomputed)
+        .repartition(g.width, col("gsrc"))).localCheckpoint()
       lazy val eDst = withoutAqe(d0, Some(g.width)) {
         e.repartition(g.width, col("gdst")).localCheckpoint()
       }
@@ -1859,10 +1859,11 @@ object Algorithms {
       .select(col("triangles").as("s3"))
     // every side is a one-row aggregate: hint them so a cold planner
     // never shuffles a scalar (the sibling faces' discipline)
-    s1.crossJoin(broadcast(s2a)).crossJoin(broadcast(s2b))
-      .crossJoin(broadcast(s3))
-      .select((lit(baseTriangles) + col("s1") - col("s2a") - col("s2b") +
-        col("s3")).as("triangles"))
+    graft.PlanAudit.tap("drain.fold",
+      s1.crossJoin(broadcast(s2a)).crossJoin(broadcast(s2b))
+        .crossJoin(broadcast(s3))
+        .select((lit(baseTriangles) + col("s1") - col("s2a") - col("s2b") +
+          col("s3")).as("triangles")))
   }
 
   /** DOULION sampled triangle estimate (Tsourakakis et al. KDD 2009)

@@ -69,4 +69,29 @@ class LoopBodyPlanSpec extends SparkSpec with PlanWalk {
     assertClean("stream-fold(kcore)", rounds.filter(t =>
       t._1 == "frontier.round" || t._1 == "peel.contract"))
   }
+
+  test("stream-fold family: truss maintenance reach/peel round plans are product-free and pruned") {
+    val rounds = captured {
+      queries.GraphOps.sTrussIncr(spark, sf()).collect() }
+    assertClean("stream-fold(truss)", rounds.filter(t =>
+      t._1 == "frontier.round" || t._1 == "peel.contract"))
+  }
+
+  test("drain family: triangle inclusion-exclusion drain plan is product-free and pruned") {
+    val rounds = captured {
+      queries.GraphOps.sTrianglesIncr(spark, sf()).collect() }
+    assertClean("drain(triangles)", rounds.filter(_._1 == "drain.fold"))
+  }
+
+  test("drain family: Katz drain re-bake plans are product-free and pruned") {
+    val rounds = captured {
+      queries.GraphOps.sKatzIncr(spark, sf()).collect() }
+    assertClean("drain(katz)", rounds.filter(_._1 == "drain.fold"))
+  }
+
+  test("drain family: weighted-rank drain re-bake plans are product-free and pruned") {
+    val rounds = captured {
+      queries.GraphOps.sPagerankWIncr(spark, sf()).collect() }
+    assertClean("drain(pagerank_w)", rounds.filter(_._1 == "drain.fold"))
+  }
 }
