@@ -1036,8 +1036,16 @@ object Relational {
       .unionByName(zones(Seq(col("h"), col("event_id")), "hilbert"))
     val probes = base.select(col("user_id")).distinct()
       .filter(col("user_id") <= 100)
-    allZones.join(broadcast(probes),
-        col("user_id").between(col("lo"), col("hi")))
+    // zone-interval probe through the bucketized range join (the
+    // operator the BETWEEN shape exists for): zones are first CLIPPED
+    // to the probe domain [0, 100] — a zone with lo > 100 admits no
+    // probe, and for probes ≤ 100 `p BETWEEN lo AND least(hi, 100)`
+    // ⟺ `p BETWEEN lo AND hi` — so the per-interval bucket explode is
+    // ≤ 14 rows regardless of how wide the natural layout's zones are
+    val clipped = allZones.filter(col("lo") <= 100)
+      .withColumn("hi_c", least(col("hi"), lit(100L)))
+    graft.operators.RangeJoin.pointInInterval(
+        probes, "user_id", clipped, "lo", "hi_c", bucketWidthSeconds = 8L)
       .groupBy(col("layout"))
       .agg(count(lit(1)).as("buckets_scanned"))
       .crossJoin(broadcast(probes.agg(count(lit(1)).as("n_probes"))))

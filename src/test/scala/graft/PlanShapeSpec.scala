@@ -315,10 +315,6 @@ class PlanShapeSpec extends SparkSpec with PlanWalk {
       // triangular sketch combine: both legs are the pinned
       // |sources|-row KMV sketch table (kilobytes at any corpus scale)
       "p_vocab_overlap_kmv" -> "bnlj",
-      // zone-map interval probe: 3 layouts × 64 zone rows against a
-      // broadcast ≤100-row probe set, joined on BETWEEN (a range join
-      // over two bounded sides)
-      "q_layout_skip" -> "bnlj",
       // a table PROFILER reads every column by definition — the
       // full-width scan is the face's output, not an unpruned accident
       "q_profile" -> "full-width:events")
