@@ -951,8 +951,10 @@ object Cluster {
       .select(col("a"),
         (coalesce(col("d"), lit(0L)) + coalesce(col("bd"), lit(0L))).as("d"))
       .localCheckpoint()
+    // NOT checkpointed: a map-side filter over the just-checkpointed
+    // degree table — re-running it per consumer beats paying an extra
+    // materialization job every trigger (A/B measured)
     val core = deg.filter(col("d") >= minPts).select(col("a"))
-      .localCheckpoint()
     // consumed once (the baseTouch probe) — no checkpoint needed
     val newlyCore = core
       .join(baseLabels.select(col("gid").as("a")), Seq("a"), "left_anti")
