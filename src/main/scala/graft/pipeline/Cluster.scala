@@ -787,13 +787,23 @@ object Cluster {
     val queryCid0 = codesDf.select(col("id").as("qid"), col("cid"))
     val queryCid = queryIds.fold(queryCid0)(ids =>
       queryCid0.join(broadcast(ids.select(col("qid"))), Seq("qid"), "left_semi"))
-    val thresh = graft.operators.TopK.topKPerGroup(
-        listScore(queryCid.withColumn("t", lit(-1.0))), "qid", "cos", "mid", k)
-      .filter(col("rank") === k)
+    // corpus-as-queries (queryIds empty): materialize phase 1 once —
+    // |queries|·k rows, the output's own scale — so the k-th row per
+    // query is the phase-2 threshold AND the top-k rows re-enter the
+    // final rank directly; phase 2 then never re-scores the own list.
+    // Bounded serving batches (queryIds set) skip the materialization:
+    // an extra eager job per micro-batch trigger costs more than
+    // re-scoring a ≤|batch| own-list scan, so they keep the two-scan
+    // shape (A/B measured on the streaming face)
+    val reuseOwnList = queryIds.isEmpty
+    val p1raw = graft.operators.TopK.topKPerGroup(
+      listScore(queryCid.withColumn("t", lit(-1.0))), "qid", "cos", "mid", k)
+    val p1 = if (reuseOwnList) p1raw.localCheckpoint() else p1raw
+    val thresh = p1.filter(col("rank") === k)
       .select(col("qid").as("vid"), col("cos").as("t"))
     // phase 2: (query × list) bound table — nLists·|queries| rows; the
-    // own list always survives (its mex-defining rows must re-enter
-    // the rank), other lists pass the centroid bound
+    // own list is counted as scanned (phase 1 read it) but is NOT
+    // re-scored — its candidate rows come from p1
     val qLists = unit
       .join(queryCid.select(col("qid").as("vid"), col("cid").as("ownCid")),
         Seq("vid"))
@@ -807,14 +817,25 @@ object Cluster {
         }: _*)).as("p"))
       .select(col("qid"), col("ownCid"), col("t"), col("p.cid").as("cid"),
         col("p.dqc"))
-    val survivors = qLists.join(broadcast(radii), Seq("cid"))
+    val survivorsAll = qLists.join(broadcast(radii), Seq("cid"))
       .filter(col("cid") === col("ownCid") ||
         when(col("dqc") <= col("r"), lit(1.0))
           .otherwise(lit(1.0) - (col("dqc") - col("r")) * (col("dqc") - col("r"))
             / 2.0) >= col("t") - 1e-6)
-      .select(col("qid"), col("cid"), col("t"))
-    val out = graft.operators.TopK.topKPerGroup(listScore(survivors), "qid",
-        "cos", "mid", k)
+    val survivors = survivorsAll.select(col("qid"), col("cid"), col("t"))
+    // own-list candidates ride in from p1 verbatim; only OTHER
+    // surviving lists pay a phase-2 scan. Lists are disjoint (each
+    // member has one fit-time assignment), so the union is dup-free,
+    // and own-list rows below own rank k are dominated in the final
+    // rank by construction
+    val candidates =
+      if (reuseOwnList)
+        listScore(survivorsAll.filter(col("cid") =!= col("ownCid"))
+            .select(col("qid"), col("cid"), col("t")))
+          .unionByName(p1.select(col("qid"), col("cos"), col("mid")))
+      else listScore(survivors)
+    val out = graft.operators.TopK.topKPerGroup(
+        candidates, "qid", "cos", "mid", k)
       .select(col("qid").as("query_id"), col("mid").as("neighbor_id"),
         col("cos"), col("rank"))
     (survivors, out)
