@@ -54,7 +54,8 @@ final case class FieldSpec(
     tpe: Ast.TypeSpec,
     unique: Boolean = false,
     notNull: Boolean = false,
-    defaultRaw: Option[String] = None)
+    defaultRaw: Option[String] = None,
+    check: Seq[Ast.CheckCmp] = Nil)
 
 object Types {
 
@@ -105,7 +106,7 @@ object Ddl {
 
   private def toFieldSpec(fd: Ast.FieldDef): FieldSpec =
     FieldSpec(fd.name, fd.tpe, unique = fd.unique, notNull = fd.notNull || fd.primaryKey,
-      defaultRaw = fd.default.map(_.text))
+      defaultRaw = fd.default.map(_.text), check = fd.check)
 
   /** Scalar per the reference's isScalarType (ddl.go:171): everything
     * except arrays, enums, json, and blob.

@@ -35,9 +35,30 @@ object Ast {
   }
   final case class Literal(kind: LitKind, text: String)
 
+  /** Comparison operator of a CHECK constraint atom. */
+  sealed abstract class CmpOp(val sym: String)
+  object CmpOp {
+    case object Eq extends CmpOp("=")
+    case object Ne extends CmpOp("!=")
+    case object Lt extends CmpOp("<")
+    case object Le extends CmpOp("<=")
+    case object Gt extends CmpOp(">")
+    case object Ge extends CmpOp(">=")
+  }
+
+  /** One atom of a CHECK constraint: `field op literal`. The reference
+    * RESERVES the CHECK keyword (parser/keywords.go:18) but never
+    * grammars it; graft completes the feature the way SHOW/DESCRIBE
+    * were completed: `CHECK (cmp AND cmp ...)` as a field option, a
+    * conjunction of comparisons (SQL semantics — a row violates iff
+    * the conjunction evaluates to FALSE; NULL passes).
+    */
+  final case class CheckCmp(field: String, op: CmpOp, value: Literal)
+
   final case class FieldDef(name: String, tpe: TypeSpec,
       primaryKey: Boolean = false, unique: Boolean = false,
-      notNull: Boolean = false, default: Option[Literal] = None)
+      notNull: Boolean = false, default: Option[Literal] = None,
+      check: Seq[CheckCmp] = Nil)
 
   sealed trait Cardinality
   object Cardinality {
@@ -162,7 +183,7 @@ object Ast {
     "TRUE", "FALSE", "NULL",
     "CREATE", "ALTER", "DROP", "INSERT", "UPDATE", "DELETE", "MATCH",
     "NODE", "EDGE", "FROM", "TO", "ONE", "MANY", "PROPS",
-    "PRIMARY", "KEY", "UNIQUE", "NOT", "DEFAULT",
+    "PRIMARY", "KEY", "UNIQUE", "NOT", "DEFAULT", "CHECK", "AND",
     "ADD", "MODIFY", "SET", "WHERE", "RETURN",
     "SHOW", "DESCRIBE", "NODES", "EDGES")
   private def id(n: String): String =
@@ -207,7 +228,10 @@ object Ast {
     val opts = (if (f.primaryKey) " PRIMARY KEY" else "") +
       (if (f.unique) " UNIQUE" else "") +
       (if (f.notNull) " NOT NULL" else "") +
-      f.default.map(d => s" DEFAULT ${lit(d)}").getOrElse("")
+      f.default.map(d => s" DEFAULT ${lit(d)}").getOrElse("") +
+      (if (f.check.isEmpty) ""
+       else " CHECK (" + f.check.map(c =>
+         s"${id(c.field)} ${c.op.sym} ${lit(c.value)}").mkString(" AND ") + ")")
     s"${id(f.name)}: ${tpe(f.tpe)}$opts"
   }
 }

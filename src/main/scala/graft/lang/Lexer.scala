@@ -7,7 +7,8 @@ package graft.lang
 object Tok extends Enumeration {
   type Tok = Value
   val IDENT, STRINGLIT, NUMBER, BOOLLIT, NULLLIT,
-      LPAREN, RPAREN, LT, GT, COMMA, SEMI, COLON, EOF, ERROR = Value
+      LPAREN, RPAREN, LT, GT, LE, GE, EQ, NEQ,
+      COMMA, SEMI, COLON, EOF, ERROR = Value
 }
 
 final case class Token(kind: Tok.Tok, lit: String, line: Int, col: Int,
@@ -70,8 +71,19 @@ final class Lexer(input: String) {
     } else ch match {
       case '(' => advance(); Token(Tok.LPAREN, "(", l, c)
       case ')' => advance(); Token(Tok.RPAREN, ")", l, c)
-      case '<' => advance(); Token(Tok.LT, "<", l, c)
-      case '>' => advance(); Token(Tok.GT, ">", l, c)
+      case '<' =>
+        advance()
+        if (peek() == '=') { advance(); Token(Tok.LE, "<=", l, c) }
+        else Token(Tok.LT, "<", l, c)
+      case '>' =>
+        advance()
+        if (peek() == '=') { advance(); Token(Tok.GE, ">=", l, c) }
+        else Token(Tok.GT, ">", l, c)
+      case '=' => advance(); Token(Tok.EQ, "=", l, c)
+      case '!' =>
+        advance()
+        if (peek() == '=') { advance(); Token(Tok.NEQ, "!=", l, c) }
+        else throw LexError("expected '=' after '!'", l, c)
       case ',' => advance(); Token(Tok.COMMA, ",", l, c)
       case ';' => advance(); Token(Tok.SEMI, ";", l, c)
       case ':' => advance(); Token(Tok.COLON, ":", l, c)

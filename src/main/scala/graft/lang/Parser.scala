@@ -143,9 +143,32 @@ final class Parser(tokens: Vector[Token]) {
         fd = fd.copy(notNull = true)
       }
       else if (matchKw("DEFAULT")) fd = fd.copy(default = Some(parseLiteral()))
+      else if (matchKw("CHECK")) {
+        expect(Tok.LPAREN)
+        val cmps = Seq.newBuilder[CheckCmp]
+        cmps += parseCheckCmp()
+        while (matchKw("AND")) cmps += parseCheckCmp()
+        expect(Tok.RPAREN)
+        fd = fd.copy(check = cmps.result())
+      }
       else more = false
     }
     fd
+  }
+
+  /** One CHECK atom: `field op literal` (op ∈ = != < <= > >=). */
+  private def parseCheckCmp(): CheckCmp = {
+    val f = expectIdent()
+    val op = tok.kind match {
+      case Tok.EQ => next(); CmpOp.Eq
+      case Tok.NEQ => next(); CmpOp.Ne
+      case Tok.LT => next(); CmpOp.Lt
+      case Tok.LE => next(); CmpOp.Le
+      case Tok.GT => next(); CmpOp.Gt
+      case Tok.GE => next(); CmpOp.Ge
+      case _ => err(s"expected comparison operator, found '${tok.lit}'")
+    }
+    CheckCmp(f, op, parseLiteral())
   }
 
   private def parseTypeSpec(): TypeSpec = {

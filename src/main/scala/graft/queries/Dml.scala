@@ -199,6 +199,31 @@ object Dml {
     """SELECT o_custkey, count(*) AS n_edges FROM orders
        GROUP BY o_custkey HAVING count(*) > 1"""
 
+  /** CHECK-expression violation finder, driven END-TO-END through the
+    * language: the constraint text parses (the reference reserves the
+    * CHECK keyword, parser/keywords.go:18, but never grammars it —
+    * graft completes it the way SHOW/DESCRIBE were completed), the AST
+    * comparisons compile to one codegen'd Catalyst predicate, and the
+    * finder returns the rows whose conjunction is definitely FALSE
+    * (SQL semantics: NULL passes).
+    */
+  def gCheckExpr(spark: SparkSession, dir: String): DataFrame = {
+    val stmt = graft.lang.Parser.parse(
+      "CREATE NODE li_audit (id: int PRIMARY KEY, " +
+        "l_discount: float CHECK (l_discount <= 0.07 AND l_quantity < 45));")
+      .head.asInstanceOf[graft.lang.Ast.CreateNode]
+    val cmps = stmt.fields.flatMap(_.check)
+    Constraints.checkViolations(Tables.load(spark, dir, "lineitem"), cmps)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_discount"), 2).as("l_discount"),
+        round(col("l_quantity"), 2).as("l_quantity"))
+  }
+
+  val gCheckExprSql: String =
+    """SELECT l_orderkey, l_linenumber, round(l_discount, 2) AS l_discount,
+              round(l_quantity, 2) AS l_quantity
+       FROM lineitem WHERE NOT (l_discount <= 0.07 AND l_quantity < 45)"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("g_insert_nodes", gInsertNodes, gInsertNodesSql),
     QueryDef.sql("g_insert_edges", gInsertEdges, gInsertEdgesSql),
@@ -209,5 +234,6 @@ object Dml {
     QueryDef.sql("g_check_notnull", gCheckNotnull, gCheckNotnullSql),
     QueryDef.sql("g_check_enum", gCheckEnum, gCheckEnumSql),
     QueryDef.sql("g_check_ref_integrity", gCheckRefIntegrity, gCheckRefIntegritySql),
-    QueryDef.sql("g_check_card_one", gCheckCardOne, gCheckCardOneSql))
+    QueryDef.sql("g_check_card_one", gCheckCardOne, gCheckCardOneSql),
+    QueryDef.sql("g_check_expr", gCheckExpr, gCheckExprSql))
 }

@@ -46,4 +46,39 @@ object Constraints {
     edges.groupBy(col(endpointCol))
       .agg(count(lit(1)).as("n_edges"))
       .filter(col("n_edges") > 1)
+
+  /** One CHECK atom as a Catalyst predicate — literal typed by its
+    * lexical kind (numbers with a '.' compare as double, else long).
+    */
+  private def cmpColumn(c: graft.lang.Ast.CheckCmp): Column = {
+    import graft.lang.Ast.{CmpOp, LitKind}
+    val v: Column = c.value.kind match {
+      case LitKind.Num =>
+        if (c.value.text.contains('.')) lit(c.value.text.toDouble)
+        else lit(c.value.text.toLong)
+      case LitKind.Str => lit(c.value.text)
+      case LitKind.Bool => lit(c.value.text.toBoolean)
+      case LitKind.Null => lit(null)
+    }
+    val f = col(c.field)
+    c.op match {
+      case CmpOp.Eq => f === v
+      case CmpOp.Ne => f =!= v
+      case CmpOp.Lt => f < v
+      case CmpOp.Le => f <= v
+      case CmpOp.Gt => f > v
+      case CmpOp.Ge => f >= v
+    }
+  }
+
+  /** CHECK (cmp AND cmp ...): rows where the conjunction evaluates to
+    * FALSE. SQL CHECK semantics — a NULL comparison result PASSES the
+    * constraint (only a definite FALSE violates), hence the coalesce.
+    * One codegen'd scan, no shuffle.
+    */
+  def checkViolations(df: DataFrame,
+      cmps: Seq[graft.lang.Ast.CheckCmp]): DataFrame = {
+    require(cmps.nonEmpty, "CHECK requires at least one comparison")
+    df.filter(!coalesce(cmps.map(cmpColumn).reduce(_ && _), lit(true)))
+  }
 }

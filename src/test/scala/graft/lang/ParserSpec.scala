@@ -175,6 +175,33 @@ class ParserSpec extends AnyFunSuite {
     assertThrows[LexError](Parser.parse("INSERT NODE P (a: 'unterminated);"))
   }
 
+  test("parses CHECK field constraints (all six operators, AND chains)") {
+    val Seq(cn) = Parser.parse(
+      """CREATE NODE Item (
+        |  id: int PRIMARY KEY,
+        |  qty: int NOT NULL CHECK (qty >= 0 AND qty < 100),
+        |  price: float CHECK (price > 0.0),
+        |  state: string CHECK (state != 'void' AND ok = true AND n <= 5)
+        |);""".stripMargin)
+    val byName = cn.asInstanceOf[CreateNode].fields.map(f => f.name -> f).toMap
+    assert(byName("qty").check === Seq(
+      CheckCmp("qty", CmpOp.Ge, Literal(LitKind.Num, "0")),
+      CheckCmp("qty", CmpOp.Lt, Literal(LitKind.Num, "100"))))
+    assert(byName("price").check === Seq(
+      CheckCmp("price", CmpOp.Gt, Literal(LitKind.Num, "0.0"))))
+    assert(byName("state").check === Seq(
+      CheckCmp("state", CmpOp.Ne, Literal(LitKind.Str, "void")),
+      CheckCmp("ok", CmpOp.Eq, Literal(LitKind.Bool, "true")),
+      CheckCmp("n", CmpOp.Le, Literal(LitKind.Num, "5"))))
+    // renders back to canonical text and re-parses to the same AST
+    val again = Parser.parse(Ast.render(cn)).head
+    assert(again === cn)
+    // malformed CHECKs are rejected
+    assertThrows[ParseError](Parser.parse("CREATE NODE P (a: int CHECK (a));"))
+    assertThrows[ParseError](Parser.parse("CREATE NODE P (a: int CHECK (a > ));"))
+    assertThrows[ParseError](Parser.parse("CREATE NODE P (a: int CHECK ());"))
+  }
+
   test("type names are reserved identifiers unless backtick-quoted") {
     assertThrows[ParseError](Parser.parse("CREATE NODE P (int: string);"))
     val Seq(cn) = Parser.parse("CREATE NODE P (`int`: string);")

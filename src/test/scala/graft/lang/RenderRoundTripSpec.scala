@@ -41,11 +41,20 @@ class RenderRoundTripSpec extends AnyFunSuite {
     case _ => TypeSpec(Base.Blob)
   }
 
+  private val cmpOps =
+    Seq(CmpOp.Eq, CmpOp.Ne, CmpOp.Lt, CmpOp.Le, CmpOp.Gt, CmpOp.Ge)
+
+  private def checkCmps(rnd: Random): Seq[CheckCmp] =
+    if (rnd.nextInt(4) != 0) Nil
+    else Seq.fill(1 + rnd.nextInt(2))(
+      CheckCmp(ident(rnd), cmpOps(rnd.nextInt(cmpOps.size)), literal(rnd)))
+
   private def fieldDef(rnd: Random): FieldDef =
     FieldDef(ident(rnd), typeSpec(rnd),
       primaryKey = rnd.nextInt(5) == 0, unique = rnd.nextInt(4) == 0,
       notNull = rnd.nextInt(3) == 0,
-      default = if (rnd.nextInt(4) == 0) Some(literal(rnd)) else None)
+      default = if (rnd.nextInt(4) == 0) Some(literal(rnd)) else None,
+      check = checkCmps(rnd))
 
   private def props(rnd: Random, min: Int = 0): Seq[Property] =
     Seq.fill(min + rnd.nextInt(3))(Property(ident(rnd), literal(rnd)))
