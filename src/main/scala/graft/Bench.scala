@@ -33,6 +33,24 @@ object Bench {
             si.name.linesIterator.next().take(80))
         }
       })
+    // per-trigger wall times of the streaming faces (informational):
+    // a StreamingQueryListener sees every micro-batch's
+    // triggerExecution duration, so drift investigations can separate
+    // trigger machinery from fold cost without an isolated rerun. The
+    // buffer is drained per timed query; faces need no changes.
+    val triggerBuf = new scala.collection.mutable.ArrayBuffer[Double]
+    spark.streams.addListener(
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
+          val d = e.progress.durationMs.get("triggerExecution")
+          if (d != null) triggerBuf.synchronized { triggerBuf += d.doubleValue / 1000.0 }
+        }
+        override def onQueryTerminated(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      })
     // optional comma-separated name filter for local iteration
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
@@ -77,6 +95,8 @@ object Bench {
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // per-trigger durations from the run that achieved each query's MIN
+    val triggers = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     // Shuffle the query order differently each pass (fixed seed:
     // reproducible). The per-query MIN defends against transient stalls
     // only if a query's conditions vary across passes — with a FIXED
@@ -92,6 +112,7 @@ object Bench {
       order.foreach { case (name, fn) =>
         if (sys.env.contains("GRAFT_DEBUG_STAGES"))
           System.err.println(s"[bench] start $name")
+        triggerBuf.synchronized(triggerBuf.clear())
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
           case e: Throwable =>
@@ -102,6 +123,10 @@ object Bench {
         dropPersisted() // cleanup stays outside the measured window
         if (sys.env.contains("GRAFT_DEBUG_STAGES"))
           System.err.println(f"[bench] done $name $elapsed%.2fs")
+        if (results.get(name).forall(elapsed < _)) {
+          val ts = triggerBuf.synchronized(triggerBuf.toList)
+          if (ts.nonEmpty) triggers(name) = ts
+        }
         results(name) = results.get(name).fold(elapsed)(math.min(_, elapsed))
       }
       System.err.println(f"[bench] pass $pass done")
@@ -120,11 +145,19 @@ object Bench {
     // the driver artifact persists only the tail of stdout, which
     // truncates the per-query map to the slow tail — ALSO write the
     // full map to a file so cross-round regression diffs (and
-    // tools/bench_diff.py against BENCH_BASELINE.json) see every query
+    // tools/bench_diff.py against BENCH_BASELINE.json) see every query.
+    // The full file additionally carries the streaming faces'
+    // per-trigger wall times (from each query's min pass) — stdout
+    // stays lean so the slow tail survives the driver's truncation
+    val trigJson = triggers.toSeq.sortBy(_._1)
+      .map { case (k, ts) =>
+        "\"" + k + "\":[" + ts.map(t => f"$t%.3f").mkString(",") + "]" }
+      .mkString("{", ",", "}")
+    val fullLine = line.dropRight(1) + s""","triggers":$trigJson}"""
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
       "bench_full.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
-      (line + "\n").getBytes("UTF-8"))
+      (fullLine + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $fullPath: ${e.getMessage}")
     }
