@@ -115,6 +115,41 @@ final class Interpreter(spark: SparkSession) {
     spec.getOrElse(throw ExecError(s"unknown field '$name' on $label")).tpe
   }
 
+  /** Insert-time CHECK enforcement (SQL semantics: a NULL on either
+    * side PASSES — only a definite FALSE rejects the row). Values are
+    * already coerced to their catalog types, so the comparisons are
+    * Long/Double/String/Boolean only.
+    */
+  private def enforceChecks(label: String, fields: Seq[graft.catalog.FieldSpec],
+      byField: Map[String, Any], isNode: Boolean): Unit =
+    for (f <- fields; c <- f.check if c.value.kind != Ast.LitKind.Null) {
+      val v = byField.getOrElse(c.field,
+        throw ExecError(s"CHECK on '${f.name}' references unknown field '${c.field}'"))
+      if (v != null) {
+        val w = coerce(c.value, fieldType(label, c.field, isNode))
+        val ord = (v, w) match {
+          case (a: Long, b: Long) => java.lang.Long.compare(a, b)
+          case (a: java.lang.Number, b: java.lang.Number) =>
+            java.lang.Double.compare(a.doubleValue, b.doubleValue)
+          case (a: String, b: String) => a.compareTo(b)
+          case (a: Boolean, b: Boolean) => java.lang.Boolean.compare(a, b)
+          case _ => throw ExecError(
+            s"CHECK on '${f.name}': incompatible comparison for '${c.field}'")
+        }
+        val holds = c.op match {
+          case Ast.CmpOp.Eq => ord == 0
+          case Ast.CmpOp.Ne => ord != 0
+          case Ast.CmpOp.Lt => ord < 0
+          case Ast.CmpOp.Le => ord <= 0
+          case Ast.CmpOp.Gt => ord > 0
+          case Ast.CmpOp.Ge => ord >= 0
+        }
+        if (!holds) throw ExecError(
+          s"CHECK violation on '$label': ${c.field} ${c.op.sym} " +
+            s"${c.value.text} (got $v)")
+      }
+    }
+
   private def whereCond(label: String, props: Seq[Ast.Property], isNode: Boolean): Column =
     props.foldLeft(lit(true)) { (acc, p) =>
       acc && (col(p.name) <=> lit(coerce(p.value, fieldType(label, p.name, isNode))))
@@ -147,6 +182,8 @@ final class Interpreter(spark: SparkSession) {
           throw ExecError(s"required field '${f.name}' is null")
         v
       }
+      enforceChecks(label, nt.fields,
+        nt.fields.map(_.name).zip(values).toMap, isNode = true)
       st.pending += Row.fromSeq(nextIdValue() +: values)
       None
 
@@ -174,6 +211,8 @@ final class Interpreter(spark: SparkSession) {
           throw ExecError(s"required prop '${f.name}' is null")
         v
       }
+      enforceChecks(label, et.props,
+        et.props.map(_.name).zip(values).toMap, isNode = false)
       st.pending += Row.fromSeq(Seq(nextIdValue(), src, dst) ++ values)
       None
 

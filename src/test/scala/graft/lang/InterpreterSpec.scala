@@ -59,6 +59,40 @@ class InterpreterSpec extends SparkSpec {
       it.executeScript("INSERT EDGE E FROM P ('nope') TO P (1);"))
   }
 
+  test("CHECK constraints enforce at insert; NULL passes (SQL semantics)") {
+    val it = fresh()
+    it.executeScript(
+      """CREATE NODE Item (
+        |  qty: int CHECK (qty >= 0 AND qty < 100),
+        |  price: float CHECK (price > 0.0 AND qty < 50),
+        |  state: string CHECK (state != 'void')
+        |);""".stripMargin)
+    // in-range row passes
+    it.executeScript("INSERT NODE Item (qty: 10, price: 1.5, state: 'ok');")
+    assert(it.nodes("Item").count() === 1)
+    // each operator rejects a definite FALSE
+    assertThrows[ExecError](
+      it.executeScript("INSERT NODE Item (qty: 100, price: 1.0, state: 'ok');"))
+    assertThrows[ExecError](
+      it.executeScript("INSERT NODE Item (qty: 1, price: 0.0, state: 'ok');"))
+    assertThrows[ExecError](
+      it.executeScript("INSERT NODE Item (qty: 1, price: 1.0, state: 'void');"))
+    // a CHECK may reference a SIBLING field (price's second atom)
+    assertThrows[ExecError](
+      it.executeScript("INSERT NODE Item (qty: 60, price: 1.0, state: 'ok');"))
+    // NULL on the checked field passes — only definite FALSE rejects
+    it.executeScript("INSERT NODE Item (qty: null, price: 1.0, state: 'ok');")
+    assert(it.nodes("Item").count() === 2)
+    // edge props enforce the same way
+    it.executeScript(
+      """CREATE EDGE Rated (FROM Item ONE, TO Item MANY,
+        |  PROPS (stars: int CHECK (stars >= 1 AND stars <= 5)));""".stripMargin)
+    it.executeScript("INSERT EDGE Rated FROM Item (1) TO Item (2) (stars: 5);")
+    assertThrows[ExecError](it.executeScript(
+      "INSERT EDGE Rated FROM Item (1) TO Item (2) (stars: 6);"))
+    assert(it.edges("Rated").count() === 1)
+  }
+
   test("insert edge resolves endpoints by id and by property") {
     val it = fresh()
     it.executeScript(
