@@ -300,9 +300,13 @@ final class Interpreter(spark: SparkSession) {
         }
       val rows = fields.map { f =>
         (f.name, Ast.renderType(f.tpe), pk.contains(f.name), f.unique, f.notNull,
-          f.defaultRaw.orNull)
+          f.defaultRaw.orNull,
+          if (f.check.isEmpty) null
+          else f.check.map(c => s"${c.field} ${c.op.sym} ${c.value.text}")
+            .mkString(" AND "))
       }
-      Some(rows.toDF("field", "type", "primary_key", "unique", "not_null", "default"))
+      Some(rows.toDF("field", "type", "primary_key", "unique", "not_null",
+        "default", "check"))
   }
 
   /** Parse + execute a script; returns the last MATCH result, if any. */

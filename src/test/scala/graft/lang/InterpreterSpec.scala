@@ -236,6 +236,11 @@ class InterpreterSpec extends SparkSpec {
       ("status", "enum<'a', 'b'>", false, false, Some("a"))))
     val descE = it.executeScript("DESCRIBE EDGE Knows;").get.collect()
     assert(descE.map(_.getString(0)).toSeq === Seq("since"))
+    // CHECK constraints surface in the describe table
+    it.executeScript("CREATE NODE Item (qty: int CHECK (qty >= 0 AND qty < 100));")
+    val descC = it.executeScript("DESCRIBE NODE Item;").get.collect()
+    assert(descC.map(r => (r.getString(0), Option(r.getString(6)))).toSeq ===
+      Seq(("qty", Some("qty >= 0 AND qty < 100"))))
     assertThrows[ExecError](it.executeScript("DESCRIBE NODE Nope;"))
     // reads never reach the log: only the three DDL statements are there
     assert(java.nio.file.Files.readAllLines(log.path).size === 3)
