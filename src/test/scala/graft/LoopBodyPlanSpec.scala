@@ -94,4 +94,21 @@ class LoopBodyPlanSpec extends SparkSpec with PlanWalk {
       queries.GraphOps.sPagerankWIncr(spark, sf()).collect() }
     assertClean("drain(pagerank_w)", rounds.filter(_._1 == "drain.fold"))
   }
+
+  test("tap self-test: a planted cartesian seen through the tap is reported") {
+    // proves the tap → walker path is awake: if productOffenders went
+    // vacuous (or the hook stopped capturing), this offender would
+    // pass silently and so would every family above
+    val rounds = captured {
+      val a = spark.range(5).toDF("x")
+      val b = spark.range(4).toDF("y")
+      PlanAudit.tap("selftest", a.crossJoin(b)).collect()
+      ()
+    }
+    val planted = rounds.filter(_._1 == "selftest")
+    assert(planted.nonEmpty, "tap lost — hook not capturing")
+    val offenders = planted.flatMap(t => productOffenders(t._2.executedPlan))
+    assert(offenders.nonEmpty,
+      "walker failed to report a planted cartesian through the tap")
+  }
 }
