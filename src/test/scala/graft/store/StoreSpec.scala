@@ -89,6 +89,37 @@ class StoreSpec extends SparkSpec {
       s"pruned scan reads $scannedFiles of $allFiles files - nothing pruned")
   }
 
+  test("checkViolations: definite FALSE flags, NULL passes, all six operators") {
+    import spark.implicits._
+    import graft.lang.Ast.{CheckCmp, CmpOp, Literal, LitKind}
+    val df = Seq(
+      (1L, Some(10L), Some(1.5), Some("ok")),
+      (2L, Some(100L), Some(1.5), Some("ok")),   // qty < 100 fails
+      (3L, None, Some(1.5), Some("ok")),          // NULL qty passes
+      (4L, Some(10L), Some(0.0), Some("ok")),     // price > 0.0 fails
+      (5L, Some(10L), None, Some("void")),        // state != 'void' fails
+      (6L, Some(10L), Some(2.0), None)            // NULL state passes
+    ).toDF("id", "qty", "price", "state")
+    def num(t: String) = Literal(LitKind.Num, t)
+    val cmps = Seq(
+      CheckCmp("qty", CmpOp.Ge, num("0")),
+      CheckCmp("qty", CmpOp.Lt, num("100")),
+      CheckCmp("price", CmpOp.Gt, num("0.0")),
+      CheckCmp("state", CmpOp.Ne, Literal(LitKind.Str, "void")))
+    val bad = Constraints.checkViolations(df, cmps)
+      .select("id").as[Long].collect().sorted
+    // NULL in one atom does NOT mask a definite FALSE in another (the
+    // conjunction is FALSE whenever any atom is FALSE), and rows whose
+    // only non-TRUE atoms are NULL pass
+    assert(bad.toSeq === Seq(2L, 4L, 5L))
+    // Eq / Le round out the operators
+    val eqBad = Constraints.checkViolations(df,
+        Seq(CheckCmp("state", CmpOp.Eq, Literal(LitKind.Str, "ok")),
+          CheckCmp("id", CmpOp.Le, num("5"))))
+      .select("id").as[Long].collect().sorted
+    assert(eqBad.toSeq === Seq(5L, 6L))
+  }
+
   test("ingest reads csv/json with the catalog schema, never inference") {
     import graft.catalog.Ddl
     import graft.lang.Parser
