@@ -42,9 +42,17 @@ def main():
             bad.append((name, b, r))
     new = sorted(set(run) - set(base))
 
+    triggers = run_doc.get("triggers", {})
     for name, b, r in sorted(bad, key=lambda x: x[2] / max(x[1], 1e-9),
                              reverse=True):
-        print(f"REGRESSED {name}: {b:.2f}s -> {r:.2f}s ({r / max(b, 1e-9):.1f}x)")
+        # streaming faces carry per-trigger wall times (min pass):
+        # report how much of the regressed wall is trigger machinery so
+        # adjudication can separate machinery variance from plan cost
+        ts = triggers.get(name)
+        extra = (f" [{len(ts)} triggers, {sum(ts):.2f}s inside triggers]"
+                 if ts else "")
+        print(f"REGRESSED {name}: {b:.2f}s -> {r:.2f}s "
+              f"({r / max(b, 1e-9):.1f}x){extra}")
     for name in missing:
         print(f"MISSING   {name}: in baseline, absent from run")
     if new:
