@@ -382,9 +382,14 @@ class RandomizedAlgSpec extends SparkSpec {
         .groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted).toSeq
         .map { case (v, us) => (v, us) }
         .toDF("v", "nbrs")
+      // the batch RE-OBSERVES some base edges (the driver faces' shape:
+      // a delta order re-purchasing a base co-purchase pair) — they
+      // must not change the result, whether or not the caller
+      // anti-joins them away
+      val overlapped = delta ++ base.take(3)
       val deltaDf =
-        if (delta.isEmpty) Seq((0L, 0L)).toDF("a", "b").limit(0)
-        else delta.toDF("a", "b")
+        if (overlapped.isEmpty) Seq((0L, 0L)).toDF("a", "b").limit(0)
+        else overlapped.toDF("a", "b")
       for (k <- Seq(3, 4)) {
         val baseTruss = Algorithms.kTruss(bdf, k)
         val got = Algorithms.kTrussIncremental(baseTruss, adj, deltaDf, k)
