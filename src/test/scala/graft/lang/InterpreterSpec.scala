@@ -210,6 +210,25 @@ class InterpreterSpec extends SparkSpec {
     assert(rows === Map("John" -> 31L, "Jane" -> 25L))
   }
 
+  test("commit log: a CHECK'd schema round-trips through render and replay") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-wal3").toString
+    val log = graft.store.CommitLog.open(dir)
+    val it = fresh()
+    it.executeLogged(
+      """CREATE NODE Item (qty: int CHECK (qty >= 0 AND qty < 100));
+        |INSERT NODE Item (qty: 10);""".stripMargin, log)
+    // the logged DDL carries the constraint text verbatim
+    assert(java.nio.file.Files.readAllLines(log.path).toString
+      .contains("CHECK (qty >= 0 AND qty < 100)"))
+    // a rebooted interpreter reconstructs the constraint, data AND
+    // enforcement — the replayed catalog still rejects violations
+    val rebooted = fresh()
+    rebooted.replayLog(log)
+    assert(rebooted.nodes("Item").count() === 1)
+    assertThrows[ExecError](
+      rebooted.executeScript("INSERT NODE Item (qty: 200);"))
+  }
+
   test("SHOW and DESCRIBE introspect the catalog and never reach the log") {
     val dir = java.nio.file.Files.createTempDirectory("graft-wal2").toString
     val log = graft.store.CommitLog.open(dir)
