@@ -120,12 +120,21 @@ object Bench {
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         }
         val elapsed = (System.nanoTime() - t0) / 1e9
+        // listener events arrive on Spark's async bus: flush before the
+        // drain so a late triggerExecution event neither goes missing
+        // nor lands attributed to the NEXT query (telemetry only, and
+        // outside the timed window)
+        try org.apache.spark.sql.graftbridge.Bridge
+          .flushListenerBus(spark.sparkContext, 5000L)
+        catch { case _: Throwable => () }
         dropPersisted() // cleanup stays outside the measured window
         if (sys.env.contains("GRAFT_DEBUG_STAGES"))
           System.err.println(f"[bench] done $name $elapsed%.2fs")
         if (results.get(name).forall(elapsed < _)) {
           val ts = triggerBuf.synchronized(triggerBuf.toList)
-          if (ts.nonEmpty) triggers(name) = ts
+          // an empty drain on a new-min pass must DROP a slower pass's
+          // stale list, not silently keep it
+          if (ts.nonEmpty) triggers(name) = ts else triggers.remove(name)
         }
         results(name) = results.get(name).fold(elapsed)(math.min(_, elapsed))
       }
@@ -151,7 +160,10 @@ object Bench {
     // stays lean so the slow tail survives the driver's truncation
     val trigJson = triggers.toSeq.sortBy(_._1)
       .map { case (k, ts) =>
-        "\"" + k + "\":[" + ts.map(t => f"$t%.3f").mkString(",") + "]" }
+        // explicit ROOT locale: the default f"" interpolator would
+        // write "0,123" (invalid JSON) under comma-decimal locales
+        "\"" + k + "\":[" + ts.map(t => String.format(
+          java.util.Locale.ROOT, "%.3f", Double.box(t))).mkString(",") + "]" }
       .mkString("{", ",", "}")
     val fullLine = line.dropRight(1) + s""","triggers":$trigJson}"""
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",

@@ -55,7 +55,11 @@ final case class FieldSpec(
     unique: Boolean = false,
     notNull: Boolean = false,
     defaultRaw: Option[String] = None,
-    check: Seq[Ast.CheckCmp] = Nil)
+    check: Seq[Ast.CheckCmp] = Nil,
+    /** Scripted INDEX option (reference catalog/types.go:66 IndexSpec) —
+      * the DDL applier folds indexed fields into the label's LayoutSpec.
+      */
+    index: Boolean = false)
 
 object Types {
 
@@ -106,7 +110,89 @@ object Ddl {
 
   private def toFieldSpec(fd: Ast.FieldDef): FieldSpec =
     FieldSpec(fd.name, fd.tpe, unique = fd.unique, notNull = fd.notNull || fd.primaryKey,
-      defaultRaw = fd.default.map(_.text), check = fd.check)
+      defaultRaw = fd.default.map(_.text), check = fd.check, index = fd.index)
+
+  /** Default bucket count for scripted INDEX layouts — sized to the
+    * session's parallelism contract (spark.sql.shuffle.partitions=32 in
+    * this deployment); at cluster scale a deployment overrides the
+    * LayoutSpec through the API after CREATE.
+    */
+  val IndexBuckets = 32
+
+  /** Fold scripted per-field indexes into the label's physical layout
+    * (the Spark-first meaning of the reference's IndexSpec): the FIRST
+    * indexed field becomes the bucket key (hash-index analogue — co-
+    * located joins, one-bucket point reads), the remaining indexed
+    * fields become the within-partition sort (range-index analogue —
+    * parquet rowgroup min/max skipping). With no indexed fields the
+    * existing (API-set) layout is kept, filtered to columns that still
+    * exist so a DROP of a layout column never leaves the writer
+    * repartitioning on a ghost.
+    */
+  private def reconcileLayout(old: LayoutSpec, fields: Seq[FieldSpec]): LayoutSpec = {
+    val names = fields.map(_.name).toSet
+    val indexed = fields.filter(_.index).map(_.name)
+    if (indexed.nonEmpty)
+      LayoutSpec(partitionBy = old.partitionBy.filter(names),
+        bucketBy = Some((IndexBuckets, Seq(indexed.head))),
+        sortBy = indexed.tail)
+    else LayoutSpec(
+      partitionBy = old.partitionBy.filter(names),
+      bucketBy = old.bucketBy.filter(_._2.forall(names)),
+      sortBy = old.sortBy.filter(names))
+  }
+
+  /** DDL-time CHECK validation: every constraint a CREATE/ALTER carries
+    * must be enforceable before it is accepted (a CHECK that throws on
+    * every subsequent INSERT is a schema bug, not a data bug) —
+    * referenced sibling fields exist, the field types are comparable
+    * (blob/array have no CHECK ordering), and the literal coerces to
+    * the referenced field's type. Numeric literals follow the shared
+    * lexical rule (fractional literal against an int field compares as
+    * double — same rule at insert time and in the batch finder).
+    */
+  private def validateChecks(label: String, fields: Seq[FieldSpec]): Unit = {
+    val byName = fields.map(f => f.name -> f).toMap
+    for (f <- fields; c <- f.check) {
+      val target = byName.getOrElse(c.field, throw DdlError(
+        s"CHECK on $label.${f.name} references unknown field '${c.field}'"))
+      val st = Types.toSpark(target.tpe)
+      st match {
+        case BinaryType | _: ArrayType => throw DdlError(
+          s"CHECK on $label.${f.name}: field '${c.field}' of type " +
+            s"${Ast.renderType(target.tpe)} is not comparable")
+        case _ => ()
+      }
+      c.value.kind match {
+        case Ast.LitKind.Null => () // a NULL atom never fails a row
+        case Ast.LitKind.Num => st match {
+          case LongType | DoubleType => ()
+          case _ => throw DdlError(
+            s"CHECK on $label.${f.name}: numeric literal against non-numeric field '${c.field}'")
+        }
+        case Ast.LitKind.Bool => st match {
+          case BooleanType => ()
+          case _ => throw DdlError(
+            s"CHECK on $label.${f.name}: boolean literal against non-boolean field '${c.field}'")
+        }
+        case Ast.LitKind.Str => st match {
+          case StringType => ()
+          case DateType =>
+            try java.sql.Date.valueOf(c.value.text) catch {
+              case _: IllegalArgumentException => throw DdlError(
+                s"CHECK on $label.${f.name}: '${c.value.text}' is not a date")
+            }
+          case TimestampType =>
+            try java.sql.Timestamp.valueOf(c.value.text.replace("T", " ")) catch {
+              case _: IllegalArgumentException => throw DdlError(
+                s"CHECK on $label.${f.name}: '${c.value.text}' is not a timestamp")
+            }
+          case _ => throw DdlError(
+            s"CHECK on $label.${f.name}: string literal against incompatible field '${c.field}'")
+        }
+      }
+    }
+  }
 
   /** Scalar per the reference's isScalarType (ddl.go:171): everything
     * except arrays, enums, json, and blob.
@@ -136,7 +222,10 @@ object Ddl {
     s.fields.foreach(validateField)
     val pk = s.fields.filter(_.primaryKey).map(_.name)
     if (pk.size > 1) throw DdlError("multiple PRIMARY KEY fields (use ALTER ... SET PRIMARY KEY for a composite key)")
-    val nt = NodeTypeDef(s.name, s.fields.map(toFieldSpec), pk)
+    val specs = s.fields.map(toFieldSpec)
+    validateChecks(s.name, specs)
+    val nt = NodeTypeDef(s.name, specs, pk,
+      layout = reconcileLayout(LayoutSpec(), specs))
     bump(cat.copy(nodes = cat.nodes + (s.name -> nt)))
   }
 
@@ -148,10 +237,12 @@ object Ddl {
     val dup = s.props.groupBy(_.name).collectFirst { case (n, fs) if fs.size > 1 => n }
     dup.foreach(n => throw DdlError(s"duplicate edge prop: $n"))
     s.props.foreach(validateField)
+    val specs = s.props.map(toFieldSpec)
+    validateChecks(s.name, specs)
     val et = EdgeTypeDef(s.name,
       EndpointDef(s.from.label, s.from.card == Ast.Cardinality.Many),
       EndpointDef(s.to.label, s.to.card == Ast.Cardinality.Many),
-      s.props.map(toFieldSpec))
+      specs, layout = reconcileLayout(LayoutSpec(), specs))
     bump(cat.copy(edges = cat.edges + (s.name -> et)))
   }
 
@@ -178,7 +269,9 @@ object Ddl {
         }
         nt.copy(pk = fs)
     }
-    bump(cat.copy(nodes = cat.nodes + (s.name -> updated)))
+    validateChecks(s.name, updated.fields)
+    val relaid = updated.copy(layout = reconcileLayout(updated.layout, updated.fields))
+    bump(cat.copy(nodes = cat.nodes + (s.name -> relaid)))
   }
 
   def alterEdge(cat: GraphCatalog, s: Ast.AlterEdge): GraphCatalog = {
@@ -203,7 +296,9 @@ object Ddl {
           from = EndpointDef(from.label, from.card == Ast.Cardinality.Many),
           to = EndpointDef(to.label, to.card == Ast.Cardinality.Many))
     }
-    bump(cat.copy(edges = cat.edges + (s.name -> updated)))
+    validateChecks(s.name, updated.props)
+    val relaid = updated.copy(layout = reconcileLayout(updated.layout, updated.props))
+    bump(cat.copy(edges = cat.edges + (s.name -> relaid)))
   }
 
   def dropNode(cat: GraphCatalog, name: String): GraphCatalog = {

@@ -164,12 +164,54 @@ object CatalogJson {
     case other => throw DdlError(s"unknown base type in snapshot: $other")
   }
 
+  private def litKindName(k: Ast.LitKind): String = k match {
+    case Ast.LitKind.Str => "str"
+    case Ast.LitKind.Num => "num"
+    case Ast.LitKind.Bool => "bool"
+    case Ast.LitKind.Null => "null"
+  }
+
+  private def litKindOf(s: String): Ast.LitKind = s match {
+    case "str" => Ast.LitKind.Str
+    case "num" => Ast.LitKind.Num
+    case "bool" => Ast.LitKind.Bool
+    case "null" => Ast.LitKind.Null
+    case other => throw DdlError(s"unknown literal kind in snapshot: $other")
+  }
+
+  private def cmpOpOf(s: String): Ast.CmpOp = s match {
+    case "=" => Ast.CmpOp.Eq
+    case "!=" => Ast.CmpOp.Ne
+    case "<" => Ast.CmpOp.Lt
+    case "<=" => Ast.CmpOp.Le
+    case ">" => Ast.CmpOp.Gt
+    case ">=" => Ast.CmpOp.Ge
+    case other => throw DdlError(s"unknown CHECK operator in snapshot: $other")
+  }
+
+  private def checkJson(c: Ast.CheckCmp): JValue = JObject(
+    "field" -> JString(c.field),
+    "op" -> JString(c.op.sym),
+    "kind" -> JString(litKindName(c.value.kind)),
+    "value" -> JString(c.value.text))
+
+  private def readCheck(j: JValue): Ast.CheckCmp = Ast.CheckCmp(
+    str(j \ "field"), cmpOpOf(str(j \ "op")),
+    Ast.Literal(litKindOf(str(j \ "kind")), str(j \ "value")))
+
+  // `check` and `index` MUST ride the snapshot: a catalog loaded from
+  // snapshot (bootFrom / load at the manifest version — the path that
+  // SKIPS DDL-log replay) would otherwise silently stop enforcing CHECK
+  // and lose the scripted index layout. Absent keys read as empty/false
+  // so pre-existing snapshots keep loading.
   private def fieldJson(f: FieldSpec): JValue = JObject(
     "name" -> JString(f.name),
     "type" -> typeJson(f.tpe),
     "unique" -> JBool(f.unique),
     "notNull" -> JBool(f.notNull),
-    "default" -> f.defaultRaw.map(JString).getOrElse(JNull))
+    "default" -> f.defaultRaw.map(JString).getOrElse(JNull),
+    "check" -> JArray(f.check.toList.map(checkJson)),
+    "index" -> JBool(f.index))
 
   private def layoutJson(l: LayoutSpec): JValue = JObject(
     "partitionBy" -> JArray(l.partitionBy.toList.map(JString)),
@@ -230,7 +272,12 @@ object CatalogJson {
     defaultRaw = (j \ "default") match {
       case JString(s) => Some(s)
       case _ => None
-    })
+    },
+    check = (j \ "check") match {
+      case JArray(cs) => cs.map(readCheck)
+      case _ => Nil
+    },
+    index = (j \ "index") == JBool(true))
 
   private def readLayout(j: JValue): LayoutSpec = LayoutSpec(
     partitionBy = (j \ "partitionBy") match {

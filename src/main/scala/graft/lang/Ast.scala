@@ -55,10 +55,17 @@ object Ast {
     */
   final case class CheckCmp(field: String, op: CmpOp, value: Literal)
 
+  /** `index` completes the reference's reserved-but-ungrammared INDEX
+    * keyword (parser/keywords.go:24, catalog/types.go:66 IndexSpec) the
+    * way CHECK/SHOW/DESCRIBE were completed: a field option that marks
+    * the field indexed. The catalog maps indexed fields to the label's
+    * physical LayoutSpec (bucket/sort), which the writer applies — the
+    * Spark-first analogue of the reference's in-memory hash indexes.
+    */
   final case class FieldDef(name: String, tpe: TypeSpec,
       primaryKey: Boolean = false, unique: Boolean = false,
       notNull: Boolean = false, default: Option[Literal] = None,
-      check: Seq[CheckCmp] = Nil)
+      check: Seq[CheckCmp] = Nil, index: Boolean = false)
 
   sealed trait Cardinality
   object Cardinality {
@@ -185,7 +192,11 @@ object Ast {
     "NODE", "EDGE", "FROM", "TO", "ONE", "MANY", "PROPS",
     "PRIMARY", "KEY", "UNIQUE", "NOT", "DEFAULT", "CHECK", "AND",
     "ADD", "MODIFY", "SET", "WHERE", "RETURN",
-    "SHOW", "DESCRIBE", "NODES", "EDGES")
+    "SHOW", "DESCRIBE", "NODES", "EDGES",
+    // the reference reserves these three in its lexer keyword table
+    // (parser/keywords.go:24-26,32) even where its grammar never uses
+    // them — graft matches, so identifier quoting round-trips identically
+    "INDEX", "ON", "TYPE")
   private def id(n: String): String =
     if (plainIdent.matches(n) && !reserved.contains(n.toUpperCase)) n else s"`$n`"
 
@@ -227,6 +238,7 @@ object Ast {
   private def field(f: FieldDef): String = {
     val opts = (if (f.primaryKey) " PRIMARY KEY" else "") +
       (if (f.unique) " UNIQUE" else "") +
+      (if (f.index) " INDEX" else "") +
       (if (f.notNull) " NOT NULL" else "") +
       f.default.map(d => s" DEFAULT ${lit(d)}").getOrElse("") +
       (if (f.check.isEmpty) ""

@@ -115,10 +115,25 @@ final class Interpreter(spark: SparkSession) {
     spec.getOrElse(throw ExecError(s"unknown field '$name' on $label")).tpe
   }
 
+  /** CHECK literal typing — the ONE rule shared with the batch finder
+    * (Constraints.complementColumn): numeric literals type LEXICALLY
+    * (double iff the text contains '.', else long), so `CHECK (qty <
+    * 4.5)` on an int field compares as double at insert time exactly
+    * as it does in the violation scan. Non-numeric literals coerce to
+    * the referenced field's catalog type (dates/timestamps parse).
+    */
+  private def checkLiteral(c: Ast.CheckCmp, label: String, isNode: Boolean): Any =
+    c.value.kind match {
+      case Ast.LitKind.Num =>
+        if (c.value.text.contains('.')) c.value.text.toDouble
+        else c.value.text.toLong
+      case _ => coerce(c.value, fieldType(label, c.field, isNode))
+    }
+
   /** Insert-time CHECK enforcement (SQL semantics: a NULL on either
-    * side PASSES — only a definite FALSE rejects the row). Values are
-    * already coerced to their catalog types, so the comparisons are
-    * Long/Double/String/Boolean only.
+    * side PASSES — only a definite FALSE rejects the row). Field types
+    * are pre-validated at DDL time (Ddl.validateChecks), so the
+    * comparisons are Long/Double/String/Boolean/Date/Timestamp.
     */
   private def enforceChecks(label: String, fields: Seq[graft.catalog.FieldSpec],
       byField: Map[String, Any], isNode: Boolean): Unit =
@@ -126,13 +141,15 @@ final class Interpreter(spark: SparkSession) {
       val v = byField.getOrElse(c.field,
         throw ExecError(s"CHECK on '${f.name}' references unknown field '${c.field}'"))
       if (v != null) {
-        val w = coerce(c.value, fieldType(label, c.field, isNode))
+        val w = checkLiteral(c, label, isNode)
         val ord = (v, w) match {
           case (a: Long, b: Long) => java.lang.Long.compare(a, b)
           case (a: java.lang.Number, b: java.lang.Number) =>
             java.lang.Double.compare(a.doubleValue, b.doubleValue)
           case (a: String, b: String) => a.compareTo(b)
           case (a: Boolean, b: Boolean) => java.lang.Boolean.compare(a, b)
+          case (a: java.sql.Date, b: java.sql.Date) => a.compareTo(b)
+          case (a: java.sql.Timestamp, b: java.sql.Timestamp) => a.compareTo(b)
           case _ => throw ExecError(
             s"CHECK on '${f.name}': incompatible comparison for '${c.field}'")
         }
@@ -522,8 +539,45 @@ final class Interpreter(spark: SparkSession) {
       Ast.Literal(Ast.LitKind.Num, raw)
     else Ast.Literal(Ast.LitKind.Str, raw)
 
+  /** ALTER-time CHECK revalidation — strict ADD CONSTRAINT semantics
+    * (documented choice per SURVEY §2.2 row 18b): an ALTER that adds or
+    * changes a CHECK is REJECTED when already-stored rows violate it,
+    * before any catalog or data mutation, so schema and data never
+    * disagree. The probe previews the post-ALTER column (new fields
+    * appear as NULL — NULL passes, but a sibling-field atom can still
+    * be definitely FALSE on stored rows) and runs the same
+    * Constraints.checkViolations predicate the batch finder uses.
+    */
+  private def revalidateCheck(label: String, fd: Ast.FieldDef,
+      isNode: Boolean, added: Boolean): Unit =
+    if (fd.check.nonEmpty) {
+      val stOpt = if (isNode) nodeState.get(label) else edgeState.get(label)
+      stOpt.foreach { st =>
+        val base = st.materialize()
+        val preview =
+          if (added) base.withColumn(fd.name, lit(null).cast(Types.toSpark(fd.tpe)))
+          else base.withColumn(fd.name, col(fd.name).cast(Types.toSpark(fd.tpe)))
+        val bad = graft.store.Constraints.checkViolations(preview, fd.check).count()
+        if (bad > 0) throw ExecError(
+          s"ALTER rejected: CHECK on '$label.${fd.name}' is violated by " +
+            s"$bad stored row${if (bad == 1) "" else "s"}")
+      }
+    }
+
   private def applyDdl(stmt: Ast.Stmt): Unit = {
-    cat = Ddl(cat, stmt)
+    val next = Ddl(cat, stmt) // validates (incl. DDL-time CHECK sanity)
+    stmt match {
+      case Ast.AlterNode(n, Ast.AlterNodeAction.AddField(fd)) =>
+        revalidateCheck(n, fd, isNode = true, added = true)
+      case Ast.AlterNode(n, Ast.AlterNodeAction.ModifyField(fd)) =>
+        revalidateCheck(n, fd, isNode = true, added = false)
+      case Ast.AlterEdge(n, Ast.AlterEdgeAction.AddProp(fd)) =>
+        revalidateCheck(n, fd, isNode = false, added = true)
+      case Ast.AlterEdge(n, Ast.AlterEdgeAction.ModifyProp(fd)) =>
+        revalidateCheck(n, fd, isNode = false, added = false)
+      case _ => ()
+    }
+    cat = next
     // migrate stored DataFrames on schema change (SURVEY §2.1 row 3)
     stmt match {
       case Ast.AlterNode(name, action) =>

@@ -34,11 +34,22 @@ final class Parser(tokens: Vector[Token]) {
   private val typeKeywords = Set("STRING", "TEXT", "INT", "FLOAT", "BOOL", "UUID",
     "DATE", "TIME", "DATETIME", "JSON", "BLOB", "ARRAY", "ENUM")
 
+  /** The reference additionally reserves INDEX, ON, and TYPE in its
+    * lexer keyword table (keywords.go:24-26,32) — its lexer would
+    * tokenize a bare `index` as a keyword, never an identifier. graft
+    * matches: these reject in identifier positions too (and INDEX is
+    * grammared as a field option, the way CHECK/SHOW/DESCRIBE were
+    * completed).
+    */
+  private val reservedNonType = Set("INDEX", "ON", "TYPE")
+
   private def expectIdent(): String = {
     if (tok.kind != Tok.IDENT) err(s"expected identifier, found '${tok.lit}'")
     if (tok.quoted && tok.lit.isEmpty) err("empty quoted identifier")
     if (!tok.quoted && typeKeywords.contains(tok.kw))
       err(s"'${tok.lit}' is a reserved type name; quote it with backticks to use as an identifier")
+    if (!tok.quoted && reservedNonType.contains(tok.kw))
+      err(s"'${tok.lit}' is a reserved word; quote it with backticks to use as an identifier")
     next().lit
   }
 
@@ -138,6 +149,7 @@ final class Parser(tokens: Vector[Token]) {
     while (more) {
       if (matchKw("PRIMARY")) { expectKw("KEY"); fd = fd.copy(primaryKey = true) }
       else if (matchKw("UNIQUE")) fd = fd.copy(unique = true)
+      else if (matchKw("INDEX")) fd = fd.copy(index = true)
       else if (matchKw("NOT")) {
         if (tok.kind == Tok.NULLLIT) next() else expectKw("NULL")
         fd = fd.copy(notNull = true)

@@ -209,7 +209,7 @@ object Dml {
     */
   def gCheckExpr(spark: SparkSession, dir: String): DataFrame = {
     val stmt = graft.lang.Parser.parse(
-      "CREATE NODE li_audit (id: int PRIMARY KEY, " +
+      "CREATE NODE li_audit (id: int PRIMARY KEY, l_quantity: float, " +
         "l_discount: float CHECK (l_discount <= 0.07 AND l_quantity < 45));")
       .head.asInstanceOf[graft.lang.Ast.CreateNode]
     val cmps = stmt.fields.flatMap(_.check)

@@ -108,6 +108,21 @@ object GraphStore {
     w.saveAsTable(table)
   }
 
+  /** Metastore-bucketed write driven by a catalog [[graft.catalog.LayoutSpec]]
+    * — the writer half of the scripted INDEX option: `CREATE NODE t
+    * (k: int INDEX, ...)` puts the bucket/sort layout in the catalog
+    * (Ddl.reconcileLayout), and persisting through this applies it, so
+    * a script-declared index yields the exchange-free co-bucketed join
+    * of SURVEY §2.1 row 8c without touching the API.
+    */
+  def writeIndexedTable(df: DataFrame, table: String,
+      layout: graft.catalog.LayoutSpec): Unit = layout.bucketBy match {
+    case Some((n, cols)) =>
+      writeBucketedTable(df, table, n, cols, layout.sortBy)
+    case None => throw new IllegalArgumentException(
+      s"label has no indexed layout to apply (table $table)")
+  }
+
   def writeTable(df: DataFrame, path: String,
       layout: graft.catalog.LayoutSpec = graft.catalog.LayoutSpec(),
       format: String = "parquet"): Unit = {

@@ -13,4 +13,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Drain the async listener bus (bounded wait). StreamingQueryListener
+    * events ride `SparkContext.listenerBus` (private[spark]) on async
+    * queues; a caller reading listener-fed telemetry right after a query
+    * returns must flush first or late events land on the next query.
+    */
+  def flushListenerBus(sc: org.apache.spark.SparkContext, timeoutMs: Long): Unit =
+    sc.listenerBus.waitUntilEmpty(timeoutMs)
 }

@@ -101,4 +101,61 @@ class CatalogSpec extends AnyFunSuite {
     assertThrows[DdlError](applyScript(
       "ALTER NODE Q ADD tags: array<string>; ALTER NODE Q SET PRIMARY KEY (tags);", base))
   }
+
+  test("scripted INDEX folds into the label layout (bucket head, sort tail)") {
+    val cat = applyScript(
+      "CREATE NODE T (k: int PRIMARY KEY INDEX, v: string INDEX, w: float);")
+    val nt = cat.nodes("T")
+    assert(nt.field("k").get.index && nt.field("v").get.index)
+    assert(nt.layout === LayoutSpec(
+      bucketBy = Some((Ddl.IndexBuckets, Seq("k"))), sortBy = Seq("v")))
+    // ALTER adding an index migrates the layout; dropping the last
+    // indexed field clears it (and never leaves a ghost column)
+    val more = applyScript("ALTER NODE T ADD j: int INDEX;", cat)
+    assert(more.nodes("T").layout.sortBy === Seq("v", "j"))
+    val fewer = applyScript(
+      "ALTER NODE T DROP k; ALTER NODE T DROP v; ALTER NODE T DROP j;",
+      applyScript("ALTER NODE T SET PRIMARY KEY (w);", more))
+    assert(fewer.nodes("T").layout === LayoutSpec())
+    // edge props index the same way
+    val withEdge = applyScript(
+      "CREATE NODE Q (id: int); CREATE EDGE E (FROM T ONE, TO Q ONE, PROPS (s: int INDEX));", cat)
+    assert(withEdge.edges("E").layout.bucketBy ===
+      Some((Ddl.IndexBuckets, Seq("s"))))
+  }
+
+  test("DDL-time CHECK validation rejects unenforceable constraints up front") {
+    // referenced sibling must exist
+    assertThrows[DdlError](applyScript(
+      "CREATE NODE P (a: float CHECK (a > 0.0 AND missing < 5));"))
+    // literal must be type-compatible with the referenced field
+    assertThrows[DdlError](applyScript(
+      "CREATE NODE P (a: string CHECK (a > 5));"))
+    assertThrows[DdlError](applyScript(
+      "CREATE NODE P (a: int CHECK (a = 'x'));"))
+    assertThrows[DdlError](applyScript(
+      "CREATE NODE P (a: bool CHECK (a = 1));"))
+    // unsupported (non-comparable) field types reject
+    assertThrows[DdlError](applyScript(
+      "CREATE NODE P (a: blob CHECK (a != 'x'));"))
+    assertThrows[DdlError](applyScript(
+      "CREATE NODE P (a: array<int>, b: int CHECK (a = 1));"))
+    // date/timestamp literals must parse
+    assertThrows[DdlError](applyScript(
+      "CREATE NODE P (d: date CHECK (d >= 'not-a-date'));"))
+    assert(applyScript(
+      "CREATE NODE P (d: date CHECK (d >= '1995-01-01'));")
+      .nodes("P").field("d").get.check.nonEmpty)
+    // the shared lexical rule: a fractional literal against an int
+    // field is VALID (compares as double at insert and in the finder)
+    assert(applyScript("CREATE NODE P (q: int CHECK (q < 4.5));")
+      .nodes("P").field("q").get.check.nonEmpty)
+    // a DROP that orphans another field's CHECK reference rejects
+    val base = applyScript(
+      "CREATE NODE P (a: int, b: float CHECK (a > 0));")
+    assertThrows[DdlError](applyScript("ALTER NODE P DROP a;", base))
+    // ALTER ADD with a bad check rejects the same way
+    assertThrows[DdlError](applyScript(
+      "ALTER NODE P ADD c: int CHECK (nope = 1);", base))
+  }
 }

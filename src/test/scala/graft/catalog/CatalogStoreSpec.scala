@@ -60,4 +60,24 @@ class CatalogStoreSpec extends AnyFunSuite {
     assert(head.version === 4 && !head.nodes.contains("P"))
     assert(head === store.load())
   }
+
+  test("snapshot carries CHECK constraints and INDEX flags (no silent loss on snapshot boot)") {
+    // the snapshot path SKIPS DDL-log replay — if the field codec
+    // dropped check/index, a snapshot-booted catalog would silently
+    // stop enforcing CHECK and lose the scripted layout
+    val cat = Parser.parse(
+      """CREATE NODE Item (
+        |  id: int PRIMARY KEY INDEX,
+        |  qty: int CHECK (qty >= 0 AND qty < 4.5),
+        |  state: string INDEX CHECK (state != 'void')
+        |);""".stripMargin).foldLeft(GraphCatalog.empty)(Ddl.apply)
+    val store = new CatalogStore(tmpDir())
+    store.snapshot(cat)
+    val loaded = store.load()
+    assert(loaded === cat)
+    val it = loaded.nodes("Item")
+    assert(it.field("qty").get.check.size === 2)
+    assert(it.field("id").get.index && it.field("state").get.index)
+    assert(it.layout === cat.nodes("Item").layout)
+  }
 }

@@ -491,4 +491,95 @@ class InterpreterSpec extends SparkSpec {
     rebooted.bootFrom(dir, CommitLog.Binary)
     assert(rebooted.nodes("P").count() === 10)
   }
+
+  test("CHECK literal typing is shared with the batch finder: fractional literal on int field") {
+    val it = fresh()
+    // CHECK (qty < 4.5) on an int field must be DDL-accepted and
+    // enforced by comparing as double — the same lexical rule
+    // Constraints.complementColumn uses, so insert-time and batch
+    // semantics can never diverge
+    it.executeScript("CREATE NODE N (qty: int CHECK (qty < 4.5));")
+    it.executeScript("INSERT NODE N (qty: 4);")
+    assertThrows[ExecError](it.executeScript("INSERT NODE N (qty: 5);"))
+    assert(it.nodes("N").count() === 1)
+  }
+
+  test("CHECK enforces on date and datetime fields at insert") {
+    val it = fresh()
+    it.executeScript(
+      """CREATE NODE Ev (d: date CHECK (d >= '1995-01-01'),
+        |  ts: datetime CHECK (ts < '2000-01-01T00:00:00'));""".stripMargin)
+    it.executeScript("INSERT NODE Ev (d: '1996-05-05', ts: '1999-12-31T23:59:59');")
+    assertThrows[ExecError](it.executeScript("INSERT NODE Ev (d: '1994-01-01');"))
+    assertThrows[ExecError](it.executeScript("INSERT NODE Ev (ts: '2001-01-01T00:00:00');"))
+    assert(it.nodes("Ev").count() === 1)
+  }
+
+  test("DDL-time CHECK validation rejects unenforceable constraints in scripts") {
+    val it = fresh()
+    // unknown sibling, incompatible literal, unparseable date — all
+    // reject at CREATE/ALTER, not on the first unlucky INSERT
+    assertThrows[graft.catalog.DdlError](
+      it.executeScript("CREATE NODE P (a: float CHECK (missing > 0.0));"))
+    assertThrows[graft.catalog.DdlError](
+      it.executeScript("CREATE NODE P (a: int CHECK (a = 'x'));"))
+    assertThrows[graft.catalog.DdlError](
+      it.executeScript("CREATE NODE P (d: date CHECK (d > 'nope'));"))
+    // nothing was created by the failed statements
+    assert(it.catalog.nodes.isEmpty)
+  }
+
+  test("ALTER-time CHECK revalidation: violating stored rows reject the ALTER") {
+    val it = fresh()
+    it.executeScript(
+      """CREATE NODE T (a: int, b: float);
+        |INSERT NODE T (a: 10, b: 1.5);
+        |INSERT NODE T (a: 3, b: 0.5);""".stripMargin)
+    // MODIFY adding a CHECK the stored rows violate → rejected, schema
+    // and data unchanged (strict ADD CONSTRAINT semantics)
+    assertThrows[ExecError](
+      it.executeScript("ALTER NODE T MODIFY a: int CHECK (a < 5);"))
+    assert(it.catalog.nodes("T").field("a").get.check.isEmpty)
+    // ADD of a new field whose CHECK references a violating sibling →
+    // rejected too (the new column is NULL and passes, the sibling atom
+    // is definitely FALSE on a stored row)
+    assertThrows[ExecError](
+      it.executeScript("ALTER NODE T ADD c: int CHECK (a < 5);"))
+    assert(it.catalog.nodes("T").field("c").isEmpty)
+    // a CHECK the stored rows satisfy is accepted and then enforced
+    it.executeScript("ALTER NODE T MODIFY a: int CHECK (a < 50);")
+    assert(it.catalog.nodes("T").field("a").get.check.nonEmpty)
+    assertThrows[ExecError](it.executeScript("INSERT NODE T (a: 99);"))
+    it.executeScript("INSERT NODE T (a: 20);")
+    assert(it.nodes("T").count() === 3)
+  }
+
+  test("scripted INDEX reaches the catalog layout and survives WAL replay + snapshot boot") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-idx").toString
+    val it = fresh()
+    val log = graft.store.CommitLog.open(dir)
+    it.executeLogged("CREATE NODE T (k: int PRIMARY KEY INDEX, v: string INDEX);", log)
+    it.executeLogged("INSERT NODE T (k: 1, v: 'x');", log)
+    val expected = graft.catalog.LayoutSpec(
+      bucketBy = Some((graft.catalog.Ddl.IndexBuckets, Seq("k"))), sortBy = Seq("v"))
+    assert(it.catalog.nodes("T").layout === expected)
+    // ALTER adding an index migrates the layout
+    it.executeLogged("ALTER NODE T ADD j: int INDEX;", log)
+    assert(it.catalog.nodes("T").layout.sortBy === Seq("v", "j"))
+    // WAL replay carries it (render emits INDEX, parser reads it back)
+    val replayed = fresh()
+    replayed.replayLog(log)
+    assert(replayed.catalog.nodes("T").layout ===
+      it.catalog.nodes("T").layout)
+    // snapshot boot (catalog.json, NOT log replay) carries it too
+    val snapDir = java.nio.file.Files.createTempDirectory("graft-idx-snap").toString
+    val it2 = fresh()
+    val log2 = graft.store.CommitLog.open(snapDir)
+    it2.executeLogged("CREATE NODE T (k: int PRIMARY KEY INDEX, v: string INDEX);", log2)
+    it2.executeLogged("INSERT NODE T (k: 1, v: 'x');", log2)
+    it2.compact(snapDir)
+    val booted = fresh()
+    booted.bootFrom(snapDir)
+    assert(booted.catalog.nodes("T").layout === expected)
+  }
 }

@@ -227,4 +227,38 @@ class ParserSpec extends AnyFunSuite {
         s"keyword-identifier round-trip failed for: $s")
     }
   }
+
+  test("INDEX / ON / TYPE are reserved words (reference keywords.go:24-26,32)") {
+    // the reference lexer tokenizes these as keywords everywhere, so a
+    // bare identifier spelled like one must reject — graft matches
+    assertThrows[ParseError](Parser.parse("CREATE NODE P (index: int);"))
+    assertThrows[ParseError](Parser.parse("CREATE NODE on (a: int);"))
+    assertThrows[ParseError](Parser.parse("CREATE NODE P (type: string);"))
+    // backtick-quoted they are plain identifiers again
+    val stmts = Parser.parse("CREATE NODE `type` (`index`: int, `on`: string);")
+    assert(stmts.head === CreateNode("type", Seq(
+      FieldDef("index", TypeSpec(Base.Int)), FieldDef("on", TypeSpec(Base.Str)))))
+    // the renderer quotes them, so the WAL round-trips identically
+    assert(Ast.render(stmts.head) ===
+      "CREATE NODE `type` (`index`: int, `on`: string);")
+    assert(Parser.parse(stmts.map(Ast.render).mkString("\n")) === stmts)
+  }
+
+  test("INDEX field option parses, renders, and round-trips") {
+    val Seq(cn) = Parser.parse(
+      "CREATE NODE T (k: int PRIMARY KEY INDEX, v: string INDEX, w: float);")
+    val fs = cn.asInstanceOf[CreateNode].fields
+    assert(fs.map(f => f.name -> f.index) ===
+      Seq("k" -> true, "v" -> true, "w" -> false))
+    assert(Parser.parse(Ast.render(cn)).head === cn)
+    // option order is free, as with the other field options
+    val Seq(cn2) = Parser.parse("CREATE NODE T (k: int INDEX NOT NULL DEFAULT 1);")
+    val f2 = cn2.asInstanceOf[CreateNode].fields.head
+    assert(f2.index && f2.notNull && f2.default.contains(Literal(LitKind.Num, "1")))
+    // and on edge props + ALTER, the same way
+    val Seq(ae) = Parser.parse("ALTER NODE T ADD j: int INDEX;")
+    assert(ae === AlterNode("T",
+      AlterNodeAction.AddField(FieldDef("j", TypeSpec(Base.Int), index = true))))
+    assert(Parser.parse(Ast.render(ae)).head === ae)
+  }
 }

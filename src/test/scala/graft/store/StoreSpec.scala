@@ -158,4 +158,30 @@ class StoreSpec extends SparkSpec {
     assert(graft.store.Constraints.notNullViolations(
       bad.filter(col("name").isNull), Seq("name")).isEmpty)
   }
+
+  test("a scripted INDEX yields the bucketed exchange-free join (row 8c via DDL)") {
+    import spark.implicits._
+    // the INDEX field option is the scriptable face of the layout
+    // lever: CREATE ... INDEX puts bucketBy in the catalog, and
+    // persisting through writeIndexedTable applies it
+    val cat = graft.lang.Parser.parse(
+      """CREATE NODE Fact (key: int INDEX, v: float);
+        |CREATE NODE Dim (key: int INDEX, name: string);""".stripMargin)
+      .foldLeft(graft.catalog.GraphCatalog.empty)(graft.catalog.Ddl.apply)
+    val facts = Seq.tabulate(200)(i => (i.toLong % 50, i * 1.5)).toDF("key", "v")
+    val dims = Seq.tabulate(50)(i => (i.toLong, s"d$i")).toDF("key", "name")
+    GraphStore.writeIndexedTable(facts, "ix_facts", cat.nodes("Fact").layout)
+    GraphStore.writeIndexedTable(dims, "ix_dims", cat.nodes("Dim").layout)
+    try {
+      val joined = spark.table("ix_facts")
+        .join(spark.table("ix_dims").hint("merge"), "key")
+      assert(joined.count() === 200)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"unexpected exchange:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"scan not bucketed:\n$plan")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ix_facts")
+      spark.sql("DROP TABLE IF EXISTS ix_dims")
+    }
+  }
 }
