@@ -426,7 +426,9 @@ final class Interpreter(spark: SparkSession) {
       edgeState(l).df = Some(spark.read.schema(edgeSchema(l))
         .parquet(dir.resolve("edges").resolve(l).toString))
     }
-    Snapshot.dropOlderThan(dataDir, gen)
+    // retention sweep (supersedes the plain drop-older): also clears
+    // unpublished partials a crashed earlier attempt may have left
+    Snapshot.sweep(dataDir)
     log
   }
 
@@ -455,6 +457,11 @@ final class Interpreter(spark: SparkSession) {
       format: graft.store.CommitLog.Format = graft.store.CommitLog.Text)
       : graft.store.CommitLog = {
     import graft.store.Snapshot
+    // generation GC at boot: crashed-compaction partials and out-of-
+    // retention generations never accumulate across restarts (the
+    // sweep keeps the newest published generation + its WAL; with no
+    // published generation it keeps the gen-0 log, which IS the state)
+    Snapshot.sweep(dataDir)
     Snapshot.latest(dataDir) match {
       case Some((gen, meta)) =>
         val dir = Snapshot.snapDir(dataDir, gen)

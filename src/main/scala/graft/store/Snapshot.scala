@@ -116,4 +116,63 @@ object Snapshot {
     if (Files.exists(p)) {
       Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
     }
+
+  /** Bounded-retention generation GC. Keeps the newest `keep` PUBLISHED
+    * generations, each with its suffix log, and deletes:
+    *
+    *  - published generations (snapshot dir + log) older than the
+    *    retention window — debris of a crash that landed between
+    *    publishMeta and dropOlderThan, or of a deployment that raised
+    *    retention and later lowered it;
+    *  - EVERY unpublished snapshot dir (no meta.json), whatever its
+    *    generation number — a crashed compaction attempt's partial.
+    *    Always safe in the single-writer model: an unpublished dir is
+    *    invisible to [[latest]] and the next compaction deletes-then-
+    *    rewrites its target dir from scratch anyway;
+    *  - logs of generations above the newest published one with no
+    *    published snapshot to anchor them (can only exist if a crash
+    *    interleaved log creation with an unpublished snapshot).
+    *
+    * With no published generation at all, only unpublished partials are
+    * swept — the generation-0 log IS the state and always survives.
+    * Runs at boot (Interpreter.bootFrom) so crashed-compaction leftovers
+    * never accumulate across generations.
+    */
+  def sweep(dataDir: String, keep: Int = 1): Unit = {
+    require(keep >= 1, "retention must keep at least the live generation")
+    val root = Paths.get(dataDir)
+    if (!Files.isDirectory(root)) return
+    val entries = Files.list(root).iterator().asScala.toSeq
+    def genOfLog(name: String): Option[Long] =
+      if (name == "commit.log") Some(0L)
+      else if (name.startsWith("commit.") && name.endsWith(".log"))
+        name.stripPrefix("commit.").stripSuffix(".log").toLongOption
+      else None
+    def genOfSnap(name: String): Option[Long] =
+      if (name.startsWith("snapshot-"))
+        name.stripPrefix("snapshot-").toLongOption
+      else None
+    val published = entries.flatMap { p =>
+      genOfSnap(p.getFileName.toString)
+        .filter(_ => Files.exists(p.resolve("meta.json")))
+    }.sorted
+    val retained = published.takeRight(keep).toSet
+    val newest = published.lastOption
+    entries.foreach { p =>
+      val name = p.getFileName.toString
+      genOfSnap(name) match {
+        case Some(g) =>
+          val isPublished = Files.exists(p.resolve("meta.json"))
+          if (!isPublished || !retained.contains(g)) deleteRecursively(p)
+        case None => genOfLog(name) match {
+          case Some(g) =>
+            val anchored = retained.contains(g) ||
+              (g == 0L && published.isEmpty) // pre-compaction plain log
+            val orphanAbove = newest.exists(g > _)
+            if (!anchored || orphanAbove) deleteRecursively(p)
+          case None => () // not ours (foreign file in the data dir)
+        }
+      }
+    }
+  }
 }

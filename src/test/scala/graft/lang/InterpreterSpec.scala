@@ -582,4 +582,68 @@ class InterpreterSpec extends SparkSpec {
     booted.bootFrom(snapDir)
     assert(booted.catalog.nodes("T").layout === expected)
   }
+
+  test("generation GC: boot sweeps crashed-compaction partials and out-of-retention debris") {
+    import graft.store.{CommitLog, Snapshot}
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft-gc").toString
+    val it = fresh()
+    var log = CommitLog.open(dir)
+    it.executeLogged("CREATE NODE P (v: int);", log)
+    (1 to 5).foreach(i => it.executeLogged(s"INSERT NODE P (v: $i);", log))
+    log = it.compact(dir) // publishes generation 1
+    it.executeLogged("INSERT NODE P (v: 6);", log)
+    // crash mid-compaction, twice: partial generations WITHOUT meta.json
+    Seq(2L, 3L).foreach { g =>
+      val partial = Snapshot.snapDir(dir, g)
+      Files.createDirectories(partial.resolve("nodes").resolve("P"))
+      Files.writeString(partial.resolve("catalog.json"), "{}")
+    }
+    // crash between publishMeta and the old-generation drop: gen-0
+    // debris lingering (plain log), plus an orphan log above newest
+    Files.writeString(Paths.get(dir).resolve("commit.log"), "INSERT NODE P (v: 99);\n")
+    Files.writeString(Paths.get(dir).resolve("commit.5.log"), "")
+    // boot: sweep runs first, then bounded replay
+    val booted = fresh()
+    booted.bootFrom(dir)
+    assert(booted.nodes("P").count() === 6) // snapshot 5 + suffix 1
+    val left = Files.list(Paths.get(dir)).iterator()
+    val names = scala.jdk.CollectionConverters.IteratorHasAsScala(left)
+      .asScala.map(_.getFileName.toString).toSet
+    assert(names === Set("snapshot-1", "commit.1.log"),
+      s"sweep left unexpected entries: $names")
+    // bounded retention: a second compaction publishes gen 2, and the
+    // default sweep (keep=1) retires gen 1 entirely
+    val log2 = booted.compact(dir)
+    booted.executeLogged("INSERT NODE P (v: 7);", log2)
+    val names2 = scala.jdk.CollectionConverters.IteratorHasAsScala(
+      Files.list(Paths.get(dir)).iterator())
+      .asScala.map(_.getFileName.toString).toSet
+    assert(names2 === Set("snapshot-2", "commit.2.log"),
+      s"post-compaction sweep left unexpected entries: $names2")
+    // keep=2 retains the two newest published generations WITH their
+    // suffix logs (the raised-retention / time-travel deployment)
+    val dir2 = Files.createTempDirectory("graft-gc2").toString
+    val it2 = fresh()
+    var l2 = CommitLog.open(dir2)
+    it2.executeLogged("CREATE NODE Q (v: int);", l2)
+    l2 = it2.compact(dir2) // publishes gen 1
+    it2.executeLogged("INSERT NODE Q (v: 1);", l2)
+    // hand-publish generations 2 and 3 (compact's own sweep is keep=1,
+    // so build the multi-generation state directly)
+    Seq(2L, 3L).foreach { g =>
+      val d = Snapshot.snapDir(dir2, g)
+      Files.createDirectories(d)
+      Files.writeString(d.resolve("catalog.json"), "{}")
+      Snapshot.publishMeta(d, Snapshot.Meta(g, 10L, Seq("Q"), Nil))
+      Files.writeString(Paths.get(dir2).resolve(s"commit.$g.log"), "")
+    }
+    Snapshot.sweep(dir2, keep = 2)
+    val names3 = scala.jdk.CollectionConverters.IteratorHasAsScala(
+      Files.list(Paths.get(dir2)).iterator())
+      .asScala.map(_.getFileName.toString).toSet
+    assert(names3 === Set("snapshot-2", "commit.2.log",
+      "snapshot-3", "commit.3.log"),
+      s"keep=2 must retain exactly the two newest generations + logs: $names3")
+  }
 }
