@@ -776,7 +776,7 @@ object GraphOps {
 
   private def ccDeltaSourceDir(spark: SparkSession, dir: String): String =
     ccDeltaSrcCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
-      val out = java.nio.file.Files.createTempDirectory("graft_cc_src").toString
+      val out = graft.streaming.Streams.scratchDir("graft_cc_src")
       Tables.load(spark, dir, "lineitem")
         .filter(col("l_orderkey") % 10 === 0)
         .select(col("l_orderkey"), col("l_partkey"))
@@ -807,7 +807,7 @@ object GraphOps {
     val stream = spark.readStream.schema(batchSchema)
       .option("maxFilesPerTrigger", "1").parquet(src)
     var labels = ccBaseCached(spark, dir)
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_cc_ckpt").toString
+    val ckpt = graft.streaming.Streams.scratchDir("graft_cc_ckpt")
     val q = stream.writeStream
       .option("checkpointLocation", ckpt)
       .foreachBatch { (b: DataFrame, _: Long) =>
@@ -931,7 +931,7 @@ object GraphOps {
     val stream = spark.readStream.schema(batchSchema)
       .option("maxFilesPerTrigger", "1").parquet(src)
     var pending: Option[(DataFrame, DataFrame)] = None
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_katz_ckpt").toString
+    val ckpt = graft.streaming.Streams.scratchDir("graft_katz_ckpt")
     val q = stream.writeStream
       .option("checkpointLocation", ckpt)
       .foreachBatch { (b: DataFrame, _: Long) =>
@@ -1057,7 +1057,7 @@ object GraphOps {
     val stream = spark.readStream.schema(batchSchema)
       .option("maxFilesPerTrigger", "1").parquet(src)
     var pending: Option[(DataFrame, DataFrame)] = None
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_pr_ckpt").toString
+    val ckpt = graft.streaming.Streams.scratchDir("graft_pr_ckpt")
     val q = stream.writeStream
       .option("checkpointLocation", ckpt)
       .foreachBatch { (b: DataFrame, _: Long) =>
@@ -1094,7 +1094,7 @@ object GraphOps {
 
   private def prDeltaSourceDir(spark: SparkSession, dir: String): String =
     prDeltaSrcCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
-      val out = java.nio.file.Files.createTempDirectory("graft_pr_src").toString
+      val out = graft.streaming.Streams.scratchDir("graft_pr_src")
       gidEdgesCached(spark, dir, TpchGraph.edgeLabels)
         .filter(expr(deltaEdgePred))
         .select(col("gsrc"), col("gdst"))
@@ -1170,7 +1170,7 @@ object GraphOps {
 
   private def wprDeltaSourceDir(spark: SparkSession, dir: String): String =
     wprDeltaSrcCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
-      val out = java.nio.file.Files.createTempDirectory("graft_wpr_src").toString
+      val out = graft.streaming.Streams.scratchDir("graft_wpr_src")
       g(spark, dir).gidWeightedEdges(TpchGraph.edgeLabels, rankWeightFn)
         .filter(expr(deltaEdgePred))
         .select(col("gsrc"), col("gdst"), col("w"))
@@ -1199,7 +1199,7 @@ object GraphOps {
     val stream = spark.readStream.schema(batchSchema)
       .option("maxFilesPerTrigger", "1").parquet(src)
     var pending: Option[(DataFrame, DataFrame)] = None
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_wpr_ckpt").toString
+    val ckpt = graft.streaming.Streams.scratchDir("graft_wpr_ckpt")
     val q = stream.writeStream
       .option("checkpointLocation", ckpt)
       .foreachBatch { (b: DataFrame, _: Long) =>
@@ -1611,7 +1611,7 @@ object GraphOps {
     var pairs = basePairs
     var deg = baseDeg
     var core = baseCore
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_kcore_ckpt").toString
+    val ckpt = graft.streaming.Streams.scratchDir("graft_kcore_ckpt")
     val q = stream.writeStream
       .option("checkpointLocation", ckpt)
       .foreachBatch { (b: DataFrame, _: Long) =>
@@ -2057,7 +2057,7 @@ object GraphOps {
 
   private def triDeltaSourceDir(spark: SparkSession, dir: String): String =
     triDeltaSrcCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
-      val out = java.nio.file.Files.createTempDirectory("graft_tri_src").toString
+      val out = graft.streaming.Streams.scratchDir("graft_tri_src")
       Tables.load(spark, dir, "lineitem")
         .filter(col("l_orderkey") % 100 === 0)
         .select(col("l_orderkey"), col("l_partkey"))
@@ -2090,7 +2090,7 @@ object GraphOps {
     val stream = spark.readStream.schema(batchSchema)
       .option("maxFilesPerTrigger", "1").parquet(src)
     var buffered: List[DataFrame] = Nil
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_tri_ckpt").toString
+    val ckpt = graft.streaming.Streams.scratchDir("graft_tri_ckpt")
     val q = stream.writeStream
       .option("checkpointLocation", ckpt)
       .foreachBatch { (b: DataFrame, _: Long) =>
@@ -2591,7 +2591,7 @@ object GraphOps {
 
   private def mstDeltaSourceDir(spark: SparkSession, dir: String): String =
     mstDeltaSrcCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
-      val out = java.nio.file.Files.createTempDirectory("graft_mst_src").toString
+      val out = graft.streaming.Streams.scratchDir("graft_mst_src")
       Tables.load(spark, dir, "lineitem")
         .filter(col("l_orderkey") % 10 === 0 && col("l_partkey") < 2000)
         .select(col("l_orderkey"), col("l_partkey"))
@@ -2622,7 +2622,7 @@ object GraphOps {
       .option("maxFilesPerTrigger", "1").parquet(src)
     var pendCnt: Option[DataFrame] = None
     var pendNodes: Option[DataFrame] = None
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_mst_ckpt").toString
+    val ckpt = graft.streaming.Streams.scratchDir("graft_mst_ckpt")
     val q = stream.writeStream
       .option("checkpointLocation", ckpt)
       .foreachBatch { (b: DataFrame, _: Long) =>
@@ -2751,7 +2751,7 @@ object GraphOps {
 
   private def trussDeltaSourceDir(spark: SparkSession, dir: String): String =
     trussDeltaSrcCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
-      val out = java.nio.file.Files.createTempDirectory("graft_truss_src").toString
+      val out = graft.streaming.Streams.scratchDir("graft_truss_src")
       Tables.load(spark, dir, "lineitem")
         .filter(col("l_orderkey") % 10 === 0 && col("l_partkey") < 2000)
         .select(col("l_orderkey"), col("l_partkey"))
@@ -2782,7 +2782,7 @@ object GraphOps {
     val stream = spark.readStream.schema(batchSchema)
       .option("maxFilesPerTrigger", "1").parquet(src)
     var buffered: List[DataFrame] = Nil
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_truss_ckpt").toString
+    val ckpt = graft.streaming.Streams.scratchDir("graft_truss_ckpt")
     val q = stream.writeStream
       .option("checkpointLocation", ckpt)
       .foreachBatch { (b: DataFrame, _: Long) =>
@@ -3435,7 +3435,7 @@ object GraphOps {
 
   private def sccDeltaSourceDir(spark: SparkSession, dir: String): String =
     sccDeltaSrcCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
-      val out = java.nio.file.Files.createTempDirectory("graft_scc_src").toString
+      val out = graft.streaming.Streams.scratchDir("graft_scc_src")
       Tables.load(spark, dir, "lineitem")
         .filter(col("l_partkey") < 500 && col("l_orderkey") % 10 === 0)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
@@ -3466,7 +3466,7 @@ object GraphOps {
       .option("maxFilesPerTrigger", "1").parquet(src)
     var labels = baseLabels
     var dag = baseDag
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_sccs_ckpt").toString
+    val ckpt = graft.streaming.Streams.scratchDir("graft_sccs_ckpt")
     val q = stream.writeStream
       .option("checkpointLocation", ckpt)
       .foreachBatch { (b: DataFrame, _: Long) =>

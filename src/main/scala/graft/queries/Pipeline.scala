@@ -1388,7 +1388,7 @@ object Pipeline {
 
   private def knnQuerySourceDir(spark: SparkSession, dir: String): String =
     knnQuerySrcCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
-      val out = java.nio.file.Files.createTempDirectory("graft_knn_src").toString
+      val out = graft.streaming.Streams.scratchDir("graft_knn_src")
       Tables.load(spark, dir, "embeddings").filter(col("vec_id") < 30)
         .select(col("vec_id"))
         .repartition(3, col("vec_id"))
@@ -1417,7 +1417,7 @@ object Pipeline {
     val stream = spark.readStream.schema(batchSchema)
       .option("maxFilesPerTrigger", "1").parquet(src)
     var outs: List[DataFrame] = Nil
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_knn_ckpt").toString
+    val ckpt = graft.streaming.Streams.scratchDir("graft_knn_ckpt")
     val q = stream.writeStream
       .option("checkpointLocation", ckpt)
       .foreachBatch { (b: DataFrame, _: Long) =>
@@ -1531,7 +1531,7 @@ object Pipeline {
   private def ivfPqSavedDir(spark: SparkSession, dir: String): String =
     ivfPqSavedCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
       val (coarse, sub, books, codes) = ivfPqCached(spark, dir)
-      val out = java.nio.file.Files.createTempDirectory("graft_ivfpq_idx")
+      val out = graft.streaming.Streams.scratchDir("graft_ivfpq_idx")
         .toString
       graft.pipeline.Cluster.saveIvfPqIndex(out, coarse, sub, books, codes)
       out
@@ -1898,7 +1898,7 @@ object Pipeline {
 
   private def dbscanDeltaSourceDir(spark: SparkSession, dir: String): String =
     dbscanDeltaSrcCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
-      val out = java.nio.file.Files.createTempDirectory("graft_dbscan_src").toString
+      val out = graft.streaming.Streams.scratchDir("graft_dbscan_src")
       Tables.load(spark, dir, "embeddings")
         .filter(col("vec_id") % 10 === 0)
         .select(col("vec_id"))
@@ -1943,7 +1943,7 @@ object Pipeline {
     var state = dbscanBaseCached(spark, dir)
     var arrived = emb.filter(col("vec_id") % 10 =!= 0)
       .select(col("vec_id").as("oid")).localCheckpoint()
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_dbscan_ckpt").toString
+    val ckpt = graft.streaming.Streams.scratchDir("graft_dbscan_ckpt")
     val q = stream.writeStream
       .option("checkpointLocation", ckpt)
       .foreachBatch { (b: DataFrame, _: Long) =>

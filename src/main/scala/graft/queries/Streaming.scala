@@ -223,7 +223,7 @@ object Streaming {
 
   private def cdcSourceDir(spark: SparkSession, dir: String): String =
     cdcSrcCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
-      val out = java.nio.file.Files.createTempDirectory("graft_cdc_src").toString
+      val out = graft.streaming.Streams.scratchDir("graft_cdc_src")
       Tables.load(spark, dir, "events")
         .repartition(3).write.mode("overwrite").parquet(out)
       out
@@ -257,7 +257,7 @@ object Streaming {
       .initState(base, toChanges(spark.read.parquet(src)), "c_custkey",
         orderCols, "op")
       .localCheckpoint()
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_cdc_ckpt").toString
+    val ckpt = graft.streaming.Streams.scratchDir("graft_cdc_ckpt")
     val q = toChanges(stream).writeStream
       .option("checkpointLocation", ckpt)
       .foreachBatch { (b: DataFrame, _: Long) =>
@@ -421,11 +421,11 @@ object Streaming {
   private def lateSourceDir(spark: SparkSession, dir: String): String =
     lateSrcCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
       import java.nio.file.{Files, Paths}
-      val out = Files.createTempDirectory("graft_late_src").toString
+      val out = graft.streaming.Streams.scratchDir("graft_late_src")
       val ev = Tables.load(spark, dir, "events")
       val maxTs = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0)
       def writeOne(df: DataFrame, name: String, mtime: Long): Unit = {
-        val staging = Files.createTempDirectory("graft_late_stage").toString
+        val staging = graft.streaming.Streams.scratchDir("graft_late_stage")
         df.coalesce(1).write.mode("overwrite").parquet(staging)
         val part = new java.io.File(staging).listFiles()
           .find(_.getName.endsWith(".parquet")).get

@@ -41,6 +41,45 @@ final case class CepHit(user_id: Long, event_id: Long, matched: Boolean)
   */
 object Streams {
 
+  private val scratchCreated =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]
+  private lazy val scratchHook: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      scratchCreated.forEach { p =>
+        try graft.store.Snapshot.deleteRecursively(p)
+        catch { case _: Throwable => () }
+      }))
+  }
+
+  /** Ephemeral scratch dir for the self-contained streaming replay
+    * faces (checkpoints + generated micro-batch sources). These faces
+    * create a FRESH checkpoint per run and never attempt recovery, so
+    * checkpoint durability buys nothing — but the per-micro-batch
+    * offset/commit log fsyncs land on this path, and on a shared disk
+    * those fsyncs are the dominant jitter in trigger pacing (the
+    * bench's per-trigger telemetry shows 0.9–1.4 s of pure machinery
+    * between sub-second folds). Prefer the memory-backed /dev/shm when
+    * present; fall back to java.io.tmpdir. Dirs are swept on JVM exit.
+    * A REAL deployment points checkpointLocation at durable storage —
+    * this helper is only for replay faces whose state dies with the
+    * process anyway.
+    */
+  def scratchDir(prefix: String): String = {
+    scratchHook
+    val base = sys.env.get("GRAFT_SCRATCH").map(java.nio.file.Paths.get(_))
+      .orElse {
+        val shm = java.nio.file.Paths.get("/dev/shm")
+        Option.when(java.nio.file.Files.isDirectory(shm) &&
+          java.nio.file.Files.isWritable(shm))(shm)
+      }
+    val dir = base match {
+      case Some(b) => java.nio.file.Files.createTempDirectory(b, prefix)
+      case None => java.nio.file.Files.createTempDirectory(prefix)
+    }
+    scratchCreated.add(dir)
+    dir.toString
+  }
+
   /** Tumbling-window aggregate over events: per (hour, event_type)
     * count + value sum. In streaming mode the 1h watermark bounds state;
     * in batch mode it is a no-op.
