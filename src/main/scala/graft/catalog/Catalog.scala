@@ -55,7 +55,8 @@ final case class FieldSpec(
     unique: Boolean = false,
     notNull: Boolean = false,
     defaultRaw: Option[String] = None,
-    check: Seq[Ast.CheckCmp] = Nil,
+    /** CHECK constraint in DNF: outer Seq is OR, inner Seq is AND. */
+    check: Seq[Seq[Ast.CheckCmp]] = Nil,
     /** Scripted INDEX option (reference catalog/types.go:66 IndexSpec) —
       * the DDL applier folds indexed fields into the label's LayoutSpec.
       */
@@ -153,17 +154,28 @@ object Ddl {
     */
   private def validateChecks(label: String, fields: Seq[FieldSpec]): Unit = {
     val byName = fields.map(f => f.name -> f).toMap
-    for (f <- fields; c <- f.check) {
-      val target = byName.getOrElse(c.field, throw DdlError(
-        s"CHECK on $label.${f.name} references unknown field '${c.field}'"))
+    def comparableType(f: FieldSpec, c: Ast.CheckCmp, name: String): DataType = {
+      val target = byName.getOrElse(name, throw DdlError(
+        s"CHECK on $label.${f.name} references unknown field '$name'"))
       val st = Types.toSpark(target.tpe)
       st match {
         case BinaryType | _: ArrayType => throw DdlError(
-          s"CHECK on $label.${f.name}: field '${c.field}' of type " +
+          s"CHECK on $label.${f.name}: field '$name' of type " +
             s"${Ast.renderType(target.tpe)} is not comparable")
-        case _ => ()
+        case _ => st
       }
-      c.value.kind match {
+    }
+    for (f <- fields; disj <- f.check; c <- disj) {
+      val st = comparableType(f, c, c.field)
+      c.rhsField.foreach { r =>
+        val rt = comparableType(f, c, r)
+        val numeric = Set[DataType](LongType, DoubleType)
+        val compatible = st == rt || (numeric(st) && numeric(rt))
+        if (!compatible) throw DdlError(
+          s"CHECK on $label.${f.name}: fields '${c.field}' and '$r' " +
+            "have incomparable types")
+      }
+      if (c.rhsField.isEmpty) c.value.kind match {
         case Ast.LitKind.Null => () // a NULL atom never fails a row
         case Ast.LitKind.Num => st match {
           case LongType | DoubleType => ()

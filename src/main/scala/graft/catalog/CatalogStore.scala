@@ -193,11 +193,29 @@ object CatalogJson {
     "field" -> JString(c.field),
     "op" -> JString(c.op.sym),
     "kind" -> JString(litKindName(c.value.kind)),
-    "value" -> JString(c.value.text))
+    "value" -> JString(c.value.text),
+    "rhsField" -> c.rhsField.map(JString).getOrElse(JNull))
 
   private def readCheck(j: JValue): Ast.CheckCmp = Ast.CheckCmp(
     str(j \ "field"), cmpOpOf(str(j \ "op")),
-    Ast.Literal(litKindOf(str(j \ "kind")), str(j \ "value")))
+    Ast.Literal(litKindOf(str(j \ "kind")), str(j \ "value")),
+    rhsField = (j \ "rhsField") match {
+      case JString(s) => Some(s)
+      case _ => None
+    })
+
+  /** Check DNF codec: nested arrays (outer OR, inner AND). A LEGACY
+    * flat array of atom objects (pre-OR snapshots: an implicit
+    * conjunction) reads as a single-disjunct DNF, so existing
+    * snapshots keep loading unchanged.
+    */
+  private def readCheckDnf(j: JValue): Seq[Seq[Ast.CheckCmp]] = j match {
+    case JArray(Nil) => Nil
+    case JArray(xs) if xs.forall(_.isInstanceOf[JArray]) =>
+      xs.map { case JArray(cs) => cs.map(readCheck); case _ => Nil }
+    case JArray(xs) => Seq(xs.map(readCheck)) // legacy conjunction
+    case _ => Nil
+  }
 
   // `check` and `index` MUST ride the snapshot: a catalog loaded from
   // snapshot (bootFrom / load at the manifest version — the path that
@@ -210,7 +228,8 @@ object CatalogJson {
     "unique" -> JBool(f.unique),
     "notNull" -> JBool(f.notNull),
     "default" -> f.defaultRaw.map(JString).getOrElse(JNull),
-    "check" -> JArray(f.check.toList.map(checkJson)),
+    "check" -> JArray(f.check.toList.map(conj =>
+      JArray(conj.toList.map(checkJson)))),
     "index" -> JBool(f.index))
 
   private def layoutJson(l: LayoutSpec): JValue = JObject(
@@ -273,10 +292,7 @@ object CatalogJson {
       case JString(s) => Some(s)
       case _ => None
     },
-    check = (j \ "check") match {
-      case JArray(cs) => cs.map(readCheck)
-      case _ => Nil
-    },
+    check = readCheckDnf(j \ "check"),
     index = (j \ "index") == JBool(true))
 
   private def readLayout(j: JValue): LayoutSpec = LayoutSpec(

@@ -46,14 +46,19 @@ object Ast {
     case object Ge extends CmpOp(">=")
   }
 
-  /** One atom of a CHECK constraint: `field op literal`. The reference
-    * RESERVES the CHECK keyword (parser/keywords.go:18) but never
-    * grammars it; graft completes the feature the way SHOW/DESCRIBE
-    * were completed: `CHECK (cmp AND cmp ...)` as a field option, a
-    * conjunction of comparisons (SQL semantics — a row violates iff
-    * the conjunction evaluates to FALSE; NULL passes).
+  /** One atom of a CHECK constraint: `field op literal`, or — with
+    * `rhsField` set — `field op siblingField` (the literal is then a
+    * placeholder and ignored). The reference RESERVES the CHECK keyword
+    * (parser/keywords.go:18) but never grammars it; graft completes the
+    * feature the way SHOW/DESCRIBE were completed. The full constraint
+    * is a DISJUNCTION of conjunctions with standard precedence (AND
+    * binds tighter than OR): `CHECK (a > 1 AND b < 2 OR c = d)` parses
+    * as `(a>1 AND b<2) OR (c=d)`, carried as `Seq[Seq[CheckCmp]]` —
+    * outer OR, inner AND. SQL semantics: a row violates iff the whole
+    * expression evaluates to definite FALSE; NULL passes.
     */
-  final case class CheckCmp(field: String, op: CmpOp, value: Literal)
+  final case class CheckCmp(field: String, op: CmpOp, value: Literal,
+      rhsField: Option[String] = None)
 
   /** `index` completes the reference's reserved-but-ungrammared INDEX
     * keyword (parser/keywords.go:24, catalog/types.go:66 IndexSpec) the
@@ -65,7 +70,7 @@ object Ast {
   final case class FieldDef(name: String, tpe: TypeSpec,
       primaryKey: Boolean = false, unique: Boolean = false,
       notNull: Boolean = false, default: Option[Literal] = None,
-      check: Seq[CheckCmp] = Nil, index: Boolean = false)
+      check: Seq[Seq[CheckCmp]] = Nil, index: Boolean = false)
 
   sealed trait Cardinality
   object Cardinality {
@@ -190,7 +195,7 @@ object Ast {
     "TRUE", "FALSE", "NULL",
     "CREATE", "ALTER", "DROP", "INSERT", "UPDATE", "DELETE", "MATCH",
     "NODE", "EDGE", "FROM", "TO", "ONE", "MANY", "PROPS",
-    "PRIMARY", "KEY", "UNIQUE", "NOT", "DEFAULT", "CHECK", "AND",
+    "PRIMARY", "KEY", "UNIQUE", "NOT", "DEFAULT", "CHECK", "AND", "OR",
     "ADD", "MODIFY", "SET", "WHERE", "RETURN",
     "SHOW", "DESCRIBE", "NODES", "EDGES",
     // the reference reserves these three in its lexer keyword table
@@ -235,6 +240,15 @@ object Ast {
     }
   }
 
+  /** Canonical CHECK body text (DNF, standard precedence — no parens
+    * needed: OR joins conjunctions, AND joins atoms). Public: DESCRIBE
+    * shares it, so introspection prints exactly the re-parsable form.
+    */
+  def renderCheck(check: Seq[Seq[CheckCmp]]): String =
+    check.map(_.map(c => s"${id(c.field)} ${c.op.sym} " +
+        c.rhsField.map(id).getOrElse(lit(c.value)))
+      .mkString(" AND ")).mkString(" OR ")
+
   private def field(f: FieldDef): String = {
     val opts = (if (f.primaryKey) " PRIMARY KEY" else "") +
       (if (f.unique) " UNIQUE" else "") +
@@ -242,8 +256,7 @@ object Ast {
       (if (f.notNull) " NOT NULL" else "") +
       f.default.map(d => s" DEFAULT ${lit(d)}").getOrElse("") +
       (if (f.check.isEmpty) ""
-       else " CHECK (" + f.check.map(c =>
-         s"${id(c.field)} ${c.op.sym} ${lit(c.value)}").mkString(" AND ") + ")")
+       else " CHECK (" + renderCheck(f.check) + ")")
     s"${id(f.name)}: ${tpe(f.tpe)}$opts"
   }
 }

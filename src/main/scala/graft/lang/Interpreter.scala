@@ -130,18 +130,30 @@ final class Interpreter(spark: SparkSession) {
       case _ => coerce(c.value, fieldType(label, c.field, isNode))
     }
 
-  /** Insert-time CHECK enforcement (SQL semantics: a NULL on either
-    * side PASSES — only a definite FALSE rejects the row). Field types
-    * are pre-validated at DDL time (Ddl.validateChecks), so the
+  /** Insert-time CHECK enforcement (SQL semantics: a NULL atom result
+    * PASSES its disjunct only via the 3VL tables — a row is rejected
+    * iff the whole DNF is definite FALSE, i.e. EVERY disjunct contains
+    * a definitely-FALSE atom; NULL anywhere can only save a row, never
+    * doom it — exactly matching Constraints.checkViolations). Field
+    * types are pre-validated at DDL time (Ddl.validateChecks), so the
     * comparisons are Long/Double/String/Boolean/Date/Timestamp.
     */
   private def enforceChecks(label: String, fields: Seq[graft.catalog.FieldSpec],
-      byField: Map[String, Any], isNode: Boolean): Unit =
-    for (f <- fields; c <- f.check if c.value.kind != Ast.LitKind.Null) {
+      byField: Map[String, Any], isNode: Boolean): Unit = {
+    // 3VL atom value: None = NULL (null field, null literal, or null
+    // sibling), Some(b) = definite truth value
+    def atom(f: graft.catalog.FieldSpec, c: Ast.CheckCmp): Option[Boolean] = {
       val v = byField.getOrElse(c.field,
         throw ExecError(s"CHECK on '${f.name}' references unknown field '${c.field}'"))
-      if (v != null) {
-        val w = checkLiteral(c, label, isNode)
+      val w = c.rhsField match {
+        case Some(r) => byField.getOrElse(r,
+          throw ExecError(s"CHECK on '${f.name}' references unknown field '$r'"))
+        case None =>
+          if (c.value.kind == Ast.LitKind.Null) null
+          else checkLiteral(c, label, isNode)
+      }
+      if (v == null || w == null) None
+      else {
         val ord = (v, w) match {
           case (a: Long, b: Long) => java.lang.Long.compare(a, b)
           case (a: java.lang.Number, b: java.lang.Number) =>
@@ -153,19 +165,27 @@ final class Interpreter(spark: SparkSession) {
           case _ => throw ExecError(
             s"CHECK on '${f.name}': incompatible comparison for '${c.field}'")
         }
-        val holds = c.op match {
+        Some(c.op match {
           case Ast.CmpOp.Eq => ord == 0
           case Ast.CmpOp.Ne => ord != 0
           case Ast.CmpOp.Lt => ord < 0
           case Ast.CmpOp.Le => ord <= 0
           case Ast.CmpOp.Gt => ord > 0
           case Ast.CmpOp.Ge => ord >= 0
-        }
-        if (!holds) throw ExecError(
-          s"CHECK violation on '$label': ${c.field} ${c.op.sym} " +
-            s"${c.value.text} (got $v)")
+        })
       }
     }
+    for (f <- fields if f.check.nonEmpty) {
+      // a disjunct is definitely FALSE iff some atom is Some(false)
+      // (3VL AND: FALSE dominates NULL); the DNF is definitely FALSE
+      // iff every disjunct is
+      val definiteFalse = f.check.forall(conj =>
+        conj.exists(c => atom(f, c).contains(false)))
+      if (definiteFalse) throw ExecError(
+        s"CHECK violation on '$label.${f.name}': " +
+          s"CHECK (${Ast.renderCheck(f.check)}) is false for the row")
+    }
+  }
 
   private def whereCond(label: String, props: Seq[Ast.Property], isNode: Boolean): Column =
     props.foldLeft(lit(true)) { (acc, p) =>
@@ -319,8 +339,7 @@ final class Interpreter(spark: SparkSession) {
         (f.name, Ast.renderType(f.tpe), pk.contains(f.name), f.unique, f.notNull,
           f.defaultRaw.orNull,
           if (f.check.isEmpty) null
-          else f.check.map(c => s"${c.field} ${c.op.sym} ${c.value.text}")
-            .mkString(" AND "))
+          else Ast.renderCheck(f.check))
       }
       Some(rows.toDF("field", "type", "primary_key", "unique", "not_null",
         "default", "check"))

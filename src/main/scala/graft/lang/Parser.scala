@@ -157,18 +157,30 @@ final class Parser(tokens: Vector[Token]) {
       else if (matchKw("DEFAULT")) fd = fd.copy(default = Some(parseLiteral()))
       else if (matchKw("CHECK")) {
         expect(Tok.LPAREN)
-        val cmps = Seq.newBuilder[CheckCmp]
-        cmps += parseCheckCmp()
-        while (matchKw("AND")) cmps += parseCheckCmp()
+        // DNF with standard precedence (AND binds tighter than OR):
+        // expr := conj (OR conj)* ; conj := atom (AND atom)*
+        val disj = Seq.newBuilder[Seq[CheckCmp]]
+        def conj(): Seq[CheckCmp] = {
+          val cmps = Seq.newBuilder[CheckCmp]
+          cmps += parseCheckCmp()
+          while (matchKw("AND")) cmps += parseCheckCmp()
+          cmps.result()
+        }
+        disj += conj()
+        while (matchKw("OR")) disj += conj()
         expect(Tok.RPAREN)
-        fd = fd.copy(check = cmps.result())
+        fd = fd.copy(check = disj.result())
       }
       else more = false
     }
     fd
   }
 
-  /** One CHECK atom: `field op literal` (op ∈ = != < <= > >=). */
+  /** One CHECK atom: `field op literal` or `field op siblingField`
+    * (op ∈ = != < <= > >=). An IDENT after the operator is a sibling
+    * field reference — unambiguous, since true/false/null lex as
+    * literal tokens.
+    */
   private def parseCheckCmp(): CheckCmp = {
     val f = expectIdent()
     val op = tok.kind match {
@@ -180,7 +192,9 @@ final class Parser(tokens: Vector[Token]) {
       case Tok.GE => next(); CmpOp.Ge
       case _ => err(s"expected comparison operator, found '${tok.lit}'")
     }
-    CheckCmp(f, op, parseLiteral())
+    if (tok.kind == Tok.IDENT)
+      CheckCmp(f, op, Literal(LitKind.Null, "null"), rhsField = Some(expectIdent()))
+    else CheckCmp(f, op, parseLiteral())
   }
 
   private def parseTypeSpec(): TypeSpec = {

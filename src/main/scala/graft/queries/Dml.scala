@@ -224,6 +224,34 @@ object Dml {
               round(l_quantity, 2) AS l_quantity
        FROM lineitem WHERE NOT (l_discount <= 0.07 AND l_quantity < 45)"""
 
+  /** CHECK with OR and a field-vs-field atom, end-to-end through the
+    * language (the round-12 grammar breadth: DNF with standard
+    * precedence, sibling-field right-hand sides): the constraint text
+    * parses, compiles to ONE scan predicate in CNF-of-complements form
+    * (AND of ORs — still parquet-pushable), and the finder returns the
+    * rows where the whole disjunction is definitely FALSE.
+    */
+  def gCheckExprOr(spark: SparkSession, dir: String): DataFrame = {
+    val stmt = graft.lang.Parser.parse(
+      "CREATE NODE li_audit2 (id: int PRIMARY KEY, l_tax: float, " +
+        "l_quantity: float, l_discount: float " +
+        "CHECK (l_tax < l_discount OR l_discount <= 0.05 AND l_quantity < 30));")
+      .head.asInstanceOf[graft.lang.Ast.CreateNode]
+    val dnf = stmt.fields.flatMap(_.check)
+    Constraints.checkViolations(Tables.load(spark, dir, "lineitem"), dnf)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_tax"), 2).as("l_tax"),
+        round(col("l_discount"), 2).as("l_discount"),
+        round(col("l_quantity"), 2).as("l_quantity"))
+  }
+
+  val gCheckExprOrSql: String =
+    """SELECT l_orderkey, l_linenumber, round(l_tax, 2) AS l_tax,
+              round(l_discount, 2) AS l_discount,
+              round(l_quantity, 2) AS l_quantity
+       FROM lineitem
+       WHERE NOT (l_tax < l_discount OR (l_discount <= 0.05 AND l_quantity < 30))"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("g_insert_nodes", gInsertNodes, gInsertNodesSql),
     QueryDef.sql("g_insert_edges", gInsertEdges, gInsertEdgesSql),
@@ -235,5 +263,6 @@ object Dml {
     QueryDef.sql("g_check_enum", gCheckEnum, gCheckEnumSql),
     QueryDef.sql("g_check_ref_integrity", gCheckRefIntegrity, gCheckRefIntegritySql),
     QueryDef.sql("g_check_card_one", gCheckCardOne, gCheckCardOneSql),
-    QueryDef.sql("g_check_expr", gCheckExpr, gCheckExprSql))
+    QueryDef.sql("g_check_expr", gCheckExpr, gCheckExprSql),
+    QueryDef.sql("g_check_expr_or", gCheckExprOr, gCheckExprOrSql))
 }

@@ -49,20 +49,21 @@ object Constraints {
 
   /** The COMPLEMENT of one CHECK atom as a Catalyst predicate —
     * literal typed by its lexical kind (numbers with a '.' compare as
-    * double, else long). The complement is TRUE exactly where the atom
-    * is FALSE, and NULL where the atom is NULL (a NULL field or a null
+    * double, else long), or a sibling-field column when the atom is
+    * field-vs-field. The complement is TRUE exactly where the atom is
+    * FALSE, and NULL where the atom is NULL (a NULL field or a null
     * literal), which is what the violation filter needs.
     */
   private def complementColumn(c: graft.lang.Ast.CheckCmp): Column = {
     import graft.lang.Ast.{CmpOp, LitKind}
-    val v: Column = c.value.kind match {
+    val v: Column = c.rhsField.map(col).getOrElse(c.value.kind match {
       case LitKind.Num =>
         if (c.value.text.contains('.')) lit(c.value.text.toDouble)
         else lit(c.value.text.toLong)
       case LitKind.Str => lit(c.value.text)
       case LitKind.Bool => lit(c.value.text.toBoolean)
       case LitKind.Null => lit(null)
-    }
+    })
     val f = col(c.field)
     c.op match {
       case CmpOp.Eq => f =!= v
@@ -74,20 +75,24 @@ object Constraints {
     }
   }
 
-  /** CHECK (cmp AND cmp ...): rows where the conjunction evaluates to
-    * FALSE. SQL CHECK semantics — a NULL comparison result PASSES the
-    * constraint (only a definite FALSE violates). A conjunction is
-    * FALSE iff some atom is FALSE iff some COMPLEMENT atom is TRUE
-    * (3VL: a NULL atom's complement is also NULL, never TRUE), so the
-    * filter is a plain OR of simple comparisons — which, unlike the
-    * equivalent NOT(COALESCE(AND...)) form, PUSHES DOWN to the parquet
-    * scan (row-group stats skip wholly-conforming groups — the shape
-    * that matters when auditing 100 TB for a handful of violations).
-    * One codegen'd scan, no shuffle.
+  /** CHECK in DNF (outer OR, inner AND): rows where the expression
+    * evaluates to FALSE. SQL CHECK semantics — a NULL result PASSES the
+    * constraint (only a definite FALSE violates). A disjunction is
+    * FALSE iff EVERY conjunction is FALSE; a conjunction is FALSE iff
+    * some atom is FALSE iff some COMPLEMENT atom is TRUE (3VL: a NULL
+    * atom's complement is also NULL, never TRUE). So the filter is the
+    * CNF of complement atoms — an AND of ORs of simple comparisons —
+    * which, unlike the equivalent NOT(COALESCE(...)) form, PUSHES DOWN
+    * to the parquet scan (row-group stats skip wholly-conforming
+    * groups — the shape that matters when auditing 100 TB for a
+    * handful of violations). One codegen'd scan, no shuffle.
     */
   def checkViolations(df: DataFrame,
-      cmps: Seq[graft.lang.Ast.CheckCmp]): DataFrame = {
-    require(cmps.nonEmpty, "CHECK requires at least one comparison")
-    df.filter(cmps.map(complementColumn).reduce(_ || _))
+      check: Seq[Seq[graft.lang.Ast.CheckCmp]]): DataFrame = {
+    require(check.nonEmpty && check.forall(_.nonEmpty),
+      "CHECK requires at least one comparison")
+    df.filter(check
+      .map(conj => conj.map(complementColumn).reduce(_ || _))
+      .reduce(_ && _))
   }
 }

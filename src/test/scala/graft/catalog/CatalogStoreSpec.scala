@@ -76,7 +76,11 @@ class CatalogStoreSpec extends AnyFunSuite {
     val loaded = store.load()
     assert(loaded === cat)
     val it = loaded.nodes("Item")
-    assert(it.field("qty").get.check.size === 2)
+    assert(it.field("qty").get.check === Seq(Seq(
+      graft.lang.Ast.CheckCmp("qty", graft.lang.Ast.CmpOp.Ge,
+        graft.lang.Ast.Literal(graft.lang.Ast.LitKind.Num, "0")),
+      graft.lang.Ast.CheckCmp("qty", graft.lang.Ast.CmpOp.Lt,
+        graft.lang.Ast.Literal(graft.lang.Ast.LitKind.Num, "4.5")))))
     assert(it.field("id").get.index && it.field("state").get.index)
     assert(it.layout === cat.nodes("Item").layout)
   }

@@ -646,4 +646,32 @@ class InterpreterSpec extends SparkSpec {
       "snapshot-3", "commit.3.log"),
       s"keep=2 must retain exactly the two newest generations + logs: $names3")
   }
+
+  test("CHECK with OR and field-vs-field atoms enforces at insert (3VL)") {
+    val it = fresh()
+    it.executeScript(
+      """CREATE NODE T (lo: int, hi: int, flag: bool
+        |  CHECK (lo < hi OR flag = true AND lo = 0));""".stripMargin)
+    it.executeScript("INSERT NODE T (lo: 1, hi: 5);") // first disjunct true
+    it.executeScript("INSERT NODE T (lo: 0, hi: 0, flag: true);") // second
+    // both disjuncts definitely false -> reject
+    assertThrows[ExecError](
+      it.executeScript("INSERT NODE T (lo: 7, hi: 3, flag: false);"))
+    // NULL can only save: hi null makes disjunct 1 NULL (not false),
+    // so the row passes even though disjunct 2 is false
+    it.executeScript("INSERT NODE T (lo: 7, flag: false);")
+    assert(it.nodes("T").count() === 3)
+    // DDL-time validation covers the field-vs-field form too
+    assertThrows[graft.catalog.DdlError](
+      it.executeScript("CREATE NODE U (a: int CHECK (a < missing));"))
+    assertThrows[graft.catalog.DdlError](
+      it.executeScript("CREATE NODE U (a: int, s: string CHECK (a < s));"))
+    // WAL round-trip of the OR form
+    val rendered = graft.lang.Ast.render(
+      graft.lang.Parser.parse(
+        "CREATE NODE V (a: int, b: int CHECK (a > 1 OR b < 2 AND a = b));").head)
+    assert(rendered === "CREATE NODE V (a: int, b: int CHECK (a > 1 OR b < 2 AND a = b));")
+    it.executeScript(rendered)
+    assert(it.catalog.nodes("V").field("b").get.check.size === 2)
+  }
 }

@@ -184,15 +184,15 @@ class ParserSpec extends AnyFunSuite {
         |  state: string CHECK (state != 'void' AND ok = true AND n <= 5)
         |);""".stripMargin)
     val byName = cn.asInstanceOf[CreateNode].fields.map(f => f.name -> f).toMap
-    assert(byName("qty").check === Seq(
+    assert(byName("qty").check === Seq(Seq(
       CheckCmp("qty", CmpOp.Ge, Literal(LitKind.Num, "0")),
-      CheckCmp("qty", CmpOp.Lt, Literal(LitKind.Num, "100"))))
-    assert(byName("price").check === Seq(
-      CheckCmp("price", CmpOp.Gt, Literal(LitKind.Num, "0.0"))))
-    assert(byName("state").check === Seq(
+      CheckCmp("qty", CmpOp.Lt, Literal(LitKind.Num, "100")))))
+    assert(byName("price").check === Seq(Seq(
+      CheckCmp("price", CmpOp.Gt, Literal(LitKind.Num, "0.0")))))
+    assert(byName("state").check === Seq(Seq(
       CheckCmp("state", CmpOp.Ne, Literal(LitKind.Str, "void")),
       CheckCmp("ok", CmpOp.Eq, Literal(LitKind.Bool, "true")),
-      CheckCmp("n", CmpOp.Le, Literal(LitKind.Num, "5"))))
+      CheckCmp("n", CmpOp.Le, Literal(LitKind.Num, "5")))))
     // renders back to canonical text and re-parses to the same AST
     val again = Parser.parse(Ast.render(cn)).head
     assert(again === cn)
@@ -260,5 +260,30 @@ class ParserSpec extends AnyFunSuite {
     assert(ae === AlterNode("T",
       AlterNodeAction.AddField(FieldDef("j", TypeSpec(Base.Int), index = true))))
     assert(Parser.parse(Ast.render(ae)).head === ae)
+  }
+
+  test("CHECK grammar breadth: OR with standard precedence, field-vs-field atoms") {
+    val nullLit = Literal(LitKind.Null, "null")
+    // AND binds tighter than OR: a OR b AND c = a OR (b AND c)
+    val Seq(cn) = Parser.parse(
+      "CREATE NODE T (a: int, b: int, c: float CHECK (a > 1 OR b < 2 AND c = a));")
+    val f = cn.asInstanceOf[CreateNode].fields.find(_.name == "c").get
+    assert(f.check === Seq(
+      Seq(CheckCmp("a", CmpOp.Gt, Literal(LitKind.Num, "1"))),
+      Seq(CheckCmp("b", CmpOp.Lt, Literal(LitKind.Num, "2")),
+        CheckCmp("c", CmpOp.Eq, nullLit, rhsField = Some("a")))))
+    // render round-trips the DNF (no parens needed in canonical form)
+    assert(Ast.render(cn) ===
+      "CREATE NODE T (a: int, b: int, c: float CHECK (a > 1 OR b < 2 AND c = a));")
+    assert(Parser.parse(Ast.render(cn)).head === cn)
+    // quoted keyword-spelled identifiers work as sibling refs too
+    val Seq(cn2) = Parser.parse(
+      "CREATE NODE T (`or`: int, x: int CHECK (x > `or`));")
+    assert(cn2.asInstanceOf[CreateNode].fields(1).check ===
+      Seq(Seq(CheckCmp("x", CmpOp.Gt, nullLit, rhsField = Some("or")))))
+    assert(Parser.parse(Ast.render(cn2)).head === cn2)
+    // malformed: dangling OR, empty disjunct
+    assertThrows[ParseError](Parser.parse("CREATE NODE P (a: int CHECK (a > 1 OR));"))
+    assertThrows[ParseError](Parser.parse("CREATE NODE P (a: int CHECK (OR a > 1));"))
   }
 }

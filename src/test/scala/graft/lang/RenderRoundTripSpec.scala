@@ -44,10 +44,17 @@ class RenderRoundTripSpec extends AnyFunSuite {
   private val cmpOps =
     Seq(CmpOp.Eq, CmpOp.Ne, CmpOp.Lt, CmpOp.Le, CmpOp.Gt, CmpOp.Ge)
 
-  private def checkCmps(rnd: Random): Seq[CheckCmp] =
+  private def checkAtom(rnd: Random): CheckCmp =
+    if (rnd.nextInt(4) == 0)
+      // field-vs-field atom: the literal is the canonical placeholder
+      CheckCmp(ident(rnd), cmpOps(rnd.nextInt(cmpOps.size)),
+        Literal(LitKind.Null, "null"), rhsField = Some(ident(rnd)))
+    else CheckCmp(ident(rnd), cmpOps(rnd.nextInt(cmpOps.size)), literal(rnd))
+
+  private def checkCmps(rnd: Random): Seq[Seq[CheckCmp]] =
     if (rnd.nextInt(4) != 0) Nil
-    else Seq.fill(1 + rnd.nextInt(2))(
-      CheckCmp(ident(rnd), cmpOps(rnd.nextInt(cmpOps.size)), literal(rnd)))
+    else Seq.fill(1 + rnd.nextInt(2))( // OR of ...
+      Seq.fill(1 + rnd.nextInt(2))(checkAtom(rnd))) // ... ANDs
 
   private def fieldDef(rnd: Random): FieldDef =
     FieldDef(ident(rnd), typeSpec(rnd),

@@ -106,7 +106,7 @@ class StoreSpec extends SparkSpec {
       CheckCmp("qty", CmpOp.Lt, num("100")),
       CheckCmp("price", CmpOp.Gt, num("0.0")),
       CheckCmp("state", CmpOp.Ne, Literal(LitKind.Str, "void")))
-    val bad = Constraints.checkViolations(df, cmps)
+    val bad = Constraints.checkViolations(df, Seq(cmps))
       .select("id").as[Long].collect().sorted
     // NULL in one atom does NOT mask a definite FALSE in another (the
     // conjunction is FALSE whenever any atom is FALSE), and rows whose
@@ -114,10 +114,26 @@ class StoreSpec extends SparkSpec {
     assert(bad.toSeq === Seq(2L, 4L, 5L))
     // Eq / Le round out the operators
     val eqBad = Constraints.checkViolations(df,
-        Seq(CheckCmp("state", CmpOp.Eq, Literal(LitKind.Str, "ok")),
-          CheckCmp("id", CmpOp.Le, num("5"))))
+        Seq(Seq(CheckCmp("state", CmpOp.Eq, Literal(LitKind.Str, "ok")),
+          CheckCmp("id", CmpOp.Le, num("5")))))
       .select("id").as[Long].collect().sorted
     assert(eqBad.toSeq === Seq(5L, 6L))
+    // DNF: a row violates only when EVERY disjunct is definitely FALSE
+    // (qty < 100 OR price > 0.0) — row 2 fails the first but passes the
+    // second; only a row failing both flags. Field-vs-field atoms
+    // compare sibling columns; NULL on either side passes the atom.
+    val orBad = Constraints.checkViolations(df,
+        Seq(Seq(CheckCmp("qty", CmpOp.Lt, num("100"))),
+          Seq(CheckCmp("price", CmpOp.Gt, num("1.6")))))
+      .select("id").as[Long].collect().sorted
+    assert(orBad.toSeq === Seq(2L)) // row 4: price 0.0 fails but qty ok
+    // field-vs-field: price > qty is definitely FALSE on rows 1,2,4,6;
+    // rows 3 and 5 have a NULL side and pass
+    val fvf = Constraints.checkViolations(df,
+        Seq(Seq(CheckCmp("price", CmpOp.Gt, num("0"),
+          rhsField = Some("qty")))))
+      .select("id").as[Long].collect().sorted
+    assert(fvf.toSeq === Seq(1L, 2L, 4L, 6L))
   }
 
   test("ingest reads csv/json with the catalog schema, never inference") {
