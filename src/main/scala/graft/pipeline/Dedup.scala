@@ -974,13 +974,13 @@ object Dedup {
     */
   def embedCosineAllPairs(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double, broadcastRowBound: Long = 2000000L): DataFrame = {
-    if (emb.count() <= broadcastRowBound) {
-      // small table: materialize the projection once — both self-join
-      // legs read it (storing a table this size on executors is free;
-      // the fallback path deliberately does NOT checkpoint, since past
-      // the bound that would spool the whole table to block storage)
-      val e = emb.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
-        .localCheckpoint()
+    // ONE action serves both the branch decision and the join legs:
+    // the projected table persists (memory, disk-spill past the bound —
+    // never an OOM) before the count, so the count's scan IS the
+    // materialization the chosen branch then reads from cache
+    val e = emb.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (e.count() <= broadcastRowBound) {
       val a = e.select(col(idCol).as("id_a"), col("__v").as("va"))
       val b = e.select(col(idCol).as("id_b"), col("__v").as("vb"))
       a.join(broadcast(b), col("id_a") < col("id_b"))
@@ -988,9 +988,9 @@ object Dedup {
         .filter(col("cosine") >= threshold)
         .select(col("id_a"), col("id_b"), col("cosine"))
     } else {
-      val ids = emb.select(col(idCol).as("id_a"))
-      val ids2 = emb.select(col(idCol).as("id_b"))
-      embedCosinePairs(emb, idCol, vecCol,
+      val ids = e.select(col(idCol).as("id_a"))
+      val ids2 = e.select(col(idCol).as("id_b"))
+      embedCosinePairs(e, idCol, "__v",
         ids.crossJoin(ids2).filter(col("id_a") < col("id_b")), threshold)
     }
   }
