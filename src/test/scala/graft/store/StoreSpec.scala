@@ -200,4 +200,30 @@ class StoreSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS ix_dims")
     }
   }
+
+  test("DNF CHECK violation predicate pushes to the parquet scan (CNF of complements)") {
+    import spark.implicits._
+    import graft.lang.Ast.{CheckCmp, CmpOp, Literal, LitKind}
+    val base = java.nio.file.Files.createTempDirectory("graft-checkpush").toString
+    // CHECK (disc <= 0.05 AND qty < 30 OR qty >= 45):
+    //   rows 1-3 satisfy one disjunct each; row 4 fails both -> violates
+    Seq((1L, 10.0, 0.02), (2L, 50.0, 0.09), (3L, 20.0, 0.05),
+        (4L, 35.0, 0.07))
+      .toDF("id", "qty", "disc").write.parquet(s"$base/t")
+    val df = spark.read.parquet(s"$base/t")
+    def num(t: String) = Literal(LitKind.Num, t)
+    val bad = Constraints.checkViolations(df, Seq(
+      Seq(CheckCmp("disc", CmpOp.Le, num("0.05")), CheckCmp("qty", CmpOp.Lt, num("30.0"))),
+      Seq(CheckCmp("qty", CmpOp.Ge, num("45.0")))))
+    assert(bad.select("id").as[Long].collect().toSeq === Seq(4L))
+    // the complement compiles to (disc > 0.05 OR qty >= 30) AND qty < 45
+    // - every conjunct is a literal comparison, so BOTH reach the scan
+    // and row-group stats can skip wholly-conforming groups
+    val f = bad.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(f.matches("(?s).*PushedFilters: \\[[^\\]]*Or\\(GreaterThan\\(disc[^\\]]*\\].*"),
+      s"CNF complement did not push:\n$f")
+    assert(f.matches("(?s).*PushedFilters: \\[[^\\]]*LessThan\\(qty,45.0\\)[^\\]]*\\].*"),
+      s"second conjunct did not push:\n$f")
+  }
 }
