@@ -48,15 +48,23 @@ object ScaleData {
     shiftCols.foreach { case (t, keys) =>
       val base = spark.read.parquet(s"$src/$t.parquet")
       val dim =
-        if (t == "embeddings")
-          base.select(size(col("embedding"))).first().getInt(0)
-        else 0
+        if (t == "embeddings") {
+          // r12 advisory: first() threw on an empty table, and r = i %
+          // dim degenerates to the identity when dim | i — guard both
+          val head = base.select(size(col("embedding"))).limit(1).collect()
+          val d = if (head.isEmpty) 0 else head(0).getInt(0)
+          require(d == 0 || copies <= d,
+            s"GRAFT_SCALE_COPIES=$copies exceeds embedding dim $d: " +
+              "rotation r = i % dim would repeat exact duplicate point " +
+              "sets (the anti-collapse rotation becomes the identity)")
+          d
+        } else 0
       val parts = (0 until copies).map { i =>
         val shifted = keys.foldLeft(base) { (df, k) =>
           df.withColumn(k, col(k) + lit(i * Stride))
         }
         val copyDf =
-          if (t == "embeddings" && i > 0) {
+          if (t == "embeddings" && i > 0 && dim > 0) {
             val r = i % dim
             shifted.withColumn("embedding",
               concat(slice(col("embedding"), r + 1, dim - r),

@@ -28,8 +28,10 @@ object Algorithms {
     * [[speculativeColoring]]) — the bounded-driver-state budget, same
     * posture as the broadcast codebooks.
     */
-  private val StragglerFinishBound: Long =
-    sys.env.get("GRAFT_STRAGGLER_BOUND").map(_.toLong).getOrElse(20000L)
+  private def StragglerFinishBound: Long =
+    sys.props.get("graft.stragglerBound")
+      .orElse(sys.env.get("GRAFT_STRAGGLER_BOUND"))
+      .map(_.toLong).getOrElse(20000L)
 
   /** Coloring's straggler cutover runs at a DELIBERATE 3.2× of
     * [[StragglerFinishBound]] (A/B-measured at sf0.1: the conflict
@@ -166,14 +168,18 @@ object Algorithms {
       // one checkpoint + one action per hop: `next` is the only new
       // state; `visited` stays a shallow union of ≤ maxHops checkpointed
       // frontiers, so it needs no materialization of its own
-      val next = hintSmall(frontier, frontierRows)
+      // frontier size observed during the checkpoint job (the rank
+      // loop's dangling-mass discipline): one job per hop, not two
+      val metric = s"graft_bfs_n_$hop"
+      val flagged = hintSmall(frontier, frontierRows)
         .join(e, frontier("gid") === e("gsrc"))
         .select(e("gdst").as("gid")).distinct()
         .join(hintSmall(visited.select(col("gid").as("v")), visitedRows),
           col("gid") === col("v"), "left_anti")
         .withColumn("hop", lit(hop))
-        .localCheckpoint()
-      frontierRows = next.count()
+        .observe(metric, count(lit(1)).as("n"))
+      val next = flagged.localCheckpoint()
+      frontierRows = flagged.queryExecution.observedMetrics(metric).getLong(0)
       visitedRows += frontierRows
       visited = visited.unionByName(next)
       frontier = next.select("gid")
@@ -217,7 +223,8 @@ object Algorithms {
       // sum-then-anti-join: every contribution comes from the hop-(h-1)
       // frontier, so the grouped sigma is correct for nodes that turn
       // out to be new; rediscovered nodes drop with their sums
-      val next = hintSmall(frontier, frontierRows)
+      val metric = s"graft_bfsm_n_$hop"
+      val flagged = hintSmall(frontier, frontierRows)
         .join(e, frontier("gid") === e("gsrc"))
         .select(frontier("src"), e("gdst").as("gid"), frontier("sigma"))
         .groupBy(col("src"), col("gid")).agg(sum(col("sigma")).as("sigma"))
@@ -226,8 +233,9 @@ object Algorithms {
           col("src") === col("vs") && col("gid") === col("vg"), "left_anti")
         .withColumn("hop", lit(hop))
         .select(col("src"), col("gid"), col("hop"), col("sigma"))
-        .localCheckpoint()
-      frontierRows = next.count()
+        .observe(metric, count(lit(1)).as("n"))
+      val next = flagged.localCheckpoint()
+      frontierRows = flagged.queryExecution.observedMetrics(metric).getLong(0)
       visitedRows += frontierRows
       visited = visited.unionByName(next)
       frontier = next.select(col("src"), col("gid"), col("sigma"))
@@ -315,13 +323,15 @@ object Algorithms {
         .join(e, col("fgid") === e("gsrc"))
         .groupBy(e("gdst").as("gid")).agg(min(col("fdist") + col("w")).as("nd"))
       // keep only strict improvements over the best known distance
-      val improved = cand
+      val metric = s"graft_sssp_n_$hop"
+      val improvedF = cand
         .join(hintSmall(dist.select(col("gid").as("dgid"), col("dist")), distRowBound),
           col("gid") === col("dgid"), "left")
         .filter(col("dist").isNull || col("nd") < col("dist"))
         .select(col("gid"), col("nd").as("dist"))
-        .localCheckpoint()
-      frontierRows = improved.count()
+        .observe(metric, count(lit(1)).as("n"))
+      val improved = improvedF.localCheckpoint()
+      frontierRows = improvedF.queryExecution.observedMetrics(metric).getLong(0)
       distRowBound += frontierRows
       dist = dist
         .join(hintSmall(improved.select(col("gid").as("igid")), frontierRows),
@@ -368,15 +378,17 @@ object Algorithms {
         .groupBy(col("gid"))
         .agg(min(struct(col("nd"), col("npath"))).as("b"))
         .select(col("gid"), col("b.nd").as("nd"), col("b.npath").as("npath"))
-      val improved = cand
+      val metric = s"graft_ssspp_n_$hop"
+      val improvedF = cand
         .join(hintSmall(state.select(col("gid").as("sgid"), col("dist"),
             col("path")), bound),
           col("gid") === col("sgid"), "left")
         .filter(col("dist").isNull ||
           struct(col("nd"), col("npath")) < struct(col("dist"), col("path")))
         .select(col("gid"), col("nd").as("dist"), col("npath").as("path"))
-        .localCheckpoint()
-      frontierRows = improved.count()
+        .observe(metric, count(lit(1)).as("n"))
+      val improved = improvedF.localCheckpoint()
+      frontierRows = improvedF.queryExecution.observedMetrics(metric).getLong(0)
       bound += frontierRows
       state = state
         .join(hintSmall(improved.select(col("gid").as("igid")), frontierRows),
@@ -393,11 +405,39 @@ object Algorithms {
     * until fixpoint. O(diameter) rounds of one shuffle each; isolated
     * nodes keep their own id. Returns (gid, comp).
     */
-  def connectedComponents(nodes: DataFrame, edges: DataFrame, maxIter: Int = 50): DataFrame = {
+  def connectedComponents(nodes: DataFrame, edges: DataFrame, maxIter: Int = 50,
+      cutoverBelow: Long = 8L * StragglerFinishBound): DataFrame = {
     val und0 = edges.select(col("gsrc").as("a"), col("gdst").as("b"))
       .unionByName(edges.select(col("gdst").as("a"), col("gsrc").as("b")))
       .distinct().localCheckpoint()
-    val width = loopWidth(edges, und0.count())
+    val undRows = und0.count()
+    // Straggler cutover (the SCC/MIS/coloring bounded-driver class):
+    // when the whole edge set fits the budget, a min-root union-find
+    // replaces the O(diameter)-round loop — the label map is
+    // endpoint-bounded metadata, broadcast back onto the node set
+    // (isolated nodes keep their own id, as in the loop). Union points
+    // the larger root at the smaller, so each root IS the component
+    // minimum — the exact min-label fixpoint, at any round budget.
+    if (undRows <= cutoverBelow) {
+      val es = und0.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(v: Long): Long = {
+        val p = parent.getOrElse(v, v)
+        if (p == v) v else { val r = find(p); parent(v) = r; r }
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val sess = und0.sparkSession
+      import sess.implicits._
+      val mapDf = es.iterator.map(_._1).toSeq.distinct
+        .map(v => (v, find(v))).toDF("gid", "__c")
+      return nodes.select(col("gid"))
+        .join(broadcast(mapDf), Seq("gid"), "left")
+        .select(col("gid"), coalesce(col("__c"), col("gid")).as("comp"))
+    }
+    val width = loopWidth(edges, undRows)
     // Strategy by measured state size (see [[stateHint]]): broadcast the
     // tiny state vector per round, or co-partition edge list + state
     // once (checkpointed inside the AQE-off scope so the partitioning
@@ -423,17 +463,22 @@ object Algorithms {
       val neighborMin = undirected
         .join(stateHint(comp, small), col("b") === col("gid"))
         .groupBy(col("a")).agg(min(col("comp")).as("ncomp"))
-      // carry the changed flag inside the checkpointed state: the
-      // convergence probe is then a scan of cached rows, not a re-join
-      // of two checkpointed frames
-      val next = graft.PlanAudit.tap("frontier.round",
-        comp.join(stateHint(neighborMin, small), comp("gid") === col("a"), "left")
-          .select(comp("gid"),
-            least(comp("comp"), coalesce(col("ncomp"), comp("comp"))).as("comp"),
-            (least(comp("comp"), coalesce(col("ncomp"), comp("comp"))) =!= comp("comp"))
-              .as("changed")))
-        .localCheckpoint()
-      converged = next.filter(col("changed")).isEmpty
+      // the changed COUNT is observed during the checkpoint job itself
+      // (Dataset.observe piggybacks the agg on the same pass — the rank
+      // loop's dangling-mass discipline): the convergence probe costs
+      // zero extra jobs instead of one isEmpty scan per round
+      val metric = s"graft_cc_changed_$iter"
+      val flagged = comp
+        .join(stateHint(neighborMin, small), comp("gid") === col("a"), "left")
+        .select(comp("gid"),
+          least(comp("comp"), coalesce(col("ncomp"), comp("comp"))).as("comp"),
+          (least(comp("comp"), coalesce(col("ncomp"), comp("comp"))) =!= comp("comp"))
+            .as("changed"))
+        .observe(metric,
+          coalesce(sum(col("changed").cast("long")), lit(0L)).as("nchanged"))
+      val next = graft.PlanAudit.tap("frontier.round", flagged).localCheckpoint()
+      converged =
+        flagged.queryExecution.observedMetrics(metric).getLong(0) == 0L
       comp = next.select(col("gid"), col("comp"))
     }
     comp
@@ -1021,20 +1066,25 @@ object Algorithms {
               col("pri").as("npri")), undecRows),
             col("b") === col("nb"))
           .groupBy(col("a")).agg(min(col("npri")).as("mp"))
-        val sel = undec
+        val mSel = s"graft_mis_sel_$round"
+        val selF = undec
           .join(hintSmall(minNbr, undecRows), undec("gid") === col("a"), "left")
           .filter(col("mp").isNull || undec("pri") < col("mp"))
           .select(undec("gid"), lit(round).as("mis_round"))
-          .localCheckpoint()
-        val selRows = sel.count()
+          .observe(mSel, count(lit(1)).as("n"))
+        val sel = selF.localCheckpoint()
+        val selRows = selF.queryExecution.observedMetrics(mSel).getLong(0)
         val killed = e
           .join(hintSmall(sel.select(col("gid").as("sa")), selRows),
             col("a") === col("sa"), "left_semi")
           .select(col("b").as("gid"))
           .unionByName(sel.select(col("gid")))
           .distinct()
-        undec = undec.join(killed, Seq("gid"), "left_anti").localCheckpoint()
-        undecRows = undec.count()
+        val mUnd = s"graft_mis_undec_$round"
+        val undecF = undec.join(killed, Seq("gid"), "left_anti")
+          .observe(mUnd, count(lit(1)).as("n"))
+        undec = undecF.localCheckpoint()
+        undecRows = undecF.queryExecution.observedMetrics(mUnd).getLong(0)
         mis = if (mis == null) sel else mis.unionByName(sel)
         // Straggler cutover (the speculativeColoring pattern): finish
         // the identical recurrence driver-side once the undecided
@@ -1208,13 +1258,16 @@ object Algorithms {
           col("pri").as("lpri"), col("tent").as("ltent")), uncolRows)
         val tr = hintSmall(tent.select(col("gid").as("rb"),
           col("pri").as("rpri"), col("tent").as("rtent")), uncolRows)
-        val loserIds = eLive
+        val mLoser = s"graft_color_losers_$round"
+        val loserIdsF = eLive
           .join(tl, col("a") === col("la"))
           .join(tr, col("b") === col("rb") && col("ltent") === col("rtent") &&
             col("rpri") < col("lpri"), "left_semi")
           .select(col("la").as("gid")).distinct()
-          .localCheckpoint()
-        val loserRows = loserIds.count()
+          .observe(mLoser, count(lit(1)).as("n"))
+        val loserIds = loserIdsF.localCheckpoint()
+        val loserRows =
+          loserIdsF.queryExecution.observedMetrics(mLoser).getLong(0)
         val sel = tent
           .join(hintSmall(loserIds.select(col("gid").as("lg")), loserRows),
             tent("gid") === col("lg"), "left_anti")
@@ -1229,15 +1282,17 @@ object Algorithms {
               col("color").as("wcolor")), uncolRows - loserRows),
             col("b") === col("wb"))
           .groupBy(col("a")).agg(collect_set(col("wcolor")).as("addCs"))
-        uncol = tent
+        val mUncol = s"graft_color_uncol_$round"
+        val uncolF = tent
           .join(hintSmall(loserIds.select(col("gid").as("lg")), loserRows),
             tent("gid") === col("lg"), "left_semi")
           .join(winNbr, tent("gid") === col("a"), "left")
           .select(tent("gid"), col("pri"),
             array_union(col("cs"),
               coalesce(col("addCs"), array().cast("array<long>"))).as("cs"))
-          .localCheckpoint()
-        uncolRows = uncol.count()
+          .observe(mUncol, count(lit(1)).as("n"))
+        uncol = uncolF.localCheckpoint()
+        uncolRows = uncolF.queryExecution.observedMetrics(mUncol).getLong(0)
         if (sys.env.contains("GRAFT_DEBUG_LOOP"))
           println(f"round $round uncol=$uncolRows dt=${(System.nanoTime() - __t0) / 1e9}%.2f")
         if (uncolRows > 0) {
@@ -1421,13 +1476,15 @@ object Algorithms {
         sels += sel
         val matchedNodes = sel.select(col("a").as("v"))
           .unionByName(sel.select(col("b").as("v"))).distinct()
-        live = live
+        val mLive = s"graft_match_live_$round"
+        val liveF = live
           .join(matchedNodes.select(col("v").as("ma")),
             col("a") === col("ma"), "left_anti")
           .join(matchedNodes.select(col("v").as("mb")),
             col("b") === col("mb"), "left_anti")
-          .localCheckpoint()
-        liveRows = live.count()
+          .observe(mLive, count(lit(1)).as("n"))
+        live = liveF.localCheckpoint()
+        liveRows = liveF.queryExecution.observedMetrics(mLive).getLong(0)
         // Straggler cutover (the speculativeColoring pattern): once the
         // live edge set fits the driver bound, finish the identical
         // recurrence in memory — the tail rounds are scheduling floor,
@@ -1486,11 +1543,13 @@ object Algorithms {
       iter += 1
       // each undirected edge appears as (a,b) AND (b,a), so the groupBy
       // on `a` counts every node's full degree in the surviving subgraph
-      val survivors = e.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+      val metric = s"graft_kcore_n_$iter"
+      val survivorsF = e.groupBy(col("a")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k)
         .select(col("a").as("gid"))
-        .localCheckpoint()
-      val n = survivors.count()
+        .observe(metric, count(lit(1)).as("n"))
+      val survivors = survivorsF.localCheckpoint()
+      val n = survivorsF.queryExecution.observedMetrics(metric).getLong(0)
       converged = n == aliveRows
       aliveRows = n
       alive = survivors
@@ -1538,7 +1597,8 @@ object Algorithms {
   def kCoreIncremental(baseCore: DataFrame, und: DataFrame, seeds: DataFrame,
       k: Int, maxIter: Int = 100, degOpt: Option[DataFrame] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val core = baseCore.select(col("gid")).localCheckpoint()
+    // chained folds pass an already-checkpointed core — skip the copy
+    val core = materializeInvariant(baseCore.select(col("gid")))
     // candidate universe: non-core nodes that post-batch COULD have k
     // core-or-candidate neighbors (degree < k disqualifies outright)
     val cand = degOpt
@@ -1554,14 +1614,16 @@ object Algorithms {
     var iter = 0
     while (frontierN > 0 && iter < maxIter) {
       iter += 1
-      frontier = graft.PlanAudit.tap("frontier.round", und
+      val metric = s"graft_kci_reach_$iter"
+      val frontierF = graft.PlanAudit.tap("frontier.round", und
           .join(hintSmall(frontier.select(col("gid").as("a")), frontierN),
             Seq("a"), "left_semi")
           .select(col("b").as("gid")).distinct()
           .join(cand, Seq("gid"), "left_semi")
           .join(visited, Seq("gid"), "left_anti"))
-        .localCheckpoint()
-      frontierN = frontier.count()
+        .observe(metric, count(lit(1)).as("n"))
+      frontier = frontierF.localCheckpoint()
+      frontierN = frontierF.queryExecution.observedMetrics(metric).getLong(0)
       if (frontierN > 0) visited = visited.unionByName(frontier).localCheckpoint()
     }
     require(frontierN == 0,
@@ -1583,15 +1645,17 @@ object Algorithms {
     iter = 0
     while (!converged && iter < maxIter) {
       iter += 1
-      val survivors = alive.select(col("gid").as("a"))
+      val metric = s"graft_kci_peel_$iter"
+      val survivorsF = alive.select(col("gid").as("a"))
         .join(credits, Seq("a"), "left")
         .join(aliveEdges.groupBy(col("a")).agg(count(lit(1)).as("rd")),
           Seq("a"), "left")
         .filter(coalesce(col("cr"), lit(0L)) +
           coalesce(col("rd"), lit(0L)) >= k)
         .select(col("a").as("gid"))
-        .localCheckpoint()
-      val n = survivors.count()
+        .observe(metric, count(lit(1)).as("n"))
+      val survivors = survivorsF.localCheckpoint()
+      val n = survivorsF.queryExecution.observedMetrics(metric).getLong(0)
       converged = n == aliveN
       aliveN = n
       alive = survivors
@@ -1625,22 +1689,57 @@ object Algorithms {
     * graph; this is the CDC-merge discipline applied to graph state.
     */
   def ccIncremental(prevLabels: DataFrame, newEdges: DataFrame,
-      maxIter: Int = 50): DataFrame = {
-    val lab = prevLabels.select(col("gid"), col("comp")).localCheckpoint()
+      maxIter: Int = 50,
+      cutoverBelow: Long = 8L * StragglerFinishBound): DataFrame = {
+    // materializeInvariant, not an unconditional checkpoint: in the
+    // chained-fold faces prevLabels is ALREADY the previous trigger's
+    // checkpointed label state, and re-copying a node-scale table per
+    // trigger is pure overhead
+    val lab = materializeInvariant(prevLabels.select(col("gid"), col("comp")))
     val e = newEdges.select(col("gsrc"), col("gdst"))
     // delta endpoints relabeled to their previous component; unseen
     // nodes act as their own (singleton) component
-    val rel = e
+    val mRel = "graft_ccinc_rel"
+    val relF = e
       .join(lab.select(col("gid").as("gsrc"), col("comp").as("csrc")),
         Seq("gsrc"), "left")
       .join(lab.select(col("gid").as("gdst"), col("comp").as("cdst")),
         Seq("gdst"), "left")
       .select(coalesce(col("csrc"), col("gsrc")).as("gsrc"),
         coalesce(col("cdst"), col("gdst")).as("gdst"))
-      .localCheckpoint()
-    val cNodes = rel.select(col("gsrc").as("gid"))
-      .unionByName(rel.select(col("gdst").as("gid"))).distinct()
-    val merged = connectedComponents(cNodes, rel, maxIter).localCheckpoint()
+      .observe(mRel, count(lit(1)).as("n"))
+    val rel = relF.localCheckpoint()
+    val relRows = relF.queryExecution.observedMetrics(mRel).getLong(0)
+    // Straggler cutover (the SCC-reach / MIS / coloring discipline):
+    // the contracted graph is delta-scale BY CONSTRUCTION — when it
+    // fits the bounded-driver budget, a min-root union-find replaces
+    // the multi-round distributed CC loop (the per-trigger fold faces
+    // otherwise pay the whole loop's scheduling floor per batch).
+    // Union always points the LARGER root at the smaller, so each
+    // final root IS the component minimum — exactly the min-label CC
+    // contract. Past the budget the checkpointed loop takes over.
+    val merged = if (relRows <= cutoverBelow) {
+      val es = rel.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(v: Long): Long = {
+        val p = parent.getOrElse(v, v)
+        if (p == v) v else { val r = find(p); parent(v) = r; r }
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val sess = rel.sparkSession
+      import sess.implicits._
+      es.iterator.flatMap { case (a, b) => Iterator(a, b) }.toSeq.distinct
+        .map(v => (v, find(v))).toDF("gid", "comp")
+    } else {
+      val cNodes = rel.select(col("gsrc").as("gid"))
+        .unionByName(rel.select(col("gdst").as("gid"))).distinct()
+      // the CC loop already returns a projection over its checkpointed
+      // final round — materializeInvariant skips the redundant copy
+      materializeInvariant(connectedComponents(cNodes, rel, maxIter))
+    }
     // remap previous labels through the merge map (untouched components
     // pass through), then add the delta-only nodes with their labels
     val prevMapped = lab
@@ -1697,11 +1796,13 @@ object Algorithms {
             col("a") === col("sa"), "left_semi")
           .join(hintSmall(alive.select(col("gid").as("sb")), aliveRows),
             col("b") === col("sb"), "left_semi")
-      val survivors = e.groupBy(col("a")).agg(sum(col("w")).as("wdeg"))
+      val metric = s"graft_kcw_n_$iter"
+      val survivorsF = e.groupBy(col("a")).agg(sum(col("w")).as("wdeg"))
         .filter(col("wdeg") >= minWeight)
         .select(col("a").as("gid"))
-        .localCheckpoint()
-      val n = survivors.count()
+        .observe(metric, count(lit(1)).as("n"))
+      val survivors = survivorsF.localCheckpoint()
+      val n = survivorsF.queryExecution.observedMetrics(metric).getLong(0)
       converged = n == aliveRows || n == 0
       aliveRows = n
       alive = survivors
@@ -1970,9 +2071,12 @@ object Algorithms {
           .groupBy(col("a"), col("b")).agg(count(lit(1)).as("sup"))
         // edges in no triangle have no support row: the inner filter on
         // the aggregated table drops them exactly like support 0 would
-        val kept = support.filter(col("sup") >= minSup)
-          .select(col("a"), col("b")).localCheckpoint()
-        val n = kept.count()
+        val metric = s"graft_truss_n_$iter"
+        val keptF = support.filter(col("sup") >= minSup)
+          .select(col("a"), col("b"))
+          .observe(metric, count(lit(1)).as("n"))
+        val kept = keptF.localCheckpoint()
+        val n = keptF.queryExecution.observedMetrics(metric).getLong(0)
         converged = n == rows || n == 0
         rows = n
         e = kept
@@ -2049,12 +2153,14 @@ object Algorithms {
     var iter = 0
     while (frontierN > 0 && iter < maxIter) {
       iter += 1
-      frontier = graft.PlanAudit.tap("frontier.round", viable(
+      val metric = s"graft_ktri_reach_$iter"
+      val frontierF = graft.PlanAudit.tap("frontier.round", viable(
           triStep(frontier)
             .join(truss, Seq("a", "b"), "left_anti")
             .join(visited, Seq("a", "b"), "left_anti")))
-        .localCheckpoint()
-      frontierN = frontier.count()
+        .observe(metric, count(lit(1)).as("n"))
+      frontier = frontierF.localCheckpoint()
+      frontierN = frontierF.queryExecution.observedMetrics(metric).getLong(0)
       if (frontierN > 0) visited = visited.unionByName(frontier).localCheckpoint()
     }
     require(frontierN == 0,
@@ -2074,10 +2180,13 @@ object Algorithms {
           least(col("a"), col("x")).as("e1a"), greatest(col("a"), col("x")).as("e1b"),
           least(col("b"), col("x")).as("e2a"), greatest(col("b"), col("x")).as("e2b"))
         .localCheckpoint()
-      val ce = tris.select(col("e1a").as("a"), col("e1b").as("b"))
+      val mCe = s"graft_ktri_ce_$iter"
+      val ceF = tris.select(col("e1a").as("a"), col("e1b").as("b"))
         .unionByName(tris.select(col("e2a").as("a"), col("e2b").as("b")))
-        .distinct().localCheckpoint()
-      val ceN = ce.count()
+        .distinct()
+        .observe(mCe, count(lit(1)).as("n"))
+      val ce = ceF.localCheckpoint()
+      val ceN = ceF.queryExecution.observedMetrics(mCe).getLong(0)
       // membership subset: one map-side probe of the corpus-scale truss
       // (build side = the round's bounded candidate-edge set) + alive;
       // the cascade region is usually tiny but is NOT bounded a priori,
@@ -2086,7 +2195,8 @@ object Algorithms {
       val members = truss.join(hintSmall(ce, ceN), Seq("a", "b"), "left_semi")
         .unionByName(alive.join(hintSmall(ce, ceN), Seq("a", "b"), "left_semi"))
         .localCheckpoint()
-      val survivors = graft.PlanAudit.tap("peel.contract", tris
+      val mPeel = s"graft_ktri_peel_$iter"
+      val survivorsF = graft.PlanAudit.tap("peel.contract", tris
           .join(members.select(col("a").as("e1a"), col("b").as("e1b")),
             Seq("e1a", "e1b"), "left_semi")
           .join(members.select(col("a").as("e2a"), col("b").as("e2b")),
@@ -2094,8 +2204,9 @@ object Algorithms {
           .groupBy(col("a"), col("b")).agg(count(lit(1)).as("sup"))
           .filter(col("sup") >= minSup)
           .select(col("a"), col("b")))
-        .localCheckpoint()
-      val n = survivors.count()
+        .observe(mPeel, count(lit(1)).as("n"))
+      val survivors = survivorsF.localCheckpoint()
+      val n = survivorsF.queryExecution.observedMetrics(mPeel).getLong(0)
       converged = n == aliveN
       aliveN = n
       alive = survivors
@@ -2252,13 +2363,15 @@ object Algorithms {
           struct(col("w"), col("a"), col("b"), col("cb").as("oc")).as("e"))
         .unionByName(ec.select(col("cb").as("c"),
           struct(col("w"), col("a"), col("b"), col("ca").as("oc")).as("e")))
-      val sel = inc.groupBy(col("c")).agg(min(col("e")).as("e"))
+      val mSel = s"graft_mst_sel_$round"
+      val selF = inc.groupBy(col("c")).agg(min(col("e")).as("e"))
         .select(col("c"), col("e.w").as("w"), col("e.a").as("a"),
           col("e.b").as("b"), col("e.oc").as("oc"))
-        .localCheckpoint()
-      // one action per round: the selection count is both the
-      // termination probe and the contraction-strategy pivot
-      val selCnt = sel.count()
+        .observe(mSel, count(lit(1)).as("n"))
+      val sel = selF.localCheckpoint()
+      // zero extra actions per round: the selection count (termination
+      // probe + contraction-strategy pivot) rides the checkpoint job
+      val selCnt = selF.queryExecution.observedMetrics(mSel).getLong(0)
       if (selCnt == 0) done = true
       else {
         picked += sel.select(col("a"), col("b"), col("w"))
@@ -2600,13 +2713,18 @@ object Algorithms {
               .join(stateHint(lab.select(col("gid").as("nb"), col("m").as("nm")), small),
                 col("b") === col("nb"))
               .groupBy(col("a")).agg(min(col("nm")).as("nmin"))
-            val next = lab.join(stateHint(nbrMin, small), lab("gid") === col("a"), "left")
+            val metric = s"graft_scc_changed_$rounds"
+            val flagged = lab
+              .join(stateHint(nbrMin, small), lab("gid") === col("a"), "left")
               .select(lab("gid"),
                 least(lab("m"), coalesce(col("nmin"), lab("m"))).as("m"),
                 (least(lab("m"), coalesce(col("nmin"), lab("m"))) =!= lab("m"))
                   .as("changed"))
-              .localCheckpoint()
-            converged = next.filter(col("changed")).isEmpty
+              .observe(metric, coalesce(sum(col("changed").cast("long")),
+                lit(0L)).as("nchanged"))
+            val next = flagged.localCheckpoint()
+            converged =
+              flagged.queryExecution.observedMetrics(metric).getLong(0) == 0L
             lab = next.select(col("gid"), col("m"))
           }
           lab
@@ -2784,7 +2902,7 @@ object Algorithms {
           // SMALLER community id (Lu, Halappanavar & Kalyanaraman,
           // "Parallel heuristics for scalable community detection").
           val csize = lab.groupBy(col("community")).agg(count(lit(1)).as("cs"))
-          val movers = cand
+          val moversF = cand
             .groupBy(col("gid"))
             .agg(max(struct(col("gain2"), (-col("cb")).as("negc"),
               col("ca"))).as("mx"))
@@ -2804,8 +2922,11 @@ object Algorithms {
             // monotone decline) at the same wall-clock.
             .filter(pmod(col("gid"), lit(2L)) === lit(r % 2))
             .select(col("gid"), col("target"))
-            .transform(ck)
-          val nMovers = movers.count()
+            .observe(s"graft_louvain_movers_${level}_$r",
+              count(lit(1)).as("n"))
+          val movers = moversF.transform(ck)
+          val nMovers = moversF.queryExecution
+            .observedMetrics(s"graft_louvain_movers_${level}_$r").getLong(0)
           if (nMovers == 0) zeroStreak += 1
           else {
             zeroStreak = 0
@@ -2906,7 +3027,9 @@ object Algorithms {
       deltaEdges: DataFrame,
       reachCutoverBelow: Long = 8L * StragglerFinishBound)
       : (DataFrame, DataFrame) = {
-    val lab = prevLabels.select(col("gid"), col("scc")).localCheckpoint()
+    // materializeInvariant, not an unconditional checkpoint: chained
+    // folds pass the previous trigger's already-checkpointed labels
+    val lab = materializeInvariant(prevLabels.select(col("gid"), col("scc")))
     val d0 = deltaEdges.select(col("gsrc"), col("gdst"))
       .filter(col("gsrc") =!= col("gdst")).distinct().localCheckpoint()
     val rel = d0
@@ -3013,13 +3136,17 @@ object Algorithms {
           .join(stateHint(lev.select(col("gid").as("a"), col("lev").as("la")),
             small), Seq("a"))
           .groupBy(col("b").as("gid")).agg(max(col("la") + 1L).as("nl"))
-        val next = lev.join(stateHint(push, small), Seq("gid"), "left")
+        val metric = s"graft_dag_changed_$iter"
+        val flagged = lev.join(stateHint(push, small), Seq("gid"), "left")
           .select(col("gid"),
             greatest(col("lev"), coalesce(col("nl"), col("lev"))).as("lev"),
             (greatest(col("lev"), coalesce(col("nl"), col("lev"))) =!= col("lev"))
               .as("changed"))
-          .localCheckpoint()
-        converged = next.filter(col("changed")).isEmpty
+          .observe(metric,
+            coalesce(sum(col("changed").cast("long")), lit(0L)).as("nchanged"))
+        val next = flagged.localCheckpoint()
+        converged =
+          flagged.queryExecution.observedMetrics(metric).getLong(0) == 0L
         lev = next.select(col("gid"), col("lev"))
       }
       lev
@@ -3074,15 +3201,28 @@ object Algorithms {
             small), Seq("a"))
           .filter(col("t") >= col("aa"))
           .groupBy(col("b").as("gid")).agg(min(col("t")).as("cand"))
-        val next = arr.join(stateHint(prop, small), Seq("gid"), "full")
+        // A broadcast hint on a full-outer build side is unsupported —
+        // Spark logged the fallback every round and planned a
+        // SORT-merge join. shuffle_hash IS supported for full outer
+        // (since 3.1): same exchanges, no per-round sorts, still one
+        // job per round (an A/B of a two-broadcast-leg decomposition
+        // measured SLOWER — two broadcast-build jobs per round cost
+        // more in orchestration than the exchanges they saved, the
+        // pageRankLoop economics).
+        val metric = s"graft_tea_changed_$iter"
+        val flagged = arr
+          .join(prop.hint("shuffle_hash"), Seq("gid"), "full")
           .select(col("gid"),
             least(coalesce(col("arr"), col("cand")),
               coalesce(col("cand"), col("arr"))).as("arr"),
             (col("arr").isNull ||
               (col("cand").isNotNull && col("cand") < col("arr")))
               .as("changed"))
-          .localCheckpoint()
-        converged = next.filter(col("changed")).isEmpty
+          .observe(metric,
+            coalesce(sum(col("changed").cast("long")), lit(0L)).as("nchanged"))
+        val next = flagged.localCheckpoint()
+        converged =
+          flagged.queryExecution.observedMetrics(metric).getLong(0) == 0L
         arr = next.select(col("gid"), col("arr"))
       }
       arr

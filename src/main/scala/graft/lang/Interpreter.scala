@@ -447,9 +447,20 @@ final class Interpreter(spark: SparkSession) {
     }
     // retention sweep (supersedes the plain drop-older): also clears
     // unpublished partials a crashed earlier attempt may have left
-    Snapshot.sweep(dataDir)
+    Snapshot.sweep(dataDir, snapshotKeep)
     log
   }
+
+  /** Generation-retention knob for the boot/compaction sweeps — the
+    * r12 advisory: `sweep(keep = n)` existed but nothing plumbed it,
+    * so a deployment that retained extra generations for time travel
+    * lost generation N-1 on the next boot. Env/prop-overridable,
+    * default 1 (live generation only).
+    */
+  private def snapshotKeep: Int =
+    sys.props.get("graft.snapshotKeep")
+      .orElse(sys.env.get("GRAFT_SNAPSHOT_KEEP"))
+      .map(_.toInt).getOrElse(1)
 
   /** Standing compaction policy for a serving deployment: roll the WAL
     * into a snapshot generation once it exceeds `maxStatements` lines
@@ -480,7 +491,7 @@ final class Interpreter(spark: SparkSession) {
     // retention generations never accumulate across restarts (the
     // sweep keeps the newest published generation + its WAL; with no
     // published generation it keeps the gen-0 log, which IS the state)
-    Snapshot.sweep(dataDir)
+    Snapshot.sweep(dataDir, snapshotKeep)
     Snapshot.latest(dataDir) match {
       case Some((gen, meta)) =>
         val dir = Snapshot.snapDir(dataDir, gen)

@@ -40,6 +40,16 @@ final class Parser(tokens: Vector[Token]) {
     * matches: these reject in identifier positions too (and INDEX is
     * grammared as a field option, the way CHECK/SHOW/DESCRIBE were
     * completed).
+    *
+    * BREAKING MIGRATION NOTE (r12→): WALs or catalog DDL logs written
+    * BEFORE these words were reserved may contain fields named
+    * index/on/type UNQUOTED (the old renderer only quoted Ast.reserved
+    * members). Replaying such a log now fails with ParseError at the
+    * offending statement rather than loading silently — rewrite the
+    * log with the identifiers backtick-quoted (the current renderer
+    * always emits them quoted, so logs written at or after r12 replay
+    * cleanly). Matching the reference keyword table was judged worth
+    * the one-time rewrite.
     */
   private val reservedNonType = Set("INDEX", "ON", "TYPE")
 

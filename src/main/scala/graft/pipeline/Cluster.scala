@@ -967,8 +967,13 @@ object Cluster {
     val nu = newPairs.select(col("id_a").as("a"), col("id_b").as("b"))
       .unionByName(newPairs.select(col("id_b").as("a"), col("id_a").as("b")))
       .localCheckpoint() // bump agg + core-core filter + union leg read it
+    // shuffle_hash, not the default sort-merge, for the degree fold:
+    // full-outer SMJ paid two node-scale SORTS per trigger for a
+    // hash-joinable fold (a broadcast-leg decomposition was A/B'd
+    // SLOWER — three broadcast-build jobs per fold cost more than the
+    // exchanges they saved, the pageRankLoop economics)
     val bump = nu.groupBy(col("a")).agg(count(lit(1)).as("bd"))
-    val deg = baseDeg.join(bump, Seq("a"), "full")
+    val deg = baseDeg.join(bump.hint("shuffle_hash"), Seq("a"), "full")
       .select(col("a"),
         (coalesce(col("d"), lit(0L)) + coalesce(col("bd"), lit(0L))).as("d"))
       .localCheckpoint()
@@ -993,9 +998,16 @@ object Cluster {
       .select(col("a").as("gsrc"), col("b").as("gdst"))
     val merged = graft.graph.Algorithms.ccIncremental(baseLabels, deltaEdges)
     // isolated NEW cores (no core-core edge anywhere) are their own
-    // singleton clusters — exactly what the full fit's CC would emit
+    // singleton clusters — exactly what the full fit's CC would emit.
+    // merged's gid set is exactly (prior labels ∪ delta-edge endpoints),
+    // so anti-join against THAT instead of merged itself: the lazy
+    // merged plan is a node-scale remap join, and evaluating it twice
+    // inside the labels checkpoint job doubled the fold's heaviest leg
+    val mergedGids = baseLabels.select(col("gid"))
+      .unionByName(deltaEdges.select(col("gsrc").as("gid")))
+      .unionByName(deltaEdges.select(col("gdst").as("gid")))
     val singletons = core.select(col("a").as("gid"))
-      .join(merged.select(col("gid")), Seq("gid"), "left_anti")
+      .join(mergedGids, Seq("gid"), "left_anti")
       .select(col("gid"), col("gid").as("comp"))
     val labels = graft.PlanAudit.tap("stream.fold",
       merged.unionByName(singletons)).localCheckpoint()

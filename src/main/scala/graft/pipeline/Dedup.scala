@@ -983,10 +983,17 @@ object Dedup {
     if (e.count() <= broadcastRowBound) {
       val a = e.select(col(idCol).as("id_a"), col("__v").as("va"))
       val b = e.select(col(idCol).as("id_b"), col("__v").as("vb"))
-      a.join(broadcast(b), col("id_a") < col("id_b"))
+      // eager result + unpersist: without this, each call with a
+      // distinct input pinned the projected table for the session
+      // lifetime (the r12 advisory). The result is pair-bounded (only
+      // pairs above threshold survive) on this sf-bounded anchor path.
+      val out = a.join(broadcast(b), col("id_a") < col("id_b"))
         .withColumn("cosine", VectorFunctions.cosine(col("va"), col("vb")))
         .filter(col("cosine") >= threshold)
         .select(col("id_a"), col("id_b"), col("cosine"))
+        .localCheckpoint()
+      e.unpersist(blocking = false)
+      out
     } else {
       val ids = e.select(col(idCol).as("id_a"))
       val ids2 = e.select(col(idCol).as("id_b"))

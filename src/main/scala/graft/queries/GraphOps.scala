@@ -808,16 +808,19 @@ object GraphOps {
       .option("maxFilesPerTrigger", "1").parquet(src)
     var labels = ccBaseCached(spark, dir)
     val ckpt = graft.streaming.Streams.scratchDir("graft_cc_ckpt")
-    val q = stream.writeStream
-      .option("checkpointLocation", ckpt)
-      .foreachBatch { (b: DataFrame, _: Long) =>
-        labels = graft.PlanAudit.tap("stream.fold",
-            Algorithms.ccIncremental(labels, ccPairEdges(b)))
-          .localCheckpoint()
-        ()
-      }
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    graft.streaming.Streams.withStreamWidth(spark,
+        graft.streaming.Streams.streamWidth(spark, src)) {
+      val q = stream.writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          labels = graft.PlanAudit.tap("stream.fold",
+              Algorithms.ccIncremental(labels, ccPairEdges(b)))
+            .localCheckpoint()
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     val missing = li.select(col("l_partkey").as("gid")).distinct()
       .join(labels.select(col("gid")), Seq("gid"), "left_anti")
       .select(col("gid"), col("gid").as("comp"))
@@ -932,14 +935,17 @@ object GraphOps {
       .option("maxFilesPerTrigger", "1").parquet(src)
     var pending: Option[(DataFrame, DataFrame)] = None
     val ckpt = graft.streaming.Streams.scratchDir("graft_katz_ckpt")
-    val q = stream.writeStream
-      .option("checkpointLocation", ckpt)
-      .foreachBatch { (b: DataFrame, _: Long) =>
-        pending = Some(Algorithms.foldRankDeltaBatch(pending, b))
-        ()
-      }
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    graft.streaming.Streams.withStreamWidth(spark,
+        graft.streaming.Streams.streamWidth(spark, src)) {
+      val q = stream.writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          pending = Some(Algorithms.foldRankDeltaBatch(pending, b))
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     val folded = pending match {
       case None => gBase
       case Some((pe, pd)) =>
@@ -1058,14 +1064,17 @@ object GraphOps {
       .option("maxFilesPerTrigger", "1").parquet(src)
     var pending: Option[(DataFrame, DataFrame)] = None
     val ckpt = graft.streaming.Streams.scratchDir("graft_pr_ckpt")
-    val q = stream.writeStream
-      .option("checkpointLocation", ckpt)
-      .foreachBatch { (b: DataFrame, _: Long) =>
-        pending = Some(Algorithms.foldRankDeltaBatch(pending, b))
-        ()
-      }
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    graft.streaming.Streams.withStreamWidth(spark,
+        graft.streaming.Streams.streamWidth(spark, src)) {
+      val q = stream.writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          pending = Some(Algorithms.foldRankDeltaBatch(pending, b))
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     val folded = pending match {
       case None => gBase
       case Some((pe, pd)) =>
@@ -1200,23 +1209,26 @@ object GraphOps {
       .option("maxFilesPerTrigger", "1").parquet(src)
     var pending: Option[(DataFrame, DataFrame)] = None
     val ckpt = graft.streaming.Streams.scratchDir("graft_wpr_ckpt")
-    val q = stream.writeStream
-      .option("checkpointLocation", ckpt)
-      .foreachBatch { (b: DataFrame, _: Long) =>
-        val be = b.select(col("gsrc"), col("gdst"), col("w")).localCheckpoint()
-        val bw = be.groupBy(col("gsrc").as("dgid"))
-          .agg(sum(col("w")).as("dwout"))
-        pending = Some(pending match {
-          case None => (be, bw.localCheckpoint())
-          case Some((pe, pw)) =>
-            (pe.unionByName(be),
-              pw.unionByName(bw).groupBy(col("dgid"))
-                .agg(sum(col("dwout")).as("dwout")).localCheckpoint())
-        })
-        ()
-      }
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    graft.streaming.Streams.withStreamWidth(spark,
+        graft.streaming.Streams.streamWidth(spark, src)) {
+      val q = stream.writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val be = b.select(col("gsrc"), col("gdst"), col("w")).localCheckpoint()
+          val bw = be.groupBy(col("gsrc").as("dgid"))
+            .agg(sum(col("w")).as("dwout"))
+          pending = Some(pending match {
+            case None => (be, bw.localCheckpoint())
+            case Some((pe, pw)) =>
+              (pe.unionByName(be),
+                pw.unionByName(bw).groupBy(col("dgid"))
+                  .agg(sum(col("dwout")).as("dwout")).localCheckpoint())
+          })
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     val folded = pending match {
       case None => gw
       case Some((pe, pw)) =>
@@ -1612,39 +1624,45 @@ object GraphOps {
     var deg = baseDeg
     var core = baseCore
     val ckpt = graft.streaming.Streams.scratchDir("graft_kcore_ckpt")
-    val q = stream.writeStream
-      .option("checkpointLocation", ckpt)
-      .foreachBatch { (b: DataFrame, _: Long) =>
-        // dedup vs pairs-so-far WITHOUT shuffling the corpus: scan the
-        // pair set map-side against the broadcast batch (the
-        // triangleCountIncremental probe discipline), then anti-join
-        // small against small
-        val batchPairs = ccPairEdges(b).localCheckpoint()
-        val dupes = pairs
-          .join(broadcast(batchPairs), Seq("gsrc", "gdst"), "left_semi")
-        val newPairs = batchPairs
-          .join(broadcast(dupes), Seq("gsrc", "gdst"), "left_anti")
-          .localCheckpoint()
-        val bump = newPairs.select(col("gsrc").as("a"))
-          .unionByName(newPairs.select(col("gdst").as("a")))
-          .groupBy(col("a")).agg(count(lit(1)).as("bd"))
-        deg = deg.join(bump, Seq("a"), "full")
-          .select(col("a"), (coalesce(col("d"), lit(0L)) +
-            coalesce(col("bd"), lit(0L))).as("d"))
-          .localCheckpoint()
-        val seeds = newPairs.select(col("gsrc").as("gid"))
-          .unionByName(newPairs.select(col("gdst").as("gid")))
-          .distinct()
-        pairs = pairs.unionByName(newPairs)
-        val und = pairs.select(col("gsrc").as("a"), col("gdst").as("b"))
-          .unionByName(pairs.select(col("gdst").as("a"), col("gsrc").as("b")))
-        core = Algorithms.kCoreIncremental(core, und, seeds, k = 4,
-            degOpt = Some(deg))
-          .localCheckpoint()
-        ()
-      }
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    graft.streaming.Streams.withStreamWidth(spark,
+        graft.streaming.Streams.streamWidth(spark, src)) {
+      val q = stream.writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          // dedup vs pairs-so-far WITHOUT shuffling the corpus: scan the
+          // pair set map-side against the broadcast batch (the
+          // triangleCountIncremental probe discipline), then anti-join
+          // small against small
+          val batchPairs = ccPairEdges(b).localCheckpoint()
+          val dupes = pairs
+            .join(broadcast(batchPairs), Seq("gsrc", "gdst"), "left_semi")
+          val newPairs = batchPairs
+            .join(broadcast(dupes), Seq("gsrc", "gdst"), "left_anti")
+            .localCheckpoint()
+          // shuffle_hash full-outer for the degree fold (the dbscanFold
+          // shape): hash-joinable, so the default SMJ's two node-scale
+          // sorts per trigger were pure waste
+          val bump = newPairs.select(col("gsrc").as("a"))
+            .unionByName(newPairs.select(col("gdst").as("a")))
+            .groupBy(col("a")).agg(count(lit(1)).as("bd"))
+          deg = deg.join(bump.hint("shuffle_hash"), Seq("a"), "full")
+            .select(col("a"), (coalesce(col("d"), lit(0L)) +
+              coalesce(col("bd"), lit(0L))).as("d"))
+            .localCheckpoint()
+          val seeds = newPairs.select(col("gsrc").as("gid"))
+            .unionByName(newPairs.select(col("gdst").as("gid")))
+            .distinct()
+          pairs = pairs.unionByName(newPairs)
+          val und = pairs.select(col("gsrc").as("a"), col("gdst").as("b"))
+            .unionByName(pairs.select(col("gdst").as("a"), col("gsrc").as("b")))
+          core = Algorithms.kCoreIncremental(core, und, seeds, k = 4,
+              degOpt = Some(deg))
+            .localCheckpoint()
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     core.agg(count(lit(1)).as("core_size"))
   }
 
@@ -2091,16 +2109,19 @@ object GraphOps {
       .option("maxFilesPerTrigger", "1").parquet(src)
     var buffered: List[DataFrame] = Nil
     val ckpt = graft.streaming.Streams.scratchDir("graft_tri_ckpt")
-    val q = stream.writeStream
-      .option("checkpointLocation", ckpt)
-      .foreachBatch { (b: DataFrame, _: Long) =>
-        buffered = ccPairEdges(b)
-          .select(col("gsrc").as("a"), col("gdst").as("b"))
-          .localCheckpoint() :: buffered
-        ()
-      }
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    graft.streaming.Streams.withStreamWidth(spark,
+        graft.streaming.Streams.streamWidth(spark, src)) {
+      val q = stream.writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          buffered = ccPairEdges(b)
+            .select(col("gsrc").as("a"), col("gdst").as("b"))
+            .localCheckpoint() :: buffered
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     // no-batch fallback mirrors the rank faces' None branch: an empty
     // delta stream means the full-graph count IS the base count
     buffered.reduceOption(_ unionByName _) match {
@@ -2623,21 +2644,24 @@ object GraphOps {
     var pendCnt: Option[DataFrame] = None
     var pendNodes: Option[DataFrame] = None
     val ckpt = graft.streaming.Streams.scratchDir("graft_mst_ckpt")
-    val q = stream.writeStream
-      .option("checkpointLocation", ckpt)
-      .foreachBatch { (b: DataFrame, _: Long) =>
-        val bc = copurchaseCounts(b).localCheckpoint()
-        pendCnt = Some(pendCnt match {
-          case None => bc
-          case Some(p) => p.unionByName(bc).groupBy(col("a"), col("b"))
-            .agg(sum(col("cnt")).cast("long").as("cnt")).localCheckpoint()
-        })
-        val bn = b.select(col("l_partkey").as("gid")).distinct().localCheckpoint()
-        pendNodes = Some(pendNodes.fold(bn)(_.unionByName(bn)))
-        ()
-      }
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    graft.streaming.Streams.withStreamWidth(spark,
+        graft.streaming.Streams.streamWidth(spark, src)) {
+      val q = stream.writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val bc = copurchaseCounts(b).localCheckpoint()
+          pendCnt = Some(pendCnt match {
+            case None => bc
+            case Some(p) => p.unionByName(bc).groupBy(col("a"), col("b"))
+              .agg(sum(col("cnt")).cast("long").as("cnt")).localCheckpoint()
+          })
+          val bn = b.select(col("l_partkey").as("gid")).distinct().localCheckpoint()
+          pendNodes = Some(pendNodes.fold(bn)(_.unionByName(bn)))
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     val touched = pendCnt.get
       .select(col("a"), col("b"), col("cnt").as("dcnt"))
       .join(baseCnt, Seq("a", "b"), "left")
@@ -2783,16 +2807,19 @@ object GraphOps {
       .option("maxFilesPerTrigger", "1").parquet(src)
     var buffered: List[DataFrame] = Nil
     val ckpt = graft.streaming.Streams.scratchDir("graft_truss_ckpt")
-    val q = stream.writeStream
-      .option("checkpointLocation", ckpt)
-      .foreachBatch { (b: DataFrame, _: Long) =>
-        buffered = trussPairs(b)
-          .select(col("gsrc").as("a"), col("gdst").as("b"))
-          .localCheckpoint() :: buffered
-        ()
-      }
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    graft.streaming.Streams.withStreamWidth(spark,
+        graft.streaming.Streams.streamWidth(spark, src)) {
+      val q = stream.writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          buffered = trussPairs(b)
+            .select(col("gsrc").as("a"), col("gdst").as("b"))
+            .localCheckpoint() :: buffered
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     // no-batch fallback mirrors the rank faces' None branch: an empty
     // delta stream leaves the base truss unchanged (reduce on an empty
     // buffer would throw)
@@ -3467,17 +3494,20 @@ object GraphOps {
     var labels = baseLabels
     var dag = baseDag
     val ckpt = graft.streaming.Streams.scratchDir("graft_sccs_ckpt")
-    val q = stream.writeStream
-      .option("checkpointLocation", ckpt)
-      .foreachBatch { (b: DataFrame, _: Long) =>
-        val (nl, nd) = Algorithms.sccIncrementalWithDag(labels, dag,
-          followedByEdges(b))
-        labels = nl.localCheckpoint()
-        dag = nd.localCheckpoint()
-        ()
-      }
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    graft.streaming.Streams.withStreamWidth(spark,
+        graft.streaming.Streams.streamWidth(spark, src)) {
+      val q = stream.writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val (nl, nd) = Algorithms.sccIncrementalWithDag(labels, dag,
+            followedByEdges(b))
+          labels = nl.localCheckpoint()
+          dag = nd.localCheckpoint()
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     labels.select(col("gid").as("part"), col("scc").as("scc_id"))
   }
 

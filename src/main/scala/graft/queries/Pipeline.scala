@@ -1418,17 +1418,20 @@ object Pipeline {
       .option("maxFilesPerTrigger", "1").parquet(src)
     var outs: List[DataFrame] = Nil
     val ckpt = graft.streaming.Streams.scratchDir("graft_knn_ckpt")
-    val q = stream.writeStream
-      .option("checkpointLocation", ckpt)
-      .foreachBatch { (b: DataFrame, _: Long) =>
-        val ids = b.select(col("vec_id").as("qid")).localCheckpoint()
-        outs = graft.pipeline.Cluster.exactCosineKnnPruned(codes, coarse,
-            emb, "vec_id", "embedding", k = 5, queryIds = Some(ids))
-          .localCheckpoint() :: outs
-        ()
-      }
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    graft.streaming.Streams.withStreamWidth(spark,
+        graft.streaming.Streams.streamWidth(spark, src)) {
+      val q = stream.writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val ids = b.select(col("vec_id").as("qid")).localCheckpoint()
+          outs = graft.pipeline.Cluster.exactCosineKnnPruned(codes, coarse,
+              emb, "vec_id", "embedding", k = 5, queryIds = Some(ids))
+            .localCheckpoint() :: outs
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     outs.reduce(_ unionByName _)
       .select(col("query_id"), col("neighbor_id"), col("cos").as("cosine"),
         col("rank").cast("long").as("rank"))
@@ -1941,9 +1944,16 @@ object Pipeline {
     val stream = spark.readStream.schema(batchSchema)
       .option("maxFilesPerTrigger", "1").parquet(src)
     var state = dbscanBaseCached(spark, dir)
-    var arrived = emb.filter(col("vec_id") % 10 =!= 0)
+    // arrived-ness of a collision endpoint is (base point) OR (batch id
+    // delivered so far): base membership is the static vec_id % 10
+    // predicate, so the mutable arrived-set only needs the DELTA ids —
+    // a broadcastable batch-scale table — instead of the node-scale
+    // union the previous version re-checkpointed every trigger
+    var arrivedBids = emb.filter(lit(false))
       .select(col("vec_id").as("oid")).localCheckpoint()
     val ckpt = graft.streaming.Streams.scratchDir("graft_dbscan_ckpt")
+    graft.streaming.Streams.withStreamWidth(spark,
+        graft.streaming.Streams.streamWidth(spark, s"$dir/embeddings.parquet")) {
     val q = stream.writeStream
       .option("checkpointLocation", ckpt)
       .foreachBatch { (b: DataFrame, _: Long) =>
@@ -1953,14 +1963,16 @@ object Pipeline {
         val batchKeys = keys
           .join(broadcast(bids), col("id") === col("bid"), "left_semi")
           .select(col("id").as("bid"), col("table"), col("bucket"))
-        val seen = arrived
+        val seenBids = arrivedBids
           .unionByName(bids.select(col("bid").as("oid")))
           .localCheckpoint()
         val cand = broadcast(batchKeys)
           .join(keys.select(col("id").as("oid"), col("table"), col("bucket")),
             Seq("table", "bucket"))
           .filter(col("bid") =!= col("oid"))
-          .join(seen, Seq("oid"), "left_semi")
+          .join(broadcast(seenBids.withColumn("__arr", lit(1))),
+            Seq("oid"), "left")
+          .filter(col("oid") % 10 =!= 0 || col("__arr").isNotNull)
           .select(least(col("bid"), col("oid")).as("id_a"),
             greatest(col("bid"), col("oid")).as("id_b"))
           .distinct()
@@ -1968,11 +1980,12 @@ object Pipeline {
           cand, threshold = 0.4)
         state = graft.pipeline.Cluster.dbscanFold(state._1, state._2,
           state._3, newPairs.select(col("id_a"), col("id_b")), minPts = 3)
-        arrived = seen
+        arrivedBids = seenBids
         ()
       }
       .start()
     try q.processAllAvailable() finally q.stop()
+    }
     graft.pipeline.Cluster.dbscanAssign(
         emb.select(col("vec_id").as("id")), state._1, state._3)
       .select(col("id").as("vec_id"), col("role"), col("cluster_id"))
@@ -2868,16 +2881,58 @@ object Pipeline {
     * over ≤ 300 candidates.
     */
   def pRankFusion(spark: SparkSession, dir: String): DataFrame = {
+    // ONE text pass (was: each ranker loaded `documents` itself, and the
+    // un-materialized `fused` re-ran all three — ~8 text scans per run).
+    // The scan collapses to a narrow per-doc table — the two scalar
+    // scores, the whitespace token count, and ONLY the tokens matching
+    // the fixed BM25 query mix — checkpointed at output scale; every
+    // ranker and the fusion read small rows from there (guide-§8 shape:
+    // heavy payload crosses once, decisions run on the proxy).
+    val toks = split(lower(trim(col("text"))), "\\s+")
+    val narrow = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        round(TextAnalysis.qualityScore(col("text")), 4).as("quality"),
+        round(TextAnalysis.charEntropy(col("text")), 6).as("char_entropy"),
+        size(toks).cast("long").as("dl"),
+        filter(toks, t => t.isin(bm25Terms: _*)).as("qtoks"))
+      .localCheckpoint()
+    // BM25 re-derived from the narrow table — arithmetic identical to
+    // TextAnalysis.bm25 (k1=1.2, b=0.75, Lucene idf, 6dp integer seal):
+    // exploding the pre-matched qtoks yields exactly the explode+isin
+    // rows of the original corpus-token explode.
+    val k1 = 1.2
+    val b = 0.75
+    val tf = narrow.select(col("doc_id").as("id"), col("dl"),
+        explode(col("qtoks")).as("term"))
+      .groupBy(col("id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = narrow.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl"))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val contrib = idf * (col("tf") * (k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / avgdl))
+    val bm = tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("id"), floor(contrib * 1e6 + 0.5).as("c6"))
+      .groupBy(col("id"))
+      .agg(sum(col("c6")).as("s6"))
+      .select(col("id").as("doc_id"),
+        (expr("(s6 + 50) DIV 100").cast("double") / 10000.0).as("bm25"))
     def top100(df: DataFrame, s: String): DataFrame =
       graft.operators.TopK.topKPerGroup(
         df.select(col("doc_id"), col(s).as("s")).withColumn("g", lit(1)),
         "g", "s", "doc_id", k = 100)
         .select(col("doc_id"), col("rank"))
-    val r1 = top100(pBm25(spark, dir), "bm25")
-    val r2 = top100(pQualityScore(spark, dir), "quality")
-    val r3 = top100(pCharEntropy(spark, dir), "char_entropy")
+    val r1 = top100(bm, "bm25")
+    val r2 = top100(narrow, "quality")
+    val r3 = top100(narrow, "char_entropy")
     def c(r: Column): Column =
       coalesce(call_function("div", lit(1000000000L), lit(60L) + r), lit(0L))
+    // ≤ 300 rows; checkpointed because it feeds BOTH the fused TopK and
+    // the score re-attach join (lazy, the whole ranker DAG ran twice)
     val fused = r1.select(col("doc_id"), col("rank").as("r1"))
       .join(r2.select(col("doc_id"), col("rank").as("r2")), Seq("doc_id"), "full")
       .join(r3.select(col("doc_id"), col("rank").as("r3")), Seq("doc_id"), "full")
@@ -2885,6 +2940,7 @@ object Pipeline {
         (col("r1").isNotNull.cast("long") + col("r2").isNotNull.cast("long")
           + col("r3").isNotNull.cast("long")).as("in_lists"),
         (c(col("r1")) + c(col("r2")) + c(col("r3"))).as("rrf"))
+      .localCheckpoint()
     graft.operators.TopK.topKPerGroup(
         fused.withColumn("g", lit(1)), "g", "rrf", "doc_id", k = 50)
       .select(col("doc_id"), col("rank").as("fused_rank"))

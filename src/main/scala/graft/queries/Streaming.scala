@@ -258,16 +258,18 @@ object Streaming {
         orderCols, "op")
       .localCheckpoint()
     val ckpt = graft.streaming.Streams.scratchDir("graft_cdc_ckpt")
-    val q = toChanges(stream).writeStream
-      .option("checkpointLocation", ckpt)
-      .foreachBatch { (b: DataFrame, _: Long) =>
-        state = graft.store.CdcMerge
-          .compact(state, b, "c_custkey", orderCols, "op")
-          .localCheckpoint()
-        ()
-      }
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    Streams.withStreamWidth(spark, Streams.streamWidth(spark, src)) {
+      val q = toChanges(stream).writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          state = graft.store.CdcMerge
+            .compact(state, b, "c_custkey", orderCols, "op")
+            .localCheckpoint()
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     graft.store.CdcMerge.visible(state, orderCols, "op")
   }
 
@@ -296,11 +298,13 @@ object Streaming {
     val stream = spark.readStream.schema(batchSchema)
       .option("maxFilesPerTrigger", "1").parquet(src)
     val qn = s"s_dedup_bloom_sink_${funnelRuns.incrementAndGet()}"
-    val q = Streams.bloomDedupStream(stream,
-        struct(col("user_id"), col("event_type")),
-        buckets = 16, expectedPerBucket = 10000L, fpp = 1e-6)
-      .writeStream.format("memory").queryName(qn).outputMode("append").start()
-    try q.processAllAvailable() finally q.stop()
+    Streams.withStreamWidth(spark, Streams.streamWidth(spark, src)) {
+      val q = Streams.bloomDedupStream(stream,
+          struct(col("user_id"), col("event_type")),
+          buckets = 16, expectedPerBucket = 10000L, fpp = 1e-6)
+        .writeStream.format("memory").queryName(qn).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.table(qn)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_first_seen"))
@@ -337,9 +341,12 @@ object Streaming {
         raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       else raw
     val qn = s"s_funnel_sink_${funnelRuns.incrementAndGet()}"
-    val q = Streams.funnelStream(events, steps).writeStream
-      .format("memory").queryName(qn).outputMode("append").start()
-    try q.processAllAvailable() finally q.stop()
+    Streams.withStreamWidth(spark,
+        Streams.streamWidth(spark, s"$dir/events.parquet")) {
+      val q = Streams.funnelStream(events, steps).writeStream
+        .format("memory").queryName(qn).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
     val counts = spark.table(qn)
       .groupBy(col("step").cast("long").as("step"))
       .agg(count(lit(1)).as("users"))
@@ -373,10 +380,13 @@ object Streaming {
         raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       else raw
     val qn = s"s_pattern_detect_sink_${funnelRuns.incrementAndGet()}"
-    val q = Streams.cepStream(events, Seq("view", "click", "purchase"),
-        guard = "error", windowSec = 86400L).toDF().writeStream
-      .format("memory").queryName(qn).outputMode("append").start()
-    try q.processAllAvailable() finally q.stop()
+    Streams.withStreamWidth(spark,
+        Streams.streamWidth(spark, s"$dir/events.parquet")) {
+      val q = Streams.cepStream(events, Seq("view", "click", "purchase"),
+          guard = "error", windowSec = 86400L).toDF().writeStream
+        .format("memory").queryName(qn).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.table(qn)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_purchases"),
@@ -473,9 +483,11 @@ object Streaming {
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(src)
     val qn = s"s_late_data_sink_${funnelRuns.incrementAndGet()}"
-    val q = Streams.lateDataAgg(stream).writeStream
-      .format("memory").queryName(qn).outputMode("append").start()
-    try q.processAllAvailable() finally q.stop()
+    Streams.withStreamWidth(spark, Streams.streamWidth(spark, src)) {
+      val q = Streams.lateDataAgg(stream).writeStream
+        .format("memory").queryName(qn).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.table(qn).filter(col("event_type") =!= "__flush")
       .select(col("window_start"), col("event_type"), col("n"))
   }

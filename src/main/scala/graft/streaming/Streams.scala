@@ -80,6 +80,46 @@ object Streams {
     dir.toString
   }
 
+  /** Scale-adaptive shuffle/state width for a REAL streaming query,
+    * derived from the source's on-disk byte size (guide §2/§6: derive
+    * partitioning from input size, never a constant tuned for one
+    * deployment): one partition per ~64 MB of input (env/prop
+    * overridable), clamped to cluster width. A stateful streaming agg
+    * otherwise opens `spark.sql.shuffle.partitions` state stores PER
+    * TRIGGER — at bench scale that is 32 store open/commit cycles per
+    * trigger for kilobytes of state; at real scale `bytes/target`
+    * exceeds any cluster width and this is simply defaultParallelism.
+    */
+  def streamWidth(spark: org.apache.spark.sql.SparkSession,
+      sourcePath: String): Int = {
+    val para = spark.sparkContext.defaultParallelism
+    val target = sys.props.get("graft.streamTargetBytes")
+      .orElse(sys.env.get("GRAFT_STREAM_TARGET_BYTES"))
+      .map(_.toLong).getOrElse(64L << 20)
+    val bytes =
+      try {
+        val p = new org.apache.hadoop.fs.Path(sourcePath)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.getContentSummary(p).getLength
+      } catch { case _: Throwable => Long.MaxValue }
+    math.max(1, math.min(para.toLong, bytes / target + 1L).toInt)
+  }
+
+  /** Run `body` (start + drain + stop of ONE streaming query) with the
+    * session shuffle width pinned to `width`. The micro-batch engine
+    * clones the session at `start()`, so the scoped value governs every
+    * trigger of the query (including its state-store partition count,
+    * which the first batch seals into the checkpoint) while the restore
+    * leaves the session untouched for the next face.
+    */
+  def withStreamWidth[T](spark: org.apache.spark.sql.SparkSession,
+      width: Int)(body: => T): T = {
+    val conf = spark.conf
+    val prev = conf.get("spark.sql.shuffle.partitions", "200")
+    conf.set("spark.sql.shuffle.partitions", width.toString)
+    try body finally conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Tumbling-window aggregate over events: per (hour, event_type)
     * count + value sum. In streaming mode the 1h watermark bounds state;
     * in batch mode it is a no-op.

@@ -46,8 +46,13 @@ class LoopBodyPlanSpec extends SparkSpec with PlanWalk {
   }
 
   test("frontier family: every CC round plan is product-free and pruned") {
+    // r13: small graphs take the driver union-find cutover (no loop
+    // rounds to tap) — force the distributed loop for the plan walk
     val rounds = captured {
-      queries.GraphOps.gCc(spark, sf()).collect() }
+      sys.props("graft.stragglerBound") = "0"
+      try queries.GraphOps.gCc(spark, sf()).collect()
+      finally sys.props.remove("graft.stragglerBound")
+    }
     assertClean("frontier", rounds.filter(_._1 == "frontier.round"))
   }
 

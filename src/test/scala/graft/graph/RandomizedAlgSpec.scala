@@ -233,6 +233,38 @@ class RandomizedAlgSpec extends SparkSpec {
     }
   }
 
+  test("r13: CC distributed loop ≡ driver union-find cutover (both paths forced)") {
+    (301 to 306).foreach { seed =>
+      val (nodes, edges) = randomGraph(seed)
+      val (ndf, edf) = toDf(nodes, edges)
+      val viaLoop = Algorithms.connectedComponents(ndf, edf, cutoverBelow = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val viaCutover = Algorithms
+        .connectedComponents(ndf, edf, cutoverBelow = Long.MaxValue)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaLoop === viaCutover, s"seed=$seed")
+      // same identity for the incremental fold's contracted graph
+      val rnd = new Random(seed)
+      val (baseE, deltaE) = edges.partition(_ => rnd.nextBoolean())
+      import spark.implicits._
+      val bn = baseE.flatMap(e => Seq(e._1, e._2)).distinct match {
+        case Nil => Seq(0L).toDF("gid").limit(0)
+        case xs => xs.toDF("gid")
+      }
+      val be = if (baseE.isEmpty) Seq((0L, 0L)).toDF("gsrc", "gdst").limit(0)
+        else baseE.toDF("gsrc", "gdst")
+      val de = if (deltaE.isEmpty) Seq((0L, 0L)).toDF("gsrc", "gdst").limit(0)
+        else deltaE.toDF("gsrc", "gdst")
+      val prev = Algorithms.connectedComponents(bn, be).localCheckpoint()
+      val iLoop = Algorithms.ccIncremental(prev, de, cutoverBelow = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val iCut = Algorithms.ccIncremental(prev, de,
+          cutoverBelow = Long.MaxValue)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(iLoop === iCut, s"seed=$seed incremental")
+    }
+  }
+
   test("bfs hop distances match driver BFS on random digraphs") {
     (21 to 26).foreach { seed =>
       val (nodes, edges) = randomGraph(seed)

@@ -180,6 +180,36 @@ class DbscanSpec extends SparkSpec {
     }
   }
 
+  test("r13 fold internals: batch-only endpoints exercise the anti-leg of the decomposed degree fold; singleton new cores") {
+    import spark.implicits._
+    // base: star at 5 (5-6, 5-7, 5-8) → 5 is core (minPts 3), leaves
+    // are borders. Batch: a star at 1 over NODES ABSENT FROM baseDeg
+    // (1,2,3,4) — their degrees flow exclusively through the bump
+    // anti-join leg introduced in r13 — plus 4-5 touching base state.
+    // 1 becomes core with no core neighbor → singleton cluster 1.
+    val st0 = Cluster.dbscanFit(
+      Seq((5L, 6L), (5L, 7L), (5L, 8L)).toDF("id_a", "id_b"), minPts = 3)
+    val st1 = Cluster.dbscanFold(st0._1, st0._2, st0._3,
+      Seq((1L, 2L), (1L, 3L), (1L, 4L), (4L, 5L)).toDF("id_a", "id_b"),
+      minPts = 3)
+    val got = Cluster.dbscanAssign((1L to 10L).toDF("id"), st1._1, st1._3)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .toMap
+    val want = reference(
+      Seq((5L, 6L), (5L, 7L), (5L, 8L), (1L, 2L), (1L, 3L), (1L, 4L), (4L, 5L)),
+      10L, 3)
+    assert(got === want)
+    // and the fold's degree table matches a from-scratch fit's exactly
+    val refitDeg = Cluster.dbscanFit(
+      Seq((5L, 6L), (5L, 7L), (5L, 8L), (1L, 2L), (1L, 3L), (1L, 4L),
+        (4L, 5L)).toDF("id_a", "id_b"), minPts = 3)._2
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val foldDeg = st1._2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(foldDeg === refitDeg)
+  }
+
   test("randomized graphs ≡ driver reference across minPts") {
     val rnd = new scala.util.Random(8150L)
     for (trial <- 0 until 4) {

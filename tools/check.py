@@ -122,10 +122,13 @@ def main(outdir, sfdir, json_path=None):
 
 
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    jp = None
-    if "--json" in sys.argv:
-        jp = sys.argv[sys.argv.index("--json") + 1]
-        if jp in args:
-            args.remove(jp)
-    main(args[0], args[1], jp)
+    # argparse instead of hand-rolled filtering: `--json` as the last
+    # argument raised IndexError, and a JSON path string-equal to a
+    # positional shifted main's arguments (r12 advisory)
+    import argparse
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("outdir")
+    ap.add_argument("sfdir")
+    ap.add_argument("--json", dest="json_path", default=None)
+    ns = ap.parse_args()
+    main(ns.outdir, ns.sfdir, ns.json_path)
