@@ -3,19 +3,22 @@
 graft.Bench prints / writes to bench_full.json) against the checked-in
 BENCH_BASELINE.json and fail on per-query regressions.
 
-Usage: tools/bench_diff.py <bench_full.json> [baseline.json]
+Usage: tools/bench_diff.py <bench_full.json> [more_runs.json ...] [--baseline baseline.json]
 
 Exit 1 if any query regresses by more than THRESHOLD x vs its baseline
 time (absolute floor ABS_FLOOR seconds, so scheduling jitter on
 sub-second queries never trips the gate), or if a baseline query is
-missing from the run. New queries (absent from the baseline) are
-reported informationally.
+missing from the run. When MULTIPLE run files are given (the
+back-to-back pair the drift discipline prescribes), a face counts as
+regressed only if its MIN across the runs crosses the gate — a single
+noisy run can no longer flag a face (r12 verdict #8). New queries
+(absent from the baseline) are reported informationally.
 """
 import json
 import sys
 
 THRESHOLD = 2.0     # x baseline
-ABS_FLOOR = 0.75    # s: ignore regressions that stay under this wall time
+ABS_FLOOR = 1.0     # s: ignore regressions that stay under this wall time
 
 
 def load(path):
@@ -25,11 +28,26 @@ def load(path):
 
 
 def main():
-    if len(sys.argv) < 2:
+    args = sys.argv[1:]
+    base_path = "BENCH_BASELINE.json"
+    if "--baseline" in args:
+        i = args.index("--baseline")
+        base_path = args[i + 1]
+        del args[i:i + 2]
+    # legacy positional form: one run + one baseline
+    if len(args) == 2 and "--baseline" not in sys.argv:
+        base_path = args.pop()
+    if not args:
         print(__doc__)
         return 2
-    run, run_doc = load(sys.argv[1])
-    base_path = sys.argv[2] if len(sys.argv) > 2 else "BENCH_BASELINE.json"
+    runs = [load(p) for p in args]
+    run_doc = runs[0][1]
+    # min across the provided runs: a face is regressed only if EVERY
+    # run of the pair crosses the gate
+    run = {}
+    for q, _ in runs:
+        for k, v in q.items():
+            run[k] = min(run.get(k, float("inf")), v)
     base, _ = load(base_path)
 
     bad, missing = [], []

@@ -113,6 +113,26 @@ def main(outdir, sfdir, json_path=None):
             rec["err"] = str(e)[:300]
             report[name] = rec
     print(f"\n{ok} ok, {fail} fail")
+    # driver-schema parity (r12 verdict #2): the driver's artifact also
+    # records every dumped face WITHOUT an oracle as err: "no_oracle" —
+    # emit those rows so the local artifact is a 1:1 diffable stand-in
+    # (281 rows on a full run, not just the 257 oracled faces)
+    import os
+    for d in sorted(os.listdir(outdir)):
+        if d == "oracle_sql.json" or d in report or d in oracles:
+            continue
+        if not os.path.isdir(os.path.join(outdir, d)):
+            continue
+        files = glob.glob(f"{outdir}/{d}/*.parquet")
+        nrows = 0
+        try:
+            if files:
+                nrows = con.sql(
+                    f"SELECT count(*) FROM read_parquet({files!r})").fetchone()[0]
+        except Exception:
+            pass
+        report[d] = {"rows_match": False, "schema_match": False,
+                     "hash_match": False, "err": "no_oracle", "rows": nrows}
     if json_path:
         with open(json_path, "w") as f:
             json.dump(report, f, indent=0, sort_keys=True)
