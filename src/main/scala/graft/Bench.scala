@@ -128,8 +128,16 @@ object Bench {
           .flushListenerBus(spark.sparkContext, 5000L)
         catch { case _: Throwable => () }
         dropPersisted() // cleanup stays outside the measured window
-        if (sys.env.contains("GRAFT_DEBUG_STAGES"))
-          System.err.println(f"[bench] done $name $elapsed%.2fs")
+        if (sys.env.contains("GRAFT_DEBUG_STAGES")) {
+          // whole-stage-codegen compilation volume per query (debug
+          // only): janino compiles run on the driver inside the timed
+          // window, so a face whose per-round plans never hit the
+          // codegen cache shows up here as count growth per run
+          val h = org.apache.spark.metrics.source.CodegenMetrics
+            .METRIC_COMPILATION_TIME
+          System.err.println(f"[bench] done $name $elapsed%.2fs " +
+            f"codegenCount=${h.getCount} codegenMeanMs=${h.getSnapshot.getMean}%.1f")
+        }
         if (results.get(name).forall(elapsed < _)) {
           val ts = triggerBuf.synchronized(triggerBuf.toList)
           // an empty drain on a new-min pass must DROP a slower pass's
@@ -151,6 +159,16 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"value":$total,"failed":$failedJson}"""
     println(line)
+    // The driver persists only a ~2 KB tail of stdout; at 281 queries
+    // the full line above is ~10 KB and overflows it, which left BOTH
+    // r12 and r13 driver artifacts with parsed:null (r13 verdict item
+    // #2). Print a compact, tail-survivable FINAL line too — totals +
+    // failed + a pointer to the full per-query map on disk — so any
+    // bounded tail ends in a parseable record. The full line and
+    // bench_full.json keep their exact prior shape; nothing is removed
+    // or renamed (measurement-contract fix, documented in
+    // OPTIMIZATION_r14.md).
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","value":$total,"failed":$failedJson,"full":"bench_full.json"}""")
     // the driver artifact persists only the tail of stdout, which
     // truncates the per-query map to the slow tail — ALSO write the
     // full map to a file so cross-round regression diffs (and

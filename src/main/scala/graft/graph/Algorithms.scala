@@ -136,14 +136,24 @@ object Algorithms {
     val prev = conf.get("spark.sql.adaptive.enabled", "true")
     val prevParts = conf.get("spark.sql.shuffle.partitions", "200")
     val prevCodegen = conf.get("spark.sql.codegen.wholeStage", "true")
+    val prevIdInName = conf.get("spark.sql.codegen.useIdInClassName", "true")
     conf.set("spark.sql.adaptive.enabled", "false")
     width.foreach(w => conf.set("spark.sql.shuffle.partitions", w.toString))
+    // loop round plans are structurally identical, but the per-query
+    // codegen stage id embedded in the generated CLASS NAME makes each
+    // round's source unique and defeats the janino compile cache — at
+    // sf0.1 that is ~25 recompiles (~8 ms each, on the driver, inside
+    // the timed window) per rank face per run (measured: g_hits
+    // 28 → 7 compiles and 5.2 → 4.1 s with the id off). The id exists
+    // only for profiler readability; scope it off inside the loops.
+    conf.set("spark.sql.codegen.useIdInClassName", "false")
     if (sys.env.contains("GRAFT_NO_CODEGEN"))
       conf.set("spark.sql.codegen.wholeStage", "false")
     try body finally {
       conf.set("spark.sql.adaptive.enabled", prev)
       conf.set("spark.sql.shuffle.partitions", prevParts)
       conf.set("spark.sql.codegen.wholeStage", prevCodegen)
+      conf.set("spark.sql.codegen.useIdInClassName", prevIdInName)
     }
   }
 
@@ -421,9 +431,16 @@ object Algorithms {
     if (undRows <= cutoverBelow) {
       val es = und0.collect().map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.Map.empty[Long, Long]
+      // iterative find: union-by-value has no depth bound (a sorted
+      // path-shaped edge order builds an O(n) chain), and a recursive
+      // walk at the cutover budget can overflow the thread stack —
+      // walk to the root first, then compress the path in a second pass
       def find(v: Long): Long = {
-        val p = parent.getOrElse(v, v)
-        if (p == v) v else { val r = find(p); parent(v) = r; r }
+        var r = v
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = v
+        while (c != r) { val n = parent(c); parent(c) = r; c = n }
+        r
       }
       es.foreach { case (a, b) =>
         val (ra, rb) = (find(a), find(b))
@@ -645,7 +662,15 @@ object Algorithms {
   def foldDeltaIntoRankGraph(g: RankGraph, deltaNodes: DataFrame,
       deltaEdges: DataFrame, ddegPre: Option[DataFrame]): RankGraph = {
     val d0 = materializeInvariant(deltaEdges.select(col("gsrc"), col("gdst")))
-    withoutAqe(d0, Some(g.width)) {
+    // scope the AQE-off window by g.e, NOT d0: in the streaming faces
+    // the delta edges are checkpointed inside foreachBatch and carry
+    // the micro-batch CLONE session, while the fold's own checkpoints
+    // below bind to g.e's (main) session — setting the flags on the
+    // clone left the fold checkpointing under an adaptive plan, which
+    // drops the hash partitioning from the LogicalRDD and made every
+    // warm round re-exchange BOTH the edge layout and the base
+    // (measured: 3 Exchanges per round instead of 1 in s_pagerank_incr)
+    withoutAqe(g.e, Some(g.width)) {
       val e = graft.PlanAudit.tap("drain.fold", g.e.unionByName(d0)
         .repartition(g.width, col("gsrc"))).localCheckpoint()
       val ddeg = ddegPre.getOrElse(d0.groupBy(col("gsrc").as("dgid"))
@@ -664,12 +689,18 @@ object Algorithms {
           col("gid") === col("bgid"), "left_anti")
         .join(ddeg, col("gid") === col("dgid"), "left")
         .select(col("gid"), col("ddeg").as("outdeg"))
-      val base0 = graft.PlanAudit.tap("drain.fold", adjusted.unionByName(fresh)
-        .repartition(g.width, col("gid"))).localCheckpoint()
-      lazy val eDst = withoutAqe(d0, Some(g.width)) {
+      // node count observed during the checkpoint job itself (the C4
+      // observe discipline): no separate count scan per fold
+      val b0F = graft.PlanAudit.tap("drain.fold", adjusted.unionByName(fresh)
+        .repartition(g.width, col("gid")))
+        .observe("graft_fold_n", count(lit(1)).as("n"))
+      val base0 = b0F.localCheckpoint()
+      val n = b0F.queryExecution.observedMetrics("graft_fold_n")
+        .getLong(0).toDouble
+      lazy val eDst = withoutAqe(g.e, Some(g.width)) {
         e.repartition(g.width, col("gdst")).localCheckpoint()
       }
-      RankGraph(e, () => eDst, base0, base0.count().toDouble, g.width)
+      RankGraph(e, () => eDst, base0, n, g.width)
     }
   }
 
@@ -788,7 +819,9 @@ object Algorithms {
       dwOpt: Option[DataFrame] = None): RankGraph = {
     val d0 = materializeInvariant(
       deltaEdges.select(col("gsrc"), col("gdst"), col("w")))
-    withoutAqe(d0, Some(g.width)) {
+    // g.e-scoped for the same clone-session reason as
+    // [[foldDeltaIntoRankGraph]] (the fold executes on g.e's session)
+    withoutAqe(g.e, Some(g.width)) {
       val dW = dwOpt.getOrElse(d0.groupBy(col("gsrc").as("dgid"))
         .agg(sum(col("w")).as("dwout")).localCheckpoint())
       val adjusted = g.base0
@@ -803,8 +836,13 @@ object Algorithms {
           col("gid") === col("bgid"), "left_anti")
         .join(dW, col("gid") === col("dgid"), "left")
         .select(col("gid"), col("dwout").as("outdeg"))
-      val base0 = graft.PlanAudit.tap("drain.fold", adjusted.unionByName(fresh)
-        .repartition(g.width, col("gid"))).localCheckpoint()
+      // node count observed during the checkpoint job (C4 discipline)
+      val b0F = graft.PlanAudit.tap("drain.fold", adjusted.unionByName(fresh)
+        .repartition(g.width, col("gid")))
+        .observe("graft_fold_n", count(lit(1)).as("n"))
+      val base0 = b0F.localCheckpoint()
+      val n = b0F.queryExecution.observedMetrics("graft_fold_n")
+        .getLong(0).toDouble
       // frac re-bake for touched sources only; everyone else verbatim
       val touched = dW.select(col("dgid").as("tsrc"))
       val keep = g.e.join(broadcast(touched),
@@ -818,10 +856,10 @@ object Algorithms {
         .select(col("gsrc"), col("gdst"), (col("w") / col("wout")).as("frac"))
       val e = graft.PlanAudit.tap("drain.fold", keep.unionByName(recomputed)
         .repartition(g.width, col("gsrc"))).localCheckpoint()
-      lazy val eDst = withoutAqe(d0, Some(g.width)) {
+      lazy val eDst = withoutAqe(g.e, Some(g.width)) {
         e.repartition(g.width, col("gdst")).localCheckpoint()
       }
-      RankGraph(e, () => eDst, base0, base0.count().toDouble, g.width)
+      RankGraph(e, () => eDst, base0, n, g.width)
     }
   }
 
@@ -879,8 +917,12 @@ object Algorithms {
     // so no re-exchange happens here either.
     withoutAqe(g.e, Some(g.width)) {
     val base = teleportOf(g.base0).localCheckpoint()
+    // loop state is (gid, outdeg, pr) — `tele` is a loop INVARIANT that
+    // the per-round projection reads from `base`, so carrying it
+    // through every round's checkpointed state was a pure copy cost
     var pr = initPr match {
-      case None => base.withColumn("pr", col("tele"))
+      case None => base.select(col("gid"), col("outdeg"),
+        col("tele").as("pr"))
       case Some(prev) =>
         // warm start: prior vector where known, teleport mass for new
         // nodes; one node-scale join before the loop
@@ -888,7 +930,7 @@ object Algorithms {
             prev.select(col("gid").as("pgid"), col("pr").as("ppr"))
               .hint("shuffle_hash"),
             col("gid") === col("pgid"), "left")
-          .select(col("gid"), col("outdeg"), col("tele"),
+          .select(col("gid"), col("outdeg"),
             coalesce(col("ppr"), col("tele")).as("pr"))
           .localCheckpoint()
     }
@@ -914,12 +956,23 @@ object Algorithms {
           e("gsrc") === col("gid"))
         .groupBy(e("gdst").as("cgid"))
         .agg(sum(contribExpr).as("contrib"))
-      val metricName = s"graft_pr_dm_$i"
+      // one metric name for every round: metric lookup is per observed
+      // Dataset, so reuse is safe — and a round-invariant name keeps the
+      // round plans byte-identical where possible (codegen cache)
+      val metricName = "graft_pr_dm"
+      // the dangling-mass scalar rides in a zero-arg UDF instead of a
+      // literal: the VALUE changes every round, and a changing literal
+      // is inlined into the generated source, forcing a fresh janino
+      // compile per round. The UDF closure lives in the plan's
+      // `references`, so every round shares one compiled class. The
+      // arithmetic is unchanged (same double, same multiply), so the
+      // oracle-sealed values are bit-identical.
+      val dmCol = udf(() => dm).apply()
       val observed = base
         .join(contribs.hint("shuffle_hash"), col("gid") === col("cgid"), "left")
-        .select(col("gid"), col("outdeg"), col("tele"),
+        .select(col("gid"), col("outdeg"),
           (lit(1.0 - damping) * col("tele") +
-            lit(damping) * (coalesce(col("contrib"), lit(0.0)) + lit(dm) * col("tele"))).as("pr"))
+            lit(damping) * (coalesce(col("contrib"), lit(0.0)) + dmCol * col("tele"))).as("pr"))
         .observe(metricName,
           sum(when(col("outdeg").isNull, col("pr")).otherwise(lit(0.0))).as("dm"))
       if (i == 2 && sys.env.contains("GRAFT_DEBUG_PLAN")) observed.explain("formatted")
@@ -1721,9 +1774,15 @@ object Algorithms {
     val merged = if (relRows <= cutoverBelow) {
       val es = rel.collect().map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.Map.empty[Long, Long]
+      // iterative find — same stack-safety rationale as the
+      // connectedComponents cutover; this one runs on streaming
+      // foreachBatch worker threads with ~1 MB stacks
       def find(v: Long): Long = {
-        val p = parent.getOrElse(v, v)
-        if (p == v) v else { val r = find(p); parent(v) = r; r }
+        var r = v
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = v
+        while (c != r) { val n = parent(c); parent(c) = r; c = n }
+        r
       }
       es.foreach { case (a, b) =>
         val (ra, rb) = (find(a), find(b))

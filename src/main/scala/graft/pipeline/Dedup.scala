@@ -997,8 +997,15 @@ object Dedup {
     } else {
       val ids = e.select(col(idCol).as("id_a"))
       val ids2 = e.select(col(idCol).as("id_b"))
-      embedCosinePairs(e, idCol, "__v",
+      // same eager-result + unpersist discipline as the broadcast
+      // branch: the lazy frame otherwise keeps the persisted projection
+      // pinned for the session lifetime — and this branch is the LARGE-
+      // input one, whose cache footprint matters most (r13 advisory)
+      val out = embedCosinePairs(e, idCol, "__v",
         ids.crossJoin(ids2).filter(col("id_a") < col("id_b")), threshold)
+        .localCheckpoint()
+      e.unpersist(blocking = false)
+      out
     }
   }
 }

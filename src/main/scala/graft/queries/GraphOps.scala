@@ -491,6 +491,19 @@ object GraphOps {
       .groupBy(col("size")).agg(count(lit(1)).as("n_components"))
   }
 
+  /** Test seam: [[gCc]] with the driver union-find cutover disabled, so
+    * plan-hygiene suites can walk the DISTRIBUTED loop's round plans
+    * without mutating the global `graft.stragglerBound` property (which
+    * would leak the forced path into concurrently running suites —
+    * r13 advisory).
+    */
+  private[graft] def gCcLoop(spark: SparkSession, dir: String): DataFrame = {
+    val (nodes, edges) = copurchaseGraph(spark, dir)
+    Algorithms.connectedComponents(nodes, edges, cutoverBelow = 0L)
+      .groupBy(col("comp")).agg(count(lit(1)).as("size"))
+      .groupBy(col("size")).agg(count(lit(1)).as("n_components"))
+  }
+
   val gCcSql: String = GraphOracleSql.ccSql(rounds = 12)
 
   /** Deterministic Luby maximal independent set over the co-purchase

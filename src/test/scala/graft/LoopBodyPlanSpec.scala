@@ -47,11 +47,11 @@ class LoopBodyPlanSpec extends SparkSpec with PlanWalk {
 
   test("frontier family: every CC round plan is product-free and pruned") {
     // r13: small graphs take the driver union-find cutover (no loop
-    // rounds to tap) — force the distributed loop for the plan walk
+    // rounds to tap) — force the distributed loop for the plan walk via
+    // the threaded cutover parameter (gCcLoop), not a global sys.props
+    // mutation that would leak into concurrently running suites
     val rounds = captured {
-      sys.props("graft.stragglerBound") = "0"
-      try queries.GraphOps.gCc(spark, sf()).collect()
-      finally sys.props.remove("graft.stragglerBound")
+      queries.GraphOps.gCcLoop(spark, sf()).collect()
     }
     assertClean("frontier", rounds.filter(_._1 == "frontier.round"))
   }

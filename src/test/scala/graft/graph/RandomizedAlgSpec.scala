@@ -265,6 +265,24 @@ class RandomizedAlgSpec extends SparkSpec {
     }
   }
 
+  test("r14: union-find cutover survives a worst-case chain (sorted path edges)") {
+    // Path edges processed in DESCENDING order make union-by-value
+    // build one O(n) parent chain; the final find(n) then walks the
+    // whole chain. The old recursive find overflowed the thread stack
+    // here (~150k frames); the iterative find must not. With empty
+    // prior labels the relabel join is a broadcast pass-through, so the
+    // driver cutover consumes the edges in exactly this order.
+    import spark.implicits._
+    val n = 150000
+    val prev = Seq.empty[(Long, Long)].toDF("gid", "comp")
+    val de = ((n - 1) to 1 by -1).map(k => (k.toLong, (k + 1).toLong))
+      .toDF("gsrc", "gdst")
+    val got = Algorithms.ccIncremental(prev, de, cutoverBelow = Long.MaxValue)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === n)
+    assert(got.values.forall(_ == 1L), "every node joins the min-label component")
+  }
+
   test("bfs hop distances match driver BFS on random digraphs") {
     (21 to 26).foreach { seed =>
       val (nodes, edges) = randomGraph(seed)

@@ -7,14 +7,18 @@ Usage: tools/bench_diff.py <bench_full.json> [more_runs.json ...] [--baseline ba
 
 Exit 1 if any query regresses by more than THRESHOLD x vs its baseline
 time (absolute floor ABS_FLOOR seconds, so scheduling jitter on
-sub-second queries never trips the gate), or if a baseline query is
-missing from the run. When MULTIPLE run files are given (the
-back-to-back pair the drift discipline prescribes), a face counts as
-regressed only if its MIN across the runs crosses the gate — a single
-noisy run can no longer flag a face (r12 verdict #8). New queries
-(absent from the baseline) are reported informationally.
+sub-second queries never trips the gate; floor raised 0.75 -> 1.0 in
+r13, documented in BENCH_BASELINE provenance / OPTIMIZATION_r13.md), or
+if a baseline query is missing from the run. When MULTIPLE run files
+are given (the back-to-back pair the drift discipline prescribes), a
+face counts as regressed if its MEDIAN across the runs crosses the gate
+(r13 advisory: min let an intermittent regression hide behind one lucky
+run; median still absorbs a single stall). Every run is compared
+against the SAME baseline file — there is no positional-baseline form;
+pass --baseline explicitly to override BENCH_BASELINE.json.
 """
 import json
+import statistics
 import sys
 
 THRESHOLD = 2.0     # x baseline
@@ -34,21 +38,22 @@ def main():
         i = args.index("--baseline")
         base_path = args[i + 1]
         del args[i:i + 2]
-    # legacy positional form: one run + one baseline
-    if len(args) == 2 and "--baseline" not in sys.argv:
-        base_path = args.pop()
     if not args:
         print(__doc__)
         return 2
     runs = [load(p) for p in args]
     run_doc = runs[0][1]
-    # min across the provided runs: a face is regressed only if EVERY
-    # run of the pair crosses the gate
-    run = {}
+    # median across the provided runs: one stalled run cannot flag a
+    # face, and one lucky run cannot hide a consistent regression
+    # (r13 advisory — the old min-across-runs did the latter)
+    samples = {}
     for q, _ in runs:
         for k, v in q.items():
-            run[k] = min(run.get(k, float("inf")), v)
+            samples.setdefault(k, []).append(v)
+    run = {k: statistics.median(vs) for k, vs in samples.items()}
     base, _ = load(base_path)
+    print(f"baseline: {base_path}; runs: {', '.join(args)} "
+          f"(median of {len(runs)})")
 
     bad, missing = [], []
     for name, b in sorted(base.items()):
