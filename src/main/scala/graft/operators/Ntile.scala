@@ -47,11 +47,30 @@ object Ntile {
       numPartitions: Int = 0): DataFrame = {
     require(n > 0, s"ntile bucket count must be positive, got $n")
     val inputCols = df.columns.toSeq
+    // Materialize the input ONCE, observing its row count on the same
+    // job: repartitionByRange otherwise executes the upstream twice
+    // (its range-sampling job, then the shuffle itself), and the
+    // session shuffle width is the wrong range width for a small
+    // aggregate — a 32-way range shuffle over a 10k-row table pays 32
+    // task floors per downstream stage for microseconds of sort work
+    // (the r13 scaling audit's q_rfm pocket). The width derives from
+    // the observed size, clamped to cluster width: at real scale
+    // rows/target exceeds any cluster and this is defaultParallelism
+    // unchanged; at small scale it collapses to 1, which also
+    // short-circuits RangePartitioner's sampling pass entirely. Bucket
+    // values are width-invariant (NtileSpec pins bit-equality to the
+    // window formulation), so only the plan changes.
+    val pre0 = df.observe("graft_ntile_n", count(lit(1)).as("n"))
+    val pre = pre0.localCheckpoint()
+    val rows = pre0.queryExecution.observedMetrics("graft_ntile_n")
+      .getLong(0)
+    val para = df.sparkSession.sparkContext.defaultParallelism
+    val targetRows = 250000L // the measured per-task fixed-cost floor
     val parts =
       if (numPartitions > 0) numPartitions
-      else df.sparkSession.sessionState.conf.numShufflePartitions
+      else math.max(1L, math.min(para.toLong, rows / targetRows + 1L)).toInt
     // sorted-order ids: materialize once (two consumers: counts + rows)
-    val ranged = df.repartitionByRange(parts, order: _*)
+    val ranged = pre.repartitionByRange(parts, order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn("_nt_mid", monotonically_increasing_id())
       .localCheckpoint()

@@ -701,20 +701,42 @@ object Cluster {
       idCol: String, vecCol: String, k: Int,
       broadcastQueries: Boolean = true,
       saltBuckets: Int = 8,
-      queryIds: Option[DataFrame] = None): DataFrame =
+      queryIds: Option[DataFrame] = None,
+      prepared: Option[ExactKnnIndex] = None): DataFrame =
     exactCosineKnnPrunedWithSurvivors(codesDf, coarse, emb, idCol, vecCol,
-      k, broadcastQueries, saltBuckets, queryIds)._2
+      k, broadcastQueries, saltBuckets, queryIds, prepared)._2
 
-  /** [[exactCosineKnnPruned]] plus the surviving (query, list) pair
-    * table, so the prune fraction is measurable (ClusterSpec pins it
-    * on clustered vs uniform corpora).
+  /** Search-invariant scan state of the pruned exact-kNN search — the
+    * unit-normalized vectors, the (member, list, vector) table the
+    * scoring stages stream over, and the per-list member radii. Every
+    * term is a pure function of (codes, emb, coarse), so a serving
+    * deployment computes it ONCE per index fit and every query batch
+    * reuses it: without this, each streaming trigger re-derived all
+    * three (≈2-3 s CPU per trigger at sf0.1 — measured on s_knn —
+    * against a pinned index that never changes). Values are identical
+    * to the inline derivation by construction (same expressions,
+    * materialized once), so results are bit-equal.
     */
-  private[graft] def exactCosineKnnPrunedWithSurvivors(codesDf: DataFrame,
+  final case class ExactKnnIndex(raw: DataFrame, unit: DataFrame,
+      memberVec: DataFrame, radii: DataFrame)
+
+  /** Build (and materialize) the [[ExactKnnIndex]] for a pinned IVF
+    * layout. Callers pin it per (session, corpus) alongside `codes`.
+    */
+  def prepareExactKnn(codesDf: DataFrame,
       coarse: Seq[(Int, Array[Double])], emb: DataFrame,
-      idCol: String, vecCol: String, k: Int,
-      broadcastQueries: Boolean = true,
-      saltBuckets: Int = 8,
-      queryIds: Option[DataFrame] = None): (DataFrame, DataFrame) = {
+      idCol: String, vecCol: String): ExactKnnIndex = {
+    val i = exactKnnInvariants(codesDf, coarse, emb, idCol, vecCol)
+    ExactKnnIndex(i.raw.localCheckpoint(), i.unit.localCheckpoint(),
+      i.memberVec.localCheckpoint(), i.radii.localCheckpoint())
+  }
+
+  /** The lazy (un-materialized) index terms — the one-shot callers'
+    * original inline plan shape.
+    */
+  private def exactKnnInvariants(codesDf: DataFrame,
+      coarse: Seq[(Int, Array[Double])], emb: DataFrame,
+      idCol: String, vecCol: String): ExactKnnIndex = {
     val raw = emb.select(col(idCol).as("vid"),
       col(vecCol).cast("array<double>").as("rv"))
     val unit = raw.select(col("vid"),
@@ -730,6 +752,26 @@ object Cluster {
       .groupBy(col("cid")).agg(max(col("d")).as("r"))
     val memberVec = codesDf.select(col("id").as("mid"), col("cid"))
       .join(raw.select(col("vid").as("mid"), col("rv").as("mrv")), Seq("mid"))
+    ExactKnnIndex(raw, unit, memberVec, radii)
+  }
+
+  /** [[exactCosineKnnPruned]] plus the surviving (query, list) pair
+    * table, so the prune fraction is measurable (ClusterSpec pins it
+    * on clustered vs uniform corpora).
+    */
+  private[graft] def exactCosineKnnPrunedWithSurvivors(codesDf: DataFrame,
+      coarse: Seq[(Int, Array[Double])], emb: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      broadcastQueries: Boolean = true,
+      saltBuckets: Int = 8,
+      queryIds: Option[DataFrame] = None,
+      prepared: Option[ExactKnnIndex] = None): (DataFrame, DataFrame) = {
+    val idx = prepared.getOrElse(
+      exactKnnInvariants(codesDf, coarse, emb, idCol, vecCol))
+    val raw = idx.raw
+    val unit = idx.unit
+    val radii = idx.radii
+    val memberVec = idx.memberVec
     // the query-vector table the broadcast branch ships to executors:
     // restricted to the serving subset when `queryIds` is given, so the
     // broadcast build is |queries| rows — NEVER the full corpus unless
